@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Canonical loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * Analog of the reference's source layer: the SQLite fact-table scan
+  * (`/root/reference/base_code.R:6-9`) and per-season RDS loads
+  * (`/root/reference/1_rebuild_db.R:27`) both become lazy Parquet reads —
+  * Catalyst handles predicate pushdown and column pruning that the reference
+  * had to hand-write before `collect()`.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "region")
+  def nation(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "nation")
+  def customer(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = apply(spark, d, "part")
+  def orders(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "orders")
+  def lineitem(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and the
+    * loader converts exactly (integer ns→µs division — the data is µs-grained;
+    * a double division would lose precision above 2^53). */
+  def events(spark: SparkSession, d: String): DataFrame =
+    apply(spark, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def documents(spark: SparkSession, d: String): DataFrame = apply(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
+
+  /** Register every table as a temp view (for spark.sql access). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Reusable relational operators distilled from the reference workload
+  * (SURVEY.md §2). Each is a thin, composable DataFrame→DataFrame function
+  * built on Catalyst-optimizable primitives — no collect(), no UDFs — so
+  * plans stay inside whole-stage codegen and scale with partitioning.
+  */
+object Relational {
+
+  /** W3: top-1 row per group with an explicit total order.
+    * Reference idiom: `group_by(...) %>% arrange(...) %>% slice(1)`
+    * (`/root/reference/R/nfc_west_starting_qbs.R:25-27`). The reference
+    * relies on R's stable sort + insertion order; Spark has no insertion
+    * order, so callers MUST pass a tie-breaking total order.
+    */
+  def top1PerGroup(df: DataFrame, partition: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(Window.partitionBy(partition: _*).orderBy(order: _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /** J6: positional zip of two equal-ish-length tables (`bind_cols`,
+    * `/root/reference/R/nfc_west_starting_qbs.R:71-94`). Implemented as a
+    * row-index inner join; each side needs a deterministic order. At scale
+    * both sides of this idiom are tiny presentation tables, so the
+    * single-partition window is acceptable; for large inputs use
+    * zipWithIndex-style repartitioning instead.
+    */
+  def bindCols(left: DataFrame, leftOrder: Seq[Column], right: DataFrame, rightOrder: Seq[Column]): DataFrame = {
+    val l = left.withColumn("__idx", row_number().over(Window.orderBy(leftOrder: _*)))
+    val r = right.withColumn("__idx", row_number().over(Window.orderBy(rightOrder: _*)))
+    l.join(r, Seq("__idx"), "inner")
+  }
+
+  /** A7/W5: min-max rescale of `valueCol` to [0, scaleTo] within each group.
+    * Reference: `pct = 100 * pct / max(pct)`-style gauges
+    * (`/root/reference/R/let_russ_cook.R:104-116`) and per-season/position
+    * rescales (`/root/reference/pff/99_passblock_piece.R:44-52`).
+    * Window-based: one shuffle on the group key, no join-back needed.
+    */
+  def minMaxRescale(df: DataFrame, groups: Seq[Column], valueCol: Column, scaleTo: Double = 100.0): Column = {
+    val w = Window.partitionBy(groups: _*)
+    val mn = min(valueCol).over(w)
+    val mx = max(valueCol).over(w)
+    when(mx === mn, lit(scaleTo / 2)).otherwise(lit(scaleTo) * (valueCol - mn) / (mx - mn))
+  }
+
+  /** A8: binned aggregation (histogram/calibration curves).
+    * Reference: `mutate(bin = round(wp/0.01)*.01) %>% group_by(qtr, bin)`
+    * (`/root/reference/R/espn_wp.R:87-99`). */
+  def bin(c: Column, width: Double): Column =
+    round(c / lit(width)) * lit(width)
+
+  /** A10: log-loss of a probability column against a 0/1 label.
+    * Reference: `LogLoss(pred, label)` (`/root/reference/R/espn_wp.R:236`).
+    * Pure aggregate expression — 20 reference slices become one cube pass. */
+  def logLoss(pred: Column, label: Column): Column =
+    -avg(label * log(pred) + (lit(1) - label) * log(lit(1) - pred))
+
+  /** A11: closed-form simple OLS (slope, intercept, r2) via aggregates.
+    * Reference: `lm(diff ~ over)` (`/root/reference/R/preseason_predictiveness.R:150-151`).
+    * Distributed closed form — no driver-side fitting, no ml dependency. */
+  def olsAggs(x: Column, y: Column): Seq[Column] = {
+    val slope = covar_samp(x, y) / var_samp(x)
+    Seq(
+      round(slope.cast(DoubleType), 4).as("slope"),
+      round((avg(y) - slope * avg(x)).cast(DoubleType), 4).as("intercept"),
+      round(pow(corr(x, y), 2).cast(DoubleType), 4).as("r2"))
+  }
+
+  /** C2: the de-vig fixed-point loop
+    * (`/root/reference/R/nfl_draft_espn_dk.R:28-40`): iteratively re-scale
+    * implied probabilities within each group until they sum to 1:
+    *   k = log(target) / log(target / tot), p <- p^k, repeated.
+    * Driver-side loop over a lazy plan; lineage grows linearly with `iters`
+    * (10 in the reference) which is fine; checkpoint if generalized.
+    */
+  def devig(df: DataFrame, group: Seq[Column], pctCol: String, iters: Int = 10, target: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(group: _*)
+    var out = df
+    for (_ <- 1 to iters) {
+      out = out
+        .withColumn("__tot", sum(col(pctCol)).over(w))
+        .withColumn(pctCol, pow(col(pctCol), log(lit(target)) / log(lit(target) / col("__tot"))))
+        .drop("__tot")
+    }
+    out
+  }
+
+  /** U1: `bind_rows` semantics — union by column name, null-filling columns
+    * missing on either side (`/root/reference/R/preseason_predictiveness.R:48-49`). */
+  def unionPad(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** E2: idempotent incremental append — the `nflfastR::update_db` shape
+    * (`/root/reference/2_scrape_new_games.R:7-12`): rows of `incoming` whose
+    * key is not already present in `existing`. Anti-join is the scalable
+    * form of the reference's collect-and-set-difference. */
+  def newRowsOnly(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+}

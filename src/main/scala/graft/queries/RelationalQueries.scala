@@ -1,0 +1,552 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.RSemantics._
+import graft.operators.Relational._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+/** SURVEY.md §2.1–§2.4 + §2.7 + §2.9 coverage: scans/sources/sinks,
+  * projection/filter, joins, aggregation, set ops, scalar functions.
+  *
+  * Every query is a lazy DataFrame pipeline — filters and projections reach
+  * the Parquet scan via Catalyst pushdown; all dimension joins broadcast.
+  * Money doubles aggregate through DECIMAL (exact, shuffle-order-independent)
+  * so results are bit-stable on a 1000-executor cluster, not just local[32].
+  */
+object RelationalQueries {
+
+  /** S1+P1+P3: lazy scan, conjunctive filter, projection — the canonical
+    * read path of `/root/reference/R/let_russ_cook.R:39-44`. Both the filter
+    * and the 4-column projection push down to the Parquet reader. */
+  private val s1ScanFilterProject = Q(
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp") && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+
+  /** S2+C1+U1: per-season fan-out load + union-by-name
+    * (`/root/reference/1_rebuild_db.R:25-32`, `map_df` sites). Each "season"
+    * is a filtered scan; unionPad is the `bind_rows` analog. */
+  private val s2SeasonalUnion = Q(
+    (s, d) => {
+      val orders = Tables.orders(s, d)
+      val perYear = (1995 to 1997).map(y =>
+        orders.filter(year(col("o_orderdate")) === y)
+          .withColumn("o_year", year(col("o_orderdate")).cast(IntegerType)))
+      unionPad(perYear)
+        .groupBy("o_year").agg(count(lit(1)).as("n"))
+        .orderBy("o_year")
+    },
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n
+      |FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** S7+S9: destroy-and-rebuild partitioned Parquet sink, then read back with
+    * partition pruning (`/root/reference/1_rebuild_db.R:12-32` semantics:
+    * nuke + append per season, season becomes the partition column). */
+  private val s7PartitionedSink = Q(
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/orders_by_year"
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(path)
+      s.read.parquet(path)
+        .groupBy(col("o_year").cast(IntegerType).as("o_year"))
+        .agg(count(lit(1)).as("n"), sumDec2(col("o_totalprice")).as("sum_total"))
+        .orderBy("o_year")
+    },
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** S8+S3: CSV sink then typed CSV source round-trip
+    * (`write_csv` `/root/reference/R/nfl_draft_espn_dk.R:48`; typed reads
+    * `/root/reference/R/epa_predict.R:26`). */
+  private val s8CsvRoundtrip = Q(
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/region_csv"
+      Tables.region(s, d).coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(path)
+      s.read.option("header", "true")
+        .schema("r_regionkey INT, r_name STRING")
+        .csv(path)
+        .orderBy("r_regionkey")
+    },
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+
+  /** S4+R3: JSON parsing of a nested props column
+    * (`jsonlite::fromJSON` `/root/reference/R/espn_wp.R:43`). */
+  private val s4JsonParse = Q(
+    (s, d) => {
+      Tables.events(s, d)
+        .filter(col("event_id") < 500)
+        .select(
+          col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .orderBy("event_id")
+    },
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin)
+
+  /** S11: in-code literal relation joined against a scanned dim
+    * (`tribble` sites, `/root/reference/R/epa_predict.R:270-292`). */
+  private val s11LiteralRelation = Q(
+    (s, d) => {
+      import s.implicits._
+      val zones = Seq(
+        ("AFRICA", "EMEA"), ("EUROPE", "EMEA"), ("MIDDLE EAST", "EMEA"),
+        ("AMERICA", "AMER"), ("ASIA", "APAC")).toDF("r_name", "zone")
+      Tables.region(s, d).join(broadcast(zones), Seq("r_name"), "left")
+        .select("r_regionkey", "r_name", "zone")
+        .orderBy("r_regionkey")
+    },
+    """SELECT r_regionkey, region.r_name AS r_name, zone
+      |FROM region LEFT JOIN (VALUES ('AFRICA','EMEA'),('EUROPE','EMEA'),('MIDDLE EAST','EMEA'),
+      |  ('AMERICA','AMER'),('ASIA','APAC')) AS m(r_name, zone)
+      |ON region.r_name = m.r_name
+      |ORDER BY r_regionkey""".stripMargin)
+
+  /** P4: null predicates + R NA semantics on a derived nullable column
+    * (`!is.na(x)` `/root/reference/base_code.R:8`; `na.rm` mean
+    * `/root/reference/R/epa_predict.R:210`). */
+  private val p4NullPredicates = Q(
+    (s, d) => {
+      Tables.events(s, d)
+        .withColumn("v", when(col("value") > 400, lit(null).cast(DoubleType)).otherwise(col("value")))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("v").isNull, 1).otherwise(0)).cast(LongType).as("n_null"),
+          sum(when(col("v").isNotNull, 1).otherwise(0)).cast(LongType).as("n_notnull"),
+          avgDec2(col("v")).as("avg_v"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type,
+      |  CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |  CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_notnull,
+      |  ROUND(CAST(AVG(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_v
+      |FROM (SELECT event_type, CASE WHEN value > 400 THEN NULL ELSE value END AS v FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
+  /** P5: set-membership filter (`%in%` `/root/reference/R/nfc_west_starting_qbs.R:12`). */
+  private val p5InMembership = Q(
+    (s, d) => {
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sumDec2(col("c_acctbal")).as("sum_bal"))
+        .orderBy("c_mktsegment")
+    },
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+      |FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+
+  /** P6: range predicates (`between(season, 2015, 2019)`
+    * `/root/reference/R/espn_wp.R:18`). */
+  private val p6BetweenRange = Q(
+    (s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderdate").between(lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+        .filter(col("o_totalprice").between(100000, 300000))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |  AND o_totalprice BETWEEN 100000 AND 300000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+
+  /** P7: regex / substring predicates (`str_detect`
+    * `/root/reference/R/on_off_nflreadr.R:32`). */
+  private val p7RegexPredicate = Q(
+    (s, d) => {
+      Tables.part(s, d)
+        .filter(col("p_name").rlike("^(red|blue) ") || col("p_name").contains("bolt"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+    """SELECT p_partkey, p_name FROM part
+      |WHERE regexp_matches(p_name, '^(red|blue) ') OR contains(p_name, 'bolt')
+      |ORDER BY p_partkey""".stripMargin)
+
+  /** A1: group-by count (`/root/reference/1_rebuild_db.R:41-42`). */
+  private val a1CountBy = Q(
+    (s, d) =>
+      Tables.orders(s, d).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n")).orderBy("o_orderstatus"),
+    "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1")
+
+  /** A2+A9: multi-aggregate pricing summary with derived post-agg columns —
+    * the `/root/reference/R/epa_predict.R:178-187` shape (sum/mean/n + derived
+    * metric). Decimal-exact sums; one shuffle; map-side partial agg. */
+  private val a2PricingSummary = Q(
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast(DecimalType(18, 2)).as("sum_qty"),
+          sumDec2(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
+            .cast(DecimalType(18, 4)).as("sum_disc_price"),
+          stat4(avg(col("l_quantity"))).as("avg_qty"),
+          avgDec2(col("l_extendedprice")).as("avg_price"),
+          avgDec2(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      |  ROUND(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_qty,
+      |  ROUND(CAST(AVG(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_price,
+      |  ROUND(CAST(AVG(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+
+  /** A3: conditional count (`length(which(label==1))`
+    * `/root/reference/R/espn_wp.R:97,146`). */
+  private val a3ConditionalCount = Q(
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("value") > 100, 1).otherwise(0)).cast(LongType).as("n_big"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type, count(*) AS n,
+      |  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** A4/U2: distinct projection (`/root/reference/2_scrape_new_games.R:17-18`). */
+  private val a4Distinct = Q(
+    (s, d) =>
+      Tables.orders(s, d).select("o_custkey").distinct().orderBy("o_custkey"),
+    "SELECT DISTINCT o_custkey FROM orders ORDER BY o_custkey")
+
+  /** J1: left equi-join on composite keys between two derived aggregates
+    * (the 5-sequential-join chain `/root/reference/R/epa_predict.R:215-219`).
+    * Both sides pre-aggregate before joining (map-side combine first), then
+    * the smaller side broadcasts. */
+  private val j1LeftJoinComposite = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d).withColumn("l_year", year(col("l_shipdate")).cast(IntegerType))
+      val shipped = li.groupBy("l_suppkey", "l_year").agg(count(lit(1)).as("n_items"))
+      val returned = li.filter(col("l_returnflag") === "R")
+        .groupBy("l_suppkey", "l_year").agg(count(lit(1)).as("n_returned"))
+      shipped.join(broadcast(returned), Seq("l_suppkey", "l_year"), "left")
+        .withColumn("n_returned", coalesce(col("n_returned"), lit(0L)))
+        .orderBy("l_suppkey", "l_year")
+    },
+    """WITH shipped AS (
+      |  SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS l_year, count(*) AS n_items
+      |  FROM lineitem GROUP BY 1, 2),
+      |returned AS (
+      |  SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS l_year, count(*) AS n_returned
+      |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
+      |SELECT shipped.l_suppkey, shipped.l_year, n_items, COALESCE(n_returned, 0) AS n_returned
+      |FROM shipped LEFT JOIN returned USING (l_suppkey, l_year)
+      |ORDER BY l_suppkey, l_year""".stripMargin)
+
+  /** J2: left join with differing key names, broadcast dim
+    * (`by = c("espn_game_id" = "espn")` `/root/reference/R/espn_wp.R:71`). */
+  private val j2JoinDiffKeys = Q(
+    (s, d) => {
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 350000)
+      val c = Tables.customer(s, d)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left")
+        .select("o_orderkey", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey")
+    },
+    """SELECT o_orderkey, c_name, c_mktsegment
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |WHERE o_totalprice > 350000
+      |ORDER BY o_orderkey""".stripMargin)
+
+  /** J3: full outer join of two per-nation aggregates
+    * (`full_join` `/root/reference/darko/2_ourlads_projections.R:62`). */
+  private val j3FullOuter = Q(
+    (s, d) => {
+      val nc = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val ns = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      nc.join(ns, Seq("nationkey"), "full_outer")
+        .select(
+          col("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nationkey")
+    },
+    """WITH nc AS (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+      |ns AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+      |SELECT nationkey, CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+      |       CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+      |FROM nc FULL OUTER JOIN ns USING (nationkey)
+      |ORDER BY nationkey""".stripMargin)
+
+  /** J4: cross join grid (`expand.grid` scrape manifests
+    * `/root/reference/pff/0_scrape.R:36`). */
+  private val j4CrossGrid = Q(
+    (s, d) => {
+      val r = Tables.region(s, d).select("r_name")
+      val seg = Tables.customer(s, d).select("c_mktsegment").distinct()
+      r.crossJoin(broadcast(seg)).orderBy("r_name", "c_mktsegment")
+    },
+    """SELECT r_name, c_mktsegment
+      |FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
+      |ORDER BY r_name, c_mktsegment""".stripMargin)
+
+  /** J5: anti-join — cleaner form of the reference's left-join-then-
+    * `filter(is.na(...))` QA probes (`/root/reference/R/epa_predict.R:230-231`). */
+  private val j5AntiJoin = Q(
+    (s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, d)
+        .join(bigOrders, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** J5b: semi-join companion (EXISTS). */
+  private val j5SemiJoin = Q(
+    (s, d) => {
+      val bigOrders = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, d)
+        .join(bigOrders, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** J6: positional `bind_cols` zip of two ranked lists
+    * (`/root/reference/R/nfc_west_starting_qbs.R:71-94`). */
+  private val j6BindCols = Q(
+    (s, d) => {
+      val topCust = Tables.customer(s, d)
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(10).select("c_name", "c_acctbal")
+      val topSupp = Tables.supplier(s, d)
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+        .limit(10).select("s_name", "s_acctbal")
+      bindCols(
+        topCust, Seq(col("c_acctbal").desc, col("c_name").asc),
+        topSupp, Seq(col("s_acctbal").desc, col("s_name").asc))
+        .withColumnRenamed("__idx", "rank")
+        .select("rank", "c_name", "s_name")
+        .orderBy("rank")
+    },
+    """WITH tc AS (
+      |  SELECT c_name, ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_name ASC) AS rank
+      |  FROM (SELECT c_name, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10)),
+      |ts AS (
+      |  SELECT s_name, ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_name ASC) AS rank
+      |  FROM (SELECT s_name, s_acctbal FROM supplier ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 10))
+      |SELECT rank, c_name, s_name FROM tc JOIN ts USING (rank) ORDER BY rank""".stripMargin)
+
+  /** U1: union-by-name with null-filled missing columns (`bind_rows`,
+    * `/root/reference/R/preseason_predictiveness.R:48-49`). */
+  private val u1UnionPad = Q(
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"),
+          col("c_mktsegment").as("segment"))
+        .withColumn("src", lit("customer"))
+      val p = Tables.supplier(s, d)
+        .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"))
+        .withColumn("src", lit("supplier"))
+      unionPad(Seq(c, p)).orderBy("name")
+    },
+    """SELECT c_name AS name, c_acctbal AS acctbal, c_mktsegment AS segment, 'customer' AS src FROM customer
+      |UNION ALL
+      |SELECT s_name, s_acctbal, NULL, 'supplier' FROM supplier
+      |ORDER BY name""".stripMargin)
+
+  /** O1+O3: multi-key descending sort, top-k (`arrange(-x)` + rank filters,
+    * `/root/reference/darko/2_ourlads_projections.R:107,375-379`). */
+  private val o1TopK = Q(
+    (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(15)
+        .select("o_orderkey", "o_totalprice"),
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 15""".stripMargin)
+
+  /** O2: "most recent 5" tail — the reference's insertion-order `tail(5)`
+    * (`/root/reference/2_scrape_new_games.R:21`) pinned to an explicit
+    * total order, as Spark requires. */
+  private val o2RecentTail = Q(
+    (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(5)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date")),
+    """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+      |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 5""".stripMargin)
+
+  /** §2.9 conditional + recode ladder: `case_when` name canonicalization
+    * (`/root/reference/R/epa_predict.R:74-79`) and the `team_name_fn`
+    * franchise-abbr normalizer (`/root/reference/pff/0_scrape.R:57`) as a
+    * pure column expression — no UDF. */
+  private val f1CaseWhenRecode = Q(
+    (s, d) => {
+      val n = Tables.nation(s, d)
+      n.select(
+        col("n_nationkey"),
+        when(col("n_name").isin("NATION_0", "NATION_1"), "FOUNDING")
+          .when(col("n_name").rlike("^NATION_1[0-9]$"), "TEENS")
+          .when(col("n_regionkey") === 0, "R0_OTHER")
+          .otherwise("OTHER").as("cohort"))
+        .orderBy("n_nationkey")
+    },
+    """SELECT n_nationkey,
+      |  CASE WHEN n_name IN ('NATION_0','NATION_1') THEN 'FOUNDING'
+      |       WHEN regexp_matches(n_name, '^NATION_1[0-9]$') THEN 'TEENS'
+      |       WHEN n_regionkey = 0 THEN 'R0_OTHER'
+      |       ELSE 'OTHER' END AS cohort
+      |FROM nation ORDER BY n_nationkey""".stripMargin)
+
+  /** §2.9 string functions: substr/concat/length/regex replace+extract/case
+    * maps (`/root/reference/pff/6a_ourlads_scrape.R:32-36` et al.). */
+  private val f2StringFuncs = Q(
+    (s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 4).as("pre4"),
+        length(col("p_name")).cast(LongType).as("len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+        regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+        trim(lit("  pad  ")).as("trimmed"))
+        .orderBy("p_partkey")
+    },
+    """SELECT p_partkey, upper(p_name) AS up, substring(p_name, 1, 4) AS pre4,
+      |  CAST(length(p_name) AS BIGINT) AS len,
+      |  concat_ws('/', p_brand, p_type) AS brand_type,
+      |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+      |  regexp_extract(p_name, '^[a-z]+') AS first_word,
+      |  trim('  pad  ') AS trimmed
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
+  /** §2.9 math functions: round/abs/log/pow/greatest/least/mod + capping
+    * (`/root/reference/R/epa_predict.R:199,224-225`). */
+  private val f3MathFuncs = Q(
+    (s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        round(col("p_retailprice") * 0.9, 2).as("discounted"),
+        abs(lit(25) - col("p_size")).cast(LongType).as("dist25"),
+        stat4(log(col("p_retailprice"))).as("ln_price"),
+        pow(col("p_size").cast(DoubleType), 2).as("size_sq"),
+        greatest(col("p_size"), lit(10)).cast(LongType).as("size_floor10"),
+        least(col("p_size"), lit(40)).cast(LongType).as("size_cap40"),
+        (col("p_size") % 5).cast(LongType).as("size_mod5"))
+        .orderBy("p_partkey")
+    },
+    """SELECT p_partkey, round(p_retailprice * 0.9, 2) AS discounted,
+      |  CAST(abs(25 - p_size) AS BIGINT) AS dist25,
+      |  round(CAST(ln(p_retailprice) AS DOUBLE), 4) AS ln_price,
+      |  CAST(p_size AS DOUBLE) ** 2 AS size_sq,
+      |  CAST(greatest(p_size, 10) AS BIGINT) AS size_floor10,
+      |  CAST(least(p_size, 40) AS BIGINT) AS size_cap40,
+      |  CAST(p_size % 5 AS BIGINT) AS size_mod5
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
+  /** §2.9 date functions: year/month/quarter extraction, day arithmetic,
+    * add_months (`lubridate` sites, `/root/reference/2_scrape_new_games.R:24`). */
+  private val f4DateFuncs = Q(
+    (s, d) => {
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          quarter(col("o_orderdate")).as("q"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3mo"))
+        .orderBy("o_orderkey")
+    },
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS INT) AS days_since,
+      |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo
+      |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)
+
+  /** §2.9 casts (`as.numeric`/`as.character` sites). */
+  private val f5Casts = Q(
+    (s, d) => {
+      Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        col("s_suppkey").cast(DoubleType).as("key_dbl"),
+        col("s_suppkey").cast("string").as("key_str"),
+        col("s_acctbal").cast(IntegerType).as("bal_int"),
+        round(col("s_acctbal"), 0).cast(LongType).as("bal_rounded"))
+        .orderBy("s_suppkey")
+    },
+    """SELECT s_suppkey, CAST(s_suppkey AS DOUBLE) AS key_dbl,
+      |  CAST(s_suppkey AS VARCHAR) AS key_str,
+      |  CAST(trunc(s_acctbal) AS INT) AS bal_int,
+      |  CAST(round(s_acctbal, 0) AS BIGINT) AS bal_rounded
+      |FROM supplier ORDER BY s_suppkey""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "s1_scan_filter_project" -> s1ScanFilterProject,
+    "s2_seasonal_union" -> s2SeasonalUnion,
+    "s7_partitioned_sink" -> s7PartitionedSink,
+    "s8_csv_roundtrip" -> s8CsvRoundtrip,
+    "s4_json_parse" -> s4JsonParse,
+    "s11_literal_relation" -> s11LiteralRelation,
+    "p4_null_predicates" -> p4NullPredicates,
+    "p5_in_membership" -> p5InMembership,
+    "p6_between_range" -> p6BetweenRange,
+    "p7_regex_predicate" -> p7RegexPredicate,
+    "a1_count_by" -> a1CountBy,
+    "a2_pricing_summary" -> a2PricingSummary,
+    "a3_conditional_count" -> a3ConditionalCount,
+    "a4_distinct" -> a4Distinct,
+    "j1_left_join_composite" -> j1LeftJoinComposite,
+    "j2_join_diff_keys" -> j2JoinDiffKeys,
+    "j3_full_outer" -> j3FullOuter,
+    "j4_cross_grid" -> j4CrossGrid,
+    "j5_anti_join" -> j5AntiJoin,
+    "j5_semi_join" -> j5SemiJoin,
+    "j6_bind_cols" -> j6BindCols,
+    "u1_union_pad" -> u1UnionPad,
+    "o1_topk" -> o1TopK,
+    "o2_recent_tail" -> o2RecentTail,
+    "f1_case_when_recode" -> f1CaseWhenRecode,
+    "f2_string_funcs" -> f2StringFuncs,
+    "f3_math_funcs" -> f3MathFuncs,
+    "f4_date_funcs" -> f4DateFuncs,
+    "f5_casts" -> f5Casts)
+}
