@@ -1,0 +1,282 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.RSemantics._
+import graft.operators.Relational._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+/** SURVEY.md §2.4 metric layer (corr, quantiles, rescale, calibration,
+  * log-loss cube, OLS, model scoring), §2.8 reshape, §2.10 C2 iterative
+  * fixed point. The reference computes these with repeated full-table scans
+  * (20 LogLoss slices, 26 cor() calls); here each is a single pass.
+  */
+object MetricQueries {
+
+  /** A5: grouped correlation matrix (`summarize(c_epa = cor(...))`,
+    * `/root/reference/R/epa_predict.R:361-377`). Spark's `corr` is
+    * pairwise-complete — exactly R's `use = "complete.obs"`. */
+  private val a5CorrGroups = Q(
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          stat4(corr(col("l_quantity"), col("l_extendedprice"))).as("c_qty_price"),
+          stat4(corr(col("l_quantity"), col("l_discount"))).as("c_qty_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    """SELECT l_returnflag,
+      |  ROUND(CAST(corr(l_quantity, l_extendedprice) AS DOUBLE), 4) AS c_qty_price,
+      |  ROUND(CAST(corr(l_quantity, l_discount) AS DOUBLE), 4) AS c_qty_disc,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** A6: exact quantiles (`quantile(probs = c(.2,.5,.8))`,
+    * `/root/reference/darko/2_ourlads_projections.R:508-524`). Exact
+    * `percentile` (interpolating, type-7 like R) — not approx — since group
+    * counts here are modest; switch to percentile_approx at 100 TB. */
+  private val a6Quantiles = Q(
+    (s, d) => {
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.2, 0.5, 0.8))").as("qs"))
+        .select(
+          col("event_type"),
+          stat4(col("qs").getItem(0)).as("q20"),
+          stat4(col("qs").getItem(1)).as("q50"),
+          stat4(col("qs").getItem(2)).as("q80"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type,
+      |  ROUND(CAST(quantile_cont(value, 0.2) AS DOUBLE), 4) AS q20,
+      |  ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS q50,
+      |  ROUND(CAST(quantile_cont(value, 0.8) AS DOUBLE), 4) AS q80
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** A7/W5: grouped min-max rescale to [0,100]
+    * (`/root/reference/R/let_russ_cook.R:104-116`,
+    * `/root/reference/pff/99_passblock_piece.R:44-52`). */
+  private val a7MinmaxRescale = Q(
+    (s, d) => {
+      val c = Tables.customer(s, d)
+      c.withColumn("scaled",
+        stat4(minMaxRescale(c, Seq(col("c_mktsegment")), col("c_acctbal"))))
+        .select("c_custkey", "c_mktsegment", "scaled")
+        .orderBy("c_custkey")
+    },
+    """SELECT c_custkey, c_mktsegment,
+      |  ROUND(100.0 * (c_acctbal - MIN(c_acctbal) OVER (PARTITION BY c_mktsegment))
+      |        / (MAX(c_acctbal) OVER (PARTITION BY c_mktsegment)
+      |           - MIN(c_acctbal) OVER (PARTITION BY c_mktsegment)), 4) AS scaled
+      |FROM customer ORDER BY c_custkey""".stripMargin)
+
+  /** A8: binned aggregation / calibration curve
+    * (`bin = round(wp/0.01)*.01` `/root/reference/R/espn_wp.R:87-99`). */
+  private val a8BinnedAgg = Q(
+    (s, d) => {
+      Tables.events(s, d)
+        .withColumn("bin", (round(col("value") / 50) * 50).cast(IntegerType))
+        .groupBy("event_type", "bin")
+        .agg(count(lit(1)).as("n"), avgDec2(col("value")).as("avg_value"))
+        .orderBy("event_type", "bin")
+    },
+    """SELECT event_type, CAST(round(value / 50) * 50 AS INT) AS bin,
+      |  count(*) AS n,
+      |  ROUND(CAST(AVG(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
+  /** A10: log-loss over all slices at once — the reference's 20 separate
+    * re-filtering passes (`/root/reference/R/espn_wp.R:236-274`) collapsed
+    * into ONE cube pass with grouping sets. */
+  private val a10LoglossCube = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("l_year", year(col("l_shipdate")).cast(IntegerType))
+        .withColumn("pred", (col("l_discount") + lit(0.01)) * 5)
+        .withColumn("label", (col("l_returnflag") === "R").cast(DoubleType))
+      li.cube(col("l_linestatus"), col("l_year"))
+        .agg(
+          grouping_id().cast(IntegerType).as("gid"),
+          stat4(logLoss(col("pred"), col("label"))).as("log_loss"),
+          count(lit(1)).as("n"))
+        .orderBy(col("gid"), col("l_linestatus").asc_nulls_first, col("l_year").asc_nulls_first)
+    },
+    """SELECT l_linestatus, l_year,
+      |  CAST(GROUPING(l_linestatus, l_year) AS INT) AS gid,
+      |  ROUND(CAST(-AVG(label * LN(pred) + (1 - label) * LN(1 - pred)) AS DOUBLE), 4) AS log_loss,
+      |  count(*) AS n
+      |FROM (
+      |  SELECT l_linestatus, CAST(year(l_shipdate) AS INT) AS l_year,
+      |    (l_discount + 0.01) * 5 AS pred,
+      |    CAST(l_returnflag = 'R' AS DOUBLE) AS label
+      |  FROM lineitem) x
+      |GROUP BY CUBE (l_linestatus, l_year)
+      |ORDER BY gid, l_linestatus NULLS FIRST, l_year NULLS FIRST""".stripMargin)
+
+  /** A11: closed-form OLS via distributed aggregates
+    * (`lm(diff ~ over)` `/root/reference/R/preseason_predictiveness.R:150-151`).
+    * No driver-side fit, no ml dependency — covar/var/corr aggregates. */
+  private val a11OlsFit = Q(
+    (s, d) => {
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")).cast(IntegerType))
+        .withColumn("x", month(col("o_orderdate")).cast(DoubleType))
+        .withColumn("y", col("o_totalprice"))
+        .groupBy("o_year")
+        .agg((olsAggs(col("x"), col("y")) :+ count(lit(1)).as("n")).head,
+          (olsAggs(col("x"), col("y")) :+ count(lit(1)).as("n")).tail: _*)
+        .orderBy("o_year")
+    },
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  ROUND(CAST(covar_samp(x, y) / var_samp(x) AS DOUBLE), 4) AS slope,
+      |  ROUND(CAST(AVG(y) - (covar_samp(x, y) / var_samp(x)) * AVG(x) AS DOUBLE), 4) AS intercept,
+      |  ROUND(CAST(POW(corr(x, y), 2) AS DOUBLE), 4) AS r2,
+      |  count(*) AS n
+      |FROM (SELECT o_orderdate, CAST(month(o_orderdate) AS DOUBLE) AS x, o_totalprice AS y
+      |      FROM orders) o
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** A12: deterministic surrogate model scoring — the `add_xpass`/`add_dakota`
+    * seam (`/root/reference/R/pass_rate_over_expected.R:16-29`): a logistic
+    * scorer as pure column arithmetic (codegen-friendly, no UDF), plus the
+    * derived over-expectation column. */
+  private val a12SurrogateScore = Q(
+    (s, d) => {
+      val ind = (col("event_type") === "purchase").cast(DoubleType)
+      val z = lit(-2.0) + col("value") * 0.004 + ind * 0.5
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .withColumn("xscore", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+        .withColumn("score_oe", round(lit(100.0) * (ind - lit(1.0) / (lit(1.0) + exp(-z))), 6))
+        .select("event_id", "xscore", "score_oe")
+        .orderBy("event_id")
+    },
+    """SELECT event_id,
+      |  ROUND(1.0 / (1.0 + EXP(-(-2.0 + value * 0.004 + ind * 0.5))), 6) AS xscore,
+      |  ROUND(100.0 * (ind - 1.0 / (1.0 + EXP(-(-2.0 + value * 0.004 + ind * 0.5)))), 6) AS score_oe
+      |FROM (SELECT event_id, value, CAST(event_type = 'purchase' AS DOUBLE) AS ind FROM events) e
+      |WHERE event_id < 2000 ORDER BY event_id""".stripMargin)
+
+  /** C2: the de-vig power-method fixed point
+    * (`/root/reference/R/nfl_draft_espn_dk.R:28-40`): 10 iterations of
+    * per-group re-scaling until implied probabilities sum to 1. The oracle
+    * unrolls the same 10 stages as nested subqueries. */
+  private val c2DevigFixpoint = {
+    val base =
+      """SELECT p_partkey, p_brand,
+        |  1.2 * p_retailprice / CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)))
+        |    OVER (PARTITION BY p_brand) AS DOUBLE) AS pct
+        |FROM part""".stripMargin
+    val iterated = (1 to 10).foldLeft(base) { (sql, i) =>
+      s"""SELECT p_partkey, p_brand, POW(pct, LN(2.0) / LN(2.0 / tot)) AS pct
+         |FROM (SELECT p_partkey, p_brand, pct,
+         |        SUM(pct) OVER (PARTITION BY p_brand) AS tot
+         |      FROM ($sql) it$i) s$i""".stripMargin
+    }
+    Q(
+      (s, d) => {
+        val w = Window.partitionBy("p_brand")
+        val seeded = Tables.part(s, d)
+          .withColumn("pct",
+            lit(1.2) * col("p_retailprice") /
+              sum(dec2(col("p_retailprice"))).over(w).cast(DoubleType))
+          .select("p_partkey", "p_brand", "pct")
+        devig(seeded, Seq(col("p_brand")), "pct", iters = 10, target = 2.0)
+          .select(col("p_partkey"), col("p_brand"), round(col("pct"), 4).as("pct"))
+          .orderBy("p_partkey")
+      },
+      s"""SELECT p_partkey, p_brand, ROUND(pct, 4) AS pct
+         |FROM ($iterated) fin ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** R1: unpivot wide→long (`pivot_longer`,
+    * `/root/reference/R/preseason_predictiveness.R:17-25`). */
+  private val r1Unpivot = Q(
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+    """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+      |FROM lineitem WHERE l_orderkey < 1000
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |FROM lineitem WHERE l_orderkey < 1000
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)
+
+  /** R2: pivot long→wide with an explicit value list (`pivot_wider`,
+    * `/root/reference/R/nfl_draft_espn_dk.R:43`) — explicit values keep the
+    * output schema deterministic and skip the extra values-discovery job. */
+  private val r2Pivot = Q(
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .withColumn("l_year", year(col("l_shipdate")).cast(IntegerType))
+        .groupBy("l_year")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(dec2(col("l_quantity"))))
+        .select(
+          col("l_year"),
+          col("A").cast(DecimalType(18, 2)).as("A"),
+          col("N").cast(DecimalType(18, 2)).as("N"),
+          col("R").cast(DecimalType(18, 2)).as("R"))
+        .orderBy("l_year")
+    },
+    """SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "A",
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "N",
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "R"
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** R3: flatten with position (`unnest_wider`/`explode`,
+    * `/root/reference/R/nfl_draft_espn_dk.R:11`). */
+  private val r3Explode = Q(
+    (s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), posexplode(split(col("p_name"), " ")).as(Seq("pos", "word")))
+        .orderBy("p_partkey", "pos")
+    },
+    """SELECT p_partkey,
+      |  CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos,
+      |  unnest(l) AS word
+      |FROM (SELECT p_partkey, string_split(p_name, ' ') AS l FROM part) x
+      |ORDER BY p_partkey, pos""".stripMargin)
+
+  /** R4: split one string column into several (`separate`,
+    * `/root/reference/R/epa_predict.R:66`). */
+  private val r4SplitCols = Q(
+    (s, d) => {
+      val parts = split(col("p_name"), " ")
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          parts.getItem(0).as("tok1"),
+          parts.getItem(1).as("tok2"),
+          size(parts).as("n_tokens"))
+        .orderBy("p_partkey")
+    },
+    """SELECT p_partkey,
+      |  string_split(p_name, ' ')[1] AS tok1,
+      |  string_split(p_name, ' ')[2] AS tok2,
+      |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_tokens
+      |FROM part ORDER BY p_partkey""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "a5_corr_groups" -> a5CorrGroups,
+    "a6_quantiles" -> a6Quantiles,
+    "a7_minmax_rescale" -> a7MinmaxRescale,
+    "a8_binned_agg" -> a8BinnedAgg,
+    "a10_logloss_cube" -> a10LoglossCube,
+    "a11_ols_fit" -> a11OlsFit,
+    "a12_surrogate_score" -> a12SurrogateScore,
+    "c2_devig_fixpoint" -> c2DevigFixpoint,
+    "r1_unpivot" -> r1Unpivot,
+    "r2_pivot" -> r2Pivot,
+    "r3_explode" -> r3Explode,
+    "r4_split_cols" -> r4SplitCols)
+}

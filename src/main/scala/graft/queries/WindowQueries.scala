@@ -1,0 +1,237 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.RSemantics._
+import graft.operators.Relational._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+
+/** SURVEY.md §2.5 (windows) + §2.6 (sorts/limits/top-k) + P8.
+  *
+  * Window partitioning notes for scale: every window here partitions on a
+  * high-cardinality key (suppkey/custkey/user_id), so state per partition
+  * stays small and the sort-within-partition parallelizes. The only global
+  * windows (w4 rank, o3 pagination) run on dimension-sized inputs (100
+  * suppliers) where a single-partition sort is correct by design.
+  */
+object WindowQueries {
+
+  /** W1: lag over partition with explicit ordering — the workload's most
+    * important operator (13 lag columns, `/root/reference/R/epa_predict.R:241-261`).
+    * Year-over-year panel: per (suppkey, year) volume, lagged one season. */
+  private val w1LagYoy = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("l_year", year(col("l_shipdate")).cast(IntegerType))
+      val panel = li.groupBy("l_suppkey", "l_year")
+        .agg(sum(col("l_quantity")).cast(DecimalType(18, 2)).as("qty"))
+      val w = Window.partitionBy("l_suppkey").orderBy("l_year")
+      panel
+        .withColumn("prev_qty", lag(col("qty"), 1).over(w))
+        .withColumn("delta", (col("qty") - col("prev_qty")).cast(DecimalType(18, 2)))
+        .orderBy("l_suppkey", "l_year")
+    },
+    """WITH panel AS (
+      |  SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS l_year,
+      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_suppkey, l_year, qty,
+      |  LAG(qty, 1) OVER (PARTITION BY l_suppkey ORDER BY l_year) AS prev_qty,
+      |  CAST(qty - LAG(qty, 1) OVER (PARTITION BY l_suppkey ORDER BY l_year) AS DECIMAL(18,2)) AS delta
+      |FROM panel ORDER BY l_suppkey, l_year""".stripMargin)
+
+  /** W2: running cumulative sum within partition
+    * (`cumsum(under_wp)` `/root/reference/R/wilson_game_pass_freq.R:22-30`).
+    * Explicit ROWS frame on both sides — default RANGE frames differ on ties. */
+  private val w2RunningSum = Q(
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("running_total", sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)))
+        .select("o_custkey", "o_orderkey", "running_total")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  /** W2+P8: session cutting by running aggregate — the "game over once WP
+    * leaves the band" pattern (`/root/reference/R/wilson_game_pass_freq.R:22-38`):
+    * keep each user's events until their first big-value event. */
+  private val w2SessionCut = Q(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("over", sum(when(col("value") > 400, 1).otherwise(0)).over(w))
+        .filter(col("over") === 0)
+        .select("user_id", "event_id")
+        .orderBy("user_id", "event_id")
+    },
+    """SELECT user_id, event_id FROM (
+      |  SELECT user_id, event_id,
+      |    SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS over
+      |  FROM events) x
+      |WHERE over = 0 ORDER BY user_id, event_id""".stripMargin)
+
+  /** W3: top-1 per group with explicit deterministic tiebreakers
+    * (`arrange %>% slice(1)` `/root/reference/R/nfc_west_starting_qbs.R:25-27`):
+    * each customer's latest order. */
+  private val w3Top1PerGroup = Q(
+    (s, d) => {
+      top1PerGroup(
+        Tables.orders(s, d),
+        Seq(col("o_custkey")),
+        Seq(col("o_orderdate").desc, col("o_orderkey").desc))
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .orderBy("o_custkey")
+    },
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date
+      |FROM (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders) x
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin)
+
+  /** W4: rank/row index within an ordered set (`mutate(rank = 1:n())`
+    * `/root/reference/darko/2_ourlads_projections.R:109-111`). Global window
+    * over a dimension-sized input (100 suppliers) — single partition OK. */
+  private val w4RankIndex = Q(
+    (s, d) => {
+      Tables.supplier(s, d)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)))
+        .select("rank", "s_suppkey", "s_name")
+        .orderBy("rank")
+    },
+    """SELECT ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS rank,
+      |  s_suppkey, s_name
+      |FROM supplier ORDER BY rank""".stripMargin)
+
+  /** W5: percentile-rank normalization within group
+    * (`pct_normed = 100*(1+max(rank)-rank)/max(rank)` per position,
+    * `/root/reference/darko/2_ourlads_projections.R:106-113`). */
+  private val w5PercentRankNorm = Q(
+    (s, d) => {
+      val wOrd = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+      val wAll = Window.partitionBy("c_mktsegment")
+      Tables.customer(s, d)
+        .withColumn("rnk", rank().over(wOrd))
+        .withColumn("pct_rank", stat4(percent_rank().over(wOrd)))
+        .withColumn("pct_normed",
+          stat4(lit(100) * (lit(1) + max(col("rnk")).over(wAll) - col("rnk")) / max(col("rnk")).over(wAll)))
+        .select("c_custkey", "c_mktsegment", "rnk", "pct_rank", "pct_normed")
+        .orderBy("c_custkey")
+    },
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(rnk AS INT) AS rnk,
+      |  ROUND(CAST(pct_rank AS DOUBLE), 4) AS pct_rank,
+      |  ROUND(100.0 * (1 + MAX(rnk) OVER (PARTITION BY c_mktsegment) - rnk)
+      |        / MAX(rnk) OVER (PARTITION BY c_mktsegment), 4) AS pct_normed
+      |FROM (
+      |  SELECT c_custkey, c_mktsegment,
+      |    RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk,
+      |    PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS pct_rank
+      |  FROM customer) x
+      |ORDER BY c_custkey""".stripMargin)
+
+  /** W6: group-scoped scalar broadcast (`mutate(tot_n = sum(...))` per group,
+    * `/root/reference/R/let_russ_cook.R:26-27`) — share-of-group metric.
+    * The group total goes through DECIMAL so the windowed sum is exact and
+    * order-independent. */
+  private val w6GroupTotal = Q(
+    (s, d) => {
+      val w = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .withColumn("group_total", sum(dec2(col("value"))).over(w).cast(DecimalType(18, 2)))
+        .withColumn("share", round(col("value") / col("group_total").cast("double"), 6))
+        .select("event_id", "event_type", "group_total", "share")
+        .orderBy("event_id")
+    },
+    """SELECT event_id, event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DECIMAL(18,2)) AS group_total,
+      |  ROUND(value / CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DECIMAL(18,2)) AS DOUBLE), 6) AS share
+      |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)
+
+  /** W7: first/last within ordered group (`dplyr::first/last`,
+    * `/root/reference/R/epa_predict.R:181,203-204`). */
+  private val w7FirstLast = Q(
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("first_date", date_format(first(col("o_orderdate")).over(w), "yyyy-MM-dd"))
+        .withColumn("last_date", date_format(last(col("o_orderdate")).over(w), "yyyy-MM-dd"))
+        .withColumn("first_price", first(col("o_totalprice")).over(w))
+        .select("o_custkey", "first_date", "last_date", "first_price")
+        .distinct()
+        .orderBy("o_custkey")
+    },
+    """SELECT DISTINCT o_custkey,
+      |  strftime(FIRST_VALUE(o_orderdate) OVER w, '%Y-%m-%d') AS first_date,
+      |  strftime(LAST_VALUE(o_orderdate) OVER w, '%Y-%m-%d') AS last_date,
+      |  FIRST_VALUE(o_totalprice) OVER w AS first_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey""".stripMargin)
+
+  /** P8: filter on a window-derived value (`filter(posteam != lag_posteam)`
+    * `/root/reference/R/epa_predict.R:432-435`): orders where the priority
+    * changed vs the customer's previous order. Null-lag rows drop via
+    * three-valued logic — exactly the reference's `!=` semantics. */
+  private val p8WindowFilter = Q(
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("prev_priority", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("o_orderpriority") =!= col("prev_priority"))
+        .select("o_custkey", "o_orderkey", "o_orderpriority", "prev_priority")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    """SELECT o_custkey, o_orderkey, o_orderpriority, prev_priority FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderpriority,
+      |    LAG(o_orderpriority, 1) OVER (
+      |      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_priority
+      |  FROM orders) x
+      |WHERE o_orderpriority <> prev_priority
+      |ORDER BY o_custkey, o_orderkey""".stripMargin)
+
+  /** O3: pagination by rank slice (`slice(17:32)`
+    * `/root/reference/darko/2_ourlads_projections.R:261-266`). */
+  private val o3Pagination = Q(
+    (s, d) => {
+      Tables.supplier(s, d)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)))
+        .filter(col("rank").between(17, 32))
+        .select("rank", "s_name", "s_acctbal")
+        .orderBy("rank")
+    },
+    """SELECT rank, s_name, s_acctbal FROM (
+      |  SELECT s_name, s_acctbal,
+      |    ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey ASC) AS rank
+      |  FROM supplier) x
+      |WHERE rank BETWEEN 17 AND 32 ORDER BY rank""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "w1_lag_yoy" -> w1LagYoy,
+    "w2_running_sum" -> w2RunningSum,
+    "w2_session_cut" -> w2SessionCut,
+    "w3_top1_per_group" -> w3Top1PerGroup,
+    "w4_rank_index" -> w4RankIndex,
+    "w5_percent_rank_norm" -> w5PercentRankNorm,
+    "w6_group_total" -> w6GroupTotal,
+    "w7_first_last" -> w7FirstLast,
+    "p8_window_filter" -> p8WindowFilter,
+    "o3_pagination" -> o3Pagination)
+}
