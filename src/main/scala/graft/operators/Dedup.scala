@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for training-data pipelines, designed shuffle-
+  * first: every stage is expressible as explode → hash-partition → aggregate,
+  * so each scales horizontally. At 100 TB the flow is:
+  *
+  *   exact:    one shuffle on the content hash (map-side combine first);
+  *   minhash:  shingle explode (map side) → one shuffle keyed by doc for
+  *             signatures → one shuffle keyed by (band, key) for the LSH
+  *             bucket join — candidate pairs only, never O(n²);
+  *   simhash:  same shape, 32 partial-sum aggregates in one pass;
+  *   n-gram:   inverted-index self-join on shingle (blocked), never a
+  *             cartesian product.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: survivor = min id per hash.
+    * One shuffle; with map-side combine the traffic is one row per distinct
+    * hash per partition. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Minhash parameters: k universal hash functions (a_i*h + b_i) mod p over
+    * the 32-bit word hash. Fixed constants keep runs reproducible. */
+  val MinhashP: Long = 2147483647L
+  val MinhashA: Seq[Long] = Seq(2971L, 5843L, 7559L, 9973L, 12007L, 14593L, 17881L, 19997L)
+  val MinhashB: Seq[Long] = Seq(1571L, 3079L, 4517L, 6763L, 8429L, 10501L, 12553L, 14923L)
+
+  /** Minhash signature over a (id, shingle-hash) exploded relation.
+    * Input: columns (idCol, "hv"); output: idCol, mh0..mh{k-1}. */
+  def minhashSignature(hashed: DataFrame, idCol: String, k: Int = 8): DataFrame = {
+    require(k <= MinhashA.length, s"at most ${MinhashA.length} hash functions configured")
+    val aggs = (0 until k).map { i =>
+      min((col("hv") * MinhashA(i) + MinhashB(i)) % MinhashP).as(s"mh$i")
+    }
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from a signature frame: unpivot bands → self-join
+    * on (band, key) → distinct (a < b) pairs. One shuffle on the band key;
+    * bucket sizes bound the join fan-out (salt or cap hot buckets at scale). */
+  def lshCandidates(sig: DataFrame, idCol: String, k: Int = 8): DataFrame = {
+    val bands = sig.unpivot(
+      Array(col(idCol)),
+      (0 until k).map(i => col(s"mh$i")).toArray,
+      "band", "key")
+    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("key"))
+    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** 32-bit simhash over a (id, word-hash "hv") exploded relation: per bit,
+    * sum ±1 weighted by the bit of each word hash; bit set where the sum is
+    * positive. Single aggregation pass, 32 partial sums. */
+  def simhash32(hashed: DataFrame, idCol: String): DataFrame = {
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val packed = (0 until 32)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), packed.cast(LongType).as("simhash"))
+  }
+
+  /** True n-gram Jaccard for candidate pairs via inverted-index self-join —
+    * the verify stage after LSH, or (blocked by a cheap key like language)
+    * a standalone near-dup pass. `shingled` columns: (idCol, blockCol, "sh"),
+    * distinct per doc. */
+  def shingleJaccardPairs(shingled: DataFrame, idCol: String, blockCol: String): DataFrame = {
+    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = shingled.select(col(idCol).as("doc_a"), col(blockCol).as("blk"), col("sh"))
+    val b = shingled.select(col(idCol).as("doc_b"), col(blockCol).as("blk"), col("sh"))
+    val inter = a.join(b, Seq("blk", "sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("n_sh", "n_a"), col("doc_a") === col(idCol)).drop(idCol)
+      .join(sizes.withColumnRenamed("n_sh", "n_b"), col("doc_b") === col(idCol)).drop(idCol)
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, plus a partition-wise feature extractor.
+  *
+  * The Spark-side architecture is real and tested: schema (binary payload +
+  * metadata struct), partitioning, and the batched per-partition UDF shape
+  * (`mapPartitions` over an iterator — the JVM analog of `mapInPandas`:
+  * the extractor sees a stream of rows per partition and can amortize model
+  * or codec initialization across the batch).
+  *
+  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
+  * `decodeStub` produces deterministic fake features from the raw bytes.
+  * Swapping in a real decoder (JavaCV, TwelveMonkeys, a JNI codec) changes
+  * only the function body — the distributed plumbing is unchanged.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, payload: Array[Byte])
+  case class MediaFeature(doc_id: Long, n_bytes: Int, checksum: Long,
+                          width: Int, height: Int, brightness: Double)
+
+  /** Wrap a text corpus as opaque binary payloads + metadata struct —
+    * stand-in for image/audio bytes landed by an ingest job. */
+  def payloads(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        octet_length(encode(col(textCol), "UTF-8")).as("n_bytes"),
+        lit("utf8-blob").as("mime"),
+        substring(col(textCol), 1, 8).as("head")).as("meta"))
+
+  /** ??? real decode — STUB. Deterministic fake "decode" so tests exercise
+    * the full distributed path: a Horner checksum over the bytes drives the
+    * fake geometry/brightness. */
+  private def decodeStub(bytes: Array[Byte]): (Int, Int, Double) = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    val width = (acc % 640 + 64).toInt
+    val height = ((acc / 640) % 480 + 48).toInt
+    val brightness = (acc % 10000) / 10000.0
+    (width, height, brightness)
+  }
+
+  /** Horner checksum (public for differential tests). */
+  def checksum(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    acc
+  }
+
+  /** Partition-batched feature extraction — the mapInPandas-shaped seam.
+    * One iterator per partition: codec/model init happens once per batch,
+    * rows stream through without materializing the partition. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeature] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init would go here (codec handles, model weights)
+        rows.map { r =>
+          val (w, h, b) = decodeStub(r.payload)
+          MediaFeature(r.doc_id, r.payload.length, checksum(r.payload), w, h, b)
+        }
+      }
+  }
+}

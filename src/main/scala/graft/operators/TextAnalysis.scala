@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * Everything is pure column expressions (codegen'd, no UDFs) so the
+  * operators run inside whole-stage codegen and scale linearly with
+  * partition count — a 100 TB corpus is just more partitions.
+  *
+  * The word hash is the first 8 hex digits of md5 — engine-portable (any
+  * SQL engine can reproduce it for differential testing) and uniform enough
+  * for minhash/simhash/fingerprint use.
+  */
+object TextAnalysis {
+
+  /** 32-bit word hash as a BIGINT column (md5-derived, engine-portable). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** SQL fragment of hash32 for use inside higher-order-function lambdas. */
+  def hash32Sql(v: String): String =
+    s"CAST(conv(substring(md5($v),1,8),16,10) AS BIGINT)"
+
+  /** Whitespace tokenization (single-space corpus convention). */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Word n-gram shingles from a words-array column (by column NAME, for use
+    * in expr lambdas). Caller must filter `size(ws) >= n`. */
+  def shinglesExpr(wsCol: String, n: Int = 3): Column = {
+    val parts = (0 until n).map(k => s"$wsCol[i+$k]").mkString(", ")
+    expr(s"transform(sequence(0, size($wsCol)-$n), i -> concat_ws(' ', $parts))")
+  }
+
+  /** Occurrences of a marker substring (non-overlapping, left-to-right). */
+  def markerCount(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit("")))) / lit(marker.length))
+      .cast(IntegerType)
+
+  /** Language-ID marker sets: per-language stopwords, counted with
+    * word-boundary padding. Argmax with deterministic preference order. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of"),
+    "de" -> Seq("der", "und", "die"),
+    "fr" -> Seq("le", "la", "et"),
+    "es" -> Seq("el", "los", "y"))
+
+  def langScore(padded: Column, markers: Seq[String]): Column =
+    markers.map(m => markerCount(padded, s" $m ")).reduce(_ + _)
+
+  /** Predicted language: argmax of scores, ties resolved by declaration
+    * order (en > de > fr > es) — deterministic. */
+  def langPredict(scores: Seq[(String, Column)]): Column = {
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** English-ish stopword list used by the quality score. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  /** BPE-ish tokenizer regex: letter runs, single digits, single symbols. */
+  val bpeIshPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  /** Rolling polynomial (Horner) fingerprint over the word sequence —
+    * order-sensitive, unlike the minhash/simhash set signatures. */
+  def fingerprint(wsCol: String, mod: Long = 1000000007L): Column =
+    expr(
+      s"""aggregate(
+         |  transform($wsCol, w -> ${hash32Sql("w")}),
+         |  CAST(0 AS BIGINT),
+         |  (acc, h) -> (acc * 31 + h) % $mod)""".stripMargin)
+}

@@ -1,0 +1,390 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data-pipeline operators (the 100-TB extension layer
+  * beyond the reference's own workload): deduplication (exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding near-dup), similarity search
+  * (brute-force and LSH-bucketed ANN), text analysis (language ID, quality
+  * scoring, token counting, fingerprinting), and multimodal binary-column
+  * plumbing.
+  *
+  * Corpus notes that shaped these queries: `documents.text` is single-space
+  * word salad over a ~31-word vocabulary, so MinHash runs over 3-gram
+  * shingle hashes (word-level signatures would put every doc in one LSH
+  * bucket — the 100-TB skew lesson in miniature), and similarity queries
+  * emit ranked top-K (no threshold clears the corpus's max cosine).
+  *
+  * Oracle style: DuckDB lambdas (`list_transform`/`list_reduce`) replicate
+  * Spark's `aggregate` fold element-for-element, so double results are
+  * bit-identical, not merely close.
+  */
+object PipelineQueries {
+
+  /** DuckDB rendering of TextAnalysis.hash32 (first 8 md5 hex digits). */
+  private def h32Sql(v: String): String =
+    s"('0x' || substring(md5($v), 1, 8))::BIGINT"
+
+  /** DuckDB CTEs producing distinct (doc_id [, lang], 3-gram shingle). */
+  private val shingleCte =
+    """ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+      |pos AS (SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 2)) AS i FROM ws),
+      |sh AS (SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM pos)""".stripMargin
+
+  /** Spark side of the same: distinct (doc_id, lang, shingle). */
+  private def shingles(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
+      .distinct()
+
+  // ---- dedup ----
+
+  /** Exact dedup by content hash — one shuffle, map-side combinable. */
+  private val x1ExactDedup = Q(
+    (s, d) => Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("content_hash"),
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** MinHash + LSH near-dup candidates: shingle explode → 8-hash signature
+    * → band self-join. Never O(n²): pairs exist only where a band collides. */
+  private val x2MinhashLsh = {
+    val sigCols = (0 until 8).map(i =>
+      s"min((hv * ${Dedup.MinhashA(i)} + ${Dedup.MinhashB(i)}) % ${Dedup.MinhashP}) AS mh$i")
+      .mkString(",\n    ")
+    val bands = (0 until 8).map(i =>
+      s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val sh = shingles(Tables.documents(s, d))
+          .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
+          .distinct()
+        val sig = Dedup.minhashSignature(sh, "doc_id", 8)
+        Dedup.lshCandidates(sig, "doc_id", 8).orderBy("doc_a", "doc_b")
+      },
+      s"""WITH $shingleCte,
+         |hv AS (SELECT DISTINCT doc_id, ${h32Sql("s")} AS hv FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM hv GROUP BY 1),
+         |bands AS ($bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
+  /** 32-bit SimHash per document over the distinct-word-hash set: one
+    * aggregation pass with 32 partial sums. */
+  private val x3Simhash = {
+    val bitSums = (0 until 32).map(j =>
+      s"SUM(CASE WHEN ((hv >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n    ")
+    val packed = (0 until 32).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    Q(
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .select(col("doc_id"), TextAnalysis.hash32(col("word")).as("hv"))
+          .distinct()
+        Dedup.simhash32(words, "doc_id").orderBy("doc_id")
+      },
+      s"""WITH wd AS (SELECT DISTINCT doc_id, ${h32Sql("w")} AS hv
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+         |bits AS (SELECT doc_id,
+         |    $bitSums
+         |  FROM wd GROUP BY 1)
+         |SELECT doc_id, CAST($packed AS BIGINT) AS simhash
+         |FROM bits ORDER BY doc_id""".stripMargin)
+  }
+
+  /** True n-gram Jaccard over the language-blocked inverted index — the
+    * verify stage after LSH. Ranked top-100 (pairs are distinct so the
+    * (jaccard, doc_a, doc_b) order is total → the LIMIT is deterministic). */
+  private val x4NgramJaccard = Q(
+    (s, d) => {
+      val pairs = Dedup.shingleJaccardPairs(shingles(Tables.documents(s, d)), "doc_id", "lang")
+      pairs.select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+        .limit(100)
+    },
+    s"""WITH $shingleCte,
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b
+       |    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+       |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin)
+
+  // ---- similarity search ----
+
+  /** DuckDB double-cast of the float vector column. */
+  private def vdSql(v: String): String =
+    s"list_transform($v, x -> CAST(x AS DOUBLE))"
+
+  /** DuckDB sequential-fold dot product — element-for-element identical to
+    * Similarity.dot's aggregate(zip_with(...)) (fold starts 0.0 + p1 = p1,
+    * exactly list_reduce's first-element seed). */
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+       |      i -> $a[i] * $b[i]), (acc, x) -> acc + x)""".stripMargin
+
+  private def nrmSql(v: String): String =
+    s"sqrt(list_reduce(list_transform($v, x -> x * x), (acc, x) -> acc + x))"
+
+  /** Brute-force cosine top-k, query side broadcast (queries = every 50th
+    * vector). Cosine rounded to 6 dp before ranking on both engines. */
+  private val y1KnnBrute = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+          e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm FROM v),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 50 = 0)
+       |SELECT q_id, rank, c_id, cosine FROM (
+       |  SELECT q_id, c_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
+  /** LSH-bucketed ANN: hyperplane sign bits → bucket equi-join → top-k in
+    * bucket. The scale path: the cross product never materializes. */
+  private val y2KnnBucketed = {
+    val planeDots = (0 until Similarity.NumPlanes).map { j =>
+      s"""list_reduce(list_transform(generate_series(0, 63),
+         |        i -> vd[i + 1] * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE)),
+         |      (acc, x) -> acc + x)""".stripMargin
+    }
+    val bucketSql = planeDots.zipWithIndex.map { case (dj, j) =>
+      s"(CASE WHEN $dj > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    Q(
+      (s, d) => Similarity.bucketedTopK(
+          Tables.embeddings(s, d), id => id % 50 === 0, "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank"),
+      s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+         |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm,
+         |    CAST($bucketSql AS BIGINT) AS bucket FROM v),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, q.bucket, c.vec_id AS c_id,
+         |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
+         |  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         |  WHERE q.vec_id % 50 = 0)
+         |SELECT q_id, bucket, rank, c_id, cosine FROM (
+         |  SELECT q_id, bucket, c_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+  }
+
+  /** Embedding-cosine near-dup: same-bucket pairs ranked by cosine (top-50).
+    * The dedup-flavored variant of y2 — pair output, not per-query kNN. */
+  private val x5EmbedNeardup = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("bucket", Similarity.hyperplaneBucket("embedding"))
+        .withColumn("nrm", Similarity.norm("embedding"))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("nrm").as("na"), col("bucket"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("nrm").as("nb"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", round(Similarity.dot("va", "vb") / (col("na") * col("nb")), 6))
+        .select("bucket", "id_a", "id_b", "cosine")
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(50)
+    }, {
+      val planeDots = (0 until Similarity.NumPlanes).map { j =>
+        s"""list_reduce(list_transform(generate_series(0, 63),
+           |        i -> vd[i + 1] * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE)),
+           |      (acc, x) -> acc + x)""".stripMargin
+      }
+      val bucketSql = planeDots.zipWithIndex.map { case (dj, j) =>
+        s"(CASE WHEN $dj > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+         |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm,
+         |    CAST($bucketSql AS BIGINT) AS bucket FROM v)
+         |SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  ROUND(${dotSql("a.vd", "b.vd")} / (a.nrm * b.nrm), 6) AS cosine
+         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |ORDER BY cosine DESC, id_a, id_b LIMIT 50""".stripMargin
+    })
+
+  // ---- text analysis ----
+
+  /** Corpus-tuned language markers (the production default,
+    * TextAnalysis.langMarkers, uses real stopwords; the test corpus draws
+    * from a 31-word synthetic vocabulary, so markers come from it to
+    * exercise real argmax variation + the preference-order tiebreak). */
+  private val testMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("hash", "merge", "batch"),
+    "fr" -> Seq("scan", "filter", "sort"),
+    "es" -> Seq("join", "group", "order"))
+
+  /** Language-ID confusion matrix: labeled lang × predicted lang counts. */
+  private val z1LangId = {
+    val scoreSql = testMarkers.map { case (l, ms) =>
+      val terms = ms.map(m =>
+        s"CAST((length(pt) - length(replace(pt, ' $m ', ''))) / ${m.length + 2} AS INT)")
+        .mkString(" + ")
+      s"$terms AS s_$l"
+    }.mkString(",\n    ")
+    val best = s"GREATEST(${testMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+    val predSql = testMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    Q(
+      (s, d) => {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        val scores = testMarkers.map { case (l, ms) => l -> TextAnalysis.langScore(padded, ms) }
+        Tables.documents(s, d)
+          .withColumn("pred_lang", TextAnalysis.langPredict(scores))
+          .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+          .orderBy("lang", "pred_lang")
+      },
+      s"""WITH scored AS (SELECT lang,
+         |    $scoreSql
+         |  FROM (SELECT lang, ' ' || text || ' ' AS pt FROM documents)),
+         |pred AS (SELECT lang,
+         |    CASE $predSql ELSE 'und' END AS pred_lang
+         |  FROM (SELECT *, $best AS best FROM scored))
+         |SELECT lang, pred_lang, count(*) AS n_docs
+         |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** Per-document quality score: lexical diversity, stopword ratio, length
+    * credit — pure column expressions, no UDF. The composite runs in exact
+    * DECIMAL over the 6-dp-rounded components (a double composite sat
+    * exactly on a rounding boundary and the two engines split). */
+  private val z2QualityScore = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      def dec6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 6))
+      val ws = split(col("text"), " ")
+      val nWords = size(ws).cast("double")
+      val diversity = round(size(array_distinct(ws)) / nWords, 6)
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      val stopCnt = TextAnalysis.stopwords.filter(Seq("the", "a").contains)
+        .map(m => TextAnalysis.markerCount(padded, s" $m "))
+        .reduce(_ + _)
+      val stopRatio = round(stopCnt / nWords, 6)
+      // n/80 has a finite decimal expansion (80 = 2^4·5, ≤4 digits), so every
+      // term is exact in DECIMAL(12,6) and the sum rounds identically everywhere
+      val lenCredit = dec6(least(nWords / 80, lit(1.0)))
+      Tables.documents(s, d)
+        .withColumn("n_words", size(ws))
+        .withColumn("diversity", diversity)
+        .withColumn("stop_ratio", stopRatio)
+        .withColumn("quality",
+          (dec6(lit(0.5)) * dec6(diversity)
+            + dec6(lit(0.3)) * (dec6(lit(1.0)) - dec6(stopRatio))
+            + dec6(lit(0.2)) * lenCredit).cast(DecimalType(14, 7)))
+        .select("doc_id", "n_words", "diversity", "stop_ratio", "quality")
+        .orderBy("doc_id")
+    },
+    """WITH q AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      |    ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')), 6) AS diversity,
+      |    ROUND((CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS INT)
+      |         + CAST((length(pt) - length(replace(pt, ' a ', ''))) / 3 AS INT))
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio
+      |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS pt FROM documents))
+      |SELECT doc_id, n_words, diversity, stop_ratio,
+      |  CAST(CAST(0.5 AS DECIMAL(12,6)) * CAST(diversity AS DECIMAL(12,6))
+      |    + CAST(0.3 AS DECIMAL(12,6)) * (CAST(1.0 AS DECIMAL(12,6)) - CAST(stop_ratio AS DECIMAL(12,6)))
+      |    + CAST(0.2 AS DECIMAL(12,6)) * LEAST(CAST(CAST(n_words AS DOUBLE) / 80 AS DECIMAL(12,6)),
+      |        CAST(1.0 AS DECIMAL(12,6))) AS DECIMAL(14,7)) AS quality
+      |FROM q ORDER BY doc_id""".stripMargin)
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens + chars. */
+  private val z3TokenCounts = Q(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(lower(col("text")), lit(TextAnalysis.bpeIshPattern), lit(0))))
+      .withColumn("n_chars_obs", length(col("text")))
+      .select("doc_id", "ws_tokens", "bpe_tokens", "n_chars_obs")
+      .orderBy("doc_id"),
+    s"""SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS INT) AS bpe_tokens,
+       |  CAST(length(text) AS INT) AS n_chars_obs
+       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  /** Order-sensitive rolling-hash document fingerprint (Horner fold). */
+  private val z4Fingerprint = Q(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("fingerprint", TextAnalysis.fingerprint("ws"))
+      .select("doc_id", "fingerprint")
+      .orderBy("doc_id"),
+    s"""SELECT doc_id,
+       |  list_reduce(list_transform(string_split(text, ' '), w -> ${h32Sql("w")}),
+       |    (acc, h) -> (acc * 31 + h) % 1000000007) % 1000000007 AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin)
+
+  // ---- multimodal ----
+
+  /** Binary-payload feature extraction through the mapPartitions seam
+    * (typed Dataset, per-partition batch init) + metadata-struct access.
+    * The decode is the documented deterministic stub; the oracle replays
+    * its Horner checksum over the UTF-8 bytes (= ascii codes: the corpus
+    * is pure ASCII, verified). */
+  private val m1MediaFeatures = Q(
+    (s, d) => {
+      val pay = Multimodal.payloads(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.extractFeatures(s, pay).toDF()
+        .join(pay.select(col("doc_id"), col("meta.head").as("head")), Seq("doc_id"))
+        .select("doc_id", "n_bytes", "checksum", "width", "height", "brightness", "head")
+        .orderBy("doc_id")
+    },
+    """WITH cs AS (SELECT doc_id, text,
+      |    list_reduce(list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT)),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000007 AS checksum
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(text) AS INT) AS n_bytes,
+      |  checksum,
+      |  CAST(checksum % 640 + 64 AS INT) AS width,
+      |  CAST((checksum // 640) % 480 + 48 AS INT) AS height,
+      |  (checksum % 10000) / 10000.0 AS brightness,
+      |  substring(text, 1, 8) AS head
+      |FROM cs ORDER BY doc_id""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "x1_exact_dedup" -> x1ExactDedup,
+    "x2_minhash_lsh" -> x2MinhashLsh,
+    "x3_simhash" -> x3Simhash,
+    "x4_ngram_jaccard" -> x4NgramJaccard,
+    "x5_embed_neardup" -> x5EmbedNeardup,
+    "y1_knn_brute" -> y1KnnBrute,
+    "y2_knn_bucketed" -> y2KnnBucketed,
+    "z1_lang_id" -> z1LangId,
+    "z2_quality_score" -> z2QualityScore,
+    "z3_token_counts" -> z3TokenCounts,
+    "z4_fingerprint" -> z4Fingerprint,
+    "m1_media_features" -> m1MediaFeatures)
+}

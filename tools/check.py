@@ -72,6 +72,10 @@ def main():
             print(f"FAIL {name}: rows {len(g)} != {len(e)}")
             n_fail += 1
             continue
+        if len(g) == 0:  # both empty + same columns: dtypes of empty frames differ
+            print(f"PASS {name} (0 rows)")
+            n_pass += 1
+            continue
         if not g.equals(e):
             diff = (g != e).any(axis=1)
             idx = diff[diff].index[:5]
