@@ -78,6 +78,14 @@ object Relational {
     *   k = log(target) / log(target / tot), p <- p^k, repeated.
     * Driver-side loop over a lazy plan; lineage grows linearly with `iters`
     * (10 in the reference) which is fine; checkpoint if generalized.
+    * Convergence (linearized at the fixed point): the per-iteration error
+    * contracts by |1 - H/ln(target)| where H is the entropy (nats) of the
+    * implied probability distribution. So: high-entropy books
+    * (H > 2·ln(target), e.g. 4+ near-uniform outcomes at target 2) 2-cycle
+    * instead of converging; near-certain favorites (H → 0) converge but
+    * sublinearly slowly; the reference's two-outcome over/under markets sit
+    * comfortably in the fast region. Group sums ≥ target diverge outright.
+    * The reference runs a fixed 10 iterations and accepts the residual.
     */
   def devig(df: DataFrame, group: Seq[Column], pctCol: String, iters: Int = 10, target: Double = 2.0): DataFrame = {
     val w = Window.partitionBy(group: _*)

@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.operators.Relational
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partitioned-Parquet table store — the engine's analog of the reference's
+  * SQLite lifecycle (SURVEY.md §3 E1/E2):
+  *
+  *  - full rebuild = destroy + per-batch append
+  *    (`/root/reference/1_rebuild_db.R:12-32`: delete DB file, loop seasons,
+  *    `dbWriteTable(append = TRUE)` each);
+  *  - incremental update = anti-join by key, append only new rows
+  *    (`/root/reference/2_scrape_new_games.R:7-12`, `nflfastR::update_db`);
+  *  - post-ETL verification queries
+  *    (`/root/reference/1_rebuild_db.R:39-50`, `:16-24`).
+  *
+  * Scale design: the store is partitioned by a coarse time-like column
+  * (`season` in the reference; callers choose), so per-batch writes touch
+  * one partition directory, readers get static partition pruning, and the
+  * incremental anti-join only scans the key column (Parquet column
+  * pruning). Paths go through Hadoop FileSystem, so the same code runs on
+  * local disk, HDFS, or an object store.
+  */
+final case class Store(spark: SparkSession, path: String, partCol: String) {
+
+  private def fs = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** S9: destroy the table (idempotent — missing table is fine). */
+  def destroy(): Unit = {
+    val (f, p) = fs
+    if (f.exists(p)) { require(f.delete(p, true), s"failed to delete $path") }
+  }
+
+  def exists: Boolean = { val (f, p) = fs; f.exists(p) }
+
+  /** S7: append one batch (one reference "season"), partitioned. */
+  def append(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partCol).parquet(path)
+
+  /** Idempotent re-load of whole partitions: dynamic partition overwrite
+    * replaces exactly the partitions present in `df`, leaving the rest —
+    * the safe re-run form of E1's per-season append. */
+  def overwritePartitions(df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
+
+  /** E1: full rebuild — destroy, then append batch by batch. Batches are
+    * provided lazily so a 27-season rebuild never holds two seasons of
+    * source data at once. */
+  def rebuild(batches: Iterator[DataFrame]): Unit = {
+    destroy()
+    batches.foreach(append)
+  }
+
+  /** Lazy scan (partition pruning + column pruning apply downstream). */
+  def read: DataFrame = spark.read.parquet(path)
+
+  /** E2: incremental update — append only rows of `incoming` whose `keys`
+    * are not already present. The existing-key scan reads just the key
+    * columns. Returns the number of appended rows. */
+  def update(incoming: DataFrame, keys: Seq[String]): Long = {
+    val fresh =
+      if (!exists) incoming
+      else Relational.newRowsOnly(incoming, read, keys)
+    // count + write in one pass would need an accumulator; the fresh set is
+    // the small side (new games only) so a cached count is cheap
+    fresh.cache()
+    try {
+      val n = fresh.count()
+      if (n > 0) append(fresh)
+      n
+    } finally fresh.unpersist()
+  }
+
+  /** Post-rebuild invariant query: rows per partition
+    * (`/root/reference/1_rebuild_db.R:40-44`). */
+  def countsByPartition: DataFrame =
+    read.groupBy(partCol).count().orderBy(partCol)
+
+  /** Post-update verification: most recent `n` keys
+    * (`/root/reference/2_scrape_new_games.R:16-24` — the reference collects
+    * everything and takes `tail(5)` relying on insertion order; here the
+    * order is explicit). */
+  def recentKeys(keyCol: String, n: Int): DataFrame =
+    read.select(col(keyCol)).distinct().orderBy(col(keyCol).desc).limit(n)
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming layer (the 100-TB extension; the reference is batch-
+  * only, SURVEY.md §2.12).
+  *
+  * Three shapes:
+  *  1. checkpointed incremental append — the exactly-once upgrade of E2's
+  *     anti-join batch append (`/root/reference/2_scrape_new_games.R:7-12`):
+  *     a file source discovers new files, the checkpoint remembers them, and
+  *     `Trigger.AvailableNow` drains whatever is pending then stops — a
+  *     cron-able idempotent job;
+  *  2. watermarked event-time windowed aggregation — the streaming form of
+  *     the calibration binning (`/root/reference/R/espn_wp.R:87-99`);
+  *  3. stateful session cutting via flatMapGroupsWithState — the streaming
+  *     form of the cumulative-window session cut
+  *     (`/root/reference/R/wilson_game_pass_freq.R:22-38`: "stop counting
+  *     once the running total exits the band").
+  */
+object EventStreams {
+
+  /** Shape 1: file-source stream over a landing directory. */
+  def fileSource(spark: SparkSession, srcDir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(srcDir)
+
+  /** Drain all pending files into a partitioned Parquet sink exactly once,
+    * then stop. Re-running picks up only files the checkpoint hasn't seen —
+    * the streaming-native `update_db`. */
+  def drainToParquet(src: DataFrame, destDir: String, checkpointDir: String,
+                     partCol: String): StreamingQuery =
+    src.writeStream
+      .format("parquet")
+      .option("path", destDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy(partCol)
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Shape 2: watermarked tumbling-window aggregate per event type. Late
+    * rows beyond the watermark are dropped; state for closed windows is
+    * reclaimed — the property that lets this run forever at scale. */
+  def windowedTypeCounts(events: DataFrame, windowLen: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user running state for shape 3. */
+  case class UserAcc(userId: Long, total: Double, nEvents: Int)
+  /** Emitted when a user's running value-total first crosses `cutoff`. */
+  case class SessionCut(userId: Long, total: Double, nEvents: Int)
+  /** Input row shape (a projection of the events table). */
+  case class Ev(user_id: Long, value: Double)
+
+  /** Shape 3: emit one row per user the moment their cumulative `value`
+    * crosses `cutoff` — the reference's "game over once WP leaves the band"
+    * session cut, as managed state. State per key is O(1); the operator
+    * scales with the shuffle on user_id. */
+  def sessionCut(events: Dataset[Ev], cutoff: Double): Dataset[SessionCut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserAcc, SessionCut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[UserAcc]) =>
+          val prior = state.getOption.getOrElse(UserAcc(userId, 0.0, 0))
+          if (prior.total >= cutoff) {
+            // already emitted; swallow further events
+            Iterator.empty
+          } else {
+            var acc = prior
+            var fired: Option[SessionCut] = None
+            rows.foreach { r =>
+              if (fired.isEmpty) {
+                acc = UserAcc(userId, acc.total + r.value, acc.nEvents + 1)
+                if (acc.total >= cutoff)
+                  fired = Some(SessionCut(userId, acc.total, acc.nEvents))
+              }
+            }
+            state.update(acc)
+            fired.iterator
+          }
+      }
+  }
+}

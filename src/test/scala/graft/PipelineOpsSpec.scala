@@ -1,0 +1,167 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup of 1
+    (4L, "completely different words appear in here now")
+  ).toDF("doc_id", "text")
+
+  private def shingled = {
+    val ws = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    ws.select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh")).distinct()
+  }
+
+  test("exactDedup keeps min id per content hash and counts copies") {
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash signatures are equal for identical shingle sets, not for disjoint ones") {
+    val hv = shingled.select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
+    val sig = Dedup.minhashSignature(hv, "doc_id", 8).collect()
+      .map(r => r.getLong(0) -> (1 until 9).map(r.getLong).toVector).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(4L))
+  }
+
+  test("lshCandidates surfaces the duplicate pair without a cartesian product") {
+    val hv = shingled.select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
+    val sig = Dedup.minhashSignature(hv, "doc_id", 8)
+    val pairs = Dedup.lshCandidates(sig, "doc_id", 8)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))      // identical docs always collide
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("shingleJaccardPairs computes exact jaccard on a hand-checked pair") {
+    val blocked = docs.withColumn("blk", lit("all"))
+    val ws = blocked.select(col("doc_id"), col("blk"), split(col("text"), " ").as("ws"))
+    val sh = ws.select(col("doc_id"), col("blk"),
+      explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh")).distinct()
+    val got = Dedup.shingleJaccardPairs(sh, "doc_id", "blk")
+      .filter(col("doc_a") === 1 && col("doc_b") === 3)
+      .select("n_inter", "n_a", "n_b", "jaccard")
+      .as[(Long, Long, Long, Double)].head()
+    // 9 words → 7 shingles each; "jumps"→"leaps" breaks shingles 2,3,4 → 4 shared
+    assert(got._1 === 4L && got._2 === 7L && got._3 === 7L)
+    assert(math.abs(got._4 - 4.0 / 10.0) < 1e-12)
+  }
+
+  test("simhash32 is a set signature: equal sets equal, different sets differ") {
+    val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), TextAnalysis.hash32(col("w")).as("hv")).distinct()
+    val s = Dedup.simhash32(words, "doc_id").as[(Long, Long)].collect().toMap
+    assert(s(1L) === s(2L))
+    assert(s(1L) !== s(4L))
+    // near-dup differs in few bits: hamming(1,3) < hamming(1,4)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(s(1L), s(3L)) < ham(s(1L), s(4L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (3L, Array(3.0f, 4.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("dot and norm match hand computation") {
+    val r = vecs.filter(col("vec_id") === 3)
+      .select(Similarity.dot("embedding", "embedding").as("d"),
+        Similarity.norm("embedding").as("n"))
+      .as[(Double, Double)].head()
+    assert(r._1 === 25.0 && r._2 === 5.0)
+  }
+
+  test("bruteForceTopK ranks the identical vector first, excludes self, honors k") {
+    val got = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.length === 2)
+    assert(got(0)._3 === 1L && got(0)._4 === 1.0) // identical vector, cosine 1
+    assert(got.forall(_._3 != 0L))                // self excluded
+  }
+
+  test("hyperplaneBucket assigns identical vectors to the same bucket") {
+    val dims = 3
+    val b = vecs.withColumn("bucket", Similarity.hyperplaneBucket("embedding", dims))
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(0L) === b(1L))
+    assert((0 until Similarity.NumPlanes).forall(j =>
+      Similarity.planeWeight(0, j) >= -3 && Similarity.planeWeight(0, j) <= 3))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("markerCount counts non-overlapping occurrences") {
+    val df = Seq(" the cat the dog the ").toDF("t")
+    val n = df.select(TextAnalysis.markerCount(col("t"), " the ").as("n")).as[Int].head()
+    assert(n === 3)
+  }
+
+  test("langPredict follows declaration order on ties and falls back to und") {
+    val df = Seq(" aa bb ", " zz ").toDF("t")
+    val scores = Seq(
+      "en" -> TextAnalysis.markerCount(col("t"), " aa "),
+      "de" -> TextAnalysis.markerCount(col("t"), " bb "))
+    val got = df.select(TextAnalysis.langPredict(scores).as("l")).as[String].collect()
+    assert(got(0) === "en") // tie 1-1 → first declared wins
+    assert(got(1) === "und")
+  }
+
+  test("fingerprint is order-sensitive where set signatures are not") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("t")
+      .withColumn("ws", split(col("t"), " "))
+    val fps = df.select(TextAnalysis.fingerprint("ws").as("f")).as[Long].collect()
+    assert(fps(0) !== fps(1))
+    assert(fps.forall(f => f >= 0 && f < 1000000007L))
+  }
+
+  test("hash32 stays in unsigned-32-bit range and is deterministic") {
+    val df = Seq("spark", "spark", "duck").toDF("w")
+    val hs = df.select(TextAnalysis.hash32(col("w")).as("h")).as[Long].collect()
+    assert(hs(0) === hs(1))
+    assert(hs(0) !== hs(2))
+    assert(hs.forall(h => h >= 0L && h <= 0xFFFFFFFFL))
+  }
+
+  test("shinglesExpr produces size(ws)-n+1 n-grams in order") {
+    val df = Seq("a b c d").toDF("t").withColumn("ws", split(col("t"), " "))
+    val got = df.select(TextAnalysis.shinglesExpr("ws", 3).as("sh"))
+      .as[Seq[String]].head()
+    assert(got === Seq("a b c", "b c d"))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("payloads + extractFeatures round-trip the documented stub exactly") {
+    val docs = Seq((7L, "hello world"), (8L, "graft")).toDF("doc_id", "text")
+    val pay = Multimodal.payloads(docs, "doc_id", "text")
+    assert(pay.schema("payload").dataType.typeName === "binary")
+    val feats = Multimodal.extractFeatures(spark, pay).collect()
+      .map(f => f.doc_id -> f).toMap
+    val cs = Multimodal.checksum("hello world".getBytes("UTF-8"))
+    assert(feats(7L).n_bytes === 11 && feats(7L).checksum === cs)
+    assert(feats(7L).width === (cs % 640 + 64).toInt)
+    assert(feats(7L).height === ((cs / 640) % 480 + 48).toInt)
+    assert(feats(8L).n_bytes === 5)
+    val meta = pay.filter(col("doc_id") === 7).select(col("meta.head")).as[String].head()
+    assert(meta === "hello wo")
+  }
+}

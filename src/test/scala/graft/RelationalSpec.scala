@@ -1,0 +1,115 @@
+package graft
+
+import graft.functions.RSemantics
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("top1PerGroup picks exactly one deterministic row per group") {
+    val df = Seq(("a", 1, "x"), ("a", 3, "y"), ("a", 3, "z"), ("b", 2, "w"))
+      .toDF("k", "v", "tag")
+    val got = Relational.top1PerGroup(df, Seq(col("k")), Seq(col("v").desc, col("tag").asc))
+      .select("k", "tag").as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "y", "b" -> "w")) // tie on v=3 broken by tag
+  }
+
+  test("minMaxRescale spans [0,100] per group; constant group maps to midpoint") {
+    val df = Seq(("g1", 10.0), ("g1", 20.0), ("g1", 30.0), ("g2", 7.0), ("g2", 7.0))
+      .toDF("g", "v")
+    val scaled = df.withColumn("s", Relational.minMaxRescale(df, Seq(col("g")), col("v")))
+      .as[(String, Double, Double)].collect()
+    val g1 = scaled.filter(_._1 == "g1").map(_._3).sorted
+    assert(g1 === Array(0.0, 50.0, 100.0))
+    assert(scaled.filter(_._1 == "g2").map(_._3).forall(_ == 50.0))
+  }
+
+  test("devig drives per-group probability sums to the fixed point 1.0") {
+    val df = Seq(("b1", 0.5), ("b1", 0.4), ("b1", 0.3), ("b2", 0.9), ("b2", 0.6))
+      .toDF("book", "pct")
+    val out = Relational.devig(df, Seq(col("book")), "pct", iters = 10, target = 2.0)
+      .groupBy("book").agg(sum("pct").as("tot")).as[(String, Double)].collect().toMap
+    // the reference runs exactly 10 iterations; convergence is geometric,
+    // ~5e-4 residual at typical 1.2x overround
+    out.values.foreach(t => assert(math.abs(t - 1.0) < 1e-3, s"sum $t not at fixed point"))
+  }
+
+  test("devig fixed-point math converges on the reference's market shape (scalacheck)") {
+    // pure-Scala replica of the per-group update: validates the math the
+    // distributed version applies (tested above on one concrete frame).
+    // Domain = the reference's actual use: two-outcome over/under markets
+    // (`/root/reference/R/nfl_draft_espn_dk.R:28-43`), favorite <= 0.75,
+    // overround 1.02x-1.2x. See Relational.devig scaladoc: the iteration's
+    // local contraction rate is |1 - H/ln(target)| (H = entropy of the
+    // implied distribution), so high-entropy many-outcome books 2-cycle and
+    // near-certain favorites (H -> 0) converge sublinearly slowly.
+    val gen = for {
+      q0 <- Gen.chooseNum(0.25, 0.75)
+      v <- Gen.chooseNum(1.02, 1.2)
+    } yield List(q0 * v, (1 - q0) * v)
+    val prop = Prop.forAll(gen) { pcts =>
+      var p = pcts
+      for (_ <- 1 to 50) {
+        val tot = p.sum
+        val k = math.log(2.0) / math.log(2.0 / tot)
+        p = p.map(math.pow(_, k))
+      }
+      math.abs(p.sum - 1.0) < 1e-9
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("unionPad null-fills columns missing on either side (bind_rows semantics)") {
+    val a = Seq((1, "x")).toDF("id", "only_a")
+    val b = Seq((2, 9.5)).toDF("id", "only_b")
+    val u = Relational.unionPad(Seq(a, b)).orderBy("id")
+    assert(u.columns.toSet === Set("id", "only_a", "only_b"))
+    val rows = u.collect()
+    assert(rows(0).getAs[String]("only_a") == "x" && rows(0).isNullAt(u.columns.indexOf("only_b")))
+    assert(rows(1).isNullAt(u.columns.indexOf("only_a")) && rows(1).getAs[Double]("only_b") == 9.5)
+  }
+
+  test("newRowsOnly keeps only unseen keys (update_db anti-join)") {
+    val existing = Seq((1, "old"), (2, "old")).toDF("game_id", "v")
+    val incoming = Seq((2, "dupe"), (3, "new")).toDF("game_id", "v")
+    val got = Relational.newRowsOnly(incoming, existing, Seq("game_id"))
+      .as[(Int, String)].collect()
+    assert(got.toSeq === Seq((3, "new")))
+  }
+
+  test("bindCols zips two frames positionally by explicit order") {
+    val l = Seq(("a", 1), ("b", 2)).toDF("name", "rank_l")
+    val r = Seq(("y", 20), ("x", 10)).toDF("other", "rank_r")
+    val got = Relational.bindCols(l, Seq(col("rank_l").asc), r, Seq(col("rank_r").asc))
+      .select("name", "other").as[(String, String)].collect().toSet
+    assert(got === Set(("a", "x"), ("b", "y")))
+  }
+
+  test("logLoss matches the hand-computed metric") {
+    val df = Seq((0.9, 1.0), (0.2, 0.0)).toDF("p", "y")
+    val got = df.agg(Relational.logLoss(col("p"), col("y"))).as[Double].head()
+    val want = -(math.log(0.9) + math.log(0.8)) / 2
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("rMean is NA-poisoning; naRmMean ignores nulls (R semantics)") {
+    val df = Seq(("g1", Some(1.0)), ("g1", Some(3.0)), ("g2", Some(5.0)), ("g2", None))
+      .toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(RSemantics.rMean(col("v")).as("r"), RSemantics.naRmMean(col("v")).as("narm"))
+      .collect().map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got("g1") === (Some(2.0), Some(2.0)))
+    assert(got("g2")._1.isEmpty)          // any-NA → NA, like R mean()
+    assert(got("g2")._2 === Some(5.0))    // na.rm=TRUE form
+  }
+
+  test("dec2 sums are exact where double sums carry float noise") {
+    val vals = Seq.fill(1000)(0.1)
+    val df = vals.toDF("v")
+    val dec = df.agg(RSemantics.sumDec2(col("v"))).head().getDecimal(0)
+    assert(dec.toPlainString === "100.00")
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.sources.{Ingest, Store}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class StoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def season(yr: Int, n: Int) =
+    (1 to n).map(i => (s"g${yr}_$i", yr, i * 1.0)).toDF("game_id", "season", "epa")
+
+  test("rebuild destroys then appends batch-by-batch; counts per partition verify") {
+    val store = Store(spark, tmpDir("store_rebuild"), "season")
+    store.rebuild(Iterator(season(1999, 3), season(2000, 4)))
+    val counts = store.countsByPartition.as[(Int, Long)].collect().toMap
+    assert(counts === Map(1999 -> 3L, 2000 -> 4L))
+    // rebuild again: destroy-first means no doubling
+    store.rebuild(Iterator(season(1999, 3)))
+    assert(store.countsByPartition.as[(Int, Long)].collect().toMap === Map(1999 -> 3L))
+  }
+
+  test("update appends only unseen keys and is idempotent") {
+    val store = Store(spark, tmpDir("store_update"), "season")
+    store.rebuild(Iterator(season(2023, 2)))
+    val incoming = season(2023, 3) // g2023_1, g2023_2 already present
+    assert(store.update(incoming, Seq("game_id")) === 1L)
+    assert(store.update(incoming, Seq("game_id")) === 0L) // idempotent
+    assert(store.read.count() === 3L)
+    val recent = store.recentKeys("game_id", 2).as[String].collect()
+    assert(recent.toSeq === Seq("g2023_3", "g2023_2"))
+  }
+
+  test("update on a missing table bootstraps it") {
+    val store = Store(spark, tmpDir("store_boot") + "/tbl", "season")
+    assert(!store.exists)
+    assert(store.update(season(2024, 2), Seq("game_id")) === 2L)
+    assert(store.exists && store.read.count() === 2L)
+  }
+
+  test("overwritePartitions replaces only the partitions present in the batch") {
+    val store = Store(spark, tmpDir("store_dyn"), "season")
+    store.rebuild(Iterator(season(1999, 3), season(2000, 4)))
+    store.overwritePartitions(season(2000, 1)) // re-land season 2000 only
+    val counts = store.countsByPartition.as[(Int, Long)].collect().toMap
+    assert(counts === Map(1999 -> 3L, 2000 -> 1L))
+  }
+
+  test("partition pruning reaches the file scan for season-filtered reads") {
+    val store = Store(spark, tmpDir("store_prune"), "season")
+    store.rebuild(Iterator(season(1999, 3), season(2000, 4)))
+    val plan = store.read.filter(col("season") === 2000)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(season"), plan)
+  }
+}
+
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv sink + typed csv source round-trip") {
+    val dir = tmpDir("csv_rt") + "/out"
+    val df = Seq(("KC", 12, 0.31), ("SEA", 3, -0.05)).toDF("team", "week", "epa")
+    Ingest.csvSink(df, dir)
+    val schema = StructType(Seq(
+      StructField("team", StringType), StructField("week", IntegerType),
+      StructField("epa", DoubleType)))
+    val back = Ingest.csv(spark, dir, schema)
+    assert(back.as[(String, Int, Double)].collect().toSet ===
+      Set(("KC", 12, 0.31), ("SEA", 3, -0.05)))
+  }
+
+  test("parseAndExplode flattens a nested array-of-structs JSON column") {
+    val df = Seq(
+      ("m1", """{"player":"p1","outcomes":[{"label":"over","odds":110},{"label":"under","odds":-130}]}"""))
+      .toDF("mkt", "payload")
+    val schema = StructType(Seq(
+      StructField("player", StringType),
+      StructField("outcomes", ArrayType(StructType(Seq(
+        StructField("label", StringType), StructField("odds", IntegerType)))))))
+    val got = Ingest.parseAndExplode(df, "payload", schema, "outcomes")
+      .select("mkt", "label", "odds").as[(String, String, Int)].collect().toSet
+    assert(got === Set(("m1", "over", 110), ("m1", "under", -130)))
+  }
+
+  test("tolerantFanOut unions successes and reports failures (C4)") {
+    val (out, fails) = Ingest.tolerantFanOut(Seq(1, 2, 3)) {
+      case 2 => throw new RuntimeException("boom")
+      case i => Seq((i, s"season$i")).toDF("id", "tag")
+    }
+    assert(out.get.count() === 2)
+    assert(fails.map(_._1) === Seq(2))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+  private def writeBatch(dir: String, rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(1).write.mode("append").parquet(dir)
+
+  test("drainToParquet is exactly-once across restarts (checkpointed E2)") {
+    val src = tmpDir("stream_src"); val dest = tmpDir("stream_dest") + "/tbl"
+    val ckpt = tmpDir("stream_ckpt")
+    writeBatch(src, Seq((1L, ts(0), 10L, "click", 1.0), (2L, ts(1), 11L, "view", 2.0)))
+    val q1 = EventStreams.drainToParquet(
+      EventStreams.fileSource(spark, src, schema), dest, ckpt, "event_type")
+    q1.awaitTermination()
+    assert(spark.read.parquet(dest).count() === 2)
+
+    writeBatch(src, Seq((3L, ts(2), 10L, "click", 3.0)))
+    val q2 = EventStreams.drainToParquet(
+      EventStreams.fileSource(spark, src, schema), dest, ckpt, "event_type")
+    q2.awaitTermination()
+    val ids = spark.read.parquet(dest).select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L)) // old files not re-ingested, no dupes
+  }
+
+  test("watermarked windowed aggregation over a file stream") {
+    val src = tmpDir("win_src")
+    writeBatch(src, Seq(
+      (1L, ts(5), 10L, "click", 1.0), (2L, ts(20), 10L, "click", 2.0),
+      (3L, ts(25), 11L, "view", 4.0)))
+    val agg = EventStreams.windowedTypeCounts(
+      EventStreams.fileSource(spark, src, schema), "15 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("win_counts")
+      .select("win_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      (ts(0), "click", 1L, 1.0), (ts(15), "click", 1L, 2.0), (ts(15), "view", 1L, 4.0)))
+  }
+
+  test("sessionCut emits once per user at the cumulative-value crossing") {
+    val src = tmpDir("cut_src")
+    writeBatch(src, Seq(
+      (1L, ts(1), 1L, "e", 0.4), (2L, ts(2), 1L, "e", 0.4), (3L, ts(3), 1L, "e", 0.4),
+      (4L, ts(1), 2L, "e", 0.1)))
+    val evs = EventStreams.fileSource(spark, src, schema)
+      .select(col("user_id"), col("value")).as[EventStreams.Ev]
+    val cuts = EventStreams.sessionCut(evs, cutoff = 1.0)
+    val q = cuts.writeStream.format("memory").queryName("cuts")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("cuts").as[EventStreams.SessionCut].collect()
+    assert(got.length === 1) // user 2 never crosses
+    assert(got.head.userId === 1L && got.head.nEvents === 3)
+    assert(math.abs(got.head.total - 1.2) < 1e-9)
+
+    // a later batch must NOT re-emit for user 1 (state survives in checkpoint
+    // within the same query; here we assert the state logic via second drain)
+    writeBatch(src, Seq((5L, ts(4), 1L, "e", 0.4), (6L, ts(5), 2L, "e", 1.5)))
+    val q2 = cuts.writeStream.format("memory").queryName("cuts2")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // fresh query re-reads all 6 events: user 1 emits once, user 2 now crosses
+    val got2 = spark.table("cuts2").as[EventStreams.SessionCut].collect()
+    assert(got2.count(_.userId == 1L) === 1)
+    assert(got2.count(_.userId == 2L) === 1)
+  }
+}
