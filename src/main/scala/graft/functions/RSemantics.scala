@@ -33,6 +33,18 @@ object RSemantics {
   /** R `cor(x, y, use = "complete.obs")` — pairwise-complete, built in. */
   def corrComplete(x: Column, y: Column): Column = corr(x, y)
 
+  /** Zero-variance-safe Pearson correlation. Spark 4's ANSI mode makes the
+    * built-in `corr` RAISE on a constant column (division by zero inside
+    * the aggregate) — and at scale some group always ends up constant. R
+    * returns NA there; this does too. Pairwise-complete: each side is
+    * masked to rows where the other is non-null before the moments. */
+  def safeCorr(x: Column, y: Column): Column = {
+    val xp = when(y.isNotNull, x)
+    val yp = when(x.isNotNull, y)
+    when(stddev_samp(xp) > 0 && stddev_samp(yp) > 0,
+      covar_samp(xp, yp) / (stddev_samp(xp) * stddev_samp(yp)))
+  }
+
   /** Cap from below, the reference's `if_else(epa < -4.5, -4.5, epa)` idiom
     * (`/root/reference/R/epa_predict.R:199`). */
   def capBelow(c: Column, lo: Double): Column = greatest(c, lit(lo))

@@ -65,11 +65,13 @@ object Relational {
     * Reference: `lm(diff ~ over)` (`/root/reference/R/preseason_predictiveness.R:150-151`).
     * Distributed closed form — no driver-side fitting, no ml dependency. */
   def olsAggs(x: Column, y: Column): Seq[Column] = {
-    val slope = covar_samp(x, y) / var_samp(x)
+    // var_samp guard: a constant regressor has no slope — null, not an
+    // ANSI division error (and corr would raise the same way)
+    val slope = when(var_samp(x) > 0, covar_samp(x, y) / var_samp(x))
     Seq(
       round(slope.cast(DoubleType), 4).as("slope"),
       round((avg(y) - slope * avg(x)).cast(DoubleType), 4).as("intercept"),
-      round(pow(corr(x, y), 2).cast(DoubleType), 4).as("r2"))
+      round(pow(graft.functions.RSemantics.safeCorr(x, y), 2).cast(DoubleType), 4).as("r2"))
   }
 
   /** C2: the de-vig fixed-point loop

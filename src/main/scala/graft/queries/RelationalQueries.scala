@@ -115,6 +115,24 @@ object RelationalQueries {
       |ON region.r_name = m.r_name
       |ORDER BY r_regionkey""".stripMargin)
 
+  /** P1: dynamic column selection — pattern select (`starts_with("grades_")`
+    * `/root/reference/pff/0_scrape.R:29`), positional range select
+    * (`select(team : x09)` `/root/reference/R/preseason_predictiveness.R:18`),
+    * and column drop (`select(-x)` `/root/reference/R/epa_predict.R:34`) —
+    * resolved driver-side against the schema, so the scan only reads the
+    * surviving columns. */
+  private val p1PatternSelect = Q(
+    (s, d) => {
+      val part = Tables.part(s, d)
+      val patternCols = part.columns.filter(c => c.startsWith("p_s") || c == "p_partkey")
+      val rangeCols = part.columns.slice(1, 3) // p_name : p_brand, positional
+      part
+        .select((patternCols ++ rangeCols).map(col): _*)
+        .drop("p_name") // select(-p_name)
+        .orderBy("p_partkey")
+    },
+    """SELECT p_partkey, p_size, p_brand FROM part ORDER BY p_partkey""")
+
   /** P4: null predicates + R NA semantics on a derived nullable column
     * (`!is.na(x)` `/root/reference/base_code.R:8`; `na.rm` mean
     * `/root/reference/R/epa_predict.R:210`). */
@@ -526,6 +544,7 @@ object RelationalQueries {
     "s8_csv_roundtrip" -> s8CsvRoundtrip,
     "s4_json_parse" -> s4JsonParse,
     "s11_literal_relation" -> s11LiteralRelation,
+    "p1_pattern_select" -> p1PatternSelect,
     "p4_null_predicates" -> p4NullPredicates,
     "p5_in_membership" -> p5InMembership,
     "p6_between_range" -> p6BetweenRange,

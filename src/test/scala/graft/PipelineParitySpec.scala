@@ -1,0 +1,219 @@
+package graft
+
+import graft.pipelines.{CorePipelines, MarketPipelines, MetricPipelines, TeamNames}
+import org.apache.spark.sql.functions._
+import java.sql.Date
+
+/** pbp fixture row (FIXTURES.md §1 canonical subset). Top-level for
+  * encoder derivation. */
+case class PbpRow(
+    game_id: String, play_id: Int, season: Int, week: Int, game_date_s: String,
+    posteam: Option[String], defteam: Option[String], down: Option[Int],
+    wp: Double, half_seconds_remaining: Double, epa: Option[Double],
+    qb_epa: Option[Double], cpoe: Option[Double], pass: Int,
+    name: Option[String], passer_player_id: Option[String],
+    passer_player_name: Option[String], xpass: Option[Double],
+    success: Option[Int])
+
+/** Domain-parity tests: FIXTURES.md-shaped frames with hand-computed
+  * expectations, one per reference script (SURVEY.md §5 strategy (b)). */
+class PipelineParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def row(g: String, p: Int, yr: Int, wk: Int, dt: String, pos: String,
+                  deft: String, down: Int, wp: Double, hsr: Double, epa: Double,
+                  cpoe: Option[Double], pass: Int, nm: String, pid: String,
+                  xpass: Double, success: Int): PbpRow =
+    PbpRow(g, p, yr, wk, dt, Some(pos), Some(deft), Some(down), wp, hsr,
+      Some(epa), Some(epa), cpoe, pass, Some(nm), Some(pid), Some(nm),
+      Some(xpass), Some(success))
+
+  // ---- pbp fixture (FIXTURES.md §1): 2 seasons, must-cover cases ----
+  private lazy val pbp = Seq(
+    // game A 2023: SEA competitive plays (down 1/2, wp in band), plus filtered rows
+    row("g1", 1, 2023, 1, "2023-09-10", "SEA", "LA", 1, 0.55, 900.0, 0.2, Some(1.0), 1, "R.Wilson", "00-1", 0.6, 1),
+    row("g1", 2, 2023, 1, "2023-09-10", "SEA", "LA", 2, 0.60, 880.0, -0.1, None, 0, "R.Wilson", "00-1", 0.5, 0),
+    row("g1", 3, 2023, 1, "2023-09-10", "SEA", "LA", 3, 0.61, 860.0, 0.5, Some(2.0), 1, "R.Wilson", "00-1", 0.9, 1),  // down 3: filtered from letRussCook
+    row("g1", 4, 2023, 1, "2023-09-10", "SEA", "LA", 1, 0.95, 840.0, 0.3, None, 1, "R.Wilson", "00-1", 0.7, 1),       // wp out of band: session cut fires here
+    row("g1", 5, 2023, 1, "2023-09-10", "SEA", "LA", 1, 0.55, 60.0, 0.1, None, 0, "R.Wilson", "00-1", 0.4, 0),        // clock: filtered
+    // game B 2023: LA plays
+    row("g2", 1, 2023, 1, "2023-09-10", "LA", "SEA", 1, 0.50, 900.0, 0.0, Some(-1.0), 0, "M.Stafford", "00-2", 0.5, 0),
+    row("g2", 2, 2023, 1, "2023-09-10", "LA", "SEA", 2, 0.45, 880.0, 0.2, Some(1.5), 1, "M.Stafford", "00-2", 0.6, 1),
+    // 2022 seasons for lag pairs (R.Wilson switched SEA->DEN in fixture)
+    row("g0", 1, 2022, 1, "2022-09-11", "DEN", "KC", 1, 0.5, 900.0, 0.1, Some(0.5), 1, "R.Wilson", "00-1", 0.55, 1),
+    row("g0", 2, 2022, 1, "2022-09-11", "DEN", "KC", 2, 0.5, 880.0, 0.2, Some(1.0), 0, "R.Wilson", "00-1", 0.45, 0),
+    row("g0", 3, 2022, 2, "2022-09-18", "LA", "SF", 1, 0.5, 900.0, -0.2, Some(0.0), 1, "M.Stafford", "00-2", 0.5, 1),
+    row("g0", 4, 2022, 2, "2022-09-18", "LA", "SF", 2, 0.5, 880.0, -0.1, None, 1, "M.Stafford", "00-2", 0.5, 0),
+    // null posteam / null epa row (base_code.R:8 filters)
+    PbpRow("g1", 9, 2023, 1, "2023-09-10", None, None, None, 0.5, 900.0,
+      None, None, None, 0, None, None, None, None, None)
+  ).toDF()
+    .withColumn("game_date", to_date(col("game_date_s")))
+    .drop("game_date_s")
+
+  test("letRussCook: filters push correctly, per-team rate + gauge rescale") {
+    val out = CorePipelines.letRussCook(pbp, 2023)
+      .select("posteam", "n_plays", "pass_rate", "pct")
+      .as[(String, Long, Double, Double)].collect().map(r => r._1 -> r).toMap
+    // SEA survivors: plays 1,2 → pass_rate 0.5 ; LA survivors: 1,2 → 0.5
+    assert(out("SEA")._2 === 2 && out("LA")._2 === 2)
+    assert(out("SEA")._3 === 0.5 && out("LA")._3 === 0.5)
+    assert(out("SEA")._4 === 50.0) // equal rates → rescale midpoint
+  }
+
+  test("passRateOverExpected: pass_oe is 100*(pass - xpass), averaged per team-season") {
+    val out = CorePipelines.passRateOverExpected(pbp)
+      .filter(col("season") === 2023 && col("posteam") === "SEA")
+      .select("proe", "n").as[(Double, Long)].head()
+    // SEA 2023 xpass rows: plays 1-5 → pass=(1,0,1,1,0), xpass=(.6,.5,.9,.7,.4)
+    val exp = 100.0 * Seq(1 - 0.6, 0 - 0.5, 1 - 0.9, 1 - 0.7, 0 - 0.4).sum / 5
+    assert(math.abs(out._1 - exp) < 1e-9 && out._2 === 5)
+  }
+
+  test("wilsonGamePassFreq: session cut stops at first out-of-band WP") {
+    val out = CorePipelines.wilsonGamePassFreq(pbp, "R.Wilson")
+      .filter(col("game_id") === "g1")
+      .select("n_plays", "pass_rate").as[(Long, Double)].head()
+    // g1 plays 1-3 in band (wp .55,.60,.61), play 4 wp=.95 cuts; prefix = 3
+    assert(out._1 === 3)
+    assert(math.abs(out._2 - 2.0 / 3) < 1e-12)
+  }
+
+  test("firstStarts: top-1 by date with tiebreak; roster join by differing key") {
+    val rosters = Seq(
+      (2023, "Russell Wilson", "00-1"), (2022, "Russ Wilson", "00-1"), // dup gsis: latest wins
+      (2023, "Matthew Stafford", "00-2")
+    ).toDF("season", "full_name", "gsis_id")
+    val out = CorePipelines.firstStarts(pbp, rosters, Seq("SEA", "LA", "DEN"))
+      .select("passer_player_name", "full_name", "first_start")
+      .as[(String, String, Date)].collect().map(r => r._1 -> r).toMap
+    assert(out("R.Wilson")._2 === "Russell Wilson")
+    assert(out("R.Wilson")._3.toString === "2022-09-11") // DEN game predates SEA
+    assert(out("M.Stafford")._3.toString === "2022-09-18")
+  }
+
+  test("onOffSplits: array membership splits in a single pivoted pass") {
+    val part = Seq(
+      ("p1", "SEA", "00-9;00-8;00-7", 0.5, 1.0, 1.0),
+      ("p2", "SEA", "00-8;00-7", -0.5, 0.0, 0.0),
+      ("p3", "SEA", "00-9", 1.5, 1.0, 1.0),
+      ("p4", "LA", "00-9;00-5", 0.0, 0.0, 1.0)
+    ).toDF("play", "posteam", "offense_players", "epa", "success", "first_down")
+    val out = CorePipelines.onOffSplits(part, "00-9").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sea = out("SEA")
+    assert(sea.getAs[Long]("on_n") === 2 && sea.getAs[Long]("off_n") === 1)
+    assert(sea.getAs[Double]("on_epa_play") === 1.0)   // (0.5+1.5)/2
+    assert(sea.getAs[Double]("off_epa_play") === -0.5)
+  }
+
+  test("espnWpCalibration: in-game lag drops first play; bins label correctly") {
+    val espnWp = Seq(
+      ("401", "1", 0.50), ("401", "2", 0.60), ("401", "3", 0.90))
+      .toDF("espn_game_id", "play_id", "home_wp")
+    val games = Seq(("401", "g1", 7), ("402", "g2", -3))
+      .toDF("espn", "game_id", "result")
+    val out = MetricPipelines.espnWpCalibration(espnWp, games, binWidth = 0.05)
+      .as[(Double, Long, Double, Double)].collect()
+    // pre_wp = [0.50, 0.60] (play 1 dropped), result>0 → label 1
+    assert(out.map(_._1).toSeq === Seq(0.5, 0.6))
+    assert(out.forall(_._3 === 1.0))
+  }
+
+  test("espnWpLogLoss: one cube pass reproduces the hand-computed slice") {
+    val plays = Seq((0.9, 1.0, 1), (0.8, 1.0, 2), (0.3, 0.0, 4))
+      .toDF("pred", "label", "qtr")
+    val out = MetricPipelines.espnWpLogLoss(plays)
+      .filter(col("gid") === 3) // grand total row
+      .select("log_loss").as[Double].head()
+    val want = -(math.log(0.9) + math.log(0.8) + math.log(0.7)) / 3
+    assert(math.abs(out - want) < 1e-12)
+  }
+
+  test("preseasonPredictiveness: unpivot + split + normalize + closed-form OLS") {
+    val wide = Seq(
+      ("STL", "7.5 Ov", "8.5 Un"), ("OAK", "6.5 Ov", "9.5 Ov"), ("NE", "11.5 Ov", "10.5 Un"))
+      .toDF("team", "x00", "x01")
+    // pt_dif = 2*line - 10 exactly → slope 2, intercept -10, r2 1
+    val results = Seq(
+      ("LA", 2000, "5.0"), ("LA", 2001, "7.0"), ("LV", 2000, "3.0"),
+      ("LV", 2001, "9.0"), ("NE", 2000, "13.0"), ("NE", 2001, "11.0"),
+      ("AFC", 2000, "junk")
+    ).toDF("tm", "season", "pt_dif")
+    val out = MetricPipelines.preseasonPredictiveness(wide, results, 2000)
+      .select("slope", "intercept", "r2", "n").as[(Double, Double, Double, Long)].head()
+    assert(out._1 === 2.0 && out._2 === -10.0 && out._3 === 1.0 && out._4 === 6)
+  }
+
+  test("epaPredict: flagship DAG — lag panel + one-pass correlation matrix") {
+    val qbr = Seq(
+      ("00-1", 2022, 60.0), ("00-1", 2023, 70.0),
+      ("00-2", 2022, 40.0), ("00-2", 2023, 55.0),
+      ("00-3", 2023, 100.0) // logit edge case: single season, no lag pair
+    ).toDF("player_id", "season", "qbr_total")
+    val sis = Seq(
+      ("00-1", 2022, 0.30), ("00-1", 2023, 0.40),
+      ("00-2", 2022, 0.10), ("00-2", 2023, 0.20)
+    ).toDF("player_id", "season", "total_points_per_play")
+    val out = MetricPipelines.epaPredict(pbp, qbr, sis, minPlays = 1)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2))).toMap
+    // both QBs improved epa 2022→2023 in the fixture → 2 aligned pairs → corr 1
+    assert(out("epa_play")._2 === 2)
+    assert(math.abs(out("epa_play")._1.get - 1.0) < 1e-9)
+    assert(out("qbr_logit")._2 === 2) // edge-case QB excluded (no lag pair)
+    assert(out.keySet === Set("epa_play", "cpoe", "success_rate", "qbr_logit",
+      "total_points_per_play"))
+  }
+
+  test("draftOdds: implied prob both signs, de-vig sums to 1, over/under pivot") {
+    val dk = Seq(
+      ("QB A", 4.5, 110, 0), ("QB A", 4.5, -130, 1),
+      ("QB B", 2.5, -200, 0), ("QB B", 2.5, 170, 1)
+    ).toDF("player", "pick", "odds", "under")
+    val out = MarketPipelines.draftOdds(dk).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("QB A")
+    assert(a.getAs[Int]("over_odds") === 110 && a.getAs[Int]("under_odds") === -130)
+    val sumA = a.getAs[Double]("over_pct") + a.getAs[Double]("under_pct")
+    assert(math.abs(sumA - 1.0) < 1e-6) // de-vig fixed point reached
+    // raw implied: +110 → 100/210 ≈ .476; -130 → 130/230 ≈ .565 (sum 1.041 vig)
+    assert(a.getAs[Double]("over_pct") < 0.5 && a.getAs[Double]("under_pct") > 0.5)
+  }
+
+  test("passBlockValidation: rescaled identical sources correlate at 1") {
+    val espn = Seq((2022, "SEA", 30.0), (2022, "LA", 50.0), (2023, "SEA", 40.0), (2023, "LA", 60.0))
+      .toDF("season", "posteam", "pbwr")
+    val pff = Seq((2022, "SEA", 55.0), (2022, "LA", 75.0), (2023, "SEA", 60.0), (2023, "LA", 80.0))
+      .toDF("season", "team_abbr", "grades_pass_block") // same ordering, shifted scale
+    val out = MarketPipelines.passBlockValidation(espn, pff)
+      .select("c_cross_source", "n").as[(Double, Long)].head()
+    assert(math.abs(out._1 - 1.0) < 1e-9)
+    assert(out._2 === 4)
+  }
+
+  test("ourladsProjections: dirty-name cleanup, percentile ranks, contract dedup") {
+    val ourlads = Seq(
+      ("  dj   humphries ", "ARZ", "LT"), ("orlando brown", "KC", "LT"),
+      ("creed humphrey", "KC", "C")
+    ).toDF("player", "current_team", "position_ourlads")
+    val grades = Seq(
+      ("DJ Humphries", 80.0), ("Orlando Brown", 60.0), ("Creed Humphrey", 90.0)
+    ).toDF("player", "grades_pass_block")
+    val contracts = Seq(
+      ("Dj Humphries", 15.0), ("Dj Humphries", 15.0), // dup row → distinct
+      ("Orlando Brown", 16.0), ("Creed Humphrey", 18.0)
+    ).toDF("player", "apy")
+    val out = MarketPipelines.ourladsProjections(ourlads, grades, contracts)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("LT").getAs[Long]("n_starters") === 2)
+    assert(out("LT").getAs[Double]("avg_apy") === 15.5)
+    assert(out("C").getAs[Long]("n_starters") === 1)
+  }
+
+  test("TeamNames.normalize maps every defunct franchise abbreviation") {
+    val got = Seq("STL", "SD", "OAK", "ARZ", "SEA").toDF("t")
+      .select(TeamNames.normalize(col("t"))).as[String].collect().toSeq
+    assert(got === Seq("LA", "LAC", "LV", "ARI", "SEA"))
+  }
+}
