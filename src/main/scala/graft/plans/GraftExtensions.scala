@@ -1,0 +1,66 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+/** Rewrites the composable higher-order-function dot product
+  * (`aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0d, +)` —
+  * exactly what Similarity.dot builds) into the native codegen'd
+  * [[VectorDot]]. Bit-identical results (same element order, same double
+  * adds), so queries keep their DuckDB-oracle hashes while the ANN hot
+  * loop drops lambda dispatch and per-element allocation.
+  *
+  * A miss is silent (no rewrite → still-correct HOF plan), so the rule is
+  * deliberately narrow: it only fires on the exact shape it can prove.
+  */
+object RewriteDotProduct extends Rule[LogicalPlan] {
+  private def isFloatArray(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
+  private object DoubleCastOf {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case Cast(v, DoubleType, _, _) => Some(v)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressionsWithSubqueries {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(Multiply(DoubleCastOf(x: NamedLambdaVariable),
+                DoubleCastOf(y: NamedLambdaVariable), _), Seq(lx, ly), _)),
+            Literal(zero, DoubleType),
+            LambdaFunction(Add(accRef: NamedLambdaVariable, vRef: NamedLambdaVariable, _),
+              Seq(acc, v), _),
+            LambdaFunction(finishRef: NamedLambdaVariable, Seq(fin), _))
+          if zero == 0.0 &&
+            isFloatArray(a.dataType) && isFloatArray(b.dataType) &&
+            x.exprId == lx.exprId && y.exprId == ly.exprId &&
+            accRef.exprId == acc.exprId && vRef.exprId == v.exprId &&
+            finishRef.exprId == fin.exprId =>
+        VectorDot(a, b)
+    }
+}
+
+/** Engine extensions, installed via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (works on any
+  * cluster submit) or `SparkSession.builder.withExtensions`. Registers the
+  * `vector_dot` SQL function and the HOF-dot rewrite rule. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+  }
+}
