@@ -106,6 +106,27 @@ object Relational {
   def unionPad(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** One mergeable aggregate for [[Relational.saltedAgg]]: `partial` runs
+    * per (key, salt); `merge` combines the partials per key (sum merges by
+    * sum, count merges by SUM, min by min, ...). */
+  final case class SaltedSpec(name: String, partial: Column, merge: Column => Column)
+
+  /** Skew-safe two-phase aggregation: salt the key space, partially
+    * aggregate per (key, salt), then merge per key. AQE re-splits skewed
+    * JOIN partitions at runtime, but a skewed groupBy still funnels each
+    * key's rows into one task — salting spreads the hot key `salts`-ways
+    * at the cost of a second (tiny) shuffle. Only mergeable aggregates
+    * compose this way; express avg as sum+count and divide after. */
+  def saltedAgg(df: DataFrame, key: Column, salts: Int, specs: Seq[SaltedSpec]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
+    val phase1 = salted.groupBy(key.as("__key"), col("__salt"))
+      .agg(specs.head.partial.as(specs.head.name),
+        specs.tail.map(s => s.partial.as(s.name)): _*)
+    phase1.groupBy(col("__key").as("key"))
+      .agg(specs.head.merge(col(specs.head.name)).as(specs.head.name),
+        specs.tail.map(s => s.merge(col(s.name)).as(s.name)): _*)
+  }
+
   /** E2: idempotent incremental append — the `nflfastR::update_db` shape
     * (`/root/reference/2_scrape_new_games.R:7-12`): rows of `incoming` whose
     * key is not already present in `existing`. Anti-join is the scalable

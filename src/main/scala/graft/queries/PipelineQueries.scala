@@ -128,6 +128,31 @@ object PipelineQueries {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin)
 
+  /** Approximate distinct counting — the 100-TB form of dedup statistics
+    * (an exact COUNT(DISTINCT) shuffles every distinct value; the HLL
+    * sketch ships fixed-size buffers). HLL estimates are engine-specific,
+    * so the oracle checks the deterministic contract instead: the exact
+    * count plus "the estimate landed within 5% of it" (HLL is
+    * deterministic — no RNG — so this is a stable, honest assertion). */
+  private val x6ApproxDistinct = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+        .select(
+          col("event_type"), col("n_exact").cast(LongType).as("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("approx_ok"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS approx_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
   // ---- similarity search ----
 
   /** DuckDB double-cast of the float vector column. */
@@ -380,6 +405,7 @@ object PipelineQueries {
     "x3_simhash" -> x3Simhash,
     "x4_ngram_jaccard" -> x4NgramJaccard,
     "x5_embed_neardup" -> x5EmbedNeardup,
+    "x6_approx_distinct" -> x6ApproxDistinct,
     "y1_knn_brute" -> y1KnnBrute,
     "y2_knn_bucketed" -> y2KnnBucketed,
     "z1_lang_id" -> z1LangId,

@@ -82,6 +82,18 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   def countsByPartition: DataFrame =
     read.groupBy(partCol).count().orderBy(partCol)
 
+  /** Co-located (bucketed) table: hash-bucket + sort by the join key at
+    * write time so equi-joins and aggregations on that key need NO shuffle
+    * at read time — the 100-TB answer to "this join shuffles every run".
+    * Bucketing requires the catalog (`saveAsTable`); both sides of a join
+    * must share the bucket count. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("path", s"$path/$table")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** Post-update verification: most recent `n` keys
     * (`/root/reference/2_scrape_new_games.R:16-24` — the reference collects
     * everything and takes `tail(5)` relying on insertion order; here the

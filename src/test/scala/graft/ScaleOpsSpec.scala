@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Relational
+import graft.sources.Store
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg matches the direct aggregation on a skewed key") {
+    // 10k rows on the hot key, a handful elsewhere — the skewed-groupBy shape
+    val skewed = spark.range(10000).select(lit("HOT").as("k"), col("id").cast("double").as("v"))
+      .union(Seq(("a", 5.0), ("b", 7.0), ("a", 1.0)).toDF("k", "v"))
+    val direct = skewed.groupBy("k")
+      .agg(sum("v").as("sum_v"), count(lit(1)).as("n"), max("v").as("max_v"))
+      .as[(String, Double, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val salted = Relational.saltedAgg(skewed, col("k"), salts = 8, Seq(
+      Relational.SaltedSpec("sum_v", sum(col("v")), sum),
+      Relational.SaltedSpec("n", count(lit(1)), c => sum(c)),
+      Relational.SaltedSpec("max_v", max(col("v")), max)))
+      .as[(String, Double, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(salted === direct)
+    assert(salted("HOT")._2 === 10000L)
+  }
+
+  test("bucketed tables join without a shuffle on the bucket key") {
+    val dir = tmpDir("bucketed")
+    val store = Store(spark, dir, "season")
+    val facts = spark.range(1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    val dims = spark.range(100).select(col("id").as("k"), concat(lit("d"), col("id")).as("tag"))
+    store.writeBucketed(facts, "facts_b", "k", 4)
+    store.writeBucketed(dims, "dims_b", "k", 4)
+    // disable broadcast so the join must pick the co-located SMJ path
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("facts_b").join(spark.table("dims_b"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() === 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.sql("DROP TABLE IF EXISTS facts_b")
+      spark.sql("DROP TABLE IF EXISTS dims_b")
+    }
+  }
+}
