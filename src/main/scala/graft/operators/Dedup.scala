@@ -76,10 +76,18 @@ object Dedup {
     * the verify stage after LSH, or (blocked by a cheap key like language)
     * a standalone near-dup pass. `shingled` columns: (idCol, blockCol, "sh"),
     * distinct per doc. */
-  def shingleJaccardPairs(shingled: DataFrame, idCol: String, blockCol: String): DataFrame = {
-    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = shingled.select(col(idCol).as("doc_a"), col(blockCol).as("blk"), col("sh"))
-    val b = shingled.select(col(idCol).as("doc_b"), col(blockCol).as("blk"), col("sh"))
+  def shingleJaccardPairs(shingled: DataFrame, idCol: String, blockCol: String,
+                          persistIndex: Boolean = true): DataFrame = {
+    // the inverted index is referenced three times (sizes + both join
+    // sides); materialize it once instead of re-running the shingle
+    // explode per reference — at 100 TB this persist becomes a parquet
+    // write of the index stage
+    val idx = if (persistIndex)
+      shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else shingled
+    val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = idx.select(col(idCol).as("doc_a"), col(blockCol).as("blk"), col("sh"))
+    val b = idx.select(col(idCol).as("doc_b"), col(blockCol).as("blk"), col("sh"))
     val inter = a.join(b, Seq("blk", "sh"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")

@@ -55,6 +55,30 @@ object Multimodal {
     acc
   }
 
+  case class Frame(doc_id: Long, frame_idx: Int, offset: Int, n_bytes: Int,
+                   frame_checksum: Long)
+
+  /** One-to-many frame sampling — the video analog of the decode seam: each
+    * payload yields `nFrames` evenly-strided byte windows ("frames"),
+    * checksummed. A real codec replaces the byte-window slice with actual
+    * frame decode; the flatMap/iterator plumbing (and a resize = same
+    * map-shaped seam as `extractFeatures`) is unchanged. */
+  def frameSample(spark: SparkSession, media: DataFrame,
+                  nFrames: Int = 3, frameLen: Int = 16): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .flatMap { r =>
+        val n = r.payload.length
+        val stride = n / nFrames
+        (0 until nFrames).iterator.map { k =>
+          val from = k * stride
+          val until = math.min(from + frameLen, n)
+          val slice = java.util.Arrays.copyOfRange(r.payload, from, until)
+          Frame(r.doc_id, k, from, until - from, checksum(slice))
+        }
+      }
+  }
+
   /** Partition-batched feature extraction — the mapInPandas-shaped seam.
     * One iterator per partition: codec/model init happens once per batch,
     * rows stream through without materializing the partition. */

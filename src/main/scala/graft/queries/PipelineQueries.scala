@@ -399,6 +399,29 @@ object PipelineQueries {
       |  substring(text, 1, 8) AS head
       |FROM cs ORDER BY doc_id""".stripMargin)
 
+  /** One-to-many frame sampling through the typed flatMap seam: 3 evenly
+    * strided 16-byte windows per payload, checksummed. The oracle replays
+    * the byte windows as ASCII substrings (corpus verified pure ASCII). */
+  private val m2FrameSample = {
+    val frames = (0 until 3).map { k =>
+      s"""SELECT doc_id, $k AS frame_idx,
+         |  CAST($k * (length(text) // 3) AS INT) AS "offset",
+         |  CAST(length(fr$k) AS INT) AS n_bytes,
+         |  list_reduce(list_transform(regexp_extract_all(fr$k, '.'), c -> CAST(ascii(c) AS BIGINT)),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000007 AS frame_checksum
+         |FROM (SELECT doc_id, text,
+         |        substring(text, $k * (length(text) // 3) + 1, 16) AS fr$k
+         |      FROM documents) f$k""".stripMargin
+    }
+    Q(
+      (s, d) => {
+        val pay = Multimodal.payloads(Tables.documents(s, d), "doc_id", "text")
+        Multimodal.frameSample(s, pay, nFrames = 3, frameLen = 16).toDF()
+          .orderBy("doc_id", "frame_idx")
+      },
+      frames.mkString("", "\nUNION ALL\n", "\nORDER BY doc_id, frame_idx"))
+  }
+
   val all: Map[String, Q] = Map(
     "x1_exact_dedup" -> x1ExactDedup,
     "x2_minhash_lsh" -> x2MinhashLsh,
@@ -412,5 +435,6 @@ object PipelineQueries {
     "z2_quality_score" -> z2QualityScore,
     "z3_token_counts" -> z3TokenCounts,
     "z4_fingerprint" -> z4Fingerprint,
-    "m1_media_features" -> m1MediaFeatures)
+    "m1_media_features" -> m1MediaFeatures,
+    "m2_frame_sample" -> m2FrameSample)
 }

@@ -164,4 +164,15 @@ class MultimodalSpec extends SparkSpec {
     val meta = pay.filter(col("doc_id") === 7).select(col("meta.head")).as[String].head()
     assert(meta === "hello wo")
   }
+
+  test("frameSample yields n evenly-strided checksummed windows per payload") {
+    val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz012345")).toDF("doc_id", "text") // 32 bytes
+    val pay = Multimodal.payloads(docs, "doc_id", "text")
+    val frames = Multimodal.frameSample(spark, pay, nFrames = 3, frameLen = 8)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.offset).toSeq === Seq(0, 10, 20)) // stride = 32/3 = 10
+    assert(frames.forall(_.n_bytes === 8))
+    val want = Multimodal.checksum("klmnopqr".getBytes("UTF-8")) // bytes 10..17
+    assert(frames(1).frame_checksum === want)
+  }
 }
