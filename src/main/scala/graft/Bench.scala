@@ -39,10 +39,16 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     run(names.head) // warmup: JVM + codegen + parquet reader init
-    val results = names.map(n => n -> run(n))
+    // best-of-N steady state: single-shot numbers on a shared box carry
+    // ±30% scheduler noise; min over iterations is the standard estimator
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val results = names.map { n =>
+      val times = (1 to iters).map(_ => run(n)).filter(_ >= 0)
+      n -> (if (times.isEmpty) -1.0 else times.min)
+    }
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters}""")
     spark.stop()
   }
 }

@@ -58,6 +58,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded LSH: the standard b-bands × r-rows construction. A pair
+    * collides iff ALL r minhashes inside some band agree — the
+    * probability curve 1-(1-j^r)^b gives the tunable precision/recall
+    * knee that single-hash bands (r=1, `lshCandidates`) lack. Band key =
+    * the r member hashes concatenated; same join shape, same scale story
+    * (one shuffle on (band, key), bucket-bounded pair count). */
+  def lshCandidatesBanded(sig: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val members = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
+      struct(lit(b).as("band"), concat_ws("_", members: _*).as("key")).as(s"b$b")
+    }
+    val exploded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = exploded.select(col(idCol).as("doc_a"), col("band"), col("key"))
+    val b = exploded.select(col(idCol).as("doc_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
   /** 32-bit simhash over a (id, word-hash "hv") exploded relation: per bit,
     * sum ±1 weighted by the bit of each word hash; bit set where the sum is
     * positive. Single aggregation pass, 32 partial sums. */

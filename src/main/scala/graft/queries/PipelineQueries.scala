@@ -128,6 +128,37 @@ object PipelineQueries {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin)
 
+  /** Banded LSH (4 bands × 2 rows over the 8-hash signature): all hashes
+    * in a band must agree, giving the 1-(1-j^2)^4 collision curve — far
+    * fewer, far higher-precision candidates than the 8×1 banding of x2. */
+  private val x7LshBanded = {
+    val sigCols = (0 until 8).map(i =>
+      s"min((hv * ${Dedup.MinhashA(i)} + ${Dedup.MinhashB(i)}) % ${Dedup.MinhashP}) AS mh$i")
+      .mkString(",\n    ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} || '_' || mh${2 * b + 1} AS key FROM sig")
+      .mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val sh = shingles(Tables.documents(s, d))
+          .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
+          .distinct()
+        val sig = Dedup.minhashSignature(sh, "doc_id", 8)
+        Dedup.lshCandidatesBanded(sig, "doc_id", bands = 4, rows = 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      s"""WITH $shingleCte,
+         |hv AS (SELECT DISTINCT doc_id, ${h32Sql("s")} AS hv FROM sh),
+         |sig AS (SELECT doc_id,
+         |    $sigCols
+         |  FROM hv GROUP BY 1),
+         |bands AS ($bands)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   /** Approximate distinct counting — the 100-TB form of dedup statistics
     * (an exact COUNT(DISTINCT) shuffles every distinct value; the HLL
     * sketch ships fixed-size buffers). HLL estimates are engine-specific,
@@ -429,6 +460,7 @@ object PipelineQueries {
     "x4_ngram_jaccard" -> x4NgramJaccard,
     "x5_embed_neardup" -> x5EmbedNeardup,
     "x6_approx_distinct" -> x6ApproxDistinct,
+    "x7_lsh_banded" -> x7LshBanded,
     "y1_knn_brute" -> y1KnnBrute,
     "y2_knn_bucketed" -> y2KnnBucketed,
     "z1_lang_id" -> z1LangId,

@@ -41,6 +41,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((2L, 4L)))
   }
 
+  test("banded LSH (4x2) keeps identical pairs and is a subset of 8x1 candidates") {
+    val hv = shingled.select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
+    val sig = Dedup.minhashSignature(hv, "doc_id", 8)
+    val single = Dedup.lshCandidates(sig, "doc_id", 8).as[(Long, Long)].collect().toSet
+    val banded = Dedup.lshCandidatesBanded(sig, "doc_id", bands = 4, rows = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(banded.contains((1L, 2L)))       // identical docs agree in every band
+    assert(banded.subsetOf(single))          // r=2 requires strictly more agreement
+  }
+
   test("shingleJaccardPairs computes exact jaccard on a hand-checked pair") {
     val blocked = docs.withColumn("blk", lit("all"))
     val ws = blocked.select(col("doc_id"), col("blk"), split(col("text"), " ").as("ws"))
