@@ -42,21 +42,28 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs from a signature frame: unpivot bands → self-join
-    * on (band, key) → distinct (a < b) pairs. One shuffle on the band key;
-    * bucket sizes bound the join fan-out (salt or cap hot buckets at scale). */
-  def lshCandidates(sig: DataFrame, idCol: String, k: Int = 8): DataFrame = {
-    val bands = sig.unpivot(
-      Array(col(idCol)),
-      (0 until k).map(i => col(s"mh$i")).toArray,
-      "band", "key")
-    val a = bands.select(col(idCol).as("doc_a"), col("band"), col("key"))
-    val b = bands.select(col(idCol).as("doc_b"), col("band"), col("key"))
+  /** Self-join an (id, band, key) relation into distinct (a < b) candidate
+    * pairs. One shuffle on the band key; bucket sizes bound the join
+    * fan-out (salt or cap hot buckets at scale). Null keys never pair
+    * (join-on-null semantics). */
+  private def pairJoin(banded: DataFrame, idCol: String): DataFrame = {
+    val a = banded.select(col(idCol).as("doc_a"), col("band"), col("key"))
+    val b = banded.select(col(idCol).as("doc_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
   }
+
+  /** LSH candidate pairs from a signature frame: unpivot bands → self-join
+    * on (band, key) → distinct (a < b) pairs. */
+  def lshCandidates(sig: DataFrame, idCol: String, k: Int = 8): DataFrame =
+    pairJoin(
+      sig.unpivot(
+        Array(col(idCol)),
+        (0 until k).map(i => col(s"mh$i")).toArray,
+        "band", "key"),
+      idCol)
 
   /** Banded LSH: the standard b-bands × r-rows construction. A pair
     * collides iff ALL r minhashes inside some band agree — the
@@ -65,18 +72,21 @@ object Dedup {
     * the r member hashes concatenated; same join shape, same scale story
     * (one shuffle on (band, key), bucket-bounded pair count). */
   def lshCandidatesBanded(sig: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
+    require((0 until bands * rows).forall(i => sig.columns.contains(s"mh$i")),
+      s"signature is missing mh0..mh${bands * rows - 1} (bands*rows exceeds its width)")
     val bandCols = (0 until bands).map { b =>
       val members = (b * rows until (b + 1) * rows).map(i => col(s"mh$i"))
-      struct(lit(b).as("band"), concat_ws("_", members: _*).as("key")).as(s"b$b")
+      // null out the whole key if ANY member is null (concat_ws would
+      // silently drop the null and truncated keys could falsely collide);
+      // null keys then never pair, matching the r=1 join-on-null behavior
+      val key = when(members.map(_.isNotNull).reduce(_ && _),
+        concat_ws("_", members: _*))
+      struct(lit(b).as("band"), key.as("key"))
     }
-    val exploded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = exploded.select(col(idCol).as("doc_a"), col("band"), col("key"))
-    val b = exploded.select(col(idCol).as("doc_b"), col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+    pairJoin(
+      sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+        .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key")),
+      idCol)
   }
 
   /** 32-bit simhash over a (id, word-hash "hv") exploded relation: per bit,

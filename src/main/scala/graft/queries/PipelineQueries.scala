@@ -41,6 +41,25 @@ object PipelineQueries {
         explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
       .distinct()
 
+  /** Shared oracle SQL for the 8-hash minhash signature CTEs (x2/x7). */
+  private val sigCols = (0 until 8).map(i =>
+    s"min((hv * ${Dedup.MinhashA(i)} + ${Dedup.MinhashB(i)}) % ${Dedup.MinhashP}) AS mh$i")
+    .mkString(",\n    ")
+  private def minhashCtes: String =
+    s"""$shingleCte,
+       |hv AS (SELECT DISTINCT doc_id, ${h32Sql("s")} AS hv FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM hv GROUP BY 1)""".stripMargin
+
+  /** Shared Spark side: distinct 3-gram shingle hashes → 8-hash signature. */
+  private def minhashSig(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sh = shingles(Tables.documents(s, d))
+      .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
+      .distinct()
+    Dedup.minhashSignature(sh, "doc_id", 8)
+  }
+
   // ---- dedup ----
 
   /** Exact dedup by content hash — one shuffle, map-side combinable. */
@@ -54,24 +73,12 @@ object PipelineQueries {
   /** MinHash + LSH near-dup candidates: shingle explode → 8-hash signature
     * → band self-join. Never O(n²): pairs exist only where a band collides. */
   private val x2MinhashLsh = {
-    val sigCols = (0 until 8).map(i =>
-      s"min((hv * ${Dedup.MinhashA(i)} + ${Dedup.MinhashB(i)}) % ${Dedup.MinhashP}) AS mh$i")
-      .mkString(",\n    ")
     val bands = (0 until 8).map(i =>
       s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
     Q(
-      (s, d) => {
-        val sh = shingles(Tables.documents(s, d))
-          .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
-          .distinct()
-        val sig = Dedup.minhashSignature(sh, "doc_id", 8)
-        Dedup.lshCandidates(sig, "doc_id", 8).orderBy("doc_a", "doc_b")
-      },
-      s"""WITH $shingleCte,
-         |hv AS (SELECT DISTINCT doc_id, ${h32Sql("s")} AS hv FROM sh),
-         |sig AS (SELECT doc_id,
-         |    $sigCols
-         |  FROM hv GROUP BY 1),
+      (s, d) => Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8)
+        .orderBy("doc_a", "doc_b"),
+      s"""WITH $minhashCtes,
          |bands AS ($bands)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
@@ -132,26 +139,13 @@ object PipelineQueries {
     * in a band must agree, giving the 1-(1-j^2)^4 collision curve — far
     * fewer, far higher-precision candidates than the 8×1 banding of x2. */
   private val x7LshBanded = {
-    val sigCols = (0 until 8).map(i =>
-      s"min((hv * ${Dedup.MinhashA(i)} + ${Dedup.MinhashB(i)}) % ${Dedup.MinhashP}) AS mh$i")
-      .mkString(",\n    ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band, mh${2 * b} || '_' || mh${2 * b + 1} AS key FROM sig")
       .mkString("\n  UNION ALL ")
     Q(
-      (s, d) => {
-        val sh = shingles(Tables.documents(s, d))
-          .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
-          .distinct()
-        val sig = Dedup.minhashSignature(sh, "doc_id", 8)
-        Dedup.lshCandidatesBanded(sig, "doc_id", bands = 4, rows = 2)
-          .orderBy("doc_a", "doc_b")
-      },
-      s"""WITH $shingleCte,
-         |hv AS (SELECT DISTINCT doc_id, ${h32Sql("s")} AS hv FROM sh),
-         |sig AS (SELECT doc_id,
-         |    $sigCols
-         |  FROM hv GROUP BY 1),
+      (s, d) => Dedup.lshCandidatesBanded(minhashSig(s, d), "doc_id", bands = 4, rows = 2)
+        .orderBy("doc_a", "doc_b"),
+      s"""WITH $minhashCtes,
          |bands AS ($bands)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
