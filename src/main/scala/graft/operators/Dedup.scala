@@ -103,6 +103,46 @@ object Dedup {
       .select(col(idCol), packed.cast(LongType).as("simhash"))
   }
 
+  /** Duplicate clustering: connected components over a candidate-pair
+    * edge list by iterative min-label propagation — every node ends up
+    * labeled with the smallest doc id in its component (the survivor).
+    * Converges in ≤ graph-diameter iterations; near-dup components are
+    * shallow (stars/short chains), so the driver loop exits after a few
+    * rounds on the real distribution. Each iteration is one shuffle-join +
+    * one aggregation; at very large scale swap the loop body for
+    * alternating large-star/small-star contraction (same fixpoint).
+    * `nodes` supplies the full id universe — isolated docs keep their own
+    * id as cluster. */
+  def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                          maxIters: Int = 20): DataFrame = {
+    // materialize the edge list once — it feeds every iteration, and its
+    // upstream (the whole LSH candidate pipeline) must not re-run per round
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    // localCheckpoint (not cache) per iteration: the label frame is
+    // re-derived from itself each round, so lineage — and with it plan
+    // size and recomputation cost — would otherwise grow exponentially
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("cluster"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+        .groupBy(col("src")).agg(min("cluster").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.cluster") =!= col("p.cluster")).count()
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as(idCol), col("cluster").as("cluster_id"))
+  }
+
   /** True n-gram Jaccard for candidate pairs via inverted-index self-join —
     * the verify stage after LSH, or (blocked by a cheap key like language)
     * a standalone near-dup pass. `shingled` columns: (idCol, blockCol, "sh"),

@@ -153,6 +153,40 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
+  /** The dedup pipeline's final stage: LSH candidate pairs → connected
+    * components → one cluster id (= survivor doc id) per document. The
+    * oracle replays the same reachability as a recursive CTE. */
+  private val x8DupClusters = {
+    val bands = (0 until 8).map(i =>
+      s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8)
+        Dedup.connectedComponents(pairs, docs, "doc_id")
+          .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE $minhashCtes,
+         |bands AS ($bands),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+         |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(comp.cid, d.doc_id) AS cluster_id,
+         |  COALESCE(comp.cid, d.doc_id) = d.doc_id AS is_survivor
+         |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+         |ORDER BY d.doc_id""".stripMargin)
+  }
+
   /** Approximate distinct counting — the 100-TB form of dedup statistics
     * (an exact COUNT(DISTINCT) shuffles every distinct value; the HLL
     * sketch ships fixed-size buffers). HLL estimates are engine-specific,
@@ -455,6 +489,7 @@ object PipelineQueries {
     "x5_embed_neardup" -> x5EmbedNeardup,
     "x6_approx_distinct" -> x6ApproxDistinct,
     "x7_lsh_banded" -> x7LshBanded,
+    "x8_dup_clusters" -> x8DupClusters,
     "y1_knn_brute" -> y1KnnBrute,
     "y2_knn_bucketed" -> y2KnnBucketed,
     "z1_lang_id" -> z1LangId,

@@ -65,6 +65,14 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got._4 - 4.0 / 10.0) < 1e-12)
   }
 
+  test("connectedComponents labels chains with the min id; isolated nodes keep their own") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L)).toDF("doc_a", "doc_b") // chain 2-5-9, pair 11-12
+    val nodes = Seq(2L, 5L, 9L, 11L, 12L, 99L).toDF("doc_id")
+    val got = Dedup.connectedComponents(pairs, nodes, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L, 99L -> 99L))
+  }
+
   test("simhash32 is a set signature: equal sets equal, different sets differ") {
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), TextAnalysis.hash32(col("w")).as("hv")).distinct()
