@@ -74,6 +74,63 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF cell assignment against a broadcast set of anchor vectors:
+    * cell = argmin squared-L2 distance, ties to the lowest anchor id.
+    * `anchors` columns: (anchor_id, anchor_vec). Distances are rounded to
+    * 6 dp before the argmin so the assignment is reproducible across
+    * engines/runs; the (dist, anchor_id) struct ordering breaks ties. */
+  def ivfAssign(vectors: DataFrame, anchors: DataFrame, idCol: String,
+                vecCol: String): DataFrame = {
+    val withAnchor = vectors.crossJoin(broadcast(anchors))
+      .withColumn("d2", round(
+        dot(vecCol, vecCol) - lit(2.0) * dot(vecCol, "anchor_vec")
+          + dot("anchor_vec", "anchor_vec"), 6))
+    val w = Window.partitionBy(idCol).orderBy(col("d2").asc, col("anchor_id").asc)
+    withAnchor
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col("anchor_id").as("cell"))
+  }
+
+  /** One Lloyd refinement step: new centroid = element-wise mean of the
+    * vectors assigned to each cell (posexplode → per-(cell, pos) mean →
+    * re-assembled array). The k-means inner loop as pure DataFrame ops —
+    * iterate assign/refine to taste; means are double so refined
+    * assignments are NOT bit-reproducible across engines (keep refined
+    * centroids out of oracle-matched queries). */
+  def lloydRefine(assigned: DataFrame, vecCol: String): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("cell").as("anchor_id"),
+        expr("transform(ps, p -> CAST(p.m AS FLOAT))").as("anchor_vec"))
+
+  /** IVF ANN: assign every vector to its anchor cell, then top-k by cosine
+    * within the query's own cell — the coarse-quantizer shape of FAISS-style
+    * IVF flat, as one bucket equi-join (no cross product). Anchors here are
+    * seeded deterministic vectors; production would Lloyd-refine them. */
+  def ivfTopK(vectors: DataFrame, anchors: DataFrame, queryIds: Column => Column,
+              idCol: String, vecCol: String, k: Int): DataFrame = {
+    val assigned = ivfAssign(vectors, anchors, idCol, vecCol)
+      .withColumn("nrm", norm(vecCol))
+    val q = assigned.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val c = assigned.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      col("nrm").as("c_nrm"), col("cell"))
+    val scored = broadcast(q).join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine", round(dot("q_vec", "c_vec") / (col("q_nrm") * col("c_nrm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "cell", "rank", "c_id", "cosine")
+  }
+
   /** Bucketed ANN: top-k within the query vector's own bucket. Same output
     * shape as bruteForceTopK; recall trades against the pruned search space
     * (multi-probe = union over neighboring buckets, not implemented here). */

@@ -280,6 +280,40 @@ object PipelineQueries {
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
   }
 
+  /** IVF ANN: deterministic anchor vectors (vec_id < 8) as the coarse
+    * quantizer, argmin-L2 cell assignment (6-dp-rounded distances, anchor
+    * id tiebreak), cosine top-5 within the query's own cell. */
+  private val y3KnnIvf = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      Similarity.ivfTopK(e, anchors, id => id % 50 === 0, "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT v.vec_id, v.vd, a.anchor_id,
+       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+       |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+       |  FROM v CROSS JOIN anchors a),
+       |assigned AS (
+       |  SELECT vec_id, vd, anchor_id AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, anchor_id) AS rn
+       |    FROM dists) x WHERE rn = 1),
+       |n AS (SELECT vec_id, vd, cell, ${nrmSql("vd")} AS nrm FROM assigned),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.cell, c.vec_id AS c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c ON q.cell = c.cell AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 50 = 0)
+       |SELECT q_id, cell, rank, c_id, cosine FROM (
+       |  SELECT q_id, cell, c_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
   /** Embedding-cosine near-dup: same-bucket pairs ranked by cosine (top-50).
     * The dedup-flavored variant of y2 — pair output, not per-query kNN. */
   private val x5EmbedNeardup = Q(
@@ -492,6 +526,7 @@ object PipelineQueries {
     "x8_dup_clusters" -> x8DupClusters,
     "y1_knn_brute" -> y1KnnBrute,
     "y2_knn_bucketed" -> y2KnnBucketed,
+    "y3_knn_ivf" -> y3KnnIvf,
     "z1_lang_id" -> z1LangId,
     "z2_quality_score" -> z2QualityScore,
     "z3_token_counts" -> z3TokenCounts,

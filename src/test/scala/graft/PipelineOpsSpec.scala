@@ -112,6 +112,24 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._3 != 0L))                // self excluded
   }
 
+  test("ivfAssign picks the nearest anchor with deterministic tiebreak; lloydRefine averages per cell") {
+    val vs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),  // the anchors themselves
+      (2L, Array(1.0f, 1.0f)), (3L, Array(9.0f, 9.0f)),
+      (4L, Array(5.0f, 5.0f))                               // equidistant → lower anchor id
+    ).toDF("vec_id", "embedding")
+    val anchors = vs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+    val cells = Similarity.ivfAssign(vs, anchors, "vec_id", "embedding")
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(cells === Map(0L -> 0L, 2L -> 0L, 4L -> 0L, 1L -> 1L, 3L -> 1L))
+    val refined = Similarity.lloydRefine(
+      Similarity.ivfAssign(vs, anchors, "vec_id", "embedding"), "embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    assert(refined(0L).toSeq === Seq(2.0f, 2.0f))  // mean of (0,0),(1,1),(5,5)
+    assert(refined(1L).toSeq === Seq(9.5f, 9.5f))  // mean of (10,10),(9,9)
+  }
+
   test("hyperplaneBucket assigns identical vectors to the same bucket") {
     val dims = 3
     val b = vecs.withColumn("bucket", Similarity.hyperplaneBucket("embedding", dims))
