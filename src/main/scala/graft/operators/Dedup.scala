@@ -148,14 +148,27 @@ object Dedup {
     * a standalone near-dup pass. `shingled` columns: (idCol, blockCol, "sh"),
     * distinct per doc. */
   def shingleJaccardPairs(shingled: DataFrame, idCol: String, blockCol: String,
-                          persistIndex: Boolean = true): DataFrame = {
+                          persistIndex: Boolean = true,
+                          maxDocFreq: Option[Long] = None): DataFrame = {
+    // stop-shingle removal: a shingle appearing in more than maxDocFreq
+    // docs (boilerplate) contributes a posting list whose self-join is
+    // O(df²) — dropping it bounds the worst bucket and barely moves
+    // jaccard for true near-dups. THE knob that keeps the join linear-ish
+    // at corpus scale. NOTE: sizes are computed after removal, so the
+    // jaccard is over the capped shingle space on both sides of the ratio.
+    val capped = maxDocFreq match {
+      case Some(cap) =>
+        val df = shingled.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+        shingled.join(broadcast(df.filter(col("__df") <= cap).select("sh")), Seq("sh"))
+      case None => shingled
+    }
     // the inverted index is referenced three times (sizes + both join
     // sides); materialize it once instead of re-running the shingle
     // explode per reference — at 100 TB this persist becomes a parquet
     // write of the index stage
     val idx = if (persistIndex)
-      shingled.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else shingled
+      capped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else capped
     val sizes = idx.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = idx.select(col(idCol).as("doc_a"), col(blockCol).as("blk"), col("sh"))
     val b = idx.select(col(idCol).as("doc_b"), col(blockCol).as("blk"), col("sh"))

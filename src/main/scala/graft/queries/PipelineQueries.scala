@@ -228,6 +228,18 @@ object PipelineQueries {
   private def nrmSql(v: String): String =
     s"sqrt(list_reduce(list_transform($v, x -> x * x), (acc, x) -> acc + x))"
 
+  /** DuckDB rendering of Similarity.hyperplaneBucket (shared by y2/x5). */
+  private val bucketSql: String = {
+    val planeDots = (0 until Similarity.NumPlanes).map { j =>
+      s"""list_reduce(list_transform(generate_series(0, 63),
+         |        i -> vd[i + 1] * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE)),
+         |      (acc, x) -> acc + x)""".stripMargin
+    }
+    planeDots.zipWithIndex.map { case (dj, j) =>
+      s"(CASE WHEN $dj > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   /** Brute-force cosine top-k, query side broadcast (queries = every 50th
     * vector). Cosine rounded to 6 dp before ranking on both engines. */
   private val y1KnnBrute = Q(
@@ -253,14 +265,6 @@ object PipelineQueries {
   /** LSH-bucketed ANN: hyperplane sign bits → bucket equi-join → top-k in
     * bucket. The scale path: the cross product never materializes. */
   private val y2KnnBucketed = {
-    val planeDots = (0 until Similarity.NumPlanes).map { j =>
-      s"""list_reduce(list_transform(generate_series(0, 63),
-         |        i -> vd[i + 1] * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE)),
-         |      (acc, x) -> acc + x)""".stripMargin
-    }
-    val bucketSql = planeDots.zipWithIndex.map { case (dj, j) =>
-      s"(CASE WHEN $dj > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
     Q(
       (s, d) => Similarity.bucketedTopK(
           Tables.embeddings(s, d), id => id % 50 === 0, "vec_id", "embedding", k = 5)
@@ -331,15 +335,8 @@ object PipelineQueries {
         .select("bucket", "id_a", "id_b", "cosine")
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(50)
-    }, {
-      val planeDots = (0 until Similarity.NumPlanes).map { j =>
-        s"""list_reduce(list_transform(generate_series(0, 63),
-           |        i -> vd[i + 1] * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE)),
-           |      (acc, x) -> acc + x)""".stripMargin
-      }
-      val bucketSql = planeDots.zipWithIndex.map { case (dj, j) =>
-        s"(CASE WHEN $dj > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+    },
+    {
       s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
          |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm,
          |    CAST($bucketSql AS BIGINT) AS bucket FROM v)

@@ -94,6 +94,21 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Compaction: rewrite the table's partitions into `filesPerPartition`
+    * files each (dynamic overwrite, so only partitions present in the
+    * data are touched). Incremental appends accrete small files — at
+    * scale, scan cost is dominated by file count long before bytes; run
+    * this periodically or after a burst of updates. */
+  def compact(filesPerPartition: Int = 1): Unit = {
+    // hash-cluster on (partition, salt): each (partition, salt) pair lands
+    // in one task, so each table partition ends up with ≤ filesPerPartition
+    // files (hashing on partCol alone would always yield exactly one)
+    val snapshot = read.repartition(col(partCol),
+        pmod(monotonically_increasing_id(), lit(filesPerPartition.max(1))))
+      .localCheckpoint(true) // materialize BEFORE overwriting what we read
+    overwritePartitions(snapshot)
+  }
+
   /** Post-update verification: most recent `n` keys
     * (`/root/reference/2_scrape_new_games.R:16-24` — the reference collects
     * everything and takes `tail(5)` relying on insertion order; here the

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression guards on the real test corpus: the properties
+  * SCALE.md claims (pushdown, pruning, broadcast dims, codegen coverage)
+  * asserted per representative query so a refactor can't silently lose
+  * them. */
+class PlanAuditSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  /** AQE wraps plans and hides codegen/scan detail until stages run;
+    * audit against the static plan (suites run sequentially in the forked
+    * test JVM, so toggling the shared session conf is safe). */
+  private def formatted(name: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.explainString(FormattedMode)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("s1: filters reach the parquet scan and the schema is pruned") {
+    val plan = formatted("s1_scan_filter_project")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity), LessThan"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.count(_ == ':') <= 6, s"scan reads too many columns: $read") // 5 cols + label
+  }
+
+  test("j1: the dim join broadcasts (no sort-merge on a small dimension)") {
+    val plan = formatted("j1_left_join_composite")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("x2: LSH candidate generation contains no cartesian product") {
+    val plan = formatted("x2_minhash_lsh")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "LSH must stay an equi-join on (band, key)")
+  }
+
+  test("y1: the HOF dot product is rewritten to the native vector_dot") {
+    assert(formatted("y1_knn_brute").contains("vector_dot"))
+  }
+
+  test("every registered query keeps at least one whole-stage codegen span") {
+    val gaps = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      !"codegen id : (\\d+)".r.findFirstIn(formatted(name)).isDefined
+    }
+    assert(gaps.isEmpty, s"queries with zero codegen spans: $gaps")
+  }
+}

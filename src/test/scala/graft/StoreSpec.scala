@@ -46,6 +46,37 @@ class StoreSpec extends SparkSpec {
     assert(counts === Map(1999 -> 3L, 2000 -> 1L))
   }
 
+  test("compact collapses accreted small files without changing content") {
+    val store = Store(spark, tmpDir("store_compact") + "/tbl", "season")
+    (1 to 5).foreach(_ => store.update(season(2024, 0), Seq("game_id"))) // no-op appends
+    (1 to 4).foreach(i =>
+      store.append((i to i).map(j => (s"g2024_x$j$i", 2024, 1.0)).toDF("game_id", "season", "epa")))
+    val before = store.read.select("game_id").as[String].collect().sorted
+    def fileCount = new java.io.File(store.path + "/season=2024")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(fileCount >= 4)
+    store.compact()
+    assert(fileCount === 1)
+    assert(store.read.select("game_id").as[String].collect().sorted.toSeq === before.toSeq)
+  }
+
+  test("stop-shingle cap drops boilerplate postings but keeps true near-dups") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Seq(
+      (1L, "common common common alpha beta gamma"),
+      (2L, "common common common alpha beta delta"),
+      (3L, "common common common zeta eta theta")
+    ).toDF("doc_id", "text").withColumn("blk", lit("all"))
+    val sh = docs.select(col("doc_id"), col("blk"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("blk"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
+      .distinct()
+    // "common common common" appears in all 3 docs; cap at 2 removes it
+    val pairs = Dedup.shingleJaccardPairs(sh, "doc_id", "blk", maxDocFreq = Some(2))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))   // still share "alpha beta" shingles
+    assert(!pairs.contains((1L, 3L)))  // only the capped boilerplate linked them
+  }
+
   test("partition pruning reaches the file scan for season-filtered reads") {
     val store = Store(spark, tmpDir("store_prune"), "season")
     store.rebuild(Iterator(season(1999, 3), season(2000, 4)))
