@@ -79,6 +79,19 @@ object Multimodal {
       }
   }
 
+  /** Resize planning over extracted geometry: contain-fit each frame into
+    * a `box`×`box` target (downscale only), floor-rounded — the pure
+    * column-arithmetic half of a resize stage; the pixel work would ride
+    * the same mapPartitions seam as the decode. floor (not round) keeps
+    * the output engine-reproducible: half-way cases are never hit. */
+  def resizePlan(features: DataFrame, box: Int = 224): DataFrame = {
+    val scale = least(lit(1.0), lit(box.toDouble) / greatest(col("width"), col("height")))
+    features.select(
+      col("doc_id"), col("width"), col("height"),
+      floor(col("width") * scale).cast("int").as("out_w"),
+      floor(col("height") * scale).cast("int").as("out_h"))
+  }
+
   /** Partition-batched feature extraction — the mapInPandas-shaped seam.
     * One iterator per partition: codec/model init happens once per batch,
     * rows stream through without materializing the partition. */

@@ -512,6 +512,27 @@ object PipelineQueries {
       frames.mkString("", "\nUNION ALL\n", "\nORDER BY doc_id, frame_idx"))
   }
 
+  /** Resize planning over the stub-decoded geometry: contain-fit into a
+    * 224-box, floor-rounded (no half-way ambiguity across engines). */
+  private val m3ResizePlan = Q(
+    (s, d) => {
+      val pay = Multimodal.payloads(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.resizePlan(Multimodal.extractFeatures(s, pay).toDF(), box = 224)
+        .orderBy("doc_id")
+    },
+    """WITH cs AS (SELECT doc_id,
+      |    list_reduce(list_transform(regexp_extract_all(text, '.'), c -> CAST(ascii(c) AS BIGINT)),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000007 AS checksum
+      |  FROM documents),
+      |geo AS (SELECT doc_id,
+      |    CAST(checksum % 640 + 64 AS INT) AS width,
+      |    CAST((checksum // 640) % 480 + 48 AS INT) AS height
+      |  FROM cs)
+      |SELECT doc_id, width, height,
+      |  CAST(FLOOR(width * LEAST(1.0, 224.0 / GREATEST(width, height))) AS INT) AS out_w,
+      |  CAST(FLOOR(height * LEAST(1.0, 224.0 / GREATEST(width, height))) AS INT) AS out_h
+      |FROM geo ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "x1_exact_dedup" -> x1ExactDedup,
     "x2_minhash_lsh" -> x2MinhashLsh,
@@ -529,5 +550,6 @@ object PipelineQueries {
     "z3_token_counts" -> z3TokenCounts,
     "z4_fingerprint" -> z4Fingerprint,
     "m1_media_features" -> m1MediaFeatures,
-    "m2_frame_sample" -> m2FrameSample)
+    "m2_frame_sample" -> m2FrameSample,
+    "m3_resize_plan" -> m3ResizePlan)
 }

@@ -201,6 +201,17 @@ class MultimodalSpec extends SparkSpec {
     assert(meta === "hello wo")
   }
 
+  test("resizePlan contain-fits into the box and never upscales") {
+    val feats = Seq((1L, 640, 480), (2L, 100, 50), (3L, 120, 480))
+      .toDF("doc_id", "width", "height")
+    val got = Multimodal.resizePlan(feats, box = 224)
+      .select("doc_id", "out_w", "out_h").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) === ((224, 168)))  // 640x480 * (224/640)
+    assert(got(2L) === ((100, 50)))   // already inside the box: untouched
+    assert(got(3L) === ((56, 224)))   // portrait: height binds
+  }
+
   test("frameSample yields n evenly-strided checksummed windows per payload") {
     val docs = Seq((1L, "abcdefghijklmnopqrstuvwxyz012345")).toDF("doc_id", "text") // 32 bytes
     val pay = Multimodal.payloads(docs, "doc_id", "text")
