@@ -537,7 +537,33 @@ object RelationalQueries {
       |  CAST(round(s_acctbal, 0) AS BIGINT) AS bal_rounded
       |FROM supplier ORDER BY s_suppkey""".stripMargin)
 
+  /** R NA semantics as an oracle-backed query: `mean()` without na.rm is
+    * NA-poisoning (null if ANY group value is null), `na.rm=TRUE` ignores
+    * nulls (`/root/reference/R/epa_predict.R:208-210` mixes both). The
+    * derived column nulls values > 400 so every group has some nulls at
+    * every SF, and the poisoned mean differs visibly from the na.rm one. */
+  private val f6RMeanSemantics = Q(
+    (s, d) => {
+      Tables.events(s, d)
+        .withColumn("v", when(col("value") > 400, lit(null).cast(DoubleType)).otherwise(col("value")))
+        .groupBy("event_type")
+        .agg(
+          // decimal-exact means: double avg is shuffle-merge-order sensitive
+          stat4(graft.functions.RSemantics.rMean(dec2(col("v")))).as("mean_poisoning"),
+          avgDec2(col("v")).as("mean_na_rm"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type,
+      |  ROUND(CAST(CASE WHEN COUNT(CASE WHEN v IS NULL THEN 1 END) = 0
+      |    THEN AVG(CAST(v AS DECIMAL(18,2))) END AS DOUBLE), 4) AS mean_poisoning,
+      |  ROUND(CAST(AVG(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 4) AS mean_na_rm,
+      |  count(*) AS n
+      |FROM (SELECT event_type, CASE WHEN value > 400 THEN NULL ELSE value END AS v FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "f6_r_mean_semantics" -> f6RMeanSemantics,
     "s1_scan_filter_project" -> s1ScanFilterProject,
     "s2_seasonal_union" -> s2SeasonalUnion,
     "s7_partitioned_sink" -> s7PartitionedSink,
