@@ -134,8 +134,13 @@ object Dedup {
         .select(col("node"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
         .localCheckpoint(true)
-      changed = next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
-        .filter(col("n.cluster") =!= col("p.cluster")).count()
+      // the convergence probe is a full join + count action — every other
+      // round is enough (an extra propagation round is cheaper than the
+      // probe, and the fixpoint is stable under extra rounds)
+      if (i % 2 == 1 || i == maxIters - 1) {
+        changed = next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
+          .filter(col("n.cluster") =!= col("p.cluster")).count()
+      }
       labels.unpersist()
       labels = next
       i += 1

@@ -54,6 +54,18 @@ object EventStreams {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup — the continuous form of the batch content-hash
+    * dedup (Dedup.exactDedup): keep the first arrival per key, drop
+    * re-arrivals within the watermark horizon. State is bounded: keys age
+    * out of the store once the watermark passes them — the property that
+    * lets this run forever, where a plain dropDuplicates would grow state
+    * without bound. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Per-user running state for shape 3. */
   case class UserAcc(userId: Long, total: Double, nEvents: Int)
   /** Emitted when a user's running value-total first crosses `cutoff`. */

@@ -54,6 +54,21 @@ class StreamingSpec extends SparkSpec {
       (ts(0), "click", 1L, 1.0), (ts(15), "click", 1L, 2.0), (ts(15), "view", 1L, 4.0)))
   }
 
+  test("dedupStream keeps first arrival per key within the watermark") {
+    val src = tmpDir("dedup_src")
+    writeBatch(src, Seq(
+      (1L, ts(0), 10L, "h_aaa", 1.0), (2L, ts(1), 11L, "h_bbb", 2.0),
+      (3L, ts(2), 12L, "h_aaa", 3.0),  // same content hash as event 1 → dropped
+      (4L, ts(3), 13L, "h_ccc", 4.0)))
+    val deduped = EventStreams.dedupStream(
+      EventStreams.fileSource(spark, src, schema), Seq("event_type"), "30 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 2L, 4L))
+  }
+
   test("sessionCut emits once per user at the cumulative-value crossing") {
     val src = tmpDir("cut_src")
     writeBatch(src, Seq(
