@@ -24,3 +24,17 @@ object TeamNames {
       when(team === from, lit(to)).otherwise(acc)
     }
 }
+
+/** Playoff-week normalization — the reference's raw-feed week codes
+  * (`/root/reference/pff/0_scrape.R:59-67`): wildcard/divisional/conference/
+  * superbowl arrive as 28/29/30/32 and must land after the regular season
+  * (18-season-length-dependent; the reference maps to 19..22). Same
+  * codegen'd when-ladder shape as [[TeamNames]]. */
+object WeekRemap {
+  val remap: Seq[(Int, Int)] = Seq(28 -> 19, 29 -> 20, 30 -> 21, 32 -> 22)
+
+  def normalize(week: Column): Column =
+    remap.foldRight(week) { case ((from, to), acc) =>
+      when(week === from, lit(to)).otherwise(acc)
+    }
+}

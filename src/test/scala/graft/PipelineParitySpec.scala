@@ -216,4 +216,11 @@ class PipelineParitySpec extends SparkSpec {
       .select(TeamNames.normalize(col("t"))).as[String].collect().toSeq
     assert(got === Seq("LA", "LAC", "LV", "ARI", "SEA"))
   }
+
+  test("WeekRemap.normalize lands playoff feed codes after the regular season") {
+    import graft.pipelines.WeekRemap
+    val got = Seq(17, 28, 29, 30, 32).toDF("w")
+      .select(WeekRemap.normalize(col("w"))).as[Int].collect().toSeq
+    assert(got === Seq(17, 19, 20, 21, 22))
+  }
 }
