@@ -57,9 +57,14 @@ object Relational {
 
   /** A10: log-loss of a probability column against a 0/1 label.
     * Reference: `LogLoss(pred, label)` (`/root/reference/R/espn_wp.R:236`).
-    * Pure aggregate expression — 20 reference slices become one cube pass. */
-  def logLoss(pred: Column, label: Column): Column =
-    -avg(label * log(pred) + (lit(1) - label) * log(lit(1) - pred))
+    * Pure aggregate expression — 20 reference slices become one cube pass.
+    * Predictions are clamped to [eps, 1-eps] like MLmetrics::LogLoss:
+    * without it, log(0) → null → avg silently DROPS the row, understating
+    * the metric exactly where the model is worst (a confident miss). */
+  def logLoss(pred: Column, label: Column, eps: Double = 1e-15): Column = {
+    val p = greatest(least(pred, lit(1.0 - eps)), lit(eps))
+    -avg(label * log(p) + (lit(1) - label) * log(lit(1) - p))
+  }
 
   /** A11: closed-form simple OLS (slope, intercept, r2) via aggregates.
     * Reference: `lm(diff ~ over)` (`/root/reference/R/preseason_predictiveness.R:150-151`).

@@ -47,41 +47,51 @@ object CorePipelines {
         count(lit(1)).as("n"))
       .orderBy("season", "posteam")
 
-  /** `/root/reference/R/wilson_game_pass_freq.R:22-46`: cut each game at
-    * the first play where WP leaves [0.1, 0.9] (running-flag cumsum), then
-    * per-game pass frequency over the competitive prefix only. */
-  def wilsonGamePassFreq(pbp: DataFrame, qb: String): DataFrame = {
+  /** `/root/reference/R/wilson_game_pass_freq.R:15-46`: the TEAM's normal
+    * plays (`!is.na(down), rush==1|pass==1`, :19-21), cut each game at the
+    * first play where WP leaves [0.1, 0.9] (running-flag cumsum over the
+    * full team sequence, :24-29), then per-game early-down pass frequency
+    * over the competitive prefix, with the named QB's EPA as an na.rm mean
+    * (:38-43). */
+  def wilsonGamePassFreq(pbp: DataFrame, team: String, qb: String): DataFrame = {
     val w = Window.partitionBy("game_id").orderBy("play_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    pbp.filter(col("name") === qb)
+    pbp.filter(col("posteam") === team && col("down").isNotNull
+        && (col("rush") === 1 || col("pass") === 1))
       .withColumn("blown",
         when(col("wp") < 0.1 || col("wp") > 0.9, 1).otherwise(0))
       .withColumn("over", sum(col("blown")).over(w))
-      .filter(col("over") === 0)
+      .filter(col("over") === 0 && col("down") <= 2)
+      .withColumn("qb_play_epa", when(col("name") === qb, col("qb_epa")))
       .groupBy("game_id")
       .agg(
         first(col("week")).as("week"),
         first(col("defteam")).as("defteam"),
         count(lit(1)).as("n_plays"),
-        avg("pass").as("pass_rate"))
+        avg("pass").as("pass_rate"),
+        naRmMean(col("qb_play_epa")).as("qb_epa_play"))
       .orderBy("week", "game_id")
   }
 
-  /** `/root/reference/R/nfc_west_starting_qbs.R:16-36`: each passer's first
-    * start (top-1 per passer by game date with explicit tiebreakers — the
-    * reference leans on insertion order, SURVEY.md §7 "what's hard"),
-    * enriched from rosters via a differing-key broadcast join. */
+  /** `/root/reference/R/nfc_west_starting_qbs.R:22-32`: each game's
+    * STARTER is the first passer of that (game, posteam) (`slice(1)`,
+    * :24-26 — the reference leans on insertion order, so the engine pins
+    * play_id order, SURVEY.md §7 "what's hard"); then per (team, passer):
+    * first start date + games started, enriched from rosters via a
+    * differing-key broadcast join. */
   def firstStarts(pbp: DataFrame, rosters: DataFrame, teams: Seq[String]): DataFrame = {
-    val passes = pbp.filter(col("posteam").isin(teams: _*) && col("pass") === 1
-      && col("passer_player_id").isNotNull)
-    val firsts = top1PerGroup(passes,
-      Seq(col("passer_player_id")),
-      Seq(col("game_date").asc, col("game_id").asc, col("play_id").asc))
+    val starters = top1PerGroup(
+      pbp.filter(col("posteam").isin(teams: _*) && col("passer_player_name").isNotNull),
+      Seq(col("game_id"), col("posteam")),
+      Seq(col("play_id").asc))
+    val firsts = starters
+      .groupBy("posteam", "passer_player_name", "passer_player_id")
+      .agg(min("game_date").as("first_start"), count(lit(1)).as("games"))
     val r = top1PerGroup(rosters,
       Seq(col("gsis_id")), Seq(col("season").desc, col("full_name").asc))
     firsts.join(broadcast(r), firsts("passer_player_id") === r("gsis_id"), "left")
       .select(firsts("posteam"), firsts("passer_player_name"),
-        r("full_name"), firsts("game_date").as("first_start"))
+        r("full_name"), firsts("first_start"), firsts("games"))
       .orderBy("posteam", "first_start", "passer_player_name")
   }
 

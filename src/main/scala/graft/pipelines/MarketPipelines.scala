@@ -68,10 +68,18 @@ object MarketPipelines {
     val clean = ourlads
       .withColumn("player", initcap(trim(regexp_replace(col("player"), "\\s+", " "))))
       .withColumn("team", TeamNames.normalize(col("current_team")))
-    val graded = clean.join(
-      broadcast(grades.select(initcap(col("player")).as("player"),
-        col("grades_pass_block").cast(DoubleType).as("grade"))),
-      Seq("player"), "left")
+    // one grade row per player before the join (the reference slice_tail()s
+    // to the most recent season, `darko/2_ourlads_projections.R:102-105`);
+    // without it a 5-season veteran fans out 5x and skews the quantiles
+    val gradeRows = grades.select(initcap(col("player")).as("player"),
+      col("grades_pass_block").cast(DoubleType).as("grade"))
+    val latestGrade =
+      if (grades.columns.contains("season"))
+        top1PerGroup(grades.select(initcap(col("player")).as("player"),
+            col("grades_pass_block").cast(DoubleType).as("grade"), col("season")),
+          Seq(col("player")), Seq(col("season").desc)).drop("season")
+      else top1PerGroup(gradeRows, Seq(col("player")), Seq(col("grade").desc))
+    val graded = clean.join(broadcast(latestGrade), Seq("player"), "left")
     val wPos = Window.partitionBy("position_ourlads")
       .orderBy(col("grade").desc_nulls_last, col("player").asc)
     val ranked = graded
@@ -79,9 +87,12 @@ object MarketPipelines {
       .withColumn("max_rank", max(col("rank")).over(Window.partitionBy("position_ourlads")))
       .withColumn("pct_normed",
         lit(100.0) * (lit(1) + col("max_rank") - col("rank")) / col("max_rank"))
+    // max apy per player: the reference's distinct() still fans out when a
+    // player holds two contracts with different values
     val paid = ranked.join(
       broadcast(contracts.select(initcap(col("player")).as("player"),
-        col("apy").cast(DoubleType)).distinct()),
+          col("apy").cast(DoubleType))
+        .groupBy("player").agg(max("apy").as("apy"))),
       Seq("player"), "left")
     paid.groupBy("position_ourlads")
       .agg(

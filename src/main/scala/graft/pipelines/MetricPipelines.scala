@@ -85,10 +85,15 @@ object MetricPipelines {
     */
   def epaPredict(pbp: DataFrame, qbr: DataFrame, sis: DataFrame,
                  minPlays: Int = 10): DataFrame = {
+    // contract: `id`/`name` are nflfastR's UNIFIED player columns — set on
+    // dropbacks AND designed runs/scrambles (`/root/reference/R/epa_predict.R:
+    // 172-178` keeps rush==1|pass==1 and groups by id) — not the
+    // passer-only ids; a passer-only id would drop exactly the scramble
+    // plays this stability analysis is about
     val perSeason = pbp
-      .filter(col("passer_player_id").isNotNull && col("qb_epa").isNotNull)
+      .filter(col("id").isNotNull && col("qb_epa").isNotNull)
       .withColumn("qb_epa_cap", greatest(col("qb_epa"), lit(-4.5)))
-      .groupBy(col("passer_player_id").as("id"), col("season"))
+      .groupBy(col("id"), col("season"))
       .agg(
         first(col("name"), ignoreNulls = true).as("name"),
         first(col("posteam"), ignoreNulls = true).as("posteam"),

@@ -26,15 +26,16 @@ object TeamNames {
 }
 
 /** Playoff-week normalization — the reference's raw-feed week codes
-  * (`/root/reference/pff/0_scrape.R:59-67`): wildcard/divisional/conference/
-  * superbowl arrive as 28/29/30/32 and must land after the regular season
-  * (18-season-length-dependent; the reference maps to 19..22). Same
-  * codegen'd when-ladder shape as [[TeamNames]]. */
+  * (`/root/reference/pff/0_scrape.R:59-67`): playoff rounds arrive as
+  * 28/29/30 (+32 = Super Bowl) and must land after the regular season,
+  * whose length changed in 2021 (17 → 18 weeks): pre-2021 seasons map
+  * 28..30 → 18..20 and 32 → 21; 2021+ map 28..30 → 19..21 and 32 → 22.
+  * Same codegen'd when-ladder shape as [[TeamNames]]. */
 object WeekRemap {
-  val remap: Seq[(Int, Int)] = Seq(28 -> 19, 29 -> 20, 30 -> 21, 32 -> 22)
-
-  def normalize(week: Column): Column =
-    remap.foldRight(week) { case ((from, to), acc) =>
-      when(week === from, lit(to)).otherwise(acc)
-    }
+  def normalize(week: Column, season: Column): Column =
+    when(season < 2021 && week.between(28, 30), week - 10)
+      .when(season < 2021 && week === 32, lit(21))
+      .when(season >= 2021 && week.between(28, 30), week - 9)
+      .when(season >= 2021 && week === 32, lit(22))
+      .otherwise(week)
 }

@@ -50,10 +50,22 @@ object Ingest {
     * per-item loader, drop failures, union the successes by name
     * (`map_df` + `tryCatch` returning an empty frame,
     * `/root/reference/R/espn_wp.R:38-62`). Returns the union plus the
-    * failed items for QA. Plan construction is driver-side (cheap); row
-    * work happens in executors when the union is consumed. */
-  def tolerantFanOut[T](items: Seq[T])(load: T => DataFrame): (Option[DataFrame], Seq[(T, Throwable)]) = {
-    val attempts = items.map(i => i -> Try(load(i)))
+    * failed items for QA.
+    *
+    * By default the Try guards plan CONSTRUCTION only (missing path, bad
+    * schema); a corrupt file that fails at execution time would still sink
+    * the whole union. `validateEager = true` forces a one-row read per
+    * item, trading one tiny job per item for true per-item isolation —
+    * the reference's per-item tryCatch semantics. */
+  def tolerantFanOut[T](items: Seq[T], validateEager: Boolean = false)(
+      load: T => DataFrame): (Option[DataFrame], Seq[(T, Throwable)]) = {
+    val attempts = items.map { i =>
+      i -> Try {
+        val df = load(i)
+        if (validateEager) df.limit(1).collect()
+        df
+      }
+    }
     val oks = attempts.collect { case (_, Success(df)) => df }
     val fails = attempts.collect { case (i, Failure(e)) => (i, e) }
     (if (oks.isEmpty) None else Some(Relational.unionPad(oks)), fails)

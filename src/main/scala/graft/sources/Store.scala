@@ -102,11 +102,19 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   def compact(filesPerPartition: Int = 1): Unit = {
     // hash-cluster on (partition, salt): each (partition, salt) pair lands
     // in one task, so each table partition ends up with ≤ filesPerPartition
-    // files (hashing on partCol alone would always yield exactly one)
-    val snapshot = read.repartition(col(partCol),
-        pmod(monotonically_increasing_id(), lit(filesPerPartition.max(1))))
-      .localCheckpoint(true) // materialize BEFORE overwriting what we read
-    overwritePartitions(snapshot)
+    // files (hashing on partCol alone would always yield exactly one).
+    // The snapshot goes through a DURABLE temp path, not executor-local
+    // checkpoint blocks: we are about to overwrite the files being read,
+    // and an executor lost mid-write must not lose the only copy.
+    val tmp = s"${path}__compact_tmp"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val f = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      read.repartition(col(partCol),
+          pmod(monotonically_increasing_id(), lit(filesPerPartition.max(1))))
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      overwritePartitions(spark.read.parquet(tmp))
+    } finally f.delete(tmpPath, true)
   }
 
   /** Post-update verification: most recent `n` keys

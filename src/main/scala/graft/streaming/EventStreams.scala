@@ -70,36 +70,54 @@ object EventStreams {
   case class UserAcc(userId: Long, total: Double, nEvents: Int)
   /** Emitted when a user's running value-total first crosses `cutoff`. */
   case class SessionCut(userId: Long, total: Double, nEvents: Int)
-  /** Input row shape (a projection of the events table). */
-  case class Ev(user_id: Long, value: Double)
+  /** Input row shape (a projection of the events table). `ts` (epoch
+    * micros) orders events WITHIN a micro-batch — without it the fold
+    * order, and so the emitted crossing row, would be batch-layout
+    * dependent. Cross-batch late data still lands after earlier batches
+    * (use the watermarked windowed form when that matters). */
+  case class Ev(user_id: Long, ts: Long, value: Double)
 
   /** Shape 3: emit one row per user the moment their cumulative `value`
     * crosses `cutoff` — the reference's "game over once WP leaves the band"
-    * session cut, as managed state. State per key is O(1); the operator
-    * scales with the shuffle on user_id. */
-  def sessionCut(events: Dataset[Ev], cutoff: Double): Dataset[SessionCut] = {
+    * session cut, as managed state. State per key is O(1).
+    *
+    * `idleTimeout`: on a CONTINUOUS stream pass a duration so per-user
+    * state is evicted after that long without events — an ever-growing
+    * user population would otherwise grow the state store without bound.
+    * Leave it None for AvailableNow drains: a processing-time timer keeps
+    * the query alive until it fires, so a drain with eviction enabled
+    * would hang until the timeout elapses. */
+  def sessionCut(events: Dataset[Ev], cutoff: Double,
+                 idleTimeout: Option[String] = None): Dataset[SessionCut] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[UserAcc, SessionCut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[UserAcc, SessionCut](OutputMode.Append(), timeoutConf) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[UserAcc]) =>
-          val prior = state.getOption.getOrElse(UserAcc(userId, 0.0, 0))
-          if (prior.total >= cutoff) {
-            // already emitted; swallow further events
+          if (state.hasTimedOut) {
+            state.remove()
             Iterator.empty
           } else {
-            var acc = prior
-            var fired: Option[SessionCut] = None
-            rows.foreach { r =>
-              if (fired.isEmpty) {
-                acc = UserAcc(userId, acc.total + r.value, acc.nEvents + 1)
-                if (acc.total >= cutoff)
-                  fired = Some(SessionCut(userId, acc.total, acc.nEvents))
+            val prior = state.getOption.getOrElse(UserAcc(userId, 0.0, 0))
+            val out =
+              if (prior.total >= cutoff) Iterator.empty // already emitted
+              else {
+                var acc = prior
+                var fired: Option[SessionCut] = None
+                rows.toSeq.sortBy(_.ts).foreach { r =>
+                  if (fired.isEmpty) {
+                    acc = UserAcc(userId, acc.total + r.value, acc.nEvents + 1)
+                    if (acc.total >= cutoff)
+                      fired = Some(SessionCut(userId, acc.total, acc.nEvents))
+                  }
+                }
+                state.update(acc)
+                fired.iterator
               }
-            }
-            state.update(acc)
-            fired.iterator
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out
           }
       }
   }

@@ -10,7 +10,7 @@ case class PbpRow(
     game_id: String, play_id: Int, season: Int, week: Int, game_date_s: String,
     posteam: Option[String], defteam: Option[String], down: Option[Int],
     wp: Double, half_seconds_remaining: Double, epa: Option[Double],
-    qb_epa: Option[Double], cpoe: Option[Double], pass: Int,
+    qb_epa: Option[Double], cpoe: Option[Double], pass: Int, rush: Int,
     name: Option[String], passer_player_id: Option[String],
     passer_player_name: Option[String], xpass: Option[Double],
     success: Option[Int])
@@ -25,7 +25,7 @@ class PipelineParitySpec extends SparkSpec {
                   cpoe: Option[Double], pass: Int, nm: String, pid: String,
                   xpass: Double, success: Int): PbpRow =
     PbpRow(g, p, yr, wk, dt, Some(pos), Some(deft), Some(down), wp, hsr,
-      Some(epa), Some(epa), cpoe, pass, Some(nm), Some(pid), Some(nm),
+      Some(epa), Some(epa), cpoe, pass, 1 - pass, Some(nm), Some(pid), Some(nm),
       Some(xpass), Some(success))
 
   // ---- pbp fixture (FIXTURES.md §1): 2 seasons, must-cover cases ----
@@ -44,9 +44,13 @@ class PipelineParitySpec extends SparkSpec {
     row("g0", 2, 2022, 1, "2022-09-11", "DEN", "KC", 2, 0.5, 880.0, 0.2, Some(1.0), 0, "R.Wilson", "00-1", 0.45, 0),
     row("g0", 3, 2022, 2, "2022-09-18", "LA", "SF", 1, 0.5, 900.0, -0.2, Some(0.0), 1, "M.Stafford", "00-2", 0.5, 1),
     row("g0", 4, 2022, 2, "2022-09-18", "LA", "SF", 2, 0.5, 880.0, -0.1, None, 1, "M.Stafford", "00-2", 0.5, 0),
+    // backup QB who relieves the starter mid-game: must NOT count as a start
+    PbpRow("g1", 6, 2023, 1, "2023-09-10", Some("SEA"), Some("LA"), None, 0.5,
+      30.0, None, None, None, 1, 0, Some("J.Backup"), Some("00-9"),
+      Some("J.Backup"), None, None),
     // null posteam / null epa row (base_code.R:8 filters)
     PbpRow("g1", 9, 2023, 1, "2023-09-10", None, None, None, 0.5, 900.0,
-      None, None, None, 0, None, None, None, None, None)
+      None, None, None, 0, 0, None, None, None, None, None)
   ).toDF()
     .withColumn("game_date", to_date(col("game_date_s")))
     .drop("game_date_s")
@@ -70,26 +74,34 @@ class PipelineParitySpec extends SparkSpec {
     assert(math.abs(out._1 - exp) < 1e-9 && out._2 === 5)
   }
 
-  test("wilsonGamePassFreq: session cut stops at first out-of-band WP") {
-    val out = CorePipelines.wilsonGamePassFreq(pbp, "R.Wilson")
+  test("wilsonGamePassFreq: session cut on the team sequence + early downs only") {
+    val out = CorePipelines.wilsonGamePassFreq(pbp, "SEA", "R.Wilson")
       .filter(col("game_id") === "g1")
-      .select("n_plays", "pass_rate").as[(Long, Double)].head()
-    // g1 plays 1-3 in band (wp .55,.60,.61), play 4 wp=.95 cuts; prefix = 3
-    assert(out._1 === 3)
-    assert(math.abs(out._2 - 2.0 / 3) < 1e-12)
+      .select("n_plays", "pass_rate", "qb_epa_play").as[(Long, Double, Double)].head()
+    // g1 SEA normal plays 1-5; wp .95 at play 4 cuts -> competitive prefix
+    // = plays 1-3; early downs only -> plays 1 (d1), 2 (d2); backup play 6
+    // has null down and is never a normal play
+    assert(out._1 === 2)
+    assert(out._2 === 0.5)
+    assert(math.abs(out._3 - 0.05) < 1e-12) // mean(0.2, -0.1)
   }
 
-  test("firstStarts: top-1 by date with tiebreak; roster join by differing key") {
+  test("firstStarts: per-game starters only, per-team first start, roster enrich") {
     val rosters = Seq(
       (2023, "Russell Wilson", "00-1"), (2022, "Russ Wilson", "00-1"), // dup gsis: latest wins
       (2023, "Matthew Stafford", "00-2")
     ).toDF("season", "full_name", "gsis_id")
     val out = CorePipelines.firstStarts(pbp, rosters, Seq("SEA", "LA", "DEN"))
-      .select("passer_player_name", "full_name", "first_start")
-      .as[(String, String, Date)].collect().map(r => r._1 -> r).toMap
-    assert(out("R.Wilson")._2 === "Russell Wilson")
-    assert(out("R.Wilson")._3.toString === "2022-09-11") // DEN game predates SEA
-    assert(out("M.Stafford")._3.toString === "2022-09-18")
+      .select("posteam", "passer_player_name", "full_name", "first_start", "games")
+      .as[(String, String, String, Date, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // the mid-game backup never appears: only each game's FIRST passer counts
+    assert(!out.keySet.exists(_._2 == "J.Backup"))
+    assert(out(("SEA", "R.Wilson"))._3 === "Russell Wilson")
+    assert(out(("SEA", "R.Wilson"))._4.toString === "2023-09-10")
+    assert(out(("DEN", "R.Wilson"))._4.toString === "2022-09-11") // per-team rows
+    assert(out(("LA", "M.Stafford"))._4.toString === "2022-09-18")
+    assert(out(("LA", "M.Stafford"))._5 === 2L) // started both LA games
   }
 
   test("onOffSplits: array membership splits in a single pivoted pass") {
@@ -155,7 +167,8 @@ class PipelineParitySpec extends SparkSpec {
       ("00-1", 2022, 0.30), ("00-1", 2023, 0.40),
       ("00-2", 2022, 0.10), ("00-2", 2023, 0.20)
     ).toDF("player_id", "season", "total_points_per_play")
-    val out = MetricPipelines.epaPredict(pbp, qbr, sis, minPlays = 1)
+    val out = MetricPipelines.epaPredict(
+      pbp.withColumnRenamed("passer_player_id", "id"), qbr, sis, minPlays = 1)
       .collect().map(r => r.getString(0) ->
         (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2))).toMap
     // both QBs improved epa 2022→2023 in the fixture → 2 aligned pairs → corr 1
@@ -217,10 +230,11 @@ class PipelineParitySpec extends SparkSpec {
     assert(got === Seq("LA", "LAC", "LV", "ARI", "SEA"))
   }
 
-  test("WeekRemap.normalize lands playoff feed codes after the regular season") {
+  test("WeekRemap.normalize is season-dependent (17- vs 18-week regular seasons)") {
     import graft.pipelines.WeekRemap
-    val got = Seq(17, 28, 29, 30, 32).toDF("w")
-      .select(WeekRemap.normalize(col("w"))).as[Int].collect().toSeq
-    assert(got === Seq(17, 19, 20, 21, 22))
+    val got = Seq((2019, 17), (2019, 28), (2019, 32), (2022, 28), (2022, 30), (2022, 32))
+      .toDF("season", "w")
+      .select(WeekRemap.normalize(col("w"), col("season"))).as[Int].collect().toSeq
+    assert(got === Seq(17, 18, 21, 19, 21, 22))
   }
 }

@@ -75,7 +75,8 @@ class StreamingSpec extends SparkSpec {
       (1L, ts(1), 1L, "e", 0.4), (2L, ts(2), 1L, "e", 0.4), (3L, ts(3), 1L, "e", 0.4),
       (4L, ts(1), 2L, "e", 0.1)))
     val evs = EventStreams.fileSource(spark, src, schema)
-      .select(col("user_id"), col("value")).as[EventStreams.Ev]
+      .select(col("user_id"), unix_micros(col("ts")).as("ts"), col("value"))
+      .as[EventStreams.Ev]
     val cuts = EventStreams.sessionCut(evs, cutoff = 1.0)
     val q = cuts.writeStream.format("memory").queryName("cuts")
       .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
