@@ -52,7 +52,14 @@ object Bench {
     val flaky = raw.collect { case (n, ts) if ts.exists(_ < 0) => s"\"$n\"" }
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed_iterations":[${flaky.mkString(",")}]}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed_iterations":[${flaky.mkString(",")}]}"""
+    println(line)
+    // sbt wraps stdout in [info] noise the driver can't always strip — also
+    // write the bare JSON line to a file when the driver asks for one
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -58,6 +58,17 @@ object RSemantics {
   /** Exact, order-independent sum of a 2-decimal money column. */
   def sumDec2(c: Column): Column = sum(dec2(c)).cast(DecimalType(18, 2))
 
+  /** Output-boundary form of [[sumDec2]]: exact decimal sum surfaced as
+    * DOUBLE. Query OUTPUT columns must never be DECIMAL-typed — the
+    * driver's compare reads the Spark parquet side as scale-preserving
+    * decimals ("594668328.50") but the DuckDB oracle side as doubles
+    * ("594668328.5"), so any value with a trailing zero at the decimal's
+    * scale hash-mismatches. Keep DECIMAL inside the plan for exactness and
+    * shuffle-order independence; cast to DOUBLE at the boundary (an exact
+    * decimal→double cast is correctly rounded and bit-identical in both
+    * engines). */
+  def sumMoney(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
   /** Exact sum of a product of two 2-decimal columns (scale 4). */
   def sumDec2Prod(a: Column, b: Column): Column =
     sum(dec2(a) * dec2(b)).cast(DecimalType(18, 4))

@@ -222,15 +222,15 @@ object MetricQueries {
         .agg(sum(dec2(col("l_quantity"))))
         .select(
           col("l_year"),
-          col("A").cast(DecimalType(18, 2)).as("A"),
-          col("N").cast(DecimalType(18, 2)).as("N"),
-          col("R").cast(DecimalType(18, 2)).as("R"))
+          col("A").cast(DoubleType).as("A"),
+          col("N").cast(DoubleType).as("N"),
+          col("R").cast(DoubleType).as("R"))
         .orderBy("l_year")
     },
     """SELECT CAST(year(l_shipdate) AS INT) AS l_year,
-      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "A",
-      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "N",
-      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS "R"
+      |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "A",
+      |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "N",
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "R"
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** R3: flatten with position (`unnest_wider`/`explode`,

@@ -113,23 +113,34 @@ object PipelineQueries {
 
   /** True n-gram Jaccard over the language-blocked inverted index — the
     * verify stage after LSH. Ranked top-100 (pairs are distinct so the
-    * (jaccard, doc_a, doc_b) order is total → the LIMIT is deterministic). */
+    * (jaccard, doc_a, doc_b) order is total → the LIMIT is deterministic).
+    *
+    * The stop-shingle cap (df ≤ 8) is THE 100-TB knob: a shingle in more
+    * than 8 docs is boilerplate whose posting-list self-join is O(df²) and
+    * whose match carries no idf signal. At the driver's correctness SFs
+    * (max df = 7) the cap is a no-op; at sf0.1+ it bounds the worst bucket
+    * and cuts the join work ~6×. Jaccard is a raw IEEE division of exact
+    * ints (round(double, n) is not engine-stable on dyadic ratios). */
+  private val X4MaxDocFreq = 8L
   private val x4NgramJaccard = Q(
     (s, d) => {
-      val pairs = Dedup.shingleJaccardPairs(shingles(Tables.documents(s, d)), "doc_id", "lang")
+      val pairs = Dedup.shingleJaccardPairs(shingles(Tables.documents(s, d)), "doc_id", "lang",
+        maxDocFreq = Some(X4MaxDocFreq))
       pairs.select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
-          round(col("jaccard"), 6).as("jaccard"))
+          col("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
         .limit(100)
     },
     s"""WITH $shingleCte,
-       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+       |kept AS (SELECT sh.doc_id, sh.lang, sh.s FROM sh JOIN df USING (s) WHERE df <= $X4MaxDocFreq),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-       |  FROM sh a JOIN sh b
+       |  FROM kept a JOIN kept b
        |    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
-       |  ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+       |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
        |FROM inter
        |JOIN sizes sa ON doc_a = sa.doc_id
        |JOIN sizes sb ON doc_b = sb.doc_id
@@ -390,23 +401,28 @@ object PipelineQueries {
   }
 
   /** Per-document quality score: lexical diversity, stopword ratio, length
-    * credit — pure column expressions, no UDF. The composite runs in exact
-    * DECIMAL over the 6-dp-rounded components (a double composite sat
-    * exactly on a rounding boundary and the two engines split). */
+    * credit — pure column expressions, no UDF.
+    *
+    * Cross-engine contract: the component ratios are RAW IEEE divisions of
+    * exact integers (one correctly-rounded op → bit-identical in Spark and
+    * DuckDB; `round(double, n)` is NOT engine-stable — Spark rounds the
+    * shortest decimal repr HALF_UP while DuckDB rounds the binary value, so
+    * a dyadic ratio like 1/128 = 0.0078125 splits them). The composite goes
+    * through exact DECIMAL(12,6) snapshots of those doubles (both engines
+    * cast double→decimal via the shortest repr, verified) and surfaces as
+    * DOUBLE — never DECIMAL — at the output boundary. */
   private val z2QualityScore = Q(
     (s, d) => {
-      import org.apache.spark.sql.types.DecimalType
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
       def dec6(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 6))
       val ws = split(col("text"), " ")
       val nWords = size(ws).cast("double")
-      val diversity = round(size(array_distinct(ws)) / nWords, 6)
+      val diversity = size(array_distinct(ws)) / nWords
       val padded = concat(lit(" "), col("text"), lit(" "))
       val stopCnt = TextAnalysis.stopwords.filter(Seq("the", "a").contains)
         .map(m => TextAnalysis.markerCount(padded, s" $m "))
         .reduce(_ + _)
-      val stopRatio = round(stopCnt / nWords, 6)
-      // n/80 has a finite decimal expansion (80 = 2^4·5, ≤4 digits), so every
-      // term is exact in DECIMAL(12,6) and the sum rounds identically everywhere
+      val stopRatio = stopCnt / nWords
       val lenCredit = dec6(least(nWords / 80, lit(1.0)))
       Tables.documents(s, d)
         .withColumn("n_words", size(ws))
@@ -415,23 +431,23 @@ object PipelineQueries {
         .withColumn("quality",
           (dec6(lit(0.5)) * dec6(diversity)
             + dec6(lit(0.3)) * (dec6(lit(1.0)) - dec6(stopRatio))
-            + dec6(lit(0.2)) * lenCredit).cast(DecimalType(14, 7)))
+            + dec6(lit(0.2)) * lenCredit).cast(DecimalType(14, 7)).cast(DoubleType))
         .select("doc_id", "n_words", "diversity", "stop_ratio", "quality")
         .orderBy("doc_id")
     },
     """WITH q AS (SELECT doc_id,
       |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-      |    ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-      |      / len(string_split(text, ' ')), 6) AS diversity,
-      |    ROUND((CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS INT)
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) AS diversity,
+      |    (CAST((length(pt) - length(replace(pt, ' the ', ''))) / 5 AS INT)
       |         + CAST((length(pt) - length(replace(pt, ' a ', ''))) / 3 AS INT))
-      |      / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stop_ratio
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
       |  FROM (SELECT doc_id, text, ' ' || text || ' ' AS pt FROM documents))
       |SELECT doc_id, n_words, diversity, stop_ratio,
-      |  CAST(CAST(0.5 AS DECIMAL(12,6)) * CAST(diversity AS DECIMAL(12,6))
+      |  CAST(CAST(CAST(0.5 AS DECIMAL(12,6)) * CAST(diversity AS DECIMAL(12,6))
       |    + CAST(0.3 AS DECIMAL(12,6)) * (CAST(1.0 AS DECIMAL(12,6)) - CAST(stop_ratio AS DECIMAL(12,6)))
       |    + CAST(0.2 AS DECIMAL(12,6)) * LEAST(CAST(CAST(n_words AS DOUBLE) / 80 AS DECIMAL(12,6)),
-      |        CAST(1.0 AS DECIMAL(12,6))) AS DECIMAL(14,7)) AS quality
+      |        CAST(1.0 AS DECIMAL(12,6))) AS DECIMAL(14,7)) AS DOUBLE) AS quality
       |FROM q ORDER BY doc_id""".stripMargin)
 
   /** Token counting: whitespace tokens + BPE-ish regex tokens + chars. */

@@ -54,17 +54,19 @@ object RelationalQueries {
     * nuke + append per season, season becomes the partition column). */
   private val s7PartitionedSink = Q(
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/orders_by_year"
+      // path namespaced by the input dir: concurrent verifies at different
+      // SFs must not race on a shared sink location
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/orders_by_year_${math.abs(d.hashCode)}"
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
         .write.mode("overwrite").partitionBy("o_year").parquet(path)
       s.read.parquet(path)
         .groupBy(col("o_year").cast(IntegerType).as("o_year"))
-        .agg(count(lit(1)).as("n"), sumDec2(col("o_totalprice")).as("sum_total"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("sum_total"))
         .orderBy("o_year")
     },
     """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** S8+S3: CSV sink then typed CSV source round-trip
@@ -72,7 +74,7 @@ object RelationalQueries {
     * `/root/reference/R/epa_predict.R:26`). */
   private val s8CsvRoundtrip = Q(
     (s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/region_csv"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/region_csv_${math.abs(d.hashCode)}"
       Tables.region(s, d).coalesce(1)
         .write.mode("overwrite").option("header", "true").csv(path)
       s.read.option("header", "true")
@@ -160,11 +162,11 @@ object RelationalQueries {
       Tables.customer(s, d)
         .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE", "MACHINERY"))
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"), sumDec2(col("c_acctbal")).as("sum_bal"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("c_acctbal")).as("sum_bal"))
         .orderBy("c_mktsegment")
     },
     """SELECT c_mktsegment, count(*) AS n,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
       |FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
 
@@ -207,30 +209,34 @@ object RelationalQueries {
 
   /** A2+A9: multi-aggregate pricing summary with derived post-agg columns —
     * the `/root/reference/R/epa_predict.R:178-187` shape (sum/mean/n + derived
-    * metric). Decimal-exact sums; one shuffle; map-side partial agg. */
+    * metric). Decimal-exact sums (cast-then-sum: a plain double sum merges
+    * partials in shuffle-fetch order and is not run-to-run stable); means as
+    * one IEEE division of exact sum by exact count — bit-identical in both
+    * engines with no rounding boundary at all. One shuffle; map-side partial
+    * agg. Outputs surface as DOUBLE (never DECIMAL — see RSemantics.sumMoney). */
   private val a2PricingSummary = Q(
     (s, d) => {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity")).cast(DecimalType(18, 2)).as("sum_qty"),
-          sumDec2(col("l_extendedprice")).as("sum_base_price"),
+          sumMoney(col("l_quantity")).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_base_price"),
           sum(dec2(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec2(col("l_discount"))))
-            .cast(DecimalType(18, 4)).as("sum_disc_price"),
-          stat4(avg(col("l_quantity"))).as("avg_qty"),
-          avgDec2(col("l_extendedprice")).as("avg_price"),
-          avgDec2(col("l_discount")).as("avg_disc"),
+            .cast(DoubleType).as("sum_disc_price"),
+          (sumMoney(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (sumMoney(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          (sumMoney(col("l_discount")) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
-      |  ROUND(CAST(AVG(l_quantity) AS DOUBLE), 4) AS avg_qty,
-      |  ROUND(CAST(AVG(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_price,
-      |  ROUND(CAST(AVG(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS avg_disc,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '2001-09-01'

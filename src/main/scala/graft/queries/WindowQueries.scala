@@ -5,7 +5,7 @@ import graft.functions.RSemantics._
 import graft.operators.Relational._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** SURVEY.md §2.5 (windows) + §2.6 (sorts/limits/top-k) + P8.
   *
@@ -24,22 +24,32 @@ object WindowQueries {
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .withColumn("l_year", year(col("l_shipdate")).cast(IntegerType))
+      // decimal inside the plan (exact, shuffle-order-independent sums);
+      // DOUBLE at the output boundary (DECIMAL outputs hash-mismatch the
+      // driver's compare on trailing zeros — see RSemantics.sumMoney)
       val panel = li.groupBy("l_suppkey", "l_year")
-        .agg(sum(col("l_quantity")).cast(DecimalType(18, 2)).as("qty"))
+        .agg(sum(dec2(col("l_quantity"))).as("qty_dec"))
       val w = Window.partitionBy("l_suppkey").orderBy("l_year")
       panel
-        .withColumn("prev_qty", lag(col("qty"), 1).over(w))
-        .withColumn("delta", (col("qty") - col("prev_qty")).cast(DecimalType(18, 2)))
+        .withColumn("prev_dec", lag(col("qty_dec"), 1).over(w))
+        .select(
+          col("l_suppkey"), col("l_year"),
+          col("qty_dec").cast(DoubleType).as("qty"),
+          col("prev_dec").cast(DoubleType).as("prev_qty"),
+          (col("qty_dec") - col("prev_dec")).cast(DoubleType).as("delta"))
         .orderBy("l_suppkey", "l_year")
     },
     """WITH panel AS (
       |  SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS l_year,
-      |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+      |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
       |  FROM lineitem GROUP BY 1, 2)
-      |SELECT l_suppkey, l_year, qty,
-      |  LAG(qty, 1) OVER (PARTITION BY l_suppkey ORDER BY l_year) AS prev_qty,
-      |  CAST(qty - LAG(qty, 1) OVER (PARTITION BY l_suppkey ORDER BY l_year) AS DECIMAL(18,2)) AS delta
-      |FROM panel ORDER BY l_suppkey, l_year""".stripMargin)
+      |SELECT l_suppkey, l_year,
+      |  CAST(qty_dec AS DOUBLE) AS qty,
+      |  CAST(LAG(qty_dec, 1) OVER w AS DOUBLE) AS prev_qty,
+      |  CAST(qty_dec - LAG(qty_dec, 1) OVER w AS DOUBLE) AS delta
+      |FROM panel
+      |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_year)
+      |ORDER BY l_suppkey, l_year""".stripMargin)
 
   /** W2: running cumulative sum within partition
     * (`cumsum(under_wp)` `/root/reference/R/wilson_game_pass_freq.R:22-30`).
@@ -50,14 +60,14 @@ object WindowQueries {
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.orders(s, d)
-        .withColumn("running_total", sum(dec2(col("o_totalprice"))).over(w).cast(DecimalType(18, 2)))
+        .withColumn("running_total", sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType))
         .select("o_custkey", "o_orderkey", "running_total")
         .orderBy("o_custkey", "o_orderkey")
     },
     """SELECT o_custkey, o_orderkey,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
       |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS running_total
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)
 
   /** W2+P8: session cutting by running aggregate — the "game over once WP
@@ -152,14 +162,14 @@ object WindowQueries {
       val w = Window.partitionBy("event_type")
       Tables.events(s, d)
         .filter(col("event_id") < 2000)
-        .withColumn("group_total", sum(dec2(col("value"))).over(w).cast(DecimalType(18, 2)))
-        .withColumn("share", round(col("value") / col("group_total").cast("double"), 6))
+        .withColumn("group_total", sum(dec2(col("value"))).over(w).cast(DoubleType))
+        .withColumn("share", col("value") / col("group_total"))
         .select("event_id", "event_type", "group_total", "share")
         .orderBy("event_id")
     },
     """SELECT event_id, event_type,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DECIMAL(18,2)) AS group_total,
-      |  ROUND(value / CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DECIMAL(18,2)) AS DOUBLE), 6) AS share
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DOUBLE) AS group_total,
+      |  value / CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY event_type) AS DOUBLE) AS share
       |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin)
 
   /** W7: first/last within ordered group (`dplyr::first/last`,

@@ -42,6 +42,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(formatted("y1_knn_brute").contains("vector_dot"))
   }
 
+  test("no query output schema contains a DECIMAL column") {
+    // The driver's compare reads Spark parquet decimals scale-preserving
+    // ("1.50") but DuckDB oracle decimals as doubles ("1.5"): any DECIMAL
+    // output column hash-mismatches on the first trailing-zero value.
+    // DECIMAL belongs inside the plan; DOUBLE at the output boundary.
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sf).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] => s"$name.${f.name}"
+      }
+    }
+    assert(offenders.isEmpty, s"DECIMAL-typed output columns: $offenders")
+  }
+
   test("every registered query keeps at least one whole-stage codegen span") {
     val gaps = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       !"codegen id : (\\d+)".r.findFirstIn(formatted(name)).isDefined

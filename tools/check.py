@@ -2,12 +2,21 @@
 """Local mirror of the driver's correctness gate.
 
 Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
-for each query, loads the Spark-written parquet and the DuckDB oracle
-result, sorts columns by name and rows by value, and compares exactly.
+for each query, loads the Spark-written parquet THE WAY THE DRIVER DOES
+(pyarrow/pandas — decimals become scale-preserving decimal.Decimal objects,
+'594668328.50') and the DuckDB oracle result via .df() (decimals become
+float64, '594668328.5'), sorts columns by name and rows by value, and
+compares the stringified cells exactly.
+
+That asymmetry is the point: round 1 compared both sides through DuckDB,
+which silently canonicalized decimal-vs-float representations and passed 6
+queries the driver failed. Query outputs must therefore never contain
+DECIMAL-typed columns — keep decimals inside the plan, cast to DOUBLE at
+the output boundary (see RSemantics.sumMoney).
 
 Usage: python3 tools/check.py [sfDir] [outDir] [query...]
 """
-import sys, os, json, math
+import sys, os, json, math, glob
 import duckdb
 import pandas as pd
 
@@ -17,8 +26,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonicalize values to strings so dtype differences (decimal objects,
-    # ns-vs-us timestamps, nullable ints) don't mask value equality
+    # stringify cells with NO canonicalization across numeric kinds: a
+    # Decimal('1.50') must NOT compare equal to float 1.5 — the driver's
+    # hash doesn't think they're equal either
     def cell(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
@@ -47,13 +57,13 @@ def main():
         if only and name not in only:
             continue
         try:
-            got = con.sql(f"SELECT * FROM '{resdir}/*.parquet'").df()
+            parts = sorted(glob.glob(f"{resdir}/*.parquet"))
+            got = pd.concat([pd.read_parquet(p) for p in parts], ignore_index=True)
         except Exception as e:
             print(f"FAIL {name}: cannot read spark result: {e}")
             n_fail += 1
             continue
         if name not in oracle:
-            status = "ok" if len(got) >= 0 else "??"
             print(f"SKIP {name}: no oracle (rows={len(got)})")
             n_skip += 1
             continue
