@@ -23,17 +23,20 @@ object Relational {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
-  /** J6: positional zip of two equal-ish-length tables (`bind_cols`,
-    * `/root/reference/R/nfc_west_starting_qbs.R:71-94`). Implemented as a
-    * row-index inner join; each side needs a deterministic order. At scale
-    * both sides of this idiom are tiny presentation tables, so the
-    * single-partition window is acceptable; for large inputs use
-    * zipWithIndex-style repartitioning instead.
+  /** J6: positional zip of two unequal-length tables (`bind_cols`,
+    * `/root/reference/R/nfc_west_starting_qbs.R:71-94`). The reference
+    * manually PADS the shorter side with blank rows to the longer length
+    * before zipping (`:74-89`, also `/root/reference/R/nfl_draft_espn_dk.R:
+    * 105-110`); the engine form is a FULL OUTER join on the row index —
+    * the shorter side null-fills, nothing silently truncates. Each side
+    * needs a deterministic order. At scale both sides of this idiom are
+    * tiny presentation tables, so the single-partition window is
+    * acceptable; for large inputs use zipWithIndex-style repartitioning.
     */
   def bindCols(left: DataFrame, leftOrder: Seq[Column], right: DataFrame, rightOrder: Seq[Column]): DataFrame = {
     val l = left.withColumn("__idx", row_number().over(Window.orderBy(leftOrder: _*)))
     val r = right.withColumn("__idx", row_number().over(Window.orderBy(rightOrder: _*)))
-    l.join(r, Seq("__idx"), "inner")
+    l.join(r, Seq("__idx"), "full_outer")
   }
 
   /** A7/W5: min-max rescale of `valueCol` to [0, scaleTo] within each group.
@@ -77,6 +80,45 @@ object Relational {
       round(slope.cast(DoubleType), 4).as("slope"),
       round((avg(y) - slope * avg(x)).cast(DoubleType), 4).as("intercept"),
       round(pow(graft.functions.RSemantics.safeCorr(x, y), 2).cast(DoubleType), 4).as("r2"))
+  }
+
+  /** A11b: closed-form two-regressor OLS (y ~ x1 + x2) via the normal
+    * equations over distributed aggregates.
+    * Reference: `lm(diff ~ over + ps_point_diff)`
+    * (`/root/reference/R/preseason_predictiveness.R:151`).
+    * covar_samp/var_samp share the (n-1) factor, so the centered-moment
+    * ratios are exact closed forms:
+    *   b1 = (S22·S1y − S12·S2y) / det,  b2 = (S11·S2y − S12·S1y) / det,
+    *   det = S11·S22 − S12²  (Cauchy-Schwarz: det = 0 ⇔ collinear → null,
+    *   matching lm's NA on a singular fit — and avoiding the ANSI /0 raise),
+    *   b0 = ȳ − b1·x̄1 − b2·x̄2,  R² = (b1·S1y + b2·S2y) / Syy. */
+  def ols2Aggs(x1: Column, x2: Column, y: Column): Seq[Column] = {
+    val v1 = var_samp(x1)
+    val v2 = var_samp(x2)
+    val vy = var_samp(y)
+    val c12 = covar_samp(x1, x2)
+    val c1y = covar_samp(x1, y)
+    val c2y = covar_samp(x2, y)
+    val det = v1 * v2 - c12 * c12
+    val b1 = when(det > 0, (v2 * c1y - c12 * c2y) / det)
+    val b2 = when(det > 0, (v1 * c2y - c12 * c1y) / det)
+    Seq(
+      round(b1.cast(DoubleType), 4).as("b1"),
+      round(b2.cast(DoubleType), 4).as("b2"),
+      round((avg(y) - b1 * avg(x1) - b2 * avg(x2)).cast(DoubleType), 4).as("intercept"),
+      round(when(vy > 0, (b1 * c1y + b2 * c2y) / vy).cast(DoubleType), 4).as("r2"))
+  }
+
+  /** A6: grouped quantiles with a scale switch. Exact `percentile` is
+    * R's type-7 interpolating quantile (`quantile(probs = ...)`,
+    * `/root/reference/darko/2_ourlads_projections.R:508-524`) but buffers
+    * every group value; `approx = true` swaps in the t-digest sketch
+    * (`percentile_approx`, fixed-size state) — the 100-TB path, rank error
+    * ≤ 1/accuracy. */
+  def quantileAgg(c: Column, probs: Seq[Double], approx: Boolean = false,
+                  accuracy: Int = 10000): Column = {
+    val arr = array(probs.map(lit): _*)
+    if (approx) percentile_approx(c, arr, lit(accuracy)) else percentile(c, arr)
   }
 
   /** C2: the de-vig fixed-point loop
@@ -123,7 +165,12 @@ object Relational {
     * at the cost of a second (tiny) shuffle. Only mergeable aggregates
     * compose this way; express avg as sum+count and divide after. */
   def saltedAgg(df: DataFrame, key: Column, salts: Int, specs: Seq[SaltedSpec]): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salts)))
+    // salt = hash of the full row, not monotonically_increasing_id():
+    // the id is assigned by task, so a task RETRY would re-salt rows
+    // differently mid-aggregation — deterministic input-derived salt is
+    // retry-safe and spreads a hot key just as evenly
+    val salted = df.withColumn("__salt",
+      pmod(hash(df.columns.map(col): _*), lit(salts)))
     val phase1 = salted.groupBy(key.as("__key"), col("__salt"))
       .agg(specs.head.partial.as(specs.head.name),
         specs.tail.map(s => s.partial.as(s.name)): _*)

@@ -49,9 +49,12 @@ object MetricPipelines {
   /** `/root/reference/R/preseason_predictiveness.R`: wide decade columns
     * unpivoted to (team, season, line) (:15-44), "9.5 Ov" cells split
     * (:15-17), franchise abbrs normalized (:63), actual point differential
-    * joined, and the predictiveness OLS (:150-151) computed closed-form in
-    * one aggregate pass per season bucket. */
-  def preseasonPredictiveness(wideTotals: DataFrame, results: DataFrame, decadeBase: Int): DataFrame = {
+    * joined, and BOTH predictiveness fits (:150-151) computed closed-form
+    * in one aggregate pass: the simple OLS `lm(diff ~ over)` and, when
+    * `psDiffCol` names a preseason-point-differential column in `results`,
+    * the two-regressor `lm(diff ~ over + ps_point_diff)` via ols2Aggs. */
+  def preseasonPredictiveness(wideTotals: DataFrame, results: DataFrame, decadeBase: Int,
+                              psDiffCol: Option[String] = None): DataFrame = {
     val seasonCols = wideTotals.columns.filter(_.matches("x\\d\\d"))
     val long = wideTotals.unpivot(
         Array(col("team")), seasonCols.map(col), "yr", "cell")
@@ -64,10 +67,16 @@ object MetricPipelines {
       .filter(!col("tm").rlike("AFC|NFC")) // scraped header junk rows
       .withColumn("pt_dif", col("pt_dif").cast(DoubleType))
       .withColumn("team_abbr", TeamNames.normalize(col("tm")))
-      .select("team_abbr", "season", "pt_dif")
+      .select(Seq("team_abbr", "season", "pt_dif").map(col) ++
+        psDiffCol.map(c => col(c).cast(DoubleType).as(c)): _*)
+    val fit2 = psDiffCol.toSeq.flatMap { c =>
+      Seq("b1" -> "slope_line2", "b2" -> "slope_ps", "intercept" -> "intercept2",
+        "r2" -> "r2_2").map(_._2).zip(ols2Aggs(col("line"), col(c), col("pt_dif")))
+        .map { case (alias, agg) => agg.as(alias) }
+    }
+    val aggs = olsAggs(col("line"), col("pt_dif")) ++ fit2 :+ count(lit(1)).as("n")
     long.join(res, Seq("team_abbr", "season"), "inner")
-      .agg((olsAggs(col("line"), col("pt_dif")) :+ count(lit(1)).as("n")).head,
-        (olsAggs(col("line"), col("pt_dif")) :+ count(lit(1)).as("n")).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** The flagship: `/root/reference/R/epa_predict.R` (598 LoC) as one DAG.

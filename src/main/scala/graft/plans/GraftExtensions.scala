@@ -60,7 +60,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        // arity here; the array<float> shape is enforced by
+        // VectorDot.checkInputDataTypes once children resolve
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"vector_dot requires exactly 2 arguments, got ${children.length}")
+        VectorDot(children(0), children(1))
+      }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }
 }

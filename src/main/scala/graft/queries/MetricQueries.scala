@@ -138,6 +138,78 @@ object MetricQueries {
       |      FROM orders) o
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** A11b: two-regressor OLS (y ~ x1 + x2) via the closed-form normal
+    * equations (`lm(diff ~ over + ps_point_diff)`,
+    * `/root/reference/R/preseason_predictiveness.R:151`) — one distributed
+    * aggregate pass per group, no driver-side fit. */
+  private val a11bOls2Fit = Q(
+    (s, d) => {
+      Tables.orders(s, d)
+        .withColumn("o_year", year(col("o_orderdate")).cast(IntegerType))
+        .withColumn("x1", month(col("o_orderdate")).cast(DoubleType))
+        .withColumn("x2", dayofmonth(col("o_orderdate")).cast(DoubleType))
+        .withColumn("y", col("o_totalprice"))
+        .groupBy("o_year")
+        .agg((ols2Aggs(col("x1"), col("x2"), col("y")) :+ count(lit(1)).as("n")).head,
+          (ols2Aggs(col("x1"), col("x2"), col("y")) :+ count(lit(1)).as("n")).tail: _*)
+        .orderBy("o_year")
+    },
+    """WITH m AS (
+      |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    var_samp(CAST(month(o_orderdate) AS DOUBLE)) AS v1,
+      |    var_samp(CAST(day(o_orderdate) AS DOUBLE)) AS v2,
+      |    var_samp(o_totalprice) AS vy,
+      |    covar_samp(CAST(month(o_orderdate) AS DOUBLE), CAST(day(o_orderdate) AS DOUBLE)) AS c12,
+      |    covar_samp(CAST(month(o_orderdate) AS DOUBLE), o_totalprice) AS c1y,
+      |    covar_samp(CAST(day(o_orderdate) AS DOUBLE), o_totalprice) AS c2y,
+      |    AVG(CAST(month(o_orderdate) AS DOUBLE)) AS m1,
+      |    AVG(CAST(day(o_orderdate) AS DOUBLE)) AS m2,
+      |    AVG(o_totalprice) AS my,
+      |    count(*) AS n
+      |  FROM orders GROUP BY 1),
+      |f AS (
+      |  SELECT o_year, n, v1 * v2 - c12 * c12 AS det, v1, v2, vy, c12, c1y, c2y, m1, m2, my
+      |  FROM m)
+      |SELECT o_year,
+      |  ROUND(CASE WHEN det > 0 THEN (v2 * c1y - c12 * c2y) / det END, 4) AS b1,
+      |  ROUND(CASE WHEN det > 0 THEN (v1 * c2y - c12 * c1y) / det END, 4) AS b2,
+      |  ROUND(my - (CASE WHEN det > 0 THEN (v2 * c1y - c12 * c2y) / det END) * m1
+      |           - (CASE WHEN det > 0 THEN (v1 * c2y - c12 * c1y) / det END) * m2, 4) AS intercept,
+      |  ROUND(CASE WHEN vy > 0 THEN
+      |    ((CASE WHEN det > 0 THEN (v2 * c1y - c12 * c2y) / det END) * c1y
+      |     + (CASE WHEN det > 0 THEN (v1 * c2y - c12 * c1y) / det END) * c2y) / vy END, 4) AS r2,
+      |  n
+      |FROM f ORDER BY o_year""".stripMargin)
+
+  /** A6b: the 100-TB quantile path — percentile_approx (t-digest sketch,
+    * fixed-size state) behind the `approx` flag of Relational.quantileAgg,
+    * gated by a tolerance contract like x6: the sketch's answer must land
+    * inside the exact ±10-percentile rank band (deterministic — the
+    * t-digest has no RNG — so this is a stable, honest assertion; the
+    * sketch values themselves are engine-specific and can't be compared). */
+  private val a6bQuantilesApprox = Q(
+    (s, d) => {
+      val probs = Seq(0.2, 0.5, 0.8)
+      val bands = Seq(0.1, 0.3, 0.4, 0.6, 0.7, 0.9)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          quantileAgg(col("value"), probs).as("ex"),
+          quantileAgg(col("value"), probs, approx = true).as("ap"),
+          quantileAgg(col("value"), bands).as("bd"))
+        .select(
+          col("event_type"),
+          stat4(col("ex").getItem(1)).as("q50_exact"),
+          col("ap").getItem(0).between(col("bd").getItem(0), col("bd").getItem(1)).as("ok20"),
+          col("ap").getItem(1).between(col("bd").getItem(2), col("bd").getItem(3)).as("ok50"),
+          col("ap").getItem(2).between(col("bd").getItem(4), col("bd").getItem(5)).as("ok80"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type,
+      |  ROUND(CAST(quantile_cont(value, 0.5) AS DOUBLE), 4) AS q50_exact,
+      |  TRUE AS ok20, TRUE AS ok50, TRUE AS ok80
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** A12: deterministic surrogate model scoring — the `add_xpass`/`add_dakota`
     * seam (`/root/reference/R/pass_rate_over_expected.R:16-29`): a logistic
     * scorer as pure column arithmetic (codegen-friendly, no UDF), plus the
@@ -273,6 +345,8 @@ object MetricQueries {
     "a8_binned_agg" -> a8BinnedAgg,
     "a10_logloss_cube" -> a10LoglossCube,
     "a11_ols_fit" -> a11OlsFit,
+    "a11b_ols2_fit" -> a11bOls2Fit,
+    "a6b_quantiles_approx" -> a6bQuantilesApprox,
     "a12_surrogate_score" -> a12SurrogateScore,
     "c2_devig_fixpoint" -> c2DevigFixpoint,
     "r1_unpivot" -> r1Unpivot,

@@ -391,6 +391,34 @@ object RelationalQueries {
       |  FROM (SELECT s_name, s_acctbal FROM supplier ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 10))
       |SELECT rank, c_name, s_name FROM tc JOIN ts USING (rank) ORDER BY rank""".stripMargin)
 
+  /** J6b: `bind_cols` with UNEQUAL lengths — the reference pads the shorter
+    * table with blank rows to the longer length before zipping
+    * (`/root/reference/R/nfc_west_starting_qbs.R:74-89`); bindCols expresses
+    * that as a full outer join on the row index, so ranks 7–10 carry a null
+    * supplier instead of silently truncating. */
+  private val j6bBindColsPad = Q(
+    (s, d) => {
+      val topCust = Tables.customer(s, d)
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(10).select("c_name", "c_acctbal")
+      val topSupp = Tables.supplier(s, d)
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+        .limit(6).select("s_name", "s_acctbal")
+      bindCols(
+        topCust, Seq(col("c_acctbal").desc, col("c_name").asc),
+        topSupp, Seq(col("s_acctbal").desc, col("s_name").asc))
+        .withColumnRenamed("__idx", "rank")
+        .select("rank", "c_name", "s_name")
+        .orderBy("rank")
+    },
+    """WITH tc AS (
+      |  SELECT c_name, ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_name ASC) AS rank
+      |  FROM (SELECT c_name, c_acctbal FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 10)),
+      |ts AS (
+      |  SELECT s_name, ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_name ASC) AS rank
+      |  FROM (SELECT s_name, s_acctbal FROM supplier ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 6))
+      |SELECT rank, c_name, s_name FROM tc FULL OUTER JOIN ts USING (rank) ORDER BY rank""".stripMargin)
+
   /** U1: union-by-name with null-filled missing columns (`bind_rows`,
     * `/root/reference/R/preseason_predictiveness.R:48-49`). */
   private val u1UnionPad = Q(
@@ -592,6 +620,7 @@ object RelationalQueries {
     "j5_anti_join" -> j5AntiJoin,
     "j5_semi_join" -> j5SemiJoin,
     "j6_bind_cols" -> j6BindCols,
+    "j6b_bind_cols_pad" -> j6bBindColsPad,
     "u1_union_pad" -> u1UnionPad,
     "o1_topk" -> o1TopK,
     "o2_recent_tail" -> o2RecentTail,

@@ -37,6 +37,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(localHof === localNative)
   }
 
+  test("vector_dot mirrors the HOF form on degenerate inputs: unequal lengths and null elements") {
+    // zip_with pads the shorter array with null and the null product
+    // poisons the aggregate sum → null; vector_dot must agree so the
+    // session-wide rewrite stays semantics-preserving on ALL inputs
+    val degenerate = Seq(
+      (0L, Some(Array(1.0f, 2.0f)), Some(Array(3.0f))),           // unequal lengths
+      (1L, Some(Array(1.0f, 2.0f)), Some(Array(3.0f, 4.0f))),     // clean
+      (2L, None: Option[Array[Float]], Some(Array(3.0f, 4.0f)))   // null array
+    ).toDF("id", "a", "b")
+    val native = degenerate.select(col("id"), expr("vector_dot(a, b)").as("d"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val hof = degenerate.select(col("id"), Similarity.dot("a", "b").as("d"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(native === hof)
+    assert(native(0).isEmpty && native(2).isEmpty && native(1).contains(11.0))
+    // null ELEMENT: build via an expression (Seq encoder would fail on null Float)
+    val withNullElem = spark.range(1).select(
+      array(lit(1.0f), lit(null).cast("float")).as("a"),
+      array(lit(2.0f), lit(3.0f)).as("b"))
+    val ne = withNullElem.select(expr("vector_dot(a, b)").as("d")).collect()(0)
+    val nh = withNullElem.select(Similarity.dot("a", "b").as("d")).collect()(0)
+    assert(ne.isNullAt(0) && nh.isNullAt(0))
+  }
+
+  test("vector_dot rejects wrong arity and non-float arrays at analysis time") {
+    val bad = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+    val e1 = intercept[Exception](bad.select(expr("vector_dot(a, b)")).collect())
+    assert(e1.getMessage.contains("array<float>"), e1.getMessage)
+    val e2 = intercept[Exception](vecs.select(expr("vector_dot(a)")).collect())
+    assert(e2.getMessage.contains("2 arguments"), e2.getMessage)
+  }
+
   test("kNN through the rewrite matches the hand path end-to-end") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))

@@ -88,6 +88,41 @@ class RelationalSpec extends SparkSpec {
     assert(got === Set(("a", "x"), ("b", "y")))
   }
 
+  test("bindCols pads the shorter side with nulls instead of truncating") {
+    val l = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("name", "rank_l")
+    val r = Seq(("x", 10)).toDF("other", "rank_r")
+    val got = Relational.bindCols(l, Seq(col("rank_l").asc), r, Seq(col("rank_r").asc))
+      .select("name", "other").collect()
+      .map(row => (row.getString(0), Option(row.getString(1)))).toSet
+    assert(got === Set(("a", Some("x")), ("b", None), ("c", None)))
+  }
+
+  test("ols2Aggs recovers an exact planar fit (b1, b2, intercept, r2)") {
+    // y = 2*x1 + 3*x2 + 5 exactly; x1, x2 not collinear
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (1.0, 2.0), (3.0, 2.0), (2.0, 4.0))
+      .toDF("x1", "x2")
+      .withColumn("y", col("x1") * 2 + col("x2") * 3 + 5)
+    val got = df.agg(
+        Relational.ols2Aggs(col("x1"), col("x2"), col("y")).head,
+        Relational.ols2Aggs(col("x1"), col("x2"), col("y")).tail: _*)
+      .as[(Double, Double, Double, Double)].head()
+    assert(got === ((2.0, 3.0, 5.0, 1.0)))
+    // collinear regressors → null fit, matching lm's NA on a singular model
+    val sing = df.withColumn("x2", col("x1") * 2)
+    val s = sing.agg(Relational.ols2Aggs(col("x1"), col("x2"), col("y")).head).head()
+    assert(s.isNullAt(0))
+  }
+
+  test("quantileAgg approx stays inside the exact rank band") {
+    val df = spark.range(10000).select((col("id") % 997).cast("double").as("v"))
+    val row = df.agg(
+      Relational.quantileAgg(col("v"), Seq(0.5)).as("ex"),
+      Relational.quantileAgg(col("v"), Seq(0.5), approx = true).as("ap")).head()
+    val ex = row.getSeq[Double](0).head
+    val ap = row.getSeq[Double](1).head
+    assert(math.abs(ap - ex) <= 997 * 0.02, s"approx $ap vs exact $ex")
+  }
+
   test("logLoss matches the hand-computed metric") {
     val df = Seq((0.9, 1.0), (0.2, 0.0)).toDF("p", "y")
     val got = df.agg(Relational.logLoss(col("p"), col("y"))).as[Double].head()
