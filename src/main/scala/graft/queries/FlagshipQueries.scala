@@ -1,0 +1,242 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipelines.MetricPipelines
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+
+/** Oracle-backed flagship coverage: the FULL `/root/reference/R/epa_predict.R`
+  * DAG — five joined sources, the 16-metric year-over-year lag panel, and
+  * both re-filtered variants (:432-455 team switchers, :515-543 new
+  * playcaller) — driven end-to-end against DuckDB.
+  *
+  * The reference's sources are scraped football tables; the driver's tables
+  * are TPC-H-ish, so each source is SYNTHESIZED deterministically from
+  * lineitem/orders with exact integer arithmetic both engines reproduce
+  * bit-for-bit (counts, integer sums, mod). Inexact doubles (per-play EPA,
+  * logit, the dakota surrogate's exp) only ever flow into `corr`, which both
+  * sides round to 4 dp — the one cross-engine-stable surface for a
+  * shuffle-merged aggregate.
+  */
+object FlagshipQueries {
+
+  // ---- synthetic sources (Spark side) ----
+
+  /** pbp: lineitem rows as plays. posteam switches every other season
+    * (`(id*3 + season div 2) mod 5`) so the switcher variant is non-trivial;
+    * cpoe is null on zero-discount rows (exercises the na.rm mean and
+    * complete-obs corr); the EPA range [-5.8, 4] makes the -4.5 cap bind. */
+  private def synthPbp(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("season", year(col("l_shipdate")).cast(IntegerType))
+      .select(
+        col("l_suppkey").as("id"),
+        concat(lit("P"), col("l_suppkey").cast("string")).as("name"),
+        col("season"),
+        concat(lit("T"),
+          ((col("l_suppkey") * 3 + floor(col("season") / 2)) % 5).cast("string")).as("posteam"),
+        ((col("l_quantity") - 30) / 5.0).as("qb_epa"),
+        when(col("l_discount") > 0, col("l_discount") * 100 - 5).as("cpoe"),
+        (col("l_quantity") > 25).cast(DoubleType).as("success"),
+        (col("l_linenumber") % 2).cast(IntegerType).as("pass"),
+        (col("l_linenumber") % 2).cast(IntegerType).as("is_throw"),
+        col("l_quantity").as("yards_gained"),
+        (col("l_tax") > 0.04).cast(IntegerType).as("pass_touchdown"),
+        (col("l_returnflag") === "R").cast(IntegerType).as("interception"))
+
+  private def ordersWithKeys(s: SparkSession, d: String, idMod: Int): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("id", (col("o_custkey") % idMod) + 1)
+      .withColumn("season", year(col("o_orderdate")).cast(IntegerType))
+
+  /** qbr: sparse (HAVING n >= 3 → some QB-seasons missing), values in
+    * 0..100 so the logit's 0/100 edge guard is exercised. */
+  private def synthQbr(s: SparkSession, d: String): DataFrame =
+    ordersWithKeys(s, d, 100)
+      .groupBy("id", "season").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 3)
+      .select(col("id"), col("season"),
+        ((col("cnt") * 7) % 101).cast(DoubleType).as("qbr_total"))
+
+  /** sis: keyed mod 97 → some ids never match (left-join nulls). */
+  private def synthSis(s: SparkSession, d: String): DataFrame =
+    ordersWithKeys(s, d, 97)
+      .groupBy("id", "season")
+      .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("sk"))
+      .select(col("id"), col("season"),
+        (col("cnt") % 200).cast(DoubleType).as("total_points"),
+        ((col("sk") % 50).cast(DoubleType) / 100).as("tpp"))
+
+  private def synthPff(s: SparkSession, d: String): DataFrame =
+    ordersWithKeys(s, d, 100)
+      .filter(col("o_orderkey") % 3 === 0)
+      .groupBy("id", "season")
+      .agg(count(lit(1)).as("cnt"), sum("o_orderkey").as("sk"))
+      .select(col("id"), col("season"),
+        (lit(50) + col("cnt") % 50).cast(DoubleType).as("grade"),
+        (lit(40) + col("sk") % 60).cast(DoubleType).as("grade_passing"))
+
+  private def synthWar(s: SparkSession, d: String): DataFrame =
+    ordersWithKeys(s, d, 100)
+      .filter(col("o_orderkey") % 3 === 1)
+      .groupBy("id", "season").agg(count(lit(1)).as("cnt"))
+      .select(col("id"), col("season"),
+        ((col("cnt") % 40).cast(DoubleType) / 10).as("war"))
+
+  /** Raw playcaller rows (posteam, season, off_play_caller) — the pipeline
+    * counts, top-1s, and diffs them into new-playcaller flags. */
+  private def synthPc(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("season", year(col("o_orderdate")).cast(IntegerType))
+      .select(
+        concat(lit("T"), (col("o_custkey") % 5).cast("string")).as("posteam"),
+        col("season"),
+        concat(lit("C"), ((col("o_custkey") + col("season")) % 3).cast("string"))
+          .as("off_play_caller"))
+
+  private val MinPlays = 5
+  private val SeasonMin = 1998
+
+  private def panel(s: SparkSession, d: String): DataFrame =
+    MetricPipelines.epaPredictPanel(
+      synthPbp(s, d), synthPc(s, d), synthQbr(s, d), synthSis(s, d),
+      synthPff(s, d), synthWar(s, d), minPlays = MinPlays, minDropbacks = 0)
+
+  // ---- oracle SQL (generated; mirrors the Spark DAG stage by stage) ----
+
+  /** RSemantics.safeCorr in SQL: pairwise-complete masking + the
+    * zero-variance guard (null, never a /0). */
+  private def corrSql(x: String, y: String): String = {
+    val xp = s"CASE WHEN $y IS NOT NULL THEN $x END"
+    val yp = s"CASE WHEN $x IS NOT NULL THEN $y END"
+    s"""CASE WHEN stddev_samp($xp) > 0 AND stddev_samp($yp) > 0
+       |       THEN covar_samp($xp, $yp) / (stddev_samp($xp) * stddev_samp($yp)) END""".stripMargin
+  }
+
+  private val M = MetricPipelines.EpaPredictMetrics
+
+  private def oracleFor(variantFilter: String): String = {
+    val lags = (M :+ "posteam").map(m => s"LAG($m) OVER w AS lag_$m").mkString(",\n    ")
+    val metricRows = M.map { m =>
+      s"""SELECT '$m' AS metric,
+         |  ROUND(CAST(${corrSql(m, s"lag_$m")} AS DOUBLE), 4) AS stability,
+         |  ROUND(CAST(${corrSql("epa", s"lag_$m")} AS DOUBLE), 4) AS epa_corr,
+         |  COUNT(CASE WHEN $m IS NOT NULL AND lag_$m IS NOT NULL THEN 1 END) AS n_pairs
+         |FROM lqb""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pbp AS (
+       |  SELECT l_suppkey AS id,
+       |    CAST(year(l_shipdate) AS INT) AS season,
+       |    'T' || ((l_suppkey * 3 + year(l_shipdate) // 2) % 5) AS posteam,
+       |    (l_quantity - 30) / 5.0 AS qb_epa,
+       |    CASE WHEN l_discount > 0 THEN l_discount * 100 - 5 END AS cpoe,
+       |    CAST(l_quantity > 25 AS DOUBLE) AS success,
+       |    CAST(l_linenumber % 2 AS INT) AS pass,
+       |    l_quantity AS yards_gained,
+       |    CAST(l_tax > 0.04 AS INT) AS pass_touchdown,
+       |    CAST(l_returnflag = 'R' AS INT) AS interception
+       |  FROM lineitem),
+       |ya AS (
+       |  SELECT id, season,
+       |    (SUM(yards_gained) + 20 * SUM(pass_touchdown) - 45 * SUM(interception)) / COUNT(*) AS aya,
+       |    SUM(yards_gained) / COUNT(*) AS ya,
+       |    CASE WHEN SUM(interception) > 0
+       |         THEN CAST(SUM(pass_touchdown) AS DOUBLE) / SUM(interception) END AS tdint
+       |  FROM pbp WHERE pass = 1 GROUP BY 1, 2),
+       |qbs AS (
+       |  SELECT id, season, MIN(posteam) AS posteam, COUNT(*) AS n_plays,
+       |    AVG(qb_epa) AS epa,
+       |    AVG(GREATEST(qb_epa, -4.5)) AS adj_epa,
+       |    SUM(qb_epa) AS total_epa,
+       |    AVG(success) AS success_rate,
+       |    AVG(cpoe) AS cpoe
+       |  FROM pbp WHERE id IS NOT NULL AND qb_epa IS NOT NULL
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $MinPlays AND SUM(pass) > 0),
+       |qbr AS (
+       |  SELECT (o_custkey % 100) + 1 AS id, CAST(year(o_orderdate) AS INT) AS season,
+       |    CAST((COUNT(*) * 7) % 101 AS DOUBLE) AS qbr_total
+       |  FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+       |sis AS (
+       |  SELECT (o_custkey % 97) + 1 AS id, CAST(year(o_orderdate) AS INT) AS season,
+       |    CAST(COUNT(*) % 200 AS DOUBLE) AS total_points,
+       |    CAST(SUM(o_orderkey) % 50 AS DOUBLE) / 100 AS tpp
+       |  FROM orders GROUP BY 1, 2),
+       |pff AS (
+       |  SELECT (o_custkey % 100) + 1 AS id, CAST(year(o_orderdate) AS INT) AS season,
+       |    CAST(50 + COUNT(*) % 50 AS DOUBLE) AS grade,
+       |    CAST(40 + SUM(o_orderkey) % 60 AS DOUBLE) AS grade_passing
+       |  FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1, 2),
+       |war AS (
+       |  SELECT (o_custkey % 100) + 1 AS id, CAST(year(o_orderdate) AS INT) AS season,
+       |    CAST(COUNT(*) % 40 AS DOUBLE) / 10 AS war
+       |  FROM orders WHERE o_orderkey % 3 = 1 GROUP BY 1, 2),
+       |pffwar AS (
+       |  -- war joins THROUGH grades (`pff <- grades_all left_join war_all`,
+       |  -- epa_predict.R:161-163): a season with WAR but no grade row stays null
+       |  SELECT pff.id, pff.season, pff.grade, pff.grade_passing, war.war
+       |  FROM pff LEFT JOIN war USING (id, season)),
+       |pc_cnt AS (
+       |  SELECT 'T' || (o_custkey % 5) AS posteam,
+       |    CAST(year(o_orderdate) AS INT) AS season,
+       |    'C' || ((o_custkey + year(o_orderdate)) % 3) AS off_play_caller,
+       |    COUNT(*) AS n
+       |  FROM orders GROUP BY 1, 2, 3),
+       |pc_top AS (
+       |  SELECT posteam, season, off_play_caller FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY posteam, season
+       |      ORDER BY n DESC, off_play_caller ASC) AS rn FROM pc_cnt) x
+       |  WHERE rn = 1),
+       |npc AS (
+       |  SELECT posteam, season,
+       |    CAST(off_play_caller <> LAG(off_play_caller)
+       |      OVER (PARTITION BY posteam ORDER BY season) AS INT) AS new_pc
+       |  FROM pc_top),
+       |joined AS (
+       |  SELECT q.id, q.season, q.posteam, q.n_plays,
+       |    q.epa, q.adj_epa, q.total_epa, q.success_rate, q.cpoe,
+       |    ya.aya, ya.ya, ya.tdint,
+       |    CASE WHEN qbr.qbr_total > 0 AND qbr.qbr_total < 100
+       |         THEN LN(qbr.qbr_total / (100.0 - qbr.qbr_total)) END AS qbr_logit,
+       |    sis.total_points, sis.tpp,
+       |    pw.grade, pw.grade_passing, pw.war,
+       |    pw.war / q.n_plays AS war_per_play,
+       |    CASE WHEN q.cpoe IS NOT NULL
+       |         THEN 1.0 / (1.0 + EXP(-(-1.0 + q.epa * 2 + q.cpoe * 0.05))) END AS dakota_index,
+       |    npc.new_pc
+       |  FROM qbs q
+       |  LEFT JOIN ya USING (id, season)
+       |  LEFT JOIN qbr USING (id, season)
+       |  LEFT JOIN sis USING (id, season)
+       |  LEFT JOIN pffwar pw USING (id, season)
+       |  LEFT JOIN npc ON q.posteam = npc.posteam AND q.season = npc.season),
+       |lqb0 AS (
+       |  SELECT *, $lags
+       |  FROM joined WINDOW w AS (PARTITION BY id ORDER BY season)),
+       |lqb AS (SELECT * FROM lqb0 WHERE lag_epa IS NOT NULL$variantFilter)
+       |SELECT * FROM (
+       |$metricRows
+       |) ORDER BY metric""".stripMargin
+  }
+
+  private val e1StabilityMatrix = Q(
+    (s, d) => MetricPipelines.stabilityMatrix(panel(s, d)),
+    oracleFor(""))
+
+  private val e2StabilitySwitchers = Q(
+    (s, d) => MetricPipelines.stabilityMatrix(MetricPipelines.switchedTeams(panel(s, d))),
+    oracleFor(" AND posteam <> lag_posteam"))
+
+  private val e3StabilityNewPc = Q(
+    (s, d) => MetricPipelines.stabilityMatrix(
+      MetricPipelines.newPlaycallerSeasons(panel(s, d), SeasonMin)),
+    oracleFor(
+      s" AND ((new_pc = 1 AND posteam = lag_posteam) OR posteam <> lag_posteam)" +
+        s" AND season >= $SeasonMin"))
+
+  val all: Map[String, Q] = Map(
+    "e1_stability_matrix" -> e1StabilityMatrix,
+    "e2_stability_switchers" -> e2StabilitySwitchers,
+    "e3_stability_newpc" -> e3StabilityNewPc)
+}

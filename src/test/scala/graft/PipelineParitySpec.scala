@@ -157,26 +157,64 @@ class PipelineParitySpec extends SparkSpec {
     assert(out._1 === 2.0 && out._2 === -10.0 && out._3 === 1.0 && out._4 === 6)
   }
 
-  test("epaPredict: flagship DAG — lag panel + one-pass correlation matrix") {
-    val qbr = Seq(
-      ("00-1", 2022, 60.0), ("00-1", 2023, 70.0),
-      ("00-2", 2022, 40.0), ("00-2", 2023, 55.0),
-      ("00-3", 2023, 100.0) // logit edge case: single season, no lag pair
-    ).toDF("player_id", "season", "qbr_total")
+  test("epaPredict: five-source flagship — 16-metric matrix + both variants") {
+    // 2 plays per QB-season with epa = m ± 0.5 → season mean exactly m;
+    // means advance +1 per season for both QBs → every pbp-rate metric's
+    // (v, lag_v) pairs are exactly linear → corr 1.0
+    def plays(id: String, season: Int, team: String, m: Double) = Seq(
+      (id, s"Q$id", season, team, m - 0.5, Some(m), 1.0, 1, 1, 10.0, 0, 0),
+      (id, s"Q$id", season, team, m + 0.5, Some(m + 1), 0.0, 1, 1, 12.0, 1, 0))
+    val epbp = (
+      plays("00-1", 2021, "TA", 0.0) ++ plays("00-1", 2022, "TA", 1.0) ++
+        plays("00-1", 2023, "TB", 2.0) ++ // QB1 switches TA→TB in 2023
+        plays("00-2", 2021, "TA", 0.5) ++ plays("00-2", 2022, "TA", 1.5) ++
+        plays("00-2", 2023, "TA", 2.5)
+      ).toDF("id", "name", "season", "posteam", "qb_epa", "cpoe", "success",
+        "pass", "is_throw", "yards_gained", "pass_touchdown", "interception")
+    // raw caller rows: TA's top caller changes in 2022 (C1→C2), stays in
+    // 2023; the 2021 C1/C1/C9 rows exercise the count-then-top-1 stage
+    val pc = Seq(
+      ("TA", 2021, "C1"), ("TA", 2021, "C1"), ("TA", 2021, "C9"),
+      ("TA", 2022, "C2"), ("TA", 2022, "C2"), ("TA", 2023, "C2"),
+      ("TB", 2021, "C3"), ("TB", 2022, "C3"), ("TB", 2023, "C4")
+    ).toDF("posteam", "season", "off_play_caller")
+    val qbr = Seq( // 100 hits the logit edge → null, drops that pair
+      ("00-1", 2021, 50.0), ("00-1", 2022, 60.0), ("00-1", 2023, 100.0),
+      ("00-2", 2021, 40.0), ("00-2", 2022, 55.0), ("00-2", 2023, 70.0)
+    ).toDF("id", "season", "qbr_total")
     val sis = Seq(
-      ("00-1", 2022, 0.30), ("00-1", 2023, 0.40),
-      ("00-2", 2022, 0.10), ("00-2", 2023, 0.20)
-    ).toDF("player_id", "season", "total_points_per_play")
-    val out = MetricPipelines.epaPredict(
-      pbp.withColumnRenamed("passer_player_id", "id"), qbr, sis, minPlays = 1)
-      .collect().map(r => r.getString(0) ->
-        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(2))).toMap
-    // both QBs improved epa 2022→2023 in the fixture → 2 aligned pairs → corr 1
-    assert(out("epa_play")._2 === 2)
-    assert(math.abs(out("epa_play")._1.get - 1.0) < 1e-9)
-    assert(out("qbr_logit")._2 === 2) // edge-case QB excluded (no lag pair)
-    assert(out.keySet === Set("epa_play", "cpoe", "success_rate", "qbr_logit",
-      "total_points_per_play"))
+      ("00-1", 2021, 10.0, 0.10), ("00-1", 2022, 20.0, 0.20), ("00-1", 2023, 30.0, 0.30),
+      ("00-2", 2021, 12.0, 0.12), ("00-2", 2022, 22.0, 0.22), ("00-2", 2023, 32.0, 0.32)
+    ).toDF("id", "season", "total_points", "tpp")
+    val pff = Seq(
+      ("00-1", 2021, 70.0, 68.0), ("00-1", 2022, 75.0, 72.0), ("00-1", 2023, 80.0, 76.0),
+      ("00-2", 2021, 60.0, 58.0), ("00-2", 2022, 65.0, 62.0), ("00-2", 2023, 70.0, 66.0)
+    ).toDF("id", "season", "grade", "grade_passing")
+    val war = Seq(
+      ("00-1", 2021, 1.0), ("00-1", 2022, 2.0), ("00-1", 2023, 3.0),
+      ("00-2", 2021, 0.5), ("00-2", 2022, 1.5), ("00-2", 2023, 2.5)
+    ).toDF("id", "season", "war")
+
+    def matrix(df: org.apache.spark.sql.DataFrame) =
+      MetricPipelines.stabilityMatrix(df).collect().map(r => r.getString(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Double]), r.getLong(3)))).toMap
+
+    val panel = MetricPipelines.epaPredictPanel(epbp, pc, qbr, sis, pff, war, minPlays = 1)
+    val full = matrix(panel)
+    assert(full.keySet === MetricPipelines.EpaPredictMetrics.toSet)
+    assert(full("epa") === ((Some(1.0), 4))) // 2 QBs × 2 lag seasons, exact linear
+    assert(full("adj_epa") === ((Some(1.0), 4))) // cap never binds in fixture
+    assert(full("qbr_logit")._2 === 3) // QB1 2023 logit nulled at the 100 edge
+    assert(full("tdint")._2 === 0) // no interceptions → tdint null everywhere
+
+    // variant 1: team switchers — only QB1's 2023 row; single point → null corr
+    val sw = matrix(MetricPipelines.switchedTeams(panel))
+    assert(sw("epa") === ((None, 1)))
+    // variant 2: new playcaller (or switch) since 2022 — TA flagged new in
+    // 2022 (both QBs kept), QB1's 2023 switch kept, QB2's 2023 same-caller
+    // row dropped
+    val np = matrix(MetricPipelines.newPlaycallerSeasons(panel, seasonMin = 2022))
+    assert(np("epa")._2 === 3)
   }
 
   test("draftOdds: implied prob both signs, de-vig sums to 1, over/under pivot") {
