@@ -15,7 +15,7 @@ object SparkEntry {
   /** All declared queries, grouped by module. */
   private def registry: Map[String, Q] =
     RelationalQueries.all ++ WindowQueries.all ++ MetricQueries.all ++
-      PipelineQueries.all ++ FlagshipQueries.all
+      PipelineQueries.all ++ FlagshipQueries.all ++ MarketQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

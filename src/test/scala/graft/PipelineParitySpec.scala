@@ -243,23 +243,77 @@ class PipelineParitySpec extends SparkSpec {
     assert(out._2 === 4)
   }
 
-  test("ourladsProjections: dirty-name cleanup, percentile ranks, contract dedup") {
+  test("ourladsProjections: dirty-name cleanup, draft coalesce, ranks, contract dedup") {
     val ourlads = Seq(
-      ("  dj   humphries ", "ARZ", "LT"), ("orlando brown", "KC", "LT"),
-      ("creed humphrey", "KC", "C")
+      ("  dj   humphries ", "ARZ", "LT"), ("orlando brown", "KC", "RT"),
+      ("creed humphrey", "KC", "C"), ("rookie tackle", "SEA", "LT")
     ).toDF("player", "current_team", "position_ourlads")
-    val grades = Seq(
-      ("DJ Humphries", 80.0), ("Orlando Brown", 60.0), ("Creed Humphrey", 90.0)
+    val grades = Seq( // no grade row for the rookie; one grade-only player
+      ("DJ Humphries", 80.0), ("Orlando Brown", 60.0), ("Creed Humphrey", 90.0),
+      ("Cut Veteran", 70.0)
     ).toDF("player", "grades_pass_block")
+    val draft = Seq(("Rookie Tackle", 88.0)).toDF("player", "draft_pct")
     val contracts = Seq(
       ("Dj Humphries", 15.0), ("Dj Humphries", 15.0), // dup row → distinct
       ("Orlando Brown", 16.0), ("Creed Humphrey", 18.0)
     ).toDF("player", "apy")
-    val out = MarketPipelines.ourladsProjections(ourlads, grades, contracts)
+    val ranked = MarketPipelines.ourladsRanked(ourlads, grades, draft, contracts)
+    val byPlayer = ranked.collect().map(r => r.getString(0) -> r).toMap
+    // full outer (:62): the grade-only player survives the join but is
+    // dropped by the team filter (:110) — AFTER max_rank is computed over 3 Ts
+    assert(!byPlayer.contains("Cut Veteran"))
+    // coalesce(grade, draft_pct) (:83): the rookie ranks by draft_pct=88 →
+    // rank 1 of the LT/RT "T" group, above Humphries' 80
+    assert(byPlayer("Rookie Tackle").getAs[Double]("value") === 88.0)
+    assert(byPlayer("Rookie Tackle").getAs[Int]("rank") === 1)
+    assert(byPlayer("Dj Humphries").getAs[Int]("rank") === 2)
+    assert(byPlayer("Orlando Brown").getAs[String]("position") === "T")
+    val out = MarketPipelines.ourladsProjections(ourlads, grades, draft, contracts)
       .collect().map(r => r.getString(0) -> r).toMap
-    assert(out("LT").getAs[Long]("n_starters") === 2)
-    assert(out("LT").getAs[Double]("avg_apy") === 15.5)
+    assert(out("T").getAs[Long]("n_starters") === 3)
+    assert(out("T").getAs[Double]("avg_apy") === 15.5) // rookie has no contract
     assert(out("C").getAs[Long]("n_starters") === 1)
+    // team projection: every team gets a scored row, surrogate bounded (20,80)
+    val proj = MarketPipelines.ourladsTeamProjection(ranked)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(proj.keySet === Set("ARI", "KC", "SEA"))
+    val vt = proj("KC").getAs[Double]("value_t")
+    assert(vt > 20.0 && vt < 80.0)
+  }
+
+  test("draftCompare: DK line meets ESPN cumulative distribution, diff ranked") {
+    val dk = Seq(
+      ("QB A", 4.5, 110, 0), ("QB A", 4.5, -130, 1),
+      ("QB B", 2.5, -200, 0), ("QB B", 2.5, 170, 1)
+    ).toDF("player", "pick", "odds", "under")
+    val espn = Seq( // cumulative under-prob at each integer pick slot
+      ("QB A", "QB", 1.0, 0.05), ("QB A", "QB", 2.0, 0.15),
+      ("QB A", "QB", 3.0, 0.20), ("QB A", "QB", 4.0, 0.25),
+      ("QB B", "QB", 1.0, 0.30), ("QB B", "QB", 2.0, 0.35),
+      ("QB B", "QB", 3.0, 0.10)
+    ).toDF("player", "pos", "espn_pick", "espn_prob")
+    val out = MarketPipelines.draftCompare(dk, espn)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("QB A", "QB B"))
+    // QB A line 4.5 → espn_pick 4 → cumsum .05+.15+.20+.25 = .65 → 65%
+    assert(out("QB A").getAs[Double]("before_espn") === 65.0)
+    assert(out("QB A").getAs[Double]("line") === 4.5)
+    // diff = espn - dk, both percent scale
+    val a = out("QB A")
+    assert(math.abs(a.getAs[Double]("diff") -
+      (a.getAs[Double]("before_espn") - a.getAs[Double]("before_dk"))) < 1e-9)
+  }
+
+  test("draftBoard: two-column padded layout splits odd rows left-heavy") {
+    val t = Seq.tabulate(7)(i => (s"P$i", 100.0 - i)).toDF("player", "score")
+    val out = MarketPipelines.draftBoard(t, Seq(("score", true)), Seq("player", "score"))
+      .orderBy("rank").collect()
+    assert(out.length === 4) // ceil(7/2): left side 4 rows, right side 3 + pad
+    assert(out(0).getAs[String]("player_a") === "P0")
+    assert(out(0).getAs[String]("player_b") === "P4")
+    // last row: left P3, right side exhausted → nulls (reference's blank pad)
+    assert(out(3).getAs[String]("player_a") === "P3")
+    assert(out(3).get(out(3).fieldIndex("player_b")) === null)
   }
 
   test("TeamNames.normalize maps every defunct franchise abbreviation") {
