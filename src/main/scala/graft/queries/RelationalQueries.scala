@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.RSemantics._
 import graft.operators.Relational._
+import graft.sources.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
@@ -101,6 +102,45 @@ object RelationalQueries {
 
   /** S11: in-code literal relation joined against a scanned dim
     * (`tribble` sites, `/root/reference/R/epa_predict.R:270-292`). */
+  /** S5: the generic scraped-table cleanup path end-to-end — a raw
+    * all-string table with dirty headers, in-body header repeats, and messy
+    * numeric strings ("$7,250", "93%") goes through clean_names → junk-row
+    * drop → parse_number, exactly the reference's post-`html_table()` chain
+    * (`/root/reference/R/preseason_predictiveness.R:10-31`,
+    * `/root/reference/pff/6a_ourlads_scrape.R:20-22`). The raw table is
+    * synthesized from `part` with exact integer formatting; the oracle
+    * replays the parsed VALUES (string round-trip included Spark-side
+    * only, so the helper — not the synth — is what's under test). */
+  private val s5CleanTable = Q(
+    (s, d) => {
+      val junk = col("p_partkey") % 50 === 0
+      val raw = Tables.part(s, d).select(
+        when(junk, lit("Pick No.")).otherwise(col("p_partkey").cast("string"))
+          .as("Pick No."),
+        when(junk, lit("Player")).otherwise(concat(lit("P"), col("p_partkey")))
+          .as("Player "),
+        when(junk, lit("Salary (APY)")).otherwise(
+          concat(lit("$"), (col("p_size") % 30).cast("string"), lit(",250")))
+          .as("Salary (APY)"),
+        when(junk, lit("Win %")).otherwise(
+          concat((col("p_partkey") % 100).cast("string"), lit("%")))
+          .as("Win %"))
+      val cleaned = Ingest.cleanNames(raw) // pick_no, player, salary_apy, win_percent
+      Ingest.dropJunkRows(cleaned, col("pick_no"))
+        .select(
+          Ingest.parseNumber(col("pick_no")).cast(IntegerType).as("pick_no"),
+          col("player"),
+          Ingest.parseNumber(col("salary_apy")).as("salary_apy"),
+          Ingest.parseNumber(col("win_percent")).as("win_percent"))
+        .orderBy("pick_no")
+    },
+    """SELECT CAST(p_partkey AS INT) AS pick_no,
+      |  'P' || CAST(p_partkey AS VARCHAR) AS player,
+      |  CAST((p_size % 30) * 1000 + 250 AS DOUBLE) AS salary_apy,
+      |  CAST(p_partkey % 100 AS DOUBLE) AS win_percent
+      |FROM part WHERE p_partkey % 50 <> 0
+      |ORDER BY pick_no""".stripMargin)
+
   private val s11LiteralRelation = Q(
     (s, d) => {
       import s.implicits._
@@ -603,6 +643,7 @@ object RelationalQueries {
     "s7_partitioned_sink" -> s7PartitionedSink,
     "s8_csv_roundtrip" -> s8CsvRoundtrip,
     "s4_json_parse" -> s4JsonParse,
+    "s5_clean_table" -> s5CleanTable,
     "s11_literal_relation" -> s11LiteralRelation,
     "p1_pattern_select" -> p1PatternSelect,
     "p4_null_predicates" -> p4NullPredicates,

@@ -1,9 +1,9 @@
 package graft.sources
 
 import graft.operators.Relational
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DoubleType, StructType}
 
 import scala.util.{Failure, Success, Try}
 
@@ -45,6 +45,52 @@ object Ingest {
       .select(col("*"), col("__item.*"))
       .drop("__parsed", "__item", jsonCol)
   }
+
+  // ---- S5: the generic scraped-table cleanup path ----
+  // Every HTML-table ingest in the reference runs the same three steps the
+  // moment rows exist: snake_case the headers (`janitor::clean_names()`,
+  // `/root/reference/R/preseason_predictiveness.R:12,30`,
+  // `/root/reference/pff/6a_ourlads_scrape.R:22`), drop the in-body repeats
+  // of the header row (`filter(team != "Team")`,
+  // `/root/reference/R/preseason_predictiveness.R:31`), and coerce messy
+  // numeric strings ("$7,250", "93%") to numbers (readr parse_number /
+  // str_split token grabs, `:15-17`). These make that path one reusable
+  // operator instead of per-pipeline hand-rolls.
+
+  /** janitor-style header cleanup: trim, lowercase, `%` → "percent",
+    * non-alphanumeric runs → `_`, `x`-prefix names that start with a digit
+    * (janitor's `x00`..`x19` columns), dedupe repeats with `_2`, `_3`…
+    * Pure metadata — zero plan cost. */
+  def cleanNames(df: DataFrame): DataFrame = {
+    val base = df.columns.map { c =>
+      val b = c.trim.toLowerCase
+        .replace("%", " percent ")
+        .replaceAll("[^a-z0-9]+", "_")
+        .replaceAll("^_+|_+$", "")
+      if (b.isEmpty) "x" else if (b.head.isDigit) "x" + b else b
+    }
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    val unique = base.map { n =>
+      val k = seen.getOrElse(n, 0); seen(n) = k + 1
+      if (k == 0) n else s"${n}_${k + 1}"
+    }
+    df.toDF(unique.toIndexedSeq: _*)
+  }
+
+  /** readr::parse_number semantics: strip grouping/currency chars, take the
+    * first signed decimal token, null when nothing parses. The guard keeps
+    * Spark 4's ANSI mode from raising on junk cells — scraped tables always
+    * have some. */
+  def parseNumber(c: Column): Column = {
+    val tok = regexp_extract(regexp_replace(c, "[,$]", ""), "-?[0-9]+(\\.[0-9]+)?", 0)
+    when(length(tok) > 0, tok.cast(DoubleType))
+  }
+
+  /** The `filter(team != "Team")` idiom generalized: scraped tables repeat
+    * their header inside the body on page breaks; keep only rows whose key
+    * column actually parses as a number. */
+  def dropJunkRows(df: DataFrame, keyCol: Column): DataFrame =
+    df.filter(parseNumber(keyCol).isNotNull)
 
   /** C1 + C4: error-tolerant fan-out ingest — map a parameter list through a
     * per-item loader, drop failures, union the successes by name

@@ -114,6 +114,24 @@ class IngestSpec extends SparkSpec {
     assert(got === Set(("m1", "over", 110), ("m1", "under", -130)))
   }
 
+  test("cleanNames: janitor semantics — snake case, percent, x-prefix, dedupe") {
+    val df = Seq((1, 2, 3, 4, 5)).toDF(
+      "Pick No.", "Win %", "00-09", "Team", " team ")
+    assert(Ingest.cleanNames(df).columns.toSeq ===
+      Seq("pick_no", "win_percent", "x00_09", "team", "team_2"))
+  }
+
+  test("parseNumber: currency/grouping/percent strings, junk → null") {
+    val got = Seq("$7,250", "93%", "-3.5", "4.5 (OVER)", "Team", "")
+      .toDF("s").select(Ingest.parseNumber(col("s"))).collect().map(_.get(0))
+    assert(got.toSeq === Seq(7250.0, 93.0, -3.5, 4.5, null, null))
+  }
+
+  test("dropJunkRows keeps only rows whose key parses (header repeats drop)") {
+    val df = Seq(("1", "a"), ("Pick", "Pick"), ("2", "b")).toDF("pick", "v")
+    assert(Ingest.dropJunkRows(df, col("pick")).count() === 2)
+  }
+
   test("tolerantFanOut unions successes and reports failures (C4)") {
     val (out, fails) = Ingest.tolerantFanOut(Seq(1, 2, 3)) {
       case 2 => throw new RuntimeException("boom")
