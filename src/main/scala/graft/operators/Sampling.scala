@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic sampling / split assignment for training-data curation.
+  *
+  * Corpus splits (train/val/test) and downsampling must be REPRODUCIBLE:
+  * the same document must land in the same split on every run, every
+  * engine, and every cluster size. `rand()`/`df.sample` are none of those
+  * (seed- and partitioning-dependent), so everything here derives from the
+  * md5 of a stable key — a pure, codegen-friendly column expression with
+  * zero shuffle cost, and replayable in any engine with an md5 function.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets): first 8 md5 hex digits of the key as
+    * an integer, mod buckets. Uniform enough for splitting; bit-identical
+    * everywhere (DuckDB: `('0x' || substring(md5(k), 1, 8))::BIGINT`). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast(LongType),
+      lit(buckets.toLong))
+
+  /** Deterministic train/val/test assignment by percent thresholds. */
+  def splitAssign(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = hashBucket(key, 100)
+    when(b < trainPct, lit("train"))
+      .when(b < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Deterministic per-mille downsample: keep rows whose bucket is under
+    * `permille`. A 1000-bucket space keeps sub-percent rates expressible;
+    * the filter is a scan-level predicate, not a separate pass. */
+  def sampleByHash(df: DataFrame, key: Column, permille: Int): DataFrame =
+    df.filter(hashBucket(key, 1000) < permille)
+}

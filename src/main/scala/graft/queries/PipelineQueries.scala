@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data-pipeline operators (the 100-TB extension layer
@@ -549,8 +549,59 @@ object PipelineQueries {
       |  CAST(FLOOR(height * LEAST(1.0, 224.0 / GREATEST(width, height))) AS INT) AS out_h
       |FROM geo ORDER BY doc_id""".stripMargin)
 
+  /** z5: deterministic train/val/test assignment — md5-bucket splits that
+    * are reproducible across runs, engines, and cluster sizes (`rand()` /
+    * `df.sample` are none of those). Pure expression: no shuffle beyond
+    * the summary groupBy. */
+  private val z5HashSplit = Q(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("split", Sampling.splitAssign(col("doc_id"), 80, 10))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy("split"),
+    """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars
+      |FROM (SELECT text,
+      |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+      |      FROM documents) t
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** x9: the operators composed as a real curation pass — exact dedup
+    * (keep-first survivors) → token counting → deterministic split →
+    * per-(split, lang) corpus stats. One dedup shuffle + one id semi-join
+    * + one summary shuffle; the split/token stages are pure expressions
+    * fused into the scan. */
+  private val x9CurationPipeline = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = Dedup.exactDedup(docs, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .withColumn("split", Sampling.splitAssign(col("doc_id"), 80, 10))
+        .withColumn("ws_tokens", size(split(col("text"), " ")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_tokens"))
+        .orderBy("split", "lang")
+    },
+    """WITH keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |surv AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+      |t AS (SELECT lang,
+      |        CAST(len(string_split(text, ' ')) AS INT) AS ws,
+      |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+      |      FROM surv)
+      |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS total_tokens
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "x1_exact_dedup" -> x1ExactDedup,
+    "x9_curation_pipeline" -> x9CurationPipeline,
+    "z5_hash_split" -> z5HashSplit,
     "x2_minhash_lsh" -> x2MinhashLsh,
     "x3_simhash" -> x3Simhash,
     "x4_ngram_jaccard" -> x4NgramJaccard,

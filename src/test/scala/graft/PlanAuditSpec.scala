@@ -42,6 +42,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(formatted("y1_knn_brute").contains("vector_dot"))
   }
 
+  test("s5: the cleanup path reads only the two source columns") {
+    val read = formatted("s5_clean_table").linesIterator
+      .find(_.contains("ReadSchema")).get
+    assert(read.count(_ == ':') <= 3, s"scan reads too many columns: $read") // 2 cols + label
+  }
+
+  test("c3/c2b: every dim join broadcasts; the only SMJ is the full outer") {
+    val c3 = formatted("c3_ourlads_summary")
+    assert(c3.contains("BroadcastHashJoin"))
+    // the grades ids join is full_outer (reference :62) — SMJ is correct
+    // there and must NOT appear anywhere else
+    assert("SortMergeJoin FullOuter".r.findAllIn(c3).size ==
+      "SortMergeJoin".r.findAllIn(c3).size, "non-full-outer SMJ crept in")
+    val c2b = formatted("c2b_draft_compare")
+    assert(c2b.contains("BroadcastHashJoin") && !c2b.contains("CartesianProduct"))
+  }
+
+  test("e1: the 16-metric stability matrix is ONE aggregation pass") {
+    // explode → single groupBy(metric): metric count widens rows, it must
+    // never multiply aggregation passes (the reference runs 26 cor() scans)
+    val plan = formatted("e1_stability_matrix")
+    assert("HashAggregate".r.findAllIn(plan).size <= 30, // panel aggs + 1 matrix pair
+      "stability matrix fanned out into per-metric aggregations")
+    assert(plan.contains("Generate") && plan.contains("explode"),
+      "metric stacking left the plan")
+  }
+
   test("no query output schema contains a DECIMAL column") {
     // The driver's compare reads Spark parquet decimals scale-preserving
     // ("1.50") but DuckDB oracle decimals as doubles ("1.5"): any DECIMAL

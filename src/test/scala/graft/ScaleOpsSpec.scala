@@ -25,6 +25,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted("HOT")._2 === 10000L)
   }
 
+  test("hash split is deterministic, exhaustive, and roughly proportioned") {
+    import graft.operators.Sampling
+    val ids = spark.range(2000).toDF("id")
+    val counts = ids.select(Sampling.splitAssign(col("id"), 80, 10).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum === 2000) // every row assigned exactly one split
+    assert(counts("train") > 1400 && counts("train") < 1800) // ~80%
+    assert(counts("val") > 100 && counts("test") > 100)
+    // same assignment on re-evaluation (would fail for rand()-based splits)
+    val twice = ids.select(col("id"), Sampling.splitAssign(col("id")).as("a"))
+      .join(ids.select(col("id"), Sampling.splitAssign(col("id")).as("b")), "id")
+      .filter(col("a") =!= col("b")).count()
+    assert(twice === 0)
+  }
+
+  test("sampleByHash rates nest: the 5-permille sample is inside the 20-permille one") {
+    import graft.operators.Sampling
+    val ids = spark.range(5000).toDF("id")
+    val small = Sampling.sampleByHash(ids, col("id"), 5).as[Long].collect().toSet
+    val big = Sampling.sampleByHash(ids, col("id"), 20).as[Long].collect().toSet
+    assert(small.subsetOf(big)) // threshold monotonicity — stable expansions
+    assert(big.size > small.size && small.nonEmpty)
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val dir = tmpDir("bucketed")
     val store = Store(spark, dir, "season")
