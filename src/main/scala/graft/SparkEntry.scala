@@ -17,9 +17,11 @@ object SparkEntry {
     RelationalQueries.all ++ WindowQueries.all ++ MetricQueries.all ++
       PipelineQueries.all ++ FlagshipQueries.all ++ MarketQueries.all
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The full
+    * epa_predict DAG (five joined sources → 16-metric lag panel → stability
+    * matrix) is the reference's flagship workload. */
   def entry(spark: SparkSession): DataFrame =
-    registry("a2_pricing_summary").fn(spark, "/root/testdata/sf0.001")
+    registry("e1_stability_matrix").fn(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (k, q) => k -> q.fn }
