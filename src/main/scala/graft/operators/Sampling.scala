@@ -35,4 +35,18 @@ object Sampling {
     * the filter is a scan-level predicate, not a separate pass. */
   def sampleByHash(df: DataFrame, key: Column, permille: Int): DataFrame =
     df.filter(hashBucket(key, 1000) < permille)
+
+  /** Stratified cap: keep at most `n` rows per group, chosen by md5 order
+    * of the key — a deterministic "random" subset per stratum (the
+    * cap-documents-per-domain curation op). One shuffle on the group key;
+    * per-group state in the window is a single counter. The md5 string
+    * itself is the sort key (lowercase hex in every engine), with the raw
+    * key as tiebreaker for the total order. */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__cap_rn", row_number().over(
+        Window.partitionBy(group).orderBy(md5(key.cast("string")), key)))
+      .filter(col("__cap_rn") <= n)
+      .drop("__cap_rn")
+  }
 }

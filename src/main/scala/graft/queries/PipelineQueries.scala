@@ -598,10 +598,33 @@ object PipelineQueries {
       |  lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS total_tokens
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** z6: stratified per-source cap — at most N docs per source, selected
+    * by md5 order (deterministic "random" subset per stratum). The
+    * balance-the-corpus curation op: one shuffle on the stratum key. */
+  private val z6StratifiedCap = Q(
+    (s, d) => Sampling.capPerGroup(Tables.documents(s, d),
+        col("source"), col("doc_id"), 50)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"),
+        min(col("doc_id")).as("min_kept_id"))
+      .orderBy("source"),
+    """WITH capped AS (
+      |  SELECT source, doc_id, text, ROW_NUMBER() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+      |  MIN(doc_id) AS min_kept_id
+      |FROM capped WHERE rn <= 50
+      |GROUP BY source ORDER BY source""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "x1_exact_dedup" -> x1ExactDedup,
     "x9_curation_pipeline" -> x9CurationPipeline,
     "z5_hash_split" -> z5HashSplit,
+    "z6_stratified_cap" -> z6StratifiedCap,
     "x2_minhash_lsh" -> x2MinhashLsh,
     "x3_simhash" -> x3Simhash,
     "x4_ngram_jaccard" -> x4NgramJaccard,

@@ -49,6 +49,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(big.size > small.size && small.nonEmpty)
   }
 
+  test("capPerGroup keeps at most n per stratum, deterministically") {
+    import graft.operators.Sampling
+    val df = spark.range(1000)
+      .select((col("id") % 7).as("src"), col("id"))
+    val capped = Sampling.capPerGroup(df, col("src"), col("id"), 20)
+    val counts = capped.groupBy("src").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ === 20)) // every stratum hits the cap
+    val again = Sampling.capPerGroup(df, col("src"), col("id"), 20)
+      .select("id").as[Long].collect().toSet
+    assert(again === capped.select("id").as[Long].collect().toSet)
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val dir = tmpDir("bucketed")
     val store = Store(spark, dir, "season")
