@@ -66,6 +66,21 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming curation router: continuous dedup + deterministic
+    * train/val/test assignment, drained exactly-once into a split-
+    * partitioned layout. The streaming form of the batch curation pass
+    * (x9): re-arrivals within the watermark drop, every surviving doc gets
+    * the same split it would get in batch (md5 assignment is engine- and
+    * batch-boundary-independent), and downstream training jobs read one
+    * split directory without touching the others. */
+  def curationRouter(docs: DataFrame, keyCols: Seq[String], idCol: String,
+                     destDir: String, checkpointDir: String,
+                     watermark: String = "1 hour"): StreamingQuery =
+    drainToParquet(
+      dedupStream(docs, keyCols, watermark)
+        .withColumn("split", graft.operators.Sampling.splitAssign(col(idCol))),
+      destDir, checkpointDir, partCol = "split")
+
   /** Per-user running state for shape 3. */
   case class UserAcc(userId: Long, total: Double, nEvents: Int)
   /** Emitted when a user's running value-total first crosses `cutoff`. */

@@ -69,6 +69,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.toSeq === Seq(1L, 2L, 4L))
   }
 
+  test("curationRouter dedups, split-assigns, and partitions by split") {
+    val src = tmpDir("route_src"); val dest = tmpDir("route_dest") + "/corpus"
+    val ckpt = tmpDir("route_ckpt")
+    writeBatch(src, Seq(
+      (1L, ts(0), 10L, "h_aaa", 1.0), (2L, ts(1), 11L, "h_bbb", 2.0),
+      (3L, ts(2), 12L, "h_aaa", 3.0), // duplicate content → dropped
+      (4L, ts(3), 13L, "h_ccc", 4.0)))
+    EventStreams.curationRouter(
+      EventStreams.fileSource(spark, src, schema), Seq("event_type"),
+      idCol = "event_id", dest, ckpt, "30 minutes").awaitTermination()
+    val out = spark.read.parquet(dest)
+    assert(out.select("event_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L))
+    // the split column is the PARTITION directory, and matches the batch
+    // assignment for the same ids (engine/batch-boundary independence)
+    val expected = Seq(1L, 2L, 4L).toDF("event_id")
+      .select(col("event_id"),
+        graft.operators.Sampling.splitAssign(col("event_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    val got = out.select(col("event_id"), col("split")).as[(Long, String)].collect().toMap
+    assert(got === expected)
+    assert(new java.io.File(dest).listFiles().exists(_.getName.startsWith("split=")))
+  }
+
   test("sessionCut emits once per user at the cumulative-value crossing") {
     val src = tmpDir("cut_src")
     writeBatch(src, Seq(
