@@ -165,12 +165,18 @@ object Relational {
     * at the cost of a second (tiny) shuffle. Only mergeable aggregates
     * compose this way; express avg as sum+count and divide after. */
   def saltedAgg(df: DataFrame, key: Column, salts: Int, specs: Seq[SaltedSpec]): DataFrame = {
-    // salt = hash of the full row, not monotonically_increasing_id():
-    // the id is assigned by task, so a task RETRY would re-salt rows
-    // differently mid-aggregation — deterministic input-derived salt is
-    // retry-safe and spreads a hot key just as evenly
+    // salt = hash(row) + partition id, not monotonically_increasing_id():
+    // the monotonic id is assigned per task ATTEMPT, so a retry would
+    // re-salt rows differently mid-aggregation. hash(row) alone is
+    // retry-safe but collapses when the hot key's rows are IDENTICAL (the
+    // canonical skewed-count shape) — every copy gets one salt and the
+    // mitigation vanishes. Adding spark_partition_id() spreads identical
+    // rows across input partitions while staying deterministic under
+    // retry (a re-attempt re-reads the same partition); identical rows
+    // WITHIN a partition collapse into one row at partial aggregation
+    // before the shuffle, so they never pile onto a reducer anyway.
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts)))
+      pmod(hash(df.columns.map(col) :+ spark_partition_id(): _*), lit(salts)))
     val phase1 = salted.groupBy(key.as("__key"), col("__salt"))
       .agg(specs.head.partial.as(specs.head.name),
         specs.tail.map(s => s.partial.as(s.name)): _*)

@@ -22,12 +22,15 @@ object Sampling {
     pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast(LongType),
       lit(buckets.toLong))
 
-  /** Deterministic train/val/test assignment by percent thresholds. */
+  /** Deterministic train/val/test assignment by percent thresholds. A null
+    * key yields a NULL split, never a silent bucket: `otherwise("test")`
+    * would route every null-keyed row into the test split — invisible
+    * skew/leakage in exactly the op whose contract is correct assignment. */
   def splitAssign(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     val b = hashBucket(key, 100)
     when(b < trainPct, lit("train"))
       .when(b < trainPct + valPct, lit("val"))
-      .otherwise(lit("test"))
+      .when(b.isNotNull, lit("test"))
   }
 
   /** Deterministic per-mille downsample: keep rows whose bucket is under

@@ -48,9 +48,13 @@ object MarketPipelines {
       col("player"), col("pick").as("pick_dk"), col("under_pct"))
     val w = Window.partitionBy("player").orderBy("espn_pick")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cumsum BEFORE the join: the reference runs it after, but its dk side
+    // is already one row per player so the join can't fan out — here a
+    // multi-line player would double-count every espn_prob if the running
+    // sum saw the joined (duplicated) rows
     espn
-      .join(dkWide, Seq("player"), "left")
       .withColumn("tot_espn", sum(col("espn_prob")).over(w))
+      .join(dkWide, Seq("player"), "left")
       .filter(col("espn_pick") === col("pick_dk") - 0.5)
       .select(
         col("player"), col("pos"), col("pick_dk").as("line"),
@@ -70,12 +74,17 @@ object MarketPipelines {
     def sortCols(suffix: String) = order.map { case (c, desc) =>
       if (desc) col(s"$c$suffix").desc else col(s"$c$suffix").asc
     }
+    // sort columns ride along even when not in `keep` (each side must stay
+    // orderable after projection), and are dropped from the final board
+    val carried = (keep ++ order.map(_._1)).distinct
     val halved = t.withColumn("__half", ntile(2).over(Window.orderBy(sortCols(""): _*)))
     def side(half: Int, suffix: String) =
       halved.filter(col("__half") === half)
-        .select(keep.map(c => col(c).as(s"$c$suffix")): _*)
+        .select(carried.map(c => col(c).as(s"$c$suffix")): _*)
+    val extras = carried.diff(keep).flatMap(c => Seq(s"${c}_a", s"${c}_b"))
     bindCols(side(1, "_a"), sortCols("_a"), side(2, "_b"), sortCols("_b"))
       .withColumnRenamed("__idx", "rank")
+      .drop(extras: _*)
   }
 
   /** `/root/reference/pff/99_passblock_piece.R:44-108,206-216`: cross-source

@@ -70,8 +70,9 @@ object MetricPipelines {
       .select(Seq("team_abbr", "season", "pt_dif").map(col) ++
         psDiffCol.map(c => col(c).cast(DoubleType).as(c)): _*)
     val fit2 = psDiffCol.toSeq.flatMap { c =>
-      Seq("b1" -> "slope_line2", "b2" -> "slope_ps", "intercept" -> "intercept2",
-        "r2" -> "r2_2").map(_._2).zip(ols2Aggs(col("line"), col(c), col("pt_dif")))
+      // ols2Aggs emits (b1, b2, intercept, r2) positionally
+      Seq("slope_line2", "slope_ps", "intercept2", "r2_2")
+        .zip(ols2Aggs(col("line"), col(c), col("pt_dif")))
         .map { case (alias, agg) => agg.as(alias) }
     }
     val aggs = olsAggs(col("line"), col("pt_dif")) ++ fit2 :+ count(lit(1)).as("n")

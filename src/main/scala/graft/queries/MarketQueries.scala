@@ -93,11 +93,16 @@ object MarketQueries {
        |         CAST((p_partkey // 50) + 1 AS DOUBLE) AS espn_pick,
        |         ((p_partkey * 13) % 97) / 1000.0 AS espn_prob
        |  FROM part),
-       |cum AS (
-       |  SELECT player, pos, espn_pick, pick_dk, under_pct,
+       |espn_cum AS (
+       |  -- cumsum pre-join, mirroring the pipeline (a multi-line player
+       |  -- would otherwise double-count through the join fan-out)
+       |  SELECT player, pos, espn_pick,
        |         SUM(espn_prob) OVER (PARTITION BY player ORDER BY espn_pick
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tot_espn
-       |  FROM espn LEFT JOIN dkwide USING (player))
+       |  FROM espn),
+       |cum AS (
+       |  SELECT player, pos, espn_pick, pick_dk, under_pct, tot_espn
+       |  FROM espn_cum LEFT JOIN dkwide USING (player))
        |SELECT player, pos, pick_dk AS line,
        |  ROUND(under_pct * 100, 4) AS before_dk,
        |  ROUND(tot_espn * 100, 4) AS before_espn,
@@ -229,7 +234,11 @@ object MarketQueries {
        |  SELECT team,
        |    ROUND(AVG(CASE WHEN position_ourlads IN ('LT','RT')
        |                   THEN pct_normed END), 4) AS pct_t,
-       |    ROUND(AVG(CASE WHEN position_ourlads NOT IN ('LT','RT')
+       |    -- IS NULL arm: the pipeline's otherwise("GC") buckets a null
+       |    -- position into GC (as the reference's case_when TRUE ~ "GC"
+       |    -- does); a bare NOT IN would silently drop those rows
+       |    ROUND(AVG(CASE WHEN position_ourlads IS NULL
+       |                     OR position_ourlads NOT IN ('LT','RT')
        |                   THEN pct_normed END), 4) AS pct_gc
        |  FROM kept GROUP BY team)
        |SELECT team, pct_t, pct_gc,

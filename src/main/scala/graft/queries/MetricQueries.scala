@@ -144,14 +144,14 @@ object MetricQueries {
     * aggregate pass per group, no driver-side fit. */
   private val a11bOls2Fit = Q(
     (s, d) => {
+      val aggs = ols2Aggs(col("x1"), col("x2"), col("y")) :+ count(lit(1)).as("n")
       Tables.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")).cast(IntegerType))
         .withColumn("x1", month(col("o_orderdate")).cast(DoubleType))
         .withColumn("x2", dayofmonth(col("o_orderdate")).cast(DoubleType))
         .withColumn("y", col("o_totalprice"))
         .groupBy("o_year")
-        .agg((ols2Aggs(col("x1"), col("x2"), col("y")) :+ count(lit(1)).as("n")).head,
-          (ols2Aggs(col("x1"), col("x2"), col("y")) :+ count(lit(1)).as("n")).tail: _*)
+        .agg(aggs.head, aggs.tail: _*)
         .orderBy("o_year")
     },
     """WITH m AS (

@@ -69,10 +69,15 @@ object Ingest {
         .replaceAll("^_+|_+$", "")
       if (b.isEmpty) "x" else if (b.head.isDigit) "x" + b else b
     }
-    val seen = scala.collection.mutable.Map.empty[String, Int]
+    // suffix repeats, then RE-CHECK: "Team, Team, Team 2" cleans to
+    // [team, team, team_2] and a naive counter would mint a second team_2
+    val taken = scala.collection.mutable.Set.empty[String]
     val unique = base.map { n =>
-      val k = seen.getOrElse(n, 0); seen(n) = k + 1
-      if (k == 0) n else s"${n}_${k + 1}"
+      val cand = Iterator.from(1)
+        .map(k => if (k == 1) n else s"${n}_$k")
+        .find(!taken.contains(_)).get
+      taken += cand
+      cand
     }
     df.toDF(unique.toIndexedSeq: _*)
   }

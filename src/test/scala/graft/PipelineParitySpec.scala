@@ -314,6 +314,29 @@ class PipelineParitySpec extends SparkSpec {
     // last row: left P3, right side exhausted → nulls (reference's blank pad)
     assert(out(3).getAs[String]("player_a") === "P3")
     assert(out(3).get(out(3).fieldIndex("player_b")) === null)
+    // a sort column outside `keep` must still order the sides (and not leak)
+    val slim = MarketPipelines.draftBoard(t, Seq(("score", true)), Seq("player"))
+      .orderBy("rank").collect()
+    assert(slim(0).getAs[String]("player_a") === "P0")
+    assert(!slim.head.schema.fieldNames.contains("score_a"))
+  }
+
+  test("draftCompare: a multi-line player must not double-count the espn cumsum") {
+    val dk = Seq( // TWO markets for QB A (4.5 and 5.5) — the join fans out
+      ("QB A", 4.5, 110, 0), ("QB A", 4.5, -130, 1),
+      ("QB A", 5.5, 120, 0), ("QB A", 5.5, -140, 1)
+    ).toDF("player", "pick", "odds", "under")
+    val espn = Seq(
+      ("QB A", "QB", 1.0, 0.05), ("QB A", "QB", 2.0, 0.15),
+      ("QB A", "QB", 3.0, 0.20), ("QB A", "QB", 4.0, 0.25),
+      ("QB A", "QB", 5.0, 0.10)
+    ).toDF("player", "pos", "espn_pick", "espn_prob")
+    val rows = MarketPipelines.draftCompare(dk, espn)
+      .orderBy("line").collect()
+    assert(rows.length === 2) // one row per line
+    // cumsum at pick 4 must be .65 (not doubled by the 2-line fan-out)
+    assert(rows(0).getAs[Double]("before_espn") === 65.0)
+    assert(rows(1).getAs[Double]("before_espn") === 75.0)
   }
 
   test("TeamNames.normalize maps every defunct franchise abbreviation") {

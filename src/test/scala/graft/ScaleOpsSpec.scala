@@ -8,8 +8,10 @@ class ScaleOpsSpec extends SparkSpec {
   import spark.implicits._
 
   test("saltedAgg matches the direct aggregation on a skewed key") {
-    // 10k rows on the hot key, a handful elsewhere — the skewed-groupBy shape
-    val skewed = spark.range(10000).select(lit("HOT").as("k"), col("id").cast("double").as("v"))
+    // 10k rows on the hot key (half of them IDENTICAL rows — the case where
+    // a row-content-only salt collapses), a handful elsewhere
+    val skewed = spark.range(10000)
+      .select(lit("HOT").as("k"), (col("id") % 5000).cast("double").as("v"))
       .union(Seq(("a", 5.0), ("b", 7.0), ("a", 1.0)).toDF("k", "v"))
     val direct = skewed.groupBy("k")
       .agg(sum("v").as("sum_v"), count(lit(1)).as("n"), max("v").as("max_v"))
@@ -33,6 +35,10 @@ class ScaleOpsSpec extends SparkSpec {
     assert(counts.values.sum === 2000) // every row assigned exactly one split
     assert(counts("train") > 1400 && counts("train") < 1800) // ~80%
     assert(counts("val") > 100 && counts("test") > 100)
+    // a null key gets a NULL split, never a silent bucket (test-set skew)
+    val nullSplit = Seq[Option[Long]](None).toDF("id")
+      .select(Sampling.splitAssign(col("id"))).collect().head
+    assert(nullSplit.isNullAt(0))
     // same assignment on re-evaluation (would fail for rand()-based splits)
     val twice = ids.select(col("id"), Sampling.splitAssign(col("id")).as("a"))
       .join(ids.select(col("id"), Sampling.splitAssign(col("id")).as("b")), "id")

@@ -119,6 +119,9 @@ class IngestSpec extends SparkSpec {
       "Pick No.", "Win %", "00-09", "Team", " team ")
     assert(Ingest.cleanNames(df).columns.toSeq ===
       Seq("pick_no", "win_percent", "x00_09", "team", "team_2"))
+    // the minted suffix must not collide with a later already-clean name
+    val clash = Ingest.cleanNames(Seq((1, 2, 3)).toDF("Team", "Team", "Team 2"))
+    assert(clash.columns.toSeq.distinct.size === 3, clash.columns.mkString(","))
   }
 
   test("parseNumber: currency/grouping/percent strings, junk → null") {
