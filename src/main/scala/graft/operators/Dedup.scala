@@ -103,6 +103,37 @@ object Dedup {
       .select(col(idCol), packed.cast(LongType).as("simhash"))
   }
 
+  /** SimHash near-dup pairs: band the 32-bit signature into `bands` equal
+    * slices, equi-join docs that agree on at least one band, verify with
+    * the exact Hamming distance. Pigeonhole gives EXACT recall for
+    * `maxHamming < bands` (k bit flips can't touch all bands), so with the
+    * defaults (4 bands, ≤3) this is the banded-LSH shape with a recall
+    * guarantee, not a probability curve. Pairs only materialize inside
+    * band buckets — never |docs|²; bucket width (32/bands bits) is the
+    * skew knob at scale, exactly like the MinHash band key. */
+  def simhashPairs(sigs: DataFrame, idCol: String, bands: Int = 4,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val banded = sigs.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until bands).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), j * width).bitwiseAND(lit(mask)).as("key"))): _*))
+        .as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    banded.as("a")
+      .join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct() // a close pair can collide on several bands
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(org.apache.spark.sql.types.IntegerType))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** Duplicate clustering: connected components over a candidate-pair
     * edge list by iterative min-label propagation — every node ends up
     * labeled with the smallest doc id in its component (the survivor).

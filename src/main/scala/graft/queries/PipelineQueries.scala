@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data-pipeline operators (the 100-TB extension layer
@@ -88,28 +89,48 @@ object PipelineQueries {
 
   /** 32-bit SimHash per document over the distinct-word-hash set: one
     * aggregation pass with 32 partial sums. */
-  private val x3Simhash = {
+  /** Spark-side simhash signature frame shared by x3/x3b. */
+  private def simhashSigs(s: SparkSession, d: String) = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), TextAnalysis.hash32(col("word")).as("hv"))
+      .distinct()
+    Dedup.simhash32(words, "doc_id")
+  }
+
+  /** DuckDB CTE chain ending in `sh(doc_id, simhash)` — the x3 oracle. */
+  private val simhashCtes: String = {
     val bitSums = (0 until 32).map(j =>
       s"SUM(CASE WHEN ((hv >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
       .mkString(",\n    ")
     val packed = (0 until 32).map(j =>
       s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    Q(
-      (s, d) => {
-        val words = Tables.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-          .select(col("doc_id"), TextAnalysis.hash32(col("word")).as("hv"))
-          .distinct()
-        Dedup.simhash32(words, "doc_id").orderBy("doc_id")
-      },
-      s"""WITH wd AS (SELECT DISTINCT doc_id, ${h32Sql("w")} AS hv
-         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
-         |bits AS (SELECT doc_id,
-         |    $bitSums
-         |  FROM wd GROUP BY 1)
-         |SELECT doc_id, CAST($packed AS BIGINT) AS simhash
-         |FROM bits ORDER BY doc_id""".stripMargin)
+    s"""wd AS (SELECT DISTINCT doc_id, ${h32Sql("w")} AS hv
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
+       |bits AS (SELECT doc_id,
+       |    $bitSums
+       |  FROM wd GROUP BY 1),
+       |sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits)""".stripMargin
   }
+
+  private val x3Simhash = Q(
+    (s, d) => simhashSigs(s, d).orderBy("doc_id"),
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin)
+
+  /** x3b: SimHash near-dup pairs — banded bucket join + Hamming verify.
+    * The oracle is the PLAIN all-pairs Hamming join: pigeonhole makes the
+    * banded plan's recall exact for hamming < bands, so matching the
+    * brute-force oracle proves the bucketing loses nothing. */
+  private val x3bSimhashPairs = Q(
+    (s, d) => Dedup.simhashPairs(simhashSigs(s, d), "doc_id")
+      .orderBy("doc_a", "doc_b"),
+    s"""WITH $simhashCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** True n-gram Jaccard over the language-blocked inverted index — the
     * verify stage after LSH. Ranked top-100 (pairs are distinct so the
@@ -627,6 +648,7 @@ object PipelineQueries {
     "z6_stratified_cap" -> z6StratifiedCap,
     "x2_minhash_lsh" -> x2MinhashLsh,
     "x3_simhash" -> x3Simhash,
+    "x3b_simhash_pairs" -> x3bSimhashPairs,
     "x4_ngram_jaccard" -> x4NgramJaccard,
     "x5_embed_neardup" -> x5EmbedNeardup,
     "x6_approx_distinct" -> x6ApproxDistinct,
