@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -122,16 +122,26 @@ object Dedup {
           shiftright(col("simhash"), j * width).bitwiseAND(lit(mask)).as("key"))): _*))
         .as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    // First-collision dedup instead of distinct(): a close pair collides
+    // on several bands, but both signatures ride on the joined row, so
+    // "this is the FIRST band where the keys agree" is a pure bit-op
+    // filter — each pair survives exactly once and the would-be distinct
+    // shuffle (≈ the full pair set, the dominant cost on a dup-dense
+    // corpus) disappears entirely.
+    def bandKey(sig: Column, i: Int) =
+      shiftright(sig, i * width).bitwiseAND(lit(mask))
+    val firstCollision = (0 until bands).map { i =>
+      // bands i >= the colliding one impose nothing; earlier must differ
+      (col("band") <= i) || (bandKey(col("a.simhash"), i) =!= bandKey(col("b.simhash"), i))
+    }.reduce(_ && _)
     banded.as("a")
       .join(banded.as("b"), Seq("band", "key"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
-      .distinct() // a close pair can collide on several bands
+      .filter(col("a.id") < col("b.id") && firstCollision)
       .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast(org.apache.spark.sql.types.IntegerType))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast(org.apache.spark.sql.types.IntegerType))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"), col("hamming"))
   }
 
   /** Duplicate clustering: connected components over a candidate-pair

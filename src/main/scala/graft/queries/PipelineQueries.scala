@@ -118,19 +118,39 @@ object PipelineQueries {
     s"""WITH $simhashCtes
        |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin)
 
-  /** x3b: SimHash near-dup pairs — banded bucket join + Hamming verify.
-    * The oracle is the PLAIN all-pairs Hamming join: pigeonhole makes the
-    * banded plan's recall exact for hamming < bands, so matching the
-    * brute-force oracle proves the bucketing loses nothing. */
+  /** x3b: SimHash near-dup pairs — banded bucket join + Hamming verify,
+    * summarized to a per-doc near-dup degree (the corpus's tiny vocab
+    * makes 32-bit SimHash pair-dense: ~1.5M raw pairs at sf0.1, so the
+    * declared output is the 1-row-per-doc profile, with the pair relation
+    * internal). The oracle is the PLAIN all-pairs Hamming join: pigeonhole
+    * makes the banded plan's recall exact for hamming < bands, so matching
+    * brute force proves the bucketing loses nothing. */
   private val x3bSimhashPairs = Q(
-    (s, d) => Dedup.simhashPairs(simhashSigs(s, d), "doc_id")
-      .orderBy("doc_a", "doc_b"),
-    s"""WITH $simhashCtes
-       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin)
+    (s, d) => {
+      val pairs = Dedup.simhashPairs(simhashSigs(s, d), "doc_id")
+      // symmetrize so the degree counts BOTH directions of each pair
+      pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("hamming"))
+        .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("hamming")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_neardups"),
+          min(col("partner")).as("min_partner"),
+          min(col("hamming")).as("min_hamming"))
+        .orderBy("doc_id")
+    },
+    s"""WITH $simhashCtes,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |sym AS (
+       |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs)
+       |SELECT doc_id, COUNT(*) AS n_neardups,
+       |  MIN(partner) AS min_partner,
+       |  CAST(MIN(hamming) AS INT) AS min_hamming
+       |FROM sym GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** True n-gram Jaccard over the language-blocked inverted index — the
     * verify stage after LSH. Ranked top-100 (pairs are distinct so the
