@@ -74,4 +74,26 @@ object TextAnalysis {
          |  transform($wsCol, w -> ${hash32Sql("w")}),
          |  CAST(0 AS BIGINT),
          |  (acc, h) -> (acc * 31 + h) % $mod)""".stripMargin)
+
+  /** Doc-term TF-IDF weights: tf = term count in doc, idf = ln(N/df) over
+    * the corpus. Two aggregation passes (term-in-doc, doc-frequency) plus
+    * a broadcast of the per-term df (vocab-sized — tiny next to the
+    * corpus) and the one-row N. Emits VALUES, not a per-doc ranking: the
+    * ln makes cross-term ordering transcendental, and with a small vocab
+    * rank ties would be engine- and run-unstable, while the weights
+    * themselves are stable at the output rounding. */
+  def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
+    val tf = w.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = w.groupBy(col("term"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        col("tf").cast(org.apache.spark.sql.types.IntegerType).as("tf"),
+        col("df").cast(org.apache.spark.sql.types.IntegerType).as("df"),
+        (col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))
+  }
 }

@@ -610,6 +610,25 @@ object PipelineQueries {
       |      FROM documents) t
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** z7: doc-term TF-IDF weights. tf/df are exact ints; the weight is
+    * tf·ln(N/df) where N/df is one correctly-rounded division — the ln's
+    * last-ulp wobble is absorbed by the 4 dp output rounding. Ordered by
+    * (doc_id, term): value-level output, no transcendental-ranked rows. */
+  private val z7Tfidf = Q(
+    (s, d) => TextAnalysis.tfIdf(Tables.documents(s, d), "doc_id", "text")
+      .withColumn("tfidf", graft.functions.RSemantics.stat4(col("tfidf")))
+      .orderBy("doc_id", "term"),
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents)
+      |SELECT doc_id, tf.term AS term, CAST(tf AS INT) AS tf,
+      |  CAST(df AS INT) AS df,
+      |  ROUND(CAST(tf * LN(CAST(n AS DOUBLE) / df) AS DOUBLE), 4) AS tfidf
+      |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      |ORDER BY doc_id, term""".stripMargin)
+
   /** x9: the operators composed as a real curation pass — exact dedup
     * (keep-first survivors) → token counting → deterministic split →
     * per-(split, lang) corpus stats. One dedup shuffle + one id semi-join
@@ -669,6 +688,7 @@ object PipelineQueries {
     "x2_minhash_lsh" -> x2MinhashLsh,
     "x3_simhash" -> x3Simhash,
     "x3b_simhash_pairs" -> x3bSimhashPairs,
+    "z7_tfidf" -> z7Tfidf,
     "x4_ngram_jaccard" -> x4NgramJaccard,
     "x5_embed_neardup" -> x5EmbedNeardup,
     "x6_approx_distinct" -> x6ApproxDistinct,
