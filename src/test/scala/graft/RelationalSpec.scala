@@ -62,6 +62,28 @@ class RelationalSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("simhashPairs banded recall is exact for hamming < bands (vs brute force)") {
+    import graft.operators.Dedup
+    // seeded signatures plus planted near-dups (1-3 bit flips) — the banded
+    // bucket join must find EXACTLY the brute-force hamming<=3 pair set
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(60)(i => (i.toLong, rnd.nextInt().toLong & 0xFFFFFFFFL))
+    val planted = base.take(20).map { case (id, sig) =>
+      val flips = 1 + rnd.nextInt(3)
+      val flipped = (1 to flips).foldLeft(sig)((s, _) => s ^ (1L << rnd.nextInt(32)))
+      (id + 1000, flipped)
+    }
+    val all = base ++ planted
+    val sigs = all.toDF("doc_id", "simhash")
+    val got = Dedup.simhashPairs(sigs, "doc_id")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (ia, sa) <- all; (ib, sb) <- all
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    assert(got === brute)
+  }
+
   test("unionPad null-fills columns missing on either side (bind_rows semantics)") {
     val a = Seq((1, "x")).toDF("id", "only_a")
     val b = Seq((2, 9.5)).toDF("id", "only_b")
