@@ -189,6 +189,60 @@ object Dedup {
     labels.select(col("node").as(idCol), col("cluster").as("cluster_id"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (the documented swap for min-label propagation beyond
+    * ~10⁹ edges, here wired and gate-tested, not just cited). Each
+    * iteration hooks every node to the minimum of its neighborhood:
+    * large-star re-points strictly-larger neighbors at the min,
+    * small-star re-points smaller-or-equal ones; alternating the two
+    * converges to a forest of stars in O(log² n) rounds versus the graph
+    * DIAMETER for label propagation — the difference between ~20 and ~60
+    * shuffle rounds on a chain-shaped component. Same fixpoint: every
+    * node labeled with its component's minimum id. */
+  def connectedComponentsStar(pairs: DataFrame, nodes: DataFrame, idCol: String,
+                              maxIters: Int = 30): DataFrame = {
+    def canon(e: DataFrame) = e.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    def sym(e: DataFrame) = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    def minOf(s: DataFrame) = s.groupBy("u")
+      .agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    def largeStar(e: DataFrame) = {
+      val s = sym(e)
+      canon(s.join(minOf(s), "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+    }
+    def smallStar(e: DataFrame) = {
+      val s = sym(e)
+      val m = minOf(s)
+      canon(s.join(m, "u").filter(col("v") < col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(m.select(col("u").as("a"), col("m").as("b"))))
+    }
+    var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .localCheckpoint(true)
+    var stable = edges.isEmpty
+    var i = 0
+    while (!stable && i < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // canon() dedupes, so count-equal + empty one-sided anti-join ⇔ equal sets
+      stable = next.count() == edges.count() &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      edges.unpersist()
+      edges = next
+      i += 1
+    }
+    // at the fixpoint the edges form stars rooted at each component min
+    val labels = edges.select(col("b").as("node"), col("a").as("cluster"))
+      .union(edges.select(col("a").as("node"), col("a").as("cluster")))
+      .groupBy("node").agg(min("cluster").as("cluster"))
+    nodes.select(col(idCol))
+      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster_id"))
+  }
+
   /** True n-gram Jaccard for candidate pairs via inverted-index self-join —
     * the verify stage after LSH, or (blocked by a cheap key like language)
     * a standalone near-dup pass. `shingled` columns: (idCol, blockCol, "sh"),

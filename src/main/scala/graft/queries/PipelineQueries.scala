@@ -208,36 +208,50 @@ object PipelineQueries {
   /** The dedup pipeline's final stage: LSH candidate pairs → connected
     * components → one cluster id (= survivor doc id) per document. The
     * oracle replays the same reachability as a recursive CTE. */
-  private val x8DupClusters = {
+  /** Recursive-CTE components oracle shared by x8 (min-label propagation)
+    * and x8b (star contraction) — both must land on the same fixpoint. */
+  private val componentsOracle: String = {
     val bands = (0 until 8).map(i =>
       s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $minhashCtes,
+       |bands AS ($bands),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(comp.cid, d.doc_id) AS cluster_id,
+       |  COALESCE(comp.cid, d.doc_id) = d.doc_id AS is_survivor
+       |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  private def clusterQuery(cc: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
     Q(
-      (s, d) => {
+      (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
         val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8)
-        Dedup.connectedComponents(pairs, docs, "doc_id")
+        cc(pairs, docs)
           .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
           .orderBy("doc_id")
       },
-      s"""WITH RECURSIVE $minhashCtes,
-         |bands AS ($bands),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(node, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
-         |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1)
-         |SELECT d.doc_id,
-         |  COALESCE(comp.cid, d.doc_id) AS cluster_id,
-         |  COALESCE(comp.cid, d.doc_id) = d.doc_id AS is_survivor
-         |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
-         |ORDER BY d.doc_id""".stripMargin)
-  }
+      componentsOracle)
+
+  private val x8DupClusters =
+    clusterQuery(Dedup.connectedComponents(_, _, "doc_id"))
+
+  /** x8b: the same clustering via alternating star contraction — the
+    * O(log² n)-round form that replaces label propagation when component
+    * diameter (not just edge count) grows. Oracle-identical to x8. */
+  private val x8bDupClustersStar =
+    clusterQuery(Dedup.connectedComponentsStar(_, _, "doc_id"))
 
   /** Approximate distinct counting — the 100-TB form of dedup statistics
     * (an exact COUNT(DISTINCT) shuffles every distinct value; the HLL
@@ -694,6 +708,7 @@ object PipelineQueries {
     "x6_approx_distinct" -> x6ApproxDistinct,
     "x7_lsh_banded" -> x7LshBanded,
     "x8_dup_clusters" -> x8DupClusters,
+    "x8b_dup_clusters_star" -> x8bDupClustersStar,
     "y1_knn_brute" -> y1KnnBrute,
     "y2_knn_bucketed" -> y2KnnBucketed,
     "y3_knn_ivf" -> y3KnnIvf,

@@ -84,6 +84,24 @@ class RelationalSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("star-contraction components equal min-label propagation on random graphs") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(11)
+    // random sparse graph + a long CHAIN (the diameter case star
+    // contraction exists for) + isolated nodes
+    val n = 120
+    val chain = (60 until 80).sliding(2).map(w => (w(0).toLong, w(1).toLong)).toSeq
+    val random = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = (chain ++ random).toDF("doc_a", "doc_b")
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val byLabel = Dedup.connectedComponents(pairs, nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    val byStar = Dedup.connectedComponentsStar(pairs, nodes, "id")
+      .as[(Long, Long)].collect().toMap
+    assert(byStar === byLabel)
+  }
+
   test("unionPad null-fills columns missing on either side (bind_rows semantics)") {
     val a = Seq((1, "x")).toDF("id", "only_a")
     val b = Seq((2, 9.5)).toDF("id", "only_b")
