@@ -227,9 +227,13 @@ object Dedup {
     var i = 0
     while (!stable && i < maxIters) {
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // probe every other round (x8's trick): an extra contraction round
+      // past the fixpoint is a no-op and cheaper than the probe's actions.
       // canon() dedupes, so count-equal + empty one-sided anti-join ⇔ equal sets
-      stable = next.count() == edges.count() &&
-        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      if (i % 2 == 1 || i == maxIters - 1) {
+        stable = next.count() == edges.count() &&
+          next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+      }
       edges.unpersist()
       edges = next
       i += 1
