@@ -226,7 +226,13 @@ object Dedup {
     var stable = edges.isEmpty
     var i = 0
     while (!stable && i < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // materialize the large-star result: smallStar references its input
+      // six times (two sym copies, the min aggregate, the union), so an
+      // unmaterialized intermediate would re-execute the large-star
+      // join/aggregate subtree several times per round
+      val ls = largeStar(edges).localCheckpoint(true)
+      val next = smallStar(ls).localCheckpoint(true)
+      ls.unpersist()
       // probe every other round (x8's trick): an extra contraction round
       // past the fixpoint is a no-op and cheaper than the probe's actions.
       // canon() dedupes, so count-equal + empty one-sided anti-join ⇔ equal sets

@@ -76,18 +76,20 @@ object TextAnalysis {
          |  (acc, h) -> (acc * 31 + h) % $mod)""".stripMargin)
 
   /** Doc-term TF-IDF weights: tf = term count in doc, idf = ln(N/df) over
-    * the corpus. Two aggregation passes (term-in-doc, doc-frequency) plus
-    * a broadcast of the per-term df (vocab-sized — tiny next to the
-    * corpus) and the one-row N. Emits VALUES, not a per-doc ranking: the
-    * ln makes cross-term ordering transcendental, and with a small vocab
-    * rank ties would be engine- and run-unstable, while the weights
-    * themselves are stable at the output rounding. */
+    * the corpus. ONE pass over the exploded corpus (the tf aggregate);
+    * df falls out of tf for free — tf has exactly one row per (doc, term),
+    * so counting tf rows per term IS the distinct-doc frequency, a
+    * vocab-sized aggregate instead of a second corpus-wide dedup shuffle.
+    * df (vocab-sized) and the one-row N broadcast into the join. Emits
+    * VALUES, not a per-doc ranking: the ln makes cross-term ordering
+    * transcendental, and with a small vocab rank ties would be engine- and
+    * run-unstable, while the weights themselves are stable at the output
+    * rounding. */
   def tfIdf(docs: org.apache.spark.sql.DataFrame, idCol: String,
             textCol: String): org.apache.spark.sql.DataFrame = {
     val w = docs.select(col(idCol), explode(words(col(textCol))).as("term"))
     val tf = w.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val df = w.groupBy(col("term"))
-      .agg(countDistinct(col(idCol)).as("df"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(broadcast(df), Seq("term"))
       .crossJoin(broadcast(n))

@@ -87,9 +87,9 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
-  /** 32-bit SimHash per document over the distinct-word-hash set: one
-    * aggregation pass with 32 partial sums. */
-  /** Spark-side simhash signature frame shared by x3/x3b. */
+  /** Spark-side simhash signature frame shared by x3/x3b: 32-bit SimHash
+    * per document over the distinct-word-hash set — one aggregation pass
+    * with 32 partial sums. */
   private def simhashSigs(s: SparkSession, d: String) = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -128,9 +128,14 @@ object PipelineQueries {
   private val x3bSimhashPairs = Q(
     (s, d) => {
       val pairs = Dedup.simhashPairs(simhashSigs(s, d), "doc_id")
-      // symmetrize so the degree counts BOTH directions of each pair
-      pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("hamming"))
-        .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("hamming")))
+      // symmetrize by EXPLODING each pair into both directions — a union
+      // of two selects over `pairs` would plan (and execute) the whole
+      // banded self-join twice
+      pairs.select(explode(array(
+          struct(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("hamming")),
+          struct(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("hamming"))))
+          .as("e"))
+        .select(col("e.doc_id"), col("e.partner"), col("e.hamming").as("hamming"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_neardups"),
           min(col("partner")).as("min_partner"),
@@ -205,11 +210,10 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
-  /** The dedup pipeline's final stage: LSH candidate pairs → connected
-    * components → one cluster id (= survivor doc id) per document. The
-    * oracle replays the same reachability as a recursive CTE. */
-  /** Recursive-CTE components oracle shared by x8 (min-label propagation)
-    * and x8b (star contraction) — both must land on the same fixpoint. */
+  /** Recursive-CTE reachability oracle for the dedup pipeline's final
+    * stage (LSH candidate pairs → connected components → one cluster id =
+    * survivor per document), shared by x8 (min-label propagation) and x8b
+    * (star contraction) — both must land on the same fixpoint. */
   private val componentsOracle: String = {
     val bands = (0 until 8).map(i =>
       s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
