@@ -39,6 +39,14 @@ object Sampling {
   def sampleByHash(df: DataFrame, key: Column, permille: Int): DataFrame =
     df.filter(hashBucket(key, 1000) < permille)
 
+  /** Mixture sampling: keep each row with a per-row rate (per-mille),
+    * deterministically — the source-reweighting curation op ("80% of
+    * src A, 10% of src B" corpus recipes). `ratePermille` is any column
+    * expression (typically a when-ladder over the source column), so the
+    * recipe stays a pure codegen'd predicate at the scan. */
+  def mixtureSample(df: DataFrame, key: Column, ratePermille: Column): DataFrame =
+    df.filter(hashBucket(key, 1000) < ratePermille)
+
   /** Stratified cap: keep at most `n` rows per group, chosen by md5 order
     * of the key — a deterministic "random" subset per stratum (the
     * cap-documents-per-domain curation op). One shuffle on the group key;

@@ -75,6 +75,38 @@ object TextAnalysis {
          |  CAST(0 AS BIGINT),
          |  (acc, h) -> (acc * 31 + h) % $mod)""".stripMargin)
 
+  /** Fixed-size word chunking — the sequence-preparation op: each doc
+    * splits into ⌈n/k⌉ chunks of k words (last one ragged). One explode
+    * over a computed `sequence`, no shuffle at all: chunking is a pure
+    * map-side row expansion, so it composes with any downstream
+    * partitioning. Chunk ids are 0-based and deterministic. */
+  def chunkWords(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val ws = docs.select(col(idCol), words(col(textCol)).as("ws"))
+    ws.select(col(idCol), col("ws"),
+        explode(sequence(lit(0), expr(s"(size(ws) - 1) div $k"))).as("chunk_id"))
+      .withColumn("chunk_ws", slice(col("ws"), col("chunk_id") * k + 1, lit(k)))
+      .select(col(idCol), col("chunk_id").cast(org.apache.spark.sql.types.IntegerType).as("chunk_id"),
+        size(col("chunk_ws")).as("n_tokens"),
+        array_join(col("chunk_ws"), " ").as("chunk_text"))
+  }
+
+  /** Gopher-style repetition signal: the fraction of a doc's 3-grams that
+    * are repeats (1 − distinct/total). Pure expressions over the word
+    * array; the ratio is a raw IEEE division of exact ints — engine-stable
+    * with no rounding. Docs under 3 words have no 3-grams and are
+    * excluded. */
+  def repetitionRatio(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sh", shinglesExpr("ws", 3))
+      .select(col(idCol),
+        size(col("sh")).as("n_3grams"),
+        size(array_distinct(col("sh"))).as("n_distinct"),
+        ((size(col("sh")) - size(array_distinct(col("sh")))) / size(col("sh")))
+          .as("dup_ratio"))
+
   /** Doc-term TF-IDF weights: tf = term count in doc, idf = ln(N/df) over
     * the corpus. ONE pass over the exploded corpus (the tf aggregate);
     * df falls out of tf for free — tf has exactly one row per (doc, term),

@@ -647,6 +647,57 @@ object PipelineQueries {
       |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
       |ORDER BY doc_id, term""".stripMargin)
 
+  /** z8: fixed-size word chunking — sequence preparation. Map-side only
+    * (no shuffle); the oracle replays the slice arithmetic with DuckDB's
+    * 1-based inclusive list_slice. */
+  private val z8Chunking = Q(
+    (s, d) => TextAnalysis.chunkWords(Tables.documents(s, d), "doc_id", "text", 40)
+      .orderBy("doc_id", "chunk_id"),
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |ch AS (SELECT doc_id, l,
+      |         unnest(generate_series(0, (len(l) - 1) // 40)) AS chunk_id
+      |       FROM ws)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |  CAST(len(list_slice(l, chunk_id * 40 + 1, chunk_id * 40 + 40)) AS INT) AS n_tokens,
+      |  array_to_string(list_slice(l, chunk_id * 40 + 1, chunk_id * 40 + 40), ' ') AS chunk_text
+      |FROM ch ORDER BY doc_id, chunk_id""".stripMargin)
+
+  /** z9: deterministic mixture sampling — per-source keep rates (the
+    * corpus-recipe op), a pure md5-bucket predicate at the scan. Rates:
+    * src0 90%, src1 50%, src2 25%, everything else 10%. */
+  private val z9MixtureSample = Q(
+    (s, d) => {
+      val rate = when(col("source") === "src0", 900)
+        .when(col("source") === "src1", 500)
+        .when(col("source") === "src2", 250)
+        .otherwise(100)
+      Sampling.mixtureSample(Tables.documents(s, d), col("doc_id"), rate)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_kept_id"))
+        .orderBy("source")
+    },
+    """SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS min_kept_id
+      |FROM (SELECT source, doc_id,
+      |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS b
+      |      FROM documents) t
+      |WHERE b < CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500
+      |                      WHEN 'src2' THEN 250 ELSE 100 END
+      |GROUP BY source ORDER BY source""".stripMargin)
+
+  /** z10: Gopher-style 3-gram repetition ratio — quality filtering's
+    * repetition signal. The ratio is a raw IEEE division of exact ints. */
+  private val z10Repetition = Q(
+    (s, d) => TextAnalysis.repetitionRatio(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM ws),
+      |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM pos)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS INT) AS n_3grams,
+      |  CAST(COUNT(DISTINCT s) AS INT) AS n_distinct,
+      |  CAST(COUNT(*) - COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS dup_ratio
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   /** x9: the operators composed as a real curation pass — exact dedup
     * (keep-first survivors) → token counting → deterministic split →
     * per-(split, lang) corpus stats. One dedup shuffle + one id semi-join
@@ -707,6 +758,9 @@ object PipelineQueries {
     "x3_simhash" -> x3Simhash,
     "x3b_simhash_pairs" -> x3bSimhashPairs,
     "z7_tfidf" -> z7Tfidf,
+    "z8_chunking" -> z8Chunking,
+    "z9_mixture_sample" -> z9MixtureSample,
+    "z10_repetition" -> z10Repetition,
     "x4_ngram_jaccard" -> x4NgramJaccard,
     "x5_embed_neardup" -> x5EmbedNeardup,
     "x6_approx_distinct" -> x6ApproxDistinct,
