@@ -153,6 +153,54 @@ object Relational {
   def unionPad(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** As-of join — for each left row, the LATEST right row with
+    * right.time <= left.time on the same key. Spark has no native
+    * operator; the engine form COMPOSES existing ones (no custom
+    * SparkPlan needed): tag the sides, union by name, carry the right
+    * payload forward with one `last(_, ignoreNulls)` window ordered by
+    * (time, side), keep the left rows. ONE shuffle on the key, state per
+    * key is O(payload) — no per-row range probe, no join explosion,
+    * whatever the time skew. A right row at exactly left.time matches
+    * (right sorts before left on the side tag).
+    *
+    * `rightPayload` must be disjoint from the left columns, and the right
+    * side must be unique per (key, time) — pre-aggregate ties (e.g.
+    * `groupBy(key, time).agg(max(...))`) or the carried value is
+    * order-dependent. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               rightPayload: Seq[String]): DataFrame = {
+    require(rightPayload.intersect(left.columns.toSeq).isEmpty,
+      s"right payload ${rightPayload.mkString(",")} collides with left columns")
+    val l = left.withColumn("__side", lit(1))
+    val r = right.select((Seq(key, time) ++ rightPayload).map(col): _*)
+      .withColumn("__side", lit(0))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(time).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(unionPad(Seq(l, r))) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Gap sessionization: a new session starts where the gap to the
+    * previous event on the same key exceeds `gapMicros`. Session ids are
+    * a running count of session starts — two window passes over ONE
+    * (key, time) sort, O(1) state per key. `tiebreak` pins the order of
+    * equal timestamps (without it the lag, and so the session cut, would
+    * be nondeterministic). */
+  def sessionize(df: DataFrame, key: Column, time: Column, tiebreak: Column,
+                 gapMicros: Long): DataFrame = {
+    val order = Window.partitionBy(key).orderBy(time.asc, tiebreak.asc)
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(unix_micros(time), 1).over(order))
+      .withColumn("__new",
+        when(col("__prev").isNull || unix_micros(time) - col("__prev") > gapMicros, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(running))
+      .drop("__prev", "__new")
+  }
+
   /** One mergeable aggregate for [[Relational.saltedAgg]]: `partial` runs
     * per (key, salt); `merge` combines the partials per key (sum merges by
     * sum, count merges by SUM, min by min, ...). */

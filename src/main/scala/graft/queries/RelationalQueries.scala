@@ -459,6 +459,32 @@ object RelationalQueries {
       |  FROM (SELECT s_name, s_acctbal FROM supplier ORDER BY s_acctbal DESC, s_suppkey ASC LIMIT 6))
       |SELECT rank, c_name, s_name FROM tc FULL OUTER JOIN ts USING (rank) ORDER BY rank""".stripMargin)
 
+  /** J7: as-of join — each purchase matched to the user's latest preceding
+    * view. The engine composes it from a union + carry-forward window (one
+    * shuffle, no range explosion); the oracle is DuckDB's NATIVE ASOF
+    * JOIN, so the compositional form is checked against a first-class
+    * implementation of the semantics. The right side dedupes equal
+    * timestamps first (max event id) — both engines' as-of would otherwise
+    * pick among ties arbitrarily. */
+  private val j7AsofJoin = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      asOfJoin(purchases, views, "user_id", "ts", Seq("view_id"))
+        .select("event_id", "user_id", "view_id")
+        .orderBy("event_id")
+    },
+    """WITH v AS (
+      |  SELECT user_id, ts, MAX(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, v.view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin)
+
   /** U1: union-by-name with null-filled missing columns (`bind_rows`,
     * `/root/reference/R/preseason_predictiveness.R:48-49`). */
   private val u1UnionPad = Q(
@@ -662,6 +688,7 @@ object RelationalQueries {
     "j5_semi_join" -> j5SemiJoin,
     "j6_bind_cols" -> j6BindCols,
     "j6b_bind_cols_pad" -> j6bBindColsPad,
+    "j7_asof_join" -> j7AsofJoin,
     "u1_union_pad" -> u1UnionPad,
     "o1_topk" -> o1TopK,
     "o2_recent_tail" -> o2RecentTail,

@@ -91,6 +91,35 @@ object WindowQueries {
       |  FROM events) x
       |WHERE over = 0 ORDER BY user_id, event_id""".stripMargin)
 
+  /** W8: gap sessionization — a new session wherever a user pauses more
+    * than 30 minutes; per-session event count and id span. Two window
+    * passes over ONE (user, ts) sort (`Relational.sessionize`); event_id
+    * pins the order of equal timestamps. */
+  private val w8GapSessions = Q(
+    (s, d) => {
+      sessionize(Tables.events(s, d), col("user_id"), col("ts"),
+          col("event_id"), gapMicros = 30L * 60 * 1000000)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy("user_id", "session_id")
+    },
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_id,
+      |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM g)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+      |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** W3: top-1 per group with explicit deterministic tiebreakers
     * (`arrange %>% slice(1)` `/root/reference/R/nfc_west_starting_qbs.R:25-27`):
     * each customer's latest order. */
@@ -237,6 +266,7 @@ object WindowQueries {
     "w1_lag_yoy" -> w1LagYoy,
     "w2_running_sum" -> w2RunningSum,
     "w2_session_cut" -> w2SessionCut,
+    "w8_gap_sessions" -> w8GapSessions,
     "w3_top1_per_group" -> w3Top1PerGroup,
     "w4_rank_index" -> w4RankIndex,
     "w5_percent_rank_norm" -> w5PercentRankNorm,

@@ -102,6 +102,32 @@ class RelationalSpec extends SparkSpec {
     assert(byStar === byLabel)
   }
 
+  test("asOfJoin matches the latest right row at-or-before each left time") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 30L, "r30"))
+      .toDF("k", "t", "pay")
+    val got = Relational.asOfJoin(left, right, "k", "t", Seq("pay"))
+      .select("tag", "pay").as[(String, String)].collect().toMap
+    assert(got("p1") === "r10") // tie: right at exactly left.t matches
+    assert(got("p2") === "r15") // latest at-or-before, not the later r30
+    assert(got("p3") === null)  // key with no right rows → null payload
+  }
+
+  test("sessionize cuts sessions at the gap threshold, inclusive boundary") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val ev = Seq((1L, ts(0), 1L), (1L, ts(30), 2L), // 30 min = NOT > gap
+      (1L, ts(1 * 60 + 1), 3L), // 31 min after → new session
+      (2L, ts(5), 4L)).toDF("user_id", "ts", "event_id")
+    val got = Relational.sessionize(ev, col("user_id"), col("ts"),
+        col("event_id"), gapMicros = 30L * 60 * 1000000)
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(got(1L) === 1 && got(2L) === 1) // exactly-at-gap stays in session
+    assert(got(3L) === 2)
+    assert(got(4L) === 1) // each key starts at session 1
+  }
+
   test("unionPad null-fills columns missing on either side (bind_rows semantics)") {
     val a = Seq((1, "x")).toDF("id", "only_a")
     val b = Seq((2, 9.5)).toDF("id", "only_b")
