@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Reusable relational operators distilled from the reference workload
   * (SURVEY.md §2). Each is a thin, composable DataFrame→DataFrame function
@@ -181,6 +181,27 @@ object Relational {
       df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Range join — match points to the intervals containing them WITHOUT
+    * the cartesian a naive inequality join plans: intervals explode into
+    * the fixed-width buckets they span (≤ len/width + 1 rows each), points
+    * carry their single bucket, and the bucket equi-join bounds candidate
+    * pairs by points-per-bucket × intervals-per-bucket before the exact
+    * `s <= t < e` containment filter. Bucket width is the skew knob: set
+    * it near the typical interval length so each interval explodes into a
+    * handful of buckets and each point meets only overlapping intervals. */
+  def rangeJoin(points: DataFrame, tCol: String, intervals: DataFrame,
+                sCol: String, eCol: String, bucketWidth: Long): DataFrame = {
+    require(points.columns.intersect(intervals.columns).isEmpty,
+      "points and intervals must have disjoint column names")
+    def bucket(c: Column) = floor(c / lit(bucketWidth.toDouble)).cast(LongType)
+    val p = points.withColumn("__bucket", bucket(col(tCol)))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(bucket(col(sCol)), bucket(col(eCol)))))
+    p.join(iv, Seq("__bucket"))
+      .filter(col(tCol) >= col(sCol) && col(tCol) < col(eCol))
+      .drop("__bucket")
   }
 
   /** Gap sessionization: a new session starts where the gap to the

@@ -485,6 +485,35 @@ object RelationalQueries {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin)
 
+  /** J8: range join (engine extension) — events counted into overlapping
+    * 20-hour maintenance windows via the bucketed interval join (6-hour
+    * buckets: each interval explodes into ≤5 bucket rows, no cartesian).
+    * All time arithmetic in exact epoch-micros longs; the oracle is the
+    * plain inequality join (DuckDB plans it as an IEJoin), so the bucketed
+    * plan is checked against the direct semantics. */
+  private val j8RangeJoin = Q(
+    (s, d) => {
+      val pts = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("t"))
+      val base = 1704067200000000L // 2024-01-01 00:00:00 UTC
+      val ivs = Tables.supplier(s, d).filter(col("s_suppkey") <= 50)
+        .select(col("s_suppkey").as("window_id"),
+          (lit(base) + col("s_suppkey") * lit(14L * 3600 * 1000000)).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(20L * 3600 * 1000000))
+      rangeJoin(pts, "t", ivs, "w_start", "w_end", bucketWidth = 6L * 3600 * 1000000)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+        .orderBy("window_id")
+    },
+    """WITH p AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+      |iv AS (SELECT s_suppkey AS window_id,
+      |         1704067200000000 + s_suppkey * 50400000000 AS w_start,
+      |         1704067200000000 + s_suppkey * 50400000000 + 72000000000 AS w_end
+      |       FROM supplier WHERE s_suppkey <= 50)
+      |SELECT window_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
+      |FROM iv JOIN p ON p.t >= iv.w_start AND p.t < iv.w_end
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** U1: union-by-name with null-filled missing columns (`bind_rows`,
     * `/root/reference/R/preseason_predictiveness.R:48-49`). */
   private val u1UnionPad = Q(
@@ -689,6 +718,7 @@ object RelationalQueries {
     "j6_bind_cols" -> j6BindCols,
     "j6b_bind_cols_pad" -> j6bBindColsPad,
     "j7_asof_join" -> j7AsofJoin,
+    "j8_range_join" -> j8RangeJoin,
     "u1_union_pad" -> u1UnionPad,
     "o1_topk" -> o1TopK,
     "o2_recent_tail" -> o2RecentTail,

@@ -69,6 +69,12 @@ class PlanAuditSpec extends SparkSpec {
       "metric stacking left the plan")
   }
 
+  test("j8: the range join is a bucket equi-join, not a cartesian/BNLJ") {
+    val plan = formatted("j8_range_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "interval containment must go through the bucket equi-join")
+  }
+
   test("no query output schema contains a DECIMAL column") {
     // The driver's compare reads Spark parquet decimals scale-preserving
     // ("1.50") but DuckDB oracle decimals as doubles ("1.5"): any DECIMAL

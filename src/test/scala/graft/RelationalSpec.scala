@@ -128,6 +128,24 @@ class RelationalSpec extends SparkSpec {
     assert(got(4L) === 1) // each key starts at session 1
   }
 
+  test("rangeJoin equals the brute-force containment join on random intervals") {
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.tabulate(300)(i => (i.toLong, rnd.nextInt(10000).toLong)).toDF("pid", "t")
+    val ivsRaw = Seq.tabulate(40) { i =>
+      val s = rnd.nextInt(9500).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(900)) // widths 1..900, bucket 512
+    }
+    val ivs = ivsRaw.toDF("iid", "s", "e")
+    val got = Relational.rangeJoin(pts, "t", ivs, "s", "e", bucketWidth = 512L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val pdata = pts.as[(Long, Long)].collect()
+    val brute = (for {
+      (pid, t) <- pdata; (iid, s, e) <- ivsRaw
+      if t >= s && t < e
+    } yield (pid, iid)).toSet
+    assert(got === brute)
+  }
+
   test("unionPad null-fills columns missing on either side (bind_rows semantics)") {
     val a = Seq((1, "x")).toDF("id", "only_a")
     val b = Seq((2, 9.5)).toDF("id", "only_b")
