@@ -166,7 +166,10 @@ object Relational {
     * `rightPayload` must be disjoint from the left columns, and the right
     * side must be unique per (key, time) — pre-aggregate ties (e.g.
     * `groupBy(key, time).agg(max(...))`) or the carried value is
-    * order-dependent. */
+    * order-dependent. The payload travels as ONE struct, so a matched row
+    * whose payload values are legitimately NULL yields those NULLs (not a
+    * stale older value), and multiple payload columns always come from the
+    * SAME right row — per-column `last(ignoreNulls)` would do neither. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, time: String,
                rightPayload: Seq[String]): DataFrame = {
     require(rightPayload.intersect(left.columns.toSeq).isEmpty,
@@ -177,10 +180,13 @@ object Relational {
     val w = Window.partitionBy(col(key))
       .orderBy(col(time).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(unionPad(Seq(l, r))) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__side")
+    val packed = unionPad(Seq(l, r)).withColumn("__pay",
+      when(col("__side") === 0, struct(rightPayload.map(col): _*)))
+    packed
+      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightPayload.map(c => col(s"__pay.$c").as(c)): _*)
   }
 
   /** Range join — match points to the intervals containing them WITHOUT
@@ -195,6 +201,9 @@ object Relational {
                 sCol: String, eCol: String, bucketWidth: Long): DataFrame = {
     require(points.columns.intersect(intervals.columns).isEmpty,
       "points and intervals must have disjoint column names")
+    // width 0 would put every row in one bucket — the cartesian this
+    // operator exists to avoid, hidden inside a nominal hash join
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     def bucket(c: Column) = floor(c / lit(bucketWidth.toDouble)).cast(LongType)
     val p = points.withColumn("__bucket", bucket(col(tCol)))
     val iv = intervals.withColumn("__bucket",

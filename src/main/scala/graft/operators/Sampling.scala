@@ -33,11 +33,11 @@ object Sampling {
       .when(b.isNotNull, lit("test"))
   }
 
-  /** Deterministic per-mille downsample: keep rows whose bucket is under
-    * `permille`. A 1000-bucket space keeps sub-percent rates expressible;
-    * the filter is a scan-level predicate, not a separate pass. */
+  /** Deterministic per-mille downsample — the constant-rate special case
+    * of [[mixtureSample]]. A 1000-bucket space keeps sub-percent rates
+    * expressible; the filter is a scan-level predicate, not a pass. */
   def sampleByHash(df: DataFrame, key: Column, permille: Int): DataFrame =
-    df.filter(hashBucket(key, 1000) < permille)
+    mixtureSample(df, key, lit(permille))
 
   /** Mixture sampling: keep each row with a per-row rate (per-mille),
     * deterministically — the source-reweighting curation op ("80% of

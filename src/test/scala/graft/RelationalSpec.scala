@@ -112,13 +112,22 @@ class RelationalSpec extends SparkSpec {
     assert(got("p1") === "r10") // tie: right at exactly left.t matches
     assert(got("p2") === "r15") // latest at-or-before, not the later r30
     assert(got("p3") === null)  // key with no right rows → null payload
+    // a matched row whose payload IS null must yield null (DuckDB ASOF
+    // semantics), not carry a stale older non-null value forward
+    val rightNull = Seq((1L, 10L, Some("a")), (1L, 20L, None))
+      .toDF("k", "t", "pay")
+    val gotNull = Relational.asOfJoin(
+        Seq((1L, 25L, "px")).toDF("k", "t", "tag"), rightNull, "k", "t", Seq("pay"))
+      .select("pay").as[Option[String]].head()
+    assert(gotNull === None)
   }
 
   test("sessionize cuts sessions at the gap threshold, inclusive boundary") {
     import java.sql.Timestamp
-    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def ts(min: Int) = new Timestamp(base + min * 60000L)
     val ev = Seq((1L, ts(0), 1L), (1L, ts(30), 2L), // 30 min = NOT > gap
-      (1L, ts(1 * 60 + 1), 3L), // 31 min after → new session
+      (1L, ts(61), 3L), // 31 min after → new session
       (2L, ts(5), 4L)).toDF("user_id", "ts", "event_id")
     val got = Relational.sessionize(ev, col("user_id"), col("ts"),
         col("event_id"), gapMicros = 30L * 60 * 1000000)
