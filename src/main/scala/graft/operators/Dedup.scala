@@ -44,11 +44,27 @@ object Dedup {
 
   /** Self-join an (id, band, key) relation into distinct (a < b) candidate
     * pairs. One shuffle on the band key; bucket sizes bound the join
-    * fan-out (salt or cap hot buckets at scale). Null keys never pair
-    * (join-on-null semantics). */
-  private def pairJoin(banded: DataFrame, idCol: String): DataFrame = {
-    val a = banded.select(col(idCol).as("doc_a"), col("band"), col("key"))
-    val b = banded.select(col(idCol).as("doc_b"), col("band"), col("key"))
+    * fan-out. Null keys never pair (join-on-null semantics).
+    *
+    * `maxBucket` is the hot-bucket knob (x4's stop-shingle cap, LSH form):
+    * a bucket of df docs contributes df² join rows, and one boilerplate
+    * band key can dominate the whole stage — dropping buckets over the cap
+    * bounds the worst case while barely touching recall (a band shared by
+    * thousands of docs carries no near-dup signal). Costs one extra
+    * aggregation over the banded relation when set. */
+  private def pairJoin(banded: DataFrame, idCol: String,
+                       maxBucket: Option[Long] = None): DataFrame = {
+    val kept = maxBucket match {
+      case Some(cap) =>
+        val sizes = banded.groupBy("band", "key")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .drop("__df")
+        banded.join(sizes, Seq("band", "key"), "left_semi")
+      case None => banded
+    }
+    val a = kept.select(col(idCol).as("doc_a"), col("band"), col("key"))
+    val b = kept.select(col(idCol).as("doc_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
@@ -57,13 +73,14 @@ object Dedup {
 
   /** LSH candidate pairs from a signature frame: unpivot bands → self-join
     * on (band, key) → distinct (a < b) pairs. */
-  def lshCandidates(sig: DataFrame, idCol: String, k: Int = 8): DataFrame =
+  def lshCandidates(sig: DataFrame, idCol: String, k: Int = 8,
+                    maxBucket: Option[Long] = None): DataFrame =
     pairJoin(
       sig.unpivot(
         Array(col(idCol)),
         (0 until k).map(i => col(s"mh$i")).toArray,
         "band", "key"),
-      idCol)
+      idCol, maxBucket)
 
   /** Banded LSH: the standard b-bands × r-rows construction. A pair
     * collides iff ALL r minhashes inside some band agree — the

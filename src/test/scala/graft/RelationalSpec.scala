@@ -84,6 +84,19 @@ class RelationalSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("lshCandidates maxBucket drops hot-bucket pairs, keeps cold ones") {
+    import graft.operators.Dedup
+    // band 0: docs 1..10 share key 7 (hot); band 1: docs 1,2 share key 9
+    val sig = (1L to 10L).map(i => (i, 7L, if (i <= 2) 9L else 100L + i))
+      .toDF("doc_id", "mh0", "mh1")
+    val capped = Dedup.lshCandidates(sig, "doc_id", k = 2, maxBucket = Some(5))
+      .as[(Long, Long)].collect().toSet
+    assert(capped === Set((1L, 2L))) // hot mh0 bucket dropped, cold mh1 kept
+    val uncapped = Dedup.lshCandidates(sig, "doc_id", k = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size === 45) // all 10-choose-2 pairs via the hot bucket
+  }
+
   test("star-contraction components equal min-label propagation on random graphs") {
     import graft.operators.Dedup
     val rnd = new scala.util.Random(11)
