@@ -32,10 +32,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
-  test("x2: LSH candidate generation contains no cartesian product") {
-    val plan = formatted("x2_minhash_lsh")
-    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
-      "LSH must stay an equi-join on (band, key)")
+  test("x2/x3b/y2: bucketed pair generation contains no cartesian product") {
+    for (q <- Seq("x2_minhash_lsh", "x3b_simhash_pairs", "y2_knn_bucketed")) {
+      val plan = formatted(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must stay a bucket equi-join")
+    }
   }
 
   test("y1: the HOF dot product is rewritten to the native vector_dot") {
