@@ -56,9 +56,14 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed_iterations":[${flaky.mkString(",")}]}"""
     println(line)
     // sbt wraps stdout in [info] noise the driver can't always strip — also
-    // write the bare JSON line to a file when the driver asks for one
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    // write the bare JSON line to a file: the env-var path when the driver
+    // asks for one, and unconditionally to a fixed repo-relative path so
+    // the number survives any harness
+    val outs = sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq :+ "target/bench.json"
+    outs.foreach { p =>
+      val path = java.nio.file.Paths.get(p)
+      Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.writeString(path, line + "\n")
     }
     spark.stop()
   }

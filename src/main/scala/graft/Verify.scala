@@ -21,6 +21,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a typo'd restrict-list name would otherwise be a silent no-op that
+    // reads as a pass during single-query iteration
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      System.err.println(s"[verify] WARNING: unknown query name(s): ${unknown.mkString(", ")}")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

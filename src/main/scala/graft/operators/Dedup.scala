@@ -18,6 +18,8 @@ import org.apache.spark.sql.types.LongType
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup by content hash: survivor = min id per hash.
     * One shuffle; with map-side combine the traffic is one row per distinct
     * hash per partition. */
@@ -203,6 +205,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // the exit-round probe (`i == maxIters - 1` above) keeps `changed`
+    // accurate here: non-zero means a component with diameter > maxIters
+    // exists and the labels below are NOT the fixpoint — loud, not silent
+    if (changed > 0)
+      log.warn(s"connectedComponents exited at maxIters=$maxIters with $changed labels " +
+        "still changing — cluster ids are not converged; raise maxIters or switch " +
+        "to connectedComponentsStar (round count grows with log² n, not diameter)")
     labels.select(col("node").as(idCol), col("cluster").as("cluster_id"))
   }
 
@@ -261,6 +270,11 @@ object Dedup {
       edges = next
       i += 1
     }
+    // same loud-exit contract as connectedComponents: `stable` is accurate
+    // at exit thanks to the final-round probe
+    if (!stable)
+      log.warn(s"connectedComponentsStar exited at maxIters=$maxIters before the " +
+        "star fixpoint — cluster ids may be unconverged; raise maxIters")
     // at the fixpoint the edges form stars rooted at each component min
     val labels = edges.select(col("b").as("node"), col("a").as("cluster"))
       .union(edges.select(col("a").as("node"), col("a").as("cluster")))

@@ -196,7 +196,13 @@ object Relational {
     * pairs by points-per-bucket × intervals-per-bucket before the exact
     * `s <= t < e` containment filter. Bucket width is the skew knob: set
     * it near the typical interval length so each interval explodes into a
-    * handful of buckets and each point meets only overlapping intervals. */
+    * handful of buckets and each point meets only overlapping intervals.
+    *
+    * Limits: a single interval may span at most ~2³¹ buckets (`sequence`'s
+    * element cap) — pick a width within 2³¹× of the longest interval.
+    * Malformed intervals (start > end) are dropped before the explode:
+    * they can never satisfy the containment filter, but `sequence(s, e)`
+    * with e < s would generate a DESCENDING run of spurious bucket rows. */
   def rangeJoin(points: DataFrame, tCol: String, intervals: DataFrame,
                 sCol: String, eCol: String, bucketWidth: Long): DataFrame = {
     require(points.columns.intersect(intervals.columns).isEmpty,
@@ -206,7 +212,7 @@ object Relational {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     def bucket(c: Column) = floor(c / lit(bucketWidth.toDouble)).cast(LongType)
     val p = points.withColumn("__bucket", bucket(col(tCol)))
-    val iv = intervals.withColumn("__bucket",
+    val iv = intervals.filter(col(sCol) <= col(eCol)).withColumn("__bucket",
       explode(sequence(bucket(col(sCol)), bucket(col(eCol)))))
     p.join(iv, Seq("__bucket"))
       .filter(col(tCol) >= col(sCol) && col(tCol) < col(eCol))
@@ -241,7 +247,13 @@ object Relational {
     * JOIN partitions at runtime, but a skewed groupBy still funnels each
     * key's rows into one task — salting spreads the hot key `salts`-ways
     * at the cost of a second (tiny) shuffle. Only mergeable aggregates
-    * compose this way; express avg as sum+count and divide after. */
+    * compose this way; express avg as sum+count and divide after.
+    *
+    * Precondition: every input column must be hashable (`hash()` rejects
+    * MapType at analysis) — project maps/variant columns away, or into a
+    * canonical form, before salting. The full-row hash is what makes the
+    * salt deterministic under task retry; hashing a caller-chosen subset
+    * would re-open the identical-rows collapse documented below. */
   def saltedAgg(df: DataFrame, key: Column, salts: Int, specs: Seq[SaltedSpec]): DataFrame = {
     // salt = hash(row) + partition id, not monotonically_increasing_id():
     // the monotonic id is assigned per task ATTEMPT, so a retry would

@@ -71,18 +71,37 @@ object PipelineQueries {
       |  count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** Hot-bucket cap for the single-hash LSH candidate stage (x2/x8/x8b) —
+    * x4's stop-shingle trick in band form: a (band, key) bucket of df docs
+    * contributes df² join rows, and one boilerplate band value can make
+    * the stage O(df²) on a real corpus. Measured bucket df: ≤6 at the
+    * correctness SFs (cap is a NO-OP there, so recall claims stay exact)
+    * and 25 at sf0.1 (cap active, worst bucket bounded). Mirrored in the
+    * oracle CTEs, so correctness holds at ANY SF. */
+  private val X2MaxBucket = 16L
+
+  /** DuckDB mirror of Dedup.pairJoin's maxBucket semi-join: the bands CTE
+    * filtered to buckets at or under the cap. */
+  private def cappedBandsCte(bands: String): String =
+    s"""bands AS ($bands),
+       |kept AS (SELECT doc_id, band, key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, key) AS df FROM bands)
+       |  WHERE df <= $X2MaxBucket)""".stripMargin
+
   /** MinHash + LSH near-dup candidates: shingle explode → 8-hash signature
-    * → band self-join. Never O(n²): pairs exist only where a band collides. */
+    * → band self-join. Never O(n²): pairs exist only where a band collides,
+    * and the hot-bucket cap bounds the worst bucket. */
   private val x2MinhashLsh = {
     val bands = (0 until 8).map(i =>
       s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
     Q(
-      (s, d) => Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8)
+      (s, d) => Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+          maxBucket = Some(X2MaxBucket))
         .orderBy("doc_a", "doc_b"),
       s"""WITH $minhashCtes,
-         |bands AS ($bands)
+         |${cappedBandsCte(bands)}
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
+         |FROM kept a JOIN kept b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
@@ -218,10 +237,10 @@ object PipelineQueries {
     val bands = (0 until 8).map(i =>
       s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
     s"""WITH RECURSIVE $minhashCtes,
-       |bands AS ($bands),
+       |${cappedBandsCte(bands)},
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM kept a JOIN kept b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -241,7 +260,8 @@ object PipelineQueries {
     Q(
       (s: SparkSession, d: String) => {
         val docs = Tables.documents(s, d)
-        val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8)
+        val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+          maxBucket = Some(X2MaxBucket))
         cc(pairs, docs)
           .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
           .orderBy("doc_id")

@@ -83,11 +83,14 @@ object Ingest {
   }
 
   /** readr::parse_number semantics: strip grouping/currency chars, take the
-    * first signed decimal token, null when nothing parses. The guard keeps
+    * first signed decimal token (leading-dot decimals like ".5" included),
+    * null when nothing parses. Known gap vs readr: exponent forms ("1e3")
+    * parse as their mantissa, not the expanded value. The guard keeps
     * Spark 4's ANSI mode from raising on junk cells — scraped tables always
     * have some. */
   def parseNumber(c: Column): Column = {
-    val tok = regexp_extract(regexp_replace(c, "[,$]", ""), "-?[0-9]+(\\.[0-9]+)?", 0)
+    val tok = regexp_extract(regexp_replace(c, "[,$]", ""),
+      "-?(?:[0-9]+(?:\\.[0-9]+)?|\\.[0-9]+)", 0)
     when(length(tok) > 0, tok.cast(DoubleType))
   }
 

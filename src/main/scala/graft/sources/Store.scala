@@ -103,6 +103,11 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     // hash-cluster on (partition, salt): each (partition, salt) pair lands
     // in one task, so each table partition ends up with ≤ filesPerPartition
     // files (hashing on partCol alone would always yield exactly one).
+    // The salt hashes the row CONTENT, not monotonically_increasing_id():
+    // the monotonic id is assigned per task ATTEMPT, so a partial stage
+    // retry under a nondeterministic partitioning expression is the
+    // classic lost/duplicated-rows hazard for a write job. Identical rows
+    // hashing to the same file only skews file sizes, never correctness.
     // The snapshot goes through a DURABLE temp path, not executor-local
     // checkpoint blocks: we are about to overwrite the files being read,
     // and an executor lost mid-write must not lose the only copy.
@@ -110,8 +115,9 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val f = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      read.repartition(col(partCol),
-          pmod(monotonically_increasing_id(), lit(filesPerPartition.max(1))))
+      val snapshot = read
+      snapshot.repartition(col(partCol),
+          pmod(hash(snapshot.columns.map(col): _*), lit(filesPerPartition.max(1))))
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       overwritePartitions(spark.read.parquet(tmp))
     } finally f.delete(tmpPath, true)
