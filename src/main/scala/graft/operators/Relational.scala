@@ -153,15 +153,24 @@ object Relational {
   def unionPad(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
-  /** As-of join — for each left row, the LATEST right row with
-    * right.time <= left.time on the same key. Spark has no native
-    * operator; the engine form COMPOSES existing ones (no custom
-    * SparkPlan needed): tag the sides, union by name, carry the right
-    * payload forward with one `last(_, ignoreNulls)` window ordered by
-    * (time, side), keep the left rows. ONE shuffle on the key, state per
-    * key is O(payload) — no per-row range probe, no join explosion,
-    * whatever the time skew. A right row at exactly left.time matches
-    * (right sorts before left on the side tag).
+  /** As-of join — for each left row, the nearest right row on the same
+    * key: with `direction = "backward"` (default) the LATEST right row at
+    * or before left.time; with `"forward"` the EARLIEST at or after.
+    * Spark has no native operator; the engine form COMPOSES existing ones
+    * (no custom SparkPlan needed): tag the sides, union by name, carry the
+    * right payload forward with one `last(_, ignoreNulls)` window ordered
+    * by (time, side) — time descending for the forward direction — and
+    * keep the left rows. ONE shuffle on the key, state per key is
+    * O(payload) — no per-row range probe, no join explosion, whatever the
+    * time skew. A right row at exactly left.time matches in both
+    * directions (right sorts before left on the side tag).
+    *
+    * `tolerance` bounds how far the match may sit from left.time: a match
+    * farther than `tolerance` (in the time column's difference algebra —
+    * a day-time interval for timestamps, a number for numerics) yields
+    * null payload, exactly like no match. Since as-of picks the NEAREST
+    * candidate, an out-of-tolerance nearest match implies no candidate is
+    * in tolerance — so the filter is a post-hoc null-out, not a re-match.
     *
     * `rightPayload` must be disjoint from the left columns, and the right
     * side must be unique per (key, time) — pre-aggregate ties (e.g.
@@ -171,22 +180,38 @@ object Relational {
     * stale older value), and multiple payload columns always come from the
     * SAME right row — per-column `last(ignoreNulls)` would do neither. */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, time: String,
-               rightPayload: Seq[String]): DataFrame = {
+               rightPayload: Seq[String], direction: String = "backward",
+               tolerance: Option[Column] = None): DataFrame = {
     require(rightPayload.intersect(left.columns.toSeq).isEmpty,
       s"right payload ${rightPayload.mkString(",")} collides with left columns")
+    require(Seq("backward", "forward").contains(direction),
+      s"direction must be backward or forward, got $direction")
     val l = left.withColumn("__side", lit(1))
     val r = right.select((Seq(key, time) ++ rightPayload).map(col): _*)
       .withColumn("__side", lit(0))
+    val timeOrd = if (direction == "backward") col(time).asc else col(time).desc
     val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("__side").asc)
+      .orderBy(timeOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the matched right row's own time rides in the struct so the
+    // tolerance check compares against the ACTUAL match, per row
     val packed = unionPad(Seq(l, r)).withColumn("__pay",
-      when(col("__side") === 0, struct(rightPayload.map(col): _*)))
-    packed
+      when(col("__side") === 0,
+        struct(col(time).as("__t") +: rightPayload.map(col): _*)))
+    val carried = packed
       .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
-        rightPayload.map(c => col(s"__pay.$c").as(c)): _*)
+    val bounded = tolerance match {
+      case Some(tol) =>
+        val dist = if (direction == "backward") col(time) - col("__pay.__t")
+                   else col("__pay.__t") - col(time)
+        // null __pay → null dist → condition null → null payload: the
+        // no-match case falls through unchanged
+        carried.withColumn("__pay", when(dist <= tol, col("__pay")))
+      case None => carried
+    }
+    bounded.select(left.columns.map(col) ++
+      rightPayload.map(c => col(s"__pay.$c").as(c)): _*)
   }
 
   /** Range join — match points to the intervals containing them WITHOUT
@@ -217,6 +242,26 @@ object Relational {
     p.join(iv, Seq("__bucket"))
       .filter(col(tCol) >= col(sCol) && col(tCol) < col(eCol))
       .drop("__bucket")
+  }
+
+  /** Range join with the bucket width derived from the data: width = the
+    * MEDIAN interval length (t-digest sketch — fixed-size state at any
+    * scale), so the typical interval explodes into ~2 bucket rows and the
+    * explode factor stays bounded on skewed interval sets (one huge
+    * outlier interval widens its own row count, not every row's). Costs
+    * one extra pass over the intervals' two bound columns; pass an
+    * explicit width instead when the caller knows the distribution. */
+  def rangeJoinAutoWidth(points: DataFrame, tCol: String, intervals: DataFrame,
+                         sCol: String, eCol: String): DataFrame = {
+    val row = intervals
+      .filter(col(sCol) <= col(eCol))
+      .agg(percentile_approx((col(eCol) - col(sCol)).cast(DoubleType),
+        lit(0.5), lit(10000)))
+      .head()
+    // no well-formed intervals → the join is empty whatever the width
+    val medianLen = if (row.isNullAt(0)) 1.0 else row.getDouble(0)
+    rangeJoin(points, tCol, intervals, sCol, eCol,
+      bucketWidth = math.max(1L, medianLen.toLong))
   }
 
   /** Gap sessionization: a new session starts where the gap to the

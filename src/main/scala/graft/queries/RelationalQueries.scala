@@ -485,6 +485,33 @@ object RelationalQueries {
       |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin)
 
+  /** J7b: as-of join with the direction and tolerance knobs — each purchase
+    * matched to the user's EARLIEST view at-or-after it, but only within a
+    * 2-hour window (a farther match nulls out, exactly like no match). The
+    * oracle is DuckDB's native ASOF with the flipped comparator, tolerance
+    * applied on the matched row's own timestamp. */
+  private val j7bAsofForwardTol = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("event_id").as("view_id"))
+      asOfJoin(purchases, views, "user_id", "ts", Seq("view_id"),
+          direction = "forward",
+          tolerance = Some(expr("make_dt_interval(0, 2, 0, 0)")))
+        .select("event_id", "user_id", "view_id")
+        .orderBy("event_id")
+    },
+    """WITH v AS (
+      |  SELECT user_id, ts, MAX(event_id) AS view_id
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id,
+      |  CASE WHEN v.ts <= p.ts + INTERVAL 2 HOUR THEN v.view_id END AS view_id
+      |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+      |ORDER BY p.event_id""".stripMargin)
+
   /** J8: range join (engine extension) — events counted into overlapping
     * 20-hour maintenance windows via the bucketed interval join (6-hour
     * buckets: each interval explodes into ≤5 bucket rows, no cartesian).
@@ -501,6 +528,34 @@ object RelationalQueries {
           (lit(base) + col("s_suppkey") * lit(14L * 3600 * 1000000)).as("w_start"))
         .withColumn("w_end", col("w_start") + lit(20L * 3600 * 1000000))
       rangeJoin(pts, "t", ivs, "w_start", "w_end", bucketWidth = 6L * 3600 * 1000000)
+        .groupBy("window_id")
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+        .orderBy("window_id")
+    },
+    """WITH p AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+      |iv AS (SELECT s_suppkey AS window_id,
+      |         1704067200000000 + s_suppkey * 50400000000 AS w_start,
+      |         1704067200000000 + s_suppkey * 50400000000 + 72000000000 AS w_end
+      |       FROM supplier WHERE s_suppkey <= 50)
+      |SELECT window_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
+      |FROM iv JOIN p ON p.t >= iv.w_start AND p.t < iv.w_end
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** J8b: the same range join with the bucket width DERIVED from the data
+    * (median interval length via t-digest) instead of caller-supplied —
+    * the auto-tuned path for when the interval distribution is unknown.
+    * Same oracle as j8: the result is width-independent; only the plan's
+    * explode factor changes. */
+  private val j8bRangeJoinAuto = Q(
+    (s, d) => {
+      val pts = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("t"))
+      val base = 1704067200000000L
+      val ivs = Tables.supplier(s, d).filter(col("s_suppkey") <= 50)
+        .select(col("s_suppkey").as("window_id"),
+          (lit(base) + col("s_suppkey") * lit(14L * 3600 * 1000000)).as("w_start"))
+        .withColumn("w_end", col("w_start") + lit(20L * 3600 * 1000000))
+      rangeJoinAutoWidth(pts, "t", ivs, "w_start", "w_end")
         .groupBy("window_id")
         .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
         .orderBy("window_id")
@@ -718,7 +773,9 @@ object RelationalQueries {
     "j6_bind_cols" -> j6BindCols,
     "j6b_bind_cols_pad" -> j6bBindColsPad,
     "j7_asof_join" -> j7AsofJoin,
+    "j7b_asof_forward_tol" -> j7bAsofForwardTol,
     "j8_range_join" -> j8RangeJoin,
+    "j8b_range_join_auto" -> j8bRangeJoinAuto,
     "u1_union_pad" -> u1UnionPad,
     "o1_topk" -> o1TopK,
     "o2_recent_tail" -> o2RecentTail,

@@ -135,6 +135,29 @@ class RelationalSpec extends SparkSpec {
     assert(gotNull === None)
   }
 
+  test("asOfJoin forward direction matches the earliest right row at-or-after") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 40L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 25L, "r25"), (1L, 30L, "r30"))
+      .toDF("k", "t", "pay")
+    val got = Relational.asOfJoin(left, right, "k", "t", Seq("pay"),
+        direction = "forward")
+      .select("tag", "pay").as[(String, String)].collect().toMap
+    assert(got("p1") === "r10") // tie at exactly left.t matches forward too
+    assert(got("p2") === "r25") // earliest at-or-after, not the later r30
+    assert(got("p3") === null)  // nothing after t=40
+  }
+
+  test("asOfJoin tolerance nulls out matches farther than the bound") {
+    val left = Seq((1L, 100L, "near"), (1L, 200L, "far")).toDF("k", "t", "tag")
+    val right = Seq((1L, 95L, "r95")).toDF("k", "t", "pay")
+    val got = Relational.asOfJoin(left, right, "k", "t", Seq("pay"),
+        tolerance = Some(lit(10L)))
+      .select("tag", "pay").as[(String, String)].collect().toMap
+    assert(got("near") === "r95") // 5 ticks back, inside the bound
+    assert(got("far") === null)   // 105 ticks back, nulled out
+  }
+
   test("sessionize cuts sessions at the gap threshold, inclusive boundary") {
     import java.sql.Timestamp
     val base = Timestamp.valueOf("2026-01-01 10:00:00").getTime
@@ -166,6 +189,41 @@ class RelationalSpec extends SparkSpec {
       if t >= s && t < e
     } yield (pid, iid)).toSet
     assert(got === brute)
+  }
+
+  test("rangeJoinAutoWidth matches brute force and bounds the explode factor") {
+    val rnd = new scala.util.Random(17)
+    val pts = Seq.tabulate(200)(i => (i.toLong, rnd.nextInt(10000).toLong)).toDF("pid", "t")
+    // skewed interval lengths: most ~100 wide, one outlier spanning nearly
+    // everything — the median-derived width must not let the outlier set
+    // a tiny width for everyone (mean-derived width would)
+    val ivsRaw = Seq.tabulate(30) { i =>
+      val s = rnd.nextInt(9000).toLong
+      (i.toLong, s, s + 50 + rnd.nextInt(100))
+    } :+ (99L, 0L, 9999L)
+    val ivs = ivsRaw.toDF("iid", "s", "e")
+    val got = Relational.rangeJoinAutoWidth(pts, "t", ivs, "s", "e")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val pdata = pts.as[(Long, Long)].collect()
+    val brute = (for {
+      (pid, t) <- pdata; (iid, s, e) <- ivsRaw
+      if t >= s && t < e
+    } yield (pid, iid)).toSet
+    assert(got === brute)
+    // the derived width is near the median length (~125), so a TYPICAL
+    // interval explodes into ≤ 3 bucket rows; only the one outlier pays a
+    // row count proportional to its own span (len/width + 1 ≈ 80) — the
+    // skew lands on the skewed row, not on everyone
+    val median = 125.0
+    def rows(s: Long, e: Long) = (e - s) / median + 1
+    ivsRaw.dropRight(1).foreach { case (_, s, e) => assert(rows(s, e) <= 3.0) }
+    val explodeRows = ivsRaw.map { case (_, s, e) => rows(s, e) }.sum
+    assert(explodeRows < ivsRaw.size * 3.0 + rows(0L, 9999L))
+    // malformed intervals (s > e) are dropped, not exploded descending
+    val bad = (Seq((777L, 500L, 400L)) ++ ivsRaw.take(3)).toDF("iid", "s", "e")
+    val gotBad = Relational.rangeJoinAutoWidth(pts, "t", bad, "s", "e")
+      .select("iid").distinct().as[Long].collect().toSet
+    assert(!gotBad.contains(777L))
   }
 
   test("unionPad null-fills columns missing on either side (bind_rows semantics)") {
