@@ -89,7 +89,8 @@ object Similarity {
     withAnchor
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("anchor_id").as("cell"))
+      .select(col(idCol), col(vecCol), col("anchor_id").as("cell"),
+        col("d2").as("cell_d2"))
   }
 
   /** One Lloyd refinement step: new centroid = element-wise mean of the
@@ -107,6 +108,67 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
       .select(col("cell").as("anchor_id"),
         expr("transform(ps, p -> CAST(p.m AS FLOAT))").as("anchor_vec"))
+
+  /** One iteration's summary from [[kmeansFit]]: `wcss` is the total
+    * within-cluster squared L2 at the round's ASSIGNMENT (before refine),
+    * `maxMovement` the largest centroid L2 shift produced by the round's
+    * refine, `nCells` the non-empty cell count. */
+  final case class KmeansRound(iter: Int, wcss: Double, maxMovement: Double, nCells: Long)
+
+  /** [[kmeansFit]] result: final anchors (same shape as the input —
+    * (anchor_id, anchor_vec)), the per-round history, and whether the
+    * movement threshold was reached before `maxIters`. */
+  final case class KmeansResult(anchors: DataFrame, history: Seq[KmeansRound], converged: Boolean)
+
+  /** Iterated Lloyd: alternate [[ivfAssign]] / [[lloydRefine]] until the
+    * largest centroid movement drops below `eps` (L2) or `maxIters` rounds
+    * pass — the k-means driver loop the one-step `lloydRefine` was always
+    * meant to sit inside. Each round is two shuffles (the assignment
+    * window + the refine aggregation); the driver only ever collects one
+    * summary row per round, never data. Anchors are localCheckpoint'ed per
+    * round so lineage stays flat across iterations. A cell that loses all
+    * its vectors keeps its previous centroid (no respawn heuristic), so
+    * the anchor count is stable. Both Lloyd steps are non-increasing in
+    * WCSS, so `history` decreases monotonically (up to the 6-dp assignment
+    * rounding documented on [[ivfAssign]]). */
+  def kmeansFit(vectors: DataFrame, initAnchors: DataFrame, idCol: String,
+                vecCol: String, maxIters: Int = 10, eps: Double = 1e-4): KmeansResult = {
+    var anchors = initAnchors.select(col("anchor_id"), col("anchor_vec"))
+      .localCheckpoint(true)
+    val history = Seq.newBuilder[KmeansRound]
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val assigned = ivfAssign(vectors, anchors, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val summary = assigned
+          .agg(sum(col("cell_d2")), countDistinct(col("cell"))).head()
+        val (wcss, nCells) = (summary.getDouble(0), summary.getLong(1))
+        val refined = lloydRefine(assigned, vecCol)
+        // dead cells keep their old centroid: refine only returns cells
+        // with members, and dropping an anchor would shrink k silently
+        val next = refined
+          .unionByName(anchors.join(refined.select("anchor_id"), Seq("anchor_id"), "left_anti"))
+          .localCheckpoint(true)
+        val movement = anchors.as("o")
+          .join(next.as("n"), "anchor_id")
+          .select(sqrt(expr(
+            """aggregate(
+              |  zip_with(o.anchor_vec, n.anchor_vec,
+              |    (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+              |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+              |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)).as("m"))
+          .agg(max(col("m"))).head().getDouble(0)
+        history += KmeansRound(i + 1, wcss, movement, nCells)
+        anchors.unpersist()
+        anchors = next
+        converged = movement < eps
+      } finally assigned.unpersist()
+      i += 1
+    }
+    KmeansResult(anchors, history.result(), converged)
+  }
 
   /** IVF ANN: assign every vector to its anchor cell, then top-k by cosine
     * within the query's own cell — the coarse-quantizer shape of FAISS-style
@@ -131,21 +193,37 @@ object Similarity {
       .select("q_id", "cell", "rank", "c_id", "cosine")
   }
 
-  /** Bucketed ANN: top-k within the query vector's own bucket. Same output
-    * shape as bruteForceTopK; recall trades against the pruned search space
-    * (multi-probe = union over neighboring buckets, not implemented here). */
+  /** Bucketed ANN: top-k within the query vector's own bucket, or — with
+    * `probeRadius = 1` — within the union of its bucket and every bucket
+    * at Hamming distance 1 in signature space (multi-probe). Recall falls
+    * off a cliff at bucket boundaries for near-boundary queries; probing
+    * the 1-bit-flip neighbors recovers exactly those misses, and at scale
+    * probing beats adding planes (more planes splits true neighbors apart;
+    * more probes only widens the search). Same join shape: the query side
+    * explodes into NumPlanes+1 probe keys (queries are the tiny broadcast
+    * side, so the explode is cheap), the candidate side stays one row per
+    * vector, and the cross product still never materializes. A candidate's
+    * bucket matches at most one probe key, so no pair duplicates. Output
+    * `bucket` is the query's OWN bucket in both modes. */
   def bucketedTopK(vectors: DataFrame, queryIds: Column => Column, idCol: String,
-                   vecCol: String, k: Int): DataFrame = {
+                   vecCol: String, k: Int, probeRadius: Int = 0): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1,
+      s"probeRadius 0 (own bucket) or 1 (Hamming-1 neighbors) supported, got $probeRadius")
     val bucketed = vectors
       .select(col(idCol), col(vecCol))
       .withColumn("bucket", hyperplaneBucket(vecCol))
       .withColumn("nrm", norm(vecCol))
-    val q = bucketed.filter(queryIds(col(idCol)))
+    val q0 = bucketed.filter(queryIds(col(idCol)))
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         col("nrm").as("q_nrm"), col("bucket"))
+    val q =
+      if (probeRadius == 0) q0.withColumn("__probe", col("bucket"))
+      else q0.withColumn("__probe", explode(array(
+        col("bucket") +:
+          (0 until NumPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
     val c = bucketed.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
-      col("nrm").as("c_nrm"), col("bucket"))
-    val scored = broadcast(q).join(c, Seq("bucket"))
+      col("nrm").as("c_nrm"), col("bucket").as("__probe"))
+    val scored = broadcast(q).join(c, Seq("__probe"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", round(dot("q_vec", "c_vec") / (col("q_nrm") * col("c_nrm")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)

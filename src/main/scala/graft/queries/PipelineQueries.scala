@@ -374,6 +374,58 @@ object PipelineQueries {
          |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
   }
 
+  /** y2b: multi-probe bucketed ANN — the query searches its own bucket
+    * PLUS the 8 buckets at Hamming distance 1 in signature space. Recall
+    * lost to near-boundary queries in y2 comes back without adding planes
+    * (which would split true neighbors apart); the probe union is the
+    * same bucket equi-join with the broadcast query side exploded 9-way.
+    * Oracle: the probed bucket set expressed directly as a Hamming
+    * predicate on the signatures. */
+  private val y2bKnnMultiprobe = Q(
+    (s, d) => Similarity.bucketedTopK(
+        Tables.embeddings(s, d), id => id % 50 === 0, "vec_id", "embedding",
+        k = 5, probeRadius = 1)
+      .orderBy("q_id", "rank"),
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm,
+       |    CAST($bucketSql AS BIGINT) AS bucket FROM v),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.bucket, c.vec_id AS c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c
+       |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 50 = 0)
+       |SELECT q_id, bucket, rank, c_id, cosine FROM (
+       |  SELECT q_id, bucket, c_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
+  /** y3b: the iterated Lloyd loop over the IVF anchors — 4 assign/refine
+    * rounds from the deterministic seed anchors. Refined centroids are
+    * double means (engine-unstable by design, see lloydRefine), so the
+    * declared output is the x6-style CONTRACT the iteration must satisfy
+    * wherever it runs: every cell stays populated, and the within-cluster
+    * squared distance never increases round over round (both Lloyd steps
+    * are non-increasing). The exact numerics live in the ScalaTest
+    * convergence spec. */
+  private val y3bKmeansIterate = Q(
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val res = Similarity.kmeansFit(e, anchors, "vec_id", "embedding",
+        maxIters = 4, eps = 0.0)
+      val contract = res.history.zip(Double.PositiveInfinity +: res.history.map(_.wcss))
+        .map { case (r, prevWcss) =>
+          (r.iter, r.nCells == 8L, r.wcss <= prevWcss + 1e-6) }
+      contract.toDF("iter", "cells_nonempty", "wcss_decreased").orderBy("iter")
+    },
+    """SELECT CAST(i AS INT) AS iter, TRUE AS cells_nonempty,
+      |  TRUE AS wcss_decreased
+      |FROM generate_series(1, 4) t(i) ORDER BY iter""".stripMargin)
+
   /** IVF ANN: deterministic anchor vectors (vec_id < 8) as the coarse
     * quantizer, argmin-L2 cell assignment (6-dp-rounded distances, anchor
     * id tiebreak), cosine top-5 within the query's own cell. */
@@ -789,7 +841,9 @@ object PipelineQueries {
     "x8b_dup_clusters_star" -> x8bDupClustersStar,
     "y1_knn_brute" -> y1KnnBrute,
     "y2_knn_bucketed" -> y2KnnBucketed,
+    "y2b_knn_multiprobe" -> y2bKnnMultiprobe,
     "y3_knn_ivf" -> y3KnnIvf,
+    "y3b_kmeans_iterate" -> y3bKmeansIterate,
     "z1_lang_id" -> z1LangId,
     "z2_quality_score" -> z2QualityScore,
     "z3_token_counts" -> z3TokenCounts,

@@ -138,6 +138,60 @@ class SimilaritySpec extends SparkSpec {
     assert((0 until Similarity.NumPlanes).forall(j =>
       Similarity.planeWeight(0, j) >= -3 && Similarity.planeWeight(0, j) <= 3))
   }
+
+  test("multi-probe bucketedTopK recall >= single-probe against brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5))
+    val single = pairs(Similarity.bucketedTopK(
+      e, id => id % 50 === 0, "vec_id", "embedding", k = 5))
+    val multi = pairs(Similarity.bucketedTopK(
+      e, id => id % 50 === 0, "vec_id", "embedding", k = 5, probeRadius = 1))
+    val rs = (single intersect brute).size
+    val rm = (multi intersect brute).size
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    // the probed search space strictly contains the single-probe space, so
+    // each query's best cosine can only improve or stay
+    def best(df: org.apache.spark.sql.DataFrame) = df.filter(col("rank") === 1)
+      .select("q_id", "cosine").as[(Long, Double)].collect().toMap
+    val bs = best(Similarity.bucketedTopK(e, id => id % 50 === 0, "vec_id", "embedding", k = 5))
+    val bm = best(Similarity.bucketedTopK(e, id => id % 50 === 0, "vec_id", "embedding", k = 5, probeRadius = 1))
+    bs.foreach { case (q, c) => assert(bm(q) >= c, s"query $q got worse under multi-probe") }
+  }
+
+  test("kmeansFit converges on separated clusters; wcss decreases monotonically") {
+    val rnd = new scala.util.Random(5)
+    val centers = Seq(
+      Array.fill(8)(0.0f),
+      Array.fill(8)(10.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) -10.0f else 10.0f))
+    val vecs = for { (c, ci) <- centers.zipWithIndex; j <- 0 until 20 }
+      yield ((ci * 100 + j).toLong, c.map(x => x + rnd.nextGaussian().toFloat * 0.5f))
+    val df = vecs.toDF("vec_id", "embedding")
+    // seed anchors displaced from the true centers — the loop must walk home
+    val init = centers.zipWithIndex
+      .map { case (c, ci) => (ci.toLong, c.map(_ + 3.0f)) }
+      .toDF("anchor_id", "anchor_vec")
+    val res = Similarity.kmeansFit(df, init, "vec_id", "embedding",
+      maxIters = 15, eps = 1e-3)
+    assert(res.converged, "did not reach the movement threshold")
+    res.history.map(_.wcss).sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-6, s"wcss rose: $a -> $b")
+      case _ =>
+    }
+    assert(res.history.forall(_.nCells == 3L))
+    // recovered centroids sit on the true centers (noise sd 0.5, n=20 →
+    // the mean is within ~0.35 of truth per dim with huge margin)
+    val anchors = res.anchors.as[(Long, Array[Float])].collect().toMap
+    centers.zipWithIndex.foreach { case (c, ci) =>
+      val a = anchors(ci.toLong)
+      val d = math.sqrt(c.zip(a).map { case (x, y) => (x - y) * (x - y) }.sum)
+      assert(d < 1.0, s"anchor $ci ended $d away from its center")
+    }
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
