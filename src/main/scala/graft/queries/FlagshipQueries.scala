@@ -235,6 +235,27 @@ object FlagshipQueries {
       s" AND ((new_pc = 1 AND posteam = lag_posteam) OR posteam <> lag_posteam)" +
         s" AND season >= $SeasonMin"))
 
+  /** The shared-panel production form: the three declared variants each
+    * rebuild the full 5-source panel because the driver contract is
+    * one-query-one-DAG (~3× the distinct work at bench scale); at 100 TB
+    * the panel is a table you WRITE ONCE (partitioned by season) and every
+    * variant becomes a filter over the stored parquet — partition pruning
+    * applies to the `season >= min` variant for free. Results are
+    * bit-identical to the declared DAGs (parquet round-trips doubles
+    * exactly); `StoreSpec` gates that equivalence. */
+  def materializedStabilityMatrices(s: SparkSession, d: String,
+                                    storePath: String): Map[String, DataFrame] = {
+    val store = graft.sources.Store(s, storePath, "season")
+    store.destroy()
+    store.append(panel(s, d))
+    val stored = store.read
+    Map(
+      "e1" -> MetricPipelines.stabilityMatrix(stored),
+      "e2" -> MetricPipelines.stabilityMatrix(MetricPipelines.switchedTeams(stored)),
+      "e3" -> MetricPipelines.stabilityMatrix(
+        MetricPipelines.newPlaycallerSeasons(stored, SeasonMin)))
+  }
+
   val all: Map[String, Q] = Map(
     "e1_stability_matrix" -> e1StabilityMatrix,
     "e2_stability_switchers" -> e2StabilitySwitchers,

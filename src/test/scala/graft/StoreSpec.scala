@@ -77,6 +77,21 @@ class StoreSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))  // only the capped boilerplate linked them
   }
 
+  test("materialized flagship panel variants equal the declared e1/e2/e3 DAGs") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val fromStore = graft.queries.FlagshipQueries.materializedStabilityMatrices(
+      spark, sf, tmpDir("store_panel"))
+    for ((variant, declared) <- Seq(
+        "e1" -> "e1_stability_matrix",
+        "e2" -> "e2_stability_switchers",
+        "e3" -> "e3_stability_newpc")) {
+      assert(rows(fromStore(variant)) === rows(SparkEntry.queries(declared)(spark, sf)),
+        s"store-backed $variant diverged from $declared")
+    }
+  }
+
   test("partition pruning reaches the file scan for season-filtered reads") {
     val store = Store(spark, tmpDir("store_prune"), "season")
     store.rebuild(Iterator(season(1999, 3), season(2000, 4)))
