@@ -90,7 +90,8 @@ object Dedup {
     * knee that single-hash bands (r=1, `lshCandidates`) lack. Band key =
     * the r member hashes concatenated; same join shape, same scale story
     * (one shuffle on (band, key), bucket-bounded pair count). */
-  def lshCandidatesBanded(sig: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
+  def lshCandidatesBanded(sig: DataFrame, idCol: String, bands: Int, rows: Int,
+                          maxBucket: Option[Long] = None): DataFrame = {
     require((0 until bands * rows).forall(i => sig.columns.contains(s"mh$i")),
       s"signature is missing mh0..mh${bands * rows - 1} (bands*rows exceeds its width)")
     val bandCols = (0 until bands).map { b =>
@@ -105,7 +106,7 @@ object Dedup {
     pairJoin(
       sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
         .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key")),
-      idCol)
+      idCol, maxBucket)
   }
 
   /** 32-bit simhash over a (id, word-hash "hv") exploded relation: per bit,

@@ -219,12 +219,13 @@ object PipelineQueries {
       s"SELECT doc_id, $b AS band, mh${2 * b} || '_' || mh${2 * b + 1} AS key FROM sig")
       .mkString("\n  UNION ALL ")
     Q(
-      (s, d) => Dedup.lshCandidatesBanded(minhashSig(s, d), "doc_id", bands = 4, rows = 2)
+      (s, d) => Dedup.lshCandidatesBanded(minhashSig(s, d), "doc_id", bands = 4, rows = 2,
+          maxBucket = Some(X2MaxBucket))
         .orderBy("doc_a", "doc_b"),
       s"""WITH $minhashCtes,
-         |bands AS ($bands)
+         |${cappedBandsCte(bands)}
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
+         |FROM kept a JOIN kept b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
