@@ -61,9 +61,15 @@ object Bench {
     // the number survives any harness
     val outs = sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq :+ "target/bench.json"
     outs.foreach { p =>
-      val path = java.nio.file.Paths.get(p)
-      Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.writeString(path, line + "\n")
+      // best-effort: an unwritable path (read-only checkout, foreign cwd)
+      // must not fail a bench run whose measurement already succeeded
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(path, line + "\n")
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

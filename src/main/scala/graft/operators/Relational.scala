@@ -184,6 +184,8 @@ object Relational {
                tolerance: Option[Column] = None): DataFrame = {
     require(rightPayload.intersect(left.columns.toSeq).isEmpty,
       s"right payload ${rightPayload.mkString(",")} collides with left columns")
+    require(!rightPayload.contains("__t"),
+      "__t is reserved for the match-time field inside the payload struct")
     require(Seq("backward", "forward").contains(direction),
       s"direction must be backward or forward, got $direction")
     val l = left.withColumn("__side", lit(1))
@@ -245,23 +247,30 @@ object Relational {
   }
 
   /** Range join with the bucket width derived from the data: width = the
-    * MEDIAN interval length (t-digest sketch — fixed-size state at any
-    * scale), so the typical interval explodes into ~2 bucket rows and the
-    * explode factor stays bounded on skewed interval sets (one huge
-    * outlier interval widens its own row count, not every row's). Costs
-    * one extra pass over the intervals' two bound columns; pass an
-    * explicit width instead when the caller knows the distribution. */
+    * MEDIAN positive interval length (t-digest sketch — fixed-size state
+    * at any scale), so the typical interval explodes into ~2 bucket rows
+    * and the explode factor stays bounded on skewed interval sets (one
+    * huge outlier interval widens its own row count, not every row's).
+    * Zero-length intervals are excluded from the estimate — they match
+    * nothing under `s <= t < e`, and letting them drag the median to 0
+    * would hand every REAL interval a width-1 explode. A second floor,
+    * maxLen/10⁶, bounds even the longest interval to ~10⁶ bucket rows —
+    * far under `sequence`'s ~2³¹ element cap, so no length distribution
+    * can turn the estimate into a crash or a silent row blowup. Costs one
+    * extra pass over the intervals' two bound columns; pass an explicit
+    * width instead when the caller knows the distribution. */
   def rangeJoinAutoWidth(points: DataFrame, tCol: String, intervals: DataFrame,
                          sCol: String, eCol: String): DataFrame = {
+    val len = (col(eCol) - col(sCol)).cast(DoubleType)
     val row = intervals
-      .filter(col(sCol) <= col(eCol))
-      .agg(percentile_approx((col(eCol) - col(sCol)).cast(DoubleType),
-        lit(0.5), lit(10000)))
+      .filter(col(sCol) < col(eCol))
+      .agg(percentile_approx(len, lit(0.5), lit(10000)), max(len))
       .head()
-    // no well-formed intervals → the join is empty whatever the width
-    val medianLen = if (row.isNullAt(0)) 1.0 else row.getDouble(0)
-    rangeJoin(points, tCol, intervals, sCol, eCol,
-      bucketWidth = math.max(1L, medianLen.toLong))
+    // no matchable intervals → the join is empty whatever the width
+    val (medianLen, maxLen) =
+      if (row.isNullAt(0)) (1.0, 1.0) else (row.getDouble(0), row.getDouble(1))
+    val width = math.max(math.max(1L, medianLen.toLong), (maxLen / 1e6).ceil.toLong)
+    rangeJoin(points, tCol, intervals, sCol, eCol, bucketWidth = width)
   }
 
   /** Gap sessionization: a new session starts where the gap to the

@@ -113,7 +113,8 @@ object Similarity {
     * within-cluster squared L2 at the round's ASSIGNMENT (before refine),
     * `maxMovement` the largest centroid L2 shift produced by the round's
     * refine, `nCells` the non-empty cell count. */
-  final case class KmeansRound(iter: Int, wcss: Double, maxMovement: Double, nCells: Long)
+  final case class KmeansRound(iter: Int, wcss: Double, maxMovement: Double,
+                               nCells: Long, n: Long)
 
   /** [[kmeansFit]] result: final anchors (same shape as the input —
     * (anchor_id, anchor_vec)), the per-round history, and whether the
@@ -143,15 +144,20 @@ object Similarity {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val summary = assigned
-          .agg(sum(col("cell_d2")), countDistinct(col("cell"))).head()
-        val (wcss, nCells) = (summary.getDouble(0), summary.getLong(1))
+          .agg(sum(col("cell_d2")), countDistinct(col("cell")), count(lit(1))).head()
+        // empty vectors (or empty anchors → empty assignment): nothing to
+        // move, the init anchors ARE the fixpoint — stop cleanly instead
+        // of NPE-ing on the null sum
+        if (summary.isNullAt(0))
+          return KmeansResult(anchors, history.result(), converged = true)
+        val (wcss, nCells, n) = (summary.getDouble(0), summary.getLong(1), summary.getLong(2))
         val refined = lloydRefine(assigned, vecCol)
         // dead cells keep their old centroid: refine only returns cells
         // with members, and dropping an anchor would shrink k silently
         val next = refined
           .unionByName(anchors.join(refined.select("anchor_id"), Seq("anchor_id"), "left_anti"))
           .localCheckpoint(true)
-        val movement = anchors.as("o")
+        val moveRow = anchors.as("o")
           .join(next.as("n"), "anchor_id")
           .select(sqrt(expr(
             """aggregate(
@@ -159,8 +165,9 @@ object Similarity {
               |    (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
               |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
               |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin)).as("m"))
-          .agg(max(col("m"))).head().getDouble(0)
-        history += KmeansRound(i + 1, wcss, movement, nCells)
+          .agg(max(col("m"))).head()
+        val movement = if (moveRow.isNullAt(0)) 0.0 else moveRow.getDouble(0)
+        history += KmeansRound(i + 1, wcss, movement, nCells, n)
         anchors.unpersist()
         anchors = next
         converged = movement < eps

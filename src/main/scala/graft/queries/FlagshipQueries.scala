@@ -240,9 +240,12 @@ object FlagshipQueries {
     * one-query-one-DAG (~3× the distinct work at bench scale); at 100 TB
     * the panel is a table you WRITE ONCE (partitioned by season) and every
     * variant becomes a filter over the stored parquet — partition pruning
-    * applies to the `season >= min` variant for free. Results are
-    * bit-identical to the declared DAGs (parquet round-trips doubles
-    * exactly); `StoreSpec` gates that equivalence. */
+    * applies to the `season >= min` variant for free. Parquet round-trips
+    * the panel's doubles exactly, but the re-read's partitioning can merge
+    * corr partials in a different order, so equality with the declared
+    * DAGs holds at the 4-dp output rounding (a correlation sitting within
+    * float-merge noise of a rounding boundary could flip the last digit);
+    * `StoreSpec` gates the equivalence on the test corpus. */
   def materializedStabilityMatrices(s: SparkSession, d: String,
                                     storePath: String): Map[String, DataFrame] = {
     val store = graft.sources.Store(s, storePath, "season")

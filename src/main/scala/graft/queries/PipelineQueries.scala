@@ -408,8 +408,16 @@ object PipelineQueries {
     * declared output is the x6-style CONTRACT the iteration must satisfy
     * wherever it runs: every cell stays populated, and the within-cluster
     * squared distance never increases round over round (both Lloyd steps
-    * are non-increasing). The exact numerics live in the ScalaTest
-    * convergence spec. */
+    * are non-increasing). The slack scales with the corpus: each summed
+    * distance is rounded to 6 dp and the argmin can pick a centroid up to
+    * 1e-6 worse per row, so n·1e-6 is the principled noise bound at ANY
+    * SF — a fixed slack would fail data-dependently on a large corpus
+    * near convergence. The exact numerics live in the ScalaTest
+    * convergence spec.
+    *
+    * NOTE: constructing this frame RUNS the 4-round driver loop (the
+    * contract summarizes driver-collected scalars — inherent to the
+    * query's shape, and why the codegen plan audit exempts it). */
   private val y3bKmeansIterate = Q(
     (s, d) => {
       import s.implicits._
@@ -420,7 +428,7 @@ object PipelineQueries {
         maxIters = 4, eps = 0.0)
       val contract = res.history.zip(Double.PositiveInfinity +: res.history.map(_.wcss))
         .map { case (r, prevWcss) =>
-          (r.iter, r.nCells == 8L, r.wcss <= prevWcss + 1e-6) }
+          (r.iter, r.nCells == 8L, r.wcss <= prevWcss + 1e-6 * (r.n + 1)) }
       contract.toDF("iter", "cells_nonempty", "wcss_decreased").orderBy("iter")
     },
     """SELECT CAST(i AS INT) AS iter, TRUE AS cells_nonempty,
