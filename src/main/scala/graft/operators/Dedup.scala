@@ -84,6 +84,60 @@ object Dedup {
         "band", "key"),
       idCol, maxBucket)
 
+  /** LSH candidates of an INCOMING batch against an existing corpus — the
+    * incremental-ingest form: each arriving batch pairs only against the
+    * base (one A×B bucket join), never re-pairing the corpus with itself,
+    * so per-ingest cost is O(batch × bucket overlap) instead of the full
+    * self-join. Returns distinct (doc_new, doc_base) pairs. The hot-bucket
+    * cap applies to the BASE side's bucket sizes (corpus boilerplate is
+    * the skew source; the batch is small by construction). Intra-batch
+    * dups are the batch's own self-join — run `lshCandidates` on the batch
+    * alone (cheap) if those matter. */
+  def lshCandidatesAgainst(incomingSig: DataFrame, baseSig: DataFrame, idCol: String,
+                           k: Int = 8, maxBucket: Option[Long] = None): DataFrame = {
+    def bands(sig: DataFrame) = sig.unpivot(
+      Array(col(idCol)),
+      (0 until k).map(i => col(s"mh$i")).toArray,
+      "band", "key")
+    val base = maxBucket match {
+      case Some(cap) =>
+        val b = bands(baseSig)
+        val sizes = b.groupBy("band", "key")
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .drop("__df")
+        b.join(sizes, Seq("band", "key"), "left_semi")
+      case None => bands(baseSig)
+    }
+    bands(incomingSig).select(col(idCol).as("doc_new"), col("band"), col("key"))
+      .join(base.select(col(idCol).as("doc_base"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("doc_new", "doc_base")
+      .distinct()
+  }
+
+  /** Benchmark decontamination: per document, how many of its distinct
+    * shingles appear in the benchmark set — the "is this training doc
+    * contaminated with eval data" flag every corpus build needs. The
+    * benchmark shingle set is the broadcast side (eval suites are tiny
+    * next to the corpus); the overlap count is one semi-join-shaped
+    * broadcast join + one aggregation, linear in corpus shingles. `docs`
+    * supplies the full id universe so shingle-less and clean documents
+    * both report 0. `docShingled` columns: (idCol, "sh"), distinct per
+    * doc; `benchShingled` column: "sh". */
+  def benchmarkOverlap(docs: DataFrame, docShingled: DataFrame,
+                       benchShingled: DataFrame, idCol: String): DataFrame = {
+    val overlap = docShingled
+      .join(broadcast(benchShingled.select("sh").distinct()), Seq("sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    docs.select(col(idCol))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Banded LSH: the standard b-bands × r-rows construction. A pair
     * collides iff ALL r minhashes inside some band agree — the
     * probability curve 1-(1-j^r)^b gives the tunable precision/recall

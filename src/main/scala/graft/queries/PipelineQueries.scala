@@ -106,6 +106,63 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
+  /** x10: incremental-ingest LSH — an arriving batch (doc_id % 10 = 0)
+    * pairs against the existing corpus (the rest) in ONE A×B bucket join,
+    * never re-pairing the corpus with itself: the per-ingest form whose
+    * cost is O(batch × overlap), not O(corpus²). The hot-bucket cap
+    * applies to the base side's bucket sizes (corpus boilerplate is the
+    * skew source). */
+  private val x10IncrementalLsh = {
+    val bands = (0 until 8).map(i =>
+      s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
+    Q(
+      (s, d) => {
+        val sig = minhashSig(s, d)
+        Dedup.lshCandidatesAgainst(
+            sig.filter(col("doc_id") % 10 === 0),
+            sig.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", 8, maxBucket = Some(X2MaxBucket))
+          .orderBy("doc_new", "doc_base")
+      },
+      s"""WITH $minhashCtes,
+         |bands AS ($bands),
+         |base AS (SELECT doc_id, band, key FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, key) AS df
+         |    FROM bands WHERE doc_id % 10 <> 0)
+         |  WHERE df <= $X2MaxBucket),
+         |inc AS (SELECT doc_id, band, key FROM bands WHERE doc_id % 10 = 0)
+         |SELECT DISTINCT i.doc_id AS doc_new, b.doc_id AS doc_base
+         |FROM inc i JOIN base b ON i.band = b.band AND i.key = b.key
+         |ORDER BY doc_new, doc_base""".stripMargin)
+  }
+
+  /** z11: benchmark decontamination — per training document, the count of
+    * its distinct 3-gram shingles that appear in the benchmark set (docs
+    * with doc_id % 97 = 0 stand in for the eval suite), plus the
+    * contaminated flag. The benchmark shingle set broadcasts; the scan of
+    * the corpus stays linear. */
+  private val z11Decontaminate = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sh = shingles(docs)
+      Dedup.benchmarkOverlap(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          sh.filter(col("doc_id") % 97 =!= 0),
+          sh.filter(col("doc_id") % 97 === 0),
+          "doc_id")
+        .orderBy("doc_id")
+    },
+    s"""WITH $shingleCte,
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |ov AS (SELECT sh.doc_id, count(*) AS n_overlap
+       |       FROM sh JOIN bench USING (s) WHERE sh.doc_id % 97 <> 0 GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+       |WHERE d.doc_id % 97 <> 0
+       |ORDER BY d.doc_id""".stripMargin)
+
   /** Spark-side simhash signature frame shared by x3/x3b: 32-bit SimHash
     * per document over the distinct-word-hash set — one aggregation pass
     * with 32 partial sums. */
@@ -848,6 +905,8 @@ object PipelineQueries {
     "x7_lsh_banded" -> x7LshBanded,
     "x8_dup_clusters" -> x8DupClusters,
     "x8b_dup_clusters_star" -> x8bDupClustersStar,
+    "x10_incremental_lsh" -> x10IncrementalLsh,
+    "z11_decontaminate" -> z11Decontaminate,
     "y1_knn_brute" -> y1KnnBrute,
     "y2_knn_bucketed" -> y2KnnBucketed,
     "y2b_knn_multiprobe" -> y2bKnnMultiprobe,

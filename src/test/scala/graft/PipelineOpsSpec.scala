@@ -65,6 +65,35 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got._4 - 4.0 / 10.0) < 1e-12)
   }
 
+  test("lshCandidatesAgainst equals the cross-pair slice of the full self-join") {
+    val hv = shingled.select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
+    val sig = Dedup.minhashSignature(hv, "doc_id", 8)
+    val incoming = sig.filter(col("doc_id") <= 2)
+    val base = sig.filter(col("doc_id") > 2)
+    val got = Dedup.lshCandidatesAgainst(incoming, base, "doc_id", 8)
+      .as[(Long, Long)].collect().toSet
+    // the full self-join's pairs with exactly one side in the batch,
+    // re-oriented (new, base)
+    val full = Dedup.lshCandidates(sig, "doc_id", 8).as[(Long, Long)].collect()
+    val want = full.collect {
+      case (a, b) if a <= 2 && b > 2 => (a, b)
+      case (a, b) if b <= 2 && a > 2 => (b, a)
+    }.toSet
+    assert(got === want)
+  }
+
+  test("benchmarkOverlap counts distinct shingle overlap; clean docs report 0") {
+    val sh = shingled
+    val bench = sh.filter(col("doc_id") === 1).select("sh") // doc 1's shingles
+    val got = Dedup.benchmarkOverlap(docs, sh, bench, "doc_id")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val nSh1 = sh.filter(col("doc_id") === 1).count()
+    assert(got(1L) === ((nSh1, true)))  // the benchmark doc overlaps itself fully
+    assert(got(2L) === ((nSh1, true)))  // exact dup of doc 1
+    assert(got(4L) === ((0L, false)))   // disjoint text is clean
+    assert(got(3L)._1 > 0 && got(3L)._1 < nSh1) // near dup: partial overlap
+  }
+
   test("connectedComponents labels chains with the min id; isolated nodes keep their own") {
     val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L)).toDF("doc_a", "doc_b") // chain 2-5-9, pair 11-12
     val nodes = Seq(2L, 5L, 9L, 11L, 12L, 99L).toDF("doc_id")
