@@ -287,14 +287,13 @@ object PipelineQueries {
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
-  /** Recursive-CTE reachability oracle for the dedup pipeline's final
-    * stage (LSH candidate pairs → connected components → one cluster id =
-    * survivor per document), shared by x8 (min-label propagation) and x8b
-    * (star contraction) — both must land on the same fixpoint. */
-  private val componentsOracle: String = {
+  /** Recursive-CTE chain ending in `comp(node, cid)` — the LSH candidate
+    * pairs → connected components fixpoint, shared by the x8/x8b cluster
+    * oracles and the x9b near-dup curation oracle. */
+  private val componentsCtes: String = {
     val bands = (0 until 8).map(i =>
       s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
-    s"""WITH RECURSIVE $minhashCtes,
+    s"""$minhashCtes,
        |${cappedBandsCte(bands)},
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -306,13 +305,19 @@ object PipelineQueries {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
-       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1)
+       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1)""".stripMargin
+  }
+
+  /** Reachability oracle for the dedup pipeline's final stage (one cluster
+    * id = survivor per document), shared by x8 (min-label propagation) and
+    * x8b (star contraction) — both must land on the same fixpoint. */
+  private val componentsOracle: String =
+    s"""WITH RECURSIVE $componentsCtes
        |SELECT d.doc_id,
        |  COALESCE(comp.cid, d.doc_id) AS cluster_id,
        |  COALESCE(comp.cid, d.doc_id) = d.doc_id AS is_survivor
        |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   private def clusterQuery(cc: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
     Q(
@@ -865,6 +870,42 @@ object PipelineQueries {
       |  lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS total_tokens
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** x9b: NEAR-dup curation end-to-end — the x9 composition with the full
+    * near-dup machinery in place of exact hashing: LSH candidates (capped)
+    * → connected components → keep each cluster's survivor → split →
+    * per-(split, lang) corpus stats. This is the representative 100-TB
+    * corpus build: every stage is the bucketed/bounded form, and the
+    * oracle replays the whole DAG including the recursive reachability
+    * fixpoint. */
+  private val x9bNeardupCuration = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+        maxBucket = Some(X2MaxBucket))
+      val survivors = Dedup.connectedComponents(pairs, docs, "doc_id")
+        .filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+      docs.join(survivors, Seq("doc_id"), "left_semi")
+        .withColumn("split", Sampling.splitAssign(col("doc_id"), 80, 10))
+        .withColumn("ws_tokens", size(split(col("text"), " ")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_tokens"))
+        .orderBy("split", "lang")
+    },
+    s"""WITH RECURSIVE $componentsCtes,
+       |surv AS (
+       |  SELECT d.* FROM documents d
+       |  LEFT JOIN comp ON d.doc_id = comp.node
+       |  WHERE COALESCE(comp.cid, d.doc_id) = d.doc_id),
+       |t AS (SELECT lang,
+       |        CAST(len(string_split(text, ' ')) AS INT) AS ws,
+       |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+       |      FROM surv)
+       |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS total_tokens
+       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** z6: stratified per-source cap — at most N docs per source, selected
     * by md5 order (deterministic "random" subset per stratum). The
     * balance-the-corpus curation op: one shuffle on the stratum key. */
@@ -890,6 +931,7 @@ object PipelineQueries {
   val all: Map[String, Q] = Map(
     "x1_exact_dedup" -> x1ExactDedup,
     "x9_curation_pipeline" -> x9CurationPipeline,
+    "x9b_neardup_curation" -> x9bNeardupCuration,
     "z5_hash_split" -> z5HashSplit,
     "z6_stratified_cap" -> z6StratifiedCap,
     "x2_minhash_lsh" -> x2MinhashLsh,

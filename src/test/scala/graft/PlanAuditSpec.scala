@@ -32,9 +32,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
-  test("x2/x3b/y2/y2b: bucketed pair generation contains no cartesian product") {
-    for (q <- Seq("x2_minhash_lsh", "x3b_simhash_pairs", "y2_knn_bucketed",
-        "y2b_knn_multiprobe")) {
+  test("x2/x3b/x10/y2/y2b: bucketed pair generation contains no cartesian product") {
+    for (q <- Seq("x2_minhash_lsh", "x3b_simhash_pairs", "x10_incremental_lsh",
+        "y2_knn_bucketed", "y2b_knn_multiprobe")) {
       val plan = formatted(q)
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$q must stay a bucket equi-join")
