@@ -84,6 +84,38 @@ object Dedup {
         "band", "key"),
       idCol, maxBucket)
 
+  /** Row-wise minhash signature over a shingle-hash ARRAY column — the
+    * streaming-safe form of [[minhashSignature]]: pure per-row HOF
+    * expressions (min over a multiset equals min over its set, so no
+    * distinct needed), zero shuffle, zero streaming state. Batch parity
+    * with the explode+groupBy form is spec-asserted. Callers alias the
+    * returned columns (mh0..mh{k-1} by convention). */
+  def minhashSignatureExprs(hvArr: Column, k: Int = 8): Seq[Column] = {
+    require(k <= MinhashA.length, s"at most ${MinhashA.length} hash functions configured")
+    (0 until k).map(i =>
+      array_min(transform(hvArr, h => (h * MinhashA(i) + MinhashB(i)) % MinhashP)))
+  }
+
+  /** Serialized Bloom filter over a signature frame's LSH band keys
+    * ("mh$i:<value>" strings, xxhash64'd) — the corpus side of the
+    * streaming near-dup gate: membership of ANY band key ⇒ probable LSH
+    * collision with the corpus. Sized by `expectedItems`/`numBits`
+    * (bits/item ≈ 8 → ~2% false-positive rate; false positives drop a
+    * clean doc, false negatives cannot happen). Returns None for an empty
+    * corpus (nothing can collide). */
+  def bandKeyBloom(sig: DataFrame, k: Int = 8, expectedItems: Long = 1000000L,
+                   numBits: Long = 8000000L): Option[Array[Byte]] = {
+    val bands = sig.unpivot(
+      Array.empty[Column],
+      (0 until k).map(i => col(s"mh$i")).toArray,
+      "band", "key")
+    val row = bands
+      .select(concat(col("band"), lit(":"), col("key").cast("string")).as("bkey"))
+      .agg(expr(s"graft_bloom_agg(xxhash64(bkey), ${expectedItems}L, ${numBits}L)"))
+      .head()
+    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+  }
+
   /** LSH candidates of an INCOMING batch against an existing corpus — the
     * incremental-ingest form: each arriving batch pairs only against the
     * base (one A×B bucket join), never re-pairing the corpus with itself,

@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Cast, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, BloomFilterMightContain, Cast, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, FloatType}
@@ -67,6 +68,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           throw new IllegalArgumentException(
             s"vector_dot requires exactly 2 arguments, got ${children.length}")
         VectorDot(children(0), children(1))
+      }))
+    // Spark ships a Bloom-filter aggregate + membership probe but registers
+    // them INTERNAL-only (the runtime-filter rule builds them directly), so
+    // SQL/`call_function` can't reach them. Re-register under graft names:
+    // the building blocks of the streaming near-dup gate (a corpus-side
+    // Bloom over LSH band keys, probed per row with zero streaming state).
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        if (children.length != 3)
+          throw new IllegalArgumentException(
+            s"graft_bloom_agg(xxhash64Value, estimatedItems, numBits) takes 3 arguments, got ${children.length}")
+        new BloomFilterAggregate(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_might_contain(bloom, xxhash64Value) takes 2 arguments, got ${children.length}")
+        BloomFilterMightContain(children(0), children(1))
       }))
     ext.injectOptimizerRule(_ => RewriteDotProduct)
   }

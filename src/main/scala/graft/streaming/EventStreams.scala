@@ -81,6 +81,42 @@ object EventStreams {
         .withColumn("split", graft.operators.Sampling.splitAssign(col(idCol))),
       destDir, checkpointDir, partCol = "split")
 
+  /** Streaming near-dup gate: drop incoming docs whose minhash signature
+    * LSH-collides with a static corpus — the continuous form of
+    * `Dedup.lshCandidatesAgainst`. The corpus rides along as a Bloom
+    * filter over its band keys (`Dedup.bandKeyBloom`, broadcast-sized at
+    * any corpus scale); each row computes its signature with pure HOF
+    * expressions (`Dedup.minhashSignatureExprs` — no explode + groupBy, so
+    * NO streaming state, no watermark, no shuffle) and probes the filter
+    * once per band. Bloom false positives drop a clean doc (conservative —
+    * size `numBits` to taste); false negatives cannot happen, so every
+    * surviving doc is genuinely LSH-clean against the corpus. Docs with
+    * fewer than 3 words have no shingles and always pass. */
+  def nearDupGate(docs: DataFrame, textCol: String,
+                  corpusBloom: Option[Array[Byte]], k: Int = 8): DataFrame =
+    corpusBloom match {
+      case None => docs // empty corpus: nothing to collide with
+      case Some(bloom) =>
+        val ws = split(col(textCol), " ")
+        // guarded: for < 3 words sequence(0, size-3) would DESCEND into
+        // negative subscripts (an ANSI-mode raise) — null the array instead;
+        // the size(ws) >= 3 conjunct below keeps those rows regardless
+        val hvArr = when(size(ws) >= 3, expr(
+          s"""transform(
+             |  transform(sequence(0, size(split($textCol, ' ')) - 3),
+             |    i -> concat_ws(' ', split($textCol, ' ')[i],
+             |                        split($textCol, ' ')[i+1],
+             |                        split($textCol, ' ')[i+2])),
+             |  s -> ${graft.operators.TextAnalysis.hash32Sql("s")})""".stripMargin))
+        val hit = graft.operators.Dedup.minhashSignatureExprs(hvArr, k).zipWithIndex
+          .map { case (mh, i) =>
+            call_function("graft_might_contain", lit(bloom),
+              xxhash64(concat(lit(s"mh$i:"), mh.cast("string"))))
+          }
+          .reduce(_ || _)
+        docs.filter(!(size(ws) >= 3 && hit))
+    }
+
   /** Per-user running state for shape 3. */
   case class UserAcc(userId: Long, total: Double, nEvents: Int)
   /** Emitted when a user's running value-total first crosses `cutoff`. */

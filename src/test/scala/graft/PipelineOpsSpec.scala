@@ -65,6 +65,20 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got._4 - 4.0 / 10.0) < 1e-12)
   }
 
+  test("row-wise minhash signature equals the explode+groupBy form") {
+    val rowwise = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sh", TextAnalysis.shinglesExpr("ws", 3))
+      .select(col("doc_id") +: Dedup.minhashSignatureExprs(
+        expr(s"transform(sh, s -> ${TextAnalysis.hash32Sql("s")})"), 8)
+        .zipWithIndex.map { case (c, i) => c.as(s"mh$i") }: _*)
+    val hv = shingled.select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
+    val grouped = Dedup.minhashSignature(hv, "doc_id", 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(rows(rowwise) === rows(grouped))
+  }
+
   test("lshCandidatesAgainst equals the cross-pair slice of the full self-join") {
     val hv = shingled.select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
     val sig = Dedup.minhashSignature(hv, "doc_id", 8)

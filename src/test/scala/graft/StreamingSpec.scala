@@ -92,6 +92,39 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(dest).listFiles().exists(_.getName.startsWith("split=")))
   }
 
+  test("nearDupGate drops stream docs that LSH-collide with the static corpus") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"),
+      (101L, "sort merge join hash scan filter group order window")).toDF("doc_id", "text")
+    val corpusSig = {
+      val sh = corpus.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
+        .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv")).distinct()
+      Dedup.minhashSignature(sh, "doc_id", 8)
+    }
+    val bloom = Dedup.bandKeyBloom(corpusSig, expectedItems = 1000L, numBits = 100000L)
+    assert(bloom.isDefined)
+    // empty corpus → everything passes
+    assert(Dedup.bandKeyBloom(corpusSig.limit(0)).isEmpty)
+
+    val src = tmpDir("gate_src")
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // dup of 100
+      (2L, "completely different words appear in this text here now"),
+      (3L, "too short")) // no shingles → always passes
+      .toDF("doc_id", "text").repartition(1).write.mode("append").parquet(src)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val gated = EventStreams.nearDupGate(
+      spark.readStream.schema(docSchema).parquet(src), "text", bloom)
+    val q = gated.writeStream.format("memory").queryName("gate_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.table("gate_out").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 3L)) // the corpus near-dup is gone
+  }
+
   test("sessionCut emits once per user at the cumulative-value crossing") {
     val src = tmpDir("cut_src")
     writeBatch(src, Seq(
