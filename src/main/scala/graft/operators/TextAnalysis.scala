@@ -66,6 +66,23 @@ object TextAnalysis {
   /** BPE-ish tokenizer regex: letter runs, single digits, single symbols. */
   val bpeIshPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 
+  /** PII patterns, kept to syntax both Java regex and RE2 (DuckDB)
+    * interpret identically — no backrefs, no lookaround. */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing — the redaction pass a training corpus runs before
+    * anything else sees the text: masks emails and phone-shaped digit
+    * runs with fixed tokens. Pure chained `regexp_replace` (Spark
+    * replaces all occurrences by default; the DuckDB oracle needs the
+    * explicit 'g' flag), linear in bytes, zero shuffle. Pattern-based
+    * redaction under-matches obfuscated PII by design — it is the cheap
+    * first pass, not a guarantee. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "[EMAIL]"),
+      PhonePattern, "[PHONE]")
+
   /** Rolling polynomial (Horner) fingerprint over the word sequence —
     * order-sensitive, unlike the minhash/simhash set signatures. */
   def fingerprint(wsCol: String, mod: Long = 1000000007L): Column =

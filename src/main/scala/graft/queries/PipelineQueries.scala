@@ -751,6 +751,43 @@ object PipelineQueries {
       |  CAST(FLOOR(height * LEAST(1.0, 224.0 / GREATEST(width, height))) AS INT) AS out_h
       |FROM geo ORDER BY doc_id""".stripMargin)
 
+  /** z12: PII redaction — the scrub pass a corpus build runs before
+    * training. The word-salad corpus carries no real PII, so emails/phones
+    * are SYNTHESIZED deterministically in-query (doc_id mod classes) and
+    * the operator under test is the redaction itself: per-doc match counts
+    * plus the masked text, exact string compare against the oracle. */
+  private val z12PiiRedact = {
+    val email = TextAnalysis.EmailPattern
+    val phone = TextAnalysis.PhonePattern
+    Q(
+      (s, d) => {
+        val dirty = concat(
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now"))).otherwise(col("text")),
+          when(col("doc_id") % 11 === 0, lit(" call 555-123-4567")).otherwise(lit("")))
+        Tables.documents(s, d)
+          .withColumn("t", dirty)
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phones"),
+            TextAnalysis.redactPii(col("t")).as("redacted"))
+          .orderBy("doc_id")
+      },
+      s"""WITH dirty AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 7 = 0
+         |          THEN text || ' contact user' || doc_id || '@example.com now'
+         |          ELSE text END)
+         |    || (CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END) AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$phone')) AS INT) AS n_phones,
+         |  regexp_replace(regexp_replace(t, '$email', '[EMAIL]', 'g'),
+         |                 '$phone', '[PHONE]', 'g') AS redacted
+         |FROM dirty ORDER BY doc_id""".stripMargin)
+  }
+
   /** z5: deterministic train/val/test assignment — md5-bucket splits that
     * are reproducible across runs, engines, and cluster sizes (`rand()` /
     * `df.sample` are none of those). Pure expression: no shuffle beyond
@@ -941,6 +978,7 @@ object PipelineQueries {
     "z8_chunking" -> z8Chunking,
     "z9_mixture_sample" -> z9MixtureSample,
     "z10_repetition" -> z10Repetition,
+    "z12_pii_redact" -> z12PiiRedact,
     "x4_ngram_jaccard" -> x4NgramJaccard,
     "x5_embed_neardup" -> x5EmbedNeardup,
     "x6_approx_distinct" -> x6ApproxDistinct,

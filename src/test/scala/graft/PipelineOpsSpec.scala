@@ -240,6 +240,16 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("redactPii masks emails and phone numbers, leaves clean text alone") {
+    val got = Seq(
+      "reach me at jane.doe+x@mail.example.org or 555-123-4567 thanks",
+      "no pii in this sentence at all")
+      .toDF("t").select(TextAnalysis.redactPii(col("t")).as("r"))
+      .as[String].collect()
+    assert(got(0) === "reach me at [EMAIL] or [PHONE] thanks")
+    assert(got(1) === "no pii in this sentence at all")
+  }
+
   test("markerCount counts non-overlapping occurrences") {
     val df = Seq(" the cat the dog the ").toDF("t")
     val n = df.select(TextAnalysis.markerCount(col("t"), " the ").as("n")).as[Int].head()
