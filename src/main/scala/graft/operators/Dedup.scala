@@ -44,6 +44,25 @@ object Dedup {
     hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Unpivot a signature frame into the (id, band, key) band relation —
+    * the shared first step of every LSH candidate/bloom path. */
+  private def bands(sig: DataFrame, idCol: String, k: Int): DataFrame =
+    sig.unpivot(
+      Array(col(idCol)),
+      (0 until k).map(i => col(s"mh$i")).toArray,
+      "band", "key")
+
+  /** The hot-bucket cap as a semi-join: keep only rows of (band, key)
+    * buckets at or under `cap` members — ONE shared implementation so the
+    * self-join and incremental paths can never diverge on cap semantics. */
+  private def capBuckets(banded: DataFrame, cap: Long): DataFrame = {
+    val sizes = banded.groupBy("band", "key")
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= cap)
+      .drop("__df")
+    banded.join(sizes, Seq("band", "key"), "left_semi")
+  }
+
   /** Self-join an (id, band, key) relation into distinct (a < b) candidate
     * pairs. One shuffle on the band key; bucket sizes bound the join
     * fan-out. Null keys never pair (join-on-null semantics).
@@ -56,15 +75,7 @@ object Dedup {
     * aggregation over the banded relation when set. */
   private def pairJoin(banded: DataFrame, idCol: String,
                        maxBucket: Option[Long] = None): DataFrame = {
-    val kept = maxBucket match {
-      case Some(cap) =>
-        val sizes = banded.groupBy("band", "key")
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap)
-          .drop("__df")
-        banded.join(sizes, Seq("band", "key"), "left_semi")
-      case None => banded
-    }
+    val kept = maxBucket.fold(banded)(capBuckets(banded, _))
     val a = kept.select(col(idCol).as("doc_a"), col("band"), col("key"))
     val b = kept.select(col(idCol).as("doc_b"), col("band"), col("key"))
     a.join(b, Seq("band", "key"))
@@ -77,12 +88,7 @@ object Dedup {
     * on (band, key) → distinct (a < b) pairs. */
   def lshCandidates(sig: DataFrame, idCol: String, k: Int = 8,
                     maxBucket: Option[Long] = None): DataFrame =
-    pairJoin(
-      sig.unpivot(
-        Array(col(idCol)),
-        (0 until k).map(i => col(s"mh$i")).toArray,
-        "band", "key"),
-      idCol, maxBucket)
+    pairJoin(bands(sig, idCol, k), idCol, maxBucket)
 
   /** Row-wise minhash signature over a shingle-hash ARRAY column — the
     * streaming-safe form of [[minhashSignature]]: pure per-row HOF
@@ -99,19 +105,23 @@ object Dedup {
   /** Serialized Bloom filter over a signature frame's LSH band keys
     * ("mh$i:<value>" strings, xxhash64'd) — the corpus side of the
     * streaming near-dup gate: membership of ANY band key ⇒ probable LSH
-    * collision with the corpus. Sized by `expectedItems`/`numBits`
-    * (bits/item ≈ 8 → ~2% false-positive rate; false positives drop a
-    * clean doc, false negatives cannot happen). Returns None for an empty
-    * corpus (nothing can collide). */
-  def bandKeyBloom(sig: DataFrame, k: Int = 8, expectedItems: Long = 1000000L,
-                   numBits: Long = 8000000L): Option[Array[Byte]] = {
-    val bands = sig.unpivot(
-      Array.empty[Column],
-      (0 until k).map(i => col(s"mh$i")).toArray,
-      "band", "key")
-    val row = bands
+    * collision with the corpus. By default the filter is SIZED FROM THE
+    * DATA: one count of the band relation (k × docs items, NOT docs — a
+    * docs-count guess undercounts 8× and silently saturates the filter
+    * into dropping everything), 8 bits per item ≈ 2% false-positive rate.
+    * False positives drop a clean doc; false negatives cannot happen.
+    * Pass `expectedItems` to skip the count when the corpus size is
+    * already known — it means BAND KEYS, not documents. Returns None for
+    * an empty corpus (nothing can collide). */
+  def bandKeyBloom(sig: DataFrame, idCol: String = "doc_id", k: Int = 8,
+                   expectedItems: Option[Long] = None,
+                   bitsPerItem: Long = 8L): Option[Array[Byte]] = {
+    val banded = bands(sig, idCol, k)
       .select(concat(col("band"), lit(":"), col("key").cast("string")).as("bkey"))
-      .agg(expr(s"graft_bloom_agg(xxhash64(bkey), ${expectedItems}L, ${numBits}L)"))
+    val items = expectedItems.getOrElse(banded.count()).max(1L)
+    val numBits = items * bitsPerItem
+    val row = banded
+      .agg(expr(s"graft_bloom_agg(xxhash64(bkey), ${items}L, ${numBits}L)"))
       .head()
     if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
   }
@@ -127,21 +137,9 @@ object Dedup {
     * alone (cheap) if those matter. */
   def lshCandidatesAgainst(incomingSig: DataFrame, baseSig: DataFrame, idCol: String,
                            k: Int = 8, maxBucket: Option[Long] = None): DataFrame = {
-    def bands(sig: DataFrame) = sig.unpivot(
-      Array(col(idCol)),
-      (0 until k).map(i => col(s"mh$i")).toArray,
-      "band", "key")
-    val base = maxBucket match {
-      case Some(cap) =>
-        val b = bands(baseSig)
-        val sizes = b.groupBy("band", "key")
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap)
-          .drop("__df")
-        b.join(sizes, Seq("band", "key"), "left_semi")
-      case None => bands(baseSig)
-    }
-    bands(incomingSig).select(col(idCol).as("doc_new"), col("band"), col("key"))
+    val base = maxBucket.fold(bands(baseSig, idCol, k))(
+      capBuckets(bands(baseSig, idCol, k), _))
+    bands(incomingSig, idCol, k).select(col(idCol).as("doc_new"), col("band"), col("key"))
       .join(base.select(col(idCol).as("doc_base"), col("band"), col("key")),
         Seq("band", "key"))
       .select("doc_new", "doc_base")

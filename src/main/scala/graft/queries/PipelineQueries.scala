@@ -71,6 +71,12 @@ object PipelineQueries {
       |  count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** DuckDB band relation for the 8×1 banding — shared by every oracle
+    * that touches LSH candidates (x2/x10/x8/x8b/x9b) so the band/key
+    * encoding can never drift between them. */
+  private val bandsSql: String = (0 until 8).map(i =>
+    s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
+
   /** Hot-bucket cap for the single-hash LSH candidate stage (x2/x8/x8b) —
     * x4's stop-shingle trick in band form: a (band, key) bucket of df docs
     * contributes df² join rows, and one boilerplate band value can make
@@ -92,14 +98,12 @@ object PipelineQueries {
     * → band self-join. Never O(n²): pairs exist only where a band collides,
     * and the hot-bucket cap bounds the worst bucket. */
   private val x2MinhashLsh = {
-    val bands = (0 until 8).map(i =>
-      s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
     Q(
       (s, d) => Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
           maxBucket = Some(X2MaxBucket))
         .orderBy("doc_a", "doc_b"),
       s"""WITH $minhashCtes,
-         |${cappedBandsCte(bands)}
+         |${cappedBandsCte(bandsSql)}
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM kept a JOIN kept b
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -113,8 +117,6 @@ object PipelineQueries {
     * applies to the base side's bucket sizes (corpus boilerplate is the
     * skew source). */
   private val x10IncrementalLsh = {
-    val bands = (0 until 8).map(i =>
-      s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
     Q(
       (s, d) => {
         val sig = minhashSig(s, d)
@@ -125,7 +127,7 @@ object PipelineQueries {
           .orderBy("doc_new", "doc_base")
       },
       s"""WITH $minhashCtes,
-         |bands AS ($bands),
+         |bands AS ($bandsSql),
          |base AS (SELECT doc_id, band, key FROM (
          |    SELECT *, count(*) OVER (PARTITION BY band, key) AS df
          |    FROM bands WHERE doc_id % 10 <> 0)
@@ -291,10 +293,8 @@ object PipelineQueries {
     * pairs → connected components fixpoint, shared by the x8/x8b cluster
     * oracles and the x9b near-dup curation oracle. */
   private val componentsCtes: String = {
-    val bands = (0 until 8).map(i =>
-      s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
     s"""$minhashCtes,
-       |${cappedBandsCte(bands)},
+       |${cappedBandsCte(bandsSql)},
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM kept a JOIN kept b
@@ -470,9 +470,10 @@ object PipelineQueries {
     * declared output is the x6-style CONTRACT the iteration must satisfy
     * wherever it runs: every cell stays populated, and the within-cluster
     * squared distance never increases round over round (both Lloyd steps
-    * are non-increasing). The slack scales with the corpus: each summed
-    * distance is rounded to 6 dp and the argmin can pick a centroid up to
-    * 1e-6 worse per row, so n·1e-6 is the principled noise bound at ANY
+    * are non-increasing). The slack scales with the corpus: per row the
+    * argmin on 6-dp-rounded d2 can pick a centroid up to 1e-6 worse AND
+    * the two observed sums each carry up to 0.5e-6·n of rounding offset
+    * in opposite directions, so 2e-6·n bounds the worst-case noise at ANY
     * SF — a fixed slack would fail data-dependently on a large corpus
     * near convergence. The exact numerics live in the ScalaTest
     * convergence spec.
@@ -490,7 +491,7 @@ object PipelineQueries {
         maxIters = 4, eps = 0.0)
       val contract = res.history.zip(Double.PositiveInfinity +: res.history.map(_.wcss))
         .map { case (r, prevWcss) =>
-          (r.iter, r.nCells == 8L, r.wcss <= prevWcss + 1e-6 * (r.n + 1)) }
+          (r.iter, r.nCells == 8L, r.wcss <= prevWcss + 2e-6 * (r.n + 1)) }
       contract.toDF("iter", "cells_nonempty", "wcss_decreased").orderBy("iter")
     },
     """SELECT CAST(i AS INT) AS iter, TRUE AS cells_nonempty,

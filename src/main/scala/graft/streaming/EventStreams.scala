@@ -114,7 +114,11 @@ object EventStreams {
               xxhash64(concat(lit(s"mh$i:"), mh.cast("string"))))
           }
           .reduce(_ || _)
-        docs.filter(!(size(ws) >= 3 && hit))
+        // coalesce the shingle guard: null text makes size(ws) >= 3 NULL,
+        // and NULL && true = NULL would drop the row or not depending on
+        // whether the corpus bloom happens to contain xxhash64(null)'s
+        // fixed seed value — coalescing pins "no shingles → always pass"
+        docs.filter(!(coalesce(size(ws) >= 3, lit(false)) && hit))
     }
 
   /** Per-user running state for shape 3. */

@@ -85,6 +85,8 @@ class PlanAuditSpec extends SparkSpec {
     // ("1.50") but DuckDB oracle decimals as doubles ("1.5"): any DECIMAL
     // output column hash-mismatches on the first trailing-zero value.
     // DECIMAL belongs inside the plan; DOUBLE at the output boundary.
+    // NOTE: constructing y3b/x9b runs their driver loops (k-means, CC) —
+    // a few seconds at this SF, the price of auditing every declared query.
     import org.apache.spark.sql.types.DecimalType
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       fn(spark, sf).schema.fields.collect {

@@ -103,7 +103,7 @@ class StreamingSpec extends SparkSpec {
         .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv")).distinct()
       Dedup.minhashSignature(sh, "doc_id", 8)
     }
-    val bloom = Dedup.bandKeyBloom(corpusSig, expectedItems = 1000L, numBits = 100000L)
+    val bloom = Dedup.bandKeyBloom(corpusSig) // auto-sized from the band count
     assert(bloom.isDefined)
     // empty corpus → everything passes
     assert(Dedup.bandKeyBloom(corpusSig.limit(0)).isEmpty)
