@@ -28,6 +28,34 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Chunk-level exact dedup — line dedup generalized to fixed word windows
+    * (the reference pipeline for this is CCNet-style repeated-line removal;
+    * cf. `/root/reference` has no analog — this is part of the 100-TB
+    * extension layer): every chunk duplicated anywhere in the corpus keeps
+    * only its first occurrence in (id, chunk_id) order; later copies are
+    * flagged for removal.
+    *
+    * Two bounded stages, both skew-proof: a groupBy on the chunk hash whose
+    * `min(struct)` is map-side combinable (a boilerplate chunk duplicated a
+    * million times still reduces to one row per input partition before the
+    * shuffle), and an equi-join of the winner relation — one row per
+    * DISTINCT chunk — back onto the chunks. No windows over raw data, no
+    * per-key state proportional to duplication count.
+    *
+    * Output: the chunk relation (id, chunk_id, n_tokens, chunk_text, chash)
+    * plus a `kept` flag; callers aggregate or filter from there. */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val chunks = TextAnalysis.chunkWords(docs, idCol, textCol, k)
+      .withColumn("chash", md5(col("chunk_text")))
+    val winners = chunks
+      .groupBy("chash")
+      .agg(min(struct(col(idCol).as("id"), col("chunk_id").as("cid"))).as("__w"))
+    chunks.join(winners, Seq("chash"))
+      .withColumn("kept",
+        col("__w.id") === col(idCol) && col("__w.cid") === col("chunk_id"))
+      .drop("__w")
+  }
+
   /** Minhash parameters: k universal hash functions (a_i*h + b_i) mod p over
     * the 32-bit word hash. Fixed constants keep runs reproducible. */
   val MinhashP: Long = 2147483647L

@@ -124,6 +124,48 @@ object TextAnalysis {
         ((size(col("sh")) - size(array_distinct(col("sh")))) / size(col("sh")))
           .as("dup_ratio"))
 
+  /** Corpus heavy hitters: top-k terms per group by frequency — the vocab /
+    * boilerplate-token report a corpus build runs before choosing stopword
+    * and cap lists. The count aggregate is map-side combinable (a hot term
+    * collapses to one row per input partition before the shuffle) and the
+    * rank window runs over the vocab-sized aggregate, never the corpus, so
+    * the window state is O(vocab/group), independent of corpus size. Ties
+    * break by term — deterministic across engines and cluster sizes. */
+  def heavyHitters(docs: org.apache.spark.sql.DataFrame, grpCol: String,
+                   textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(grpCol)).orderBy(col("n").desc, col("term").asc)
+    docs.select(col(grpCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(grpCol), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w).cast(IntegerType))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Hashed-feature dimension of the linear quality classifier. */
+  val ClassifierDim: Int = 64
+
+  /** Hashing-trick linear quality classifier (the fastText-shaped scoring
+    * seam): each token hashes into one of `dim` buckets, each bucket
+    * carries a fixed md5-derived weight in [-1, 1], and the doc score is
+    * the sequential left fold of its token weights. Zero shuffle — the
+    * whole model evaluates as pure codegen'd expressions inside the scan.
+    *
+    * The weight table is a deterministic placeholder with the exact shape
+    * a trained model would have (bucket → weight); productionizing swaps
+    * the weight expression for a broadcast array lookup, leaving the
+    * feature hashing, fold order, and threshold gate unchanged. Weights
+    * are exact rationals (n/1000) and the fold order is fixed, so scores
+    * are bit-identical across engines. */
+  def classifierScore(wsCol: String, dim: Int = ClassifierDim): Column = {
+    val bucket = s"CAST(${hash32Sql("t")} % $dim AS STRING)"
+    val weight =
+      s"(${hash32Sql(s"concat('w', $bucket)")} % 2001 - 1000) / CAST(1000 AS DOUBLE)"
+    expr(
+      s"""aggregate(transform($wsCol, t -> $weight),
+         |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
+  }
+
   /** Doc-term TF-IDF weights: tf = term count in doc, idf = ln(N/df) over
     * the corpus. ONE pass over the exploded corpus (the tf aggregate);
     * df falls out of tf for free — tf has exactly one row per (doc, term),

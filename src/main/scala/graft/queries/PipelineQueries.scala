@@ -966,7 +966,72 @@ object PipelineQueries {
       |FROM capped WHERE rn <= 50
       |GROUP BY source ORDER BY source""".stripMargin)
 
+  /** x11: chunk-level exact dedup — repeated-line removal generalized to
+    * 20-word windows (keep the first occurrence of every duplicated chunk,
+    * flag the rest). The winner choice is a map-side-combinable min-struct
+    * aggregate, so a boilerplate chunk duplicated across the whole corpus
+    * never concentrates on one task. The oracle replays the same keep-first
+    * rule with a window over the chunk hash. */
+  private val x11ChunkDedup = Q(
+    (s, d) => Dedup.chunkDedup(Tables.documents(s, d), "doc_id", "text", 20)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0)).cast("bigint")
+          .as("kept_tokens"))
+      .orderBy("doc_id"),
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |ch AS (SELECT doc_id, l,
+      |         unnest(generate_series(0, (len(l) - 1) // 20)) AS chunk_id
+      |       FROM ws),
+      |c AS (SELECT doc_id, chunk_id,
+      |        len(list_slice(l, chunk_id * 20 + 1, chunk_id * 20 + 20)) AS n_tokens,
+      |        md5(array_to_string(list_slice(l, chunk_id * 20 + 1, chunk_id * 20 + 20), ' ')) AS chash
+      |      FROM ch),
+      |r AS (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY chash ORDER BY doc_id, chunk_id) AS rn FROM c)
+      |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** z13: per-language token heavy hitters (top-10) — the vocab report a
+    * corpus build runs to pick stopword/cap lists. One map-side-combinable
+    * count shuffle; the rank window sees only the vocab-sized aggregate. */
+  private val z13HeavyHitters = Q(
+    (s, d) => TextAnalysis.heavyHitters(Tables.documents(s, d), "lang", "text", 10)
+      .orderBy("lang", "rnk"),
+    """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT lang, term, COUNT(*) AS n FROM w GROUP BY 1, 2),
+      |r AS (SELECT lang, term, n, CAST(ROW_NUMBER() OVER (
+      |        PARTITION BY lang ORDER BY n DESC, term) AS INT) AS rnk FROM c)
+      |SELECT lang, term, n, rnk FROM r WHERE rnk <= 10
+      |ORDER BY lang, rnk""".stripMargin)
+
+  /** z14: hashing-trick linear quality classifier — fastText-shaped scoring
+    * as a zero-shuffle fold inside the scan. Scores are sums of exact
+    * rationals in a fixed fold order (bit-identical across engines); the
+    * keep gate thresholds at 0. */
+  private val z14QualityClassifier = Q(
+    (s, d) => Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), size(col("ws")).as("n_tokens"),
+        TextAnalysis.classifierScore("ws").as("score"))
+      .withColumn("keep", col("score") > 0)
+      .orderBy("doc_id"),
+    s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sc AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+       |  list_reduce(list_transform(w,
+       |      t -> (${h32Sql(s"'w' || CAST((${h32Sql("t")} % ${TextAnalysis.ClassifierDim}) AS VARCHAR)")} % 2001 - 1000) / CAST(1000 AS DOUBLE)),
+       |    (acc, x) -> acc + x) AS score
+       |  FROM s)
+       |SELECT doc_id, n_tokens, score, score > CAST(0 AS DOUBLE) AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "x11_chunk_dedup" -> x11ChunkDedup,
+    "z13_heavy_hitters" -> z13HeavyHitters,
+    "z14_quality_classifier" -> z14QualityClassifier,
     "x1_exact_dedup" -> x1ExactDedup,
     "x9_curation_pipeline" -> x9CurationPipeline,
     "x9b_neardup_curation" -> x9bNeardupCuration,

@@ -85,6 +85,31 @@ object RelationalQueries {
     },
     "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
 
+  /** S6 variant: ORC as a second columnar intermediate format — the same
+    * binary-table contract as the Parquet store (S6/S7) through Spark's
+    * native ORC source/sink, so a deployment standardized on ORC can use
+    * the store layer unchanged. Round-trips a pruned lineitem projection
+    * and aggregates the re-read copy; the oracle aggregates the original
+    * Parquet — equality proves the ORC hop is lossless (including the
+    * DECIMAL money path). */
+  private val s12OrcRoundtrip = Q(
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/lineitem_orc_${math.abs(d.hashCode)}"
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sumMoney(col("l_quantity")).as("sum_qty"),
+          sumMoney(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    },
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** S4+R3: JSON parsing of a nested props column
     * (`jsonlite::fromJSON` `/root/reference/R/espn_wp.R:43`). */
   private val s4JsonParse = Q(
@@ -752,6 +777,7 @@ object RelationalQueries {
     "s2_seasonal_union" -> s2SeasonalUnion,
     "s7_partitioned_sink" -> s7PartitionedSink,
     "s8_csv_roundtrip" -> s8CsvRoundtrip,
+    "s12_orc_roundtrip" -> s12OrcRoundtrip,
     "s4_json_parse" -> s4JsonParse,
     "s5_clean_table" -> s5CleanTable,
     "s11_literal_relation" -> s11LiteralRelation,

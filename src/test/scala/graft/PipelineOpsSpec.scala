@@ -116,6 +116,21 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L, 99L -> 99L))
   }
 
+  test("chunkDedup keeps the first occurrence of a duplicated chunk, within and across docs") {
+    val cd = Seq(
+      (1L, "a b c d e f"),        // chunks: [a b c], [d e f]
+      (2L, "a b c x y z"),        // chunk 0 duplicates doc 1's chunk 0
+      (3L, "p q r p q r")         // chunk 1 duplicates chunk 0 within the doc
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(cd, "doc_id", "text", 3)
+      .select("doc_id", "chunk_id", "kept").as[(Long, Int, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map(
+      (1L, 0) -> true, (1L, 1) -> true,
+      (2L, 0) -> false, (2L, 1) -> true,
+      (3L, 0) -> true, (3L, 1) -> false))
+  }
+
   test("simhash32 is a set signature: equal sets equal, different sets differ") {
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), TextAnalysis.hash32(col("w")).as("hv")).distinct()
@@ -248,6 +263,40 @@ class TextAnalysisSpec extends SparkSpec {
       .as[String].collect()
     assert(got(0) === "reach me at [EMAIL] or [PHONE] thanks")
     assert(got(1) === "no pii in this sentence at all")
+  }
+
+  test("heavyHitters ranks by count desc then term asc, capped at k per group") {
+    val hh = Seq(
+      ("en", "b b b a a c"),
+      ("en", "a"),
+      ("de", "x y y")
+    ).toDF("lang", "text")
+    val got = TextAnalysis.heavyHitters(hh, "lang", "text", 2)
+      .select("lang", "term", "n", "rnk").as[(String, String, Long, Int)]
+      .collect().toSet
+    // en: a=3 b=3 tie -> a first by term; c cut by k=2. de: y=2 x=1.
+    assert(got === Set(
+      ("en", "a", 3L, 1), ("en", "b", 3L, 2),
+      ("de", "y", 2L, 1), ("de", "x", 1L, 2)))
+  }
+
+  test("classifierScore is the exact sum of per-token md5-derived weights") {
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d, 16)
+    }
+    def weight(t: String): Double =
+      (h32("w" + (h32(t) % TextAnalysis.ClassifierDim)) % 2001 - 1000) / 1000.0
+    val df = Seq("alpha beta", "alpha", "beta").toDF("text")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("text"), TextAnalysis.classifierScore("ws").as("score"))
+    val got = df.as[(String, Double)].collect().toMap
+    assert(got("alpha") === weight("alpha"))
+    assert(got("beta") === weight("beta"))
+    // seed is 0.0, so a two-token fold is bit-exactly the sum of singles
+    assert(got("alpha beta") === weight("alpha") + weight("beta"))
+    assert(math.abs(got("alpha")) <= 1.0)
   }
 
   test("markerCount counts non-overlapping occurrences") {
