@@ -329,6 +329,28 @@ object Relational {
         specs.tail.map(s => s.merge(col(s.name)).as(s.name)): _*)
   }
 
+  /** Skew-safe equi-join without broadcast: salt the big side's rows
+    * deterministically (same retry-safe hash+partition-id salt as
+    * [[saltedAgg]]), replicate the small side once per salt value, and
+    * join on (key, salt). A hot join key's rows then spread over `salts`
+    * reducers instead of funneling into one. The result is EXACTLY the
+    * plain inner equi-join — each big row matches the single replica of
+    * its key carrying its salt — so correctness is oracle-checkable
+    * against the unsalted join. Use when the small side exceeds the
+    * broadcast threshold and the big side is key-skewed; AQE splits
+    * skewed sort-merge partitions at runtime, but a static salt also
+    * covers the shapes AQE can't re-split (e.g. a partial aggregate
+    * fused above the join). Cost: |small| × salts shuffled rows.
+    * Precondition (as saltedAgg): big's columns must be hashable. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    val bigS = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col) :+ spark_partition_id(): _*), lit(salts)))
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** E2: idempotent incremental append — the `nflfastR::update_db` shape
     * (`/root/reference/2_scrape_new_games.R:7-12`): rows of `incoming` whose
     * key is not already present in `existing`. Anti-join is the scalable

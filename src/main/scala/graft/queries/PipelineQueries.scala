@@ -1028,8 +1028,40 @@ object PipelineQueries {
        |SELECT doc_id, n_tokens, score, score > CAST(0 AS DOUBLE) AS keep
        |FROM sc ORDER BY doc_id""".stripMargin)
 
+  /** z15: unigram LM log-prob scoring — the cheap perplexity-style quality
+    * filter: p(w) from corpus counts (one map-side-combinable pass), doc
+    * score = mean token log-prob. The vocab-sized count table broadcasts
+    * into the scoring join. Per the cross-engine float rules: each
+    * transcendental ln snapshots to an exact DECIMAL(12,6) (engine-stable
+    * cast), the per-doc SUM is exact decimal (shuffle-order-independent —
+    * a float sum here would hash-drift run to run), and the mean is one
+    * raw IEEE division at the DOUBLE output boundary. */
+  private val z15UnigramLogprob = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val cnt = w.groupBy("term").agg(count(lit(1)).as("n_w"))
+      val tot = cnt.agg(sum(col("n_w")).as("n_tot"))
+      w.join(broadcast(cnt), Seq("term"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          log(col("n_w").cast("double") / col("n_tot")).cast("decimal(12,6)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_tokens"),
+          (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |cnt AS (SELECT term, COUNT(*) AS n_w FROM w GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tot FROM cnt)
+      |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+      |  CAST(SUM(CAST(ln(CAST(n_w AS DOUBLE) / n_tot) AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*) AS avg_logprob
+      |FROM w JOIN cnt USING (term) CROSS JOIN tot
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "x11_chunk_dedup" -> x11ChunkDedup,
+    "z15_unigram_logprob" -> z15UnigramLogprob,
     "z13_heavy_hitters" -> z13HeavyHitters,
     "z14_quality_classifier" -> z14QualityClassifier,
     "x1_exact_dedup" -> x1ExactDedup,

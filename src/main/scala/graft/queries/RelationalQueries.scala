@@ -612,6 +612,70 @@ object RelationalQueries {
       |SELECT s_name, s_acctbal, NULL, 'supplier' FROM supplier
       |ORDER BY name""".stripMargin)
 
+  /** U3: EXCEPT / INTERSECT set operations (distinct semantics, matching
+    * SQL) — customers without orders vs customers with orders, summarized.
+    * Both set ops hash-partition on the full row; Catalyst plans them as
+    * aggregates/joins, no driver-side work. */
+  private val u3ExceptIntersect = Q(
+    (s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey").as("k"))
+      val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+      val no = c.except(o)
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+        .withColumn("tag", lit("no_orders"))
+      val withO = c.intersect(o)
+        .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+        .withColumn("tag", lit("with_orders"))
+      no.unionByName(withO).select("tag", "n", "min_k", "max_k").orderBy("tag")
+    },
+    """WITH e AS (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders),
+      |i AS (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders)
+      |SELECT 'no_orders' AS tag, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k FROM e
+      |UNION ALL
+      |SELECT 'with_orders', COUNT(*), MIN(k), MAX(k) FROM i
+      |ORDER BY tag""".stripMargin)
+
+  /** A13: CUBE grouping sets — every (returnflag × linestatus) subtotal
+    * combination in ONE pass (Spark expands grouping sets inside a single
+    * aggregate; no self-union of per-level scans). Subtotal NULLs are
+    * labeled 'ALL' on both sides so the output order never depends on
+    * engine null-sort defaults. */
+  private val a13CubeAgg = Q(
+    (s, d) => Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy("rf", "ls"),
+    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+      |  COALESCE(l_linestatus, 'ALL') AS ls,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin)
+
+  /** J9: skew-salted equi-join — the broadcast-free scale path for a
+    * key-skewed fact joined to an over-threshold dim. The oracle is the
+    * PLAIN join: salting must only re-route rows, never change the
+    * result. */
+  private val j9SaltedJoin = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+      val sup = Tables.supplier(s, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      saltedJoin(li, sup, "suppkey", salts = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+        .orderBy("s_nationkey")
+    },
+    """SELECT s_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** O1+O3: multi-key descending sort, top-k (`arrange(-x)` + rank filters,
     * `/root/reference/darko/2_ourlads_projections.R:107,375-379`). */
   private val o1TopK = Q(
@@ -803,6 +867,9 @@ object RelationalQueries {
     "j8_range_join" -> j8RangeJoin,
     "j8b_range_join_auto" -> j8bRangeJoinAuto,
     "u1_union_pad" -> u1UnionPad,
+    "u3_except_intersect" -> u3ExceptIntersect,
+    "a13_cube_agg" -> a13CubeAgg,
+    "j9_salted_join" -> j9SaltedJoin,
     "o1_topk" -> o1TopK,
     "o2_recent_tail" -> o2RecentTail,
     "f1_case_when_recode" -> f1CaseWhenRecode,

@@ -27,6 +27,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted("HOT")._2 === 10000L)
   }
 
+  test("saltedJoin matches the plain inner join on a skewed key, spread over salts") {
+    // 20k fact rows on one hot key (many identical — the content-salt
+    // collapse case), a few elsewhere; dim has one row per key
+    val fact = spark.range(20000)
+      .select(lit(7L).as("k"), (col("id") % 100).cast("double").as("v"))
+      .union(Seq((1L, 5.0), (2L, 7.0), (1L, 1.0)).toDF("k", "v"))
+    val dim = Seq((7L, "hot"), (1L, "one"), (2L, "two"), (9L, "unused"))
+      .toDF("k", "name")
+    val direct = fact.join(dim, Seq("k"))
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    val salted = Relational.saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy("k", "name").agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(salted === direct)
+    // the hot key's fact rows actually use more than one salt value
+    val saltSpread = fact.withColumn("__salt",
+        pmod(hash(fact.columns.map(col) :+ spark_partition_id(): _*), lit(8)))
+      .filter(col("k") === 7L).select("__salt").distinct().count()
+    assert(saltSpread > 1)
+  }
+
   test("hash split is deterministic, exhaustive, and roughly proportioned") {
     import graft.operators.Sampling
     val ids = spark.range(2000).toDF("id")
