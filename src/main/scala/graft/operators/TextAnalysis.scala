@@ -158,11 +158,25 @@ object TextAnalysis {
     * are exact rationals (n/1000) and the fold order is fixed, so scores
     * are bit-identical across engines. */
   def classifierScore(wsCol: String, dim: Int = ClassifierDim): Column = {
-    val bucket = s"CAST(${hash32Sql("t")} % $dim AS STRING)"
-    val weight =
-      s"(${hash32Sql(s"concat('w', $bucket)")} % 2001 - 1000) / CAST(1000 AS DOUBLE)"
+    // The dim-entry weight table is tiny, so bake it into the plan as a
+    // constant array literal instead of re-hashing 'w'||bucket per token —
+    // one md5 per token instead of two. The JVM md5 here produces the
+    // same bits as Spark's md5 (spec-asserted), and each weight's
+    // shortest-repr decimal literal CASTs back to the identical double,
+    // so scores are unchanged vs. the all-expression form (and vs. the
+    // DuckDB oracle, which still derives weights from md5 inline).
+    val weights = (0 until dim).map { b =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(("w" + b).getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16)
+      (h % 2001 - 1000) / 1000.0
+    }
+    val arr = weights.map(w => s"CAST($w AS DOUBLE)")
+      .mkString("array(", ", ", ")")
     expr(
-      s"""aggregate(transform($wsCol, t -> $weight),
+      s"""aggregate(
+         |  transform($wsCol, t -> $arr[CAST(${hash32Sql("t")} % $dim AS INT)]),
          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin)
   }
 
