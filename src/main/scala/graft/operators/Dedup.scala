@@ -154,6 +154,26 @@ object Dedup {
     if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
   }
 
+  /** Serialized Bloom filter over the corpus's exact content hashes — the
+    * batch-ingest analog of [[bandKeyBloom]]: an arriving batch probes it
+    * to skip rows that CANNOT be exact dups (Bloom false negatives are
+    * impossible) and runs the exact semi-join only over the probable-dup
+    * remainder. At 100 TB the filter (~1 GB per billion docs at 8
+    * bits/item ≈ 2% false positives) broadcasts where the corpus's hash
+    * set cannot. Sized from the data unless `expectedItems` is passed;
+    * None for an empty corpus (nothing can be a dup). */
+  def contentBloom(corpus: DataFrame, textCol: String,
+                   expectedItems: Option[Long] = None,
+                   bitsPerItem: Long = 8L): Option[Array[Byte]] = {
+    val hashed = corpus.select(md5(col(textCol)).as("h"))
+    val items = expectedItems.getOrElse(hashed.count()).max(1L)
+    val numBits = items * bitsPerItem
+    val row = hashed
+      .agg(expr(s"graft_bloom_agg(xxhash64(h), ${items}L, ${numBits}L)"))
+      .head()
+    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
+  }
+
   /** LSH candidates of an INCOMING batch against an existing corpus — the
     * incremental-ingest form: each arriving batch pairs only against the
     * base (one A×B bucket join), never re-pairing the corpus with itself,

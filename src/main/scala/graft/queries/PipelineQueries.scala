@@ -1059,8 +1059,46 @@ object PipelineQueries {
       |FROM w JOIN cnt USING (term) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** x12: Bloom pre-filter for incremental exact dedup — the arriving
+    * batch (doc_id % 10 = 0) probes a corpus content-hash Bloom so the
+    * exact semi-join only runs on probable dups. Like x6, the oracle is a
+    * CONTRACT, not a value replay (the filter's bits aren't
+    * SQL-expressible): every true dup must be flagged (Bloom false
+    * negatives are impossible — `no_false_neg`), and false positives stay
+    * under 20% of the batch (`fp_bounded`, sized for ~2% expected); the
+    * exact-dup count itself is value-checked. */
+  private val x12BloomPrefilter = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val flagged = Dedup.contentBloom(corpus, "text") match {
+        case Some(b) => batch.withColumn("probable",
+          call_function("graft_might_contain", lit(b), xxhash64(col("h"))))
+        case None => batch.withColumn("probable", lit(false))
+      }
+      val exact = corpus.select(md5(col("text")).as("h")).distinct()
+        .withColumn("is_dup", lit(true))
+      flagged.join(exact, Seq("h"), "left")
+        .agg(
+          count(lit(1)).cast("int").as("n_batch"),
+          sum(when(col("is_dup"), 1).otherwise(0)).cast("int").as("n_exact_dup"),
+          (sum(when(col("is_dup") && !col("probable"), 1).otherwise(0)) === 0)
+            .as("no_false_neg"),
+          (sum(when(col("probable") && col("is_dup").isNull, 1).otherwise(0))
+            <= count(lit(1)) * lit(0.2)).as("fp_bounded"))
+    },
+    """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0),
+      |c AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0)
+      |SELECT CAST((SELECT COUNT(*) FROM b) AS INT) AS n_batch,
+      |  CAST((SELECT COUNT(*) FROM b JOIN c USING (h)) AS INT) AS n_exact_dup,
+      |  TRUE AS no_false_neg,
+      |  TRUE AS fp_bounded""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "x11_chunk_dedup" -> x11ChunkDedup,
+    "x12_bloom_prefilter" -> x12BloomPrefilter,
     "z15_unigram_logprob" -> z15UnigramLogprob,
     "z13_heavy_hitters" -> z13HeavyHitters,
     "z14_quality_classifier" -> z14QualityClassifier,

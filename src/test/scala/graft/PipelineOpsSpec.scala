@@ -108,6 +108,21 @@ class DedupSpec extends SparkSpec {
     assert(got(3L)._1 > 0 && got(3L)._1 < nSh1) // near dup: partial overlap
   }
 
+  test("contentBloom flags every exact dup (no false negatives); empty corpus is None") {
+    val corpus = docs.filter(col("doc_id") =!= 2L) // docs 1, 3, 4
+    val bloom = Dedup.contentBloom(corpus, "text")
+    assert(bloom.isDefined)
+    assert(Dedup.contentBloom(corpus.limit(0), "text").isEmpty)
+    val probed = docs
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("probable",
+        call_function("graft_might_contain", lit(bloom.get), xxhash64(col("h"))))
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    // doc 2 is an exact dup of corpus doc 1 — a Bloom can NEVER miss it
+    assert(probed(2L) === true)
+    assert(probed(1L) === true) // in the corpus itself
+  }
+
   test("connectedComponents labels chains with the min id; isolated nodes keep their own") {
     val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L)).toDF("doc_a", "doc_b") // chain 2-5-9, pair 11-12
     val nodes = Seq(2L, 5L, 9L, 11L, 12L, 99L).toDF("doc_id")

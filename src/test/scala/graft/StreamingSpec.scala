@@ -92,6 +92,28 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(dest).listFiles().exists(_.getName.startsWith("split=")))
   }
 
+  test("classifierScore gates a stream statelessly with batch-identical scores") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "scan filter join merge sort"),
+      (3L, "the a of and in to"))
+    val src = tmpDir("qgate_src")
+    rows.toDF("doc_id", "text").repartition(1).write.mode("append").parquet(src)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def scored(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), TextAnalysis.classifierScore("ws").as("score"))
+    val q = scored(spark.readStream.schema(docSchema).parquet(src))
+      .writeStream.format("memory").queryName("qgate_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("qgate_out").as[(Long, Double)].collect().toMap
+    val batch = scored(rows.toDF("doc_id", "text")).as[(Long, Double)].collect().toMap
+    assert(streamed === batch) // zero-state expression: stream ≡ batch bit-for-bit
+  }
+
   test("nearDupGate drops stream docs that LSH-collide with the static corpus") {
     import graft.operators.{Dedup, TextAnalysis}
     val corpus = Seq(
