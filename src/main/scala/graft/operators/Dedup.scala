@@ -146,10 +146,20 @@ object Dedup {
                    bitsPerItem: Long = 8L): Option[Array[Byte]] = {
     val banded = bands(sig, idCol, k)
       .select(concat(col("band"), lit(":"), col("key").cast("string")).as("bkey"))
-    val items = expectedItems.getOrElse(banded.count()).max(1L)
+    bloomOver(banded, "bkey", expectedItems, bitsPerItem)
+  }
+
+  /** Shared sizing + build for every serialized-Bloom path — ONE
+    * implementation so [[bandKeyBloom]] and [[contentBloom]] can never
+    * drift on sizing or empty-input semantics. `keyed` must expose string
+    * column `keyCol`; items means KEY ROWS, not documents. */
+  private def bloomOver(keyed: DataFrame, keyCol: String,
+                        expectedItems: Option[Long],
+                        bitsPerItem: Long): Option[Array[Byte]] = {
+    val items = expectedItems.getOrElse(keyed.count()).max(1L)
     val numBits = items * bitsPerItem
-    val row = banded
-      .agg(expr(s"graft_bloom_agg(xxhash64(bkey), ${items}L, ${numBits}L)"))
+    val row = keyed
+      .agg(expr(s"graft_bloom_agg(xxhash64($keyCol), ${items}L, ${numBits}L)"))
       .head()
     if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
   }
@@ -164,15 +174,9 @@ object Dedup {
     * None for an empty corpus (nothing can be a dup). */
   def contentBloom(corpus: DataFrame, textCol: String,
                    expectedItems: Option[Long] = None,
-                   bitsPerItem: Long = 8L): Option[Array[Byte]] = {
-    val hashed = corpus.select(md5(col(textCol)).as("h"))
-    val items = expectedItems.getOrElse(hashed.count()).max(1L)
-    val numBits = items * bitsPerItem
-    val row = hashed
-      .agg(expr(s"graft_bloom_agg(xxhash64(h), ${items}L, ${numBits}L)"))
-      .head()
-    if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
-  }
+                   bitsPerItem: Long = 8L): Option[Array[Byte]] =
+    bloomOver(corpus.select(md5(col(textCol)).as("h")), "h",
+      expectedItems, bitsPerItem)
 
   /** LSH candidates of an INCOMING batch against an existing corpus — the
     * incremental-ingest form: each arriving batch pairs only against the

@@ -308,19 +308,24 @@ object Relational {
     * canonical form, before salting. The full-row hash is what makes the
     * salt deterministic under task retry; hashing a caller-chosen subset
     * would re-open the identical-rows collapse documented below. */
+  /** The retry-safe deterministic salt shared by [[saltedAgg]] and
+    * [[saltedJoin]] — ONE definition so the two paths (and the specs that
+    * assert on spread) can never drift. hash(row) + partition id, not
+    * monotonically_increasing_id(): the monotonic id is assigned per task
+    * ATTEMPT, so a retry would re-salt rows differently mid-stage.
+    * hash(row) alone is retry-safe but collapses when the hot key's rows
+    * are IDENTICAL (the canonical skewed-count shape) — every copy gets
+    * one salt and the mitigation vanishes. Adding spark_partition_id()
+    * spreads identical rows across input partitions while staying
+    * deterministic under retry (a re-attempt re-reads the same
+    * partition). Precondition: every column of `df` must be hashable. */
+  def saltCol(df: DataFrame, salts: Int): Column =
+    pmod(hash(df.columns.map(col) :+ spark_partition_id(): _*), lit(salts))
+
   def saltedAgg(df: DataFrame, key: Column, salts: Int, specs: Seq[SaltedSpec]): DataFrame = {
-    // salt = hash(row) + partition id, not monotonically_increasing_id():
-    // the monotonic id is assigned per task ATTEMPT, so a retry would
-    // re-salt rows differently mid-aggregation. hash(row) alone is
-    // retry-safe but collapses when the hot key's rows are IDENTICAL (the
-    // canonical skewed-count shape) — every copy gets one salt and the
-    // mitigation vanishes. Adding spark_partition_id() spreads identical
-    // rows across input partitions while staying deterministic under
-    // retry (a re-attempt re-reads the same partition); identical rows
-    // WITHIN a partition collapse into one row at partial aggregation
-    // before the shuffle, so they never pile onto a reducer anyway.
-    val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col) :+ spark_partition_id(): _*), lit(salts)))
+    // identical rows WITHIN a partition collapse into one row at partial
+    // aggregation before the shuffle, so they never pile onto a reducer
+    val salted = df.withColumn("__salt", saltCol(df, salts))
     val phase1 = salted.groupBy(key.as("__key"), col("__salt"))
       .agg(specs.head.partial.as(specs.head.name),
         specs.tail.map(s => s.partial.as(s.name)): _*)
@@ -344,8 +349,7 @@ object Relational {
     * Precondition (as saltedAgg): big's columns must be hashable. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0, s"salts must be positive, got $salts")
-    val bigS = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col) :+ spark_partition_id(): _*), lit(salts)))
+    val bigS = big.withColumn("__salt", saltCol(big, salts))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")

@@ -1041,7 +1041,9 @@ object PipelineQueries {
       val docs = Tables.documents(s, d)
       val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val cnt = w.groupBy("term").agg(count(lit(1)).as("n_w"))
-      val tot = cnt.agg(sum(col("n_w")).as("n_tot"))
+      // n_tot = total token count — counting w directly avoids re-running
+      // the corpus-wide term aggregation just to sum it back up
+      val tot = w.agg(count(lit(1)).as("n_tot"))
       w.join(broadcast(cnt), Seq("term"))
         .crossJoin(broadcast(tot))
         .withColumn("lp",
@@ -1073,7 +1075,11 @@ object PipelineQueries {
       val batch = docs.filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), md5(col("text")).as("h"))
       val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-      val flagged = Dedup.contentBloom(corpus, "text") match {
+      // size the filter from one metadata-cheap row count instead of
+      // letting contentBloom re-scan + re-hash the corpus just to count it
+      val nCorpus = corpus.count()
+      val flagged = Dedup.contentBloom(corpus, "text",
+          expectedItems = Some(nCorpus)) match {
         case Some(b) => batch.withColumn("probable",
           call_function("graft_might_contain", lit(b), xxhash64(col("h"))))
         case None => batch.withColumn("probable", lit(false))

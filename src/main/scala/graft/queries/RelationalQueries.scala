@@ -643,14 +643,20 @@ object RelationalQueries {
   private val a13CubeAgg = Q(
     (s, d) => Tables.lineitem(s, d)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("l_quantity")).as("sum_qty"),
+        // grouping(), not coalesce: a genuine NULL data value must not
+        // merge indistinguishably with a subtotal row's grouping NULL
+        grouping(col("l_returnflag")).as("g_rf"),
+        grouping(col("l_linestatus")).as("g_ls"))
       .select(
-        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        when(col("g_rf") === 1, lit("ALL"))
+          .otherwise(col("l_returnflag")).as("rf"),
+        when(col("g_ls") === 1, lit("ALL"))
+          .otherwise(col("l_linestatus")).as("ls"),
         col("n"), col("sum_qty"))
       .orderBy("rf", "ls"),
-    """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
-      |  COALESCE(l_linestatus, 'ALL') AS ls,
+    """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS rf,
+      |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS ls,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)

@@ -43,8 +43,7 @@ class ScaleOpsSpec extends SparkSpec {
       .as[(Long, String, Long, Double)].collect().toSet
     assert(salted === direct)
     // the hot key's fact rows actually use more than one salt value
-    val saltSpread = fact.withColumn("__salt",
-        pmod(hash(fact.columns.map(col) :+ spark_partition_id(): _*), lit(8)))
+    val saltSpread = fact.withColumn("__salt", Relational.saltCol(fact, 8))
       .filter(col("k") === 7L).select("__salt").distinct().count()
     assert(saltSpread > 1)
   }
