@@ -91,6 +91,25 @@ object WindowQueries {
       |  FROM events) x
       |WHERE over = 0 ORDER BY user_id, event_id""".stripMargin)
 
+  /** W9: batch event-time tumbling window — Structured Streaming's
+    * `window()` operator in batch (the expression is identical in either
+    * mode): 1-hour tumbling windows per event type. The window start is
+    * emitted as epoch SECONDS — timestamp string rendering differs by
+    * engine, the epoch integer does not. One shuffle whose key cardinality
+    * is (hours × types), map-side combined — bounded however large the
+    * event volume grows. */
+  private val w9TumblingWindow = Q(
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type"),
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** W8: gap sessionization — a new session wherever a user pauses more
     * than 30 minutes; per-session event count and id span. Two window
     * passes over ONE (user, ts) sort (`Relational.sessionize`); event_id
@@ -267,6 +286,7 @@ object WindowQueries {
     "w2_running_sum" -> w2RunningSum,
     "w2_session_cut" -> w2SessionCut,
     "w8_gap_sessions" -> w8GapSessions,
+    "w9_tumbling_window" -> w9TumblingWindow,
     "w3_top1_per_group" -> w3Top1PerGroup,
     "w4_rank_index" -> w4RankIndex,
     "w5_percent_rank_norm" -> w5PercentRankNorm,
