@@ -799,6 +799,35 @@ object RelationalQueries {
       |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo
       |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin)
 
+  /** §2.9 array/collection functions — the HOF family (sort, distinct,
+    * intersect, filter, contains, slice, join) every corpus pipeline leans
+    * on. All pure map-side expressions; set-valued intermediates never
+    * leave the row. `array_intersect` is order-ambiguous across engines,
+    * so only its SIZE is emitted. */
+  private val f7ArrayFuncs = Q(
+    (s, d) => {
+      val stop = array(Seq("the", "a", "of", "and", "in", "to").map(lit): _*)
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          array_join(slice(array_sort(array_distinct(col("ws"))), 1, 5), ",")
+            .as("first5"),
+          size(array_distinct(col("ws"))).as("n_distinct"),
+          size(array_intersect(col("ws"), stop)).as("n_stop_distinct"),
+          size(filter(col("ws"), w => w === "the")).as("n_the"),
+          array_contains(col("ws"), "spark").as("has_spark"))
+        .orderBy("doc_id")
+    },
+    """SELECT doc_id,
+      |  array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ',') AS first5,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+      |  CAST(len(list_intersect(string_split(text, ' '),
+      |    ['the', 'a', 'of', 'and', 'in', 'to'])) AS INT) AS n_stop_distinct,
+      |  CAST(len(list_filter(string_split(text, ' '), w -> w = 'the')) AS INT) AS n_the,
+      |  list_contains(string_split(text, ' '), 'spark') AS has_spark
+      |FROM documents ORDER BY doc_id""".stripMargin)
+
   /** §2.9 casts (`as.numeric`/`as.character` sites). */
   private val f5Casts = Q(
     (s, d) => {
@@ -882,5 +911,6 @@ object RelationalQueries {
     "f2_string_funcs" -> f2StringFuncs,
     "f3_math_funcs" -> f3MathFuncs,
     "f4_date_funcs" -> f4DateFuncs,
-    "f5_casts" -> f5Casts)
+    "f5_casts" -> f5Casts,
+    "f7_array_funcs" -> f7ArrayFuncs)
 }
