@@ -110,6 +110,29 @@ object WindowQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** W9b: SLIDING event-time window (1 h length, 30 min slide) — each
+    * event lands in exactly two overlapping windows; Spark expands the
+    * membership map-side (an explode, no extra shuffle), then aggregates
+    * on the same bounded (start, type) key space. The oracle replays the
+    * two epoch-aligned starts per event explicitly: s1 = ⌊t/slide⌋·slide
+    * and s0 = s1 − slide, both satisfying s ≤ t < s+length by
+    * construction. */
+  private val w9bSlidingWindow = Q(
+    (s, d) => Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type"),
+    """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+      |x AS (SELECT event_type, value,
+      |        unnest([(us // 1800000000) * 1800 - 1800,
+      |                (us // 1800000000) * 1800]) AS win_start
+      |      FROM e)
+      |SELECT win_start, event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** W8: gap sessionization — a new session wherever a user pauses more
     * than 30 minutes; per-session event count and id span. Two window
     * passes over ONE (user, ts) sort (`Relational.sessionize`); event_id
@@ -287,6 +310,7 @@ object WindowQueries {
     "w2_session_cut" -> w2SessionCut,
     "w8_gap_sessions" -> w8GapSessions,
     "w9_tumbling_window" -> w9TumblingWindow,
+    "w9b_sliding_window" -> w9bSlidingWindow,
     "w3_top1_per_group" -> w3Top1PerGroup,
     "w4_rank_index" -> w4RankIndex,
     "w5_percent_rank_norm" -> w5PercentRankNorm,
