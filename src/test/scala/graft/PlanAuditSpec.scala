@@ -80,6 +80,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("x11: chunk dedup has no window over the raw chunk relation") {
+    // the keep-first winner must stay a map-side-combinable aggregate —
+    // a row_number window per chunk hash would serialize hot hashes
+    val plan = formatted("x11_chunk_dedup")
+    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+      "chunk dedup regressed to a per-hash window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("z14: the classifier evaluates inside the scan stage (no join, no extra shuffle)") {
+    val plan = formatted("z14_quality_classifier")
+    assert(!plan.contains("Join"), "classifier must not join a weight table at eval")
+    // one Exchange for the final orderBy only (formatted mode lists each
+    // node twice — tree + detail — so count the detail entries)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 1,
+      "classifier scoring grew an unexpected shuffle")
+  }
+
+  test("w9/w9b: event-time windows stay one aggregation over a bounded key space") {
+    for (q <- Seq("w9_tumbling_window", "w9b_sliding_window")) {
+      val plan = formatted(q)
+      // agg exchange + sort exchange (+AQE-less partial pairs): the sliding
+      // form's two-window expansion must be an Expand/explode, not a join
+      assert(!plan.contains("Join"), s"$q: window membership must be map-side")
+      assert("\\(\\d+\\) Exchange".r.findAllIn(plan).size <= 2,
+        s"$q grew extra shuffles")
+    }
+  }
+
   test("no query output schema contains a DECIMAL column") {
     // The driver's compare reads Spark parquet decimals scale-preserving
     // ("1.50") but DuckDB oracle decimals as doubles ("1.5"): any DECIMAL
