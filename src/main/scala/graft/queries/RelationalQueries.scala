@@ -110,6 +110,19 @@ object RelationalQueries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** S8 variant: JSON-lines sink + typed re-read — the interchange format
+    * a corpus pipeline emits for downstream tokenizer/training jobs.
+    * Round-trips the region dim; equality with the Parquet oracle proves
+    * the hop is lossless for the typed columns. */
+  private val s13JsonRoundtrip = Q(
+    (s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/region_json_${math.abs(d.hashCode)}"
+      Tables.region(s, d).coalesce(1).write.mode("overwrite").json(path)
+      s.read.schema("r_regionkey INT, r_name STRING").json(path)
+        .orderBy("r_regionkey")
+    },
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+
   /** S4+R3: JSON parsing of a nested props column
     * (`jsonlite::fromJSON` `/root/reference/R/espn_wp.R:43`). */
   private val s4JsonParse = Q(
@@ -877,6 +890,7 @@ object RelationalQueries {
     "s7_partitioned_sink" -> s7PartitionedSink,
     "s8_csv_roundtrip" -> s8CsvRoundtrip,
     "s12_orc_roundtrip" -> s12OrcRoundtrip,
+    "s13_json_roundtrip" -> s13JsonRoundtrip,
     "s4_json_parse" -> s4JsonParse,
     "s5_clean_table" -> s5CleanTable,
     "s11_literal_relation" -> s11LiteralRelation,

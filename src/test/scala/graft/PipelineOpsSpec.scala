@@ -108,6 +108,25 @@ class DedupSpec extends SparkSpec {
     assert(got(3L)._1 > 0 && got(3L)._1 < nSh1) // near dup: partial overlap
   }
 
+  test("chunkDedup invariants on a random corpus: one keeper per distinct chunk, and it is the min") {
+    // seeded random docs over a tiny vocab so chunk collisions are dense
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c")
+    val rdocs = (0L until 40L).map { id =>
+      (id, Seq.fill(2 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunks = Dedup.chunkDedup(rdocs, "doc_id", "text", 2)
+      .select("chash", "doc_id", "chunk_id", "kept")
+      .as[(String, Long, Int, Boolean)].collect()
+    chunks.groupBy(_._1).foreach { case (chash, rows) =>
+      val kept = rows.filter(_._4)
+      assert(kept.length === 1, s"$chash must keep exactly one occurrence")
+      val minRow = rows.map(r => (r._2, r._3)).min
+      assert((kept.head._2, kept.head._3) === minRow,
+        s"$chash keeper must be the lexicographic (doc_id, chunk_id) min")
+    }
+  }
+
   test("contentBloom flags every exact dup (no false negatives); empty corpus is None") {
     val corpus = docs.filter(col("doc_id") =!= 2L) // docs 1, 3, 4
     val bloom = Dedup.contentBloom(corpus, "text")

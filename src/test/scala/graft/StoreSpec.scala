@@ -60,6 +60,22 @@ class StoreSpec extends SparkSpec {
     assert(store.read.select("game_id").as[String].collect().sorted.toSeq === before.toSeq)
   }
 
+  test("schema evolution: a later batch with a new column reads back null-padded") {
+    // the store lifecycle must survive a column added mid-history (the
+    // reference's pbp schema grew across seasons) — old rows null-fill,
+    // new rows keep the value, and the evolved read sees one schema
+    val store = Store(spark, tmpDir("store_evolve"), "season")
+    store.append(season(1999, 2))
+    store.append(season(2000, 2).withColumn("xpass", lit(0.7)))
+    val evolved = spark.read.option("mergeSchema", "true").parquet(store.path)
+    assert(evolved.columns.toSet === Set("game_id", "season", "epa", "xpass"))
+    val byYear = evolved.groupBy("season")
+      .agg(count(lit(1)).as("n"), count(col("xpass")).as("n_xpass"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byYear(1999) === ((2L, 0L))) // pre-evolution rows: column null
+    assert(byYear(2000) === ((2L, 2L)))
+  }
+
   test("stop-shingle cap drops boilerplate postings but keeps true near-dups") {
     import graft.operators.{Dedup, TextAnalysis}
     val docs = Seq(
