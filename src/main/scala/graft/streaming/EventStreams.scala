@@ -43,12 +43,18 @@ object EventStreams {
 
   /** Shape 2: watermarked tumbling-window aggregate per event type. Late
     * rows beyond the watermark are dropped; state for closed windows is
-    * reclaimed — the property that lets this run forever at scale. */
+    * reclaimed — the property that lets this run forever at scale.
+    * `slide` switches to overlapping windows (each event expands into
+    * len/slide windows MAP-SIDE — same state-reclaim story, ×overlap
+    * state rows live at once). */
   def windowedTypeCounts(events: DataFrame, windowLen: String = "1 hour",
-                         watermark: String = "2 hours"): DataFrame =
+                         watermark: String = "2 hours",
+                         slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(
+        slide.fold(window(col("ts"), windowLen))(s => window(col("ts"), windowLen, s)),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(
         col("window.start").as("win_start"),

@@ -54,6 +54,27 @@ class StreamingSpec extends SparkSpec {
       (ts(0), "click", 1L, 1.0), (ts(15), "click", 1L, 2.0), (ts(15), "view", 1L, 4.0)))
   }
 
+  test("sliding watermarked windows: each event lands in len/slide overlapping windows") {
+    val src = tmpDir("slide_src")
+    writeBatch(src, Seq(
+      (1L, ts(5), 10L, "click", 1.0),
+      (2L, ts(20), 10L, "click", 2.0)))
+    val agg = EventStreams.windowedTypeCounts(
+      EventStreams.fileSource(spark, src, schema),
+      windowLen = "30 minutes", watermark = "1 hour", slide = Some("15 minutes"))
+    val q = agg.writeStream.format("memory").queryName("slide_counts")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("slide_counts")
+      .select("win_start", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    // event :05 → windows starting 09:45 and 10:00; event :20 → 10:00 and 10:15
+    assert(got === Set(
+      (Timestamp.valueOf("2026-01-01 09:45:00"), "click", 1L, 1.0),
+      (ts(0), "click", 2L, 3.0),
+      (ts(15), "click", 1L, 2.0)))
+  }
+
   test("dedupStream keeps first arrival per key within the watermark") {
     val src = tmpDir("dedup_src")
     writeBatch(src, Seq(
