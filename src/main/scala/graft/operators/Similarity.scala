@@ -178,16 +178,40 @@ object Similarity {
   }
 
   /** IVF ANN: assign every vector to its anchor cell, then top-k by cosine
-    * within the query's own cell — the coarse-quantizer shape of FAISS-style
-    * IVF flat, as one bucket equi-join (no cross product). Anchors here are
-    * seeded deterministic vectors; production would Lloyd-refine them. */
+    * within the query's `nprobe` NEAREST cells — the coarse-quantizer shape
+    * of FAISS-style IVF flat, as one bucket equi-join (no cross product).
+    * nprobe = 1 searches only the query's own cell; higher values are the
+    * standard recall knob: a query near a cell boundary finds the
+    * neighbors that fell just across it, at cost ∝ nprobe (the broadcast
+    * query side grows nprobe rows per query; the candidate side never
+    * duplicates — each candidate lives in exactly one cell, so a
+    * (query, candidate) pair matches at most one probe cell). Anchors
+    * here are seeded deterministic vectors; production would Lloyd-refine
+    * them via [[kmeansFit]]. */
   def ivfTopK(vectors: DataFrame, anchors: DataFrame, queryIds: Column => Column,
-              idCol: String, vecCol: String, k: Int): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be at least 1, got $nprobe")
     val assigned = ivfAssign(vectors, anchors, idCol, vecCol)
       .withColumn("nrm", norm(vecCol))
-    val q = assigned.filter(queryIds(col(idCol)))
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
-        col("nrm").as("q_nrm"), col("cell"))
+    val q =
+      if (nprobe == 1)
+        assigned.filter(queryIds(col(idCol)))
+          .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+            col("nrm").as("q_nrm"), col("cell"))
+      else {
+        // re-rank the query rows' cell distances and keep the nprobe best;
+        // queries are the tiny side, so the extra window is per-query-sized
+        val w = Window.partitionBy(idCol).orderBy(col("d2").asc, col("anchor_id").asc)
+        vectors.filter(queryIds(col(idCol))).crossJoin(broadcast(anchors))
+          .withColumn("d2", round(
+            dot(vecCol, vecCol) - lit(2.0) * dot(vecCol, "anchor_vec")
+              + dot("anchor_vec", "anchor_vec"), 6))
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= nprobe)
+          .withColumn("nrm", norm(vecCol))
+          .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+            col("nrm").as("q_nrm"), col("anchor_id").as("cell"))
+      }
     val c = assigned.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       col("nrm").as("c_nrm"), col("cell"))
     val scored = broadcast(q).join(c, Seq("cell"))

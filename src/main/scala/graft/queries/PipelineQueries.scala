@@ -532,6 +532,44 @@ object PipelineQueries {
        |  FROM scored) r
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 
+  /** y3c: IVF with nprobe=3 — the standard recall knob: each query
+    * searches its three nearest cells, so neighbors just across a cell
+    * boundary come back. Same equi-join shape as y3; the query side
+    * carries 3 rows per query, the candidate side never duplicates. */
+  private val y3cKnnNprobe = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      Similarity.ivfTopK(e, anchors, id => id % 50 === 0, "vec_id", "embedding",
+          k = 5, nprobe = 3)
+        .orderBy("q_id", "rank")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT v.vec_id, v.vd, a.anchor_id,
+       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+       |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+       |  FROM v CROSS JOIN anchors a),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, anchor_id) AS rn
+       |  FROM dists),
+       |assigned AS (SELECT vec_id, vd, anchor_id AS cell FROM ranked WHERE rn = 1),
+       |n AS (SELECT vec_id, vd, cell, ${nrmSql("vd")} AS nrm FROM assigned),
+       |qprobe AS (
+       |  SELECT vec_id, vd, anchor_id AS cell, ${nrmSql("vd")} AS nrm
+       |  FROM ranked WHERE rn <= 3 AND vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.cell, c.vec_id AS c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM qprobe q JOIN n c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+       |SELECT q_id, cell, rank, c_id, cosine FROM (
+       |  SELECT q_id, cell, c_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
   /** Embedding-cosine near-dup: same-bucket pairs ranked by cosine (top-50).
     * The dedup-flavored variant of y2 — pair output, not per-query kNN. */
   private val x5EmbedNeardup = Q(
@@ -1133,6 +1171,7 @@ object PipelineQueries {
     "y2_knn_bucketed" -> y2KnnBucketed,
     "y2b_knn_multiprobe" -> y2bKnnMultiprobe,
     "y3_knn_ivf" -> y3KnnIvf,
+    "y3c_knn_nprobe" -> y3cKnnNprobe,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
     "z1_lang_id" -> z1LangId,
     "z2_quality_score" -> z2QualityScore,

@@ -254,6 +254,27 @@ class SimilaritySpec extends SparkSpec {
     bs.foreach { case (q, c) => assert(bm(q) >= c, s"query $q got worse under multi-probe") }
   }
 
+  test("IVF nprobe=3 recall >= nprobe=1 against brute force; per-query best never degrades") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(
+      e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5))
+    val one = Similarity.ivfTopK(e, anchors, id => id % 50 === 0, "vec_id", "embedding", k = 5)
+    val three = Similarity.ivfTopK(e, anchors, id => id % 50 === 0, "vec_id", "embedding",
+      k = 5, nprobe = 3)
+    val r1 = (pairs(one) intersect brute).size
+    val r3 = (pairs(three) intersect brute).size
+    assert(r3 >= r1, s"nprobe=3 recall $r3 < nprobe=1 recall $r1")
+    def best(df: org.apache.spark.sql.DataFrame) = df.filter(col("rank") === 1)
+      .select("q_id", "cosine").as[(Long, Double)].collect().toMap
+    val b1 = best(one); val b3 = best(three)
+    b1.foreach { case (q, c) => assert(b3(q) >= c, s"query $q got worse under nprobe=3") }
+  }
+
   test("kmeansFit converges on separated clusters; wcss decreases monotonically") {
     val rnd = new scala.util.Random(5)
     val centers = Seq(
