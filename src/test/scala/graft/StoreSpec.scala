@@ -60,6 +60,30 @@ class StoreSpec extends SparkSpec {
     assert(store.read.select("game_id").as[String].collect().sorted.toSeq === before.toSeq)
   }
 
+  test("incremental LSH over a persisted signature table equals recompute from text") {
+    // the 100-TB ingest shape: corpus minhash signatures live in a Store
+    // table (written once, appended per ingest); an arriving batch pairs
+    // against the READ table — identical pairs to recomputing the corpus
+    // signatures from text, without touching the corpus text again
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def sig(df: org.apache.spark.sql.DataFrame) = {
+      val sh = df.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
+        .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv")).distinct()
+      Dedup.minhashSignature(sh, "doc_id", 8)
+    }
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val sigDir = tmpDir("sig_store")
+    sig(corpus).write.mode("overwrite").parquet(sigDir)
+    def pairs(base: org.apache.spark.sql.DataFrame) =
+      Dedup.lshCandidatesAgainst(sig(batch), base, "doc_id", 8, maxBucket = Some(16L))
+        .as[(Long, Long)].collect().toSet
+    assert(pairs(spark.read.parquet(sigDir)) === pairs(sig(corpus)))
+  }
+
   test("schema evolution: a later batch with a new column reads back null-padded") {
     // the store lifecycle must survive a column added mid-history (the
     // reference's pbp schema grew across seasons) — old rows null-fill,
