@@ -80,17 +80,24 @@ object Similarity {
     * 6 dp before the argmin so the assignment is reproducible across
     * engines/runs; the (dist, anchor_id) struct ordering breaks ties. */
   def ivfAssign(vectors: DataFrame, anchors: DataFrame, idCol: String,
-                vecCol: String): DataFrame = {
-    val withAnchor = vectors.crossJoin(broadcast(anchors))
-      .withColumn("d2", round(
-        dot(vecCol, vecCol) - lit(2.0) * dot(vecCol, "anchor_vec")
-          + dot("anchor_vec", "anchor_vec"), 6))
-    val w = Window.partitionBy(idCol).orderBy(col("d2").asc, col("anchor_id").asc)
-    withAnchor
-      .withColumn("__rn", row_number().over(w))
+                vecCol: String): DataFrame =
+    rankCells(vectors, anchors, idCol, vecCol)
       .filter(col("__rn") === 1)
       .select(col(idCol), col(vecCol), col("anchor_id").as("cell"),
         col("d2").as("cell_d2"))
+
+  /** Every (vector, anchor) pair with the rounded L2 distance and the
+    * per-vector distance rank — the ONE implementation of the cell
+    * ranking, so [[ivfAssign]] (rank 1) and [[ivfTopK]]'s nprobe probe
+    * set (rank ≤ n) can never drift on rounding or tie-break. */
+  private def rankCells(vectors: DataFrame, anchors: DataFrame, idCol: String,
+                        vecCol: String): DataFrame = {
+    val w = Window.partitionBy(idCol).orderBy(col("d2").asc, col("anchor_id").asc)
+    vectors.crossJoin(broadcast(anchors))
+      .withColumn("d2", round(
+        dot(vecCol, vecCol) - lit(2.0) * dot(vecCol, "anchor_vec")
+          + dot("anchor_vec", "anchor_vec"), 6))
+      .withColumn("__rn", row_number().over(w))
   }
 
   /** One Lloyd refinement step: new centroid = element-wise mean of the
@@ -198,20 +205,14 @@ object Similarity {
         assigned.filter(queryIds(col(idCol)))
           .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
             col("nrm").as("q_nrm"), col("cell"))
-      else {
+      else
         // re-rank the query rows' cell distances and keep the nprobe best;
         // queries are the tiny side, so the extra window is per-query-sized
-        val w = Window.partitionBy(idCol).orderBy(col("d2").asc, col("anchor_id").asc)
-        vectors.filter(queryIds(col(idCol))).crossJoin(broadcast(anchors))
-          .withColumn("d2", round(
-            dot(vecCol, vecCol) - lit(2.0) * dot(vecCol, "anchor_vec")
-              + dot("anchor_vec", "anchor_vec"), 6))
-          .withColumn("__rn", row_number().over(w))
+        rankCells(vectors.filter(queryIds(col(idCol))), anchors, idCol, vecCol)
           .filter(col("__rn") <= nprobe)
           .withColumn("nrm", norm(vecCol))
           .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
             col("nrm").as("q_nrm"), col("anchor_id").as("cell"))
-      }
     val c = assigned.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       col("nrm").as("c_nrm"), col("cell"))
     val scored = broadcast(q).join(c, Seq("cell"))

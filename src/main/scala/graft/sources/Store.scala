@@ -57,8 +57,18 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     batches.foreach(append)
   }
 
-  /** Lazy scan (partition pruning + column pruning apply downstream). */
-  def read: DataFrame = spark.read.parquet(path)
+  /** Lazy scan (partition pruning + column pruning apply downstream).
+    * `mergeSchema = true` is the evolved-history read: a column added
+    * mid-history (the reference's pbp schema grew across seasons) appears
+    * in the unified schema with nulls for pre-evolution rows. Off by
+    * default — schema merging reads every file footer, which costs a
+    * metadata pass over the whole table at 100 TB; flip it on only when
+    * the table's history is known to span a schema change. */
+  def read: DataFrame = read(mergeSchema = false)
+
+  def read(mergeSchema: Boolean): DataFrame =
+    if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(path)
+    else spark.read.parquet(path)
 
   /** E2: incremental update — append only rows of `incoming` whose `keys`
     * are not already present. The existing-key scan reads just the key

@@ -84,7 +84,7 @@ class PlanAuditSpec extends SparkSpec {
     // the keep-first winner must stay a map-side-combinable aggregate —
     // a row_number window per chunk hash would serialize hot hashes
     val plan = formatted("x11_chunk_dedup")
-    assert(!plan.contains("RunningWindowFunction") && !plan.contains("Window"),
+    assert(!plan.contains("Window"),
       "chunk dedup regressed to a per-hash window")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }

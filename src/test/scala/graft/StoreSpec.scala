@@ -91,7 +91,7 @@ class StoreSpec extends SparkSpec {
     val store = Store(spark, tmpDir("store_evolve"), "season")
     store.append(season(1999, 2))
     store.append(season(2000, 2).withColumn("xpass", lit(0.7)))
-    val evolved = spark.read.option("mergeSchema", "true").parquet(store.path)
+    val evolved = store.read(mergeSchema = true)
     assert(evolved.columns.toSet === Set("game_id", "season", "epa", "xpass"))
     val byYear = evolved.groupBy("season")
       .agg(count(lit(1)).as("n"), count(col("xpass")).as("n_xpass"))
