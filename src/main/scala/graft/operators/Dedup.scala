@@ -156,6 +156,7 @@ object Dedup {
   private def bloomOver(keyed: DataFrame, keyCol: String,
                         expectedItems: Option[Long],
                         bitsPerItem: Long): Option[Array[Byte]] = {
+    require(bitsPerItem > 0, s"bitsPerItem must be positive, got $bitsPerItem")
     val items = expectedItems.getOrElse(keyed.count()).max(1L)
     val numBits = items * bitsPerItem
     val row = keyed

@@ -99,6 +99,7 @@ object TextAnalysis {
     * partitioning. Chunk ids are 0-based and deterministic. */
   def chunkWords(docs: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"chunk size must be positive, got $k")
     val ws = docs.select(col(idCol), words(col(textCol)).as("ws"))
     ws.select(col(idCol), col("ws"),
         explode(sequence(lit(0), expr(s"(size(ws) - 1) div $k"))).as("chunk_id"))
@@ -133,6 +134,7 @@ object TextAnalysis {
     * break by term — deterministic across engines and cluster sizes. */
   def heavyHitters(docs: org.apache.spark.sql.DataFrame, grpCol: String,
                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"top-k must be positive, got $k")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(grpCol)).orderBy(col("n").desc, col("term").asc)
     docs.select(col(grpCol), explode(words(col(textCol))).as("term"))
@@ -158,6 +160,7 @@ object TextAnalysis {
     * are exact rationals (n/1000) and the fold order is fixed, so scores
     * are bit-identical across engines. */
   def classifierScore(wsCol: String, dim: Int = ClassifierDim): Column = {
+    require(dim > 0, s"feature dimension must be positive, got $dim")
     // The dim-entry weight table is tiny, so bake it into the plan as a
     // constant array literal instead of re-hashing 'w'||bucket per token —
     // one md5 per token instead of two. The JVM md5 here produces the
