@@ -1050,6 +1050,13 @@ object PipelineQueries {
     * as a zero-shuffle fold inside the scan. Scores are sums of exact
     * rationals in a fixed fold order (bit-identical across engines); the
     * keep gate thresholds at 0. */
+  /** DuckDB rendering of TextAnalysis.classifierScore over a string-list
+    * expression — ONE definition shared by the z14 and x13 oracles. */
+  private def classifierScoreSql(wExpr: String): String =
+    s"""list_reduce(list_transform($wExpr,
+       |      t -> (${h32Sql(s"'w' || CAST((${h32Sql("t")} % ${TextAnalysis.ClassifierDim}) AS VARCHAR)")} % 2001 - 1000) / CAST(1000 AS DOUBLE)),
+       |    (acc, x) -> acc + x)""".stripMargin
+
   private val z14QualityClassifier = Q(
     (s, d) => Tables.documents(s, d)
       .withColumn("ws", split(col("text"), " "))
@@ -1059,9 +1066,7 @@ object PipelineQueries {
       .orderBy("doc_id"),
     s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |sc AS (SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
-       |  list_reduce(list_transform(w,
-       |      t -> (${h32Sql(s"'w' || CAST((${h32Sql("t")} % ${TextAnalysis.ClassifierDim}) AS VARCHAR)")} % 2001 - 1000) / CAST(1000 AS DOUBLE)),
-       |    (acc, x) -> acc + x) AS score
+       |  ${classifierScoreSql("w")} AS score
        |  FROM s)
        |SELECT doc_id, n_tokens, score, score > CAST(0 AS DOUBLE) AS keep
        |FROM sc ORDER BY doc_id""".stripMargin)
@@ -1140,9 +1145,82 @@ object PipelineQueries {
       |  TRUE AS no_false_neg,
       |  TRUE AS fp_bounded""".stripMargin)
 
+  /** x13: curation v2 — this round's operators composed as one declared
+    * corpus build: (1) chunk-dedup gate (drop docs that keep < 50% of
+    * their tokens after corpus-wide keep-first chunk dedup — boilerplate-
+    * heavy docs), (2) classifier gate (hashed linear scorer > 0), (3)
+    * benchmark decontamination (zero shingle overlap with the held-out
+    * eval docs), then deterministic split → per-(split, lang) stats. The
+    * 50% gate compares INTEGERS (2·kept ≥ total) — no float ratio to
+    * drift. Every stage is the bounded form: min-struct chunk winners,
+    * zero-shuffle scoring, broadcast benchmark set; the oracle replays
+    * the entire DAG. */
+  private val x13CurationV2 = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val cdKeep = Dedup.chunkDedup(corpus, "doc_id", "text", 20)
+        .groupBy("doc_id")
+        .agg(sum(col("n_tokens")).as("tok"),
+          sum(when(col("kept"), col("n_tokens")).otherwise(0)).as("kept_tok"))
+        .filter(col("kept_tok") * 2 >= col("tok"))
+        .select("doc_id")
+      val qcKeep = corpus
+        .withColumn("ws", split(col("text"), " "))
+        .filter(TextAnalysis.classifierScore("ws") > 0)
+        .select("doc_id")
+      val sh = shingles(docs)
+      val clean = Dedup.benchmarkOverlap(
+          corpus, sh.filter(col("doc_id") % 97 =!= 0),
+          sh.filter(col("doc_id") % 97 === 0), "doc_id")
+        .filter(!col("contaminated"))
+        .select("doc_id")
+      corpus
+        .join(cdKeep, Seq("doc_id"), "left_semi")
+        .join(qcKeep, Seq("doc_id"), "left_semi")
+        .join(clean, Seq("doc_id"), "left_semi")
+        .withColumn("split", Sampling.splitAssign(col("doc_id"), 80, 10))
+        .withColumn("ws_tokens", size(split(col("text"), " ")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_tokens"))
+        .orderBy("split", "lang")
+    },
+    s"""WITH $shingleCte,
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |cont AS (SELECT DISTINCT sh.doc_id FROM sh JOIN bench USING (s)
+       |         WHERE sh.doc_id % 97 <> 0),
+       |wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |       WHERE doc_id % 97 <> 0),
+       |ch AS (SELECT doc_id, l,
+       |         unnest(generate_series(0, (len(l) - 1) // 20)) AS chunk_id FROM wl),
+       |c AS (SELECT doc_id, chunk_id,
+       |        len(list_slice(l, chunk_id * 20 + 1, chunk_id * 20 + 20)) AS n_tokens,
+       |        md5(array_to_string(list_slice(l, chunk_id * 20 + 1, chunk_id * 20 + 20), ' ')) AS chash
+       |      FROM ch),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY chash ORDER BY doc_id, chunk_id) AS rn FROM c),
+       |cd AS (SELECT doc_id FROM r GROUP BY doc_id
+       |       HAVING 2 * SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) >= SUM(n_tokens)),
+       |qc AS (SELECT doc_id FROM (
+       |         SELECT doc_id, ${classifierScoreSql("string_split(text, ' ')")} AS score
+       |         FROM documents WHERE doc_id % 97 <> 0) x
+       |       WHERE score > CAST(0 AS DOUBLE)),
+       |surv AS (SELECT d.* FROM documents d
+       |         JOIN cd USING (doc_id) JOIN qc USING (doc_id)
+       |         WHERE d.doc_id % 97 <> 0
+       |           AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+       |t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS INT) AS ws,
+       |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+       |      FROM surv)
+       |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |            ELSE 'test' END AS split,
+       |  lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS total_tokens
+       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "x11_chunk_dedup" -> x11ChunkDedup,
     "x12_bloom_prefilter" -> x12BloomPrefilter,
+    "x13_curation_v2" -> x13CurationV2,
     "z15_unigram_logprob" -> z15UnigramLogprob,
     "z13_heavy_hitters" -> z13HeavyHitters,
     "z14_quality_classifier" -> z14QualityClassifier,
