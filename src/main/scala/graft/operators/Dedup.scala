@@ -118,6 +118,29 @@ object Dedup {
                     maxBucket: Option[Long] = None): DataFrame =
     pairJoin(bands(sig, idCol, k), idCol, maxBucket)
 
+  /** Signature-based Jaccard ESTIMATE for candidate pairs: the fraction of
+    * matching minhash slots is an unbiased estimator of the pair's shingle
+    * Jaccard (each slot matches with probability J). This is the cheap
+    * verify stage between LSH candidates and an exact x4-style check — at
+    * corpus scale it reads k longs per doc from the signature table
+    * instead of re-shingling text. Two hash joins on the pair ids; the
+    * estimate itself is a pure row expression (one int/int division —
+    * deterministic across engines). Input `sig`: (idCol, mh0..mh{k-1}). */
+  def jaccardEstimate(sig: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+                      k: Int = 8): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val a = sig.select(col(idCol).as("doc_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"__a$i")): _*)
+    val b = sig.select(col(idCol).as("doc_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"__b$i")): _*)
+    val nMatch = (0 until k)
+      .map(i => when(col(s"__a$i") === col(s"__b$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .withColumn("j_est", nMatch / lit(k))
+      .select("doc_a", "doc_b", "j_est")
+  }
+
   /** Row-wise minhash signature over a shingle-hash ARRAY column — the
     * streaming-safe form of [[minhashSignature]]: pure per-row HOF
     * expressions (min over a multiset equals min over its set, so no

@@ -23,6 +23,25 @@ object Relational {
       .filter(col("__rn") === 1)
       .drop("__rn")
 
+  /** E2/lakehouse MERGE: last-writer-wins keyed upsert. Union the current
+    * snapshot with an update batch and keep one row per key — update rows
+    * beat snapshot rows, `order` breaks ties among duplicate keys WITHIN
+    * the batch (pass a total order there, or deduplicate the batch first;
+    * with unique batch keys it can be omitted). Schemas must align by name.
+    * One shuffle on the key — the overwrite side of a lakehouse merge;
+    * `Store.upsert` scopes it to only the affected partitions. */
+  def upsert(snapshot: DataFrame, updates: DataFrame,
+             keys: Seq[String], order: Seq[Column] = Nil): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(snapshot.columns.sorted.sameElements(updates.columns.sorted),
+      s"upsert schemas differ: ${snapshot.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    require(!snapshot.columns.contains("__src"), "column name __src is reserved")
+    val tagged = snapshot.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    top1PerGroup(tagged, keys.map(col), col("__src").desc +: order)
+      .drop("__src")
+  }
+
   /** J6: positional zip of two unequal-length tables (`bind_cols`,
     * `/root/reference/R/nfc_west_starting_qbs.R:71-94`). The reference
     * manually PADS the shorter side with blank rows to the longer length

@@ -138,6 +138,61 @@ object PipelineQueries {
          |ORDER BY doc_new, doc_base""".stripMargin)
   }
 
+  /** x14: signature-based Jaccard estimate vs exact — the cheap verify
+    * stage between LSH candidates and exact n-gram Jaccard, both emitted
+    * per candidate pair. The estimate (matching-slot fraction) and the
+    * exact value (|A∩B|/|A∪B| over distinct shingle hashes) are each ONE
+    * int/int division, so both engines produce bit-identical doubles —
+    * the oracle replays the estimator itself, not a tolerance contract.
+    * Scale: the estimate reads k longs per doc from the signature table
+    * (no re-shingling); the exact stage runs only on the candidate set. */
+  private val x14JaccardEstimate = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val hv = shingles(docs)
+        .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
+        .distinct()
+      val sig = Dedup.minhashSignature(hv, "doc_id", 8)
+      val pairs = Dedup.lshCandidates(sig, "doc_id", 8, maxBucket = Some(X2MaxBucket))
+      val est = Dedup.jaccardEstimate(sig, pairs, "doc_id", 8)
+      val sz = hv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = pairs
+        .join(hv.select(col("doc_id").as("doc_a"), col("hv")), Seq("doc_a"))
+        .join(hv.select(col("doc_id").as("doc_b"), col("hv")), Seq("doc_b", "hv"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      est
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("ni", coalesce(col("ni"), lit(0L)))
+        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("ni") / (col("sz_a") + col("sz_b") - col("ni"))).as("j_exact"),
+          col("j_est"))
+        .orderBy("doc_a", "doc_b")
+    },
+    s"""WITH $minhashCtes,
+       |${cappedBandsCte(bandsSql)},
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM hv GROUP BY 1),
+       |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+       |  FROM p JOIN hv ha ON ha.doc_id = p.doc_a
+       |         JOIN hv hb ON hb.doc_id = p.doc_b AND hb.hv = ha.hv
+       |  GROUP BY 1, 2),
+       |est AS (SELECT p.doc_a, p.doc_b,
+       |    (${(0 until 8).map(i => s"(CASE WHEN sa.mh$i = sb.mh$i THEN 1 ELSE 0 END)").mkString(" + ")}) / 8 AS j_est
+       |  FROM p JOIN sig sa ON sa.doc_id = p.doc_a
+       |         JOIN sig sb ON sb.doc_id = p.doc_b)
+       |SELECT e.doc_a, e.doc_b,
+       |  COALESCE(i.ni, 0) / (sa.sz + sb.sz - COALESCE(i.ni, 0)) AS j_exact,
+       |  e.j_est
+       |FROM est e
+       |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       |JOIN sz sa ON sa.doc_id = e.doc_a
+       |JOIN sz sb ON sb.doc_id = e.doc_b
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin)
+
   /** z11: benchmark decontamination — per training document, the count of
     * its distinct 3-gram shingles that appear in the benchmark set (docs
     * with doc_id % 97 = 0 stand in for the eval suite), plus the
@@ -531,6 +586,43 @@ object PipelineQueries {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
        |  FROM scored) r
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
+  /** y4: exact per-label centroid statistics — the embedding-table health
+    * report a curation run computes per cluster/source (centroid norm +
+    * vector count). posexplode fans each vector into (label, dim) pairs
+    * map-side; ONE shuffle on the (label, dim) key (cardinality = labels ×
+    * 64, bounded however many vectors arrive), then a label-sized reduce.
+    * Float sums are order-dependent across engines, so every sum runs in
+    * exact DECIMAL (dim values snapshot at 10 frac digits, squared means
+    * at 12) with single correctly-rounded double ops at the boundaries —
+    * bit-identical in both engines. */
+  private val y4CentroidStats = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val e = Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      e.groupBy("label", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast(DoubleType).cast(DecimalType(20, 10))).as("s_dec"))
+        .withColumn("davg", col("s_dec").cast(DoubleType) / col("n"))
+        .withColumn("avg2_dec", (col("davg") * col("davg")).cast(DecimalType(24, 12)))
+        .groupBy("label")
+        .agg(max(col("n")).as("n_vecs"), sum(col("avg2_dec")).as("ss_dec"))
+        .select(col("label"), col("n_vecs"),
+          sqrt(col("ss_dec").cast(DoubleType)).as("centroid_norm"))
+        .orderBy("label")
+    },
+    """WITH g AS (SELECT label, embedding,
+      |    unnest(generate_series(1, len(embedding))) AS pos FROM embeddings),
+      |e AS (SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS v FROM g),
+      |d AS (SELECT label, pos, COUNT(*) AS n,
+      |    CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS davg
+      |  FROM e GROUP BY 1, 2),
+      |s AS (SELECT label, MAX(n) AS n_vecs,
+      |    SUM(CAST(davg * davg AS DECIMAL(24,12))) AS ss
+      |  FROM d GROUP BY 1)
+      |SELECT label, n_vecs, sqrt(CAST(ss AS DOUBLE)) AS centroid_norm
+      |FROM s ORDER BY label""".stripMargin)
 
   /** y3c: IVF with nprobe=3 — the standard recall knob: each query
     * searches its three nearest cells, so neighbors just across a cell
@@ -1046,6 +1138,31 @@ object PipelineQueries {
       |SELECT lang, term, n, rnk FROM r WHERE rnk <= 10
       |ORDER BY lang, rnk""".stripMargin)
 
+  /** z16: quality deciles — `ntile(10)` bucketing per language over a
+    * deterministic total order (n_chars, doc_id tiebreaker), the
+    * "keep the top-N quality deciles" curation selector. ntile's
+    * ceil/floor split rule is identical in Spark and DuckDB given the
+    * same row order, which the tiebreaker pins. One window shuffle on
+    * lang; the decile summary is a vocabulary-sized aggregate. */
+  private val z16QualityDeciles = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      Tables.documents(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang", "decile")
+    },
+    """WITH t AS (SELECT lang, n_chars,
+      |    CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INT) AS decile
+      |  FROM documents)
+      |SELECT lang, decile, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** z14: hashing-trick linear quality classifier — fastText-shaped scoring
     * as a zero-shuffle fold inside the scan. Scores are sums of exact
     * rationals in a fixed fold order (bit-identical across engines); the
@@ -1221,7 +1338,9 @@ object PipelineQueries {
     "x11_chunk_dedup" -> x11ChunkDedup,
     "x12_bloom_prefilter" -> x12BloomPrefilter,
     "x13_curation_v2" -> x13CurationV2,
+    "x14_jaccard_estimate" -> x14JaccardEstimate,
     "z15_unigram_logprob" -> z15UnigramLogprob,
+    "z16_quality_deciles" -> z16QualityDeciles,
     "z13_heavy_hitters" -> z13HeavyHitters,
     "z14_quality_classifier" -> z14QualityClassifier,
     "x1_exact_dedup" -> x1ExactDedup,
@@ -1251,6 +1370,7 @@ object PipelineQueries {
     "y3_knn_ivf" -> y3KnnIvf,
     "y3c_knn_nprobe" -> y3cKnnNprobe,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
+    "y4_centroid_stats" -> y4CentroidStats,
     "z1_lang_id" -> z1LangId,
     "z2_quality_score" -> z2QualityScore,
     "z3_token_counts" -> z3TokenCounts,

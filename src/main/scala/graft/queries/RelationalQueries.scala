@@ -675,6 +675,64 @@ object RelationalQueries {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin)
 
+  /** A14: ROLLUP grouping sets — the hierarchical complement of a13's
+    * CUBE: (priority, status) → (priority) → grand total, one pass, no
+    * (status)-only level. Same single-aggregate expansion and the same
+    * grouping()-not-coalesce labeling discipline. */
+  private val a14RollupAgg = Q(
+    (s, d) => Tables.orders(s, d)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sumMoney(col("o_totalprice")).as("sum_price"),
+        grouping(col("o_orderpriority")).as("g_p"),
+        grouping(col("o_orderstatus")).as("g_s"))
+      .select(
+        when(col("g_p") === 1, lit("ALL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        when(col("g_s") === 1, lit("ALL"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        col("n"), col("sum_price"))
+      .orderBy("priority", "status"),
+    """SELECT CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL' ELSE o_orderpriority END AS priority,
+      |  CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL' ELSE o_orderstatus END AS status,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+      |ORDER BY priority, status""".stripMargin)
+
+  /** S14: keyed upsert (lakehouse MERGE) — an update batch that rewrites
+    * every 7th event's value AND inserts brand-new events, merged
+    * last-writer-wins on event_id (`Relational.upsert`; `Store.upsert` is
+    * the partition-scoped persistent form). The oracle replays MERGE as
+    * its relational definition: updates ∪ (snapshot ∖ updated keys). The
+    * batch's keys are unique by construction, so no intra-batch order is
+    * needed. */
+  private val s14Upsert = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val updates = ev.filter(col("event_id") % 7 === 0)
+          .withColumn("value", col("value") + 1000)
+        .unionByName(ev.filter(col("event_id") % 1000 === 0)
+          .withColumn("event_id", col("event_id") + 10000000L))
+      upsert(ev, updates, Seq("event_id"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sumMoney(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
+    """WITH up AS (
+      |  SELECT event_id, event_type, value + 1000 AS value
+      |  FROM events WHERE event_id % 7 = 0
+      |  UNION ALL
+      |  SELECT event_id + 10000000, event_type, value
+      |  FROM events WHERE event_id % 1000 = 0),
+      |merged AS (
+      |  SELECT * FROM up
+      |  UNION ALL
+      |  SELECT event_id, event_type, value
+      |  FROM events WHERE event_id % 7 <> 0)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** J9: skew-salted equi-join — the broadcast-free scale path for a
     * key-skewed fact joined to an over-threshold dim. The oracle is the
     * PLAIN join: salting must only re-route rows, never change the
@@ -918,6 +976,8 @@ object RelationalQueries {
     "u1_union_pad" -> u1UnionPad,
     "u3_except_intersect" -> u3ExceptIntersect,
     "a13_cube_agg" -> a13CubeAgg,
+    "a14_rollup_agg" -> a14RollupAgg,
+    "s14_upsert" -> s14Upsert,
     "j9_salted_join" -> j9SaltedJoin,
     "o1_topk" -> o1TopK,
     "o2_recent_tail" -> o2RecentTail,

@@ -133,6 +133,34 @@ object WindowQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** W10: bounded-frame rolling aggregate — a 4-row trailing window
+    * (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), the moving-average shape
+    * the unbounded frames above don't cover. The frame sum goes through
+    * DECIMAL: Spark's sliding-frame evaluator and DuckDB's segment tree
+    * add frame members in different orders, so a raw double sum would
+    * drift on the low bits — exact decimal is order-independent, and the
+    * mean is ONE correctly-rounded double division at the boundary.
+    * Scale: partitioned on user_id (high-cardinality), frame state is
+    * O(4) per row regardless of partition length. */
+  private val w10RollingMean = Q(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("rsum", sum(dec2(col("value"))).over(w))
+        .withColumn("rcnt", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"),
+          (col("rsum").cast(DoubleType) / col("rcnt")).as("rolling_mean"))
+        .orderBy("user_id", "event_id")
+    },
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS rolling_mean
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin)
+
   /** W8: gap sessionization — a new session wherever a user pauses more
     * than 30 minutes; per-session event count and id span. Two window
     * passes over ONE (user, ts) sort (`Relational.sessionize`); event_id
@@ -311,6 +339,7 @@ object WindowQueries {
     "w8_gap_sessions" -> w8GapSessions,
     "w9_tumbling_window" -> w9TumblingWindow,
     "w9b_sliding_window" -> w9bSlidingWindow,
+    "w10_rolling_mean" -> w10RollingMean,
     "w3_top1_per_group" -> w3Top1PerGroup,
     "w4_rank_index" -> w4RankIndex,
     "w5_percent_rank_norm" -> w5PercentRankNorm,

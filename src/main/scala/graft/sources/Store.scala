@@ -87,6 +87,24 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     } finally fresh.unpersist()
   }
 
+  /** Lakehouse MERGE (update-or-insert), partition-scoped: last-writer-wins
+    * by key against only the partitions the batch touches — untouched
+    * partitions are neither read nor rewritten, so the cost scales with
+    * the batch's partition footprint, not the table. The distinct
+    * partition list is batch-sized (broadcast semi-join prunes the
+    * snapshot scan), and dynamic partition overwrite lands the merge
+    * atomically per partition. Complements `update` (insert-only).
+    * Precondition: a key's `partCol` value is stable across versions —
+    * a batch that MOVES a key to a new partition would leave the old
+    * copy behind (the old partition isn't in the batch's footprint). */
+  def upsert(updates: DataFrame, keys: Seq[String],
+             order: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
+    if (!exists) { append(updates); return }
+    val parts = updates.select(partCol).distinct()
+    val affected = read.join(broadcast(parts), Seq(partCol), "left_semi")
+    overwritePartitions(Relational.upsert(affected, updates, keys, order))
+  }
+
   /** Post-rebuild invariant query: rows per partition
     * (`/root/reference/1_rebuild_db.R:40-44`). */
   def countsByPartition: DataFrame =

@@ -60,6 +60,30 @@ class StoreSpec extends SparkSpec {
     assert(store.read.select("game_id").as[String].collect().sorted.toSeq === before.toSeq)
   }
 
+  test("upsert merges last-writer-wins and touches only affected partitions") {
+    val store = Store(spark, tmpDir("store_upsert"), "season")
+    store.rebuild(Iterator(season(1999, 3), season(2000, 4)))
+    val filesBefore1999 = new java.io.File(store.path + "/season=1999")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    // batch: update one 2000 row, insert one new 2000 row
+    val batch = Seq(("g2000_2", 2000, 99.0), ("g2000_9", 2000, 9.0))
+      .toDF("game_id", "season", "epa")
+    store.upsert(batch, Seq("game_id"))
+    val rows = store.read.as[(String, Double, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(rows.size === 8) // 3 + 4 + 1 inserted
+    assert(rows("g2000_2") === 99.0) // updated in place
+    assert(rows("g2000_9") === 9.0)  // inserted
+    assert(rows("g2000_1") === 1.0)  // untouched neighbor survives
+    // untouched partition's files are bit-identical (never rewritten)
+    val filesAfter1999 = new java.io.File(store.path + "/season=1999")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(filesAfter1999 === filesBefore1999)
+    // idempotent re-apply
+    store.upsert(batch, Seq("game_id"))
+    assert(store.read.count() === 8L)
+  }
+
   test("incremental LSH over a persisted signature table equals recompute from text") {
     // the 100-TB ingest shape: corpus minhash signatures live in a Store
     // table (written once, appended per ingest); an arriving batch pairs
