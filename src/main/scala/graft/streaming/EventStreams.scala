@@ -127,6 +127,38 @@ object EventStreams {
         docs.filter(!(coalesce(size(ws) >= 3, lit(false)) && hit))
     }
 
+  /** Shape 4: watermarked stream-stream interval join — correlate two live
+    * event streams per key when their event times fall within `within` of
+    * each other (click↔conversion attribution, doc↔annotation arrival).
+    * Both sides carry watermarks AND the join predicate bounds both event
+    * times, which is exactly what lets Spark expire join state: each side
+    * buffers only `watermark + within` of history per key range, however
+    * long the streams run. Non-key/non-time column names must not collide
+    * across the sides (rename before joining).
+    *
+    * `joinType` supports the outer forms ("left_outer"/"full_outer") —
+    * unmatched rows emit with nulls once the watermark passes their
+    * interval, so an outer result row is never retracted. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   watermark: String = "1 hour",
+                   within: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
+    require(leftTs != rightTs,
+      "leftTs and rightTs must be distinct column names (rename one side)")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+      .withColumnRenamed(key, "__rk")
+    l.join(r,
+        col(key) === col("__rk") &&
+          col(rightTs) >= col(leftTs) - expr(s"INTERVAL $within") &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"),
+        joinType)
+      // full_outer: an unmatched RIGHT row carries its key only in __rk
+      .withColumn(key, coalesce(col(key), col("__rk")))
+      .drop("__rk")
+  }
+
   /** Per-user running state for shape 3. */
   case class UserAcc(userId: Long, total: Double, nEvents: Int)
   /** Emitted when a user's running value-total first crosses `cutoff`. */

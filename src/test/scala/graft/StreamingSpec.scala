@@ -168,6 +168,31 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L, 3L)) // the corpus near-dup is gone
   }
 
+  test("intervalJoin correlates two streams per key within the time bound") {
+    val clickDir = tmpDir("ssj_clicks"); val convDir = tmpDir("ssj_convs")
+    writeBatch(clickDir, Seq(
+      (1L, ts(0), 10L, "click", 1.0),   // matches conv at 10:05
+      (2L, ts(30), 11L, "click", 1.0),  // matches conv at 10:35
+      (3L, ts(40), 12L, "click", 1.0))) // no conversion
+    writeBatch(convDir, Seq(
+      (101L, ts(5), 10L, "conv", 9.0),
+      (102L, ts(20), 10L, "conv", 9.0), // 20 min after click 1: outside bound
+      (103L, ts(35), 11L, "conv", 9.0)))
+    val clicks = EventStreams.fileSource(spark, clickDir, schema)
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val convs = EventStreams.fileSource(spark, convDir, schema)
+      .select(col("user_id"), col("ts").as("conv_ts"), col("event_id").as("conv_id"))
+    val joined = EventStreams.intervalJoin(
+      clicks, convs, "user_id", "click_ts", "conv_ts",
+      watermark = "1 hour", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj").select("click_id", "conv_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 101L), (2L, 103L)))
+  }
+
   test("sessionCut emits once per user at the cumulative-value crossing") {
     val src = tmpDir("cut_src")
     writeBatch(src, Seq(
