@@ -109,6 +109,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s14/x14: upsert merge and Jaccard estimate stay equi-join shaped") {
+    for (q <- Seq("s14_upsert", "x14_jaccard_estimate")) {
+      val plan = formatted(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on keys only")
+    }
+  }
+
+  test("w10/z16/y4/a14: new window/agg paths keep bounded shuffles") {
+    val w10 = formatted("w10_rolling_mean")
+    assert(!w10.contains("Join"))
+    assert("\\(\\d+\\) Exchange".r.findAllIn(w10).size <= 2, "w10 grew shuffles")
+    val z16 = formatted("z16_quality_deciles")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(z16).size <= 3, "z16 grew shuffles")
+    val y4 = formatted("y4_centroid_stats")
+    assert(!y4.contains("Join"), "centroid stats must not join")
+    assert(y4.contains("Generate"), "posexplode left the y4 plan")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(y4).size <= 3, "y4 grew shuffles")
+    val a14 = formatted("a14_rollup_agg")
+    assert(a14.contains("Expand"), "rollup must expand grouping sets in ONE pass")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(a14).size <= 2, "a14 grew shuffles")
+  }
+
   test("no query output schema contains a DECIMAL column") {
     // The driver's compare reads Spark parquet decimals scale-preserving
     // ("1.50") but DuckDB oracle decimals as doubles ("1.5"): any DECIMAL
