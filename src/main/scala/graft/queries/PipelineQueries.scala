@@ -149,10 +149,15 @@ object PipelineQueries {
   private val x14JaccardEstimate = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
+      // hv feeds FOUR consumers (signature, two intersect sides, sizes):
+      // materialize it once instead of re-shingling the corpus per branch
+      // (bench: 5.6 s → one shingle pass); same for the signature, which
+      // the candidate and estimate stages both read
       val hv = shingles(docs)
         .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
         .distinct()
-      val sig = Dedup.minhashSignature(hv, "doc_id", 8)
+        .localCheckpoint(true)
+      val sig = Dedup.minhashSignature(hv, "doc_id", 8).localCheckpoint(true)
       val pairs = Dedup.lshCandidates(sig, "doc_id", 8, maxBucket = Some(X2MaxBucket))
       val est = Dedup.jaccardEstimate(sig, pairs, "doc_id", 8)
       val sz = hv.groupBy("doc_id").agg(count(lit(1)).as("sz"))

@@ -699,6 +699,32 @@ object RelationalQueries {
       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin)
 
+  /** J10: NULL-safe equi-join — dplyr joins match NA keys by default
+    * (`na_matches = "na"`), so every reference join implicitly pairs
+    * NA-keyed rows; Spark's `===` silently drops them. `<=>`
+    * (EqualNullSafe) restores the R semantics AND stays a hash equi-join
+    * (the null-safe comparison is a join key, not a filter — no
+    * nested-loop fallback, asserted in PlanAuditSpec). The nullable key
+    * here is derived (negative-balance suppliers → NULL), giving the NULL
+    * bucket real members at every SF. */
+  private val j10NullSafeJoin = Q(
+    (s, d) => {
+      val sup = Tables.supplier(s, d).select(
+        col("s_suppkey"),
+        when(col("s_acctbal") < 0, lit(null)).otherwise(col("s_nationkey")).as("k"))
+      val dim = sup.select(col("k").as("dk")).distinct()
+      sup.join(dim, col("k") <=> col("dk"))
+        .groupBy("dk").agg(count(lit(1)).as("n"))
+        .orderBy(col("dk").asc_nulls_first)
+    },
+    """WITH sup AS (SELECT s_suppkey,
+      |    CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS k
+      |  FROM supplier),
+      |dim AS (SELECT DISTINCT k AS dk FROM sup)
+      |SELECT dk, COUNT(*) AS n
+      |FROM sup JOIN dim ON sup.k IS NOT DISTINCT FROM dim.dk
+      |GROUP BY dk ORDER BY dk NULLS FIRST""".stripMargin)
+
   /** S14: keyed upsert (lakehouse MERGE) — an update batch that rewrites
     * every 7th event's value AND inserts brand-new events, merged
     * last-writer-wins on event_id (`Relational.upsert`; `Store.upsert` is
@@ -978,6 +1004,7 @@ object RelationalQueries {
     "a13_cube_agg" -> a13CubeAgg,
     "a14_rollup_agg" -> a14RollupAgg,
     "s14_upsert" -> s14Upsert,
+    "j10_null_safe_join" -> j10NullSafeJoin,
     "j9_salted_join" -> j9SaltedJoin,
     "o1_topk" -> o1TopK,
     "o2_recent_tail" -> o2RecentTail,

@@ -110,7 +110,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("s14/x14: upsert merge and Jaccard estimate stay equi-join shaped") {
-    for (q <- Seq("s14_upsert", "x14_jaccard_estimate")) {
+    for (q <- Seq("s14_upsert", "x14_jaccard_estimate", "j10_null_safe_join")) {
       val plan = formatted(q)
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$q must join on keys only")
