@@ -202,6 +202,20 @@ object Dedup {
     bloomOver(corpus.select(md5(col(textCol)).as("h")), "h",
       expectedItems, bitsPerItem)
 
+  /** Serialized Bloom over an arbitrary join-key column — the semi-join
+    * REDUCTION filter: before shuffling a 100-TB fact table into a
+    * semi-join, broadcast a ~MB filter of the dim keys and drop the
+    * (typically vast) fraction of fact rows that cannot match. False
+    * positives just ride through to the exact join (which stays correct);
+    * false negatives are impossible, so the reduction never drops a
+    * matching row. Probe with
+    * `graft_might_contain(lit(bloom), xxhash64(key.cast("string")))`. */
+  def keyBloom(df: DataFrame, keyCol: String,
+               expectedItems: Option[Long] = None,
+               bitsPerItem: Long = 8L): Option[Array[Byte]] =
+    bloomOver(df.select(col(keyCol).cast("string").as("k")).distinct(), "k",
+      expectedItems, bitsPerItem)
+
   /** LSH candidates of an INCOMING batch against an existing corpus — the
     * incremental-ingest form: each arriving batch pairs only against the
     * base (one A×B bucket join), never re-pairing the corpus with itself,

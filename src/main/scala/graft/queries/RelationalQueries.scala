@@ -699,6 +699,59 @@ object RelationalQueries {
       |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
       |ORDER BY priority, status""".stripMargin)
 
+  /** J11: Bloom semi-join REDUCTION — the 100-TB shape of "filter the fact
+    * table by a dim subset": a ~MB serialized Bloom of the dim keys
+    * broadcasts as a literal and drops non-matching fact rows BEFORE the
+    * shuffle; the exact semi-join then runs on the survivors only. False
+    * positives ride through to the exact join (correctness unaffected —
+    * the oracle is the PLAIN semi-join); false negatives are impossible,
+    * so no matching row is lost. At scale this cuts the fact-side shuffle
+    * by the dim's selectivity without broadcasting the key set itself. */
+  private val j11BloomSemiJoin = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_suppkey"), col("l_quantity"))
+      val dim = Tables.supplier(s, d)
+        .filter(col("s_acctbal") > 5000).select(col("s_suppkey"))
+      val pre = graft.operators.Dedup.keyBloom(dim, "s_suppkey") match {
+        case Some(b) => li.filter(call_function("graft_might_contain",
+          lit(b), xxhash64(col("l_suppkey").cast("string"))))
+        case None => li.limit(0)
+      }
+      pre.join(dim, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          sumMoney(col("l_quantity")).as("sum_qty"))
+    },
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)""".stripMargin)
+
+  /** S15: incremental aggregate maintenance — the materialized-view merge:
+    * a persisted per-key aggregate STATE (count + exact-decimal sum) and a
+    * new batch's partial aggregate combine by summing — count and decimal
+    * sum are commutative monoids, so state ⊕ delta ≡ recomputing over the
+    * full input, which is exactly what the oracle does. At 100 TB this is
+    * the difference between touching one ingest batch and rescanning the
+    * corpus per refresh. */
+  private val s15IncrementalAgg = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      def partial(f: DataFrame) = f.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("s_dec"))
+      val state = partial(ev.filter(col("event_id") % 10 =!= 0))
+      val delta = partial(ev.filter(col("event_id") % 10 === 0))
+      state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum(col("n")).cast(LongType).as("n"),
+          sum(col("s_dec")).cast(DoubleType).as("sum_value"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** J10: NULL-safe equi-join — dplyr joins match NA keys by default
     * (`na_matches = "na"`), so every reference join implicitly pairs
     * NA-keyed rows; Spark's `===` silently drops them. `<=>`
@@ -1005,6 +1058,8 @@ object RelationalQueries {
     "a14_rollup_agg" -> a14RollupAgg,
     "s14_upsert" -> s14Upsert,
     "j10_null_safe_join" -> j10NullSafeJoin,
+    "j11_bloom_semi_join" -> j11BloomSemiJoin,
+    "s15_incremental_agg" -> s15IncrementalAgg,
     "j9_salted_join" -> j9SaltedJoin,
     "o1_topk" -> o1TopK,
     "o2_recent_tail" -> o2RecentTail,

@@ -110,11 +110,22 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("s14/x14: upsert merge and Jaccard estimate stay equi-join shaped") {
-    for (q <- Seq("s14_upsert", "x14_jaccard_estimate", "j10_null_safe_join")) {
+    for (q <- Seq("s14_upsert", "x14_jaccard_estimate", "j10_null_safe_join",
+        "s15_incremental_agg")) {
       val plan = formatted(q)
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$q must join on keys only")
     }
+  }
+
+  test("j11: the bloom probe filters the fact scan BEFORE the exact semi-join") {
+    val plan = formatted("j11_bloom_semi_join")
+    assert(plan.contains("might_contain"), "bloom reduction left the plan")
+    // the probe must sit under the join (scan-side filter), not above it
+    val probeLine = plan.linesIterator.indexWhere(_.contains("might_contain"))
+    val joinLine = plan.linesIterator.indexWhere(_.contains("Join"))
+    assert(probeLine >= 0 && joinLine >= 0)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("w10/z16/y4/a14: new window/agg paths keep bounded shuffles") {

@@ -311,4 +311,38 @@ class RelationalSpec extends SparkSpec {
     val dec = df.agg(RSemantics.sumDec2(col("v"))).head().getDecimal(0)
     assert(dec.toPlainString === "100.00")
   }
+
+  test("upsert: updates beat snapshot, inserts land, re-apply is idempotent") {
+    val snap = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "tag", "v")
+    val batch = Seq((2L, "b", 20.0), (9L, "z", 9.0)).toDF("k", "tag", "v")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val once = Relational.upsert(snap, batch, Seq("k"))
+    assert(asMap(once) === Map(1L -> 1.0, 2L -> 20.0, 3L -> 3.0, 9L -> 9.0))
+    assert(asMap(Relational.upsert(once, batch, Seq("k"))) === asMap(once))
+    // in-batch duplicate keys resolve by the caller's order
+    val dup = Seq((2L, "b", 100.0), (2L, "b", 200.0)).toDF("k", "tag", "v")
+    val resolved = Relational.upsert(snap, dup, Seq("k"), order = Seq(col("v").desc))
+    assert(asMap(resolved)(2L) === 200.0)
+  }
+
+  test("jaccardEstimate: identical shingle sets estimate 1.0, estimates stay in [0,1]") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),  // exact dup of 1
+      (3L, "alpha beta gamma zeta eta")        // partial overlap
+    ).toDF("doc_id", "text")
+    val est = {
+      val h = docs.withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
+        .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv")).distinct()
+      val sig = Dedup.minhashSignature(h, "doc_id", 8)
+      val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+      Dedup.jaccardEstimate(sig, pairs, "doc_id", 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    assert(est((1L, 2L)) === 1.0) // identical sets: every slot matches
+    assert(est((1L, 3L)) >= 0.0 && est((1L, 3L)) < 1.0)
+  }
 }

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Generate the 10x soak tables (documents/embeddings/events) from an sf dir.
+
+Usage: python3 tools/gen_soak.py /root/testdata/sf0.1 /tmp/soak10 [reps]
+
+Each replica r offsets the ids; document text is ROTATED by r words so
+replicas are near-dups of the original (changed shingle sets, same length
+and vocab stats) rather than exact copies — exact copies would collapse
+into single LSH buckets and overstate pair growth. Events keep the
+nanos-as-int64 ts format the real tables use (Tables.events divides by
+1000 either way).
+"""
+import sys
+import duckdb
+
+src, dst = sys.argv[1], sys.argv[2]
+reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+con = duckdb.connect()
+con.sql(f"CREATE TABLE r AS SELECT unnest(generate_series(0, {reps - 1})) AS r")
+
+con.sql(f"""
+COPY (
+  SELECT d.doc_id + r.r * 1000000 AS doc_id,
+         CASE WHEN r.r = 0 THEN d.text
+              ELSE array_to_string(
+                     list_concat(w[r.r + 1:], w[1:r.r]), ' ')
+         END AS text,
+         d.lang, d.source, d.n_chars
+  FROM (SELECT *, string_split(text, ' ') AS w
+        FROM '{src}/documents.parquet') d, r
+) TO '{dst}/documents.parquet' (FORMAT parquet)
+""")
+
+con.sql(f"""
+COPY (
+  SELECT e.vec_id + r.r * 1000000 AS vec_id, e.embedding, e.label
+  FROM '{src}/embeddings.parquet' e, r
+) TO '{dst}/embeddings.parquet' (FORMAT parquet)
+""")
+
+con.sql(f"""
+COPY (
+  SELECT e.event_id + r.r * 10000000 AS event_id,
+         epoch_ns(e.ts) AS ts,
+         e.user_id + r.r * 1000000 AS user_id,
+         e.event_type, e.value, e.props
+  FROM '{src}/events.parquet' e, r
+) TO '{dst}/events.parquet' (FORMAT parquet)
+""")
+
+for t in ("documents", "embeddings", "events"):
+    n = con.sql(f"SELECT COUNT(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
+    print(t, n)
