@@ -669,31 +669,78 @@ object PipelineQueries {
 
   /** Embedding-cosine near-dup: same-bucket pairs ranked by cosine (top-50).
     * The dedup-flavored variant of y2 — pair output, not per-query kNN. */
+  /** Shared top-50 embedding near-dup pair stage (x5 output, x15 input):
+    * hyperplane-bucketed cosine pairs, highest-cosine 50 with pinned
+    * tiebreakers. */
+  private def x5TopPairs(s: SparkSession, d: String) = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("bucket", Similarity.hyperplaneBucket("embedding"))
+      .withColumn("nrm", Similarity.norm("embedding"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round(Similarity.dot("va", "vb") / (col("na") * col("nb")), 6))
+      .select("bucket", "id_a", "id_b", "cosine")
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  /** DuckDB CTEs mirroring [[x5TopPairs]] — shared by the x5 and x15
+    * oracles so the pair stage can never drift between them. */
+  private val x5PairsCtes: String =
+    s"""v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm,
+       |    CAST($bucketSql AS BIGINT) AS bucket FROM v),
+       |cand AS (
+       |  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ROUND(${dotSql("a.vd", "b.vd")} / (a.nrm * b.nrm), 6) AS cosine
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |top AS (SELECT * FROM cand ORDER BY cosine DESC, id_a, id_b LIMIT 50)""".stripMargin
+
   private val x5EmbedNeardup = Q(
+    (s, d) => x5TopPairs(s, d),
+    s"""WITH $x5PairsCtes
+       |SELECT bucket, id_a, id_b, cosine FROM top
+       |ORDER BY cosine DESC, id_a, id_b""".stripMargin)
+
+  /** x15: SEMANTIC dedup (SemDeDup shape) — embedding-space near-dup
+    * pairs → connected components → one survivor per semantic cluster,
+    * reported per label. The same clustering machinery as x8 runs on
+    * embedding-derived edges instead of shingle-derived ones — textually
+    * distinct rewrites that land close in embedding space merge here.
+    * The oracle replays the full reachability fixpoint recursively over
+    * the SAME top-50 pair CTE the x5 oracle uses. */
+  private val x15SemanticDedup = Q(
     (s, d) => {
-      val e = Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .withColumn("bucket", Similarity.hyperplaneBucket("embedding"))
-        .withColumn("nrm", Similarity.norm("embedding"))
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-        col("nrm").as("na"), col("bucket"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-        col("nrm").as("nb"), col("bucket"))
-      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-        .withColumn("cosine", round(Similarity.dot("va", "vb") / (col("na") * col("nb")), 6))
-        .select("bucket", "id_a", "id_b", "cosine")
-        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
-        .limit(50)
+      val pairs = x5TopPairs(s, d)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val nodes = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      Dedup.connectedComponents(pairs, nodes.select("vec_id"), "vec_id")
+        .join(nodes, Seq("vec_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          (count(lit(1)) - countDistinct(col("cluster_id"))).as("n_merged"))
+        .orderBy("label")
     },
-    {
-      s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
-         |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm,
-         |    CAST($bucketSql AS BIGINT) AS bucket FROM v)
-         |SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-         |  ROUND(${dotSql("a.vd", "b.vd")} / (a.nrm * b.nrm), 6) AS cosine
-         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |ORDER BY cosine DESC, id_a, id_b LIMIT 50""".stripMargin
-    })
+    s"""WITH RECURSIVE $x5PairsCtes,
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM top
+       |          UNION ALL SELECT id_b, id_a FROM top),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1),
+       |lab AS (SELECT e.vec_id, e.label,
+       |    COALESCE(c.cid, e.vec_id) AS cluster_id
+       |  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node)
+       |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       |  CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT) AS n_merged
+       |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin)
 
   // ---- text analysis ----
 
@@ -1344,6 +1391,7 @@ object PipelineQueries {
     "x12_bloom_prefilter" -> x12BloomPrefilter,
     "x13_curation_v2" -> x13CurationV2,
     "x14_jaccard_estimate" -> x14JaccardEstimate,
+    "x15_semantic_dedup" -> x15SemanticDedup,
     "z15_unigram_logprob" -> z15UnigramLogprob,
     "z16_quality_deciles" -> z16QualityDeciles,
     "z13_heavy_hitters" -> z13HeavyHitters,
