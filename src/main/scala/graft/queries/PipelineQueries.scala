@@ -1273,6 +1273,45 @@ object PipelineQueries {
       |FROM w JOIN cnt USING (term) CROSS JOIN tot
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** z17: bigram LM log-prob scoring — z15's unigram filter upgraded to
+    * conditional probabilities P(cur|prev) = n(prev,cur)/n(prev,·): word
+    * salads that pass a unigram filter (right vocabulary, wrong order)
+    * score low here. Same engine-stability discipline as z15: one int/int
+    * division and one ln per DISTINCT bigram, snapshot at DECIMAL(12,6),
+    * exact-decimal per-doc sum, single division at the boundary. Scale:
+    * the bigram and prev-count tables are vocab²-bounded (broadcast);
+    * the corpus sees one map-side explode and one groupBy on doc_id. */
+  private val z17BigramLogprob = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
+        .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      val bcnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n_bg"))
+      val pcnt = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
+      bg.join(broadcast(bcnt), Seq("prev", "cur"))
+        .join(broadcast(pcnt), Seq("prev"))
+        .withColumn("lp",
+          log(col("n_bg").cast("double") / col("n_prev")).cast("decimal(12,6)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_bigrams"),
+          (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"))
+        .orderBy("doc_id")
+    },
+    """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+      |        FROM wl WHERE len(l) >= 2),
+      |bg AS (SELECT doc_id, l[i] AS prev, l[i+1] AS cur FROM pos),
+      |bcnt AS (SELECT prev, cur, COUNT(*) AS n_bg FROM bg GROUP BY 1, 2),
+      |pcnt AS (SELECT prev, COUNT(*) AS n_prev FROM bg GROUP BY 1)
+      |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+      |  CAST(SUM(CAST(ln(CAST(n_bg AS DOUBLE) / n_prev) AS DECIMAL(12,6))) AS DOUBLE)
+      |    / COUNT(*) AS avg_logprob
+      |FROM bg JOIN bcnt USING (prev, cur) JOIN pcnt USING (prev)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
   /** x12: Bloom pre-filter for incremental exact dedup — the arriving
     * batch (doc_id % 10 = 0) probes a corpus content-hash Bloom so the
     * exact semi-join only runs on probable dups. Like x6, the oracle is a
@@ -1394,6 +1433,7 @@ object PipelineQueries {
     "x15_semantic_dedup" -> x15SemanticDedup,
     "z15_unigram_logprob" -> z15UnigramLogprob,
     "z16_quality_deciles" -> z16QualityDeciles,
+    "z17_bigram_logprob" -> z17BigramLogprob,
     "z13_heavy_hitters" -> z13HeavyHitters,
     "z14_quality_classifier" -> z14QualityClassifier,
     "x1_exact_dedup" -> x1ExactDedup,
