@@ -196,10 +196,24 @@ object Similarity {
     * here are seeded deterministic vectors; production would Lloyd-refine
     * them via [[kmeansFit]]. */
   def ivfTopK(vectors: DataFrame, anchors: DataFrame, queryIds: Column => Column,
-              idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame =
+    ivfTopKAssigned(
+      ivfAssign(vectors, anchors, idCol, vecCol).withColumn("nrm", norm(vecCol)),
+      anchors, queryIds, idCol, vecCol, k, nprobe)
+
+  /** [[ivfTopK]] over a PRE-ASSIGNED index relation — the persisted-index
+    * read path: the corpus-wide anchor scan (`ivfAssign`, the expensive
+    * build step) runs ONCE at index-build time and lands in a `Store`
+    * table; per-query-batch jobs read (id, vec, cell[, nrm]) back and
+    * join, never re-assigning the corpus. `anchors` is still needed for
+    * the nprobe > 1 probe-set ranking (it is broadcast-sized by
+    * definition). StoreSpec gates read-back == recompute. */
+  def ivfTopKAssigned(index: DataFrame, anchors: DataFrame, queryIds: Column => Column,
+                      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be at least 1, got $nprobe")
-    val assigned = ivfAssign(vectors, anchors, idCol, vecCol)
-      .withColumn("nrm", norm(vecCol))
+    val assigned =
+      if (index.columns.contains("nrm")) index
+      else index.withColumn("nrm", norm(vecCol))
     val q =
       if (nprobe == 1)
         assigned.filter(queryIds(col(idCol)))
@@ -208,7 +222,8 @@ object Similarity {
       else
         // re-rank the query rows' cell distances and keep the nprobe best;
         // queries are the tiny side, so the extra window is per-query-sized
-        rankCells(vectors.filter(queryIds(col(idCol))), anchors, idCol, vecCol)
+        rankCells(assigned.filter(queryIds(col(idCol)))
+            .select(col(idCol), col(vecCol)), anchors, idCol, vecCol)
           .filter(col("__rn") <= nprobe)
           .withColumn("nrm", norm(vecCol))
           .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),

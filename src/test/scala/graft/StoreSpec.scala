@@ -108,6 +108,29 @@ class StoreSpec extends SparkSpec {
     assert(pairs(spark.read.parquet(sigDir)) === pairs(sig(corpus)))
   }
 
+  test("ANN over a persisted IVF index equals recompute from vectors") {
+    // index-build once (the corpus-wide anchor scan), store, then serve
+    // query batches against the read-back table — same results as
+    // assigning the corpus per query job
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val anchors = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+    val idxDir = tmpDir("ivf_index")
+    Similarity.ivfAssign(e, anchors, "vec_id", "embedding")
+      .withColumn("nrm", Similarity.norm("embedding"))
+      .write.mode("overwrite").parquet(idxDir)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id").as[(Long, Int, Long)].collect().toSet
+    for (nprobe <- Seq(1, 3)) {
+      val fromIndex = Similarity.ivfTopKAssigned(spark.read.parquet(idxDir),
+        anchors, id => id % 50 === 0, "vec_id", "embedding", k = 5, nprobe = nprobe)
+      val recomputed = Similarity.ivfTopK(e, anchors,
+        id => id % 50 === 0, "vec_id", "embedding", k = 5, nprobe = nprobe)
+      assert(res(fromIndex) === res(recomputed), s"nprobe=$nprobe")
+    }
+  }
+
   test("schema evolution: a later batch with a new column reads back null-padded") {
     // the store lifecycle must survive a column added mid-history (the
     // reference's pbp schema grew across seasons) — old rows null-fill,
