@@ -92,6 +92,37 @@ object Multimodal {
       floor(col("height") * scale).cast("int").as("out_h"))
   }
 
+  case class MediaEmbedding(doc_id: Long, emb: Array[Float])
+
+  /** ??? real encoder — STUB. Media-to-embedding through the SAME
+    * partition-batched seam as `extractFeatures`: each payload splits into
+    * `dims` byte-stride slices, each Horner-checksummed into a [0, 1)
+    * float — a deterministic fake for an image/audio encoder's forward
+    * pass. A real model replaces only the per-row body (and loads its
+    * weights once per partition, where the comment sits); the output
+    * column (`Array[Float]`) is exactly the embeddings-table shape, so
+    * everything in `Similarity` composes downstream unchanged. */
+  def encodeEmbedding(spark: SparkSession, media: DataFrame,
+                      dims: Int = 8): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    require(dims > 0, s"dims must be positive, got $dims")
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init (encoder weights, ONNX session) would go here
+        rows.map { r =>
+          val n = r.payload.length
+          val stride = math.max(1, n / dims)
+          val emb = Array.tabulate(dims) { j =>
+            val from = math.min(j * stride, n)
+            val until = if (j == dims - 1) n else math.min(from + stride, n)
+            val cs = checksum(java.util.Arrays.copyOfRange(r.payload, from, until))
+            ((cs % 10000L) / 10000.0).toFloat
+          }
+          MediaEmbedding(r.doc_id, emb)
+        }
+      }
+  }
+
   /** Partition-batched feature extraction — the mapInPandas-shaped seam.
     * One iterator per partition: codec/model init happens once per batch,
     * rows stream through without materializing the partition. */

@@ -869,6 +869,54 @@ object PipelineQueries {
     * The decode is the documented deterministic stub; the oracle replays
     * its Horner checksum over the UTF-8 bytes (= ascii codes: the corpus
     * is pure ASCII, verified). */
+  /** m4: multimodal → similarity composition — payloads run through the
+    * batched ENCODER seam (`Multimodal.encodeEmbedding`, stub per brief)
+    * and the resulting `Array[Float]` column feeds `Similarity`'s ANN
+    * unchanged: media search is the same engine path as text-embedding
+    * search. The oracle replays the stride-slice Horner embedding and the
+    * element-for-element cosine fold (8-dim form of the y1 contract). */
+  private val m4MediaEmbedAnn = Q(
+    (s, d) => {
+      val pay = Multimodal.payloads(Tables.documents(s, d), "doc_id", "text")
+      val emb = Multimodal.encodeEmbedding(s, pay).toDF()
+      Similarity.bruteForceTopK(
+          emb.filter(col("doc_id") % 97 === 0), emb, "doc_id", "emb", k = 5)
+        .orderBy("q_id", "rank")
+    },
+    """WITH dims AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN j = 7 THEN substring(text, j * stride + 1)
+      |         ELSE substring(text, j * stride + 1, stride) END AS s
+      |  FROM (SELECT doc_id, text, greatest(1, length(text) // 8) AS stride,
+      |          unnest(generate_series(0, 7)) AS j
+      |        FROM documents)),
+      |vals AS (
+      |  SELECT doc_id, j, CAST(CAST(
+      |      (CASE WHEN length(s) = 0 THEN 0
+      |            ELSE list_reduce(
+      |              list_transform(regexp_extract_all(s, '.'), c -> CAST(ascii(c) AS BIGINT)),
+      |              (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000007 END)
+      |      % 10000 AS DOUBLE) / 10000.0 AS FLOAT) AS v
+      |  FROM dims),
+      |emb AS (SELECT doc_id,
+      |    list_transform(list(v ORDER BY j), x -> CAST(x AS DOUBLE)) AS vd
+      |  FROM vals GROUP BY 1),
+      |n AS (SELECT doc_id, vd,
+      |    sqrt(list_reduce(list_transform(vd, x -> x * x), (acc, x) -> acc + x)) AS nrm
+      |  FROM emb),
+      |q AS (SELECT doc_id AS q_id, vd AS qv, nrm AS qn FROM n WHERE doc_id % 97 = 0),
+      |scored AS (
+      |  SELECT q.q_id, c.doc_id AS c_id,
+      |    ROUND(list_reduce(list_transform(generate_series(1, 8), i -> qv[i] * c.vd[i]),
+      |        (acc, x) -> acc + x) / (qn * c.nrm), 6) AS cosine
+      |  FROM q JOIN n c ON c.doc_id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, c_id, cosine, CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin)
+
   private val m1MediaFeatures = Q(
     (s, d) => {
       val pay = Multimodal.payloads(Tables.documents(s, d), "doc_id", "text")
@@ -1469,6 +1517,7 @@ object PipelineQueries {
     "z3_token_counts" -> z3TokenCounts,
     "z4_fingerprint" -> z4Fingerprint,
     "m1_media_features" -> m1MediaFeatures,
+    "m4_media_embed_ann" -> m4MediaEmbedAnn,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan)
 }
