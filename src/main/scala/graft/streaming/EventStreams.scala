@@ -127,6 +127,66 @@ object EventStreams {
         docs.filter(!(coalesce(size(ws) >= 3, lit(false)) && hit))
     }
 
+  /** Shape 5: incremental aggregate maintenance — the streaming form of
+    * the s15 monoid merge: each micro-batch's partial (count, exact-
+    * decimal sum) per key folds into a versioned state table, so the
+    * "materialized view" is always one batch-sized merge from fresh,
+    * never a corpus rescan.
+    *
+    * Exactly-once without sink transactions: state version `v{batchId}`
+    * is DERIVED deterministically from the latest version `< batchId` +
+    * the batch — a retried batch rewrites the SAME version directory with
+    * the same content (idempotent), and the checkpoint guarantees each
+    * source file lands in exactly one batchId. Versions older than the
+    * merge parent are deleted (a retry only ever needs the parent).
+    * State schema is pinned (n BIGINT, s_dec DECIMAL(28,2)) so the merge
+    * union never widens across versions. */
+  def aggStateMaintenance(events: DataFrame, stateDir: String,
+                          checkpointDir: String,
+                          keyCol: String = "event_type",
+                          valCol: String = "value"): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def versions: Seq[Long] =
+          if (!fs.exists(dir)) Seq.empty
+          else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        val partial = batch
+          .groupBy(keyCol)
+          .agg(count(lit(1)).as("n"),
+            sum(col(valCol).cast("decimal(18,2)")).as("s_dec"))
+        val parent = versions.filter(_ < batchId).sorted.lastOption
+        val merged = parent.fold(partial) { p =>
+          spark.read.parquet(s"$stateDir/v$p")
+            .unionByName(partial.select(col(keyCol),
+              col("n").cast("bigint"), col("s_dec").cast("decimal(28,2)")))
+            .groupBy(keyCol)
+            .agg(sum(col("n")).as("n"), sum(col("s_dec")).as("s_dec"))
+        }
+        merged.select(col(keyCol), col("n").cast("bigint").as("n"),
+            col("s_dec").cast("decimal(28,2)").as("s_dec"))
+          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        // GC: a retry of any future batch only reads the latest < its id
+        parent.foreach(p => versions.filter(_ < p)
+          .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Latest state version written by [[aggStateMaintenance]]. */
+  def readAggState(spark: SparkSession, stateDir: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+    require(vs.nonEmpty, s"no state versions under $stateDir")
+    spark.read.parquet(s"$stateDir/v${vs.max}")
+  }
+
   /** Shape 4: watermarked stream-stream interval join — correlate two live
     * event streams per key when their event times fall within `within` of
     * each other (click↔conversion attribution, doc↔annotation arrival).

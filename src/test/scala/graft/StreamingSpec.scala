@@ -168,6 +168,33 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L, 3L)) // the corpus near-dup is gone
   }
 
+  test("aggStateMaintenance folds batches into state equal to full recompute") {
+    val src = tmpDir("aggstate_src"); val state = tmpDir("aggstate_state") + "/tbl"
+    val ckpt = tmpDir("aggstate_ckpt")
+    def drain(): Unit = {
+      val q = EventStreams.aggStateMaintenance(
+        EventStreams.fileSource(spark, src, schema), state, ckpt)
+      q.awaitTermination()
+    }
+    def stateMap() = EventStreams.readAggState(spark, state)
+      .select(col("event_type"), col("n"), col("s_dec").cast("double"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    writeBatch(src, Seq(
+      (1L, ts(0), 10L, "click", 1.5), (2L, ts(1), 11L, "view", 2.0),
+      (3L, ts(2), 10L, "click", 3.0)))
+    drain()
+    assert(stateMap() === Map("click" -> ((2L, 4.5)), "view" -> ((1L, 2.0))))
+    // second drain merges only the NEW file (checkpoint skips the old one)
+    writeBatch(src, Seq((4L, ts(3), 12L, "click", 10.0), (5L, ts(4), 13L, "buy", 7.0)))
+    drain()
+    assert(stateMap() === Map(
+      "click" -> ((3L, 14.5)), "view" -> ((1L, 2.0)), "buy" -> ((1L, 7.0))))
+    // re-drain with nothing pending: state unchanged
+    drain()
+    assert(stateMap() === Map(
+      "click" -> ((3L, 14.5)), "view" -> ((1L, 2.0)), "buy" -> ((1L, 7.0))))
+  }
+
   test("intervalJoin correlates two streams per key within the time bound") {
     val clickDir = tmpDir("ssj_clicks"); val convDir = tmpDir("ssj_convs")
     writeBatch(clickDir, Seq(
