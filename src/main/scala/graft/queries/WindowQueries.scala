@@ -190,6 +190,77 @@ object WindowQueries {
       |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** W11: session funnel — the composition the sessionizer exists for:
+    * per 30-minute session, did a click lead to a purchase LATER in the
+    * same session? One (user, ts) sort feeds both the sessionizer and the
+    * per-session min/max (epoch-µs integers — exact), then one bounded
+    * reduce; conversion is a pure integer comparison. Output is the
+    * funnel summary a growth dashboard reads. */
+  private val w11SessionFunnel = Q(
+    (s, d) => {
+      val sess = sessionize(Tables.events(s, d), col("user_id"), col("ts"),
+        col("event_id"), gapMicros = 30L * 60 * 1000000)
+      sess.groupBy("user_id", "session_id")
+        .agg(
+          min(when(col("event_type") === "click", unix_micros(col("ts")))).as("first_click"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("last_purchase"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          count(col("first_click")).as("n_with_click"),
+          count(col("last_purchase")).as("n_with_purchase"),
+          sum(when(col("first_click") < col("last_purchase"), 1).otherwise(0))
+            .cast(LongType).as("n_converted"))
+    },
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM g),
+      |p AS (
+      |  SELECT user_id, session_id,
+      |    MIN(CASE WHEN event_type = 'click' THEN us END) AS first_click,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN us END) AS last_purchase
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |  CAST(COUNT(first_click) AS BIGINT) AS n_with_click,
+      |  CAST(COUNT(last_purchase) AS BIGINT) AS n_with_purchase,
+      |  CAST(SUM(CASE WHEN first_click < last_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      |FROM p""".stripMargin)
+
+  /** W12: cohort retention — users bucketed by first-seen week (cohort),
+    * counted per (cohort week, activity week). Two aggregations over one
+    * scan shape: the per-user first-week reduce (map-side combinable),
+    * then a distinct-(user, week) activity relation joined back — the
+    * join key is the user id (high-cardinality, no broadcast needed
+    * either way at scale since both sides are user-keyed aggregates).
+    * Weeks are emitted as epoch seconds of the Monday truncation —
+    * identical in both engines. */
+  private val w12CohortRetention = Q(
+    (s, d) => {
+      val wk = Tables.events(s, d)
+        .select(col("user_id"),
+          unix_timestamp(date_trunc("week", col("ts"))).as("wk"))
+      val active = wk.distinct()
+      val cohort = wk.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+      active.join(cohort, Seq("user_id"))
+        .groupBy("cohort_wk", "wk")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_wk", "wk")
+    },
+    """WITH wk AS (SELECT user_id,
+      |    CAST(epoch(date_trunc('week', ts)) AS BIGINT) AS wk FROM events),
+      |active AS (SELECT DISTINCT user_id, wk FROM wk),
+      |cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM wk GROUP BY 1)
+      |SELECT cohort_wk, wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM active JOIN cohort USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** W3: top-1 per group with explicit deterministic tiebreakers
     * (`arrange %>% slice(1)` `/root/reference/R/nfc_west_starting_qbs.R:25-27`):
     * each customer's latest order. */
@@ -340,6 +411,8 @@ object WindowQueries {
     "w9_tumbling_window" -> w9TumblingWindow,
     "w9b_sliding_window" -> w9bSlidingWindow,
     "w10_rolling_mean" -> w10RollingMean,
+    "w11_session_funnel" -> w11SessionFunnel,
+    "w12_cohort_retention" -> w12CohortRetention,
     "w3_top1_per_group" -> w3Top1PerGroup,
     "w4_rank_index" -> w4RankIndex,
     "w5_percent_rank_norm" -> w5PercentRankNorm,
