@@ -143,6 +143,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\(\\d+\\) Exchange".r.findAllIn(a14).size <= 2, "a14 grew shuffles")
   }
 
+  test("x15/z17/w12: composed pipelines keep their bounded join shapes") {
+    val x15 = formatted("x15_semantic_dedup")
+    assert(!x15.contains("CartesianProduct") && !x15.contains("BroadcastNestedLoopJoin"),
+      "semantic-dedup pair stage must stay a bucket equi-join")
+    val z17 = formatted("z17_bigram_logprob")
+    assert(z17.contains("BroadcastHashJoin"), "bigram count tables must broadcast")
+    assert(!z17.contains("SortMergeJoin"), "a vocab²-bounded table must never SMJ")
+    val w12 = formatted("w12_cohort_retention")
+    assert(!w12.contains("CartesianProduct") && !w12.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("no query output schema contains a DECIMAL column") {
     // The driver's compare reads Spark parquet decimals scale-preserving
     // ("1.50") but DuckDB oracle decimals as doubles ("1.5"): any DECIMAL
