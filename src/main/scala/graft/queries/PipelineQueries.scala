@@ -198,6 +198,39 @@ object PipelineQueries {
        |JOIN sz sb ON sb.doc_id = e.doc_b
        |ORDER BY e.doc_a, e.doc_b""".stripMargin)
 
+  /** x16: fuzzy verify by edit distance — the string-metric rung of the
+    * verify ladder: LSH candidate pairs scored by Levenshtein distance
+    * over the document HEAD (first 40 chars), the cheap fuzzy-match
+    * primitive entity-resolution pipelines run on names/titles. Bounding
+    * the operand length bounds the O(len²) DP per pair — never run edit
+    * distance on unbounded text at scale. Both engines implement the
+    * classic integer DP, so the distance is exactly comparable. */
+  private val x16FuzzyVerify = Q(
+    (s, d) => {
+      val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+        maxBucket = Some(X2MaxBucket))
+      val heads = Tables.documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+      pairs
+        .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), Seq("doc_a"))
+        .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("head_a"), col("head_b")).as("head_edit"))
+        .withColumn("is_close", col("head_edit") <= 10)
+        .orderBy("doc_a", "doc_b")
+    },
+    s"""WITH $minhashCtes,
+       |${cappedBandsCte(bandsSql)},
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(substring(da.text, 1, 40), substring(db.text, 1, 40)) AS INT) AS head_edit,
+       |  levenshtein(substring(da.text, 1, 40), substring(db.text, 1, 40)) <= 10 AS is_close
+       |FROM p JOIN documents da ON da.doc_id = p.doc_a
+       |       JOIN documents db ON db.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin)
+
   /** z11: benchmark decontamination — per training document, the count of
     * its distinct 3-gram shingles that appear in the benchmark set (docs
     * with doc_id % 97 = 0 stand in for the eval suite), plus the
@@ -1479,6 +1512,7 @@ object PipelineQueries {
     "x13_curation_v2" -> x13CurationV2,
     "x14_jaccard_estimate" -> x14JaccardEstimate,
     "x15_semantic_dedup" -> x15SemanticDedup,
+    "x16_fuzzy_verify" -> x16FuzzyVerify,
     "z15_unigram_logprob" -> z15UnigramLogprob,
     "z16_quality_deciles" -> z16QualityDeciles,
     "z17_bigram_logprob" -> z17BigramLogprob,
