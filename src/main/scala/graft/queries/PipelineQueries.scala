@@ -1296,6 +1296,40 @@ object PipelineQueries {
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** z18: lexical diversity — type-token ratio and hapax fraction, the
+    * repetition-adjacent quality features (a low TTR flags word-salad
+    * spam; a low hapax fraction flags template text). Per-(doc, term)
+    * counts shuffle once on the doc-term key; every ratio is one int/int
+    * division — bit-identical across engines. */
+  private val z18LexicalStats = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).cast(LongType).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          sum(when(col("cnt") === 1, 1).otherwise(0)).cast(LongType).as("n_hapax"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          (col("n_distinct") / col("n_tokens")).as("ttr"),
+          (col("n_hapax") / col("n_distinct")).as("hapax_ratio"))
+        .orderBy("doc_id")
+    },
+    """WITH tc AS (
+      |  SELECT doc_id, term, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM tc GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  n_distinct / n_tokens AS ttr,
+      |  n_hapax / n_distinct AS hapax_ratio
+      |FROM agg ORDER BY doc_id""".stripMargin)
+
   /** z14: hashing-trick linear quality classifier — fastText-shaped scoring
     * as a zero-shuffle fold inside the scan. Scores are sums of exact
     * rationals in a fixed fold order (bit-identical across engines); the
@@ -1516,6 +1550,7 @@ object PipelineQueries {
     "z15_unigram_logprob" -> z15UnigramLogprob,
     "z16_quality_deciles" -> z16QualityDeciles,
     "z17_bigram_logprob" -> z17BigramLogprob,
+    "z18_lexical_stats" -> z18LexicalStats,
     "z13_heavy_hitters" -> z13HeavyHitters,
     "z14_quality_classifier" -> z14QualityClassifier,
     "x1_exact_dedup" -> x1ExactDedup,

@@ -752,6 +752,64 @@ object RelationalQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** A15: z-score outlier detection — the robust-stats gate a cleaning
+    * pass runs per group. Moments accumulate EXACTLY (decimal sum and
+    * decimal sum-of-squares — the double product is one deterministic
+    * IEEE op, its decimal snapshot exact), so mean/variance come out of
+    * single correctly-rounded double ops on identical inputs in both
+    * engines; the 3σ flag is then bit-stable. One scan for moments (tiny
+    * per-group state), broadcast join back for the flag — two passes
+    * total, the unavoidable minimum for a global-stats filter. */
+  private val a15Outliers = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val stats = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).as("s_dec"),
+          sum((col("value") * col("value")).cast(DecimalType(28, 6))).as("ss_dec"))
+        .select(col("event_type"), col("n"),
+          (col("s_dec").cast(DoubleType) / col("n")).as("mean"),
+          (col("ss_dec").cast(DoubleType) / col("n")).as("msq"))
+        .withColumn("sd", sqrt(col("msq") - col("mean") * col("mean")))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .withColumn("is_out", abs(col("value") - col("mean")) > lit(3.0) * col("sd"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_out"), 1).otherwise(0)).cast(LongType).as("n_outliers"),
+          first(col("mean")).as("mean"), first(col("sd")).as("sd"))
+        .orderBy("event_type")
+    },
+    """WITH stats AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS msq
+      |  FROM events GROUP BY 1),
+      |s2 AS (SELECT event_type, n, mean, sqrt(msq - mean * mean) AS sd FROM stats)
+      |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN abs(e.value - s2.mean) > 3.0 * s2.sd THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  ANY_VALUE(s2.mean) AS mean, ANY_VALUE(s2.sd) AS sd
+      |FROM events e JOIN s2 USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** A16: weighted mean — `weighted.mean(price, w = quantity)`: both the
+    * weighted numerator (a deterministic double product snapshot into
+    * exact decimal) and the weight denominator accumulate exactly; the
+    * result is ONE double division. */
+  private val a16WeightedMean = Q(
+    (s, d) => Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        (sum((col("l_extendedprice") * col("l_quantity")).cast(DecimalType(30, 4)))
+          .cast(DoubleType) /
+          sum(dec2(col("l_quantity"))).cast(DoubleType)).as("wavg_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag"),
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS wavg_price,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** J10: NULL-safe equi-join — dplyr joins match NA keys by default
     * (`na_matches = "na"`), so every reference join implicitly pairs
     * NA-keyed rows; Spark's `===` silently drops them. `<=>`
@@ -1059,6 +1117,8 @@ object RelationalQueries {
     "s14_upsert" -> s14Upsert,
     "j10_null_safe_join" -> j10NullSafeJoin,
     "j11_bloom_semi_join" -> j11BloomSemiJoin,
+    "a15_outliers" -> a15Outliers,
+    "a16_weighted_mean" -> a16WeightedMean,
     "s15_incremental_agg" -> s15IncrementalAgg,
     "j9_salted_join" -> j9SaltedJoin,
     "o1_topk" -> o1TopK,
