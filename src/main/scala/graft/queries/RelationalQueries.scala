@@ -752,6 +752,26 @@ object RelationalQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** F8: semi-structured column extraction — the per-event JSON `props`
+    * payload parsed IN the scan projection (`get_json_object` is a pure
+    * codegen'd expression — no UDF, no second pass), then aggregated as
+    * ordinary integers. The schema-on-read path for ragged per-row
+    * metadata that doesn't merit a typed column. */
+  private val f8JsonProps = Q(
+    (s, d) => Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast(LongType))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_parsed"),
+        sum(col("k")).cast(LongType).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type"),
+    """SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n_parsed,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** A15: z-score outlier detection — the robust-stats gate a cleaning
     * pass runs per group. Moments accumulate EXACTLY (decimal sum and
     * decimal sum-of-squares — the double product is one deterministic
@@ -1119,6 +1139,7 @@ object RelationalQueries {
     "j11_bloom_semi_join" -> j11BloomSemiJoin,
     "a15_outliers" -> a15Outliers,
     "a16_weighted_mean" -> a16WeightedMean,
+    "f8_json_props" -> f8JsonProps,
     "s15_incremental_agg" -> s15IncrementalAgg,
     "j9_salted_join" -> j9SaltedJoin,
     "o1_topk" -> o1TopK,
