@@ -53,11 +53,20 @@ object PipelineQueries {
        |    $sigCols
        |  FROM hv GROUP BY 1)""".stripMargin
 
-  /** Shared Spark side: distinct 3-gram shingle hashes → 8-hash signature. */
+  /** Shared Spark side: 3-gram shingle hashes → 8-hash signature.
+    * Deliberately NO distinct before the signature aggregate: min over a
+    * multiset equals min over its set, and the signature groupBy is
+    * map-side-combinable — dropping the distinct removes a full shuffle
+    * of the exploded shingle relation (the widest frame in the whole LSH
+    * path) from every signature consumer (x2/x7/x8/x8b/x9b/x10/x16).
+    * Paths that need SET semantics (x14's sizes/intersections) build
+    * their own distinct (doc_id, hv) relation. */
   private def minhashSig(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sh = shingles(Tables.documents(s, d))
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
       .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
-      .distinct()
     Dedup.minhashSignature(sh, "doc_id", 8)
   }
 
@@ -152,8 +161,12 @@ object PipelineQueries {
       // hv feeds FOUR consumers (signature, two intersect sides, sizes):
       // materialize it once instead of re-shingling the corpus per branch
       // (bench: 5.6 s → one shingle pass); same for the signature, which
-      // the candidate and estimate stages both read
-      val hv = shingles(docs)
+      // the candidate and estimate stages both read. ONE distinct, on the
+      // hashed (doc_id, long) relation — never on the wide shingle strings
+      val hv = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
         .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
         .distinct()
         .localCheckpoint(true)
