@@ -174,9 +174,14 @@ object PipelineQueries {
       val pairs = Dedup.lshCandidates(sig, "doc_id", 8, maxBucket = Some(X2MaxBucket))
       val est = Dedup.jaccardEstimate(sig, pairs, "doc_id", 8)
       val sz = hv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      // the b-side would otherwise shuffle the WHOLE hash relation into
+      // the (doc_b, hv) join; the candidate pairs are broadcast-sized, so
+      // a semi-join first cuts that shuffle to pair members only
+      val hvB = hv.select(col("doc_id").as("doc_b"), col("hv"))
+        .join(broadcast(pairs.select("doc_b").distinct()), Seq("doc_b"), "left_semi")
       val inter = pairs
         .join(hv.select(col("doc_id").as("doc_a"), col("hv")), Seq("doc_a"))
-        .join(hv.select(col("doc_id").as("doc_b"), col("hv")), Seq("doc_b", "hv"))
+        .join(hvB, Seq("doc_b", "hv"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
       est
         .join(inter, Seq("doc_a", "doc_b"), "left")
