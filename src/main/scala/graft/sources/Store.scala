@@ -158,3 +158,19 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   def recentKeys(keyCol: String, n: Int): DataFrame =
     read.select(col(keyCol)).distinct().orderBy(col(keyCol).desc).limit(n)
 }
+
+object Store {
+  /** Range-clustered write — data skipping for non-partition keys:
+    * `repartitionByRange` + `sortWithinPartitions` gives each output file
+    * a DISJOINT key range, so parquet footer min/max stats let any reader
+    * skip whole files/row-groups for key predicates (partition pruning
+    * handles the coarse time column; this handles the second key a 100-TB
+    * table is queried by). The disjointness is the testable property —
+    * `StoreSpec` reads the footers back and asserts it. */
+  def writeSorted(df: DataFrame, path: String, sortCol: String, files: Int): Unit = {
+    require(files > 0, s"files must be positive, got $files")
+    df.repartitionByRange(files, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+}

@@ -3,6 +3,7 @@ package graft
 import graft.sources.{Ingest, Store}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 class StoreSpec extends SparkSpec {
   import spark.implicits._
@@ -106,6 +107,39 @@ class StoreSpec extends SparkSpec {
       Dedup.lshCandidatesAgainst(sig(batch), base, "doc_id", 8, maxBucket = Some(16L))
         .as[(Long, Long)].collect().toSet
     assert(pairs(spark.read.parquet(sigDir)) === pairs(sig(corpus)))
+  }
+
+  test("writeSorted produces files with disjoint key ranges (skippable footers)") {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val dir = tmpDir("store_sorted") + "/tbl"
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    Store.writeSorted(df, dir, "user_id", files = 4)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq
+      .map { f =>
+        val in = HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val reader = ParquetFileReader.open(in)
+        try {
+          val stats = reader.getFooter.getBlocks.get(0).getColumns.asScala
+            .find(_.getPath.toDotString == "user_id").get.getStatistics
+          (stats.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+            stats.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+        } finally reader.close()
+      }
+      .sortBy(_._1)
+    assert(ranges.size === 4)
+    // every file's range ends before the next begins → a user_id predicate
+    // can skip all but one file on footer stats alone
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) => assert(aMax <= bMin, ranges.toString)
+      case _ =>
+    }
+    // content survives the rewrite
+    assert(spark.read.parquet(dir).count() === df.count())
   }
 
   test("ANN over a persisted IVF index equals recompute from vectors") {
