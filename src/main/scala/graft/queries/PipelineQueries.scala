@@ -249,6 +249,109 @@ object PipelineQueries {
        |       JOIN documents db ON db.doc_id = p.doc_b
        |ORDER BY p.doc_a, p.doc_b""".stripMargin)
 
+  /** x17: curation v3 — THIS round's operators composed as one declared
+    * corpus build: (1) lexical-diversity gate (type-token ratio ≥ 0.3 as
+    * the INTEGER comparison 10·distinct ≥ 3·tokens — no float boundary),
+    * (2) bigram-LM gate (avg conditional log-prob > −3.5, z17's
+    * decimal-snapshot discipline), (3) near-dup survivors where the
+    * candidate → fuzzy-verify ladder feeds clustering (capped LSH pairs,
+    * kept only when the head edit distance ≤ 10, connected components,
+    * keep the min-id doc per cluster), then per-language deciles over the
+    * survivors. The oracle replays the entire DAG including the
+    * recursive reachability fixpoint over the EDIT-DISTANCE-verified
+    * edge set. */
+  private val x17CurationV3 = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val lexKeep = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_dis"))
+        .filter(col("n_dis") * 10 >= col("n_tok") * 3)
+        .select("doc_id")
+      val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
+        .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      val bcnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n_bg"))
+      val pcnt = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
+      val bgKeep = bg.join(broadcast(bcnt), Seq("prev", "cur"))
+        .join(broadcast(pcnt), Seq("prev"))
+        .withColumn("lp",
+          log(col("n_bg").cast("double") / col("n_prev")).cast("decimal(12,6)"))
+        .groupBy("doc_id")
+        .agg((sum(col("lp")).cast("double") / count(lit(1))).as("alp"))
+        .filter(col("alp") > -3.5)
+        .select("doc_id")
+      val heads = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+      val close = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+          maxBucket = Some(X2MaxBucket))
+        .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), Seq("doc_a"))
+        .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), Seq("doc_b"))
+        .filter(levenshtein(col("head_a"), col("head_b")) <= 10)
+        .select("doc_a", "doc_b")
+      val survivors = Dedup.connectedComponents(close, docs.select("doc_id"), "doc_id")
+        .filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      docs
+        .join(lexKeep, Seq("doc_id"), "left_semi")
+        .join(bgKeep, Seq("doc_id"), "left_semi")
+        .join(survivors, Seq("doc_id"), "left_semi")
+        .withColumn("decile", ntile(10).over(w))
+        .withColumn("ws_tokens", size(split(col("text"), " ")))
+        .groupBy("lang", "decile")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_tokens"))
+        .orderBy("lang", "decile")
+    },
+    s"""WITH RECURSIVE $minhashCtes,
+       |${cappedBandsCte(bandsSql)},
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |close AS (SELECT p.doc_a, p.doc_b FROM p
+       |  JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b
+       |  WHERE levenshtein(substring(da.text, 1, 40), substring(db.text, 1, 40)) <= 10),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM close
+       |          UNION ALL SELECT doc_b, doc_a FROM close),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1),
+       |surv AS (SELECT d.doc_id FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+       |         WHERE COALESCE(comp.cid, d.doc_id) = d.doc_id),
+       |tc AS (SELECT doc_id, term, COUNT(*) AS cnt
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |lex AS (SELECT doc_id FROM (
+       |    SELECT doc_id, SUM(cnt) AS n_tok, COUNT(*) AS n_dis FROM tc GROUP BY 1)
+       |  WHERE n_dis * 10 >= n_tok * 3),
+       |wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |bpos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+       |        FROM wl WHERE len(l) >= 2),
+       |bgr AS (SELECT doc_id, l[i] AS prev, l[i+1] AS cur FROM bpos),
+       |bcnt AS (SELECT prev, cur, COUNT(*) AS n_bg FROM bgr GROUP BY 1, 2),
+       |pcnt AS (SELECT prev, COUNT(*) AS n_prev FROM bgr GROUP BY 1),
+       |bgk AS (SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      CAST(SUM(CAST(ln(CAST(n_bg AS DOUBLE) / n_prev) AS DECIMAL(12,6))) AS DOUBLE)
+       |        / COUNT(*) AS alp
+       |    FROM bgr JOIN bcnt USING (prev, cur) JOIN pcnt USING (prev)
+       |    GROUP BY doc_id)
+       |  WHERE alp > -3.5),
+       |keptd AS (SELECT d.* FROM documents d
+       |  JOIN surv USING (doc_id) JOIN lex USING (doc_id) JOIN bgk USING (doc_id)),
+       |t AS (SELECT lang, CAST(len(string_split(text, ' ')) AS INT) AS ws,
+       |    CAST(NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS INT) AS decile
+       |  FROM keptd)
+       |SELECT lang, decile, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS total_tokens
+       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** z11: benchmark decontamination — per training document, the count of
     * its distinct 3-gram shingles that appear in the benchmark set (docs
     * with doc_id % 97 = 0 stand in for the eval suite), plus the
@@ -1565,6 +1668,7 @@ object PipelineQueries {
     "x14_jaccard_estimate" -> x14JaccardEstimate,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
+    "x17_curation_v3" -> x17CurationV3,
     "z15_unigram_logprob" -> z15UnigramLogprob,
     "z16_quality_deciles" -> z16QualityDeciles,
     "z17_bigram_logprob" -> z17BigramLogprob,
