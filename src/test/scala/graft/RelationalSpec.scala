@@ -326,6 +326,23 @@ class RelationalSpec extends SparkSpec {
     assert(asMap(resolved)(2L) === 200.0)
   }
 
+  test("upsert property: merge equals the map-semantics reference model") {
+    // reference model: a Map overwrite — upsert must agree for ANY
+    // snapshot/batch with unique in-frame keys (Spark jobs per case, so
+    // fewer cases than the pure-Scala props)
+    val entries = Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 11L), Gen.chooseNum(0.0, 9.0)))
+      .map(_.toMap.toSeq) // unique keys within each frame
+    val prop = Prop.forAll(Gen.zip(entries, entries)) { case (snap, batch) =>
+      // listOfN(8)+toMap never yields an empty frame, so no guard needed
+      val got = Relational.upsert(
+          snap.toDF("k", "v"), batch.toDF("k", "v"), Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      got == (snap.toMap ++ batch.toMap)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("jaccardEstimate: identical shingle sets estimate 1.0, estimates stay in [0,1]") {
     import graft.operators.{Dedup, TextAnalysis}
     val docs = Seq(
