@@ -166,8 +166,15 @@ object Dedup {
     * an empty corpus (nothing can collide). */
   def bandKeyBloom(sig: DataFrame, idCol: String = "doc_id", k: Int = 8,
                    expectedItems: Option[Long] = None,
-                   bitsPerItem: Long = 8L): Option[Array[Byte]] = {
-    val banded = bands(sig, idCol, k)
+                   bitsPerItem: Long = 8L,
+                   maxBucket: Option[Long] = None): Option[Array[Byte]] = {
+    // mirror the batch candidate paths: a hot boilerplate bucket carries
+    // no near-dup signal there (capBuckets drops it before pairing), so
+    // it must not enter the gate's filter either — otherwise the gate
+    // deterministically drops every doc sharing the boilerplate band,
+    // docs the batch pipeline would KEEP
+    val kept = maxBucket.fold(bands(sig, idCol, k))(capBuckets(bands(sig, idCol, k), _))
+    val banded = kept
       .select(concat(col("band"), lit(":"), col("key").cast("string")).as("bkey"))
     bloomOver(banded, "bkey", expectedItems, bitsPerItem)
   }
@@ -175,16 +182,35 @@ object Dedup {
   /** Shared sizing + build for every serialized-Bloom path — ONE
     * implementation so [[bandKeyBloom]] and [[contentBloom]] can never
     * drift on sizing or empty-input semantics. `keyed` must expose string
-    * column `keyCol`; items means KEY ROWS, not documents. */
+    * column `keyCol`; items means KEY ROWS, not documents.
+    *
+    * Spark's `BloomFilterAggregate` SILENTLY clamps its arguments to
+    * `spark.sql.optimizer.runtime.bloomFilter.{maxNumItems, maxNumBits}`
+    * (defaults 4M items / 67M bits) — at corpus scale that clamp would
+    * quietly saturate the filter toward a ~100% false-positive rate, the
+    * exact failure the data-derived sizing exists to prevent. Raise the
+    * two confs for the build when the requested size exceeds them. */
   private def bloomOver(keyed: DataFrame, keyCol: String,
                         expectedItems: Option[Long],
                         bitsPerItem: Long): Option[Array[Byte]] = {
     require(bitsPerItem > 0, s"bitsPerItem must be positive, got $bitsPerItem")
     val items = expectedItems.getOrElse(keyed.count()).max(1L)
     val numBits = items * bitsPerItem
-    val row = keyed
-      .agg(expr(s"graft_bloom_agg(xxhash64($keyCol), ${items}L, ${numBits}L)"))
-      .head()
+    val spark = keyed.sparkSession
+    val itemsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsConf = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (oldItems, oldBits) = (spark.conf.get(itemsConf), spark.conf.get(bitsConf))
+    val row =
+      try {
+        if (oldItems.toLong < items) spark.conf.set(itemsConf, items)
+        if (oldBits.toLong < numBits) spark.conf.set(bitsConf, numBits)
+        keyed
+          .agg(expr(s"graft_bloom_agg(xxhash64($keyCol), ${items}L, ${numBits}L)"))
+          .head()
+      } finally {
+        spark.conf.set(itemsConf, oldItems)
+        spark.conf.set(bitsConf, oldBits)
+      }
     if (row.isNullAt(0)) None else Some(row.getAs[Array[Byte]](0))
   }
 

@@ -144,8 +144,20 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     val f = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
       val snapshot = read
-      snapshot.repartition(col(partCol),
-          pmod(hash(snapshot.columns.map(col): _*), lit(filesPerPartition.max(1))))
+      // hash() rejects MapType at analysis — salt on the hashable columns
+      // only (a map column would make a previously-compactable table throw;
+      // fewer salt inputs only skews file sizes, never correctness)
+      def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+        case m: org.apache.spark.sql.types.MapType => false
+        case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+        case _ => true
+      }
+      val saltCols = snapshot.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+      val salt =
+        if (saltCols.isEmpty) lit(0) // all-map row: one file per partition
+        else pmod(hash(saltCols: _*), lit(filesPerPartition.max(1)))
+      snapshot.repartition(col(partCol), salt)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       overwritePartitions(spark.read.parquet(tmp))
     } finally f.delete(tmpPath, true)

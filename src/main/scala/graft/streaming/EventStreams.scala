@@ -181,8 +181,10 @@ object EventStreams {
   def readAggState(spark: SparkSession, stateDir: String): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.drop(1).toLong)
+    val vs =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
     require(vs.nonEmpty, s"no state versions under $stateDir")
     spark.read.parquet(s"$stateDir/v${vs.max}")
   }

@@ -125,6 +125,10 @@ class PlanAuditSpec extends SparkSpec {
     val probeLine = plan.linesIterator.indexWhere(_.contains("might_contain"))
     val joinLine = plan.linesIterator.indexWhere(_.contains("Join"))
     assert(probeLine >= 0 && joinLine >= 0)
+    // formatted trees print children BELOW their parent: a probe that sits
+    // under the join (scan-side, pre-shuffle) must appear after it
+    assert(probeLine > joinLine,
+      s"bloom probe (line $probeLine) must be under the join (line $joinLine)")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 

@@ -146,7 +146,9 @@ class StreamingSpec extends SparkSpec {
         .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv")).distinct()
       Dedup.minhashSignature(sh, "doc_id", 8)
     }
-    val bloom = Dedup.bandKeyBloom(corpusSig) // auto-sized from the band count
+    // auto-sized from the band count; hot-bucket cap mirrors the batch
+    // candidate paths (no-op on this corpus, wiring exercised)
+    val bloom = Dedup.bandKeyBloom(corpusSig, maxBucket = Some(16L))
     assert(bloom.isDefined)
     // empty corpus → everything passes
     assert(Dedup.bandKeyBloom(corpusSig.limit(0)).isEmpty)
