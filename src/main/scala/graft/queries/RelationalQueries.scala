@@ -752,6 +752,80 @@ object RelationalQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** S16: declarative table audit — the dbt-test / expectations shape: a
+    * rule set (uniqueness, non-null, range, referential) evaluated in ONE
+    * aggregation pass over the table, emitting violation counts per rule.
+    * The post-ETL verification queries of the reference
+    * (`/root/reference/1_rebuild_db.R:39-50`) generalized into data-quality
+    * checks a 100-TB pipeline gates every load on. All counts are exact
+    * integers; the referential check is a broadcast anti-join count. */
+  private val s16TableAudit = Q(
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val inPass = o.agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+        sum(when(col("o_custkey").isNull, 1).otherwise(0)).cast(LongType).as("null_custkey"),
+        sum(when(col("o_totalprice") <= 0, 1).otherwise(0)).cast(LongType).as("nonpositive_price"))
+      val orphans = o.join(Tables.customer(s, d)
+            .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_custkey"))
+      inPass.crossJoin(orphans)
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("n_rows"), col("dup_keys"), col("null_custkey"),
+            col("nonpositive_price"), col("orphan_custkey")),
+          "check", "value")
+        .orderBy("check")
+    },
+    """WITH a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+      |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price
+      |  FROM orders),
+      |b AS (SELECT CAST(COUNT(*) AS BIGINT) AS orphan_custkey FROM orders
+      |      WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+      |u AS (
+      |  SELECT 'n_rows' AS "check", n_rows AS value FROM a
+      |  UNION ALL SELECT 'dup_keys', dup_keys FROM a
+      |  UNION ALL SELECT 'null_custkey', null_custkey FROM a
+      |  UNION ALL SELECT 'nonpositive_price', nonpositive_price FROM a
+      |  UNION ALL SELECT 'orphan_custkey', orphan_custkey FROM b)
+      |SELECT "check", value FROM u ORDER BY "check"""".stripMargin)
+
+  /** S17: snapshot diff (CDC shape) — added / removed / changed / same
+    * row counts between two keyed table versions via ONE full outer join
+    * on the key. The audit a pipeline runs before promoting a rebuilt
+    * table; synthetic old/new slices of events keep it self-contained. */
+  private val s17SnapshotDiff = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("value"))
+      val old = ev.filter(col("event_id") % 11 =!= 0)
+        .select(col("event_id"), col("value").as("v_old"))
+      val neu = ev.filter(col("event_id") % 13 =!= 0)
+        .withColumn("value",
+          when(col("event_id") % 5 === 0, col("value") + 1).otherwise(col("value")))
+        .select(col("event_id"), col("value").as("v_new"))
+      old.join(neu, Seq("event_id"), "full_outer")
+        .agg(
+          sum(when(col("v_old").isNull, 1).otherwise(0)).cast(LongType).as("added"),
+          sum(when(col("v_new").isNull, 1).otherwise(0)).cast(LongType).as("removed"),
+          sum(when(col("v_old").isNotNull && col("v_new").isNotNull
+            && col("v_old") =!= col("v_new"), 1).otherwise(0)).cast(LongType).as("changed"),
+          sum(when(col("v_old") === col("v_new"), 1).otherwise(0)).cast(LongType).as("same"))
+    },
+    """WITH old AS (SELECT event_id, value AS v_old FROM events WHERE event_id % 11 <> 0),
+      |neu AS (SELECT event_id,
+      |    CASE WHEN event_id % 5 = 0 THEN value + 1 ELSE value END AS v_new
+      |  FROM events WHERE event_id % 13 <> 0)
+      |SELECT
+      |  CAST(SUM(CASE WHEN v_old IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+      |  CAST(SUM(CASE WHEN v_new IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+      |  CAST(SUM(CASE WHEN v_old IS NOT NULL AND v_new IS NOT NULL
+      |            AND v_old <> v_new THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+      |  CAST(SUM(CASE WHEN v_old = v_new THEN 1 ELSE 0 END) AS BIGINT) AS same
+      |FROM old FULL OUTER JOIN neu USING (event_id)""".stripMargin)
+
   /** F8: semi-structured column extraction — the per-event JSON `props`
     * payload parsed IN the scan projection (`get_json_object` is a pure
     * codegen'd expression — no UDF, no second pass), then aggregated as
@@ -1140,6 +1214,8 @@ object RelationalQueries {
     "a15_outliers" -> a15Outliers,
     "a16_weighted_mean" -> a16WeightedMean,
     "f8_json_props" -> f8JsonProps,
+    "s16_table_audit" -> s16TableAudit,
+    "s17_snapshot_diff" -> s17SnapshotDiff,
     "s15_incremental_agg" -> s15IncrementalAgg,
     "j9_salted_join" -> j9SaltedJoin,
     "o1_topk" -> o1TopK,
