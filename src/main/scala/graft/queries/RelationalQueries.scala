@@ -752,6 +752,31 @@ object RelationalQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** A17: grouped mode — most frequent value per group (the categorical
+    * "typical value" summary): count per (group, value), then one
+    * window top-1 over the value-cardinality-sized aggregate with an
+    * alphabetical tiebreak. The window never sees raw rows. */
+  private val a17GroupedMode = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.orders(s, d)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("n").desc, col("o_orderpriority").asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("o_orderstatus")
+    },
+    """WITH c AS (SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority ASC) AS rn
+      |  FROM c)
+      |SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+      |FROM r WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin)
+
   /** S16: declarative table audit — the dbt-test / expectations shape: a
     * rule set (uniqueness, non-null, range, referential) evaluated in ONE
     * aggregation pass over the table, emitting violation counts per rule.
@@ -1215,6 +1240,7 @@ object RelationalQueries {
     "a16_weighted_mean" -> a16WeightedMean,
     "f8_json_props" -> f8JsonProps,
     "s16_table_audit" -> s16TableAudit,
+    "a17_grouped_mode" -> a17GroupedMode,
     "s17_snapshot_diff" -> s17SnapshotDiff,
     "s15_incremental_agg" -> s15IncrementalAgg,
     "j9_salted_join" -> j9SaltedJoin,

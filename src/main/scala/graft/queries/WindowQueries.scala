@@ -190,6 +190,36 @@ object WindowQueries {
       |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
       |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** W13: LEAD-based inter-event gaps — time-to-next-event per user (the
+    * forward complement of the lag family): gap to the next event in
+    * epoch-µs integers (exact), summarized per user. Same partitioned
+    * window shape as w1/p8; integer arithmetic end to end except the one
+    * mean division. */
+  private val w13NextGap = Q(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("gap_us", lead(unix_micros(col("ts")), 1).over(w) - unix_micros(col("ts")))
+        .groupBy("user_id")
+        .agg(count(col("gap_us")).as("n_gaps"),
+          sum(col("gap_us")).cast(LongType).as("total_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .filter(col("n_gaps") > 0)
+        .select(col("user_id"), col("n_gaps"),
+          (col("total_gap_us").cast(DoubleType) / col("n_gaps")).as("mean_gap_us"),
+          col("max_gap_us"))
+        .orderBy("user_id")
+    },
+    """WITH g AS (
+      |  SELECT user_id,
+      |    LEAD(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - epoch_us(ts) AS gap_us
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+      |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS mean_gap_us,
+      |  MAX(gap_us) AS max_gap_us
+      |FROM g GROUP BY 1 HAVING COUNT(gap_us) > 0 ORDER BY 1""".stripMargin)
+
   /** W11: session funnel — the composition the sessionizer exists for:
     * per 30-minute session, did a click lead to a purchase LATER in the
     * same session? One (user, ts) sort feeds both the sessionizer and the
@@ -412,6 +442,7 @@ object WindowQueries {
     "w9b_sliding_window" -> w9bSlidingWindow,
     "w10_rolling_mean" -> w10RollingMean,
     "w11_session_funnel" -> w11SessionFunnel,
+    "w13_next_gap" -> w13NextGap,
     "w12_cohort_retention" -> w12CohortRetention,
     "w3_top1_per_group" -> w3Top1PerGroup,
     "w4_rank_index" -> w4RankIndex,
