@@ -170,6 +170,29 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L, 3L)) // the corpus near-dup is gone
   }
 
+  test("maxFilesPerTrigger throttles an AvailableNow drain into bounded batches") {
+    // the ingest throttle SCALE.md names for continuous 100-TB/day runs:
+    // a backlog of N files must drain as N bounded micro-batches, not one
+    // unbounded bite
+    val src = tmpDir("throttle_src")
+    (1 to 3).foreach(i => writeBatch(src, Seq((i.toLong, ts(i), 10L, "click", 1.0))))
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.incrementAndGet(); rows.addAndGet(b.count()); ()
+      }
+      .option("checkpointLocation", tmpDir("throttle_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(rows.get() === 3L)
+    assert(batches.get() === 3, s"expected 3 one-file batches, got ${batches.get()}")
+  }
+
   test("aggStateMaintenance folds batches into state equal to full recompute") {
     val src = tmpDir("aggstate_src"); val state = tmpDir("aggstate_state") + "/tbl"
     val ckpt = tmpDir("aggstate_ckpt")
