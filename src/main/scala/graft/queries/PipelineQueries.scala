@@ -223,20 +223,26 @@ object PipelineQueries {
     * the operand length bounds the O(len²) DP per pair — never run edit
     * distance on unbounded text at scale. Both engines implement the
     * classic integer DP, so the distance is exactly comparable. */
+  /** Shared x16/x17 stage: capped LSH candidate pairs scored by
+    * Levenshtein over the 40-char document head — ONE implementation so
+    * the declared fuzzy-verify query and the curation composition can
+    * never drift on the edge definition. */
+  private def headEditPairs(s: SparkSession, d: String) = {
+    val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+      maxBucket = Some(X2MaxBucket))
+    val heads = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
+    pairs
+      .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), Seq("doc_a"))
+      .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("head_a"), col("head_b")).as("head_edit"))
+  }
+
   private val x16FuzzyVerify = Q(
-    (s, d) => {
-      val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
-        maxBucket = Some(X2MaxBucket))
-      val heads = Tables.documents(s, d)
-        .select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
-      pairs
-        .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), Seq("doc_a"))
-        .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), Seq("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          levenshtein(col("head_a"), col("head_b")).as("head_edit"))
-        .withColumn("is_close", col("head_edit") <= 10)
-        .orderBy("doc_a", "doc_b")
-    },
+    (s, d) => headEditPairs(s, d)
+      .withColumn("is_close", col("head_edit") <= 10)
+      .orderBy("doc_a", "doc_b"),
     s"""WITH $minhashCtes,
        |${cappedBandsCte(bandsSql)},
        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -263,34 +269,18 @@ object PipelineQueries {
   private val x17CurationV3 = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val lexKeep = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      val lexKeep = termCounts(docs)
         .groupBy("doc_id")
         .agg(sum(col("cnt")).as("n_tok"), count(lit(1)).as("n_dis"))
         .filter(col("n_dis") * 10 >= col("n_tok") * 3)
         .select("doc_id")
-      val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
-        .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-      val bcnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n_bg"))
-      val pcnt = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
-      val bgKeep = bg.join(broadcast(bcnt), Seq("prev", "cur"))
-        .join(broadcast(pcnt), Seq("prev"))
-        .withColumn("lp",
-          log(col("n_bg").cast("double") / col("n_prev")).cast("decimal(12,6)"))
+      val bgKeep = bigramScored(docs)
         .groupBy("doc_id")
         .agg((sum(col("lp")).cast("double") / count(lit(1))).as("alp"))
         .filter(col("alp") > -3.5)
         .select("doc_id")
-      val heads = docs.select(col("doc_id"), substring(col("text"), 1, 40).as("head"))
-      val close = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
-          maxBucket = Some(X2MaxBucket))
-        .join(heads.select(col("doc_id").as("doc_a"), col("head").as("head_a")), Seq("doc_a"))
-        .join(heads.select(col("doc_id").as("doc_b"), col("head").as("head_b")), Seq("doc_b"))
-        .filter(levenshtein(col("head_a"), col("head_b")) <= 10)
+      val close = headEditPairs(s, d)
+        .filter(col("head_edit") <= 10)
         .select("doc_a", "doc_b")
       val survivors = Dedup.connectedComponents(close, docs.select("doc_id"), "doc_id")
         .filter(col("doc_id") === col("cluster_id"))
@@ -1422,12 +1412,16 @@ object PipelineQueries {
     * spam; a low hapax fraction flags template text). Per-(doc, term)
     * counts shuffle once on the doc-term key; every ratio is one int/int
     * division — bit-identical across engines. */
+  /** Shared z18/x17 stage: per-(doc, term) counts — one shuffle on the
+    * doc-term key. */
+  private def termCounts(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+
   private val z18LexicalStats = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+      termCounts(Tables.documents(s, d))
         .groupBy("doc_id")
         .agg(sum(col("cnt")).cast(LongType).as("n_tokens"),
           count(lit(1)).as("n_distinct"),
@@ -1517,25 +1511,31 @@ object PipelineQueries {
     * exact-decimal per-doc sum, single division at the boundary. Scale:
     * the bigram and prev-count tables are vocab²-bounded (broadcast);
     * the corpus sees one map-side explode and one groupBy on doc_id. */
+  /** Shared z17/x17 stage: per-token-position bigram log-probs — the
+    * (doc_id, lp) relation both the declared scorer and the curation gate
+    * aggregate, ONE definition so the conditional-probability model can
+    * never drift between them. */
+  private def bigramScored(docs: org.apache.spark.sql.DataFrame) = {
+    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val bcnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n_bg"))
+    val pcnt = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
+    bg.join(broadcast(bcnt), Seq("prev", "cur"))
+      .join(broadcast(pcnt), Seq("prev"))
+      .withColumn("lp",
+        log(col("n_bg").cast("double") / col("n_prev")).cast("decimal(12,6)"))
+      .select("doc_id", "lp")
+  }
+
   private val z17BigramLogprob = Q(
-    (s, d) => {
-      val docs = Tables.documents(s, d)
-      val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
-        .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-      val bcnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n_bg"))
-      val pcnt = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
-      bg.join(broadcast(bcnt), Seq("prev", "cur"))
-        .join(broadcast(pcnt), Seq("prev"))
-        .withColumn("lp",
-          log(col("n_bg").cast("double") / col("n_prev")).cast("decimal(12,6)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_bigrams"),
-          (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"))
-        .orderBy("doc_id")
-    },
+    (s, d) => bigramScored(Tables.documents(s, d))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"))
+      .orderBy("doc_id"),
     """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
       |        FROM wl WHERE len(l) >= 2),
