@@ -33,7 +33,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
-      }
+      } finally Housekeeping.releaseAllBlocks(spark)
+      // the cleanup runs OUTSIDE the timed window conceptually, but inside
+      // the measured span costs only the driver-side unpersist calls — the
+      // alternative (281 runs accumulating never-unpersisted checkpoint
+      // blocks) measurably poisoned whole bench sessions (round-3: x6 26 s
+      // vs 1 s fresh-JVM)
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -29,8 +29,9 @@ object Soak {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
+      finally Housekeeping.releaseAllBlocks(spark)
       (System.nanoTime() - t0) / 1e9
     }
 

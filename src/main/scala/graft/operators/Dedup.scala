@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Housekeeping
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
@@ -376,33 +377,37 @@ object Dedup {
     * id as cluster. */
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
                           maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
     // materialize the edge list once — it feeds every iteration, and its
-    // upstream (the whole LSH candidate pipeline) must not re-run per round
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
+    // upstream (the whole LSH candidate pipeline) must not re-run per round.
+    // Housekeeping.pin, not bare localCheckpoint: Dataset.unpersist does NOT
+    // free checkpoint blocks, so per-round frames would leak for the life of
+    // the session (the round-3 bench-poisoning bug)
+    val sym = Housekeeping.pin(spark)(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     // localCheckpoint (not cache) per iteration: the label frame is
     // re-derived from itself each round, so lineage — and with it plan
     // size and recomputation cost — would otherwise grow exponentially
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("cluster"))
-      .localCheckpoint(true)
+    var labels = Housekeeping.pin(spark)(
+      nodes.select(col(idCol).as("node"), col(idCol).as("cluster")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
-      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
+      val nbrMin = sym.df.join(labels.df, sym.df("dst") === labels.df("node"))
         .groupBy(col("src")).agg(min("cluster").as("nbr_min"))
-      val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(col("node"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .localCheckpoint(true)
+      val next = Housekeeping.pin(spark)(
+        labels.df.join(nbrMin, labels.df("node") === nbrMin("src"), "left")
+          .select(col("node"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")))
       // the convergence probe is a full join + count action — every other
       // round is enough (an extra propagation round is cheaper than the
       // probe, and the fixpoint is stable under extra rounds)
       if (i % 2 == 1 || i == maxIters - 1) {
-        changed = next.as("n").join(labels.as("p"), col("n.node") === col("p.node"))
+        changed = next.df.as("n").join(labels.df.as("p"), col("n.node") === col("p.node"))
           .filter(col("n.cluster") =!= col("p.cluster")).count()
       }
-      labels.unpersist()
+      labels.free()
       labels = next
       i += 1
     }
@@ -413,7 +418,12 @@ object Dedup {
       log.warn(s"connectedComponents exited at maxIters=$maxIters with $changed labels " +
         "still changing — cluster ids are not converged; raise maxIters or switch " +
         "to connectedComponentsStar (round count grows with log² n, not diameter)")
-    labels.select(col("node").as(idCol), col("cluster").as("cluster_id"))
+    // every checkpoint was EAGER, so nothing downstream reads the edge list
+    // anymore — free its blocks here instead of leaking them into the
+    // session (the returned frame's own checkpoint block is the caller's to
+    // release, e.g. Housekeeping.releaseAllBlocks after the action)
+    sym.free()
+    labels.df.select(col("node").as(idCol), col("cluster").as("cluster_id"))
   }
 
   /** Connected components by alternating large-star / small-star
@@ -448,26 +458,29 @@ object Dedup {
         .select(col("v").as("a"), col("m").as("b"))
         .union(m.select(col("u").as("a"), col("m").as("b"))))
     }
-    var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
-      .localCheckpoint(true)
-    var stable = edges.isEmpty
+    val spark = pairs.sparkSession
+    // Housekeeping.pin for every per-round frame (see connectedComponents:
+    // bare localCheckpoint + Dataset.unpersist leaks the blocks)
+    var edges = Housekeeping.pin(spark)(
+      canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+    var stable = edges.df.isEmpty
     var i = 0
     while (!stable && i < maxIters) {
       // materialize the large-star result: smallStar references its input
       // six times (two sym copies, the min aggregate, the union), so an
       // unmaterialized intermediate would re-execute the large-star
       // join/aggregate subtree several times per round
-      val ls = largeStar(edges).localCheckpoint(true)
-      val next = smallStar(ls).localCheckpoint(true)
-      ls.unpersist()
+      val ls = Housekeeping.pin(spark)(largeStar(edges.df))
+      val next = Housekeeping.pin(spark)(smallStar(ls.df))
+      ls.free()
       // probe every other round (x8's trick): an extra contraction round
       // past the fixpoint is a no-op and cheaper than the probe's actions.
       // canon() dedupes, so count-equal + empty one-sided anti-join ⇔ equal sets
       if (i % 2 == 1 || i == maxIters - 1) {
-        stable = next.count() == edges.count() &&
-          next.join(edges, Seq("a", "b"), "left_anti").isEmpty
+        stable = next.df.count() == edges.df.count() &&
+          next.df.join(edges.df, Seq("a", "b"), "left_anti").isEmpty
       }
-      edges.unpersist()
+      edges.free()
       edges = next
       i += 1
     }
@@ -476,12 +489,17 @@ object Dedup {
     if (!stable)
       log.warn(s"connectedComponentsStar exited at maxIters=$maxIters before the " +
         "star fixpoint — cluster ids may be unconverged; raise maxIters")
-    // at the fixpoint the edges form stars rooted at each component min
-    val labels = edges.select(col("b").as("node"), col("a").as("cluster"))
-      .union(edges.select(col("a").as("node"), col("a").as("cluster")))
-      .groupBy("node").agg(min("cluster").as("cluster"))
+    // at the fixpoint the edges form stars rooted at each component min.
+    // Checkpoint the (smaller) label relation eagerly so the final edge
+    // blocks can be freed here rather than leaking into the session; the
+    // labels block itself is the caller's to release after its action.
+    val labels = Housekeeping.pin(spark)(
+      edges.df.select(col("b").as("node"), col("a").as("cluster"))
+        .union(edges.df.select(col("a").as("node"), col("a").as("cluster")))
+        .groupBy("node").agg(min("cluster").as("cluster")))
+    edges.free()
     nodes.select(col(idCol))
-      .join(labels.withColumnRenamed("node", idCol), Seq(idCol), "left")
+      .join(labels.df.withColumnRenamed("node", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster_id"))
   }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Housekeeping
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -141,13 +142,16 @@ object Similarity {
     * rounding documented on [[ivfAssign]]). */
   def kmeansFit(vectors: DataFrame, initAnchors: DataFrame, idCol: String,
                 vecCol: String, maxIters: Int = 10, eps: Double = 1e-4): KmeansResult = {
-    var anchors = initAnchors.select(col("anchor_id"), col("anchor_vec"))
-      .localCheckpoint(true)
+    val spark = vectors.sparkSession
+    // Housekeeping.pin per round: Dataset.unpersist does not free
+    // localCheckpoint blocks, so the per-round anchor frames would leak
+    var anchors = Housekeeping.pin(spark)(
+      initAnchors.select(col("anchor_id"), col("anchor_vec")))
     val history = Seq.newBuilder[KmeansRound]
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
-      val assigned = ivfAssign(vectors, anchors, idCol, vecCol)
+      val assigned = ivfAssign(vectors, anchors.df, idCol, vecCol)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         val summary = assigned
@@ -156,16 +160,15 @@ object Similarity {
         // move, the init anchors ARE the fixpoint — stop cleanly instead
         // of NPE-ing on the null sum
         if (summary.isNullAt(0))
-          return KmeansResult(anchors, history.result(), converged = true)
+          return KmeansResult(anchors.df, history.result(), converged = true)
         val (wcss, nCells, n) = (summary.getDouble(0), summary.getLong(1), summary.getLong(2))
         val refined = lloydRefine(assigned, vecCol)
         // dead cells keep their old centroid: refine only returns cells
         // with members, and dropping an anchor would shrink k silently
-        val next = refined
-          .unionByName(anchors.join(refined.select("anchor_id"), Seq("anchor_id"), "left_anti"))
-          .localCheckpoint(true)
-        val moveRow = anchors.as("o")
-          .join(next.as("n"), "anchor_id")
+        val next = Housekeeping.pin(spark)(refined
+          .unionByName(anchors.df.join(refined.select("anchor_id"), Seq("anchor_id"), "left_anti")))
+        val moveRow = anchors.df.as("o")
+          .join(next.df.as("n"), "anchor_id")
           .select(sqrt(expr(
             """aggregate(
               |  zip_with(o.anchor_vec, n.anchor_vec,
@@ -175,13 +178,15 @@ object Similarity {
           .agg(max(col("m"))).head()
         val movement = if (moveRow.isNullAt(0)) 0.0 else moveRow.getDouble(0)
         history += KmeansRound(i + 1, wcss, movement, nCells, n)
-        anchors.unpersist()
+        anchors.free()
         anchors = next
         converged = movement < eps
       } finally assigned.unpersist()
       i += 1
     }
-    KmeansResult(anchors, history.result(), converged)
+    // the final anchors block stays alive (the returned frame reads it);
+    // the caller releases it after its action (Housekeeping.releaseAllBlocks)
+    KmeansResult(anchors.df, history.result(), converged)
   }
 
   /** IVF ANN: assign every vector to its anchor cell, then top-k by cosine
