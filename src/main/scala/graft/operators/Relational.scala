@@ -310,6 +310,70 @@ object Relational {
       .drop("__prev", "__new")
   }
 
+  /** Scale-safe grouped NTILE — identical bucket ids to
+    * `ntile(n) over (partition by groups order by order)`, computed WITHOUT
+    * ever sorting a whole group on one task.
+    *
+    * The window form funnels each group's entire corpus into a single
+    * task: with a handful of low-cardinality groups (languages, sources)
+    * at 100 TB that is the biggest possible single-task sort. This is the
+    * exact two-pass alternative: range-partition on (groups ++ order) so
+    * each TASK sorts only its own bounded partition, count rows per
+    * (partition, group) — a tiny `shufflePartitions × |groups|` relation —
+    * cumulate those counts into per-(partition, group) offsets, and add
+    * each row's offset to its partition-local row number. That global
+    * per-group row number feeds NTILE's closed form (first `N mod n`
+    * buckets take `N div n + 1` rows, the rest `N div n`) in pure integer
+    * arithmetic, so the ids replay SQL NTILE bit-for-bit (gate-matched
+    * against DuckDB's NTILE).
+    *
+    * Cost: the input is range-shuffled twice (once for the counts, once
+    * for the numbering — the frame is deliberately NOT persisted so plans
+    * stay declarative) plus one bounded per-(partition, group) sort; every
+    * stage scales horizontally. Determinism: both evaluations resample the
+    * same range bounds (RangePartitioner's sampling seeds are fixed per
+    * partition index), and the final ids are independent of WHERE the
+    * range bounds fall anyway — only the within-group total order matters,
+    * and it is pinned by `order` (pass a total order, tiebreaker included,
+    * exactly as NTILE itself requires). */
+  def groupedNtile(df: DataFrame, groups: Seq[String], order: Seq[String],
+                   n: Int, out: String): DataFrame = {
+    require(n > 0, s"ntile bucket count must be positive, got $n")
+    // NOTE: name resolution is case-INsensitive by default, so helper
+    // names must differ by more than case ("__n" vs "__N" would collide)
+    val reserved = Seq("__pid", "__loc", "__off", "__tot", "__rn", "__q", "__r", "__n")
+    require(!df.columns.exists(c => reserved.contains(c.toLowerCase)),
+      s"column names ${reserved.mkString("/")} are reserved")
+    val sortCols = (groups ++ order).map(col)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val groupCols = groups.map(col)
+    val cellCounts = ranged.groupBy(col("__pid") +: groupCols: _*)
+      .agg(count(lit(1)).as("__n"))
+    val wOff = Window.partitionBy(groupCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(groupCols: _*)
+    val offsets = cellCounts
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .withColumn("__tot", sum(col("__n")).over(wTot))
+      .drop("__n")
+    val wLoc = Window.partitionBy(col("__pid") +: groupCols: _*)
+      .orderBy(order.map(col): _*)
+    ranged
+      .withColumn("__loc", row_number().over(wLoc))
+      .join(offsets, "__pid" +: groups)
+      .withColumn("__rn", col("__loc") + col("__off"))
+      .withColumn("__q", expr(s"__tot DIV $n"))
+      .withColumn("__r", expr(s"__tot % $n"))
+      .withColumn(out,
+        when(col("__rn") <= col("__r") * (col("__q") + lit(1)),
+          expr("(__rn + __q) DIV (__q + 1)"))
+          .otherwise(expr("__r + ((__rn - __r * (__q + 1)) + __q - 1) DIV __q"))
+          .cast("int"))
+      .drop("__pid", "__loc", "__off", "__tot", "__rn", "__q", "__r")
+  }
+
   /** One mergeable aggregate for [[Relational.saltedAgg]]: `partial` runs
     * per (key, salt); `merge` combines the partials per key (sum merges by
     * sum, count merges by SUM, min by min, ...). */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -285,14 +285,18 @@ object PipelineQueries {
       val survivors = Dedup.connectedComponents(close, docs.select("doc_id"), "doc_id")
         .filter(col("doc_id") === col("cluster_id"))
         .select("doc_id")
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-      docs
+      // scale-safe decile stage (same ids as per-lang NTILE, no
+      // one-task-per-language sort — see z16); project text down to its
+      // token count BEFORE the two numbering shuffles
+      val kept = docs
         .join(lexKeep, Seq("doc_id"), "left_semi")
         .join(bgKeep, Seq("doc_id"), "left_semi")
         .join(survivors, Seq("doc_id"), "left_semi")
-        .withColumn("decile", ntile(10).over(w))
-        .withColumn("ws_tokens", size(split(col("text"), " ")))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).as("ws_tokens"))
+      Relational.groupedNtile(kept,
+          groups = Seq("lang"), order = Seq("n_chars", "doc_id"),
+          n = 10, out = "decile")
         .groupBy("lang", "decile")
         .agg(count(lit(1)).as("n_docs"), sum(col("ws_tokens")).as("total_tokens"))
         .orderBy("lang", "decile")
@@ -1382,18 +1386,20 @@ object PipelineQueries {
       |SELECT lang, term, n, rnk FROM r WHERE rnk <= 10
       |ORDER BY lang, rnk""".stripMargin)
 
-  /** z16: quality deciles — `ntile(10)` bucketing per language over a
+  /** z16: quality deciles — per-language decile bucketing over a
     * deterministic total order (n_chars, doc_id tiebreaker), the
-    * "keep the top-N quality deciles" curation selector. ntile's
-    * ceil/floor split rule is identical in Spark and DuckDB given the
-    * same row order, which the tiebreaker pins. One window shuffle on
-    * lang; the decile summary is a vocabulary-sized aggregate. */
+    * "keep the top-N quality deciles" curation selector. NOT the
+    * `ntile(10) over (partition by lang ...)` window: `lang` is
+    * low-cardinality, so that form sorts each language's ENTIRE corpus on
+    * one task — the two-pass `Relational.groupedNtile` computes the
+    * identical bucket ids (NTILE's exact ceil/floor split, gate-matched
+    * against DuckDB's NTILE) with only bounded per-partition sorts. */
   private val z16QualityDeciles = Q(
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-      Tables.documents(s, d)
-        .withColumn("decile", ntile(10).over(w))
+      Relational.groupedNtile(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          groups = Seq("lang"), order = Seq("n_chars", "doc_id"),
+          n = 10, out = "decile")
         .groupBy("lang", "decile")
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("min_chars"),
@@ -1509,8 +1515,12 @@ object PipelineQueries {
     * score low here. Same engine-stability discipline as z15: one int/int
     * division and one ln per DISTINCT bigram, snapshot at DECIMAL(12,6),
     * exact-decimal per-doc sum, single division at the boundary. Scale:
-    * the bigram and prev-count tables are vocab²-bounded (broadcast);
-    * the corpus sees one map-side explode and one groupBy on doc_id. */
+    * the bigram table is vocab²-bounded only formally — a real web
+    * corpus's OBSERVED-bigram table grows with the corpus (billions of
+    * rows), so the joins carry NO broadcast hint: AQE broadcasts them
+    * while they fit and degrades to a shuffle join when they don't
+    * (a forced hint would OOM the driver at 100 TB). The corpus sees one
+    * map-side explode and one groupBy on doc_id either way. */
   /** Shared z17/x17 stage: per-token-position bigram log-probs — the
     * (doc_id, lp) relation both the declared scorer and the curation gate
     * aggregate, ONE definition so the conditional-probability model can
@@ -1523,8 +1533,8 @@ object PipelineQueries {
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
     val bcnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n_bg"))
     val pcnt = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
-    bg.join(broadcast(bcnt), Seq("prev", "cur"))
-      .join(broadcast(pcnt), Seq("prev"))
+    bg.join(bcnt, Seq("prev", "cur"))
+      .join(pcnt, Seq("prev"))
       .withColumn("lp",
         log(col("n_bg").cast("double") / col("n_prev")).cast("decimal(12,6)"))
       .select("doc_id", "lp")

@@ -1,0 +1,38 @@
+package graft
+
+/** Joins that rely on AQE (not a forced hint) to choose broadcast must
+  * degrade gracefully — same rows, shuffle join — when the build side
+  * exceeds the broadcast budget. A forced `broadcast()` hint bypasses
+  * Spark's size check entirely, which at corpus scale means a driver OOM
+  * instead of a slower-but-correct plan; these gates prove the unhinted
+  * form keeps both properties. */
+class PipelineDegradeSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withConf[A](pairs: (String, String)*)(body: => A): A = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("z17: bigram scoring survives a zero broadcast budget with identical rows") {
+    val baseline = SparkEntry.queries("z17_bigram_logprob")(spark, sf).collect()
+    val degraded = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("z17_bigram_logprob")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "with the budget at -1 the count-table joins must fall back to shuffle joins")
+      df.collect()
+    }
+    assert(degraded.toSeq == baseline.toSeq,
+      "join-strategy fallback changed the scored rows")
+    Housekeeping.releaseAllBlocks(spark)
+  }
+}

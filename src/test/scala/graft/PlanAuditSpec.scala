@@ -136,8 +136,16 @@ class PlanAuditSpec extends SparkSpec {
     val w10 = formatted("w10_rolling_mean")
     assert(!w10.contains("Join"))
     assert("\\(\\d+\\) Exchange".r.findAllIn(w10).size <= 2, "w10 grew shuffles")
+    // z16's deciles must NEVER regress to `ntile() over (partition by
+    // lang)`: lang is low-cardinality, so that window sorts a whole
+    // language on one task. The two-pass form's only windows are keyed by
+    // (__pid, lang) — bounded by partition size — plus the tiny
+    // per-(partition, group) offset relation.
     val z16 = formatted("z16_quality_deciles")
-    assert("\\(\\d+\\) Exchange".r.findAllIn(z16).size <= 3, "z16 grew shuffles")
+    assert(!z16.contains("ntile("),
+      "z16 regressed to a single-task per-language ntile window")
+    assert(z16.contains("__pid"),
+      "the bounded-task numbering key left the z16 plan")
     val y4 = formatted("y4_centroid_stats")
     assert(!y4.contains("Join"), "centroid stats must not join")
     assert(y4.contains("Generate"), "posexplode left the y4 plan")
@@ -151,9 +159,14 @@ class PlanAuditSpec extends SparkSpec {
     val x15 = formatted("x15_semantic_dedup")
     assert(!x15.contains("CartesianProduct") && !x15.contains("BroadcastNestedLoopJoin"),
       "semantic-dedup pair stage must stay a bucket equi-join")
+    // z17's count tables deliberately carry NO broadcast hint (an observed-
+    // bigram table grows with the corpus — a forced hint would OOM at
+    // scale): the static plan may pick any equi-join; only a cartesian
+    // would be wrong. Runtime broadcast-vs-shuffle is AQE's call, and the
+    // graceful-degradation path is gate-tested in PipelineDegradeSpec.
     val z17 = formatted("z17_bigram_logprob")
-    assert(z17.contains("BroadcastHashJoin"), "bigram count tables must broadcast")
-    assert(!z17.contains("SortMergeJoin"), "a vocab²-bounded table must never SMJ")
+    assert(!z17.contains("CartesianProduct") && !z17.contains("BroadcastNestedLoopJoin"),
+      "bigram scoring must stay an equi-join")
     val w12 = formatted("w12_cohort_retention")
     assert(!w12.contains("CartesianProduct") && !w12.contains("BroadcastNestedLoopJoin"))
   }

@@ -362,4 +362,30 @@ class RelationalSpec extends SparkSpec {
     assert(est((1L, 2L)) === 1.0) // identical sets: every slot matches
     assert(est((1L, 3L)) >= 0.0 && est((1L, 3L)) < 1.0)
   }
+
+  test("groupedNtile replays the window ntile exactly (property)") {
+    import org.apache.spark.sql.expressions.Window
+    // random group sizes around the n=10 boundary cases (N < n, N = n,
+    // N % n != 0) — the closed form must match SQL NTILE's ceil/floor
+    // split for every one of them
+    val gen = for {
+      sizes <- Gen.listOfN(4, Gen.choose(1, 37))
+      n <- Gen.choose(2, 11)
+    } yield (sizes, n)
+    val prop = Prop.forAll(gen) { case (sizes, n) =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, g) =>
+        (1 to sz).map(i => (s"g$g", (i * 7919) % 101, i.toLong))
+      }
+      val df = rows.toDF("grp", "v", "id")
+      val w = Window.partitionBy("grp").orderBy("v", "id")
+      val expected = df.withColumn("t", ntile(n).over(w))
+        .select("grp", "id", "t").as[(String, Long, Int)].collect().toSet
+      val got = Relational.groupedNtile(df, Seq("grp"), Seq("v", "id"), n, "t")
+        .select("grp", "id", "t").as[(String, Long, Int)].collect().toSet
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+    Housekeeping.releaseAllBlocks(spark)
+  }
 }
