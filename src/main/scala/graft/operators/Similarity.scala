@@ -258,12 +258,13 @@ object Similarity {
     * bucket matches at most one probe key, so no pair duplicates. Output
     * `bucket` is the query's OWN bucket in both modes. */
   def bucketedTopK(vectors: DataFrame, queryIds: Column => Column, idCol: String,
-                   vecCol: String, k: Int, probeRadius: Int = 0): DataFrame = {
+                   vecCol: String, k: Int, probeRadius: Int = 0,
+                   dims: Int = 64): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1,
       s"probeRadius 0 (own bucket) or 1 (Hamming-1 neighbors) supported, got $probeRadius")
     val bucketed = vectors
       .select(col(idCol), col(vecCol))
-      .withColumn("bucket", hyperplaneBucket(vecCol))
+      .withColumn("bucket", hyperplaneBucket(vecCol, dims))
       .withColumn("nrm", norm(vecCol))
     val q0 = bucketed.filter(queryIds(col(idCol)))
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),

@@ -589,10 +589,11 @@ object PipelineQueries {
   private def nrmSql(v: String): String =
     s"sqrt(list_reduce(list_transform($v, x -> x * x), (acc, x) -> acc + x))"
 
-  /** DuckDB rendering of Similarity.hyperplaneBucket (shared by y2/x5). */
-  private val bucketSql: String = {
+  /** DuckDB rendering of Similarity.hyperplaneBucket over a `vd` double
+    * list of `dims` elements (64-dim form shared by y2/x5; 8-dim by m4). */
+  private def bucketSqlFor(dims: Int): String = {
     val planeDots = (0 until Similarity.NumPlanes).map { j =>
-      s"""list_reduce(list_transform(generate_series(0, 63),
+      s"""list_reduce(list_transform(generate_series(0, ${dims - 1}),
          |        i -> vd[i + 1] * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE)),
          |      (acc, x) -> acc + x)""".stripMargin
     }
@@ -600,6 +601,7 @@ object PipelineQueries {
       s"(CASE WHEN $dj > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
   }
+  private val bucketSql: String = bucketSqlFor(64)
 
   /** Brute-force cosine top-k, query side broadcast (queries = every 50th
     * vector). Cosine rounded to 6 dp before ranking on both engines. */
@@ -1019,19 +1021,25 @@ object PipelineQueries {
     * is pure ASCII, verified). */
   /** m4: multimodal → similarity composition — payloads run through the
     * batched ENCODER seam (`Multimodal.encodeEmbedding`, stub per brief)
-    * and the resulting `Array[Float]` column feeds `Similarity`'s ANN
-    * unchanged: media search is the same engine path as text-embedding
-    * search. The oracle replays the stride-slice Horner embedding and the
-    * element-for-element cosine fold (8-dim form of the y1 contract). */
+    * and the resulting `Array[Float]` column feeds `Similarity`'s
+    * BUCKETED ANN unchanged: media search is the same engine path as
+    * text-embedding search. The bucketed form is the point at scale —
+    * the %97 query slice grows WITH the corpus, so brute force here is
+    * corpus²/97 pairs (the round-3 soak measured it 86× at 10×); the
+    * hyperplane bucket join keeps both sides linear. Brute force remains
+    * the broadcast-sized rerank primitive, and the spec-level gate proves
+    * the bucketed scores are exactly its scores restricted to the bucket.
+    * The oracle replays the stride-slice Horner embedding, the 8-dim
+    * hyperplane signature, and the element-for-element cosine fold. */
   private val m4MediaEmbedAnn = Q(
     (s, d) => {
       val pay = Multimodal.payloads(Tables.documents(s, d), "doc_id", "text")
       val emb = Multimodal.encodeEmbedding(s, pay).toDF()
-      Similarity.bruteForceTopK(
-          emb.filter(col("doc_id") % 97 === 0), emb, "doc_id", "emb", k = 5)
+      Similarity.bucketedTopK(
+          emb, id => id % 97 === 0, "doc_id", "emb", k = 5, dims = 8)
         .orderBy("q_id", "rank")
     },
-    """WITH dims AS (
+    s"""WITH dims AS (
       |  SELECT doc_id, j,
       |    CASE WHEN j = 7 THEN substring(text, j * stride + 1)
       |         ELSE substring(text, j * stride + 1, stride) END AS s
@@ -1050,19 +1058,20 @@ object PipelineQueries {
       |    list_transform(list(v ORDER BY j), x -> CAST(x AS DOUBLE)) AS vd
       |  FROM vals GROUP BY 1),
       |n AS (SELECT doc_id, vd,
-      |    sqrt(list_reduce(list_transform(vd, x -> x * x), (acc, x) -> acc + x)) AS nrm
+      |    sqrt(list_reduce(list_transform(vd, x -> x * x), (acc, x) -> acc + x)) AS nrm,
+      |    CAST(${bucketSqlFor(8)} AS BIGINT) AS bucket
       |  FROM emb),
-      |q AS (SELECT doc_id AS q_id, vd AS qv, nrm AS qn FROM n WHERE doc_id % 97 = 0),
+      |q AS (SELECT doc_id AS q_id, vd AS qv, nrm AS qn, bucket FROM n WHERE doc_id % 97 = 0),
       |scored AS (
-      |  SELECT q.q_id, c.doc_id AS c_id,
+      |  SELECT q.q_id, q.bucket, c.doc_id AS c_id,
       |    ROUND(list_reduce(list_transform(generate_series(1, 8), i -> qv[i] * c.vd[i]),
       |        (acc, x) -> acc + x) / (qn * c.nrm), 6) AS cosine
-      |  FROM q JOIN n c ON c.doc_id <> q.q_id),
+      |  FROM q JOIN n c ON c.bucket = q.bucket AND c.doc_id <> q.q_id),
       |ranked AS (
-      |  SELECT q_id, c_id, cosine, CAST(ROW_NUMBER() OVER (
+      |  SELECT q_id, bucket, c_id, cosine, CAST(ROW_NUMBER() OVER (
       |      PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INT) AS rank
       |  FROM scored)
-      |SELECT q_id, rank, c_id, cosine FROM ranked WHERE rank <= 5
+      |SELECT q_id, bucket, rank, c_id, cosine FROM ranked WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin)
 
   private val m1MediaFeatures = Q(

@@ -275,6 +275,29 @@ class SimilaritySpec extends SparkSpec {
     b1.foreach { case (q, c) => assert(b3(q) >= c, s"query $q got worse under nprobe=3") }
   }
 
+  test("m4's bucketed media ANN scores ARE brute force restricted to the bucket") {
+    // the declared m4 rides the bucket join (linear at scale); brute force
+    // stays the rerank primitive — this gate pins the equivalence: every
+    // bucketed (query, candidate) cosine is bit-identical to the
+    // brute-force cosine of that pair, so bucketing changes WHICH pairs
+    // are scored, never their scores or relative order
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pay = Multimodal.payloads(docs, "doc_id", "text")
+    val emb = Multimodal.encodeEmbedding(spark, pay).toDF()
+    val bucketed = Similarity.bucketedTopK(
+        emb, id => id % 97 === 0, "doc_id", "emb", k = 5, dims = 8)
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(bucketed.nonEmpty, "no same-bucket candidates at this SF")
+    val brute = Similarity.bruteForceTopK(
+        emb.filter(col("doc_id") % 97 === 0), emb, "doc_id", "emb",
+        k = Int.MaxValue)
+      .select("q_id", "c_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (q, c, cos) => (q, c) -> cos }.toMap
+    bucketed.foreach { case (q, c, cos) =>
+      assert(brute((q, c)) === cos, s"pair ($q, $c) scored differently")
+    }
+  }
+
   test("kmeansFit converges on separated clusters; wcss decreases monotonically") {
     val rnd = new scala.util.Random(5)
     val centers = Seq(
