@@ -817,6 +817,54 @@ object PipelineQueries {
        |  FROM scored) r
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 
+  /** y3d: the full fit → store → serve IVF lifecycle as ONE declared
+    * query — y3b trains, y3/y3c serve off SEEDED anchors; this is the
+    * production path that connects them: Lloyd-refine the anchors
+    * (3 rounds), build the corpus-wide index against the REFINED
+    * centroids, persist it through the Store (partitioned by cell, the
+    * read side prunes to probed cells), read it back, and serve a query
+    * batch via `ivfTopKAssigned` with nprobe=2 — the corpus is never
+    * re-assigned at serve time. Refined centroids are double means
+    * (engine-unstable by design, see lloydRefine), so the declared output
+    * is the x6-style CONTRACT the serve path must satisfy wherever it
+    * runs: the query batch size (exact value), every cell non-empty after
+    * refinement, and recall@5 against brute force over the stored index
+    * at or above 40% (nprobe=2 of 8 cells — a deliberately loose
+    * invariant; the gate passes it at both correctness SFs). */
+  private val y3dKnnIvfFitted = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val seed = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val fit = Similarity.kmeansFit(e, seed, "vec_id", "embedding",
+        maxIters = 3, eps = 0.0)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/ivf_fitted_${math.abs(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "cell")
+      store.destroy()
+      store.append(Similarity.ivfAssign(e, fit.anchors, "vec_id", "embedding")
+        .withColumn("nrm", Similarity.norm("embedding"))
+        .drop("cell_d2"))
+      val index = store.read
+      val served = Similarity.ivfTopKAssigned(index, fit.anchors,
+        id => id % 50 === 0, "vec_id", "embedding", k = 5, nprobe = 2)
+      val brute = Similarity.bruteForceTopK(
+        e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5)
+      val nMatch = served.select("q_id", "c_id")
+        .join(brute.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("n_match"))
+      val nBrute = brute.agg(count(lit(1)).as("n_brute"))
+      val nQ = e.filter(col("vec_id") % 50 === 0)
+        .agg(count(lit(1)).as("n_queries"))
+      val nCells = index.agg(countDistinct(col("cell")).as("n_cells"))
+      nQ.crossJoin(nCells).crossJoin(nMatch).crossJoin(nBrute)
+        .select(col("n_queries"),
+          (col("n_cells") === 8).as("cells_nonempty"),
+          (col("n_match") >= col("n_brute") * 0.4).as("recall_ok"))
+    },
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  TRUE AS cells_nonempty, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin)
+
   /** Embedding-cosine near-dup: same-bucket pairs ranked by cosine (top-50).
     * The dedup-flavored variant of y2 — pair output, not per-query kNN. */
   /** Shared top-50 embedding near-dup pair stage (x5 output, x15 input):
@@ -1720,6 +1768,7 @@ object PipelineQueries {
     "y2b_knn_multiprobe" -> y2bKnnMultiprobe,
     "y3_knn_ivf" -> y3KnnIvf,
     "y3c_knn_nprobe" -> y3cKnnNprobe,
+    "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
     "y4_centroid_stats" -> y4CentroidStats,
     "z1_lang_id" -> z1LangId,

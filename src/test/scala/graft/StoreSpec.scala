@@ -165,6 +165,33 @@ class StoreSpec extends SparkSpec {
     }
   }
 
+  test("fitted IVF lifecycle: kmeans anchors -> stored index -> serve equals recompute") {
+    // the y3d path: serve MUST run off the read-back table, and the store
+    // hop (cell-partitioned parquet) must be lossless — assignment rows
+    // and the served top-k both equal the in-memory recompute
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val seed = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+    val fit = Similarity.kmeansFit(e, seed, "vec_id", "embedding", maxIters = 3, eps = 0.0)
+    assert(fit.history.nonEmpty && fit.history.last.nCells === 8L)
+    val index = Similarity.ivfAssign(e, fit.anchors, "vec_id", "embedding")
+      .withColumn("nrm", Similarity.norm("embedding")).drop("cell_d2")
+    val store = Store(spark, tmpDir("ivf_fitted"), "cell")
+    store.append(index)
+    val back = store.read
+    assert(back.select("vec_id", "cell").as[(Long, Long)].collect().toSet ===
+      index.select("vec_id", "cell").as[(Long, Long)].collect().toSet)
+    def res(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "rank", "c_id", "cosine").as[(Long, Int, Long, Double)].collect().toSet
+    val served = Similarity.ivfTopKAssigned(back, fit.anchors,
+      id => id % 50 === 0, "vec_id", "embedding", k = 5, nprobe = 2)
+    val recomputed = Similarity.ivfTopKAssigned(index, fit.anchors,
+      id => id % 50 === 0, "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(res(served) === res(recomputed))
+    Housekeeping.releaseAllBlocks(spark)
+  }
+
   test("schema evolution: a later batch with a new column reads back null-padded") {
     // the store lifecycle must survive a column added mid-history (the
     // reference's pbp schema grew across seasons) — old rows null-fill,
