@@ -190,7 +190,13 @@ object Dedup {
     * (defaults 4M items / 67M bits) — at corpus scale that clamp would
     * quietly saturate the filter toward a ~100% false-positive rate, the
     * exact failure the data-derived sizing exists to prevent. Raise the
-    * two confs for the build when the requested size exceeds them. */
+    * two confs for the build when the requested size exceeds them.
+    *
+    * NOT THREAD-SAFE: the conf raise/restore is session-global, so a
+    * query planned CONCURRENTLY on the same SparkSession could observe
+    * (or clobber) the temporary values. Fine under this repo's serial
+    * execution discipline; a concurrent deployment should serialize bloom
+    * builds or build the filter with explicit-size aggregate args. */
   private def bloomOver(keyed: DataFrame, keyCol: String,
                         expectedItems: Option[Long],
                         bitsPerItem: Long): Option[Array[Byte]] = {

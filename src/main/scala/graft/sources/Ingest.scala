@@ -83,14 +83,13 @@ object Ingest {
   }
 
   /** readr::parse_number semantics: strip grouping/currency chars, take the
-    * first signed decimal token (leading-dot decimals like ".5" included),
-    * null when nothing parses. Known gap vs readr: exponent forms ("1e3")
-    * parse as their mantissa, not the expanded value. The guard keeps
-    * Spark 4's ANSI mode from raising on junk cells — scraped tables always
-    * have some. */
+    * first signed decimal token (leading-dot decimals like ".5" and
+    * exponent forms like "1e3" / "2.5E-2" included — the cast expands
+    * them), null when nothing parses. The guard keeps Spark 4's ANSI mode
+    * from raising on junk cells — scraped tables always have some. */
   def parseNumber(c: Column): Column = {
     val tok = regexp_extract(regexp_replace(c, "[,$]", ""),
-      "-?(?:[0-9]+(?:\\.[0-9]+)?|\\.[0-9]+)", 0)
+      "-?(?:[0-9]+(?:\\.[0-9]+)?|\\.[0-9]+)(?:[eE][+-]?[0-9]+)?", 0)
     when(length(tok) > 0, tok.cast(DoubleType))
   }
 

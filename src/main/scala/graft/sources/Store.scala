@@ -99,7 +99,14 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * copy behind (the old partition isn't in the batch's footprint). */
   def upsert(updates: DataFrame, keys: Seq[String],
              order: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
-    if (!exists) { append(updates); return }
+    if (!exists) {
+      // the first write must establish the same key-uniqueness invariant
+      // the merge path maintains: a batch carrying duplicate keys keeps
+      // one last-writer-wins row (verbatim append would persist both, and
+      // the table's shape would depend on whether it existed beforehand)
+      append(Relational.upsert(updates.limit(0), updates, keys, order))
+      return
+    }
     val parts = updates.select(partCol).distinct()
     val affected = read.join(broadcast(parts), Seq(partCol), "left_semi")
     overwritePartitions(Relational.upsert(affected, updates, keys, order))

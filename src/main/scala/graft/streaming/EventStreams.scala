@@ -177,7 +177,12 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Latest state version written by [[aggStateMaintenance]]. */
+  /** Latest COMMITTED state version written by [[aggStateMaintenance]].
+    * Only versions carrying a `_SUCCESS` marker count: a crash between
+    * directory creation and parquet job commit leaves a v{batchId} dir
+    * holding only `_temporary`, which would read back as empty state even
+    * though the parent version is intact — consumers must fall back to
+    * the newest committed version instead. */
   def readAggState(spark: SparkSession, stateDir: String): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -185,7 +190,9 @@ object EventStreams {
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("v")).map(_.drop(1).toLong)
-    require(vs.nonEmpty, s"no state versions under $stateDir")
+        .filter(v => fs.exists(
+          new org.apache.hadoop.fs.Path(s"$stateDir/v$v/_SUCCESS")))
+    require(vs.nonEmpty, s"no committed state versions under $stateDir")
     spark.read.parquet(s"$stateDir/v${vs.max}")
   }
 

@@ -319,6 +319,14 @@ class IngestSpec extends SparkSpec {
     assert(got.toSeq === Seq(7250.0, 93.0, -3.5, 4.5, null, null))
   }
 
+  test("parseNumber expands scientific notation like readr") {
+    val got = Seq("1e3", "2.5E-2", "-1.2e2 pts", ".5e1", "7e", "E5")
+      .toDF("s").select(Ingest.parseNumber(col("s"))).collect().map(_.get(0))
+    // "7e": mantissa parses, dangling exponent marker is junk text after
+    // the token; "E5": no mantissa → the 5 alone is the first number
+    assert(got.toSeq === Seq(1000.0, 0.025, -120.0, 5.0, 7.0, 5.0))
+  }
+
   test("dropJunkRows keeps only rows whose key parses (header repeats drop)") {
     val df = Seq(("1", "a"), ("Pick", "Pick"), ("2", "b")).toDF("pick", "v")
     assert(Ingest.dropJunkRows(df, col("pick")).count() === 2)
