@@ -6,15 +6,29 @@ Usage: python3 tools/gen_soak.py /root/testdata/sf0.1 /tmp/soak10 [reps]
 Each replica r offsets the ids; document text is ROTATED by r words so
 replicas are near-dups of the original (changed shingle sets, same length
 and vocab stats) rather than exact copies — exact copies would collapse
-into single LSH buckets and overstate pair growth. Events keep the
-nanos-as-int64 ts format the real tables use (Tables.events divides by
-1000 either way).
+into single LSH buckets and overstate pair growth.
+
+Every word also carries a DIALECT suffix derived from the base doc id
+(doc_id % 101) plus a subfamily letter that splits the replicas into two
+groups of reps/2. This fixes the round-3 degenerate soak: with the raw
+~31-word vocabulary every 3-gram shingle's document frequency blew past
+the stop-shingle caps, so the shingle-df operator family (x4, bucket-df
+distributions) measured ~nothing. With dialects the vocabulary is
+~31 × 101 × 2 ≈ 6k words, documents in different dialects share ZERO
+shingles, and a near-dup family is reps/2 docs — inside x4's df ≤ 8 cap,
+so the exact-Jaccard path has real work at 10×. Run with the SAME script
+at reps=1 for the comparable 1× baseline (the transformation must match,
+only the replica count differs).
+
+Events keep the nanos-as-int64 ts format the real tables use
+(Tables.events divides by 1000 either way).
 """
 import sys
 import duckdb
 
 src, dst = sys.argv[1], sys.argv[2]
 reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+half = max(1, reps // 2)
 
 con = duckdb.connect()
 con.sql(f"CREATE TABLE r AS SELECT unnest(generate_series(0, {reps - 1})) AS r")
@@ -22,10 +36,13 @@ con.sql(f"CREATE TABLE r AS SELECT unnest(generate_series(0, {reps - 1})) AS r")
 con.sql(f"""
 COPY (
   SELECT d.doc_id + r.r * 1000000 AS doc_id,
-         CASE WHEN r.r = 0 THEN d.text
-              ELSE array_to_string(
-                     list_concat(w[r.r + 1:], w[1:r.r]), ' ')
-         END AS text,
+         array_to_string(
+           list_transform(
+             CASE WHEN r.r = 0 THEN w
+                  ELSE list_concat(w[r.r + 1:], w[1:r.r]) END,
+             x -> x || '~' || (d.doc_id % 101)
+                    || CASE WHEN r.r < {half} THEN 'a' ELSE 'b' END),
+           ' ') AS text,
          d.lang, d.source, d.n_chars
   FROM (SELECT *, string_split(text, ' ') AS w
         FROM '{src}/documents.parquet') d, r
