@@ -28,7 +28,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Housekeeping {
 
-  private val retained = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  /** Retained ids are scoped by applicationId: RDD ids restart near zero
+    * in a fresh SparkContext, so ids registered against a stopped context
+    * would otherwise shield arbitrary NEW blocks from the sweep — quietly
+    * re-introducing the leak this object exists to prevent in any
+    * stop-and-restart session (notebooks, servers). */
+  private val retained =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
   /** A localCheckpointed frame whose blocks can actually be freed.
     *
@@ -69,16 +75,21 @@ object Housekeeping {
     * between the two registry snapshots, or its blocks would be retained
     * too. */
   def retainCheckpoint(spark: SparkSession)(build: => DataFrame): DataFrame = {
+    val app = spark.sparkContext.applicationId
     val p = pin(spark)(build)
-    p.ids.foreach(retained.add(_))
+    p.ids.foreach(id => retained.add((app, id)))
     p.df
   }
 
-  /** RDD ids currently registered as process-lifetime. */
-  def retainedIds: Set[Int] = {
+  /** RDD ids registered as process-lifetime for THIS session's context. */
+  def retainedIds(spark: SparkSession): Set[Int] = {
+    val app = spark.sparkContext.applicationId
     val it = retained.iterator()
     val b = Set.newBuilder[Int]
-    while (it.hasNext) b += it.next()
+    while (it.hasNext) {
+      val (a, id) = it.next()
+      if (a == app) b += id
+    }
     b.result()
   }
 
@@ -86,9 +97,10 @@ object Housekeeping {
     * behind, except the process-lifetime set. Non-blocking: the executors
     * free the blocks asynchronously while the next query plans. */
   def releaseAllBlocks(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!retained.contains(id)) rdd.unpersist(blocking = false)
+      if (!retained.contains((app, id))) rdd.unpersist(blocking = false)
     }
   }
 }

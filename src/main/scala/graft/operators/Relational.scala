@@ -327,15 +327,18 @@ object Relational {
     * arithmetic, so the ids replay SQL NTILE bit-for-bit (gate-matched
     * against DuckDB's NTILE).
     *
-    * Cost: the input is range-shuffled twice (once for the counts, once
-    * for the numbering — the frame is deliberately NOT persisted so plans
-    * stay declarative) plus one bounded per-(partition, group) sort; every
-    * stage scales horizontally. Determinism: both evaluations resample the
-    * same range bounds (RangePartitioner's sampling seeds are fixed per
-    * partition index), and the final ids are independent of WHERE the
-    * range bounds fall anyway — only the within-group total order matters,
-    * and it is pinned by `order` (pass a total order, tiebreaker included,
-    * exactly as NTILE itself requires). */
+    * Cost: ONE range shuffle (the partitioned frame is eagerly pinned —
+    * both the counts and the numbering must observe the SAME partition
+    * memberships, and two separate executions of a range exchange may
+    * sample different bounds; the pinned blocks are the caller's to
+    * release after the action, e.g. `Housekeeping.releaseAllBlocks` — at
+    * warehouse scale this materialization is a table you'd write anyway)
+    * plus one bounded per-(partition, group) sort. The final ids are
+    * independent of WHERE the range bounds fall — only the within-group
+    * total order matters, and it is pinned by `order` (pass a total
+    * order, tiebreaker included, exactly as NTILE itself requires).
+    * NULL group values bucket as their own group, matching the window
+    * form (the offset join is null-safe). */
   def groupedNtile(df: DataFrame, groups: Seq[String], order: Seq[String],
                    n: Int, out: String): DataFrame = {
     require(n > 0, s"ntile bucket count must be positive, got $n")
@@ -346,23 +349,32 @@ object Relational {
       s"column names ${reserved.mkString("/")} are reserved")
     val sortCols = (groups ++ order).map(col)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val ranged = graft.Housekeeping.pin(df.sparkSession)(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id())).df
     val groupCols = groups.map(col)
     val cellCounts = ranged.groupBy(col("__pid") +: groupCols: _*)
       .agg(count(lit(1)).as("__n"))
     val wOff = Window.partitionBy(groupCols: _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wTot = Window.partitionBy(groupCols: _*)
+    // rename the join keys instead of using-columns syntax: the group
+    // match must be NULL-SAFE (<=>) or NULL-group rows silently vanish
     val offsets = cellCounts
       .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
       .withColumn("__tot", sum(col("__n")).over(wTot))
       .drop("__n")
+      .withColumnRenamed("__pid", "__opid")
+      .select(col("__opid") +: col("__off") +: col("__tot") +:
+        groups.zipWithIndex.map { case (g, i) => col(g).as(s"__og$i") }: _*)
+    val joinCond = (col("__pid") === col("__opid")) +:
+      groups.zipWithIndex.map { case (g, i) => col(g) <=> col(s"__og$i") }
     val wLoc = Window.partitionBy(col("__pid") +: groupCols: _*)
       .orderBy(order.map(col): _*)
     ranged
       .withColumn("__loc", row_number().over(wLoc))
-      .join(offsets, "__pid" +: groups)
+      .join(offsets, joinCond.reduce(_ && _))
+      .drop("__opid" +: groups.indices.map(i => s"__og$i"): _*)
       .withColumn("__rn", col("__loc") + col("__off"))
       .withColumn("__q", expr(s"__tot DIV $n"))
       .withColumn("__r", expr(s"__tot % $n"))

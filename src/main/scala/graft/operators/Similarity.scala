@@ -59,8 +59,11 @@ object Similarity {
   /** Number of LSH hyperplanes (bucket signature bits). */
   val NumPlanes = 8
 
-  /** Deterministic pseudo-random hyperplane weight: plane j, dimension i. */
-  def planeWeight(i: Int, j: Int): Int = ((i * 31 + j * 17) % 7) - 3
+  /** Deterministic pseudo-random hyperplane weight: plane j, dimension i.
+    * Modulus 13 with multiplier 19 keeps all `NumPlanes` planes DISTINCT:
+    * the earlier (… j*17) % 7 form made plane 7 identical to plane 0
+    * (7·17 ≡ 0 mod 7), silently halving the effective bucket count. */
+  def planeWeight(i: Int, j: Int): Int = ((i * 31 + j * 19) % 13) - 6
 
   /** Signed-projection bucket id (0..2^NumPlanes-1) for a 64-dim float
     * vector column: bit j = [dot(vec, plane_j) > 0]. */
@@ -69,7 +72,7 @@ object Similarity {
       val dotJ = expr(
         s"""aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE),
            |  (acc, i) -> acc + CAST($vecCol[i] AS DOUBLE)
-           |                    * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE))""".stripMargin)
+           |                    * CAST((i * 31 + $j * 19) % 13 - 6 AS DOUBLE))""".stripMargin)
       when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -235,7 +238,9 @@ object Similarity {
             col("nrm").as("q_nrm"), col("anchor_id").as("cell"))
     val c = assigned.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       col("nrm").as("c_nrm"), col("cell"))
-    val scored = broadcast(q).join(c, Seq("cell"))
+    // unhinted for the same reason as bucketedTopK: the query batch's
+    // size is the caller's business, and AQE already broadcasts small ones
+    val scored = q.join(c, Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", round(dot("q_vec", "c_vec") / (col("q_nrm") * col("c_nrm")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
@@ -276,7 +281,12 @@ object Similarity {
           (0 until NumPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
     val c = bucketed.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       col("nrm").as("c_nrm"), col("bucket").as("__probe"))
-    val scored = broadcast(q).join(c, Seq("__probe"))
+    // NO broadcast hint on the query side: callers like media ANN pass a
+    // modulus slice whose size grows WITH the corpus — a forced hint
+    // would bypass Spark's size check and OOM the driver at scale (the
+    // same failure mode the bigram tables had). AQE broadcasts while the
+    // batch fits and degrades to a shuffled bucket equi-join when not.
+    val scored = q.join(c, Seq("__probe"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", round(dot("q_vec", "c_vec") / (col("q_nrm") * col("c_nrm")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)

@@ -594,7 +594,7 @@ object PipelineQueries {
   private def bucketSqlFor(dims: Int): String = {
     val planeDots = (0 until Similarity.NumPlanes).map { j =>
       s"""list_reduce(list_transform(generate_series(0, ${dims - 1}),
-         |        i -> vd[i + 1] * CAST((i * 31 + $j * 17) % 7 - 3 AS DOUBLE)),
+         |        i -> vd[i + 1] * CAST((i * 31 + $j * 19) % 13 - 6 AS DOUBLE)),
          |      (acc, x) -> acc + x)""".stripMargin
     }
     planeDots.zipWithIndex.map { case (dj, j) =>
@@ -838,7 +838,12 @@ object PipelineQueries {
         .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
       val fit = Similarity.kmeansFit(e, seed, "vec_id", "embedding",
         maxIters = 3, eps = 0.0)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/ivf_fitted_${math.abs(d.hashCode)}"
+      // namespaced by BOTH the input dir and the application id: two JVMs
+      // verifying the same SF concurrently must not destroy()/append the
+      // same store out from under each other's lazy read-back (hex of the
+      // raw hash — math.abs would stay negative on Int.MinValue)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"ivf_fitted_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
       val store = graft.sources.Store(s, path, "cell")
       store.destroy()
       store.append(Similarity.ivfAssign(e, fit.anchors, "vec_id", "embedding")
@@ -1074,9 +1079,13 @@ object PipelineQueries {
     * text-embedding search. The bucketed form is the point at scale —
     * the %97 query slice grows WITH the corpus, so brute force here is
     * corpus²/97 pairs (the round-3 soak measured it 86× at 10×); the
-    * hyperplane bucket join keeps both sides linear. Brute force remains
-    * the broadcast-sized rerank primitive, and the spec-level gate proves
-    * the bucketed scores are exactly its scores restricted to the bucket.
+    * bucket join cuts pair volume to ~corpus²/2^planes with the PLANE
+    * COUNT as the knob (a production corpus raises NumPlanes so buckets
+    * stay bounded), and the query side carries no broadcast hint — AQE
+    * broadcasts while the batch fits and shuffle-joins beyond. Brute
+    * force remains the broadcast-sized rerank primitive, and the
+    * spec-level gate proves the bucketed scores are exactly its scores
+    * restricted to the bucket.
     * The oracle replays the stride-slice Horner embedding, the 8-dim
     * hyperplane signature, and the element-for-element cosine fold. */
   private val m4MediaEmbedAnn = Q(

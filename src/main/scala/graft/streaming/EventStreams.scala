@@ -178,11 +178,14 @@ object EventStreams {
       .start()
 
   /** Latest COMMITTED state version written by [[aggStateMaintenance]].
-    * Only versions carrying a `_SUCCESS` marker count: a crash between
-    * directory creation and parquet job commit leaves a v{batchId} dir
-    * holding only `_temporary`, which would read back as empty state even
-    * though the parent version is intact — consumers must fall back to
-    * the newest committed version instead. */
+    * Versions carrying a `_SUCCESS` marker win: a crash between directory
+    * creation and parquet job commit leaves a v{batchId} dir holding only
+    * `_temporary`, which would read back as empty state even though the
+    * parent version is intact — fall back to the newest committed
+    * version instead. A deployment that disables success markers
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, common on
+    * object stores) has NO marked versions; then the plain newest version
+    * is used, which is exactly the pre-marker behavior. */
   def readAggState(spark: SparkSession, stateDir: String): DataFrame = {
     val dir = new org.apache.hadoop.fs.Path(stateDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -190,10 +193,11 @@ object EventStreams {
       if (!fs.exists(dir)) Seq.empty
       else fs.listStatus(dir).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("v")).map(_.drop(1).toLong)
-        .filter(v => fs.exists(
-          new org.apache.hadoop.fs.Path(s"$stateDir/v$v/_SUCCESS")))
-    require(vs.nonEmpty, s"no committed state versions under $stateDir")
-    spark.read.parquet(s"$stateDir/v${vs.max}")
+    require(vs.nonEmpty, s"no state versions under $stateDir")
+    val committed = vs.filter(v => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$stateDir/v$v/_SUCCESS")))
+    val pick = if (committed.nonEmpty) committed.max else vs.max
+    spark.read.parquet(s"$stateDir/v$pick")
   }
 
   /** Shape 4: watermarked stream-stream interval join — correlate two live

@@ -16,7 +16,7 @@ class HousekeepingSpec extends SparkSpec {
       SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
       Housekeeping.releaseAllBlocks(spark)
     }
-    val stray = spark.sparkContext.getPersistentRDDs.keySet -- Housekeeping.retainedIds
+    val stray = spark.sparkContext.getPersistentRDDs.keySet -- Housekeeping.retainedIds(spark)
     assert(stray.isEmpty, s"persistent RDDs leaked past the sweep: $stray")
   }
 
@@ -26,7 +26,7 @@ class HousekeepingSpec extends SparkSpec {
     SparkEntry.queries("e1_stability_matrix")(spark, sf)
       .write.format("noop").mode("overwrite").save()
     Housekeeping.releaseAllBlocks(spark)
-    val kept = spark.sparkContext.getPersistentRDDs.keySet.intersect(Housekeeping.retainedIds)
+    val kept = spark.sparkContext.getPersistentRDDs.keySet.intersect(Housekeeping.retainedIds(spark))
     assert(kept.nonEmpty, "shared panel blocks were evicted by the sweep")
   }
 

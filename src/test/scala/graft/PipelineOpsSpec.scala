@@ -228,7 +228,12 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
     assert(b(0L) === b(1L))
     assert((0 until Similarity.NumPlanes).forall(j =>
-      Similarity.planeWeight(0, j) >= -3 && Similarity.planeWeight(0, j) <= 3))
+      Similarity.planeWeight(0, j) >= -6 && Similarity.planeWeight(0, j) <= 6))
+    // all planes must be DISTINCT weight vectors — the old mod-7 scheme
+    // made plane 7 ≡ plane 0, silently halving the bucket space
+    val planes = (0 until Similarity.NumPlanes)
+      .map(j => (0 until 8).map(i => Similarity.planeWeight(i, j)))
+    assert(planes.distinct.size === Similarity.NumPlanes, planes.toString)
   }
 
   test("multi-probe bucketedTopK recall >= single-probe against brute force") {
