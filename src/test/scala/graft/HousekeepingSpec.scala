@@ -11,8 +11,10 @@ class HousekeepingSpec extends SparkSpec {
   test("a bench-style run of checkpoint-heavy queries leaves no stray blocks") {
     // x14 (two localCheckpoints), x8 (connectedComponents loop), x4
     // (persisted inverted index) — the three leak families from the
-    // round-3 diagnosis, driven exactly as Bench drives them
-    for (q <- Seq("x14_jaccard_estimate", "x8_dup_clusters", "x4_ngram_jaccard")) {
+    // round-3 diagnosis — plus z16 (groupedNtile's pinned range
+    // partitioning), driven exactly as Bench drives them
+    for (q <- Seq("x14_jaccard_estimate", "x8_dup_clusters", "x4_ngram_jaccard",
+        "z16_quality_deciles")) {
       SparkEntry.queries(q)(spark, sf).write.format("noop").mode("overwrite").save()
       Housekeeping.releaseAllBlocks(spark)
     }

@@ -32,9 +32,9 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
-  test("x2/x3b/x10/y2/y2b: bucketed pair generation contains no cartesian product") {
+  test("x2/x3b/x10/y2/y2b/m4: bucketed pair generation contains no cartesian product") {
     for (q <- Seq("x2_minhash_lsh", "x3b_simhash_pairs", "x10_incremental_lsh",
-        "y2_knn_bucketed", "y2b_knn_multiprobe")) {
+        "y2_knn_bucketed", "y2b_knn_multiprobe", "m4_media_embed_ann")) {
       val plan = formatted(q)
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$q must stay a bucket equi-join")
