@@ -35,4 +35,31 @@ class PipelineDegradeSpec extends SparkSpec {
       "join-strategy fallback changed the scored rows")
     Housekeeping.releaseAllBlocks(spark)
   }
+
+  test("bucketed/IVF ANN survive a zero broadcast budget with identical rows") {
+    // the query side of bucketedTopK/ivfTopKAssigned is unhinted (a query
+    // batch can grow with the corpus); when AQE can't broadcast it, the
+    // bucket/cell equi-join must shuffle — same rows, no cartesian. y3's
+    // plan legitimately keeps ONE nested-loop join: the corpus × 8-anchor
+    // quantizer scan, whose broadcast side is anchor-count-bounded by
+    // definition — only the pure bucket joins assert a BNLJ-free plan.
+    for (q <- Seq("y2_knn_bucketed", "y3_knn_ivf", "m4_media_embed_ann")) {
+      val baseline = SparkEntry.queries(q)(spark, sf).collect()
+      val degraded = withConf(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        val df = SparkEntry.queries(q)(spark, sf)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$q must not degrade to a cartesian product")
+        if (q != "y3_knn_ivf")
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$q must degrade to a shuffled equi-join, not a cross product")
+        df.collect()
+      }
+      assert(degraded.toSeq == baseline.toSeq,
+        s"$q: join-strategy fallback changed the rows")
+    }
+    Housekeeping.releaseAllBlocks(spark)
+  }
 }
