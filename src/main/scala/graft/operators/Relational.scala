@@ -386,6 +386,47 @@ object Relational {
       .drop("__pid", "__loc", "__off", "__tot", "__rn", "__q", "__r")
   }
 
+  /** Scale-safe GLOBAL running sum — identical values to
+    * `sum(value) over (order by order rows unbounded preceding)`, computed
+    * without the single-task global sort that window form implies (an
+    * unpartitioned window funnels the whole relation through one task —
+    * the worst possible shape at corpus scale).
+    *
+    * Same two-pass discipline as [[groupedNtile]]: range-partition on the
+    * (total) order — the frame is eagerly pinned so both passes observe
+    * the SAME partition memberships — then per-partition totals (one tiny
+    * `shufflePartitions`-row relation) cumulate into per-partition
+    * offsets, and each row adds its offset to a partition-local running
+    * sum. Every stage is bounded by partition size; the tiny offset
+    * window is the only serial step. `order` must be a total order
+    * (unique tiebreaker included), exactly as the window form requires
+    * for determinism. Integer-exact when `valueCol` is integral, so the
+    * result hash-matches an engine-replayed window oracle. */
+  def runningTotal(df: DataFrame, order: Seq[String], valueCol: String,
+                   out: String): DataFrame = {
+    val reserved = Seq("__pid", "__loc", "__off", "__s")
+    require(!df.columns.exists(c => reserved.contains(c.toLowerCase)),
+      s"column names ${reserved.mkString("/")} are reserved")
+    val sortCols = order.map(col)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = graft.Housekeeping.pin(df.sparkSession)(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id())).df
+    val wOff = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__s"))
+      .withColumn("__off", coalesce(sum(col("__s")).over(wOff), lit(0L)))
+      .drop("__s")
+    val wLoc = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__loc", sum(col(valueCol)).over(wLoc))
+      .join(offsets, Seq("__pid"))
+      .withColumn(out, col("__loc") + col("__off"))
+      .drop("__pid", "__loc", "__off")
+  }
+
   /** One mergeable aggregate for [[Relational.saltedAgg]]: `partial` runs
     * per (key, salt); `merge` combines the partials per key (sum merges by
     * sum, count merges by SUM, min by min, ...). */

@@ -1517,6 +1517,41 @@ object PipelineQueries {
       |  n_hapax / n_distinct AS hapax_ratio
       |FROM agg ORDER BY doc_id""".stripMargin)
 
+  /** z19: sequence packing — concat-then-chunk the corpus into fixed-size
+    * training bins (2048 whitespace tokens): every LM data pipeline's last
+    * step before tokenized shards. A document's bin is the bin its FIRST
+    * token lands in under a deterministic corpus order, i.e.
+    * `cum_tokens_before DIV 2048` — which needs a GLOBAL running sum. The
+    * window form (`sum over (order by ...)`) funnels the entire corpus
+    * through one task; `Relational.runningTotal` computes the identical
+    * integer-exact values with the two-pass offset technique (bounded
+    * per-partition sorts only). Output: per-bin doc count, token count,
+    * and id span — integer-exact, hash-matched against DuckDB's window
+    * replay. */
+  private val z19SequencePack = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      Relational.runningTotal(docs, Seq("doc_id"), "toks", "cum")
+        .withColumn("bin", expr("(cum - toks) DIV 2048").cast("int"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("bin")
+    },
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+      |c AS (SELECT doc_id, toks, SUM(toks) OVER (
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT CAST((cum - toks) // 2048 AS INT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS bin_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** z14: hashing-trick linear quality classifier — fastText-shaped scoring
     * as a zero-shuffle fold inside the scan. Scores are sums of exact
     * rationals in a fixed fold order (bit-identical across engines); the
@@ -1749,6 +1784,7 @@ object PipelineQueries {
     "z16_quality_deciles" -> z16QualityDeciles,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
+    "z19_sequence_pack" -> z19SequencePack,
     "z13_heavy_hitters" -> z13HeavyHitters,
     "z14_quality_classifier" -> z14QualityClassifier,
     "x1_exact_dedup" -> x1ExactDedup,

@@ -388,4 +388,21 @@ class RelationalSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
     Housekeeping.releaseAllBlocks(spark)
   }
+
+  test("runningTotal replays the global window running sum exactly (property)") {
+    import org.apache.spark.sql.expressions.Window
+    val gen = Gen.listOfN(60, Gen.choose(0L, 500L))
+    val prop = Prop.forAll(gen) { vals =>
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = df.withColumn("c", sum("v").over(w))
+        .select("id", "c").as[(Long, Long)].collect().toSet
+      val got = Relational.runningTotal(df, Seq("id"), "v", "c")
+        .select("id", "c").as[(Long, Long)].collect().toSet
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+    Housekeeping.releaseAllBlocks(spark)
+  }
 }
