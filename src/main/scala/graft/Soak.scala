@@ -29,10 +29,12 @@ object Soak {
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, dir)
+      SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      finally Housekeeping.releaseAllBlocks(spark)
-      (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // sweep AFTER capturing elapsed: hygiene cost stays out of the number
+      Housekeeping.releaseAllBlocks(spark)
+      elapsed
     }
 
     run(names.head) // warmup: JVM + codegen init

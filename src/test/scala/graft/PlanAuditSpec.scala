@@ -6,8 +6,22 @@ import org.apache.spark.sql.execution.FormattedMode
   * SCALE.md claims (pushdown, pruning, broadcast dims, codegen coverage)
   * asserted per representative query so a refactor can't silently lose
   * them. */
-class PlanAuditSpec extends SparkSpec {
+class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   private val sf = "/root/testdata/sf0.001"
+
+  // Registry-wide sweeps construct every declared query just to read plan
+  // or schema: plan-only mode makes side-effecting constructions (y3d's
+  // fit + store write) substitute a plan-shape-identical in-memory path
+  // (suites run sequentially in the forked test JVM, so a suite-scoped
+  // property is safe — mirrors the AQE-conf toggle below).
+  override protected def beforeAll(): Unit = {
+    super.beforeAll()
+    sys.props("graft.plan.only") = "true"
+  }
+  override protected def afterAll(): Unit = {
+    sys.props -= "graft.plan.only"
+    super.afterAll()
+  }
 
   /** AQE wraps plans and hides codegen/scan detail until stages run;
     * audit against the static plan (suites run sequentially in the forked

@@ -35,17 +35,22 @@ con.sql(f"CREATE TABLE r AS SELECT unnest(generate_series(0, {reps - 1})) AS r")
 
 con.sql(f"""
 COPY (
-  SELECT d.doc_id + r.r * 1000000 AS doc_id,
-         array_to_string(
-           list_transform(
-             CASE WHEN r.r = 0 THEN w
-                  ELSE list_concat(w[r.r + 1:], w[1:r.r]) END,
-             x -> x || '~' || (d.doc_id % 101)
-                    || CASE WHEN r.r < {half} THEN 'a' ELSE 'b' END),
-           ' ') AS text,
-         d.lang, d.source, d.n_chars
-  FROM (SELECT *, string_split(text, ' ') AS w
-        FROM '{src}/documents.parquet') d, r
+  -- n_chars is recomputed from the TRANSFORMED text (the dialect suffix
+  -- lengthens every word): n_chars-keyed operators (z16 deciles) must sort
+  -- on a key that tracks the synthetic corpus, not the source one
+  SELECT doc_id, text, lang, source, length(text) AS n_chars
+  FROM (
+    SELECT d.doc_id + r.r * 1000000 AS doc_id,
+           array_to_string(
+             list_transform(
+               CASE WHEN r.r = 0 THEN w
+                    ELSE list_concat(w[r.r + 1:], w[1:r.r]) END,
+               x -> x || '~' || (d.doc_id % 101)
+                      || CASE WHEN r.r < {half} THEN 'a' ELSE 'b' END),
+             ' ') AS text,
+           d.lang, d.source
+    FROM (SELECT *, string_split(text, ' ') AS w
+          FROM '{src}/documents.parquet') d, r)
 ) TO '{dst}/documents.parquet' (FORMAT parquet)
 """)
 
