@@ -397,31 +397,37 @@ object Dedup {
     // size and recomputation cost — would otherwise grow exponentially
     var labels = Housekeeping.pin(spark)(
       nodes.select(col(idCol).as("node"), col(idCol).as("cluster")))
-    var changed = 1L
+    // convergence probe: `least()` makes every label non-increasing, so the
+    // label SUM is monotone non-increasing and stalls exactly at the
+    // fixpoint — an unchanged sum ⟺ no label changed. One wide-decimal
+    // aggregate over the (already checkpointed) label frame per round,
+    // versus the previous full node-keyed join + count probe; cheap enough
+    // to run EVERY round, so the loop also exits a round earlier.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels.df)
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIters) {
+    while (changed && i < maxIters) {
       val nbrMin = sym.df.join(labels.df, sym.df("dst") === labels.df("node"))
         .groupBy(col("src")).agg(min("cluster").as("nbr_min"))
       val next = Housekeeping.pin(spark)(
         labels.df.join(nbrMin, labels.df("node") === nbrMin("src"), "left")
           .select(col("node"),
             least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")))
-      // the convergence probe is a full join + count action — every other
-      // round is enough (an extra propagation round is cheaper than the
-      // probe, and the fixpoint is stable under extra rounds)
-      if (i % 2 == 1 || i == maxIters - 1) {
-        changed = next.df.as("n").join(labels.df.as("p"), col("n.node") === col("p.node"))
-          .filter(col("n.cluster") =!= col("p.cluster")).count()
-      }
+      val nextSum = labelSum(next.df)
+      changed = nextSum.compareTo(prevSum) != 0
+      prevSum = nextSum
       labels.free()
       labels = next
       i += 1
     }
-    // the exit-round probe (`i == maxIters - 1` above) keeps `changed`
-    // accurate here: non-zero means a component with diameter > maxIters
-    // exists and the labels below are NOT the fixpoint — loud, not silent
-    if (changed > 0)
-      log.warn(s"connectedComponents exited at maxIters=$maxIters with $changed labels " +
+    // `changed` is accurate at exit (probed every round): true means a
+    // component with diameter > maxIters exists and the labels below are
+    // NOT the fixpoint — loud, not silent
+    if (changed)
+      log.warn(s"connectedComponents exited at maxIters=$maxIters with labels " +
         "still changing — cluster ids are not converged; raise maxIters or switch " +
         "to connectedComponentsStar (round count grows with log² n, not diameter)")
     // every checkpoint was EAGER, so nothing downstream reads the edge list
