@@ -554,4 +554,41 @@ object Dedup {
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
   }
+
+  /** Exact substring-span duplication stats — the corpus-level "repeated
+    * span" signal behind suffix-array-style exact-substring dedup (find
+    * every k-token span that occurs more than once ANYWHERE in the corpus,
+    * including within one document, and score each document by how much of
+    * it is such duplicated material). Span identity is the md5 of the
+    * space-joined k-word window, computed for every overlapping position.
+    *
+    * Scale shape: the window fingerprints are generated in-scan (a
+    * `transform` over the word array — no explode of raw positions leaves
+    * the task until aggregated); the first aggregation keys on
+    * (doc, fingerprint) and is map-side combinable, so the fingerprint
+    * shuffle carries per-doc-distinct spans, not raw token positions; the
+    * corpus-wide occurrence total is a second combinable aggregate on the
+    * fingerprint alone; the dup verdict joins back at (doc, fingerprint)
+    * granularity. Every stage is linear in corpus tokens with partial
+    * aggregation — no window function, no self-join of the span relation.
+    * Output: per-doc window/dup-window counts and the duplicated fraction
+    * (one int division — engine-stable). */
+  def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int): DataFrame = {
+    val perDocFp = docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
+        .as("fp"))
+      .groupBy(col(idCol), col("fp"))
+      .agg(count(lit(1)).as("c"))
+    val totals = perDocFp.groupBy(col("fp"))
+      .agg(sum(col("c")).as("t"))
+    perDocFp.join(totals, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).cast("long").as("n_windows"),
+        sum(when(col("t") >= 2, col("c")).otherwise(lit(0))).cast("long").as("n_dup"))
+      .withColumn("dup_frac", col("n_dup") / col("n_windows"))
+  }
 }

@@ -295,4 +295,78 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "bucket", "rank", "c_id", "cosine")
   }
+
+  /** Squared L2 distance between two float-array columns restricted to
+    * subspace `sub` (dims [sub·subDim, (sub+1)·subDim)), as a deterministic
+    * sequential fold; `sub` may be a column (the exploded subspace id).
+    * Rounded to 6 dp so per-subspace argmins and distance tables are
+    * reproducible across engines. */
+  def subDist2(a: String, b: String, sub: Column, subDim: Int): Column =
+    round(expr(
+      s"""aggregate(
+         |  zip_with(slice($a, __sd_base, $subDim), slice($b, __sd_base, $subDim),
+         |    (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+         |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+         |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin), 6)
+
+  /** Product-quantization encode: each vector becomes `m` one-byte-ish
+    * codes — per subspace, the id of the nearest codebook anchor's
+    * sub-slice (squared L2, ties to the lowest anchor id). `codebook` is
+    * (anchor_id, anchor_vec) full-width vectors, broadcast-sized by
+    * construction (m · k sub-centroids live inside k full vectors).
+    *
+    * Scale shape: the corpus side explodes to m rows per vector and joins
+    * the BROADCAST codebook in-task; the argmin is a `min(struct)`
+    * aggregate — map-side combinable, so the one shuffle carries ~m rows
+    * per vector after partial aggregation, never the m·k distance rows,
+    * and no per-vector window ever runs over the corpus. Output:
+    * (idCol, sub, code). */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, idCol: String,
+               vecCol: String, m: Int, subDim: Int): DataFrame = {
+    val subs = vectors
+      .select(col(idCol), col(vecCol))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("__sd_base", col("sub") * subDim + 1)
+    subs.crossJoin(broadcast(codebook))
+      .withColumn("d6", subDist2(vecCol, "anchor_vec", col("sub"), subDim))
+      .groupBy(col(idCol), col("sub"))
+      .agg(min(struct(col("d6"), col("anchor_id"))).as("w"))
+      .select(col(idCol), col("sub"), col("w.anchor_id").as("code"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: approximate squared L2 between a
+    * query and a candidate = the sum over subspaces of the exact distance
+    * from the query's sub-vector to the candidate's CODE centroid — the
+    * candidate's full vector is never read at serve time, only its m
+    * codes (the 64-dim float corpus becomes an m-byte code table).
+    *
+    * The per-(query, subspace, anchor) distance table is queries × m × k
+    * rows — tiny; the serve join is codes ⋈ table on (sub, code), then a
+    * per-(query, candidate) sum of m 6-dp-rounded distances carried in
+    * exact DECIMAL (order-independent, so the approximate distance is
+    * reproducible across engines and partitionings). Top-k by (distance,
+    * candidate id). */
+  def pqTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, m: Int, subDim: Int,
+             k: Int): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val table = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
+      .withColumn("__sd_base", col("sub") * subDim + 1)
+      .crossJoin(broadcast(codebook))
+      .select(col("q_id"), col("sub"), col("anchor_id").as("code"),
+        subDist2("q_vec", "anchor_vec", col("sub"), subDim)
+          .cast(DecimalType(18, 6)).as("dd"))
+    val scored = table.join(codes, Seq("sub", "code"))
+      .filter(col("q_id") =!= col(idCol))
+      .groupBy(col("q_id"), col(idCol).as("c_id"))
+      .agg(sum(col("dd")).as("s_dec"))
+      .withColumn("approx_d2", col("s_dec").cast(DoubleType))
+    val w = Window.partitionBy("q_id").orderBy(col("approx_d2").asc, col("c_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "approx_d2")
+  }
 }

@@ -1810,7 +1810,159 @@ object PipelineQueries {
        |  lang, COUNT(*) AS n_docs, CAST(SUM(ws) AS BIGINT) AS total_tokens
        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** x18: exact substring-span duplication — the corpus-level signal
+    * behind suffix-array-style exact-substring dedup (Lee et al.'s
+    * "Deduplicating Training Data Makes Language Models Better" shape):
+    * every overlapping 8-word span is fingerprinted; a span occurring
+    * MORE THAN ONCE anywhere in the corpus (cross-doc or within-doc) is
+    * duplicated material, and each document is scored by the fraction of
+    * its spans that are. Complements x1 (whole-doc) and x11 (chunk): this
+    * catches boilerplate INSIDE otherwise-unique documents. All stages
+    * are combinable aggregates keyed on (doc, fp) / fp — linear in corpus
+    * tokens, no window, no self-join (see Dedup.spanDupStats). */
+  private val x18SpanDedup = Q(
+    (s, d) => Dedup.spanDupStats(Tables.documents(s, d), "doc_id", "text", k = 8)
+      .orderBy("doc_id"),
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |win AS (
+      |  SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS fp
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM ws WHERE len(w) >= 8)),
+      |pd AS (SELECT doc_id, fp, COUNT(*) AS c FROM win GROUP BY 1, 2),
+      |tot AS (SELECT fp, SUM(c) AS t FROM pd GROUP BY 1),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
+      |    CAST(SUM(CASE WHEN t >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM pd JOIN tot USING (fp) GROUP BY 1)
+      |SELECT doc_id, n_windows, n_dup, n_dup / n_windows AS dup_frac
+      |FROM agg ORDER BY doc_id""".stripMargin)
+
+  /** z20: BM25 scoring — the retrieval-quality ranking a curation
+    * pipeline uses to mine documents relevant to a seed query (data
+    * selection à la DSIR/retrieval-based filtering). Okapi BM25 with
+    * k1=1.2, b=0.75 over a fixed 4-term query. Engine-stable by
+    * construction: idf snapshots at DECIMAL(12,6) (the z15 ln
+    * discipline), avgdl is one exact-int division, each term's
+    * contribution is a fixed left-to-right double expression, and the
+    * per-doc score adds the (at most four) term contributions in a FIXED
+    * order via conditional aggregates — never a float sum in shuffle
+    * order. Scale: tf explodes only matching terms (the query-term
+    * filter reaches the scan), df/avgdl are broadcast-sized aggregates,
+    * and the global top-20 is TakeOrdered, not a single-partition
+    * window. */
+  private val z20Bm25 = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+      val terms = Seq("spark", "join", "hash", "scan")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("dl", size(col("w")).cast(LongType))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast(LongType).as("tot_dl"))
+      val tf = docs
+        .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy("doc_id", "dl", "term")
+        .agg(count(lit(1)).cast(LongType).as("tf"))
+      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .withColumn("idf6",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+            .cast(DecimalType(12, 6)))
+        .select("term", "idf6")
+      val contrib = tf
+        .join(broadcast(idf), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("tot_dl").cast(DoubleType) / col("n_docs"))
+        .withColumn("c",
+          col("idf6").cast(DoubleType) * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      def term(t: String) = coalesce(max(when(col("term") === lit(t), col("c"))), lit(0.0))
+      contrib.groupBy("doc_id")
+        .agg(count(lit(1)).cast(IntegerType).as("n_hit"),
+          (term("spark") + term("join") + term("hash") + term("scan")).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20)
+    },
+    """WITH d AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS dl
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot_dl FROM d),
+      |tf AS (SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+      |  WHERE term IN ('spark', 'join', 'hash', 'scan') GROUP BY 1, 2, 3),
+      |idf AS (SELECT term,
+      |    CAST(ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+      |      + CAST(1.0 AS DOUBLE)) AS DECIMAL(12,6)) AS idf6
+      |  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1) CROSS JOIN stats),
+      |-- every constant is CAST to DOUBLE: DuckDB parses bare 2.2/1.2 as
+      |-- DECIMAL literals and does EXACT decimal arithmetic (tf * 2.2 =
+      |-- 6.6 exactly), while Spark multiplies doubles — a 1-ulp drift
+      |c AS (SELECT doc_id, term,
+      |    CAST(idf6 AS DOUBLE) * (tf * CAST(2.2 AS DOUBLE)) /
+      |      (tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |        + CAST(0.75 AS DOUBLE) * dl / avgdl)) AS c
+      |  FROM (SELECT tf.*, idf6, CAST(tot_dl AS DOUBLE) / n_docs AS avgdl
+      |        FROM tf JOIN idf USING (term) CROSS JOIN stats) x)
+      |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_hit,
+      |    COALESCE(MAX(CASE WHEN term = 'spark' THEN c END), 0.0)
+      |  + COALESCE(MAX(CASE WHEN term = 'join' THEN c END), 0.0)
+      |  + COALESCE(MAX(CASE WHEN term = 'hash' THEN c END), 0.0)
+      |  + COALESCE(MAX(CASE WHEN term = 'scan' THEN c END), 0.0) AS score
+      |FROM c GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+
+  /** y5: product-quantization ANN — the memory-compression half of the
+    * FAISS-style index family (IVF = partition pruning, PQ = candidate
+    * compression): each 64-dim float vector becomes 8 subspace codes
+    * against a 16-anchor codebook, and serving ranks candidates by the
+    * ASYMMETRIC distance (exact query-to-centroid distances summed over
+    * the candidate's codes) without ever touching candidate vectors. The
+    * encode argmin is a map-side-combinable min(struct) — no per-vector
+    * window over the corpus; the serve join is (sub, code)-keyed against
+    * a queries × 8 × 16 distance table; per-(query, candidate) sums ride
+    * exact DECIMAL so the approximate distance is reproducible across
+    * engines and partitionings. ADC is linear in the code table (the PQ
+    * trade: 8 small codes per candidate instead of 64 floats); compose
+    * with IVF cells for the sublinear variant. */
+  private val y5PqAnn = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val codebook = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val codes = Similarity.pqEncode(e, codebook, "vec_id", "embedding",
+        m = 8, subDim = 8)
+      Similarity.pqTopK(codes, codebook, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", m = 8, subDim = 8, k = 5)
+        .orderBy("q_id", "rank")
+    },
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+      |cb AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < 16),
+      |subs AS (SELECT vec_id, vd, unnest(generate_series(0, 7)) AS sub FROM v),
+      |sd AS (SELECT s.vec_id, s.sub, c.anchor_id,
+      |    ROUND(list_reduce(list_transform(generate_series(s.sub * 8 + 1, s.sub * 8 + 8),
+      |      i -> (s.vd[i] - c.avd[i]) * (s.vd[i] - c.avd[i])), (acc, x) -> acc + x), 6) AS d6
+      |  FROM subs s CROSS JOIN cb c),
+      |codes AS (SELECT vec_id, sub, anchor_id AS code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d6, anchor_id) AS rn
+      |    FROM sd) x WHERE rn = 1),
+      |qd AS (SELECT vec_id AS q_id, sub, anchor_id AS code,
+      |    CAST(d6 AS DECIMAL(18,6)) AS dd
+      |  FROM sd WHERE vec_id % 50 = 0),
+      |adc AS (SELECT q.q_id, c.vec_id AS c_id, SUM(q.dd) AS s
+      |  FROM qd q JOIN codes c USING (sub, code)
+      |  WHERE q.q_id <> c.vec_id GROUP BY 1, 2)
+      |SELECT q_id, rank, c_id, approx_d2 FROM (
+      |  SELECT q_id, c_id, CAST(s AS DOUBLE) AS approx_d2,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY CAST(s AS DOUBLE), c_id) AS INT) AS rank
+      |  FROM adc) r
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "x18_span_dedup" -> x18SpanDedup,
+    "z20_bm25" -> z20Bm25,
+    "y5_pq_ann" -> y5PqAnn,
     "x11_chunk_dedup" -> x11ChunkDedup,
     "x12_bloom_prefilter" -> x12BloomPrefilter,
     "x13_curation_v2" -> x13CurationV2,

@@ -461,4 +461,58 @@ class MultimodalSpec extends SparkSpec {
     val want = Multimodal.checksum("klmnopqr".getBytes("UTF-8")) // bytes 10..17
     assert(frames(1).frame_checksum === want)
   }
+
+  test("spanDupStats flags cross-doc AND within-doc repeated spans, counts all windows") {
+    val docs = Seq(
+      (1L, "x y z p q r"),     // shares "x y z" with doc 2
+      (2L, "x y z a b c"),
+      (3L, "u v w t s m"),     // fully unique
+      (4L, "m m m m m"),       // every 3-window is the same span, repeated 3x
+      (5L, "a b")              // shorter than k: no windows, absent from output
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDupStats(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "n_windows", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) === ((4L, 1L, 0.25)))
+    assert(got(2L) === ((4L, 1L, 0.25)))
+    assert(got(3L) === ((4L, 0L, 0.0)))
+    assert(got(4L) === ((3L, 3L, 1.0))) // within-doc repetition is duplication too
+    assert(!got.contains(5L))
+  }
+
+  test("bm25 declared query: descending scores, bounded hits, deterministic reruns") {
+    val run = () => SparkEntry.queries("z20_bm25")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Double)].collect()
+    val rows = run()
+    assert(rows.length === 20)
+    val scores = rows.map(_._3)
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 4 && r._3 > 0 && !r._3.isNaN))
+    assert(run().toSeq === rows.toSeq) // shuffle-order-independent by construction
+  }
+
+  test("pqEncode picks the nearest sub-anchor per subspace; pqTopK ranks by ADC sum") {
+    val vecs = Seq(
+      (0L, Array(0.1f, 0.1f, 9f, 9f)),    // near a0 in sub0, a1 in sub1
+      (1L, Array(0.2f, 0.2f, 9f, 9f)),    // the close candidate
+      (2L, Array(10f, 10f, 0f, 0f))       // the far candidate (opposite codes)
+    ).toDF("vec_id", "embedding")
+    val codebook = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(10f, 10f, 10f, 10f))
+    ).toDF("anchor_id", "anchor_vec")
+    val codes = Similarity.pqEncode(vecs, codebook, "vec_id", "embedding", m = 2, subDim = 2)
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(codes((0L, 0)) === 0L && codes((0L, 1)) === 1L)
+    assert(codes((2L, 0)) === 1L && codes((2L, 1)) === 0L)
+    val top = Similarity.pqTopK(codes = Similarity.pqEncode(vecs, codebook, "vec_id", "embedding", 2, 2),
+      codebook = codebook, queries = vecs.filter(col("vec_id") === 0L),
+      idCol = "vec_id", vecCol = "embedding", m = 2, subDim = 2, k = 2)
+      .orderBy("rank").as[(Long, Int, Long, Double)].collect()
+    assert(top.map(_._3).toSeq === Seq(1L, 2L)) // same-code candidate first
+    // ADC by hand for candidate 1 (codes a0, a1): d(q_sub0, a0) + d(q_sub1, a1)
+    val want = (0.1 * 0.1 + 0.1 * 0.1) + ((9.0 - 10) * (9.0 - 10) + (9.0 - 10) * (9.0 - 10))
+    assert(math.abs(top(0)._4 - want) < 1e-6)
+  }
 }
