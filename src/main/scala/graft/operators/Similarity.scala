@@ -322,16 +322,21 @@ object Similarity {
     * and no per-vector window ever runs over the corpus. Output:
     * (idCol, sub, code). */
   def pqEncode(vectors: DataFrame, codebook: DataFrame, idCol: String,
-               vecCol: String, m: Int, subDim: Int): DataFrame = {
+               vecCol: String, m: Int, subDim: Int,
+               carryCols: Seq[String] = Nil): DataFrame = {
     val subs = vectors
-      .select(col(idCol), col(vecCol))
+      .select((col(idCol) +: col(vecCol) +: carryCols.map(col)): _*)
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("__sd_base", col("sub") * subDim + 1)
+    // carryCols (e.g. a precomputed LSH bucket) are functionally dependent
+    // on the vector id, so grouping by them too costs nothing and saves a
+    // corpus-sized join to re-attach them afterwards
     subs.crossJoin(broadcast(codebook))
       .withColumn("d6", subDist2(vecCol, "anchor_vec", col("sub"), subDim))
-      .groupBy(col(idCol), col("sub"))
+      .groupBy(col(idCol) +: col("sub") +: carryCols.map(col): _*)
       .agg(min(struct(col("d6"), col("anchor_id"))).as("w"))
-      .select(col(idCol), col("sub"), col("w.anchor_id").as("code"))
+      .select((col(idCol) +: col("sub") +: col("w.anchor_id").as("code") +:
+        carryCols.map(col)): _*)
   }
 
   /** PQ asymmetric-distance (ADC) top-k: approximate squared L2 between a
@@ -348,17 +353,23 @@ object Similarity {
     * candidate id). */
   def pqTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, m: Int, subDim: Int,
-             k: Int): DataFrame = {
+             k: Int, blockCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // blockCol (an LSH bucket / IVF cell both sides carry) turns the ADC
+    // scan from corpus-per-query into bucket-per-query: without it BOTH
+    // sides of the (sub, code) join grow with the corpus and the pair
+    // count is quadratic — the coarse-quantizer half of a FAISS-style
+    // IVF-PQ/LSH-PQ index is what keeps PQ serving sublinear at scale
     val table = queries
-      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .select((col(idCol).as("q_id") +: col(vecCol).as("q_vec") +:
+        blockCol.map(col).toSeq): _*)
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
       .withColumn("__sd_base", col("sub") * subDim + 1)
       .crossJoin(broadcast(codebook))
-      .select(col("q_id"), col("sub"), col("anchor_id").as("code"),
+      .select((col("q_id") +: col("sub") +: col("anchor_id").as("code") +:
         subDist2("q_vec", "anchor_vec", col("sub"), subDim)
-          .cast(DecimalType(18, 6)).as("dd"))
-    val scored = table.join(codes, Seq("sub", "code"))
+          .cast(DecimalType(18, 6)).as("dd") +: blockCol.map(col).toSeq): _*)
+    val scored = table.join(codes, blockCol.toSeq ++ Seq("sub", "code"))
       .filter(col("q_id") =!= col(idCol))
       .groupBy(col("q_id"), col(idCol).as("c_id"))
       .agg(sum(col("dd")).as("s_dec"))

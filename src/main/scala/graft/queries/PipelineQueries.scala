@@ -1921,36 +1921,43 @@ object PipelineQueries {
     * window over the corpus; the serve join is (sub, code)-keyed against
     * a queries × 8 × 16 distance table; per-(query, candidate) sums ride
     * exact DECIMAL so the approximate distance is reproducible across
-    * engines and partitionings. ADC is linear in the code table (the PQ
-    * trade: 8 small codes per candidate instead of 64 floats); compose
-    * with IVF cells for the sublinear variant. */
+    * engines and partitionings. The declared query is the LSH-PQ
+    * composition: both sides carry the hyperplane bucket (y2's coarse
+    * quantizer) and the ADC join blocks on it, so serving scans the
+    * query's bucket — never the corpus (unblocked ADC measured 18× wall
+    * at 10× corpus in the soak; blocked is the scale path, exactly the
+    * m4 lesson). The codes relation is the PQ trade: 8 small codes per
+    * candidate instead of 64 floats. */
   private val y5PqAnn = Q(
     (s, d) => {
       val e = Tables.embeddings(s, d)
+        .withColumn("bucket", Similarity.hyperplaneBucket("embedding"))
       val codebook = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
       val codes = Similarity.pqEncode(e, codebook, "vec_id", "embedding",
-        m = 8, subDim = 8)
+        m = 8, subDim = 8, carryCols = Seq("bucket"))
       Similarity.pqTopK(codes, codebook, e.filter(col("vec_id") % 50 === 0),
-          "vec_id", "embedding", m = 8, subDim = 8, k = 5)
+          "vec_id", "embedding", m = 8, subDim = 8, k = 5,
+          blockCol = Some("bucket"))
         .orderBy("q_id", "rank")
     },
-    """WITH v AS (SELECT vec_id,
+    s"""WITH v AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+      |b AS (SELECT vec_id, vd, CAST($bucketSql AS BIGINT) AS bucket FROM v),
       |cb AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < 16),
-      |subs AS (SELECT vec_id, vd, unnest(generate_series(0, 7)) AS sub FROM v),
-      |sd AS (SELECT s.vec_id, s.sub, c.anchor_id,
+      |subs AS (SELECT vec_id, vd, bucket, unnest(generate_series(0, 7)) AS sub FROM b),
+      |sd AS (SELECT s.vec_id, s.bucket, s.sub, c.anchor_id,
       |    ROUND(list_reduce(list_transform(generate_series(s.sub * 8 + 1, s.sub * 8 + 8),
       |      i -> (s.vd[i] - c.avd[i]) * (s.vd[i] - c.avd[i])), (acc, x) -> acc + x), 6) AS d6
       |  FROM subs s CROSS JOIN cb c),
-      |codes AS (SELECT vec_id, sub, anchor_id AS code FROM (
+      |codes AS (SELECT vec_id, bucket, sub, anchor_id AS code FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d6, anchor_id) AS rn
       |    FROM sd) x WHERE rn = 1),
-      |qd AS (SELECT vec_id AS q_id, sub, anchor_id AS code,
+      |qd AS (SELECT vec_id AS q_id, bucket, sub, anchor_id AS code,
       |    CAST(d6 AS DECIMAL(18,6)) AS dd
       |  FROM sd WHERE vec_id % 50 = 0),
       |adc AS (SELECT q.q_id, c.vec_id AS c_id, SUM(q.dd) AS s
-      |  FROM qd q JOIN codes c USING (sub, code)
+      |  FROM qd q JOIN codes c USING (bucket, sub, code)
       |  WHERE q.q_id <> c.vec_id GROUP BY 1, 2)
       |SELECT q_id, rank, c_id, approx_d2 FROM (
       |  SELECT q_id, c_id, CAST(s AS DOUBLE) AS approx_d2,
