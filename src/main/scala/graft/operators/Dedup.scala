@@ -575,14 +575,7 @@ object Dedup {
     * (one int division — engine-stable). */
   def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
                    k: Int): DataFrame = {
-    val perDocFp = docs
-      .select(col(idCol), split(col(textCol), " ").as("w"))
-      .filter(size(col("w")) >= k)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
-        .as("fp"))
-      .groupBy(col(idCol), col("fp"))
-      .agg(count(lit(1)).as("c"))
+    val perDocFp = spanFingerprints(docs, idCol, textCol, k)
     val totals = perDocFp.groupBy(col("fp"))
       .agg(sum(col("c")).as("t"))
     perDocFp.join(totals, Seq("fp"))
@@ -590,5 +583,46 @@ object Dedup {
       .agg(sum(col("c")).cast("long").as("n_windows"),
         sum(when(col("t") >= 2, col("c")).otherwise(lit(0))).cast("long").as("n_dup"))
       .withColumn("dup_frac", col("n_dup") / col("n_windows"))
+  }
+
+  /** Per-document k-word span fingerprint counts: (idCol, fp, c) — the
+    * shared first stage of [[spanDupStats]] and [[spanDecontaminate]].
+    * Fingerprints are generated in-scan (`transform` over the word array)
+    * and aggregated map-side; docs shorter than k words have no windows
+    * and are absent. */
+  private def spanFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                               k: Int): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
+        .as("fp"))
+      .groupBy(col(idCol), col("fp"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Span-level benchmark decontamination — z11's shingle-overlap check at
+    * the granularity eval-contamination actually leaks: a corpus document
+    * is contaminated to the degree its k-word spans appear verbatim in the
+    * BENCHMARK set (Lee et al.-style exact-substring hygiene, vs z11's
+    * doc-level any-overlap flag). Returns per corpus doc: window count,
+    * benchmark-matching window count, and the contaminated fraction.
+    *
+    * Scale shape: both sides reduce to fingerprint aggregates before any
+    * join; the verdict join is fp-keyed against the benchmark's DISTINCT
+    * span set (benchmarks are eval suites — small — so AQE broadcasts it;
+    * no forced hint, the corpus side never re-shuffles for a growing
+    * benchmark). */
+  def spanDecontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, k: Int): DataFrame = {
+    val corpusFp = spanFingerprints(corpus, idCol, textCol, k)
+    val benchFp = spanFingerprints(bench, idCol, textCol, k)
+      .select(col("fp")).distinct().withColumn("__hit", lit(1))
+    corpusFp.join(benchFp, Seq("fp"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).cast("long").as("n_windows"),
+        sum(when(col("__hit").isNotNull, col("c")).otherwise(lit(0)))
+          .cast("long").as("n_contam"))
+      .withColumn("contam_frac", col("n_contam") / col("n_windows"))
   }
 }

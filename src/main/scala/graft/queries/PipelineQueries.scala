@@ -1966,8 +1966,146 @@ object PipelineQueries {
       |  FROM adc) r
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 
+  /** x19: span-level benchmark decontamination — z11 flags a document if
+    * ANY 3-gram shingle overlaps the benchmark; this measures HOW MUCH of
+    * it is verbatim benchmark material at 8-word-span granularity (the
+    * exact-substring hygiene check run before training on a corpus that
+    * may embed eval sets). Benchmark = the z11 convention (doc_id % 97 ==
+    * 0). Both sides reduce to fingerprint aggregates before the fp-keyed
+    * verdict join; the benchmark span set is eval-suite-sized, so AQE
+    * broadcasts it — no forced hint. */
+  private val x19SpanDecontaminate = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.spanDecontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_id")
+    },
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |win AS (
+      |  SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS fp
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM ws WHERE len(w) >= 8)),
+      |pd AS (SELECT doc_id, fp, COUNT(*) AS c FROM win
+      |       WHERE doc_id % 97 <> 0 GROUP BY 1, 2),
+      |bench AS (SELECT DISTINCT fp FROM win WHERE doc_id % 97 = 0),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
+      |    CAST(SUM(CASE WHEN b.fp IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS n_contam
+      |  FROM pd LEFT JOIN bench b ON pd.fp = b.fp GROUP BY 1)
+      |SELECT doc_id, n_windows, n_contam, n_contam / n_windows AS contam_frac
+      |FROM agg ORDER BY doc_id""".stripMargin)
+
+  /** z21: DSIR-shaped importance scoring + resampling — data selection by
+    * unigram log-likelihood ratio between a target domain (source src0 as
+    * the in-domain proxy) and the whole corpus, the hashed-n-gram
+    * importance weighting behind "Data Selection for Language Models via
+    * Importance Resampling". Per-term ln probabilities (Laplace-smoothed)
+    * snapshot at DECIMAL(12,6) (the z15 discipline), so per-doc llr sums
+    * are exact-decimal and shuffle-order-independent; the deterministic
+    * md5-bucket resample keeps in-domain-looking docs at 80% and the rest
+    * at 20%. The weight table is vocab-bounded (broadcast by AQE, no
+    * hint); the corpus pays one term explode and one doc-keyed sum. */
+  private val z21DsirSample = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, DecimalType, LongType}
+      val tcx = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))
+      val cc = tcx.groupBy("term").agg(count(lit(1)).as("cc"))
+      val tcnt = tcx.filter(col("source") === "src0")
+        .groupBy("term").agg(count(lit(1)).as("tc"))
+      val tots = cc.agg(sum(col("cc")).cast(LongType).as("ctot"), count(lit(1)).as("v"))
+      val ttots = tcnt.agg(coalesce(sum(col("tc")), lit(0L)).cast(LongType).as("ttot"))
+      val w = cc.join(tcnt, Seq("term"), "left")
+        .crossJoin(broadcast(tots)).crossJoin(broadcast(ttots))
+        .withColumn("llr6",
+          log((coalesce(col("tc"), lit(0L)) + lit(1L)) / (col("ttot") + col("v")))
+            .cast(DecimalType(12, 6))
+          - log((col("cc") + lit(1L)) / (col("ctot") + col("v")))
+            .cast(DecimalType(12, 6)))
+        .select("term", "llr6")
+      val tf = tcx.groupBy("doc_id", "source", "term")
+        .agg(count(lit(1)).cast(LongType).as("tf"))
+      val perDoc = tf.join(w, Seq("term"))
+        .groupBy("doc_id", "source")
+        .agg(sum(col("tf") * col("llr6")).as("llr_dec"))
+        .withColumn("kept",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast(LongType) % 1000 <
+            when(col("llr_dec") > 0, 800).otherwise(200))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1).otherwise(0)).cast(LongType).as("n_kept"),
+          (sum(col("llr_dec")).cast(DoubleType) / count(lit(1))).as("mean_llr"))
+        .orderBy("source")
+    },
+    """WITH tcx AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+      |            FROM documents),
+      |cc AS (SELECT term, COUNT(*) AS cc FROM tcx GROUP BY 1),
+      |tcnt AS (SELECT term, COUNT(*) AS tc FROM tcx WHERE source = 'src0' GROUP BY 1),
+      |tots AS (SELECT CAST(SUM(cc) AS BIGINT) AS ctot, COUNT(*) AS v FROM cc),
+      |ttots AS (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS ttot FROM tcnt),
+      |w AS (SELECT cc.term,
+      |    CAST(ln((COALESCE(tc, 0) + 1) / (ttot + v)) AS DECIMAL(12,6))
+      |  - CAST(ln((cc + 1) / (ctot + v)) AS DECIMAL(12,6)) AS llr6
+      |  FROM cc LEFT JOIN tcnt ON cc.term = tcnt.term
+      |  CROSS JOIN tots CROSS JOIN ttots),
+      |tf AS (SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tcx GROUP BY 1, 2, 3),
+      |perdoc AS (
+      |  SELECT doc_id, source, SUM(tf * llr6) AS llr_dec,
+      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 <
+      |      CASE WHEN SUM(tf * llr6) > 0 THEN 800 ELSE 200 END AS kept
+      |  FROM tf JOIN w USING (term) GROUP BY 1, 2)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(llr_dec) AS DOUBLE) / COUNT(*) AS mean_llr
+      |FROM perdoc GROUP BY source ORDER BY source""".stripMargin)
+
+  /** z22: temperature-scaled mixture weights — the Pile/ROOTS-style
+    * source reweighting that decides how often each domain repeats in the
+    * training stream: weight ∝ n_tokens^0.5 (temperature flattening —
+    * sqrt, a single correctly-rounded op in both engines), normalized
+    * into shares via exact-decimal snapshots (never a float sum in
+    * aggregation order), then a repeat factor against a 1M-token budget.
+    * Source-level aggregates only — broadcast-sized everywhere after the
+    * one corpus scan. */
+  private val z22TemperatureMix = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val stats = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast(LongType).as("n_tokens"))
+      val w = stats.withColumn("w_dec",
+        sqrt(col("n_tokens").cast(DoubleType)).cast(DecimalType(18, 8)))
+      val tot = w.agg(sum(col("w_dec")).as("w_tot"))
+      w.crossJoin(broadcast(tot))
+        .withColumn("share", col("w_dec").cast(DoubleType) / col("w_tot").cast(DoubleType))
+        .withColumn("repeat_factor",
+          col("share") * lit(1000000.0) / col("n_tokens"))
+        .select("source", "n_docs", "n_tokens", "share", "repeat_factor")
+        .orderBy("source")
+    },
+    """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,8)) AS w_dec
+      |      FROM s),
+      |t AS (SELECT SUM(w_dec) AS w_tot FROM w)
+      |SELECT source, n_docs, n_tokens,
+      |  CAST(w_dec AS DOUBLE) / CAST(w_tot AS DOUBLE) AS share,
+      |  CAST(w_dec AS DOUBLE) / CAST(w_tot AS DOUBLE)
+      |    * CAST(1000000.0 AS DOUBLE) / n_tokens AS repeat_factor
+      |FROM w CROSS JOIN t ORDER BY source""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "x18_span_dedup" -> x18SpanDedup,
+    "x19_span_decontaminate" -> x19SpanDecontaminate,
+    "z21_dsir_sample" -> z21DsirSample,
+    "z22_temperature_mix" -> z22TemperatureMix,
     "z20_bm25" -> z20Bm25,
     "y5_pq_ann" -> y5PqAnn,
     "x11_chunk_dedup" -> x11ChunkDedup,

@@ -481,6 +481,40 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.contains(5L))
   }
 
+  test("spanDecontaminate scores verbatim benchmark spans, ignores novel text") {
+    val corpus = Seq(
+      (1L, "q1 q2 q3 a b c"),   // leading 3-span is verbatim benchmark
+      (2L, "a b c d e f"),      // clean
+      (3L, "q1 q2 q3 q4 x y")   // two of four windows hit ("q1 q2 q3", "q2 q3 q4")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "q1 q2 q3 q4")).toDF("doc_id", "text")
+    val got = Dedup.spanDecontaminate(corpus, bench, "doc_id", "text", k = 3)
+      .select("doc_id", "n_windows", "n_contam", "contam_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) === ((4L, 1L, 0.25)))
+    assert(got(2L) === ((4L, 0L, 0.0)))
+    assert(got(3L) === ((4L, 2L, 0.5)))
+  }
+
+  test("dsir + temperature-mix declared queries: shares normalize, resample bounded") {
+    val mix = SparkEntry.queries("z22_temperature_mix")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(math.abs(mix.map(_._4).sum - 1.0) < 1e-9) // shares sum to 1
+    assert(mix.forall(r => r._5 > 0))
+    // temperature flattening: min/max share ratio must exceed min/max token ratio
+    val tokMin = mix.map(_._3).min.toDouble / mix.map(_._3).max
+    val shareMin = mix.map(_._4).min / mix.map(_._4).max
+    assert(shareMin > tokMin, "sqrt temperature must flatten the distribution")
+    val dsir = SparkEntry.queries("z21_dsir_sample")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double)].collect()
+    assert(dsir.forall(r => r._3 >= 0 && r._3 <= r._2))
+    // the in-domain source must score itself above the corpus mean of means
+    val bySrc = dsir.map(r => r._1 -> r._4).toMap
+    assert(bySrc("src0") > dsir.map(_._4).sum / dsir.length,
+      "src0 should look most in-domain under its own LM")
+  }
+
   test("bm25 declared query: descending scores, bounded hits, deterministic reruns") {
     val run = () => SparkEntry.queries("z20_bm25")(spark, "/root/testdata/sf0.001")
       .as[(Long, Int, Double)].collect()

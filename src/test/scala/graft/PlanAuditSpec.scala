@@ -132,6 +132,33 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("x18: span dedup is aggregates only — no window, no span self-join") {
+    val plan = formatted("x18_span_dedup")
+    assert(!plan.contains("Window"), "span dedup regressed to a window")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // fp totals join back at (doc, fp) granularity: exactly one equi-join
+    assert("\\(\\d+\\) (BroadcastHash|SortMerge|ShuffledHash)Join".r
+      .findAllIn(plan).size == 1, "span dedup grew extra joins")
+  }
+
+  test("z20: BM25 top-20 is TakeOrdered, never a single-partition sort/window") {
+    val plan = formatted("z20_bm25")
+    assert(plan.contains("TakeOrderedAndProject"), "global top-k must be TakeOrdered")
+    assert(!plan.contains("Window"), "BM25 must not rank through a window")
+  }
+
+  test("y5: the ADC serve join blocks on the bucket; only the codebook crosses (broadcast)") {
+    val plan = formatted("y5_pq_ann")
+    assert(!plan.contains("CartesianProduct"))
+    // two deliberate broadcast crosses against the 16-row codebook
+    // (encode + the query distance table); the ADC join itself must be a
+    // (bucket, sub, code) hash equi-join, never a third cross
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 2,
+      "PQ serve grew an unblocked cross join")
+    assert("(BroadcastHash|SortMerge|ShuffledHash)Join".r.findAllIn(plan).nonEmpty,
+      "the ADC join left the plan")
+  }
+
   test("j11: the bloom probe filters the fact scan BEFORE the exact semi-join") {
     val plan = formatted("j11_bloom_semi_join")
     assert(plan.contains("might_contain"), "bloom reduction left the plan")
