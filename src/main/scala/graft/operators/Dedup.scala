@@ -397,16 +397,26 @@ object Dedup {
     // size and recomputation cost — would otherwise grow exponentially
     var labels = Housekeeping.pin(spark)(
       nodes.select(col(idCol).as("node"), col(idCol).as("cluster")))
-    // convergence probe: `least()` makes every label non-increasing, so the
-    // label SUM is monotone non-increasing and stalls exactly at the
-    // fixpoint — an unchanged sum ⟺ no label changed. One wide-decimal
-    // aggregate over the (already checkpointed) label frame per round,
-    // versus the previous full node-keyed join + count probe; cheap enough
-    // to run EVERY round, so the loop also exits a round earlier.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster").cast("decimal(38,0)")).as("s"))
-        .head.getDecimal(0)
-    var prevSum = labelSum(labels.df)
+    // convergence probe: `least()` makes every label non-increasing, so
+    // for NUMERIC ids the label SUM is monotone non-increasing and stalls
+    // exactly at the fixpoint — an unchanged sum ⟺ no label changed. One
+    // wide-decimal aggregate over the (already checkpointed) label frame
+    // per round, versus a full node-keyed join + count; cheap enough to
+    // run EVERY round, so the loop also exits a round earlier. A null sum
+    // (empty node set) is the fixpoint by definition. Non-numeric ids
+    // (string keys) would cast to null and break the sum's soundness, so
+    // they keep the join + count probe.
+    import org.apache.spark.sql.types._
+    val numericIds = labels.df.schema("cluster").dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("cluster").cast("decimal(38,0)")).as("s")).head
+      if (s.isNullAt(0)) java.math.BigDecimal.ZERO else s.getDecimal(0)
+    }
+    var prevSum = if (numericIds) labelSum(labels.df) else java.math.BigDecimal.ZERO
     var changed = true
     var i = 0
     while (changed && i < maxIters) {
@@ -416,9 +426,14 @@ object Dedup {
         labels.df.join(nbrMin, labels.df("node") === nbrMin("src"), "left")
           .select(col("node"),
             least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")))
-      val nextSum = labelSum(next.df)
-      changed = nextSum.compareTo(prevSum) != 0
-      prevSum = nextSum
+      if (numericIds) {
+        val nextSum = labelSum(next.df)
+        changed = nextSum.compareTo(prevSum) != 0
+        prevSum = nextSum
+      } else if (i % 2 == 1 || i == maxIters - 1) {
+        changed = next.df.as("n").join(labels.df.as("p"), col("n.node") === col("p.node"))
+          .filter(col("n.cluster") =!= col("p.cluster")).count() > 0
+      }
       labels.free()
       labels = next
       i += 1
@@ -575,6 +590,7 @@ object Dedup {
     * (one int division — engine-stable). */
   def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
                    k: Int): DataFrame = {
+    require(k >= 1, s"span width must be positive, got $k")
     val perDocFp = spanFingerprints(docs, idCol, textCol, k)
     val totals = perDocFp.groupBy(col("fp"))
       .agg(sum(col("c")).as("t"))
@@ -615,6 +631,7 @@ object Dedup {
     * benchmark). */
   def spanDecontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"span width must be positive, got $k")
     val corpusFp = spanFingerprints(corpus, idCol, textCol, k)
     val benchFp = spanFingerprints(bench, idCol, textCol, k)
       .select(col("fp")).distinct().withColumn("__hit", lit(1))

@@ -297,14 +297,15 @@ object Similarity {
   }
 
   /** Squared L2 distance between two float-array columns restricted to
-    * subspace `sub` (dims [sub·subDim, (sub+1)·subDim)), as a deterministic
-    * sequential fold; `sub` may be a column (the exploded subspace id).
+    * subspace `subCol` (an INT column expression in scope, 0-based: dims
+    * [sub·subDim, (sub+1)·subDim)), as a deterministic sequential fold.
     * Rounded to 6 dp so per-subspace argmins and distance tables are
     * reproducible across engines. */
-  def subDist2(a: String, b: String, sub: Column, subDim: Int): Column =
+  def subDist2(a: String, b: String, subCol: String, subDim: Int): Column =
     round(expr(
       s"""aggregate(
-         |  zip_with(slice($a, __sd_base, $subDim), slice($b, __sd_base, $subDim),
+         |  zip_with(slice($a, $subCol * $subDim + 1, $subDim),
+         |    slice($b, $subCol * $subDim + 1, $subDim),
          |    (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
          |              * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
          |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin), 6)
@@ -321,18 +322,25 @@ object Similarity {
     * per vector after partial aggregation, never the m·k distance rows,
     * and no per-vector window ever runs over the corpus. Output:
     * (idCol, sub, code). */
+  /** PQ geometry must tile the vector exactly: a subspace slicing past the
+    * array end would fold over an EMPTY slice and score 0 for every
+    * anchor — silently wrong codes, not an error. */
+  private def requirePqDims(m: Int, subDim: Int, dims: Int): Unit =
+    require(m >= 1 && subDim >= 1 && m * subDim == dims,
+      s"m ($m) x subDim ($subDim) must tile the $dims-dim vector exactly")
+
   def pqEncode(vectors: DataFrame, codebook: DataFrame, idCol: String,
                vecCol: String, m: Int, subDim: Int,
-               carryCols: Seq[String] = Nil): DataFrame = {
+               carryCols: Seq[String] = Nil, dims: Int = 64): DataFrame = {
+    requirePqDims(m, subDim, dims)
     val subs = vectors
       .select((col(idCol) +: col(vecCol) +: carryCols.map(col)): _*)
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("__sd_base", col("sub") * subDim + 1)
     // carryCols (e.g. a precomputed LSH bucket) are functionally dependent
     // on the vector id, so grouping by them too costs nothing and saves a
     // corpus-sized join to re-attach them afterwards
     subs.crossJoin(broadcast(codebook))
-      .withColumn("d6", subDist2(vecCol, "anchor_vec", col("sub"), subDim))
+      .withColumn("d6", subDist2(vecCol, "anchor_vec", "sub", subDim))
       .groupBy(col(idCol) +: col("sub") +: carryCols.map(col): _*)
       .agg(min(struct(col("d6"), col("anchor_id"))).as("w"))
       .select((col(idCol) +: col("sub") +: col("w.anchor_id").as("code") +:
@@ -353,8 +361,9 @@ object Similarity {
     * candidate id). */
   def pqTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, m: Int, subDim: Int,
-             k: Int, blockCol: Option[String] = None): DataFrame = {
+             k: Int, blockCol: Option[String] = None, dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    requirePqDims(m, subDim, dims)
     // blockCol (an LSH bucket / IVF cell both sides carry) turns the ADC
     // scan from corpus-per-query into bucket-per-query: without it BOTH
     // sides of the (sub, code) join grow with the corpus and the pair
@@ -364,10 +373,9 @@ object Similarity {
       .select((col(idCol).as("q_id") +: col(vecCol).as("q_vec") +:
         blockCol.map(col).toSeq): _*)
       .withColumn("sub", explode(sequence(lit(0), lit(m - 1))))
-      .withColumn("__sd_base", col("sub") * subDim + 1)
       .crossJoin(broadcast(codebook))
       .select((col("q_id") +: col("sub") +: col("anchor_id").as("code") +:
-        subDist2("q_vec", "anchor_vec", col("sub"), subDim)
+        subDist2("q_vec", "anchor_vec", "sub", subDim)
           .cast(DecimalType(18, 6)).as("dd") +: blockCol.map(col).toSeq): _*)
     val scored = table.join(codes, blockCol.toSeq ++ Seq("sub", "code"))
       .filter(col("q_id") =!= col(idCol))

@@ -2013,9 +2013,16 @@ object PipelineQueries {
       import org.apache.spark.sql.types.{DoubleType, DecimalType, LongType}
       val tcx = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))
-      val cc = tcx.groupBy("term").agg(count(lit(1)).as("cc"))
-      val tcnt = tcx.filter(col("source") === "src0")
-        .groupBy("term").agg(count(lit(1)).as("tc"))
+      // ONE corpus explode: tf is the only aggregate built directly on the
+      // exploded relation; the term-level count tables derive from tf's
+      // already-reduced output, and every consumer shares the identical tf
+      // subtree, so the scan + explode + (doc, term) shuffle execute once
+      // (exchange reuse) instead of once per count table
+      val tf = tcx.groupBy("doc_id", "source", "term")
+        .agg(count(lit(1)).cast(LongType).as("tf"))
+      val cc = tf.groupBy("term").agg(sum(col("tf")).cast(LongType).as("cc"))
+      val tcnt = tf.filter(col("source") === "src0")
+        .groupBy("term").agg(sum(col("tf")).cast(LongType).as("tc"))
       val tots = cc.agg(sum(col("cc")).cast(LongType).as("ctot"), count(lit(1)).as("v"))
       val ttots = tcnt.agg(coalesce(sum(col("tc")), lit(0L)).cast(LongType).as("ttot"))
       val w = cc.join(tcnt, Seq("term"), "left")
@@ -2026,8 +2033,6 @@ object PipelineQueries {
           - log((col("cc") + lit(1L)) / (col("ctot") + col("v")))
             .cast(DecimalType(12, 6)))
         .select("term", "llr6")
-      val tf = tcx.groupBy("doc_id", "source", "term")
-        .agg(count(lit(1)).cast(LongType).as("tf"))
       val perDoc = tf.join(w, Seq("term"))
         .groupBy("doc_id", "source")
         .agg(sum(col("tf") * col("llr6")).as("llr_dec"))

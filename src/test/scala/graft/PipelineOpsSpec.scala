@@ -536,13 +536,13 @@ class MultimodalSpec extends SparkSpec {
       (0L, Array(0f, 0f, 0f, 0f)),
       (1L, Array(10f, 10f, 10f, 10f))
     ).toDF("anchor_id", "anchor_vec")
-    val codes = Similarity.pqEncode(vecs, codebook, "vec_id", "embedding", m = 2, subDim = 2)
+    val codes = Similarity.pqEncode(vecs, codebook, "vec_id", "embedding", m = 2, subDim = 2, dims = 4)
       .as[(Long, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     assert(codes((0L, 0)) === 0L && codes((0L, 1)) === 1L)
     assert(codes((2L, 0)) === 1L && codes((2L, 1)) === 0L)
-    val top = Similarity.pqTopK(codes = Similarity.pqEncode(vecs, codebook, "vec_id", "embedding", 2, 2),
+    val top = Similarity.pqTopK(codes = Similarity.pqEncode(vecs, codebook, "vec_id", "embedding", 2, 2, dims = 4),
       codebook = codebook, queries = vecs.filter(col("vec_id") === 0L),
-      idCol = "vec_id", vecCol = "embedding", m = 2, subDim = 2, k = 2)
+      idCol = "vec_id", vecCol = "embedding", m = 2, subDim = 2, k = 2, dims = 4)
       .orderBy("rank").as[(Long, Int, Long, Double)].collect()
     assert(top.map(_._3).toSeq === Seq(1L, 2L)) // same-code candidate first
     // ADC by hand for candidate 1 (codes a0, a1): d(q_sub0, a0) + d(q_sub1, a1)
