@@ -2106,9 +2106,164 @@ object PipelineQueries {
       |    * CAST(1000000.0 AS DOUBLE) / n_tokens AS repeat_factor
       |FROM w CROSS JOIN t ORDER BY source""".stripMargin)
 
+  /** z23: trigram Stupid Backoff scoring (Brants et al., "Large Language
+    * Models in Machine Translation") — the web-scale LM smoothing that
+    * never normalizes: S(w|u,v) = trigram MLE when the train slice saw
+    * the trigram, else 0.4·S(w|v), recursing to a Laplace unigram floor.
+    * Unlike z15/z17's in-corpus scoring, the LM here is fit on a TRAIN
+    * slice (doc_id % 5 != 0) and scores EVERY doc, so held-out docs
+    * genuinely hit the backoff path (~half the trigram space is unseen
+    * at the gate SFs). All ln snapshots ride DECIMAL(12,6) and backoff
+    * terms add in exact decimal, so per-doc sums are shuffle-order-
+    * independent. Scale: the trigram/bigram tables are corpus-derived —
+    * joined UNHINTED (the z17 lesson: AQE broadcasts while they fit,
+    * shuffle-joins when they don't); the unigram floor is vocab-bounded. */
+  private val z23BackoffLm = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+      val dec = DecimalType(12, 6)
+      val docs = Tables.documents(s, d)
+      val tri = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(2, size(ws) - 1), i -> struct(ws[i-2] AS p1, ws[i-1] AS p2, ws[i] AS cur))"))
+          .as("t"))
+        .select(col("doc_id"), col("t.p1"), col("t.p2"), col("t.cur"))
+      val triTr = tri.filter(col("doc_id") % 5 =!= 0)
+      val tcnt = triTr.groupBy("p1", "p2", "cur").agg(count(lit(1)).as("n_tri"))
+      val ccnt = triTr.groupBy("p1", "p2").agg(count(lit(1)).as("n_ctx"))
+      val trilp = tcnt.join(ccnt, Seq("p1", "p2"))
+        .withColumn("tri_lp", log(col("n_tri").cast(DoubleType) / col("n_ctx")).cast(dec))
+        .select("p1", "p2", "cur", "tri_lp")
+      val bgTr = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
+        .select(col("b.prev").as("p2"), col("b.cur").as("cur"))
+      val bcnt = bgTr.groupBy("p2", "cur").agg(count(lit(1)).as("n_bg"))
+      val pcnt = bgTr.groupBy("p2").agg(count(lit(1)).as("n_prev"))
+      val bglp = bcnt.join(pcnt, Seq("p2"))
+        .withColumn("bg_lp", log(col("n_bg").cast(DoubleType) / col("n_prev")).cast(dec))
+        .select("p2", "cur", "bg_lp")
+      val toks = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(explode(split(col("text"), " ")).as("cur"))
+      val ucnt = toks.groupBy("cur").agg(count(lit(1)).as("n_u"))
+      val tots = ucnt.agg(sum(col("n_u")).cast(LongType).as("n_tok"), count(lit(1)).as("v"))
+      val ulp = ucnt.crossJoin(broadcast(tots))
+        .withColumn("u_lp", log((col("n_u") + lit(1L)) / (col("n_tok") + col("v"))).cast(dec))
+        .select("cur", "u_lp")
+      val ln04 = log(lit(0.4)).cast(dec)
+      val scored = tri
+        .join(trilp, Seq("p1", "p2", "cur"), "left")
+        .join(bglp, Seq("p2", "cur"), "left")
+        .join(ulp, Seq("cur"), "left")
+        .crossJoin(broadcast(tots))
+        .withColumn("lp", coalesce(col("tri_lp"),
+          ln04 + coalesce(col("bg_lp"),
+            ln04 + coalesce(col("u_lp"),
+              log(lit(1.0) / (col("n_tok") + col("v"))).cast(dec)))))
+        .withColumn("backoff", col("tri_lp").isNull)
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).cast(IntegerType).as("n_trigrams"),
+          sum(when(col("backoff"), 1).otherwise(0)).cast(LongType).as("n_backoff"),
+          (sum(col("lp")).cast(DoubleType) / count(lit(1))).as("avg_logprob"))
+        .withColumn("held_out", col("doc_id") % 5 === 0)
+        .orderBy("doc_id")
+    },
+    """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |tpos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+      |         FROM wl WHERE len(l) >= 3),
+      |tri AS (SELECT doc_id, l[i] AS p1, l[i+1] AS p2, l[i+2] AS cur FROM tpos),
+      |tritr AS (SELECT * FROM tri WHERE doc_id % 5 <> 0),
+      |tcnt AS (SELECT p1, p2, cur, COUNT(*) AS n_tri FROM tritr GROUP BY 1, 2, 3),
+      |ccnt AS (SELECT p1, p2, COUNT(*) AS n_ctx FROM tritr GROUP BY 1, 2),
+      |trilp AS (SELECT p1, p2, cur,
+      |    CAST(ln(CAST(n_tri AS DOUBLE) / n_ctx) AS DECIMAL(12,6)) AS tri_lp
+      |  FROM tcnt JOIN ccnt USING (p1, p2)),
+      |bpos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+      |         FROM wl WHERE len(l) >= 2),
+      |bgtr AS (SELECT l[i] AS p2, l[i+1] AS cur FROM bpos WHERE doc_id % 5 <> 0),
+      |bcnt AS (SELECT p2, cur, COUNT(*) AS n_bg FROM bgtr GROUP BY 1, 2),
+      |pcnt AS (SELECT p2, COUNT(*) AS n_prev FROM bgtr GROUP BY 1),
+      |bglp AS (SELECT p2, cur,
+      |    CAST(ln(CAST(n_bg AS DOUBLE) / n_prev) AS DECIMAL(12,6)) AS bg_lp
+      |  FROM bcnt JOIN pcnt USING (p2)),
+      |toks AS (SELECT unnest(l) AS cur FROM wl WHERE doc_id % 5 <> 0),
+      |ucnt AS (SELECT cur, COUNT(*) AS n_u FROM toks GROUP BY 1),
+      |tots AS (SELECT CAST(SUM(n_u) AS BIGINT) AS n_tok, COUNT(*) AS v FROM ucnt),
+      |ulp AS (SELECT cur, CAST(ln((n_u + 1) / (n_tok + v)) AS DECIMAL(12,6)) AS u_lp
+      |        FROM ucnt CROSS JOIN tots),
+      |sc AS (SELECT tri.doc_id,
+      |    COALESCE(t.tri_lp,
+      |      CAST(ln(CAST(0.4 AS DOUBLE)) AS DECIMAL(12,6))
+      |      + COALESCE(b.bg_lp,
+      |        CAST(ln(CAST(0.4 AS DOUBLE)) AS DECIMAL(12,6))
+      |        + COALESCE(u.u_lp,
+      |          CAST(ln(CAST(1.0 AS DOUBLE) / (n_tok + v)) AS DECIMAL(12,6))))) AS lp,
+      |    t.tri_lp IS NULL AS backoff
+      |  FROM tri
+      |  LEFT JOIN trilp t ON tri.p1 = t.p1 AND tri.p2 = t.p2 AND tri.cur = t.cur
+      |  LEFT JOIN bglp b ON tri.p2 = b.p2 AND tri.cur = b.cur
+      |  LEFT JOIN ulp u ON tri.cur = u.cur
+      |  CROSS JOIN tots)
+      |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_trigrams,
+      |  CAST(SUM(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+      |  CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob,
+      |  doc_id % 5 = 0 AS held_out
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** z24: source-overlap matrix — the corpus-composition report (Dolma/
+    * RedPajama-style): for every pair of sources, the Jaccard overlap of
+    * their distinct 3-gram shingle sets. Surfaces which domains are
+    * near-copies of each other (mirror sites, crawl overlap) before
+    * mixture weights are chosen. The (shingle, source) relation is
+    * distinct-reduced BEFORE the self-join, and per-shingle fan-out is
+    * bounded by |sources|² (a constant ~20², not corpus-sized) — the
+    * shuffle is linear in distinct shingles. Pair intersections are
+    * map-side-combinable counts; the final matrix is |sources|²-sized. */
+  private val z24SourceOverlap = Q(
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("source"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("a").join(sh.as("b"), Seq("sh"))
+        .filter(col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n_sh", "n_a"), Seq("src_a"))
+        .join(sizes.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n_sh", "n_b"), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+          (col("n_common") / (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    """WITH ws AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      |pos AS (SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i
+      |        FROM ws WHERE len(w) >= 3),
+      |sh AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM pos),
+      |sizes AS (SELECT source, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT src_a, src_b, n_common, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |  n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.source = src_a
+      |JOIN sizes sb ON sb.source = src_b
+      |ORDER BY src_a, src_b""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "x18_span_dedup" -> x18SpanDedup,
     "x19_span_decontaminate" -> x19SpanDecontaminate,
+    "z23_backoff_lm" -> z23BackoffLm,
+    "z24_source_overlap" -> z24SourceOverlap,
     "z21_dsir_sample" -> z21DsirSample,
     "z22_temperature_mix" -> z22TemperatureMix,
     "z20_bm25" -> z20Bm25,

@@ -515,6 +515,18 @@ class MultimodalSpec extends SparkSpec {
       "src0 should look most in-domain under its own LM")
   }
 
+  test("stupid-backoff LM: train docs never back off, held-out docs do; scores negative") {
+    val rows = SparkEntry.queries("z23_backoff_lm")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+    val (held, train) = rows.partition(_._5)
+    assert(train.forall(_._3 === 0L), "the LM saw every train trigram — no backoff there")
+    assert(held.map(_._3).sum > 0L, "held-out docs must exercise the backoff path")
+    assert(rows.forall(r => r._4 < 0 && !r._4.isNaN && !r._4.isInfinite))
+    // backing off costs ln(0.4) plus a weaker model: held-out mean must be lower
+    val mean = (xs: Array[Double]) => xs.sum / xs.length
+    assert(mean(held.map(_._4)) < mean(train.map(_._4)))
+  }
+
   test("bm25 declared query: descending scores, bounded hits, deterministic reruns") {
     val run = () => SparkEntry.queries("z20_bm25")(spark, "/root/testdata/sf0.001")
       .as[(Long, Int, Double)].collect()
