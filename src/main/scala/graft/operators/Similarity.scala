@@ -56,8 +56,9 @@ object Similarity {
       .select("q_id", "rank", "c_id", "cosine")
   }
 
-  /** Number of LSH hyperplanes (bucket signature bits). */
-  val NumPlanes = 8
+  /** Number of LSH hyperplanes (bucket signature bits) — delegated to the
+    * native expression so the two forms can never disagree. */
+  val NumPlanes: Int = graft.plans.HyperplaneBucket.NumPlanes
 
   /** Deterministic pseudo-random hyperplane weight: plane j, dimension i.
     * Modulus 13 with multiplier 19 keeps all `NumPlanes` planes DISTINCT:
@@ -65,9 +66,25 @@ object Similarity {
     * (7·17 ≡ 0 mod 7), silently halving the effective bucket count. */
   def planeWeight(i: Int, j: Int): Int = ((i * 31 + j * 19) % 13) - 6
 
-  /** Signed-projection bucket id (0..2^NumPlanes-1) for a 64-dim float
-    * vector column: bit j = [dot(vec, plane_j) > 0]. */
-  def hyperplaneBucket(vecCol: String, dims: Int = 64): Column = {
+  /** Signed-projection bucket id (0..2^NumPlanes-1) for a float vector
+    * column: bit j = [dot(vec, plane_j) > 0]. Evaluates through the native
+    * codegen'd `hyperplane_bucket` expression (one primitive loop per row
+    * accumulating all planes) registered by GraftExtensions; bit-identical
+    * to [[hyperplaneBucketHof]], which remains the reference form the
+    * parity spec checks against. The native form folds over the vector's
+    * actual length, so `dims` must equal the array length (every caller
+    * does — the HOF form likewise only matches the oracle under that
+    * contract). Requires a session built with the graft extensions — like
+    * `vector_dot`, every production entry point (GraftSession/Verify/
+    * Bench) installs them. */
+  def hyperplaneBucket(vecCol: String, dims: Int = 64): Column =
+    call_function("hyperplane_bucket", col(vecCol))
+
+  /** The composable higher-order-function form of [[hyperplaneBucket]]:
+    * one `aggregate` fold per plane over dims elements. Kept as the
+    * executable specification of the bucket semantics (and for sessions
+    * without the extensions installed). */
+  def hyperplaneBucketHof(vecCol: String, dims: Int = 64): Column = {
     val bits = (0 until NumPlanes).map { j =>
       val dotJ = expr(
         s"""aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE),

@@ -75,6 +75,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the building blocks of the streaming near-dup gate (a corpus-side
     // Bloom over LSH band keys, probed per row with zero streaming state).
     ext.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (children: Seq[Expression]) => {
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"hyperplane_bucket requires exactly 1 argument, got ${children.length}")
+        HyperplaneBucket(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) => {

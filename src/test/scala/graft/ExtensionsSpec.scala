@@ -69,6 +69,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("2 arguments"), e2.getMessage)
   }
 
+  test("hyperplane_bucket native == HOF reference on random, 8-dim, and degenerate vectors") {
+    val rnd = new scala.util.Random(7)
+    val rand64 = (0L until 200L).map(id =>
+      (id, Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f))).toDF("id", "v")
+    val rand8 = (0L until 200L).map(id =>
+      (id, Array.fill(8)((rnd.nextFloat() - 0.5f) * 4f))).toDF("id", "v")
+    for ((df, dims) <- Seq((rand64, 64), (rand8, 8))) {
+      val both = df.select(col("id"),
+          Similarity.hyperplaneBucket("v", dims).as("nat"),
+          Similarity.hyperplaneBucketHof("v", dims).as("hof"))
+        .filter(col("nat") =!= col("hof"))
+      assert(both.isEmpty, s"native/HOF bucket drift at dims=$dims")
+      // buckets actually spread (the mod-13 planes are all distinct)
+      assert(df.select(Similarity.hyperplaneBucket("v", dims)).distinct().count() > 10)
+    }
+    // null ELEMENT → every plane's fold poisons → bucket 0 in both forms
+    val ne = spark.range(1)
+      .select(expr(s"array(${("CAST(NULL AS FLOAT)" +: Seq.fill(63)("1.0F")).mkString(",")})").as("v"))
+    val neRows = ne.select(
+      Similarity.hyperplaneBucket("v").as("nat"),
+      Similarity.hyperplaneBucketHof("v").as("hof")).collect()(0)
+    assert(neRows.getLong(0) === 0L && neRows.getLong(1) === 0L)
+    // null ARRAY → null
+    val na = spark.range(1).select(lit(null).cast("array<float>").as("v"))
+      .select(Similarity.hyperplaneBucket("v").as("nat")).collect()(0)
+    assert(na.isNullAt(0))
+  }
+
   test("kNN through the rewrite matches the hand path end-to-end") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
