@@ -60,4 +60,37 @@ object Sampling {
       .filter(col("__cap_rn") <= n)
       .drop("__cap_rn")
   }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each row draws a deterministic uniform u ∈ (0, 1] from md5 of its
+    * key and scores ln(u)/w — the k LARGEST scores are a weighted sample
+    * without replacement (equivalent to ranking u^(1/w), row selection
+    * probability proportional to weight at each draw). This is THE
+    * distributed form of weighted sampling: one scan computes every key,
+    * `orderBy(...).limit(k)` plans as TakeOrderedAndProject — each
+    * partition keeps its local top-k and a single reducer merges k·P
+    * candidate rows, so no full sort and no corpus shuffle ever happens.
+    * The score is snapshot at DECIMAL(18,12) so the selected SET is
+    * reproducible across engines and cluster sizes; ties break by key.
+    * The scale matters: casting double→DECIMAL is only engine-stable
+    * while 10^scale × value is far from half-boundaries relative to the
+    * scaling arithmetic's own rounding error — at scale 18 DuckDB's
+    * binary 10^18 multiply wobbles the boundary decision ~1e-2 per row
+    * (a 3%-per-row hash-flip rate, observed); at scale 12 the wobble is
+    * ~1e-8 and also safely absorbs any 1-ulp cross-libm ln() drift.
+    * Weights must be positive. The md5-uniform makes
+    * the sample a pure function of the data — re-running the pipeline on
+    * the same corpus selects the same rows (the same property z5/z6 build
+    * splits and caps on). Scale-invariant: multiplying all weights by a
+    * constant c rescales every score by 1/c and preserves the order, so
+    * the selection depends only on RELATIVE weights. */
+  def weightedReservoir(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    // (h+1)/2^32 ∈ (0, 1]: h is hash32's 32-bit value; +1 avoids ln(0)
+    val u = (TextAnalysis.hash32(key.cast("string")) + lit(1L)).cast("double") /
+      lit(4294967296.0)
+    df.withColumn("es_key", (log(u) / weight).cast("decimal(18,12)"))
+      .orderBy(col("es_key").desc, key)
+      .limit(k)
+  }
 }

@@ -206,4 +206,42 @@ object TextAnalysis {
         col("df").cast(org.apache.spark.sql.types.IntegerType).as("df"),
         (col("tf") * log(col("n").cast("double") / col("df"))).as("tfidf"))
   }
+
+  /** Per-group unigram-distribution drift: KL(P_g ‖ P_corpus) for each
+    * group (source, language, snapshot date, …) against the pooled corpus
+    * distribution — the report run before choosing mixture weights, and
+    * the monitor that catches a source whose crawl changed character.
+    * KL = Σ_t p_t · ln(p_t / q_t) over the group's observed terms; q_t > 0
+    * always because the corpus pool contains every group (so no smoothing
+    * is needed, unlike a group-vs-group comparison).
+    *
+    * Scale: one corpus scan explodes terms, then everything is aggregate
+    * algebra on the (group, term) counts relation — the per-term and
+    * one-row total tables broadcast (genuinely vocab-bounded, same
+    * argument as z15's unigram table; the OBSERVED-bigram caveat does not
+    * apply to unigrams). Engine stability: the probability ratio is
+    * evaluated as (n_gt/n_g)/(n_t/N) — three IEEE divisions of exact
+    * integers, never an integer product that could overflow at corpus
+    * scale — ln is snapshot at DECIMAL(12,6), each term's contribution at
+    * DECIMAL(18,12), and the per-group sum runs in exact decimal so it is
+    * shuffle-order-independent. */
+  def klDrift(docs: org.apache.spark.sql.DataFrame, grpCol: String,
+              textCol: String): org.apache.spark.sql.DataFrame = {
+    val w = docs.select(col(grpCol), explode(words(col(textCol))).as("term"))
+    val gt = w.groupBy(col(grpCol), col("term")).agg(count(lit(1)).as("n_gt"))
+    val g = gt.groupBy(col(grpCol)).agg(sum("n_gt").as("n_g"))
+    val t = gt.groupBy(col("term")).agg(sum("n_gt").as("n_t"))
+    val tot = gt.agg(sum("n_gt").as("n_tot"))
+    val p = col("n_gt").cast("double") / col("n_g")
+    val q = col("n_t").cast("double") / col("n_tot")
+    gt.join(broadcast(t), Seq("term"))
+      .join(broadcast(g), Seq(grpCol))
+      .crossJoin(broadcast(tot))
+      .withColumn("lnr", log(p / q).cast("decimal(12,6)"))
+      .withColumn("contrib", (p * col("lnr").cast("double")).cast("decimal(18,12)"))
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).cast(IntegerType).as("n_terms"),
+        max(col("n_g")).as("n_tokens"),
+        sum(col("contrib")).cast("double").as("kl"))
+  }
 }

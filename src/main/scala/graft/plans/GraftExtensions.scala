@@ -84,6 +84,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         HyperplaneBucket(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_cms_estimate(sketch, item) takes 2 arguments, got ${children.length}")
+        CmsEstimate(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(classOf[BloomFilterAggregate].getName, "graft_bloom_agg"),
       (children: Seq[Expression]) => {

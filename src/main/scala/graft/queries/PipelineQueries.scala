@@ -2259,7 +2259,86 @@ object PipelineQueries {
       |JOIN sizes sb ON sb.source = src_b
       |ORDER BY src_a, src_b""".stripMargin)
 
+  /** z25: Count-Min-sketch frequency estimates, contract-checked — the
+    * sublinear-memory term-frequency monitor (z13's exact heavy hitters
+    * need the full (term, count) relation; the sketch is a few KB
+    * regardless of vocabulary). Spark's own `count_min_sketch` aggregate
+    * builds the sketch (partial-merge, one corpus scan, map-side
+    * combinable); the native `graft_cms_estimate` probe (GraftExtensions)
+    * reads it back, which Spark itself never exposed to SQL. Contract
+    * oracle in the x6 style: the estimate can only OVER-count (structural
+    * CMS guarantee) and by more than eps·N only with probability
+    * 1 − confidence; with the fixed seed the outcome is deterministic,
+    * gated at both SFs. The probe side is the top-50 exact terms — a
+    * bounded list cross-joined to the one-row sketch. */
+  private val z25CmsHitters = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val w = Tables.documents(s, d).select(explode(split(col("text"), " ")).as("term"))
+      val cnt = w.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      val sk = w.agg(
+        expr("count_min_sketch(term, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("sk"),
+        count(lit(1)).as("n_tot"))
+      cnt.orderBy(col("n_exact").desc, col("term")).limit(50)
+        .crossJoin(broadcast(sk))
+        .withColumn("est", call_function("graft_cms_estimate", col("sk"), col("term")))
+        .select(col("term"), col("n_exact"),
+          (col("est") >= col("n_exact") &&
+            col("est") <= col("n_exact") +
+              ceil(col("n_tot") * lit(0.001)).cast(LongType)).as("cms_ok"))
+        .orderBy(col("n_exact").desc, col("term"))
+    },
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_exact FROM w GROUP BY 1)
+      |SELECT term, n_exact, TRUE AS cms_ok
+      |FROM cnt ORDER BY n_exact DESC, term LIMIT 50""".stripMargin)
+
+  /** z26: per-source unigram-distribution drift, KL(source ‖ corpus) —
+    * the companion report to z24's overlap matrix: z24 asks "how much do
+    * sources share verbatim", this asks "how differently do they use the
+    * shared vocabulary" (the quantity mixture-weight tuning and
+    * crawl-drift monitors actually read). See TextAnalysis.klDrift for
+    * the scale/stability argument. */
+  private val z26KlDrift = Q(
+    (s, d) => TextAnalysis.klDrift(Tables.documents(s, d), "source", "text")
+      .orderBy("source"),
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |gt AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_gt FROM w GROUP BY 1, 2),
+      |g AS (SELECT source, CAST(SUM(n_gt) AS BIGINT) AS n_g FROM gt GROUP BY 1),
+      |t AS (SELECT term, CAST(SUM(n_gt) AS BIGINT) AS n_t FROM gt GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_gt) AS BIGINT) AS n_tot FROM gt)
+      |SELECT source, CAST(COUNT(*) AS INT) AS n_terms,
+      |  CAST(MAX(n_g) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CAST((n_gt / n_g) *
+      |    CAST(CAST(ln((n_gt / n_g) / (n_t / n_tot)) AS DECIMAL(12,6)) AS DOUBLE)
+      |    AS DECIMAL(18,12))) AS DOUBLE) AS kl
+      |FROM gt JOIN t USING (term) JOIN g USING (source) CROSS JOIN tot
+      |GROUP BY source ORDER BY source""".stripMargin)
+
+  /** z27: weighted sampling without replacement (Efraimidis–Spirakis) —
+    * "sample 25 documents, longer ones proportionally more often,
+    * deterministically". See Sampling.weightedReservoir: the plan is
+    * TakeOrderedAndProject (per-partition top-k + one k·P-row merge), the
+    * distributed-sampling shape that needs no corpus shuffle at any
+    * scale. Weight = n_chars; the oracle replays the md5-uniform and the
+    * DECIMAL(24,18) score snapshot exactly. */
+  private val z27WeightedSample = Q(
+    (s, d) => Sampling.weightedReservoir(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        col("doc_id"), col("n_chars"), 25)
+      .select(col("doc_id"), col("n_chars"), col("es_key").cast("double").as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id")),
+    """WITH k AS (SELECT doc_id, n_chars,
+      |  CAST(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+      |         / CAST(4294967296 AS DOUBLE)) / n_chars AS DECIMAL(18,12)) AS es_key
+      |  FROM documents)
+      |SELECT doc_id, n_chars, CAST(es_key AS DOUBLE) AS es_key
+      |FROM k ORDER BY es_key DESC, doc_id LIMIT 25""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "z25_cms_hitters" -> z25CmsHitters,
+    "z26_kl_drift" -> z26KlDrift,
+    "z27_weighted_sample" -> z27WeightedSample,
     "x18_span_dedup" -> x18SpanDedup,
     "x19_span_decontaminate" -> x19SpanDecontaminate,
     "z23_backoff_lm" -> z23BackoffLm,

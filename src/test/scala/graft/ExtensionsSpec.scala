@@ -97,6 +97,44 @@ class ExtensionsSpec extends SparkSpec {
     assert(na.isNullAt(0))
   }
 
+  test("graft_cms_estimate reads back Spark's count_min_sketch exactly on a small vocab") {
+    // 26 distinct terms, known counts: term i appears i+1 times. A sketch
+    // with width 2000 over 26 keys is collision-free, so the CMS upper
+    // bound is tight — estimate == exact for every term.
+    val terms = ('a' to 'z').zipWithIndex
+      .flatMap { case (c, i) => Seq.fill(i + 1)(c.toString) }
+    val df = terms.toDF("term")
+    val sk = df.agg(expr(
+      "count_min_sketch(term, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)").as("sk"))
+    val est = df.distinct().crossJoin(sk)
+      .select(col("term"),
+        call_function("graft_cms_estimate", col("sk"), col("term")).as("est"))
+      .as[(String, Long)].collect().toMap
+    ('a' to 'z').zipWithIndex.foreach { case (c, i) =>
+      assert(est(c.toString) === i + 1L, s"term $c")
+    }
+    // absent key: CMS may over-count but never invents less than zero;
+    // with this sketch the probe row is untouched → exactly 0
+    val absent = sk.select(
+      call_function("graft_cms_estimate", col("sk"), lit("zz")).as("est"))
+      .as[Long].collect().head
+    assert(absent >= 0L)
+    // long items round-trip too (CountMinSketchAgg adds integrals as longs)
+    val lsk = spark.range(100).select((col("id") % 10).as("k"))
+      .agg(expr("count_min_sketch(k, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 7)").as("sk"))
+    val l0 = lsk.select(
+      call_function("graft_cms_estimate", col("sk"), lit(3L)).as("est"))
+      .as[Long].collect().head
+    assert(l0 === 10L)
+    // analysis-time arity + type errors
+    val e1 = intercept[Exception] { spark.sql("SELECT graft_cms_estimate(CAST('x' AS BINARY))") }
+    assert(e1.getMessage.contains("2 arguments"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.range(1).select(call_function("graft_cms_estimate", lit(1), lit("a"))).collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("binary"), e2.getMessage)
+  }
+
   test("kNN through the rewrite matches the hand path end-to-end") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))

@@ -88,6 +88,49 @@ class ScaleOpsSpec extends SparkSpec {
     assert(again === capped.select("id").as[Long].collect().toSet)
   }
 
+  test("weightedReservoir: k rows, deterministic, and invariant to weight rescaling") {
+    import graft.operators.Sampling
+    val df = spark.range(2000).select(col("id"), (col("id") % 97 + 1).as("w"))
+    val picked = Sampling.weightedReservoir(df, col("id"), col("w"), 30)
+      .select("id").as[Long].collect()
+    assert(picked.length === 30 && picked.toSet.size === 30)
+    // pure function of the data: same call → same set
+    val again = Sampling.weightedReservoir(df, col("id"), col("w"), 30)
+      .select("id").as[Long].collect()
+    assert(again.toSet === picked.toSet)
+    // E-S selection depends only on RELATIVE weights: w → 7w, same sample
+    val scaled = Sampling.weightedReservoir(
+        df.withColumn("w", col("w") * 7), col("id"), col("w"), 30)
+      .select("id").as[Long].collect()
+    assert(scaled.toSet === picked.toSet)
+  }
+
+  test("weightedReservoir favors heavy rows: mean sampled weight beats the population mean") {
+    import graft.operators.Sampling
+    // weights 1..1000 — a weighted sample's mean weight must sit well above
+    // the uniform mean (500.5); with ~50 draws this is a huge-margin event
+    val df = spark.range(1000).select(col("id"), (col("id") + 1).as("w"))
+    val meanW = Sampling.weightedReservoir(df, col("id"), col("w"), 50)
+      .agg(avg("w")).as[Double].collect().head
+    assert(meanW > 550.0, s"weighted sample mean weight $meanW not above uniform mean")
+  }
+
+  test("klDrift: zero against an identical pool, positive for a divergent source") {
+    import graft.operators.TextAnalysis
+    // one source: group distribution IS the corpus distribution → exact 0.0
+    val same = Seq((1L, "a", "x y x z"), (2L, "a", "y z z x")).toDF("doc_id", "src", "text")
+    val kl0 = TextAnalysis.klDrift(same, "src", "text")
+      .select("kl").as[Double].collect().head
+    assert(kl0 === 0.0)
+    // two sources with disjoint vocabulary: both diverge from the pool
+    val far = Seq((1L, "a", "x x y y"), (2L, "b", "p p q q")).toDF("doc_id", "src", "text")
+    val kls = TextAnalysis.klDrift(far, "src", "text")
+      .select("src", "kl").as[(String, Double)].collect().toMap
+    // p_t = 1/2, q_t = 1/4 for every term → KL = ln 2 for both sources
+    assert(kls.keySet === Set("a", "b"))
+    kls.values.foreach(kl => assert(math.abs(kl - math.log(2.0)) < 1e-5, s"kl=$kl"))
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val dir = tmpDir("bucketed")
     val store = Store(spark, dir, "season")
