@@ -530,6 +530,66 @@ object Dedup {
       .select(col(idCol), coalesce(col("cluster"), col(idCol)).as("cluster_id"))
   }
 
+  /** PageRank over the undirected candidate-pair graph — the centrality
+    * rung of the dedup stack: where connectedComponents answers "which
+    * docs form one duplicate family", pageRank answers "which member is
+    * most central to it" (the canonical-representative pick that beats
+    * min-id when families chain A~B~C and the middle doc is the true
+    * template), and doubles as the crawl-graph quality prior
+    * (harmonic/PageRank centrality is the standard URL-level signal in
+    * web-corpus curation).
+    *
+    * Shape per iteration: one equi-join of the edge list against the
+    * node-sized rank relation + one aggregation — both shuffles keyed the
+    * same way every round, so the exchange is reusable; nothing is ever
+    * node×node. The edge list and degree relation are pinned once
+    * (Housekeeping — `Dataset.unpersist` would leak the checkpoint
+    * blocks) and each round's rank frame is pinned/freed so lineage stays
+    * flat at any iteration count. The returned frame's own block is the
+    * caller's to release after its action (harnesses sweep via
+    * `Housekeeping.releaseAllBlocks`).
+    *
+    * Engine-stable by construction: per-edge contributions rank/deg are
+    * one IEEE division snapshot at DECIMAL(18,12) (scale ≤ 12 — the
+    * double→decimal cast is engine-stable there and absorbs nothing
+    * larger than 1e-8 wobble), summed in exact decimal (shuffle-order
+    * independent), and the update is the literal expression
+    * `(1 - d)/n + d * sum` — three IEEE ops in a fixed order. A
+    * symmetrized pair graph has no dangling nodes and in-degree ≥ 1
+    * everywhere, so no teleport-mass correction or outer join is needed.
+    * Output: (node, deg, rank) for every node of the pair graph. */
+  def pageRank(pairs: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = pairs.sparkSession
+    val sym = Housekeeping.pin(spark)(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val deg = Housekeeping.pin(spark)(
+      sym.df.groupBy("src").agg(count(lit(1)).as("deg")))
+    // scalar metadata action (node count), not a data collect
+    val n = deg.df.count().toDouble
+    var rank = Housekeeping.pin(spark)(
+      deg.df.select(col("src").as("node"), col("deg"),
+        (lit(1.0) / lit(n)).as("rank")))
+    for (_ <- 1 to iters) {
+      val contrib = sym.df
+        .join(rank.df, sym.df("src") === rank.df("node"))
+        .select(col("dst"),
+          (col("rank") / col("deg")).cast("decimal(18,12)").as("c"))
+        .groupBy("dst").agg(sum("c").as("sc"))
+      val next = Housekeeping.pin(spark)(
+        deg.df.join(contrib, deg.df("src") === contrib("dst"))
+          .select(col("src").as("node"), col("deg"),
+            ((lit(1.0) - lit(damping)) / lit(n) +
+              lit(damping) * col("sc").cast("double")).as("rank")))
+      rank.free()
+      rank = next
+    }
+    sym.free()
+    deg.free()
+    rank.df
+  }
+
   /** True n-gram Jaccard for candidate pairs via inverted-index self-join —
     * the verify stage after LSH, or (blocked by a cheap key like language)
     * a standalone near-dup pass. `shingled` columns: (idCol, blockCol, "sh"),

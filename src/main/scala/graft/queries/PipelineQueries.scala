@@ -539,6 +539,47 @@ object PipelineQueries {
       },
       componentsOracle)
 
+  /** x20: PageRank centrality over the LSH candidate graph — the
+    * canonical-representative / crawl-quality-prior rung (see
+    * Dedup.pageRank). 5 fixed iterations; the oracle unrolls them as
+    * chained CTEs over the SAME pair CTEs as x2/x8, replaying the decimal
+    * contribution snapshots exactly. No dangling nodes by construction
+    * (symmetrized pair graph), so every iteration is the literal
+    * `(1-d)/n + d·Σ` with inner joins only. */
+  private val X20Iters = 5
+  private val x20DupPagerank = Q(
+    (s, d) => Dedup.pageRank(
+        Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+          maxBucket = Some(X2MaxBucket)), iters = X20Iters)
+      .select(col("node").as("doc_id"), col("deg"), col("rank"))
+      .orderBy("doc_id"),
+    {
+      val iterCtes = (1 to X20Iters).map { i =>
+        s"""r$i AS (
+           |  SELECT d.src AS node, d.deg,
+           |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+           |      + CAST(0.85 AS DOUBLE) * CAST(s.sc AS DOUBLE) AS rank
+           |  FROM deg d CROSS JOIN n
+           |  JOIN (SELECT e.dst, SUM(CAST(r.rank / r.deg AS DECIMAL(18,12))) AS sc
+           |        FROM edges e JOIN r${i - 1} r ON e.src = r.node
+           |        GROUP BY 1) s ON d.src = s.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $minhashCtes,
+         |${cappedBandsCte(bandsSql)},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kept a JOIN kept b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+         |r0 AS (SELECT d.src AS node, d.deg, CAST(1 AS DOUBLE) / n.n AS rank
+         |       FROM deg d CROSS JOIN n),
+         |$iterCtes
+         |SELECT node AS doc_id, deg, rank FROM r$X20Iters ORDER BY doc_id""".stripMargin
+    })
+
   private val x8DupClusters =
     clusterQuery(Dedup.connectedComponents(_, _, "doc_id"))
 
@@ -2336,6 +2377,7 @@ object PipelineQueries {
       |FROM k ORDER BY es_key DESC, doc_id LIMIT 25""".stripMargin)
 
   val all: Map[String, Q] = Map(
+    "x20_dup_pagerank" -> x20DupPagerank,
     "z25_cms_hitters" -> z25CmsHitters,
     "z26_kl_drift" -> z26KlDrift,
     "z27_weighted_sample" -> z27WeightedSample,

@@ -150,6 +150,28 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L, 99L -> 99L))
   }
 
+  test("pageRank: uniform on a regular graph, center-heavy on a star, mass conserved") {
+    // 4-cycle: every node degree 2 → PageRank fixpoint is exactly uniform
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val cr = Dedup.pageRank(cycle, iters = 5)
+      .select("node", "rank").as[(Long, Double)].collect().toMap
+    assert(cr.keySet === Set(1L, 2L, 3L, 4L))
+    cr.values.foreach(r => assert(math.abs(r - 0.25) < 1e-9, s"rank $r"))
+    // star 1-{2,3,4,5}: the hub outranks every leaf, leaves are equal
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("doc_a", "doc_b")
+    val sr = Dedup.pageRank(star, iters = 10)
+      .select("node", "rank").as[(Long, Double)].collect().toMap
+    assert(sr(1L) > sr(2L) * 2, s"hub ${sr(1L)} vs leaf ${sr(2L)}")
+    assert(Set(2L, 3L, 4L, 5L).map(sr).size === 1)
+    // no dangling nodes + decimal sums → total mass stays ~1
+    assert(math.abs(sr.values.sum - 1.0) < 1e-6)
+    // pure function of the graph: a shuffled, repartitioned edge list
+    // lands on bit-identical ranks (order-independent decimal sums)
+    val sr2 = Dedup.pageRank(star.orderBy(col("doc_b").desc).repartition(7), iters = 10)
+      .select("node", "rank").as[(Long, Double)].collect().toMap
+    assert(sr2 === sr)
+  }
+
   test("chunkDedup keeps the first occurrence of a duplicated chunk, within and across docs") {
     val cd = Seq(
       (1L, "a b c d e f"),        // chunks: [a b c], [d e f]
