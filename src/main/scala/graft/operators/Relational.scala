@@ -391,6 +391,40 @@ object Relational {
       .drop("__pid", "__loc", "__off", "__tot", "__rn", "__q", "__r")
   }
 
+  /** Exact per-group top-k without sorting any whole group on one task —
+    * the scale-safe form of `row_number() OVER (PARTITION BY g ORDER BY
+    * ...) <= k` when the group key is low-cardinality (a handful of
+    * languages over a 100-TB corpus puts one language's ENTIRE corpus in
+    * one window task — the same funnel [[groupedNtile]] exists for).
+    *
+    * Two stages: (1) a salted window — partition by (group, hash(key) %
+    * salts) — sorts 1/salts of each group per task; a bucket is a subset
+    * of its group, so every global top-k row survives its bucket's local
+    * top-k. (2) the exact window replays on the ≤ k·salts survivors per
+    * group — a bounded relation at any corpus size. Identical rows and
+    * ranks to the naive window (spec-matched on random data); `order`
+    * must be a total order (tiebreaker included) for determinism, exactly
+    * as the window form requires. `out` gets the 1-based per-group rank
+    * (IntegerType, matching `row_number`). */
+  def groupedTopK(df: DataFrame, groups: Seq[String], keyCol: Column,
+                  order: Seq[Column], k: Int, out: String,
+                  salts: Int = 32): DataFrame = {
+    require(k > 0, s"top-k count must be positive, got $k")
+    require(salts > 0, s"salt count must be positive, got $salts")
+    val reserved = Seq("__salt", "__srn")
+    require(!df.columns.exists(c => reserved.contains(c.toLowerCase)),
+      s"column names ${reserved.mkString("/")} are reserved")
+    val g = groups.map(col)
+    val w1 = Window.partitionBy(g :+ col("__salt"): _*).orderBy(order: _*)
+    val w2 = Window.partitionBy(g: _*).orderBy(order: _*)
+    df.withColumn("__salt", pmod(xxhash64(keyCol), lit(salts.toLong)))
+      .withColumn("__srn", row_number().over(w1))
+      .filter(col("__srn") <= k)
+      .drop("__salt", "__srn")
+      .withColumn(out, row_number().over(w2))
+      .filter(col(out) <= k)
+  }
+
   /** Scale-safe GLOBAL running sum — identical values to
     * `sum(value) over (order by order rows unbounded preceding)`, computed
     * without the single-task global sort that window form implies (an

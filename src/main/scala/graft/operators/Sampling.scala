@@ -84,12 +84,21 @@ object Sampling {
     * splits and caps on). Scale-invariant: multiplying all weights by a
     * constant c rescales every score by 1/c and preserves the order, so
     * the selection depends only on RELATIVE weights. */
-  def weightedReservoir(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
-    require(k > 0, s"sample size must be positive, got $k")
+  /** The Efraimidis–Spirakis selection key ln(u)/w as a pure column:
+    * u ∈ (0, 1] is a deterministic md5-uniform of the key, and the score
+    * is snapshot at DECIMAL(18,12) (engine-stable; see weightedReservoir).
+    * Shared by the global (weightedReservoir) and per-group
+    * (Relational.groupedTopK over this key) sampling paths. */
+  def esKey(key: Column, weight: Column): Column = {
     // (h+1)/2^32 ∈ (0, 1]: h is hash32's 32-bit value; +1 avoids ln(0)
     val u = (TextAnalysis.hash32(key.cast("string")) + lit(1L)).cast("double") /
       lit(4294967296.0)
-    df.withColumn("es_key", (log(u) / weight).cast("decimal(18,12)"))
+    (log(u) / weight).cast("decimal(18,12)")
+  }
+
+  def weightedReservoir(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    df.withColumn("es_key", esKey(key, weight))
       .orderBy(col("es_key").desc, key)
       .limit(k)
   }

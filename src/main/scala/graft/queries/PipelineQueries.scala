@@ -2376,8 +2376,37 @@ object PipelineQueries {
       |SELECT doc_id, n_chars, CAST(es_key AS DOUBLE) AS es_key
       |FROM k ORDER BY es_key DESC, doc_id LIMIT 25""".stripMargin)
 
+  /** z28: per-language weighted sample — "5 docs per language, longer
+    * ones proportionally more often, deterministically": z27's
+    * Efraimidis–Spirakis key ranked per group by the scale-safe
+    * `Relational.groupedTopK` (salted two-stage window — no task ever
+    * sorts a whole language; the naive `PARTITION BY lang` window is
+    * exactly the funnel z16's deciles already eliminated). The oracle is
+    * the naive window form — same rows, same ranks, by construction. */
+  private val z28GroupWeightedSample = Q(
+    (s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("es_key", Sampling.esKey(col("doc_id"), col("n_chars")))
+      Relational.groupedTopK(scored, Seq("lang"), col("doc_id"),
+          Seq(col("es_key").desc, col("doc_id")), k = 5, out = "rank")
+        .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"),
+          col("es_key").cast("double").as("es_key"))
+        .orderBy("lang", "rank")
+    },
+    """WITH k AS (SELECT doc_id, lang, n_chars,
+      |  CAST(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+      |         / CAST(4294967296 AS DOUBLE)) / n_chars AS DECIMAL(18,12)) AS es_key
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id, n_chars, es_key,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS INT) AS rank
+      |  FROM k)
+      |SELECT lang, rank, doc_id, n_chars, CAST(es_key AS DOUBLE) AS es_key
+      |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "x20_dup_pagerank" -> x20DupPagerank,
+    "z28_group_weighted_sample" -> z28GroupWeightedSample,
     "z25_cms_hitters" -> z25CmsHitters,
     "z26_kl_drift" -> z26KlDrift,
     "z27_weighted_sample" -> z27WeightedSample,

@@ -115,6 +115,28 @@ class ScaleOpsSpec extends SparkSpec {
     assert(meanW > 550.0, s"weighted sample mean weight $meanW not above uniform mean")
   }
 
+  test("groupedTopK matches the naive per-group window exactly, including small groups") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.expressions.Window
+    // 3 groups of very different sizes (one smaller than k), scores with
+    // deliberate ties so the doc_id tiebreaker is exercised
+    val df = spark.range(1200).select(col("id"),
+        (col("id") % 3).cast("string").as("g"),
+        (col("id") % 37).as("score"))
+      .union(Seq((9999L, "tiny", 1L), (9998L, "tiny", 2L)).toDF("id", "g", "score"))
+    val order = Seq(col("score").desc, col("id"))
+    val got = Relational.groupedTopK(df, Seq("g"), col("id"), order, k = 7,
+        out = "rank", salts = 4)
+      .select("g", "rank", "id").as[(String, Int, Long)].collect().toSet
+    val naive = df.withColumn("rank",
+        row_number().over(Window.partitionBy("g").orderBy(order: _*)))
+      .filter(col("rank") <= 7)
+      .select("g", "rank", "id").as[(String, Int, Long)].collect().toSet
+    assert(got === naive)
+    // the 2-row group returns both rows, ranked 1..2
+    assert(got.filter(_._1 == "tiny") === Set(("tiny", 1, 9998L), ("tiny", 2, 9999L)))
+  }
+
   test("klDrift: zero against an identical pool, positive for a divergent source") {
     import graft.operators.TextAnalysis
     // one source: group distribution IS the corpus distribution → exact 0.0
