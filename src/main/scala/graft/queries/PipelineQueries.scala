@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data-pipeline operators (the 100-TB extension layer
@@ -547,38 +548,45 @@ object PipelineQueries {
     * (symmetrized pair graph), so every iteration is the literal
     * `(1-d)/n + d·Σ` with inner joins only. */
   private val X20Iters = 5
+
+  /** DuckDB CTE chain `deg, n, r0, r1..rK` replaying Dedup.pageRank's K
+    * Jacobi iterations over an existing `edges(src, dst)` CTE — shared by
+    * the x20 declared query and the x21 curation composition so the
+    * iteration arithmetic can never drift between them. */
+  private def pagerankCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT d.src AS node, d.deg,
+         |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+         |      + CAST(0.85 AS DOUBLE) * CAST(s.sc AS DOUBLE) AS rank
+         |  FROM deg d CROSS JOIN n
+         |  JOIN (SELECT e.dst, SUM(CAST(r.rank / r.deg AS DECIMAL(18,12))) AS sc
+         |        FROM edges e JOIN r${i - 1} r ON e.src = r.node
+         |        GROUP BY 1) s ON d.src = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+       |r0 AS (SELECT d.src AS node, d.deg, CAST(1 AS DOUBLE) / n.n AS rank
+       |       FROM deg d CROSS JOIN n),
+       |$iterCtes""".stripMargin
+  }
+
   private val x20DupPagerank = Q(
     (s, d) => Dedup.pageRank(
         Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
           maxBucket = Some(X2MaxBucket)), iters = X20Iters)
       .select(col("node").as("doc_id"), col("deg"), col("rank"))
       .orderBy("doc_id"),
-    {
-      val iterCtes = (1 to X20Iters).map { i =>
-        s"""r$i AS (
-           |  SELECT d.src AS node, d.deg,
-           |    (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
-           |      + CAST(0.85 AS DOUBLE) * CAST(s.sc AS DOUBLE) AS rank
-           |  FROM deg d CROSS JOIN n
-           |  JOIN (SELECT e.dst, SUM(CAST(r.rank / r.deg AS DECIMAL(18,12))) AS sc
-           |        FROM edges e JOIN r${i - 1} r ON e.src = r.node
-           |        GROUP BY 1) s ON d.src = s.dst)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $minhashCtes,
-         |${cappedBandsCte(bandsSql)},
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM kept a JOIN kept b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
-         |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-         |r0 AS (SELECT d.src AS node, d.deg, CAST(1 AS DOUBLE) / n.n AS rank
-         |       FROM deg d CROSS JOIN n),
-         |$iterCtes
-         |SELECT node AS doc_id, deg, rank FROM r$X20Iters ORDER BY doc_id""".stripMargin
-    })
+    s"""WITH $minhashCtes,
+       |${cappedBandsCte(bandsSql)},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |${pagerankCtes(X20Iters)}
+       |SELECT node AS doc_id, deg, rank FROM r$X20Iters ORDER BY doc_id""".stripMargin)
 
   private val x8DupClusters =
     clusterQuery(Dedup.connectedComponents(_, _, "doc_id"))
@@ -2039,19 +2047,21 @@ object PipelineQueries {
       |SELECT doc_id, n_windows, n_contam, n_contam / n_windows AS contam_frac
       |FROM agg ORDER BY doc_id""".stripMargin)
 
-  /** z21: DSIR-shaped importance scoring + resampling — data selection by
-    * unigram log-likelihood ratio between a target domain (source src0 as
-    * the in-domain proxy) and the whole corpus, the hashed-n-gram
-    * importance weighting behind "Data Selection for Language Models via
-    * Importance Resampling". Per-term ln probabilities (Laplace-smoothed)
-    * snapshot at DECIMAL(12,6) (the z15 discipline), so per-doc llr sums
-    * are exact-decimal and shuffle-order-independent; the deterministic
+  /** Shared z21/x21 stage: DSIR-shaped per-document importance frame
+    * (doc_id, source, llr_dec, kept) — data selection by unigram
+    * log-likelihood ratio between a target domain (source src0 as the
+    * in-domain proxy) and the whole corpus, the hashed-n-gram importance
+    * weighting behind "Data Selection for Language Models via Importance
+    * Resampling". Per-term ln probabilities (Laplace-smoothed) snapshot
+    * at DECIMAL(12,6) (the z15 discipline), so per-doc llr sums are
+    * exact-decimal and shuffle-order-independent; the deterministic
     * md5-bucket resample keeps in-domain-looking docs at 80% and the rest
     * at 20%. The weight table is vocab-bounded (broadcast by AQE, no
-    * hint); the corpus pays one term explode and one doc-keyed sum. */
-  private val z21DsirSample = Q(
-    (s, d) => {
-      import org.apache.spark.sql.types.{DoubleType, DecimalType, LongType}
+    * hint); the corpus pays one term explode and one doc-keyed sum. ONE
+    * implementation so the declared z21 query and the curation-v4
+    * composition can never drift on the weight or resample definitions. */
+  private def dsirPerDoc(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.types.{DecimalType, LongType}
       val tcx = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))
       // ONE corpus explode: tf is the only aggregate built directly on the
@@ -2074,14 +2084,19 @@ object PipelineQueries {
           - log((col("cc") + lit(1L)) / (col("ctot") + col("v")))
             .cast(DecimalType(12, 6)))
         .select("term", "llr6")
-      val perDoc = tf.join(w, Seq("term"))
+      tf.join(w, Seq("term"))
         .groupBy("doc_id", "source")
         .agg(sum(col("tf") * col("llr6")).as("llr_dec"))
         .withColumn("kept",
           conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
             .cast(LongType) % 1000 <
             when(col("llr_dec") > 0, 800).otherwise(200))
-      perDoc.groupBy("source")
+  }
+
+  private val z21DsirSample = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      dsirPerDoc(s, d).groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("kept"), 1).otherwise(0)).cast(LongType).as("n_kept"),
           (sum(col("llr_dec")).cast(DoubleType) / count(lit(1))).as("mean_llr"))
@@ -2404,8 +2419,129 @@ object PipelineQueries {
       |SELECT lang, rank, doc_id, n_chars, CAST(es_key AS DOUBLE) AS es_key
       |FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)
 
+  /** x21: curation v4 — the round's operators composed as one declared
+    * corpus build, the "train-ready shard selection" a production
+    * pipeline runs end-to-end: (1) span-decontamination gate (x19: zero
+    * 8-word-window overlap with the benchmark slice), (2) DSIR importance
+    * gate (z21's shared per-doc frame: kept by the deterministic
+    * llr-weighted resample), (3) near-dup collapse where the CANONICAL
+    * representative of each LSH cluster is chosen by PageRank centrality
+    * (x20) rather than min-id — the doc most linked within its duplicate
+    * family is the best template to keep — and (4) a per-language
+    * weighted sample of the survivors (z28's scale-safe grouped top-k
+    * over the Efraimidis–Spirakis key). The candidate-pair frame is
+    * pinned once and feeds BOTH the components loop and the PageRank
+    * loop (one LSH pass, not two); the oracle replays the entire DAG —
+    * recursive reachability fixpoint, five unrolled PageRank iterations,
+    * span windows, DSIR weights, and the sample window — in one
+    * WITH RECURSIVE chain built from the same shared CTE fragments as
+    * the standalone queries. */
+  private val x21CurationV4 = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+      val spanKeep = Dedup.spanDecontaminate(
+          corpus, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 8)
+        .filter(col("n_contam") === 0).select("doc_id")
+      val dsirKeep = dsirPerDoc(s, d).filter(col("kept")).select("doc_id")
+      // one LSH pass: the pair frame is pinned and shared by the
+      // components fixpoint AND the PageRank loop (each would otherwise
+      // re-execute the whole candidate pipeline); blocks are the
+      // harness's to release after the action (releaseAllBlocks)
+      val pairs = graft.Housekeeping.pin(s)(
+        Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+            maxBucket = Some(X2MaxBucket))
+          .filter(col("doc_a") % 97 =!= 0 && col("doc_b") % 97 =!= 0)).df
+      val comps = Dedup.connectedComponents(pairs, corpus.select("doc_id"), "doc_id")
+      val ranks = Dedup.pageRank(pairs, iters = X20Iters)
+      val surv = comps
+        .join(ranks.select(col("node").as("doc_id"), col("rank")), Seq("doc_id"), "left")
+        .withColumn("__srn", row_number().over(
+          Window.partitionBy("cluster_id")
+            .orderBy(col("rank").desc_nulls_last, col("doc_id"))))
+        .filter(col("__srn") === 1)
+        .select("doc_id")
+      val kept = corpus
+        .join(spanKeep, Seq("doc_id"), "left_semi")
+        .join(dsirKeep, Seq("doc_id"), "left_semi")
+        .join(surv, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .withColumn("es_key", Sampling.esKey(col("doc_id"), col("n_chars")))
+      Relational.groupedTopK(kept, Seq("lang"), col("doc_id"),
+          Seq(col("es_key").desc, col("doc_id")), k = 10, out = "rank")
+        .select(col("lang"), col("rank"), col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("lang", "rank")
+    },
+    s"""WITH RECURSIVE $minhashCtes,
+       |${cappedBandsCte(bandsSql)},
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id % 97 <> 0 AND b.doc_id % 97 <> 0),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1),
+       |${pagerankCtes(X20Iters)},
+       |surv AS (SELECT doc_id FROM (
+       |    SELECT d.doc_id,
+       |      ROW_NUMBER() OVER (PARTITION BY COALESCE(c.cid, d.doc_id)
+       |        ORDER BY r.rank DESC NULLS LAST, d.doc_id) AS rn
+       |    FROM documents d
+       |    LEFT JOIN comp c ON d.doc_id = c.node
+       |    LEFT JOIN r$X20Iters r ON d.doc_id = r.node
+       |    WHERE d.doc_id % 97 <> 0)
+       |  WHERE rn = 1),
+       |sws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |swin AS (SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS fp
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+       |        FROM sws WHERE len(w) >= 8)),
+       |spd AS (SELECT doc_id, fp, COUNT(*) AS c FROM swin
+       |        WHERE doc_id % 97 <> 0 GROUP BY 1, 2),
+       |sbench AS (SELECT DISTINCT fp FROM swin WHERE doc_id % 97 = 0),
+       |spkeep AS (SELECT doc_id FROM (
+       |    SELECT pd.doc_id,
+       |      SUM(CASE WHEN b.fp IS NOT NULL THEN pd.c ELSE 0 END) AS n_contam
+       |    FROM spd pd LEFT JOIN sbench b ON pd.fp = b.fp GROUP BY 1)
+       |  WHERE n_contam = 0),
+       |tcx AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+       |        FROM documents),
+       |dcc AS (SELECT term, COUNT(*) AS cc FROM tcx GROUP BY 1),
+       |dtc AS (SELECT term, COUNT(*) AS tc FROM tcx WHERE source = 'src0' GROUP BY 1),
+       |dtots AS (SELECT CAST(SUM(cc) AS BIGINT) AS ctot, COUNT(*) AS v FROM dcc),
+       |dttots AS (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS ttot FROM dtc),
+       |dw AS (SELECT dcc.term,
+       |    CAST(ln((COALESCE(tc, 0) + 1) / (ttot + v)) AS DECIMAL(12,6))
+       |  - CAST(ln((cc + 1) / (ctot + v)) AS DECIMAL(12,6)) AS llr6
+       |  FROM dcc LEFT JOIN dtc ON dcc.term = dtc.term
+       |  CROSS JOIN dtots CROSS JOIN dttots),
+       |dtf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |        FROM tcx GROUP BY 1, 2),
+       |dkeep AS (SELECT doc_id FROM (
+       |    SELECT doc_id, SUM(tf * llr6) AS llr_dec,
+       |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 <
+       |        CASE WHEN SUM(tf * llr6) > 0 THEN 800 ELSE 200 END AS keepflag
+       |    FROM dtf JOIN dw USING (term) GROUP BY 1)
+       |  WHERE keepflag),
+       |keptd AS (SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+       |  JOIN surv USING (doc_id) JOIN spkeep USING (doc_id) JOIN dkeep USING (doc_id)),
+       |es AS (SELECT *,
+       |  CAST(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+       |         / CAST(4294967296 AS DOUBLE)) / n_chars AS DECIMAL(18,12)) AS es_key
+       |  FROM keptd),
+       |sel AS (SELECT lang, doc_id, source, n_chars,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id) AS INT) AS rank
+       |  FROM es)
+       |SELECT lang, rank, doc_id, source, n_chars
+       |FROM sel WHERE rank <= 10 ORDER BY lang, rank""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "x20_dup_pagerank" -> x20DupPagerank,
+    "x21_curation_v4" -> x21CurationV4,
     "z28_group_weighted_sample" -> z28GroupWeightedSample,
     "z25_cms_hitters" -> z25CmsHitters,
     "z26_kl_drift" -> z26KlDrift,
