@@ -88,12 +88,19 @@ object Sampling {
     * u ∈ (0, 1] is a deterministic md5-uniform of the key, and the score
     * is snapshot at DECIMAL(18,12) (engine-stable; see weightedReservoir).
     * Shared by the global (weightedReservoir) and per-group
-    * (Relational.groupedTopK over this key) sampling paths. */
+    * (Relational.groupedTopK over this key) sampling paths. The
+    * positive-weight contract is ENFORCED, not just documented: a weight
+    * ≤ 0 raises (a negative weight would flip ln(u)/w positive and
+    * deterministically outrank every legitimate row; a zero weight would
+    * yield a null score that silently never samples — both are corrupt
+    * upstream data the sample must not absorb quietly). */
   def esKey(key: Column, weight: Column): Column = {
     // (h+1)/2^32 ∈ (0, 1]: h is hash32's 32-bit value; +1 avoids ln(0)
     val u = (TextAnalysis.hash32(key.cast("string")) + lit(1L)).cast("double") /
       lit(4294967296.0)
-    (log(u) / weight).cast("decimal(18,12)")
+    val w = when(weight > 0, weight).otherwise(raise_error(concat(
+      lit("esKey: weight must be positive, got "), weight.cast("string"))))
+    (log(u) / w).cast("decimal(18,12)")
   }
 
   def weightedReservoir(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame = {

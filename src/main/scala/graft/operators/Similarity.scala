@@ -72,13 +72,21 @@ object Similarity {
     * accumulating all planes) registered by GraftExtensions; bit-identical
     * to [[hyperplaneBucketHof]], which remains the reference form the
     * parity spec checks against. The native form folds over the vector's
-    * actual length, so `dims` must equal the array length (every caller
-    * does — the HOF form likewise only matches the oracle under that
-    * contract). Requires a session built with the graft extensions — like
+    * actual length while the HOF form truncates to `dims`, so the length
+    * contract is ENFORCED here: a vector whose length differs from `dims`
+    * raises (one length comparison per row — loud, instead of the two
+    * forms silently bucketing differently). Null vectors stay null.
+    * Requires a session built with the graft extensions — like
     * `vector_dot`, every production entry point (GraftSession/Verify/
     * Bench) installs them. */
-  def hyperplaneBucket(vecCol: String, dims: Int = 64): Column =
-    call_function("hyperplane_bucket", col(vecCol))
+  def hyperplaneBucket(vecCol: String, dims: Int = 64): Column = {
+    val v = col(vecCol)
+    when(v.isNull, lit(null).cast("bigint"))
+      .when(size(v) === dims, call_function("hyperplane_bucket", v))
+      .otherwise(raise_error(concat(
+        lit(s"hyperplane_bucket: expected a $dims-element vector, got "),
+        size(v).cast("string"))))
+  }
 
   /** The composable higher-order-function form of [[hyperplaneBucket]]:
     * one `aggregate` fold per plane over dims elements. Kept as the

@@ -216,10 +216,13 @@ object TextAnalysis {
     * is needed, unlike a group-vs-group comparison).
     *
     * Scale: one corpus scan explodes terms, then everything is aggregate
-    * algebra on the (group, term) counts relation — the per-term and
-    * one-row total tables broadcast (genuinely vocab-bounded, same
-    * argument as z15's unigram table; the OBSERVED-bigram caveat does not
-    * apply to unigrams). Engine stability: the probability ratio is
+    * algebra on the (group, term) counts relation. The per-term table
+    * joins UNHINTED — unigram vocabulary grows with the corpus (Heaps'
+    * law: typos, URLs, numbers), so AQE broadcasts it while it fits and
+    * degrades to a shuffle join when it doesn't (a forced hint would
+    * bypass the size check — the same rule as the bigram tables). The
+    * per-group and one-row totals ARE broadcast: bounded by group count,
+    * not corpus size. Engine stability: the probability ratio is
     * evaluated as (n_gt/n_g)/(n_t/N) — three IEEE divisions of exact
     * integers, never an integer product that could overflow at corpus
     * scale — ln is snapshot at DECIMAL(12,6), each term's contribution at
@@ -234,7 +237,7 @@ object TextAnalysis {
     val tot = gt.agg(sum("n_gt").as("n_tot"))
     val p = col("n_gt").cast("double") / col("n_g")
     val q = col("n_t").cast("double") / col("n_tot")
-    gt.join(broadcast(t), Seq("term"))
+    gt.join(t, Seq("term"))
       .join(broadcast(g), Seq(grpCol))
       .crossJoin(broadcast(tot))
       .withColumn("lnr", log(p / q).cast("decimal(12,6)"))

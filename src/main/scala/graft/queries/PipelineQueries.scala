@@ -2173,37 +2173,47 @@ object PipelineQueries {
     * terms add in exact decimal, so per-doc sums are shuffle-order-
     * independent. Scale: the trigram/bigram tables are corpus-derived —
     * joined UNHINTED (the z17 lesson: AQE broadcasts while they fit,
-    * shuffle-joins when they don't); the unigram floor is vocab-bounded. */
+    * shuffle-joins when they don't); the unigram floor is vocab-bounded;
+    * one pinned null-padded explode feeds all three n-gram streams (one
+    * corpus tokenize, not four). */
   private val z23BackoffLm = Q(
     (s, d) => {
       import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
       val dec = DecimalType(12, 6)
       val docs = Tables.documents(s, d)
-      val tri = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(2, size(ws) - 1), i -> struct(ws[i-2] AS p1, ws[i-1] AS p2, ws[i] AS cur))"))
-          .as("t"))
-        .select(col("doc_id"), col("t.p1"), col("t.p2"), col("t.cur"))
+      // ONE corpus scan + explode feeds every n-gram table AND the scoring
+      // stream: position i emits (p1 = ws[i-2] | null, p2 = ws[i-1] | null,
+      // cur = ws[i]), so the unigram stream is every row, the bigram
+      // stream filters p2 non-null and the trigram stream p1 non-null —
+      // identical multisets to three separate explodes. The frame is
+      // pinned (materialized once) because Spark has no cross-branch
+      // common-subexpression elimination: six unpinned consumers would
+      // re-run the scan + tokenize six times. Blocks are the harness's to
+      // release after the action, like x21's pair frame.
+      val ng = graft.Housekeeping.pin(s)(
+        docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(ws) - 1),
+              |  i -> struct(
+              |    IF(i >= 2, ws[i-2], CAST(NULL AS STRING)) AS p1,
+              |    IF(i >= 1, ws[i-1], CAST(NULL AS STRING)) AS p2,
+              |    ws[i] AS cur))""".stripMargin)).as("t"))
+          .select(col("doc_id"), col("t.p1"), col("t.p2"), col("t.cur"))).df
+      val tri = ng.filter(col("p1").isNotNull)
       val triTr = tri.filter(col("doc_id") % 5 =!= 0)
       val tcnt = triTr.groupBy("p1", "p2", "cur").agg(count(lit(1)).as("n_tri"))
       val ccnt = triTr.groupBy("p1", "p2").agg(count(lit(1)).as("n_ctx"))
       val trilp = tcnt.join(ccnt, Seq("p1", "p2"))
         .withColumn("tri_lp", log(col("n_tri").cast(DoubleType) / col("n_ctx")).cast(dec))
         .select("p1", "p2", "cur", "tri_lp")
-      val bgTr = docs.filter(col("doc_id") % 5 =!= 0)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
-        .select(col("b.prev").as("p2"), col("b.cur").as("cur"))
+      val bgTr = ng.filter(col("p2").isNotNull && col("doc_id") % 5 =!= 0)
+        .select(col("p2"), col("cur"))
       val bcnt = bgTr.groupBy("p2", "cur").agg(count(lit(1)).as("n_bg"))
       val pcnt = bgTr.groupBy("p2").agg(count(lit(1)).as("n_prev"))
       val bglp = bcnt.join(pcnt, Seq("p2"))
         .withColumn("bg_lp", log(col("n_bg").cast(DoubleType) / col("n_prev")).cast(dec))
         .select("p2", "cur", "bg_lp")
-      val toks = docs.filter(col("doc_id") % 5 =!= 0)
-        .select(explode(split(col("text"), " ")).as("cur"))
+      val toks = ng.filter(col("doc_id") % 5 =!= 0).select(col("cur"))
       val ucnt = toks.groupBy("cur").agg(count(lit(1)).as("n_u"))
       val tots = ucnt.agg(sum(col("n_u")).cast(LongType).as("n_tok"), count(lit(1)).as("v"))
       val ulp = ucnt.crossJoin(broadcast(tots))
@@ -2377,7 +2387,8 @@ object PipelineQueries {
     * TakeOrderedAndProject (per-partition top-k + one k·P-row merge), the
     * distributed-sampling shape that needs no corpus shuffle at any
     * scale. Weight = n_chars; the oracle replays the md5-uniform and the
-    * DECIMAL(24,18) score snapshot exactly. */
+    * DECIMAL(18,12) score snapshot exactly (scale ≤ 12 is the
+    * engine-stability bound — see Sampling.weightedReservoir). */
   private val z27WeightedSample = Q(
     (s, d) => Sampling.weightedReservoir(
         Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
@@ -2422,7 +2433,8 @@ object PipelineQueries {
   /** x21: curation v4 — the round's operators composed as one declared
     * corpus build, the "train-ready shard selection" a production
     * pipeline runs end-to-end: (1) span-decontamination gate (x19: zero
-    * 8-word-window overlap with the benchmark slice), (2) DSIR importance
+    * 8-word-window overlap with the benchmark slice; docs too short to
+    * have any window pass vacuously), (2) DSIR importance
     * gate (z21's shared per-doc frame: kept by the deterministic
     * llr-weighted resample), (3) near-dup collapse where the CANONICAL
     * representative of each LSH cluster is chosen by PageRank centrality
@@ -2440,9 +2452,13 @@ object PipelineQueries {
     (s, d) => {
       val docs = Tables.documents(s, d)
       val corpus = docs.filter(col("doc_id") % 97 =!= 0)
-      val spanKeep = Dedup.spanDecontaminate(
+      // (doc_id, n_contam) for every doc with >= 8 words; docs too short
+      // to have any window are ABSENT and vacuously clean — the gate
+      // below is a left join + coalesce, not a semi-join, so they pass
+      // (a semi-join would silently drop every short document)
+      val spanContam = Dedup.spanDecontaminate(
           corpus, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 8)
-        .filter(col("n_contam") === 0).select("doc_id")
+        .select(col("doc_id"), col("n_contam"))
       val dsirKeep = dsirPerDoc(s, d).filter(col("kept")).select("doc_id")
       // one LSH pass: the pair frame is pinned and shared by the
       // components fixpoint AND the PageRank loop (each would otherwise
@@ -2462,9 +2478,10 @@ object PipelineQueries {
         .filter(col("__srn") === 1)
         .select("doc_id")
       val kept = corpus
-        .join(spanKeep, Seq("doc_id"), "left_semi")
         .join(dsirKeep, Seq("doc_id"), "left_semi")
         .join(surv, Seq("doc_id"), "left_semi")
+        .join(spanContam, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_contam"), lit(0L)) === 0)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .withColumn("es_key", Sampling.esKey(col("doc_id"), col("n_chars")))
       Relational.groupedTopK(kept, Seq("lang"), col("doc_id"),
@@ -2503,11 +2520,9 @@ object PipelineQueries {
        |spd AS (SELECT doc_id, fp, COUNT(*) AS c FROM swin
        |        WHERE doc_id % 97 <> 0 GROUP BY 1, 2),
        |sbench AS (SELECT DISTINCT fp FROM swin WHERE doc_id % 97 = 0),
-       |spkeep AS (SELECT doc_id FROM (
-       |    SELECT pd.doc_id,
-       |      SUM(CASE WHEN b.fp IS NOT NULL THEN pd.c ELSE 0 END) AS n_contam
-       |    FROM spd pd LEFT JOIN sbench b ON pd.fp = b.fp GROUP BY 1)
-       |  WHERE n_contam = 0),
+       |spc AS (SELECT pd.doc_id,
+       |    SUM(CASE WHEN b.fp IS NOT NULL THEN pd.c ELSE 0 END) AS n_contam
+       |  FROM spd pd LEFT JOIN sbench b ON pd.fp = b.fp GROUP BY 1),
        |tcx AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
        |        FROM documents),
        |dcc AS (SELECT term, COUNT(*) AS cc FROM tcx GROUP BY 1),
@@ -2528,7 +2543,9 @@ object PipelineQueries {
        |    FROM dtf JOIN dw USING (term) GROUP BY 1)
        |  WHERE keepflag),
        |keptd AS (SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
-       |  JOIN surv USING (doc_id) JOIN spkeep USING (doc_id) JOIN dkeep USING (doc_id)),
+       |  JOIN surv USING (doc_id) JOIN dkeep USING (doc_id)
+       |  LEFT JOIN spc ON d.doc_id = spc.doc_id
+       |  WHERE COALESCE(spc.n_contam, 0) = 0),
        |es AS (SELECT *,
        |  CAST(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
        |         / CAST(4294967296 AS DOUBLE)) / n_chars AS DECIMAL(18,12)) AS es_key
