@@ -2556,8 +2556,46 @@ object PipelineQueries {
        |SELECT lang, rank, doc_id, source, n_chars
        |FROM sel WHERE rank <= 10 ORDER BY lang, rank""".stripMargin)
 
+  /** z29: mergeable distinct sketches — the warehouse form of COUNT
+    * DISTINCT at scale: build one HLL sketch per (event_type, week) — the
+    * per-shard object a metrics table would STORE — then answer "distinct
+    * users per event type" by UNIONING the stored sketches
+    * (`hll_union_agg`), never rescanning raw events. Exact distinct
+    * re-shuffles every value on every question; sketch algebra ships
+    * fixed-KB buffers and answers any window composition of the stored
+    * shards. Spark 4 exposes the Apache DataSketches HLL family natively
+    * (`hll_sketch_agg`/`hll_union_agg`/`hll_sketch_estimate`), all
+    * partial-merge aggregates. DuckDB has no sketch algebra, so the
+    * oracle is x6's deterministic contract: exact counts plus "the
+    * unioned estimate landed within 5%" (HLL is RNG-free — the outcome
+    * is stable, gated at both SFs). */
+  private val z29SketchUnion = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("user_id"),
+          date_trunc("week", col("ts")).as("wk"))
+      val weekly = ev.groupBy("event_type", "wk")
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      val unioned = weekly.groupBy("event_type")
+        .agg(count(lit(1)).cast(IntegerType).as("n_weeks"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).cast(LongType).as("n_exact"))
+      exact.join(unioned, Seq("event_type"))
+        .select(col("event_type"), col("n_weeks"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05).as("union_ok"))
+        .orderBy("event_type")
+    },
+    """SELECT event_type,
+      |  CAST(COUNT(DISTINCT date_trunc('week', ts)) AS INT) AS n_weeks,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+      |  TRUE AS union_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "x20_dup_pagerank" -> x20DupPagerank,
+    "z29_sketch_union" -> z29SketchUnion,
     "x21_curation_v4" -> x21CurationV4,
     "z28_group_weighted_sample" -> z28GroupWeightedSample,
     "z25_cms_hitters" -> z25CmsHitters,

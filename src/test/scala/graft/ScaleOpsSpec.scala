@@ -153,6 +153,31 @@ class ScaleOpsSpec extends SparkSpec {
     kls.values.foreach(kl => assert(math.abs(kl - math.log(2.0)) < 1e-5, s"kl=$kl"))
   }
 
+  test("HLL sketch union across shards estimates within tolerance, any sharding") {
+    // the property that makes store-per-shard / union-on-read valid:
+    // merging per-shard sketches answers the same question as one global
+    // sketch — to within the sketch's error contract, and ONLY that: the
+    // measured estimates here are 1225 (direct), 1220 (7 coarse shards),
+    // 1225 (13 fine shards) for 1234 true distincts. They differ because
+    // a DataSketches HLL below ~k coupons is an exact sparse list and
+    // above it a dense estimator, so the per-shard distinct count decides
+    // which side of the transition each sketch lands on. The contract is
+    // tolerance, not equality — exactly what z29's oracle asserts.
+    val df = spark.range(5000).select((col("id") % 1234).as("u"), (col("id") % 7).as("shard"))
+    val direct = df.agg(expr("hll_sketch_estimate(hll_sketch_agg(u))")).as[Long].head()
+    val unioned = df.groupBy("shard").agg(expr("hll_sketch_agg(u)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).as[Long].head()
+    val resharded = df.groupBy((col("u") % 13).as("s2")).agg(expr("hll_sketch_agg(u)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).as[Long].head()
+    for ((label, est) <- Seq(("direct", direct), ("union7", unioned), ("union13", resharded)))
+      assert(math.abs(est - 1234L) <= (1234 * 0.05).toLong, s"$label estimate $est")
+    // determinism: HLL is RNG-free — the same sharding always lands on
+    // the same estimate (what makes z29's contract oracle stable)
+    val again = df.groupBy("shard").agg(expr("hll_sketch_agg(u)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")).as[Long].head()
+    assert(again === unioned)
+  }
+
   test("bucketed tables join without a shuffle on the bucket key") {
     val dir = tmpDir("bucketed")
     val store = Store(spark, dir, "season")
