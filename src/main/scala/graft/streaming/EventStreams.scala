@@ -177,6 +177,73 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Shape 6: streaming frequency-sketch maintenance — z25's Count-Min
+    * sketch as a continuously-maintained object. Each micro-batch builds
+    * its own sketch with Spark's `count_min_sketch` partial-merge
+    * aggregate (the only corpus-sized pass), and the driver folds it into
+    * the stored corpus sketch via `CountMinSketch.mergeInPlace` — the
+    * state is a single (sketch BINARY, n_tot BIGINT) row of a few KB, so
+    * the merge is metadata-sized regardless of stream volume, and the
+    * live sketch is probe-able at any moment with `graft_cms_estimate`
+    * (z25's native read side) without touching raw history.
+    *
+    * Same derived-version exactly-once discipline as
+    * [[aggStateMaintenance]]: sketch addition at a fixed seed is
+    * deterministic, so a retried batch recomputes the SAME bytes and
+    * rewrites the same version directory; versions older than the merge
+    * parent are GC'd. An empty batch merges an empty sketch (a no-op)
+    * rather than nulling the state. */
+  def cmsStateMaintenance(docs: DataFrame, stateDir: String,
+                          checkpointDir: String, termCol: String,
+                          eps: Double = 0.001, confidence: Double = 0.99,
+                          seed: Int = 42): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+        import org.apache.spark.util.sketch.CountMinSketch
+        val spark = batch.sparkSession
+        val dir = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def versions: Seq[Long] =
+          if (!fs.exists(dir)) Seq.empty
+          else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        def decode(bytes: Array[Byte]): CountMinSketch =
+          CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
+        def encode(sk: CountMinSketch): Array[Byte] = {
+          val bos = new ByteArrayOutputStream()
+          sk.writeTo(bos)
+          bos.toByteArray
+        }
+        val agg = batch.agg(
+          expr(s"count_min_sketch($termCol, CAST($eps AS DOUBLE), " +
+            s"CAST($confidence AS DOUBLE), $seed)").as("sk"),
+          count(col(termCol)).as("n_tot")).head()
+        // count_min_sketch over zero rows yields an empty sketch, but the
+        // column is still guarded: a null (all-null batch) merges as empty
+        val batchSk = Option(agg.getAs[Array[Byte]]("sk"))
+          .map(decode)
+          .getOrElse(CountMinSketch.create(eps, confidence, seed))
+        val batchN = agg.getLong(1)
+        val parent = versions.filter(_ < batchId).sorted.lastOption
+        val (mergedSk, mergedN) = parent match {
+          case None => (batchSk, batchN)
+          case Some(p) =>
+            val prev = spark.read.parquet(s"$stateDir/v$p").head()
+            val acc = decode(prev.getAs[Array[Byte]]("sk"))
+            acc.mergeInPlace(batchSk)
+            (acc, prev.getAs[Long]("n_tot") + batchN)
+        }
+        import spark.implicits._
+        Seq((encode(mergedSk), mergedN)).toDF("sk", "n_tot")
+          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+        parent.foreach(p => versions.filter(_ < p)
+          .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Latest COMMITTED state version written by [[aggStateMaintenance]].
     * Versions carrying a `_SUCCESS` marker win: a crash between directory
     * creation and parquet job commit leaves a v{batchId} dir holding only

@@ -220,6 +220,38 @@ class StreamingSpec extends SparkSpec {
       "click" -> ((3L, 14.5)), "view" -> ((1L, 2.0)), "buy" -> ((1L, 7.0))))
   }
 
+  test("cmsStateMaintenance folds batch sketches into a live frequency state") {
+    val src = tmpDir("cms_src"); val state = tmpDir("cms_state") + "/tbl"
+    val ckpt = tmpDir("cms_ckpt")
+    def drain(): Unit = {
+      val q = EventStreams.cmsStateMaintenance(
+        EventStreams.fileSource(spark, src, schema), state, ckpt,
+        termCol = "event_type")
+      q.awaitTermination()
+    }
+    // the few-KB state row probes through z25's native read side; with a
+    // handful of distinct terms the CMS upper bound is collision-free, so
+    // estimates are EXACT counts
+    def probe(term: String): Long = EventStreams.readAggState(spark, state)
+      .select(call_function("graft_cms_estimate", col("sk"), lit(term)))
+      .as[Long].head()
+    writeBatch(src, Seq(
+      (1L, ts(0), 10L, "click", 1.0), (2L, ts(1), 11L, "view", 2.0),
+      (3L, ts(2), 10L, "click", 3.0)))
+    drain()
+    assert(probe("click") === 2L && probe("view") === 1L)
+    // second drain merges only the new file's sketch into the state
+    writeBatch(src, Seq((4L, ts(3), 12L, "click", 1.0), (5L, ts(4), 13L, "buy", 7.0)))
+    drain()
+    assert(probe("click") === 3L && probe("view") === 1L && probe("buy") === 1L)
+    assert(EventStreams.readAggState(spark, state)
+      .select("n_tot").as[Long].head() === 5L)
+    // re-drain with nothing pending: state unchanged (idempotent)
+    drain()
+    assert(probe("click") === 3L && EventStreams.readAggState(spark, state)
+      .select("n_tot").as[Long].head() === 5L)
+  }
+
   test("intervalJoin correlates two streams per key within the time bound") {
     val clickDir = tmpDir("ssj_clicks"); val convDir = tmpDir("ssj_convs")
     writeBatch(clickDir, Seq(
