@@ -36,6 +36,26 @@ class PipelineDegradeSpec extends SparkSpec {
     Housekeeping.releaseAllBlocks(spark)
   }
 
+  test("z26: KL drift survives a zero broadcast budget with identical rows") {
+    // the per-term table is unhinted (vocabulary grows with the corpus);
+    // the group-bounded tables keep explicit hints, which legitimately
+    // survive a -1 threshold — so the assertion is that at least one
+    // join FELL BACK to a shuffle join and the rows are unchanged
+    val baseline = SparkEntry.queries("z26_kl_drift")(spark, sf).collect()
+    val degraded = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("z26_kl_drift")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert("(SortMerge|ShuffledHash)Join".r.findAllIn(plan).nonEmpty,
+        "with the budget at -1 the per-term join must fall back to a shuffle join")
+      df.collect()
+    }
+    assert(degraded.toSeq == baseline.toSeq,
+      "join-strategy fallback changed the drift rows")
+    Housekeeping.releaseAllBlocks(spark)
+  }
+
   test("bucketed/IVF ANN survive a zero broadcast budget with identical rows") {
     // the query side of bucketedTopK/ivfTopKAssigned is unhinted (a query
     // batch can grow with the corpus); when AQE can't broadcast it, the

@@ -151,6 +151,43 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!plan.contains("Window"), "BM25 must not rank through a window")
   }
 
+  test("z27/z28/x21: weighted sampling plans stay scale-safe") {
+    // global form: per-partition top-k + one k·P merge, never a sort
+    val p27 = formatted("z27_weighted_sample")
+    assert(p27.contains("TakeOrderedAndProject"),
+      "global weighted sample must plan as TakeOrdered")
+    assert(!p27.contains("Window"), "z27 must not rank through a window")
+    // grouped form: the salted two-stage shape — exactly two Window
+    // operators, and stage 1 keeps its salt key (losing it silently
+    // regresses to one task per group); the rank<=k filters must have
+    // pushed down as WindowGroupLimit so each task drops losers early
+    val p28 = formatted("z28_group_weighted_sample")
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(p28).size == 2,
+      "groupedTopK must keep the two-stage window form")
+    assert(p28.contains("WindowGroupLimit"),
+      "the rank<=k filters lost the group-limit pushdown")
+    assert(p28.contains("__salt"), "stage-1 window lost its salt key")
+    // the composition keeps the same sampling stage (plus the
+    // cluster-keyed survivor window, which partitions by cluster_id —
+    // high-cardinality, never a per-group funnel)
+    val p21 = formatted("x21_curation_v4")
+    assert(p21.contains("__salt"), "x21's sample stage lost the salted form")
+    assert(!p21.contains("CartesianProduct"))
+    // the DSIR gate attaches its two corpus totals by design: one-row
+    // IdentityBroadcastMode crosses (scalar attach), never a real cross
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p21).size <= 2,
+      "x21 grew an unblocked cross join beyond DSIR's two scalar attaches")
+  }
+
+  test("z29: sketch union aggregates sketches, never re-shuffling raw events twice") {
+    val plan = formatted("z29_sketch_union")
+    // the HLL aggregates run on the sketch (object-agg) path with a
+    // partial/final split — the raw user_id relation shuffles once per
+    // aggregate tree, never through a cartesian or window
+    assert(plan.contains("ObjectHashAggregate"), "HLL aggregation left the object-agg path")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Window"))
+  }
+
   test("y5: the ADC serve join blocks on the bucket; only the codebook crosses (broadcast)") {
     val plan = formatted("y5_pq_ann")
     assert(!plan.contains("CartesianProduct"))
