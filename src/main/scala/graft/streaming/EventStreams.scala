@@ -127,18 +127,50 @@ object EventStreams {
         docs.filter(!(coalesce(size(ws) >= 3, lit(false)) && hit))
     }
 
+  /** The derived-version fold both state-maintenance shapes share:
+    * version `v{batchId}` is computed deterministically from the latest
+    * version `< batchId` (the merge parent) + the batch, so a retried
+    * batch rewrites the SAME version directory with the same content
+    * (idempotent), and the checkpoint guarantees each source file lands
+    * in exactly one batchId. Versions older than the merge parent are
+    * deleted (a retry only ever needs the parent).
+    *
+    * Guard: a version NEWER than the current batchId means the stream's
+    * checkpoint was recreated (batchIds restarted) while stateDir kept
+    * its history — merging would silently discard the accumulated state
+    * and [[readAggState]] (which serves max version) would keep answering
+    * from the frozen old state while new versions shadow-write below it.
+    * That mismatch is unrecoverable by code, so fail loudly instead. */
+  private def foldStateVersion(spark: SparkSession, stateDir: String,
+                               batchId: Long)
+                              (merge: Option[DataFrame] => DataFrame): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions: Seq[Long] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+    val ahead = versions.filter(_ > batchId)
+    if (ahead.nonEmpty) throw new IllegalStateException(
+      s"state dir $stateDir already holds version v${ahead.max} but the " +
+        s"stream is at batch $batchId — its checkpoint was recreated. " +
+        "Refusing to silently reset accumulated state; point the stream " +
+        "at a fresh stateDir or restore the original checkpoint.")
+    val parent = versions.filter(_ < batchId).sorted.lastOption
+    merge(parent.map(p => spark.read.parquet(s"$stateDir/v$p")))
+      .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
+    // GC: a retry of any future batch only reads the latest < its id
+    parent.foreach(p => versions.filter(_ < p)
+      .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)))
+  }
+
   /** Shape 5: incremental aggregate maintenance — the streaming form of
     * the s15 monoid merge: each micro-batch's partial (count, exact-
     * decimal sum) per key folds into a versioned state table, so the
     * "materialized view" is always one batch-sized merge from fresh,
     * never a corpus rescan.
     *
-    * Exactly-once without sink transactions: state version `v{batchId}`
-    * is DERIVED deterministically from the latest version `< batchId` +
-    * the batch — a retried batch rewrites the SAME version directory with
-    * the same content (idempotent), and the checkpoint guarantees each
-    * source file lands in exactly one batchId. Versions older than the
-    * merge parent are deleted (a retry only ever needs the parent).
+    * Exactly-once via [[foldStateVersion]]'s derived-version discipline.
     * State schema is pinned (n BIGINT, s_dec DECIMAL(28,2)) so the merge
     * union never widens across versions. */
   def aggStateMaintenance(events: DataFrame, stateDir: String,
@@ -148,30 +180,19 @@ object EventStreams {
     events.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val dir = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def versions: Seq[Long] =
-          if (!fs.exists(dir)) Seq.empty
-          else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("v")).map(_.drop(1).toLong)
         val partial = batch
           .groupBy(keyCol)
           .agg(count(lit(1)).as("n"),
             sum(col(valCol).cast("decimal(18,2)")).as("s_dec"))
-        val parent = versions.filter(_ < batchId).sorted.lastOption
-        val merged = parent.fold(partial) { p =>
-          spark.read.parquet(s"$stateDir/v$p")
-            .unionByName(partial.select(col(keyCol),
-              col("n").cast("bigint"), col("s_dec").cast("decimal(28,2)")))
-            .groupBy(keyCol)
-            .agg(sum(col("n")).as("n"), sum(col("s_dec")).as("s_dec"))
-        }
-        merged.select(col(keyCol), col("n").cast("bigint").as("n"),
+        foldStateVersion(spark, stateDir, batchId) { parent =>
+          parent.fold(partial) { prev =>
+            prev.unionByName(partial.select(col(keyCol),
+                col("n").cast("bigint"), col("s_dec").cast("decimal(28,2)")))
+              .groupBy(keyCol)
+              .agg(sum(col("n")).as("n"), sum(col("s_dec")).as("s_dec"))
+          }.select(col(keyCol), col("n").cast("bigint").as("n"),
             col("s_dec").cast("decimal(28,2)").as("s_dec"))
-          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        // GC: a retry of any future batch only reads the latest < its id
-        parent.foreach(p => versions.filter(_ < p)
-          .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)))
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -187,12 +208,10 @@ object EventStreams {
     * live sketch is probe-able at any moment with `graft_cms_estimate`
     * (z25's native read side) without touching raw history.
     *
-    * Same derived-version exactly-once discipline as
-    * [[aggStateMaintenance]]: sketch addition at a fixed seed is
-    * deterministic, so a retried batch recomputes the SAME bytes and
-    * rewrites the same version directory; versions older than the merge
-    * parent are GC'd. An empty batch merges an empty sketch (a no-op)
-    * rather than nulling the state. */
+    * Exactly-once via [[foldStateVersion]]: sketch addition at a fixed
+    * seed is deterministic, so a retried batch recomputes the SAME bytes
+    * and rewrites the same version directory. An empty batch merges an
+    * empty sketch (a no-op) rather than nulling the state. */
   def cmsStateMaintenance(docs: DataFrame, stateDir: String,
                           checkpointDir: String, termCol: String,
                           eps: Double = 0.001, confidence: Double = 0.99,
@@ -202,12 +221,6 @@ object EventStreams {
         import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
         import org.apache.spark.util.sketch.CountMinSketch
         val spark = batch.sparkSession
-        val dir = new org.apache.hadoop.fs.Path(stateDir)
-        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def versions: Seq[Long] =
-          if (!fs.exists(dir)) Seq.empty
-          else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-            .filter(_.startsWith("v")).map(_.drop(1).toLong)
         def decode(bytes: Array[Byte]): CountMinSketch =
           CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
         def encode(sk: CountMinSketch): Array[Byte] = {
@@ -216,8 +229,8 @@ object EventStreams {
           bos.toByteArray
         }
         val agg = batch.agg(
-          expr(s"count_min_sketch($termCol, CAST($eps AS DOUBLE), " +
-            s"CAST($confidence AS DOUBLE), $seed)").as("sk"),
+          call_function("count_min_sketch", col(termCol), lit(eps),
+            lit(confidence), lit(seed)).as("sk"),
           count(col(termCol)).as("n_tot")).head()
         // count_min_sketch over zero rows yields an empty sketch, but the
         // column is still guarded: a null (all-null batch) merges as empty
@@ -225,26 +238,26 @@ object EventStreams {
           .map(decode)
           .getOrElse(CountMinSketch.create(eps, confidence, seed))
         val batchN = agg.getLong(1)
-        val parent = versions.filter(_ < batchId).sorted.lastOption
-        val (mergedSk, mergedN) = parent match {
-          case None => (batchSk, batchN)
-          case Some(p) =>
-            val prev = spark.read.parquet(s"$stateDir/v$p").head()
-            val acc = decode(prev.getAs[Array[Byte]]("sk"))
-            acc.mergeInPlace(batchSk)
-            (acc, prev.getAs[Long]("n_tot") + batchN)
+        foldStateVersion(spark, stateDir, batchId) { parent =>
+          val (mergedSk, mergedN) = parent.map(_.head()) match {
+            case None => (batchSk, batchN)
+            case Some(prev) =>
+              val acc = decode(prev.getAs[Array[Byte]]("sk"))
+              acc.mergeInPlace(batchSk)
+              (acc, prev.getAs[Long]("n_tot") + batchN)
+          }
+          import spark.implicits._
+          Seq((encode(mergedSk), mergedN)).toDF("sk", "n_tot")
         }
-        import spark.implicits._
-        Seq((encode(mergedSk), mergedN)).toDF("sk", "n_tot")
-          .write.mode("overwrite").parquet(s"$stateDir/v$batchId")
-        parent.foreach(p => versions.filter(_ < p)
-          .foreach(v => fs.delete(new org.apache.hadoop.fs.Path(s"$stateDir/v$v"), true)))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Latest COMMITTED state version written by [[aggStateMaintenance]].
+  /** Latest COMMITTED state version written by any [[foldStateVersion]]
+    * maintainer ([[aggStateMaintenance]]'s (key, n, s_dec) table,
+    * [[cmsStateMaintenance]]'s one-row (sk, n_tot) sketch) — the contract
+    * is schema-agnostic: pick a version directory, read its parquet.
     * Versions carrying a `_SUCCESS` marker win: a crash between directory
     * creation and parquet job commit leaves a v{batchId} dir holding only
     * `_temporary`, which would read back as empty state even though the

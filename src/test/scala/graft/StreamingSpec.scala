@@ -220,6 +220,29 @@ class StreamingSpec extends SparkSpec {
       "click" -> ((3L, 14.5)), "view" -> ((1L, 2.0)), "buy" -> ((1L, 7.0))))
   }
 
+  test("a recreated checkpoint against surviving state fails loudly, not silently resetting") {
+    val src = tmpDir("reset_src"); val state = tmpDir("reset_state") + "/tbl"
+    val ckpt = tmpDir("reset_ckpt")
+    def drain(cp: String): Unit = EventStreams.aggStateMaintenance(
+      EventStreams.fileSource(spark, src, schema), state, cp).awaitTermination()
+    writeBatch(src, Seq((1L, ts(0), 10L, "click", 1.5)))
+    drain(ckpt)
+    writeBatch(src, Seq((2L, ts(1), 11L, "view", 2.0)))
+    drain(ckpt) // state now at v1; a fresh checkpoint would restart at batch 0
+    writeBatch(src, Seq((3L, ts(2), 12L, "buy", 3.0)))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(tmpDir("reset_ckpt2"))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).map(c => c +: causes(c.getCause)).getOrElse(Seq.empty)
+    assert(causes(ex).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("checkpoint was recreated")))
+    // the accumulated state survived untouched
+    assert(EventStreams.readAggState(spark, state)
+      .select(col("event_type"), col("n")).as[(String, Long)].collect().toMap
+      === Map("click" -> 1L, "view" -> 1L))
+  }
+
   test("cmsStateMaintenance folds batch sketches into a live frequency state") {
     val src = tmpDir("cms_src"); val state = tmpDir("cms_state") + "/tbl"
     val ckpt = tmpDir("cms_ckpt")
