@@ -1886,6 +1886,43 @@ object PipelineQueries {
       |SELECT doc_id, n_windows, n_dup, n_dup / n_windows AS dup_frac
       |FROM agg ORDER BY doc_id""".stripMargin)
 
+  /** x22: most-duplicated spans corpus-wide — the memorization-risk
+    * report behind span dedup: which exact 8-word sequences recur most,
+    * in how many documents, how many times in total. x18 scores each
+    * DOCUMENT by its duplicated fraction; this ranks the SPANS themselves
+    * (the boilerplate a cleaning pass would strip, the sequences a model
+    * is most likely to memorize verbatim). Scale shape: spans are
+    * generated in-scan, the (doc, span) and span aggregates are both
+    * map-side combinable so the shuffle carries per-doc-distinct then
+    * corpus-distinct spans, and the global top-20 plans as
+    * TakeOrderedAndProject — per-partition top-k, one k·P-row merge,
+    * never a corpus sort. */
+  private val x22TopSpans = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))"))
+          .as("span"))
+        .groupBy("doc_id", "span").agg(count(lit(1)).as("c"))
+        .groupBy("span")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum(col("c")).cast(LongType).as("n_occ"))
+        .orderBy(col("n_occ").desc, col("span"))
+        .limit(20)
+    },
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |win AS (
+      |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS span
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM ws WHERE len(w) >= 8)),
+      |pd AS (SELECT doc_id, span, COUNT(*) AS c FROM win GROUP BY 1, 2)
+      |SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(c) AS BIGINT) AS n_occ
+      |FROM pd GROUP BY span ORDER BY n_occ DESC, span LIMIT 20""".stripMargin)
+
   /** z20: BM25 scoring — the retrieval-quality ranking a curation
     * pipeline uses to mine documents relevant to a seed query (data
     * selection à la DSIR/retrieval-based filtering). Okapi BM25 with
@@ -2602,6 +2639,7 @@ object PipelineQueries {
     "z26_kl_drift" -> z26KlDrift,
     "z27_weighted_sample" -> z27WeightedSample,
     "x18_span_dedup" -> x18SpanDedup,
+    "x22_top_spans" -> x22TopSpans,
     "x19_span_decontaminate" -> x19SpanDecontaminate,
     "z23_backoff_lm" -> z23BackoffLm,
     "z24_source_overlap" -> z24SourceOverlap,

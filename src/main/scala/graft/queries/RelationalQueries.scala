@@ -851,6 +851,49 @@ object RelationalQueries {
       |  CAST(SUM(CASE WHEN v_old = v_new THEN 1 ELSE 0 END) AS BIGINT) AS same
       |FROM old FULL OUTER JOIN neu USING (event_id)""".stripMargin)
 
+  /** S18: z-order (Morton) layout assignment — the clustering key behind
+    * multi-dimensional data skipping (Delta/Iceberg `OPTIMIZE ZORDER BY`).
+    * Both dimensions quantize to 8-bit cells against corpus min/max and
+    * bit-interleave into one 16-bit curve position; writing
+    * `repartitionByRange + sortWithinPartitions` on that key keeps
+    * parquet row-group min-max stats tight on BOTH columns, so selective
+    * predicates on EITHER prune most files — the layout a 100-TB
+    * documents table wants when queries filter by length OR word count.
+    * Everything is BIGINT shift/mask algebra (engine-exact, pure codegen;
+    * see operators/Layout.scala); the declared result aggregates the
+    * curve into coarse cells so the oracle checks every doc's placement.
+    * Skipping itself is asserted in LayoutSpec (z-ordered layout touches
+    * a fraction of the partitions a one-column sort needs). */
+  private val s18ZorderCells = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast(LongType).as("a"),
+          size(split(col("text"), " ")).cast(LongType).as("b"))
+      graft.operators.Layout.zorder2(docs, "a", "b", out = "zval")
+        .groupBy(shiftright(col("zval"), 8).cast(IntegerType).as("cell"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
+        .orderBy("cell")
+    },
+    """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS b FROM documents),
+      |st AS (SELECT MIN(a) AS mina, MAX(a) AS maxa,
+      |    MIN(b) AS minb, MAX(b) AS maxb FROM d),
+      |q AS (SELECT doc_id,
+      |    CAST(FLOOR((a - mina) * 256 / (maxa - mina + 1)) AS BIGINT) AS qa,
+      |    CAST(FLOOR((b - minb) * 256 / (maxb - minb + 1)) AS BIGINT) AS qb
+      |  FROM d CROSS JOIN st),
+      |s1 AS (SELECT doc_id, (qa | (qa << 4)) & 3855 AS xa,
+      |    (qb | (qb << 4)) & 3855 AS xb FROM q),
+      |s2 AS (SELECT doc_id, (xa | (xa << 2)) & 13107 AS xa,
+      |    (xb | (xb << 2)) & 13107 AS xb FROM s1),
+      |s3 AS (SELECT doc_id, (xa | (xa << 1)) & 21845 AS xa,
+      |    (xb | (xb << 1)) & 21845 AS xb FROM s2),
+      |z AS (SELECT doc_id, ((xa << 1) | xb) AS zval FROM s3)
+      |SELECT CAST(zval >> 8 AS INT) AS cell, COUNT(*) AS n_docs,
+      |  MIN(zval) AS z_min, MAX(zval) AS z_max
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** F8: semi-structured column extraction — the per-event JSON `props`
     * payload parsed IN the scan projection (`get_json_object` is a pure
     * codegen'd expression — no UDF, no second pass), then aggregated as
@@ -1242,6 +1285,7 @@ object RelationalQueries {
     "s16_table_audit" -> s16TableAudit,
     "a17_grouped_mode" -> a17GroupedMode,
     "s17_snapshot_diff" -> s17SnapshotDiff,
+    "s18_zorder_cells" -> s18ZorderCells,
     "s15_incremental_agg" -> s15IncrementalAgg,
     "j9_salted_join" -> j9SaltedJoin,
     "o1_topk" -> o1TopK,

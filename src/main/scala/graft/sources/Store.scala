@@ -192,4 +192,22 @@ object Store {
       .sortWithinPartitions(sortCol)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Z-order-clustered write — [[writeSorted]]'s two-dimensional sibling
+    * (Delta/Iceberg `OPTIMIZE ZORDER BY`): ranges on the Morton curve of
+    * BOTH columns, so every file's min-max footer stats stay tight on
+    * EITHER dimension and a selective predicate on either one skips most
+    * files. The curve key is derived (Layout.zorder2), used for the
+    * physical ordering, and dropped before write — projection preserves
+    * the within-partition row order, so the layout survives without
+    * persisting a helper column. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int): Unit = {
+    require(files > 0, s"files must be positive, got $files")
+    graft.operators.Layout.zorder2(df, colA, colB, "__z")
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

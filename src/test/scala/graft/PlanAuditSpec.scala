@@ -179,6 +179,21 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "x21 grew an unblocked cross join beyond DSIR's two scalar attaches")
   }
 
+  test("x22/s18: span ranking and z-order assignment keep scale-safe shapes") {
+    // x22: two combinable aggregates then a TakeOrdered top-k — no
+    // window, no corpus sort
+    val p22 = formatted("x22_top_spans")
+    assert(p22.contains("TakeOrderedAndProject"),
+      "span top-k must plan as TakeOrdered")
+    assert(!p22.contains("Window") && !p22.contains("CartesianProduct"))
+    // s18: the min-max stats attach is the ONE scalar broadcast cross;
+    // the curve math itself must stay codegen'd expressions in-scan
+    val p18 = formatted("s18_zorder_cells")
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p18).size <= 1,
+      "z-order grew a second cross beyond the one-row stats attach")
+    assert(!p18.contains("CartesianProduct") && !p18.contains("Window"))
+  }
+
   test("z29: sketch union aggregates sketches, never re-shuffling raw events twice") {
     val plan = formatted("z29_sketch_union")
     // the HLL aggregates run on the sketch (object-agg) path with a
