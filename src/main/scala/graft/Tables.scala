@@ -25,13 +25,23 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = apply(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame    = apply(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame  = apply(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and the
-    * loader converts exactly (integer ns→µs division — the data is µs-grained;
-    * a double division would lose precision above 2^53). */
-  def events(spark: SparkSession, d: String): DataFrame =
-    apply(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  /** `events.ts` has shipped as two physical types across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * rejects, so sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and
+    * the loader converts exactly (integer ns→µs division; a double division
+    * would lose precision above 2^53) — and plain TIMESTAMP(MICROS), which
+    * needs no conversion beyond a cast to the session-zone timestamp type.
+    * Branch on the OBSERVED type so either generation loads identically. */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = apply(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
   def documents(spark: SparkSession, d: String): DataFrame = apply(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = apply(spark, d, "embeddings")
 
