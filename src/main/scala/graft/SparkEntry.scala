@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared queries, grouped by module. */
   private def registry: Map[String, Q] =
     RelationalQueries.all ++ WindowQueries.all ++ MetricQueries.all ++
-      PipelineQueries.all ++ FlagshipQueries.all ++ MarketQueries.all
+      PipelineQueries.all ++ FlagshipQueries.all ++ MarketQueries.all ++
+      VocabQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The full
     * epa_predict DAG (five joined sources → 16-metric lag panel → stability

@@ -321,6 +321,65 @@ object Similarity {
       .select("q_id", "bucket", "rank", "c_id", "cosine")
   }
 
+  /** Exact integer dot product of two int-array columns (deterministic —
+    * integer arithmetic has no rounding, so quantized scores are
+    * bit-identical across engines, partitionings, and runs). */
+  def intDot(a: String, b: String): Column =
+    expr(
+      s"""aggregate(
+         |  zip_with($a, $b, (x, y) -> CAST(x AS BIGINT) * y),
+         |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+
+  /** Symmetric int8 scalar quantization: one corpus pass finds the global
+    * max absolute component, every vector is scaled by 127/amax and each
+    * component rounded to an int in [-127, 127] — the 4-bytes-per-dim
+    * float corpus becomes 1 byte per dim (the simplest form of the
+    * compression ladder that continues with PQ, [[pqEncode]]).
+    *
+    * Scale shape: the amax aggregate is one map-side-combinable pass
+    * producing ONE row, cross-joined back broadcast; quantization itself
+    * is a pure in-scan `transform`, so the whole encode is a single
+    * corpus scan with a scalar side input. Precondition: a non-degenerate
+    * corpus (amax > 0); an all-zero corpus would divide by zero.
+    *
+    * Determinism: scale = 127.0/amax and x·scale are single correctly-
+    * rounded IEEE ops and `round` is half-away-from-zero in both engines,
+    * so the quantized vectors — and everything downstream, because the
+    * arithmetic is integer from here — are bit-identical. */
+  def scalarQuantize(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val amax = vectors.agg(
+      max(expr(s"array_max(transform($vecCol, x -> abs(CAST(x AS DOUBLE))))"))
+        .as("amax"))
+    vectors.crossJoin(broadcast(amax))
+      .withColumn("__scale", lit(127.0) / col("amax"))
+      .withColumn("qvec",
+        expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * __scale) AS INT))"))
+      .select(col(idCol), col("qvec"))
+  }
+
+  /** Brute-force top-k over scalar-quantized vectors: integer dot products
+    * and integer-derived norms, so the quantized-cosine ranking is exact
+    * integer arithmetic plus one engine-stable division — the rerank-grade
+    * serving path for int8-compressed embeddings (compose with the
+    * hyperplane bucket / IVF cell join for the sublinear path, exactly as
+    * [[pqTopK]]'s blockCol does). Query side broadcast like
+    * [[bruteForceTopK]]. */
+  def quantizedTopK(vectors: DataFrame, queryIds: Column => Column, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val qz = scalarQuantize(vectors, idCol, vecCol)
+      .withColumn("nrm", sqrt(intDot("qvec", "qvec").cast("double")))
+    val q = qz.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("q_id"), col("qvec").as("q_q"), col("nrm").as("q_nrm"))
+    val c = qz.select(col(idCol).as("c_id"), col("qvec").as("c_q"), col("nrm").as("c_nrm"))
+    val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("qcos", round(intDot("q_q", "c_q") / (col("q_nrm") * col("c_nrm")), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("c_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "c_id", "qcos")
+  }
+
   /** Squared L2 distance between two float-array columns restricted to
     * subspace `subCol` (an INT column expression in scope, 0-based: dims
     * [sub·subDim, (sub+1)·subDim)), as a deterministic sequential fold.

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Housekeeping
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Subword-vocabulary learning (BPE merge induction) over a document corpus.
+  *
+  * The reference workload tokenizes with fixed rules (SURVEY.md §2.9); a
+  * training-data pipeline additionally LEARNS its tokenizer from the corpus.
+  * This is the classic byte-pair-encoding loop (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units"): start
+  * from characters, repeatedly merge the most frequent adjacent token pair.
+  *
+  * Scale design — the word-histogram trick that makes distributed BPE
+  * tractable: the corpus is scanned ONCE into a (word, count) histogram
+  * (one map-side-combinable shuffle; Heaps' law keeps the histogram
+  * sublinear in corpus size — ~10^6-10^7 rows even at 100 TB, vs 10^13
+  * tokens). Every merge round then runs on the histogram, never the corpus:
+  * an in-scan explode of adjacent token pairs weighted by word count, a
+  * vocab-sized pair aggregate (map-side combinable), and a TakeOrdered(1)
+  * for the arg-max pair. The driver collects exactly one row per round
+  * (the chosen pair — metadata, never data), mirroring the k-means loop in
+  * [[Similarity.kmeansFit]]. The histogram is pinned (localCheckpoint) for
+  * the loop's lifetime and freed before returning.
+  *
+  * Merge semantics: a round rewrites every word's token string by replacing
+  * occurrences of " a b " with " ab " in two left-to-right non-overlapping
+  * sweeps over the space-padded string. One sweep cannot merge a chain of
+  * adjacent occurrences ("a b a b" leaves the second pair untouched because
+  * consecutive matches share their boundary space); after the first sweep
+  * no two remaining occurrences are adjacent, so the second sweep catches
+  * every leftover. The two-sweep form is deterministic and engine-portable
+  * (plain non-overlapping string replace exists everywhere), at the cost of
+  * a documented deviation from strict leftmost-greedy BPE on runs of 3+
+  * overlapping occurrences of a self-adjacent pair ("a a a a a" merges to
+  * "aa a aa"; strict greedy gives "aa aa a") — same token count, different
+  * alignment, and identical on both engines, which is what the differential
+  * gate needs.
+  *
+  * Tie-breaks: arg-max by (count desc, pair asc) — deterministic across
+  * engines, partitionings, and runs.
+  */
+object Vocab {
+
+  /** One learned merge: `step` is 1-based, `merged = tokA + tokB`, `n` the
+    * weighted occurrence count at the time of the merge. */
+  final case class Merge(step: Int, tokA: String, tokB: String,
+                         merged: String, n: Long)
+
+  val MergeSchema: StructType = StructType(Seq(
+    StructField("step", IntegerType, nullable = false),
+    StructField("tok_a", StringType, nullable = false),
+    StructField("tok_b", StringType, nullable = false),
+    StructField("merged", StringType, nullable = false),
+    StructField("n", LongType, nullable = false)))
+
+  /** Space-joined character tokens of a word column ("hash" → "h a s h"). */
+  def charTokens(word: Column): Column =
+    trim(regexp_replace(word, "(.)", "$1 "))
+
+  /** Two-sweep literal pair merge of a token-string column (object doc). */
+  def mergePair(ts: Column, tokA: String, tokB: String): Column = {
+    val patt = lit(s" $tokA $tokB ")
+    val repl = lit(s" $tokA$tokB ")
+    val once = replace(concat(lit(" "), ts, lit(" ")), patt, repl)
+    trim(replace(once, patt, repl))
+  }
+
+  /** The (token-string, count) word histogram of a corpus — the ONE
+    * corpus-wide pass of the BPE loop. */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(charTokens(col("w")).as("ts"), col("n"))
+
+  /** Adjacent-pair counts of a (ts, n) histogram: every "tokᵢ tokᵢ₊₁" pair
+    * weighted by word count. In-scan explode + map-side-combinable
+    * aggregate; output is vocab-sized. */
+  def pairCounts(hist: DataFrame): DataFrame =
+    hist.select(split(col("ts"), " ").as("tok"), col("n"))
+      .filter(size(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tok) - 2), i -> concat(tok[i], ' ', tok[i+1]))"))
+        .as("pair"), col("n"))
+      .groupBy("pair").agg(sum(col("n")).as("cnt"))
+
+  /** Learn up to `merges` BPE merges from the corpus (fewer if every word
+    * fully merges first). Runs the driver loop at call time: one tiny job
+    * per round over the pinned histogram, one collected row per round. */
+  def bpeLearn(docs: DataFrame, textCol: String, merges: Int): Seq[Merge] = {
+    require(merges >= 1, s"merges must be positive, got $merges")
+    val spark = docs.sparkSession
+    val pinned = Housekeeping.pin(spark)(wordHistogram(docs, textCol))
+    try {
+      var hist = pinned.df
+      val out = Seq.newBuilder[Merge]
+      var step = 1
+      var exhausted = false
+      while (step <= merges && !exhausted) {
+        val top = pairCounts(hist)
+          .orderBy(col("cnt").desc, col("pair").asc).limit(1).collect()
+        if (top.isEmpty) exhausted = true // every word fully merged
+        else {
+          val pair = top(0).getString(0)
+          val cnt = top(0).getLong(1)
+          val Array(a, b) = pair.split(" ", 2)
+          out += Merge(step, a, b, a + b, cnt)
+          hist = hist.withColumn("ts", mergePair(col("ts"), a, b))
+          step += 1
+        }
+      }
+      out.result()
+    } finally pinned.free()
+  }
+
+  /** [[bpeLearn]] as a DataFrame (the declared-query form). */
+  def bpeLearnDF(spark: SparkSession, docs: DataFrame, textCol: String,
+                 merges: Int): DataFrame = {
+    val rows = bpeLearn(docs, textCol, merges)
+      .map(m => Row(m.step, m.tokA, m.tokB, m.merged, m.n))
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), MergeSchema)
+  }
+
+  /** Word-level subword tokenization under a learned merge list: chars,
+    * then each merge replayed in learned order. A pure chained expression —
+    * the merge list compiles into 2·merges literal replaces inside
+    * whole-stage codegen. Applied per WORD, so merges never span word
+    * boundaries (BPE pre-tokenization contract). */
+  def applyMerges(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(charTokens(word)) { (acc, m) => mergePair(acc, m.tokA, m.tokB) }
+
+  /** Per-document subword token count under a learned merge list — the
+    * "how many tokens is my corpus under this vocab" accounting every
+    * training run needs. Tokenization is in-scan; the only shuffle is the
+    * per-doc aggregate (map-side combinable). */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[Merge]): DataFrame =
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col(idCol),
+        size(split(applyMerges(col("w"), merges), " ")).cast(IntegerType).as("w_tokens"))
+      .groupBy(idCol)
+      .agg(sum(col("w_tokens")).cast(LongType).as("n_tokens"),
+        count(lit(1)).cast(IntegerType).as("n_words"))
+}

@@ -2052,6 +2052,41 @@ object PipelineQueries {
       |  FROM adc) r
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 
+  /** y6: int8 scalar-quantized ANN — the entry rung of the embedding
+    * compression ladder (y5's PQ is the next): one corpus pass finds the
+    * global max |component|, every vector quantizes to ints in [-127, 127],
+    * and serving ranks by quantized cosine. Integer dots and norms make the
+    * ranking exact integer arithmetic plus one engine-stable division, so
+    * unlike float cosine no rounding pre-pass is load-bearing (the 6-dp
+    * round only stabilizes the printed score). Query side = every 50th
+    * vector, mirroring y1 — the brute-force rerank rung; the sublinear
+    * path composes the same codes with the hyperplane bucket join. */
+  private val y6SqAnn = Q(
+    (s, d) => Similarity.quantizedTopK(
+        Tables.embeddings(s, d), id => id % 50 === 0, "vec_id", "embedding", k = 5)
+      .orderBy("q_id", "rank"),
+    s"""WITH am AS (SELECT MAX(list_max(list_transform(embedding,
+       |      x -> abs(CAST(x AS DOUBLE))))) AS amax FROM embeddings),
+       |sc AS (SELECT 127.0 / amax AS scale FROM am),
+       |qv AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS q
+       |  FROM embeddings CROSS JOIN sc),
+       |n AS (SELECT vec_id, q,
+       |    sqrt(CAST(list_reduce(list_transform(q, x -> CAST(x AS BIGINT) * x),
+       |      (acc, x) -> acc + x) AS DOUBLE)) AS nrm FROM qv),
+       |scored AS (
+       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |    ROUND(list_reduce(list_transform(generate_series(1, 64),
+       |        i -> CAST(a.q[i] AS BIGINT) * b.q[i]), (acc, x) -> acc + x)
+       |      / (a.nrm * b.nrm), 6) AS qcos
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 50 = 0)
+       |SELECT q_id, rank, c_id, qcos FROM (
+       |  SELECT q_id, c_id, qcos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, c_id) AS INT) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
   /** x19: span-level benchmark decontamination — z11 flags a document if
     * ANY 3-gram shingle overlaps the benchmark; this measures HOW MUCH of
     * it is verbatim benchmark material at 8-word-span granularity (the
@@ -2647,6 +2682,7 @@ object PipelineQueries {
     "z22_temperature_mix" -> z22TemperatureMix,
     "z20_bm25" -> z20Bm25,
     "y5_pq_ann" -> y5PqAnn,
+    "y6_sq_ann" -> y6SqAnn,
     "x11_chunk_dedup" -> x11ChunkDedup,
     "x12_bloom_prefilter" -> x12BloomPrefilter,
     "x13_curation_v2" -> x13CurationV2,

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Similarity, Vocab}
+import org.apache.spark.sql.functions._
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("charTokens separates every character with single spaces") {
+    val out = Seq("hash", "a", "x9").toDF("w")
+      .select(Vocab.charTokens(col("w"))).as[String].collect()
+    assert(out.toSeq === Seq("h a s h", "a", "x 9"))
+  }
+
+  test("mergePair merges chains via two sweeps and respects token boundaries") {
+    val rows = Seq(
+      "a b a b a b", // chain of adjacent occurrences — needs both sweeps
+      "x a b y",     // interior occurrence
+      "xa b",        // 'a' is a token SUFFIX — must NOT merge
+      "a ba",        // 'b' prefix — must NOT merge
+      "a b").toDF("ts")
+    val out = rows.select(Vocab.mergePair(col("ts"), "a", "b")).as[String].collect()
+    assert(out.toSeq === Seq("ab ab ab", "x ab y", "xa b", "a ba", "ab"))
+  }
+
+  test("mergePair on a self-adjacent pair is deterministic (documented two-sweep form)") {
+    val out = Seq("a a a", "a a a a").toDF("ts")
+      .select(Vocab.mergePair(col("ts"), "a", "a")).as[String].collect()
+    assert(out.toSeq === Seq("aa a", "aa aa"))
+  }
+
+  test("bpeLearn reproduces the hand-computed merge sequence") {
+    // corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3  (the classic
+    // Sennrich example shape). Pair counts round 1:
+    //   "e s" = 6 (newest) + 3 (widest) = 9  <- winner
+    //   "l o" = 5 + 2 = 7, "s t" = 9 ... tie ("s t" also 9)!
+    //   tie-break pair asc: "e s" < "s t" -> "e s" wins round 1.
+    // round 2: "es t" = 9 wins (no other pair reaches 9; "l o"=7).
+    // round 3: "l o" = 7, then "lo w" = 7 ... tie-break "l o" < "lo w"
+    //   only after "l o" merges does "lo w" exist; round 3 counts:
+    //   "lo w" absent (no merge yet), "l o"=7 wins; round 4 "lo w"=7.
+    val docs = Seq(
+      Seq.fill(5)("low"), Seq.fill(2)("lower"),
+      Seq.fill(6)("newest"), Seq.fill(3)("widest")
+    ).flatten.mkString(" ")
+    val df = Seq(docs).toDF("text")
+    val ms = Vocab.bpeLearn(df, "text", 4)
+    assert(ms.map(m => (m.step, m.tokA, m.tokB, m.merged, m.n)) === Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L)))
+  }
+
+  test("bpeLearn stops early when every word is fully merged") {
+    val df = Seq("ab ab ab").toDF("text")
+    // "ab" has one pair ("a b"); after merging it no pairs remain
+    val ms = Vocab.bpeLearn(df, "text", 10)
+    assert(ms.map(_.merged) === Seq("ab"))
+  }
+
+  test("bpeTokenCounts: more merges never increase a document's token count") {
+    val df = Seq((1L, "low lower newest"), (2L, "widest low")).toDF("doc_id", "text")
+    val ms = Vocab.bpeLearn(df, "text", 4)
+    val none = Vocab.bpeTokenCounts(df, "doc_id", "text", Nil)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    val four = Vocab.bpeTokenCounts(df, "doc_id", "text", ms)
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(none.keySet === four.keySet)
+    four.foreach { case (id, n) => assert(n <= none(id)) }
+    // with zero merges the token count is the character count of the words
+    assert(none(1L) === "lowlowernewest".length.toLong)
+  }
+
+  test("bpeLearn leaves no NEW persistent blocks behind") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val df = Seq("low low lower").toDF("text")
+    Vocab.bpeLearn(df, "text", 2)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before)
+  }
+
+  test("scalarQuantize maps the max-|x| component to ±127 and zero to 0") {
+    val vecs = Seq(
+      (1L, Array(2.0f, -4.0f, 0.0f)),
+      (2L, Array(1.0f, 1.0f, -2.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.scalarQuantize(vecs, "vec_id", "embedding")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(q(1L) === Seq(64, -127, 0)) // 2/4*127 = 63.5 -> HALF_UP 64
+    assert(q(2L) === Seq(32, 32, -64))
+  }
+
+  test("quantizedTopK ranks by exact integer-derived cosine with id tiebreak") {
+    // query 0 and three candidates: 1 parallel (qcos 1), 2 orthogonal,
+    // 3 anti-parallel
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.5f, 0.0f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizedTopK(vecs, id => id === 0L, "vec_id", "embedding", 3)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2)
+    assert(out.map(_._3).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0)._4 === 1.0)
+    assert(out(1)._4 === 0.0)
+    assert(out(2)._4 === -1.0)
+  }
+}
