@@ -346,7 +346,8 @@ object Similarity {
     * rounded IEEE ops and `round` is half-away-from-zero in both engines,
     * so the quantized vectors — and everything downstream, because the
     * arithmetic is integer from here — are bit-identical. */
-  def scalarQuantize(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def scalarQuantize(vectors: DataFrame, idCol: String, vecCol: String,
+                     carryCols: Seq[String] = Nil): DataFrame = {
     val amax = vectors.agg(
       max(expr(s"array_max(transform($vecCol, x -> abs(CAST(x AS DOUBLE))))"))
         .as("amax"))
@@ -354,30 +355,45 @@ object Similarity {
       .withColumn("__scale", lit(127.0) / col("amax"))
       .withColumn("qvec",
         expr(s"transform($vecCol, x -> CAST(round(CAST(x AS DOUBLE) * __scale) AS INT))"))
-      .select(col(idCol), col("qvec"))
+      .select(col(idCol) +: col("qvec") +: carryCols.map(col): _*)
   }
 
-  /** Brute-force top-k over scalar-quantized vectors: integer dot products
-    * and integer-derived norms, so the quantized-cosine ranking is exact
-    * integer arithmetic plus one engine-stable division — the rerank-grade
-    * serving path for int8-compressed embeddings (compose with the
-    * hyperplane bucket / IVF cell join for the sublinear path, exactly as
-    * [[pqTopK]]'s blockCol does). Query side broadcast like
-    * [[bruteForceTopK]]. */
+  /** Top-k over scalar-quantized vectors: integer dot products and
+    * integer-derived norms, so the quantized-cosine ranking is exact
+    * integer arithmetic plus one engine-stable division.
+    *
+    * `blockCol` (a hyperplane-LSH bucket / IVF cell the quantized rows
+    * carry — the same coarse-quantizer role as [[pqTopK]]'s blockCol)
+    * turns the serve join into a bucket equi-join, which is the ONLY
+    * scale-safe form when the query set grows with the corpus: without it
+    * both join sides are corpus-sized and the pair count is quadratic —
+    * measured 1.2 s → 65 s for 10× data on the soak corpus. `None` keeps
+    * the brute-force form with the query side broadcast — the rerank rung,
+    * correct only for a bounded query batch. The blocked join is UNHINTED:
+    * AQE broadcasts the query side while it fits and degrades to a
+    * shuffled equi-join beyond (the y2/m4 lesson). */
   def quantizedTopK(vectors: DataFrame, queryIds: Column => Column, idCol: String,
-                    vecCol: String, k: Int): DataFrame = {
-    val qz = scalarQuantize(vectors, idCol, vecCol)
+                    vecCol: String, k: Int,
+                    blockCol: Option[String] = None): DataFrame = {
+    val qz = scalarQuantize(vectors, idCol, vecCol, blockCol.toSeq)
       .withColumn("nrm", sqrt(intDot("qvec", "qvec").cast("double")))
     val q = qz.filter(queryIds(col(idCol)))
-      .select(col(idCol).as("q_id"), col("qvec").as("q_q"), col("nrm").as("q_nrm"))
-    val c = qz.select(col(idCol).as("c_id"), col("qvec").as("c_q"), col("nrm").as("c_nrm"))
-    val scored = broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .select(col(idCol).as("q_id") +: col("qvec").as("q_q") +:
+        col("nrm").as("q_nrm") +: blockCol.map(col).toSeq: _*)
+    val c = qz.select(col(idCol).as("c_id") +: col("qvec").as("c_q") +:
+      col("nrm").as("c_nrm") +: blockCol.map(col).toSeq: _*)
+    val joined = blockCol match {
+      case Some(b) => q.join(c, Seq(b)).filter(col("q_id") =!= col("c_id"))
+      case None    => broadcast(q).join(c, col("q_id") =!= col("c_id"))
+    }
+    val scored = joined
       .withColumn("qcos", round(intDot("q_q", "c_q") / (col("q_nrm") * col("c_nrm")), 6))
     val w = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("c_id").asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("q_id", "rank", "c_id", "qcos")
+      .select(col("q_id") +: blockCol.map(col).toSeq ++:
+        Seq(col("rank"), col("c_id"), col("qcos")): _*)
   }
 
   /** Squared L2 distance between two float-array columns restricted to

@@ -2058,31 +2058,38 @@ object PipelineQueries {
     * and serving ranks by quantized cosine. Integer dots and norms make the
     * ranking exact integer arithmetic plus one engine-stable division, so
     * unlike float cosine no rounding pre-pass is load-bearing (the 6-dp
-    * round only stabilizes the printed score). Query side = every 50th
-    * vector, mirroring y1 — the brute-force rerank rung; the sublinear
-    * path composes the same codes with the hyperplane bucket join. */
+    * round only stabilizes the printed score). Serving rides the
+    * hyperplane-bucket equi-join (the y2 coarse quantizer): the %50 query
+    * slice grows WITH the corpus, so the brute-force form is quadratic —
+    * the soak measured 1.2 s → 65 s at 10× before this query was put on
+    * the bucketed path (brute force remains in the operator as the
+    * bounded-batch rerank rung, spec-gated). */
   private val y6SqAnn = Q(
     (s, d) => Similarity.quantizedTopK(
-        Tables.embeddings(s, d), id => id % 50 === 0, "vec_id", "embedding", k = 5)
+        Tables.embeddings(s, d)
+          .withColumn("bucket", Similarity.hyperplaneBucket("embedding")),
+        id => id % 50 === 0, "vec_id", "embedding", k = 5,
+        blockCol = Some("bucket"))
       .orderBy("q_id", "rank"),
-    s"""WITH am AS (SELECT MAX(list_max(list_transform(embedding,
-       |      x -> abs(CAST(x AS DOUBLE))))) AS amax FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |bk AS (SELECT vec_id, vd, CAST($bucketSql AS BIGINT) AS bucket FROM v),
+       |am AS (SELECT MAX(list_max(list_transform(vd, x -> abs(x)))) AS amax FROM v),
        |sc AS (SELECT 127.0 / amax AS scale FROM am),
-       |qv AS (SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(round(CAST(x AS DOUBLE) * scale) AS INT)) AS q
-       |  FROM embeddings CROSS JOIN sc),
-       |n AS (SELECT vec_id, q,
+       |qv AS (SELECT vec_id, bucket, list_transform(vd,
+       |    x -> CAST(round(x * scale) AS INT)) AS q
+       |  FROM bk CROSS JOIN sc),
+       |n AS (SELECT vec_id, bucket, q,
        |    sqrt(CAST(list_reduce(list_transform(q, x -> CAST(x AS BIGINT) * x),
        |      (acc, x) -> acc + x) AS DOUBLE)) AS nrm FROM qv),
        |scored AS (
-       |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+       |  SELECT a.vec_id AS q_id, a.bucket, b.vec_id AS c_id,
        |    ROUND(list_reduce(list_transform(generate_series(1, 64),
        |        i -> CAST(a.q[i] AS BIGINT) * b.q[i]), (acc, x) -> acc + x)
        |      / (a.nrm * b.nrm), 6) AS qcos
-       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
        |  WHERE a.vec_id % 50 = 0)
-       |SELECT q_id, rank, c_id, qcos FROM (
-       |  SELECT q_id, c_id, qcos,
+       |SELECT q_id, bucket, rank, c_id, qcos FROM (
+       |  SELECT q_id, bucket, c_id, qcos,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qcos DESC, c_id) AS INT) AS rank
        |  FROM scored) r
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)

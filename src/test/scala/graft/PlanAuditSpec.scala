@@ -63,6 +63,16 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(formatted("y1_knn_brute").contains("vector_dot"))
   }
 
+  test("y6: quantized serving is a bucket equi-join; only the amax scalar crosses") {
+    val plan = formatted("y6_sq_ann")
+    assert(!plan.contains("CartesianProduct"), "y6 must stay a bucket equi-join")
+    // the only nested-loop joins are the broadcast 1-row amax attachments
+    // (one per side of the serve join); the corpus-pair join itself must
+    // be hash/sort-merge on the bucket key
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 2, s"unexpected nested-loop joins in y6 plan: $bnlj")
+  }
+
   test("s5: the cleanup path reads only the two source columns") {
     val read = formatted("s5_clean_table").linesIterator
       .find(_.contains("ReadSchema")).get
