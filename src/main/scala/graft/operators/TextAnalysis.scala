@@ -109,6 +109,38 @@ object TextAnalysis {
         array_join(col("chunk_ws"), " ").as("chunk_text"))
   }
 
+  /** Hashed bag-of-words count vectors (the feature-hashing trick): each
+    * token hashes into one of `dim` buckets; the vector is the per-key
+    * bucket-count array. Integer counts make everything downstream exact:
+    * dots, norms, and cosines via integer arithmetic (Similarity.intDot)
+    * carry zero float-fold ambiguity. The embedding-free featurizer for
+    * chunk-level retrieval — production swaps in a learned encoder at the
+    * same seam (a vector column is a vector column).
+    *
+    * Shape: explode → one map-side-combinable (keys, bucket) count
+    * aggregate → per-key array assembly from the ≤ dim observed buckets.
+    * The obvious shuffle-free alternative — a `transform(sequence(0,dim),
+    * i -> size(filter(...)))` HOF per row — is NOT codegen'd (Spark
+    * evaluates higher-order functions interpreted), and its dim passes ×
+    * tokens interpreted lambda evals measured minutes where this form
+    * takes seconds: the relational plan keeps the hot loop (explode +
+    * hash + count) inside whole-stage codegen and pays only dim map
+    * probes per KEY at assembly. */
+  def hashedBowVectors(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                       wsCol: String, dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(dim > 0, s"feature dimension must be positive, got $dim")
+    val k = keys.map(col)
+    df.select(k :+ explode(col(wsCol)).as("__w"): _*)
+      .select(k :+ (hash32(col("__w")) % dim).cast(IntegerType).as("__b"): _*)
+      .groupBy(k :+ col("__b"): _*).agg(count(lit(1)).cast(IntegerType).as("__n"))
+      .groupBy(k: _*)
+      .agg(map_from_entries(array_sort(collect_list(struct(col("__b"), col("__n")))))
+        .as("__m"))
+      .withColumn("v", expr(
+        s"transform(sequence(0, ${dim - 1}), i -> CAST(coalesce(__m[i], 0) AS INT))"))
+      .drop("__m")
+  }
+
   /** Gopher-style repetition signal: the fraction of a doc's 3-grams that
     * are repeats (1 − distinct/total). Pure expressions over the word
     * array; the ratio is a raw IEEE division of exact ints — engine-stable

@@ -2094,6 +2094,103 @@ object PipelineQueries {
        |  FROM scored) r
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 
+  /** x23: chunk-level retrieval index — the RAG-shaped composition (and
+    * the retrieval FORM of contamination checking): chunk every document
+    * (z8's op), featurize each chunk with a hashed bag-of-words count
+    * vector (TextAnalysis.hashedBowVectors — a codegen'd explode +
+    * map-side-combinable count aggregate; see its scaladoc for why the
+    * shuffle-free HOF form loses by minutes), assign the
+    * hyperplane bucket on the MEAN-CENTERED counts, and retrieve: for
+    * each BENCHMARK chunk (doc_id % 97 = 0, the z11/x19 convention) the
+    * top-3 corpus chunks by integer-exact hashed-BoW cosine (cosine stays
+    * on the RAW counts — centering is a bucketing device only).
+    *
+    * Why center: count vectors are all-positive, so every plane dot
+    * carries the same strong positive bias and the raw-count buckets
+    * degenerate to a handful of values — the first soak measured 31 s at
+    * 1× with one mega-bucket carrying the whole join. Subtracting the
+    * chunk's mean count makes the plane signs informative (buckets
+    * spread, join cost ∝ per-bucket products). The centering stays exact
+    * in BOTH engines: mean = sum/64 is a dyadic division of an exact int,
+    * x − mean keeps ≤ 6 fraction bits, and the float cast is lossless at
+    * these magnitudes — so the native bucket expression and the double
+    * oracle agree bitwise.
+    *
+    * Scale shape: the query side is 1/97 of the corpus — it GROWS with
+    * the corpus, so serving rides the bucket equi-join (the y6 lesson;
+    * brute force here would be quadratic), unhinted so AQE chooses
+    * broadcast vs shuffle. Production swaps the featurizer for a learned
+    * encoder at the same vector-column seam; everything from the bucket
+    * join on is unchanged. */
+  private val x23ChunkRetrieval = Q(
+    (s, d) => {
+      val chunks = TextAnalysis.hashedBowVectors(
+          TextAnalysis.chunkWords(Tables.documents(s, d), "doc_id", "text", 32)
+            .select(col("doc_id"), col("chunk_id"),
+              split(col("chunk_text"), " ").as("ws")),
+          Seq("doc_id", "chunk_id"), "ws", 64)
+        .withColumn("__mean",
+          expr("aggregate(v, 0, (a, x) -> a + x)").cast("double") / lit(64.0))
+        .withColumn("fv",
+          expr("transform(v, x -> CAST(CAST(x AS DOUBLE) - __mean AS FLOAT))"))
+        .withColumn("bucket", Similarity.hyperplaneBucket("fv"))
+        // serve on RAW counts as floats: every value is a small exact int,
+        // so the double-accumulated native vector_dot (RewriteDotProduct
+        // turns the HOF into the codegen'd expression) yields the SAME
+        // exact integers as an integer fold — but runs compiled, which is
+        // what the per-pair hot loop needs (the interpreted HOF dot
+        // measured 47 s at 10×; native ~7 s)
+        .withColumn("fvr", expr("transform(v, x -> CAST(x AS FLOAT))"))
+        .withColumn("nrm", sqrt(Similarity.dot("fvr", "fvr")))
+        .select("doc_id", "chunk_id", "fvr", "bucket", "nrm")
+      val q = chunks.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("q_doc"), col("chunk_id").as("q_chunk"),
+          col("fvr").as("q_v"), col("bucket"), col("nrm").as("q_nrm"))
+      val c = chunks.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("c_doc"), col("chunk_id").as("c_chunk"),
+          col("fvr").as("c_v"), col("bucket"), col("nrm").as("c_nrm"))
+      val scored = q.join(c, Seq("bucket"))
+        .withColumn("qcos",
+          round(Similarity.dot("q_v", "c_v") / (col("q_nrm") * col("c_nrm")), 6))
+      val w = Window.partitionBy("q_doc", "q_chunk")
+        .orderBy(col("qcos").desc, col("c_doc").asc, col("c_chunk").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("q_doc", "q_chunk", "rank", "c_doc", "c_chunk", "qcos")
+        .orderBy("q_doc", "q_chunk", "rank")
+    },
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       |ch AS (SELECT doc_id, l,
+       |    unnest(generate_series(0, (len(l) - 1) // 32)) AS chunk_id FROM ws),
+       |ck AS (SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       |    list_slice(l, chunk_id * 32 + 1, chunk_id * 32 + 32) AS t FROM ch),
+       |hs AS (SELECT doc_id, chunk_id,
+       |    list_transform(t, w -> ${h32Sql("w")} % 64) AS h FROM ck),
+       |vec AS (SELECT doc_id, chunk_id, list_transform(generate_series(0, 63),
+       |    i -> CAST(len(list_filter(h, x -> x = i)) AS INT)) AS v FROM hs),
+       |vv AS (SELECT doc_id, chunk_id, v,
+       |    list_transform(v, e -> CAST(e AS DOUBLE)
+       |      - CAST(list_reduce(v, (a, b) -> a + b) AS DOUBLE) / 64.0) AS vd
+       |  FROM vec),
+       |bk AS (SELECT doc_id, chunk_id, v,
+       |    CAST(${bucketSqlFor(64)} AS BIGINT) AS bucket,
+       |    sqrt(CAST(list_reduce(list_transform(v, x -> CAST(x AS BIGINT) * x),
+       |      (acc, x) -> acc + x) AS DOUBLE)) AS nrm FROM vv),
+       |scored AS (
+       |  SELECT q.doc_id AS q_doc, q.chunk_id AS q_chunk,
+       |    c.doc_id AS c_doc, c.chunk_id AS c_chunk,
+       |    ROUND(list_reduce(list_transform(generate_series(1, 64),
+       |        i -> CAST(q.v[i] AS BIGINT) * c.v[i]), (acc, x) -> acc + x)
+       |      / (q.nrm * c.nrm), 6) AS qcos
+       |  FROM bk q JOIN bk c ON q.bucket = c.bucket
+       |  WHERE q.doc_id % 97 = 0 AND c.doc_id % 97 <> 0)
+       |SELECT q_doc, q_chunk, rank, c_doc, c_chunk, qcos FROM (
+       |  SELECT q_doc, q_chunk, c_doc, c_chunk, qcos,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_doc, q_chunk
+       |      ORDER BY qcos DESC, c_doc, c_chunk) AS INT) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 3 ORDER BY q_doc, q_chunk, rank""".stripMargin)
+
   /** x19: span-level benchmark decontamination — z11 flags a document if
     * ANY 3-gram shingle overlaps the benchmark; this measures HOW MUCH of
     * it is verbatim benchmark material at 8-word-span granularity (the
@@ -2690,6 +2787,7 @@ object PipelineQueries {
     "z20_bm25" -> z20Bm25,
     "y5_pq_ann" -> y5PqAnn,
     "y6_sq_ann" -> y6SqAnn,
+    "x23_chunk_retrieval" -> x23ChunkRetrieval,
     "x11_chunk_dedup" -> x11ChunkDedup,
     "x12_bloom_prefilter" -> x12BloomPrefilter,
     "x13_curation_v2" -> x13CurationV2,

@@ -79,6 +79,27 @@ class VocabSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet === before)
   }
 
+  test("hashedBowVectors: counts scatter by token hash and sum to the token count") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, 0, Seq("the", "fast", "the")),
+      (2L, 0, Seq("scan"))).toDF("doc_id", "chunk_id", "ws")
+    val out = TextAnalysis.hashedBowVectors(df, Seq("doc_id", "chunk_id"), "ws", 16)
+      .as[(Long, Int, Seq[Int])].collect().map(r => (r._1, r._3)).toMap
+    // expected buckets from the same md5-derived hash the engine uses
+    def bucket(w: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+      (h % 16).toInt
+    }
+    assert(out(1L).sum === 3)
+    assert(out(1L)(bucket("the")) >= 2) // "the" twice (fast may collide)
+    assert(out(2L).sum === 1)
+    assert(out(2L)(bucket("scan")) === 1)
+    assert(out(1L).length === 16 && out(2L).length === 16)
+  }
+
   test("scalarQuantize maps the max-|x| component to ±127 and zero to 0") {
     val vecs = Seq(
       (1L, Array(2.0f, -4.0f, 0.0f)),
