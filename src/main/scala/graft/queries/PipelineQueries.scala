@@ -1044,6 +1044,88 @@ object PipelineQueries {
     "fr" -> Seq("scan", "filter", "sort"),
     "es" -> Seq("join", "group", "order"))
 
+  /** z33: curation filter audit — the "why was this document dropped"
+    * trail every production corpus build keeps (dropping silently makes
+    * recall bugs invisible): each doc gets the FIRST failing gate of a
+    * fixed policy ladder — too_short (< 20 words), pii (email/phone
+    * pattern), repetitive (> 50% repeated 3-grams), lang_mismatch
+    * (predicted ≠ labeled language) — or 'kept'. The language and PII
+    * signals are in-scan codegen'd expressions (z1's scores, z12's
+    * patterns); the repetition signal is deliberately RELATIONAL (explode
+    * shingles → per-doc aggregate → unhinted doc-keyed join back) rather
+    * than an in-scan HOF: project-collapse inlines a HOF once per
+    * reference and higher-order functions evaluate interpreted, which
+    * measured 56 s at the 10× soak vs ~8 s relational — the same lesson
+    * as x23's featurizer. The ratio threshold compares a single IEEE
+    * division of exact ints — bit-identical cross-engine, so the gate
+    * decision can never straddle engines. */
+  private val z33FilterAudit = {
+    val scoreSql = testMarkers.map { case (l, ms) =>
+      val terms = ms.map(m =>
+        s"CAST((length(pt) - length(replace(pt, ' $m ', ''))) / ${m.length + 2} AS INT)")
+        .mkString(" + ")
+      s"$terms AS s_$l"
+    }.mkString(",\n    ")
+    val best = s"GREATEST(${testMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+    val predSql = testMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    Q(
+      (s, d) => {
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        val scores = testMarkers.map { case (l, ms) => l -> TextAnalysis.langScore(padded, ms) }
+        val docs = Tables.documents(s, d)
+        val shingled = docs
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 3)
+          .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
+        val dr = shingled.groupBy("doc_id")
+          .agg(((count(lit(1)) - countDistinct(col("sh"))).cast("double")
+            / count(lit(1))).as("__dup"))
+        // every signal is an UNCONDITIONAL projection column computed below
+        // the join's exchange: inside a CaseWhen branch Spark disables
+        // common-subexpression elimination (branches evaluate lazily), so
+        // embedding langPredict in the when-ladder re-evaluated its score
+        // subtrees ~5x per row — 29 s vs 8 s for the same signals at the
+        // 10x soak. The exchange materializes the signal columns, so the
+        // ladder above it compares plain attributes.
+        val sig = docs.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).as("__nw"),
+          (col("text").rlike(TextAnalysis.EmailPattern)
+            || col("text").rlike(TextAnalysis.PhonePattern)).as("__pii"),
+          TextAnalysis.langPredict(scores).as("__pred"))
+        sig.join(dr, Seq("doc_id"), "left")
+          .withColumn("reason",
+            when(col("__nw") < 20, "too_short")
+              .when(col("__pii"), "pii")
+              .when(coalesce(col("__dup"), lit(0.0)) > 0.5, "repetitive")
+              .when(col("__pred") =!= col("lang"), "lang_mismatch")
+              .otherwise("kept"))
+          .select("doc_id", "reason")
+          .orderBy("doc_id")
+      },
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |g AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM ws)),
+         |dr AS (SELECT doc_id,
+         |    CAST(COUNT(*) - COUNT(DISTINCT s) AS DOUBLE) / COUNT(*) AS dup_ratio
+         |  FROM g GROUP BY 1),
+         |sc AS (SELECT doc_id, lang, text, len(string_split(text, ' ')) AS nw,
+         |    $scoreSql
+         |  FROM (SELECT doc_id, lang, text, ' ' || text || ' ' AS pt FROM documents)),
+         |pred AS (SELECT doc_id, lang, text, nw,
+         |    CASE $predSql ELSE 'und' END AS pred_lang
+         |  FROM (SELECT *, $best AS best FROM sc))
+         |SELECT p.doc_id,
+         |  CASE WHEN nw < 20 THEN 'too_short'
+         |       WHEN regexp_matches(text, '${TextAnalysis.EmailPattern}')
+         |         OR regexp_matches(text, '${TextAnalysis.PhonePattern}') THEN 'pii'
+         |       WHEN coalesce(d.dup_ratio, 0) > 0.5 THEN 'repetitive'
+         |       WHEN pred_lang <> lang THEN 'lang_mismatch'
+         |       ELSE 'kept' END AS reason
+         |FROM pred p LEFT JOIN dr d USING (doc_id) ORDER BY doc_id""".stripMargin)
+  }
+
   /** Language-ID confusion matrix: labeled lang × predicted lang counts. */
   private val z1LangId = {
     val scoreSql = testMarkers.map { case (l, ms) =>
@@ -2832,6 +2914,7 @@ object PipelineQueries {
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
     "y4_centroid_stats" -> y4CentroidStats,
     "z1_lang_id" -> z1LangId,
+    "z33_filter_audit" -> z33FilterAudit,
     "z2_quality_score" -> z2QualityScore,
     "z3_token_counts" -> z3TokenCounts,
     "z4_fingerprint" -> z4Fingerprint,
