@@ -29,6 +29,27 @@ class VocabSpec extends SparkSpec {
     assert(out.toSeq === Seq("aa a", "aa aa"))
   }
 
+  test("two-sweep merge: chars preserved, no pair occurrence survives (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // pure-Scala replica of mergePair (java String.replace = the same
+    // non-overlapping left-to-right semantics Spark's and DuckDB's replace
+    // use). The second sweep's sufficiency is the operator's core claim:
+    // after sweep one, no two remaining occurrences can be adjacent.
+    val token = Gen.oneOf("a", "b", "ab", "c")
+    val tsGen = Gen.nonEmptyListOf(token).map(_.mkString(" "))
+    val pairGen = Gen.oneOf(("a", "b"), ("a", "a"), ("b", "a"), ("a", "ab"), ("ab", "a"))
+    val prop = Prop.forAll(tsGen, pairGen) { case (ts, (x, y)) =>
+      def sweep(s: String) = s.replace(s" $x $y ", s" $x$y ")
+      val merged = sweep(sweep(" " + ts + " ")).trim
+      val charsPreserved = merged.replace(" ", "") == ts.replace(" ", "")
+      val noneLeft = !(" " + merged + " ").contains(s" $x $y ")
+      val neverGrows = merged.split(" ").length <= ts.split(" ").length
+      charsPreserved && noneLeft && neverGrows
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bpeLearn reproduces the hand-computed merge sequence") {
     // corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3  (the classic
     // Sennrich example shape). Pair counts round 1:
