@@ -128,6 +128,71 @@ object Relational {
       round(when(vy > 0, (b1 * c1y + b2 * c2y) / vy).cast(DoubleType), 4).as("r2"))
   }
 
+  /** A18: per-group logistic regression (y ~ x1 + x2) via ridge-penalized
+    * IRLS — the distributed closing of the quality-classifier loop (z14
+    * *scores* documents with fixed weights; this *learns* the weights from
+    * a labeled corpus, the fasttext-discriminator shape every LLM curation
+    * stack trains).
+    *
+    * Fully declarative: each Newton step is ONE aggregate pass over the
+    * features joined to the previous step's per-group coefficients (a
+    * group-cardinality relation, broadcast), and the 3×3 penalized normal
+    * equations A·β = b are solved in-plan by Cramer's rule — no driver-side
+    * actions, no collect, no ml dependency, one logical plan Catalyst sees
+    * whole. `iters` corpus scans total (IRLS converges quadratically;
+    * 4 steps is the textbook budget), each a plain map-side-combinable
+    * aggregation — the 100-TB cost is `iters` scans, nothing quadratic.
+    *
+    * The ridge term `lambda` (added to A's diagonal) keeps the solve
+    * well-posed under perfect separation (small groups CAN separate; the
+    * unpenalized MLE then diverges) — det ≥ λ³ > 0 always, so no /0 branch
+    * is needed. `mu` is clamped to [1e-6, 1−1e-6] so the working response
+    * z = η + (y−μ)/(μ(1−μ)) never divides by zero.
+    *
+    * `feats` must have columns (group, x1, x2, y) with y ∈ {0.0, 1.0}.
+    * Returns (group, b0, b1, b2) at full precision — callers round at the
+    * output boundary. */
+  def logisticIrls(feats: DataFrame, group: String, iters: Int = 4,
+                   lambda: Double = 1.0): DataFrame = {
+    val f = feats.select(col(group), col("x1"), col("x2"), col("y"))
+    var beta = f.select(col(group)).distinct()
+      .select(col(group), lit(0.0).as("b0"), lit(0.0).as("b1"), lit(0.0).as("b2"))
+    for (_ <- 1 to iters) {
+      val joined = f.join(broadcast(beta), Seq(group))
+        .withColumn("eta", col("b0") + col("b1") * col("x1") + col("b2") * col("x2"))
+        .withColumn("mu", greatest(
+          least(lit(1.0) / (lit(1.0) + exp(-col("eta"))), lit(0.999999)), lit(1e-6)))
+        .withColumn("w", col("mu") * (lit(1.0) - col("mu")))
+        .withColumn("z", col("eta") + (col("y") - col("mu")) / col("w"))
+      val s = joined.groupBy(group).agg(
+        sum(col("w")).as("s0"),
+        sum(col("w") * col("x1")).as("s1"),
+        sum(col("w") * col("x2")).as("s2"),
+        sum(col("w") * col("x1") * col("x1")).as("s11"),
+        sum(col("w") * col("x1") * col("x2")).as("s12"),
+        sum(col("w") * col("x2") * col("x2")).as("s22"),
+        sum(col("w") * col("z")).as("r0"),
+        sum(col("w") * col("z") * col("x1")).as("r1"),
+        sum(col("w") * col("z") * col("x2")).as("r2"))
+      val a00 = col("s0") + lambda
+      val a11 = col("s11") + lambda
+      val a22 = col("s22") + lambda
+      val a01 = col("s1"); val a02 = col("s2"); val a12 = col("s12")
+      val r0 = col("r0"); val r1 = col("r1"); val r2 = col("r2")
+      val det = a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) +
+        a02 * (a01 * a12 - a11 * a02)
+      val d0 = r0 * (a11 * a22 - a12 * a12) - a01 * (r1 * a22 - a12 * r2) +
+        a02 * (r1 * a12 - a11 * r2)
+      val d1 = a00 * (r1 * a22 - a12 * r2) - r0 * (a01 * a22 - a12 * a02) +
+        a02 * (a01 * r2 - r1 * a02)
+      val d2 = a00 * (a11 * r2 - r1 * a12) - a01 * (a01 * r2 - r1 * a02) +
+        r0 * (a01 * a12 - a11 * a02)
+      beta = s.select(col(group),
+        (d0 / det).as("b0"), (d1 / det).as("b1"), (d2 / det).as("b2"))
+    }
+    beta
+  }
+
   /** A6: grouped quantiles with a scale switch. Exact `percentile` is
     * R's type-7 interpolating quantile (`quantile(probs = ...)`,
     * `/root/reference/darko/2_ourlads_projections.R:508-524`) but buffers

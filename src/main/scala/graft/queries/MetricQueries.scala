@@ -338,8 +338,99 @@ object MetricQueries {
       |  CAST(len(string_split(p_name, ' ')) AS INT) AS n_tokens
       |FROM part ORDER BY p_partkey""".stripMargin)
 
+  /** A18: distributed logistic-regression *training* — ridge-IRLS over
+    * aggregates (`Relational.logisticIrls`), closing the quality-classifier
+    * loop: z14 scores documents with fixed weights, this LEARNS the weights
+    * from a labeled corpus (label = "curated source", features = length and
+    * whitespace-density quality signals — the fasttext-discriminator shape
+    * of GPT-3/CCNet-style curation). Per-language model, 4 Newton steps,
+    * each one map-side-combinable aggregate pass; the oracle unrolls the
+    * SAME 4 steps as CTE stages with the identical Cramer 3×3 solve. */
+  private val a18LogisticIrls = {
+    val iters = 4
+    val featsSql =
+      """SELECT lang,
+        |    ln(1.0 + n_chars) AS x1,
+        |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / n_chars AS x2,
+        |    CAST(source IN ('src0', 'src3', 'src6', 'src9') AS DOUBLE) AS y
+        |  FROM documents""".stripMargin
+    // one Newton step: aggregate pass at the previous coefficients, then the
+    // Cramer solve of the ridge-penalized (λ=1) 3×3 normal equations —
+    // expression arrangement mirrors Relational.logisticIrls term for term
+    def stepSql(prev: String, sAlias: String, bAlias: String): String = {
+      val detSql = "(a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02))"
+      s"""$sAlias AS (
+         |  SELECT t.lang,
+         |    sum(w) AS s0, sum(w * x1) AS s1, sum(w * x2) AS s2,
+         |    sum(w * x1 * x1) AS s11, sum(w * x1 * x2) AS s12, sum(w * x2 * x2) AS s22,
+         |    sum(w * z) AS r0, sum(w * z * x1) AS r1, sum(w * z * x2) AS r2
+         |  FROM (
+         |    SELECT u.lang, u.x1, u.x2, u.mu * (1.0 - u.mu) AS w,
+         |      u.eta + (u.y - u.mu) / (u.mu * (1.0 - u.mu)) AS z
+         |    FROM (
+         |      SELECT f.lang, f.x1, f.x2, f.y,
+         |        b.b0 + b.b1 * f.x1 + b.b2 * f.x2 AS eta,
+         |        GREATEST(LEAST(1.0 / (1.0 + EXP(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 0.999999), 0.000001) AS mu
+         |      FROM feats f JOIN $prev b ON f.lang = b.lang) u) t
+         |  GROUP BY t.lang),
+         |$bAlias AS (
+         |  SELECT lang,
+         |    (r0 * (a11 * a22 - a12 * a12) - a01 * (r1 * a22 - a12 * r2) + a02 * (r1 * a12 - a11 * r2)) / $detSql AS b0,
+         |    (a00 * (r1 * a22 - a12 * r2) - r0 * (a01 * a22 - a12 * a02) + a02 * (a01 * r2 - r1 * a02)) / $detSql AS b1,
+         |    (a00 * (a11 * r2 - r1 * a12) - a01 * (a01 * r2 - r1 * a02) + r0 * (a01 * a12 - a11 * a02)) / $detSql AS b2
+         |  FROM (SELECT lang, s0 + 1.0 AS a00, s1 AS a01, s2 AS a02,
+         |          s11 + 1.0 AS a11, s12 AS a12, s22 + 1.0 AS a22, r0, r1, r2
+         |        FROM $sAlias) m)""".stripMargin
+    }
+    val steps = (1 to iters).map(i => stepSql(if (i == 1) "b0it" else s"b${i - 1}it", s"s${i}it", s"b${i}it"))
+      .mkString(",\n")
+    Q(
+      (s, d) => {
+        val feats = Tables.documents(s, d).select(
+          col("lang"),
+          log(lit(1.0) + col("n_chars")).as("x1"),
+          ((length(col("text")) - length(expr("replace(text, ' ', '')"))).cast(DoubleType) /
+            col("n_chars")).as("x2"),
+          col("source").isin("src0", "src3", "src6", "src9").cast(DoubleType).as("y"))
+        val beta = logisticIrls(feats, "lang", iters = iters, lambda = 1.0)
+        val loss = feats.join(broadcast(beta), Seq("lang"))
+          .withColumn("eta", col("b0") + col("b1") * col("x1") + col("b2") * col("x2"))
+          .withColumn("mu", greatest(
+            least(lit(1.0) / (lit(1.0) + exp(-col("eta"))), lit(0.999999)), lit(1e-6)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            (-avg(col("y") * log(col("mu")) +
+              (lit(1.0) - col("y")) * log(lit(1.0) - col("mu")))).as("ll"))
+        beta.join(loss, Seq("lang"))
+          .select(col("lang"), col("n"),
+            stat4(col("b0")).as("b0"), stat4(col("b1")).as("b1"),
+            stat4(col("b2")).as("b2"), stat4(col("ll")).as("log_loss"))
+          .orderBy("lang")
+      },
+      s"""WITH feats AS (
+         |  $featsSql),
+         |b0it AS (
+         |  SELECT lang, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+         |  FROM (SELECT DISTINCT lang FROM feats) g),
+         |$steps,
+         |loss AS (
+         |  SELECT t.lang, count(*) AS n,
+         |    -AVG(t.y * LN(t.mu) + (1.0 - t.y) * LN(1.0 - t.mu)) AS ll
+         |  FROM (
+         |    SELECT f.lang, f.y,
+         |      GREATEST(LEAST(1.0 / (1.0 + EXP(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 0.999999), 0.000001) AS mu
+         |    FROM feats f JOIN b${iters}it b ON f.lang = b.lang) t
+         |  GROUP BY t.lang)
+         |SELECT b.lang, l.n,
+         |  ROUND(b.b0, 4) AS b0, ROUND(b.b1, 4) AS b1, ROUND(b.b2, 4) AS b2,
+         |  ROUND(l.ll, 4) AS log_loss
+         |FROM b${iters}it b JOIN loss l ON b.lang = l.lang
+         |ORDER BY b.lang""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
     "a5_corr_groups" -> a5CorrGroups,
+    "a18_logistic_irls" -> a18LogisticIrls,
     "a6_quantiles" -> a6Quantiles,
     "a7_minmax_rescale" -> a7MinmaxRescale,
     "a8_binned_agg" -> a8BinnedAgg,

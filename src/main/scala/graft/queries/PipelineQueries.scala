@@ -96,6 +96,12 @@ object PipelineQueries {
     * oracle CTEs, so correctness holds at ANY SF. */
   private val X2MaxBucket = 16L
 
+  /** Stop-shingle df cap for exact-Jaccard paths (x4/x24) — see x4's
+    * scaladoc for the measured rationale. Declared here (not next to x4)
+    * because Scala vals initialize in declaration order and x24's oracle
+    * string interpolates it. */
+  private val X4MaxDocFreq = 8L
+
   /** DuckDB mirror of Dedup.pairJoin's maxBucket semi-join: the bands CTE
     * filtered to buckets at or under the cap. */
   private def cappedBandsCte(bands: String): String =
@@ -216,6 +222,108 @@ object PipelineQueries {
        |JOIN sz sa ON sa.doc_id = e.doc_a
        |JOIN sz sb ON sb.doc_id = e.doc_b
        |ORDER BY e.doc_a, e.doc_b""".stripMargin)
+
+  /** x24: LSH quality evaluation — the harness that tells you whether the
+    * dedup stage is ANY GOOD: precision/recall of the capped MinHash-LSH
+    * candidate generator against exact shingle-Jaccard ground truth, at
+    * three duplicate thresholds. Everything runs in the stop-shingle-capped
+    * space (df ≤ X4MaxDocFreq, x4's knob): the df cap bounds the truth
+    * side's inverted-index self-join the same way it bounds x4 — J > 0
+    * requires a shared kept shingle, so the hv self-join enumerates exactly
+    * the nonzero pairs, never a cross product — and building the signature
+    * from the SAME capped relation keeps the recall semantics internally
+    * consistent (both sides measure the capped space). A doc-level sample
+    * is the WRONG eval design — independent sampling keeps a true pair only
+    * at rate p², so the measured 25-pair truth set would shrink to ~1.
+    * A candidate pair that shares NO kept shingle (pure minhash collision)
+    * is scored j=0 via the full outer join, so false positives are counted
+    * honestly. Every output cell is an integer count or an int/int
+    * division — deterministic across engines, no tolerance needed. */
+  private val x24LshEval = Q(
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      // one shingle pass feeds df cap, signature, truth pairs, and sizes
+      val hv0 = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
+        .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
+        .distinct()
+      val hdf = hv0.groupBy("hv").agg(count(lit(1)).as("__df"))
+      val hv = hv0
+        .join(broadcast(hdf.filter(col("__df") <= X4MaxDocFreq).select("hv")), Seq("hv"))
+        .localCheckpoint(true)
+      val sig = Dedup.minhashSignature(hv, "doc_id", 8)
+      val cand = Dedup.lshCandidates(sig, "doc_id", 8, maxBucket = Some(X2MaxBucket))
+      val sz = hv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val co = hv.select(col("doc_id").as("doc_a"), col("hv"))
+        .join(hv.select(col("doc_id").as("doc_b"), col("hv")), Seq("hv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      val jx = co
+        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("ni") / (col("sz_a") + col("sz_b") - col("ni"))).as("j"))
+      val u = jx.join(cand.withColumn("c", lit(true)), Seq("doc_a", "doc_b"), "full")
+        .select(coalesce(col("j"), lit(0.0)).as("j"),
+          coalesce(col("c"), lit(false)).as("cand"))
+      val taus = Seq(0.3, 0.5, 0.7).toDF("tau")
+      u.join(broadcast(taus))
+        .groupBy("tau")
+        .agg(
+          sum(when(col("j") >= col("tau"), 1L).otherwise(0L)).as("n_truth"),
+          sum(when(col("cand"), 1L).otherwise(0L)).as("n_cand"),
+          sum(when(col("cand") && col("j") >= col("tau"), 1L).otherwise(0L)).as("tp"))
+        .select(col("tau"), col("n_truth"), col("n_cand"), col("tp"),
+          (col("n_cand") - col("tp")).as("fp"),
+          (col("n_truth") - col("tp")).as("fn"),
+          round(when(col("n_cand") > 0,
+            col("tp").cast("double") / col("n_cand")), 4).as("prec"),
+          round(when(col("n_truth") > 0,
+            col("tp").cast("double") / col("n_truth")), 4).as("rec"))
+        .orderBy("tau")
+    },
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+       |  FROM ws WHERE len(w) >= 3),
+       |shs AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM pos),
+       |hv0 AS (SELECT DISTINCT doc_id, ${h32Sql("s")} AS hv FROM shs),
+       |hdf AS (SELECT hv, count(*) AS df FROM hv0 GROUP BY 1),
+       |hv AS (SELECT hv0.doc_id, hv0.hv FROM hv0
+       |  JOIN hdf ON hdf.hv = hv0.hv WHERE hdf.df <= $X4MaxDocFreq),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM hv GROUP BY 1),
+       |bands AS ($bandsSql),
+       |kept AS (SELECT doc_id, band, key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, key) AS df FROM bands)
+       |  WHERE df <= $X2MaxBucket),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM hv GROUP BY 1),
+       |co AS (SELECT ha.doc_id AS doc_a, hb.doc_id AS doc_b, count(*) AS ni
+       |  FROM hv ha JOIN hv hb ON ha.hv = hb.hv AND ha.doc_id < hb.doc_id
+       |  GROUP BY 1, 2),
+       |jx AS (SELECT co.doc_a, co.doc_b,
+       |    co.ni / (sa.sz + sb.sz - co.ni) AS j
+       |  FROM co JOIN sz sa ON sa.doc_id = co.doc_a
+       |          JOIN sz sb ON sb.doc_id = co.doc_b),
+       |u AS (SELECT COALESCE(jx.j, 0.0) AS j, (c.doc_a IS NOT NULL) AS cand
+       |  FROM jx FULL JOIN cand c ON jx.doc_a = c.doc_a AND jx.doc_b = c.doc_b),
+       |t AS (SELECT CAST(unnest([0.3, 0.5, 0.7]) AS DOUBLE) AS tau),
+       |g AS (SELECT t.tau,
+       |    CAST(sum(CASE WHEN u.j >= t.tau THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       |    CAST(sum(CASE WHEN u.cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       |    CAST(sum(CASE WHEN u.cand AND u.j >= t.tau THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |  FROM t CROSS JOIN u GROUP BY t.tau)
+       |SELECT tau, n_truth, n_cand, tp,
+       |  n_cand - tp AS fp, n_truth - tp AS fn,
+       |  ROUND(CASE WHEN n_cand > 0 THEN CAST(tp AS DOUBLE) / n_cand END, 4) AS prec,
+       |  ROUND(CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / n_truth END, 4) AS rec
+       |FROM g ORDER BY tau""".stripMargin)
 
   /** x16: fuzzy verify by edit distance — the string-metric rung of the
     * verify ladder: LSH candidate pairs scored by Levenshtein distance
@@ -453,8 +561,10 @@ object PipelineQueries {
     * whose match carries no idf signal. At the driver's correctness SFs
     * (max df = 7) the cap is a no-op; at sf0.1+ it bounds the worst bucket
     * and cuts the join work ~6×. Jaccard is a raw IEEE division of exact
-    * ints (round(double, n) is not engine-stable on dyadic ratios). */
-  private val X4MaxDocFreq = 8L
+    * ints (round(double, n) is not engine-stable on dyadic ratios).
+    * (The X4MaxDocFreq constant itself lives next to X2MaxBucket at the
+    * top of the object: vals initialize in declaration order, and x24's
+    * oracle string interpolates it before this point in the file.) */
   private val x4NgramJaccard = Q(
     (s, d) => {
       val pairs = Dedup.shingleJaccardPairs(shingles(Tables.documents(s, d)), "doc_id", "lang",
@@ -2870,6 +2980,7 @@ object PipelineQueries {
     "y5_pq_ann" -> y5PqAnn,
     "y6_sq_ann" -> y6SqAnn,
     "x23_chunk_retrieval" -> x23ChunkRetrieval,
+    "x24_lsh_eval" -> x24LshEval,
     "x11_chunk_dedup" -> x11ChunkDedup,
     "x12_bloom_prefilter" -> x12BloomPrefilter,
     "x13_curation_v2" -> x13CurationV2,
