@@ -910,6 +910,65 @@ object PipelineQueries {
     * exact DECIMAL (dim values snapshot at 10 frac digits, squared means
     * at 12) with single correctly-rounded double ops at the boundaries —
     * bit-identical in both engines. */
+  /** y7: bitext mining by margin scoring — the LASER/CCMatrix shape for
+    * harvesting parallel training pairs: embeddings are split into two
+    * sides (here by vec_id parity, standing in for two languages), each
+    * sampled query on side A is scored against side B, and the best match
+    * is kept only when it clearly beats the query's OWN neighborhood —
+    * margin = cos₁ / mean(cos of the top 4). Absolute-cosine thresholds
+    * fail on hubness (some vectors are near everything); the margin
+    * criterion is the published fix (Artetxe & Schwenk 2019).
+    *
+    * Scale: the brute-force A×B here is the sampled-query/rerank form (y1
+    * precedent); the full-corpus path swaps in the y2 hyperplane bucket
+    * join, margin unchanged. Cross-engine exactness: cosines round to 6dp
+    * BEFORE ranking; the margin denominator is built from `lead()` values
+    * summed in pinned left-to-right order, so the division is one IEEE op
+    * on identical operands — bit-identical, no tolerance. */
+  private val y7BitextMargin = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .withColumn("q_nrm", Similarity.norm("q_vec"))
+      val c = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+        .withColumn("c_nrm", Similarity.norm("c_vec"))
+      val scored = broadcast(q).join(c)
+        .withColumn("cosine",
+          round(Similarity.dot("q_vec", "c_vec") / (col("q_nrm") * col("c_nrm")), 6))
+      val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+      scored
+        .withColumn("rank", row_number().over(w))
+        .withColumn("l1", lead(col("cosine"), 1).over(w))
+        .withColumn("l2", lead(col("cosine"), 2).over(w))
+        .withColumn("l3", lead(col("cosine"), 3).over(w))
+        .filter(col("rank") === 1)
+        .withColumn("margin",
+          col("cosine") / ((col("cosine") + col("l1") + col("l2") + col("l3")) / 4))
+        .select(col("q_id"), col("c_id"), col("cosine"), col("margin"),
+          (col("margin") >= 1.05).as("accepted"))
+        .orderBy("q_id")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm FROM v),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c ON c.vec_id % 2 = 1
+       |  WHERE q.vec_id % 2 = 0 AND q.vec_id % 10 = 0),
+       |ranked AS (
+       |  SELECT q_id, c_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank,
+       |    lead(cosine, 1) OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS l1,
+       |    lead(cosine, 2) OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS l2,
+       |    lead(cosine, 3) OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS l3
+       |  FROM scored)
+       |SELECT q_id, c_id, cosine,
+       |  cosine / ((cosine + l1 + l2 + l3) / 4) AS margin,
+       |  cosine / ((cosine + l1 + l2 + l3) / 4) >= CAST(1.05 AS DOUBLE) AS accepted
+       |FROM ranked WHERE rank = 1 ORDER BY q_id""".stripMargin)
+
   private val y4CentroidStats = Q(
     (s, d) => {
       import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -2978,6 +3037,7 @@ object PipelineQueries {
     "z22_temperature_mix" -> z22TemperatureMix,
     "z20_bm25" -> z20Bm25,
     "y5_pq_ann" -> y5PqAnn,
+    "y7_bitext_margin" -> y7BitextMargin,
     "y6_sq_ann" -> y6SqAnn,
     "x23_chunk_retrieval" -> x23ChunkRetrieval,
     "x24_lsh_eval" -> x24LshEval,

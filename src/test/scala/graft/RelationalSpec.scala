@@ -277,6 +277,66 @@ class RelationalSpec extends SparkSpec {
     assert(s.isNullAt(0))
   }
 
+  test("logisticIrls learns the separating direction and ridge keeps separation finite") {
+    // y = 1 iff x1 > 0, with x2 pure noise: PERFECTLY separable, where the
+    // unpenalized MLE diverges — the ridge term must keep the fit finite
+    val df = (1 to 40).map { i =>
+      val x1 = if (i % 2 == 0) 1.0 + (i % 5) * 0.1 else -1.0 - (i % 5) * 0.1
+      ("g", x1, (i % 7) * 0.1, if (x1 > 0) 1.0 else 0.0)
+    }.toDF("g", "x1", "x2", "y")
+    val b = Relational.logisticIrls(df, "g", iters = 4, lambda = 1.0)
+      .as[(String, Double, Double, Double)].head()
+    assert(b._3 > 0.5, s"b1 should be strongly positive, got ${b._3}")
+    assert(Seq(b._2, b._3, b._4).forall(v => !v.isNaN && !v.isInfinite && math.abs(v) < 100),
+      s"ridge must bound the separable fit, got $b")
+  }
+
+  test("logisticIrls per-group fit matches a driver-side IRLS replica") {
+    // two groups with different true slopes; overlap so the fit is interior
+    val rows = for (g <- Seq("a", "b"); i <- 1 to 30) yield {
+      val x1 = (i % 10) - 4.5
+      val x2 = (i % 3) - 1.0
+      val z = if (g == "a") 0.8 * x1 else -0.6 * x1 + 0.4 * x2
+      (g, x1, x2, if (math.tanh(z) > (i % 7 - 3) * 0.25) 1.0 else 0.0)
+    }
+    val got = Relational.logisticIrls(rows.toDF("g", "x1", "x2", "y"), "g")
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // pure-Scala replica of the same 4 ridge-Newton steps
+    def fit(data: Seq[(Double, Double, Double)]): (Double, Double, Double) = {
+      var (b0, b1, b2) = (0.0, 0.0, 0.0)
+      for (_ <- 1 to 4) {
+        var m = Array.ofDim[Double](3, 3); var r = new Array[Double](3)
+        for ((x1, x2, y) <- data) {
+          val eta = b0 + b1 * x1 + b2 * x2
+          val mu = math.max(1e-6, math.min(0.999999, 1.0 / (1.0 + math.exp(-eta))))
+          val w = mu * (1.0 - mu); val z = eta + (y - mu) / w
+          val xs = Array(1.0, x1, x2)
+          for (i <- 0 until 3; j <- 0 until 3) m(i)(j) += w * xs(i) * xs(j)
+          for (i <- 0 until 3) r(i) += w * z * xs(i)
+        }
+        for (i <- 0 until 3) m(i)(i) += 1.0
+        // Cramer 3x3
+        def det3(a: Array[Array[Double]]) =
+          a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+            a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+            a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+        val d = det3(m)
+        def repl(k: Int) = {
+          val c = m.map(_.clone); for (i <- 0 until 3) c(i)(k) = r(i); c
+        }
+        b0 = det3(repl(0)) / d; b1 = det3(repl(1)) / d; b2 = det3(repl(2)) / d
+      }
+      (b0, b1, b2)
+    }
+    for (g <- Seq("a", "b")) {
+      val exp = fit(rows.filter(_._1 == g).map(t => (t._2, t._3, t._4)))
+      val (g0, g1, g2) = got(g)
+      assert(math.abs(g0 - exp._1) < 1e-8 && math.abs(g1 - exp._2) < 1e-8 &&
+        math.abs(g2 - exp._3) < 1e-8, s"group $g: got ${got(g)}, expected $exp")
+    }
+  }
+
   test("quantileAgg approx stays inside the exact rank band") {
     val df = spark.range(10000).select((col("id") % 997).cast("double").as("v"))
     val row = df.agg(
