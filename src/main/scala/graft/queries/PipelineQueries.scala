@@ -243,17 +243,21 @@ object PipelineQueries {
     (s, d) => {
       import s.implicits._
       val docs = Tables.documents(s, d)
-      // one shingle pass feeds df cap, signature, truth pairs, and sizes
+      // ONE shingle pass (checkpointed) feeds the df cap AND every capped
+      // consumer — without it the explode would run once for the df table
+      // and once for the capped relation; the capped join itself stays
+      // lazy (a cheap broadcast probe per consumer beats a second
+      // materialization of the whole relation)
       val hv0 = docs
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
         .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
         .distinct()
+        .localCheckpoint(true)
       val hdf = hv0.groupBy("hv").agg(count(lit(1)).as("__df"))
       val hv = hv0
         .join(broadcast(hdf.filter(col("__df") <= X4MaxDocFreq).select("hv")), Seq("hv"))
-        .localCheckpoint(true)
       val sig = Dedup.minhashSignature(hv, "doc_id", 8)
       val cand = Dedup.lshCandidates(sig, "doc_id", 8, maxBucket = Some(X2MaxBucket))
       val sz = hv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -707,6 +711,60 @@ object PipelineQueries {
   private val x8bDupClustersStar =
     clusterQuery(Dedup.connectedComponentsStar(_, _, "doc_id"))
 
+  /** x25: duplicate-cluster representative selection — the dedup
+    * RESOLUTION policy. x8 answers "which docs are the same"; the curation
+    * compositions keep min-id; production corpora keep the BEST copy
+    * (mirrors differ in truncation/boilerplate). Here: per x8 cluster,
+    * keep the doc with the highest lexical-diversity score (distinct/total
+    * words — ONE int/int division, bit-identical cross-engine), doc_id
+    * tiebreak. Scale shape: labels from the shared CC machinery, ONE
+    * group-sized winner relation joined back on cluster_id (no broadcast
+    * hint — cluster count grows with the corpus; AQE decides), cluster
+    * sizes map-side-combinable. The winner stage is top1PerGroup's
+    * min-struct aggregate, never a whole-corpus window. */
+  private val x25ClusterBest = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+        maxBucket = Some(X2MaxBucket))
+      val labels = Dedup.connectedComponents(pairs, docs, "doc_id")
+        .select("doc_id", "cluster_id")
+      val ws = split(col("text"), " ")
+      val qual = docs.select(col("doc_id"),
+        (size(array_distinct(ws)) / size(ws)).as("qscore"))
+      val scored = labels.join(qual, Seq("doc_id"))
+      val best = Relational.top1PerGroup(scored, Seq(col("cluster_id")),
+          Seq(col("qscore").desc, col("doc_id").asc))
+        .select(col("cluster_id"), col("doc_id").as("keep_id"))
+      val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      scored
+        .join(best, Seq("cluster_id"))
+        .join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("csize"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("kept"), col("qscore"))
+        .orderBy("doc_id")
+    },
+    s"""WITH RECURSIVE $componentsCtes,
+       |lbl AS (SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+       |q AS (SELECT doc_id,
+       |    len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS qscore
+       |  FROM documents),
+       |b AS (SELECT l.cluster_id, l.doc_id AS keep_id,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY q.qscore DESC, l.doc_id) AS rn
+       |  FROM lbl l JOIN q ON q.doc_id = l.doc_id),
+       |best AS (SELECT cluster_id, keep_id FROM b WHERE rn = 1),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+       |  FROM lbl GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, sz.csize, best.keep_id,
+       |  l.doc_id = best.keep_id AS kept, q.qscore
+       |FROM lbl l
+       |JOIN q ON q.doc_id = l.doc_id
+       |JOIN best ON best.cluster_id = l.cluster_id
+       |JOIN sz ON sz.cluster_id = l.cluster_id
+       |ORDER BY l.doc_id""".stripMargin)
+
   /** Approximate distinct counting — the 100-TB form of dedup statistics
     * (an exact COUNT(DISTINCT) shuffles every distinct value; the HLL
     * sketch ships fixed-size buffers). HLL estimates are engine-specific,
@@ -928,7 +986,12 @@ object PipelineQueries {
   private val y7BitextMargin = Q(
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val q = e.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 === 0)
+      // query batch BOUNDED (vec_id < 1000 ∧ %10): a %-sample alone grows
+      // with the corpus and turns the A×B score into a quadratic (the
+      // round-3 m4 lesson); a bounded batch keeps the declared query the
+      // rerank rung — linear in the corpus side. No-op at correctness SFs.
+      val q = e.filter(col("vec_id") % 2 === 0 && col("vec_id") % 10 === 0 &&
+          col("vec_id") < 1000)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         .withColumn("q_nrm", Similarity.norm("q_vec"))
       val c = e.filter(col("vec_id") % 2 === 1)
@@ -956,7 +1019,7 @@ object PipelineQueries {
        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
        |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
        |  FROM n q JOIN n c ON c.vec_id % 2 = 1
-       |  WHERE q.vec_id % 2 = 0 AND q.vec_id % 10 = 0),
+       |  WHERE q.vec_id % 2 = 0 AND q.vec_id % 10 = 0 AND q.vec_id < 1000),
        |ranked AS (
        |  SELECT q_id, c_id, cosine,
        |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank,
@@ -1324,6 +1387,78 @@ object PipelineQueries {
          |  FROM (SELECT *, $best AS best FROM scored))
          |SELECT lang, pred_lang, count(*) AS n_docs
          |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** z34: code-switching detection — z1's language ID applied per CHUNK
+    * (z8's 40-token segmenter) instead of per document, then folded back
+    * to a per-doc mixture report (chunk count, distinct predicted
+    * languages, majority language + its share). Document-level lang ID
+    * silently mislabels mixed-language pages (forum quotes, boilerplate
+    * headers, bilingual docs) — the per-span vote is how fasttext-based
+    * production pipelines segment them. Scale shape: chunk scoring is
+    * in-scan codegen (markers over each slice), the (doc, lang) counts
+    * are map-side combinable, and the majority pick is top1PerGroup's
+    * min-struct aggregate — no whole-corpus window, nothing
+    * per-document quadratic. maj_share is one BIGINT/BIGINT division —
+    * bit-identical cross-engine. */
+  private val z34CodeSwitch = {
+    val scoreSql = testMarkers.map { case (l, ms) =>
+      val terms = ms.map(m =>
+        s"CAST((length(pt) - length(replace(pt, ' $m ', ''))) / ${m.length + 2} AS INT)")
+        .mkString(" + ")
+      s"$terms AS s_$l"
+    }.mkString(",\n    ")
+    val best = s"GREATEST(${testMarkers.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+    val predSql = testMarkers.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString(" ")
+    Q(
+      (s, d) => {
+        val chunks = TextAnalysis.chunkWords(Tables.documents(s, d), "doc_id", "text", 40)
+        val padded = concat(lit(" "), col("chunk_text"), lit(" "))
+        val scores = testMarkers.map { case (l, ms) => l -> TextAnalysis.langScore(padded, ms) }
+        val cnts = chunks
+          .withColumn("pred_lang", TextAnalysis.langPredict(scores))
+          .groupBy("doc_id", "pred_lang").agg(count(lit(1)).as("cnt"))
+        val tot = cnts.groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n_chunks"), count(lit(1)).as("n_langs"))
+        val top = Relational.top1PerGroup(cnts, Seq(col("doc_id")),
+            Seq(col("cnt").desc, col("pred_lang").asc))
+          .select(col("doc_id"), col("pred_lang").as("top_lang"), col("cnt").as("top_n"))
+        tot.join(top, Seq("doc_id"))
+          .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+            col("top_lang"), col("top_n"),
+            (col("top_n") / col("n_chunks")).as("maj_share"),
+            (col("n_langs") > 1).as("code_switched"))
+          .orderBy("doc_id")
+      },
+      s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         |ch AS (SELECT doc_id, l,
+         |         unnest(generate_series(0, (len(l) - 1) // 40)) AS chunk_id
+         |       FROM ws),
+         |ck AS (SELECT doc_id,
+         |    ' ' || array_to_string(list_slice(l, chunk_id * 40 + 1, chunk_id * 40 + 40), ' ') || ' ' AS pt
+         |  FROM ch),
+         |scored AS (SELECT doc_id,
+         |    $scoreSql
+         |  FROM ck),
+         |pred AS (SELECT doc_id,
+         |    CASE $predSql ELSE 'und' END AS pred_lang
+         |  FROM (SELECT *, $best AS best FROM scored)),
+         |cnts AS (SELECT doc_id, pred_lang, count(*) AS cnt FROM pred GROUP BY 1, 2),
+         |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |    CAST(count(*) AS BIGINT) AS n_langs
+         |  FROM cnts GROUP BY 1),
+         |top AS (SELECT doc_id, pred_lang AS top_lang, cnt AS top_n FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY cnt DESC, pred_lang) AS rn FROM cnts) r
+         |  WHERE rn = 1)
+         |SELECT t.doc_id, t.n_chunks, t.n_langs, top.top_lang,
+         |  CAST(top.top_n AS BIGINT) AS top_n,
+         |  top.top_n / t.n_chunks AS maj_share,
+         |  t.n_langs > 1 AS code_switched
+         |FROM tot t JOIN top ON top.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin)
   }
 
   /** Per-document quality score: lexical diversity, stopword ratio, length
@@ -3041,6 +3176,7 @@ object PipelineQueries {
     "y6_sq_ann" -> y6SqAnn,
     "x23_chunk_retrieval" -> x23ChunkRetrieval,
     "x24_lsh_eval" -> x24LshEval,
+    "x25_cluster_best" -> x25ClusterBest,
     "x11_chunk_dedup" -> x11ChunkDedup,
     "x12_bloom_prefilter" -> x12BloomPrefilter,
     "x13_curation_v2" -> x13CurationV2,
@@ -3086,6 +3222,7 @@ object PipelineQueries {
     "y4_centroid_stats" -> y4CentroidStats,
     "z1_lang_id" -> z1LangId,
     "z33_filter_audit" -> z33FilterAudit,
+    "z34_code_switch" -> z34CodeSwitch,
     "z2_quality_score" -> z2QualityScore,
     "z3_token_counts" -> z3TokenCounts,
     "z4_fingerprint" -> z4Fingerprint,
