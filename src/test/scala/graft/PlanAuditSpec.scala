@@ -287,6 +287,38 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!w12.contains("CartesianProduct") && !w12.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("a18/x24/x25/z34/y7: round-5 additions keep their scale shapes") {
+    // a18: every join is the tiny per-group coefficient relation —
+    // broadcast, never sort-merge; the corpus is re-scanned once per
+    // Newton step plus the loss pass, nothing else
+    val a18 = formatted("a18_logistic_irls")
+    assert(!a18.contains("SortMergeJoin"),
+      "IRLS coefficient joins must broadcast (group-cardinality relations)")
+    assert(!a18.contains("CartesianProduct"))
+    // x24: candidate and truth stages are equi-joins; the ONLY nested-loop
+    // join is the deliberate 3-row tau grid broadcast
+    val x24 = formatted("x24_lsh_eval")
+    assert(!x24.contains("CartesianProduct"))
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(x24).size <= 1,
+      "x24 grew a second non-equi join beyond the tau grid")
+    // x25: winner selection is the min-struct aggregate, not a window over
+    // the corpus; all pair generation stays equi-join
+    val x25 = formatted("x25_cluster_best")
+    assert(!x25.contains("CartesianProduct") && !x25.contains("BroadcastNestedLoopJoin"))
+    // z34: the majority pick's window partitions by doc_id (state bounded
+    // by a doc's language count — never a corpus- or lang-wide sort)
+    val z34 = formatted("z34_code_switch")
+    assert(z34.contains("windowspecdefinition(doc_id"),
+      "z34's winner window must partition by doc_id")
+    assert(!z34.contains("CartesianProduct") && !z34.contains("BroadcastNestedLoopJoin"))
+    // y7: the query side is the broadcast-bounded batch (the A×B is the
+    // rerank rung by construction)
+    val y7 = formatted("y7_bitext_margin")
+    assert(y7.contains("BroadcastNestedLoopJoin") || y7.contains("BroadcastExchange"),
+      "y7's bounded query batch must broadcast")
+    assert(!y7.contains("SortMergeJoin"), "y7 must not shuffle the corpus side for the join")
+  }
+
   test("no query output schema contains a DECIMAL column") {
     // The driver's compare reads Spark parquet decimals scale-preserving
     // ("1.50") but DuckDB oracle decimals as doubles ("1.5"): any DECIMAL
