@@ -851,6 +851,34 @@ object RelationalQueries {
       |  CAST(SUM(CASE WHEN v_old = v_new THEN 1 ELSE 0 END) AS BIGINT) AS same
       |FROM old FULL OUTER JOIN neu USING (event_id)""".stripMargin)
 
+  /** S19: compaction planning — the table-maintenance report every
+    * long-lived partitioned store needs: per partition (source), row and
+    * byte volume, the file count a compaction pass should produce
+    * (ceil(rows / target), pure BIGINT arithmetic — the exact count
+    * `Store.compact` then materializes via one-task-per-partition +
+    * maxRecordsPerFile; StoreSpec asserts plan == files on disk), and a
+    * skew indicator (largest doc's share of partition bytes — one
+    * long/long IEEE division). At 100 TB this query reads only aggregate
+    * stats (map-side combinable) — the planner never touches payloads. */
+  private val s19CompactionPlan = Q(
+    (s, d) => {
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("bytes_est"),
+          max(col("n_chars")).as("max_doc"))
+        .select(col("source"), col("n_docs"), col("bytes_est"),
+          expr("(n_docs + 99) div 100").as("planned_files"),
+          (col("max_doc") / col("bytes_est")).as("max_share"))
+        .orderBy("source")
+    },
+    """SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS bytes_est,
+      |  (CAST(count(*) AS BIGINT) + 99) // 100 AS planned_files,
+      |  max(n_chars) / CAST(sum(n_chars) AS BIGINT) AS max_share
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** S18: z-order (Morton) layout assignment — the clustering key behind
     * multi-dimensional data skipping (Delta/Iceberg `OPTIMIZE ZORDER BY`).
     * Both dimensions quantize to 8-bit cells against corpus min/max and
@@ -1286,6 +1314,7 @@ object RelationalQueries {
     "a17_grouped_mode" -> a17GroupedMode,
     "s17_snapshot_diff" -> s17SnapshotDiff,
     "s18_zorder_cells" -> s18ZorderCells,
+    "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,
     "j9_salted_join" -> j9SaltedJoin,
     "o1_topk" -> o1TopK,

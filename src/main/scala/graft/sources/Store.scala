@@ -201,6 +201,26 @@ object Store {
     * physical ordering, and dropped before write — projection preserves
     * the within-partition row order, so the layout survives without
     * persisting a helper column. */
+  /** Row-budget compaction — the plan-driven sibling of the instance-level
+    * `compact(filesPerPartition)`: instead of a fixed file count per
+    * partition, size files by a row target. `repartition(partCol)` lands
+    * each partition value on one task, and `maxRecordsPerFile` makes the
+    * writer roll files at the target — so a partition directory ends up
+    * with exactly ceil(rows / targetRows) files, matching the s19 plan
+    * query row for row (StoreSpec asserts plan == files on disk). For
+    * partitions too large for one task, salt the repartition by the
+    * planned file count (slot = pmod(hash(id), files)): same file budget,
+    * bounded task size — the single-task form here is the testable exact
+    * case. */
+  def compactByRows(df: DataFrame, path: String, partCol: String, targetRows: Int): Unit = {
+    require(targetRows > 0, s"targetRows must be positive, got $targetRows")
+    df.repartition(col(partCol))
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", targetRows)
+      .partitionBy(partCol)
+      .parquet(path)
+  }
+
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
                     files: Int): Unit = {
     require(files > 0, s"files must be positive, got $files")

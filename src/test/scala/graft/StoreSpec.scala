@@ -61,6 +61,22 @@ class StoreSpec extends SparkSpec {
     assert(store.read.select("game_id").as[String].collect().sorted.toSeq === before.toSeq)
   }
 
+  test("compactByRows lands exactly the s19-planned file count per partition") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = tmpDir("compact_rows") + "/docs"
+    Store.compactByRows(docs, out, "source", targetRows = 7)
+    val planned = docs.groupBy("source").count()
+      .select(col("source"), expr("(count + 6) div 7").as("pf"))
+      .as[(String, Long)].collect().toMap
+    for ((src, pf) <- planned) {
+      val n = new java.io.File(s"$out/source=$src")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === pf, s"partition $src: planned $pf files, wrote $n")
+    }
+    // content survives the rewrite
+    assert(spark.read.parquet(out).count() === docs.count())
+  }
+
   test("upsert merges last-writer-wins and touches only affected partitions") {
     val store = Store(spark, tmpDir("store_upsert"), "season")
     store.rebuild(Iterator(season(1999, 3), season(2000, 4)))
