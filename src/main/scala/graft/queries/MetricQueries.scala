@@ -428,9 +428,55 @@ object MetricQueries {
          |ORDER BY b.lang""".stripMargin)
   }
 
+  /** A19: calibration curve (reliability diagram) — the model-eval
+    * primitive next to log-loss: bucket predictions into deciles of score,
+    * compare mean predicted probability against observed positive rate per
+    * bucket. A quality classifier that ranks well but is miscalibrated
+    * poisons any threshold-based curation gate, so this panel belongs
+    * beside a12/a18/z14. Cross-engine: xscore is already snapshotted at
+    * 6 dp by a12's scorer, so mean_pred goes through exact DECIMAL(12,6)
+    * sums (shuffle-order-independent) and back to double in one division;
+    * frac_pos is a BIGINT/BIGINT division; the gap is one subtraction of
+    * those two deterministic doubles. One aggregate pass, map-side
+    * combinable, 10 output rows at any corpus size. */
+  private val a19Calibration = Q(
+    (s, d) => {
+      val ind = (col("event_type") === "purchase").cast(DoubleType)
+      val z = lit(-2.0) + col("value") * 0.004 + ind * 0.5
+      Tables.events(s, d)
+        .withColumn("label", (col("event_type") === "purchase").cast(LongType))
+        .withColumn("xscore", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+        .withColumn("bucket", least(floor(col("xscore") * 10), lit(9L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("xscore").cast(DecimalType(12, 6))).as("sp"),
+          sum(col("label")).as("npos"))
+        .select(col("bucket"), col("n"),
+          (col("sp").cast(DoubleType) / col("n")).as("mean_pred"),
+          (col("npos") / col("n")).as("frac_pos"),
+          ((col("sp").cast(DoubleType) / col("n")) - (col("npos") / col("n"))).as("gap"))
+        .orderBy("bucket")
+    },
+    """WITH s AS (SELECT
+      |    CAST(event_type = 'purchase' AS BIGINT) AS label,
+      |    ROUND(1.0 / (1.0 + EXP(-(-2.0 + value * 0.004
+      |      + CAST(event_type = 'purchase' AS DOUBLE) * 0.5))), 6) AS xscore
+      |  FROM events),
+      |g AS (SELECT LEAST(CAST(floor(xscore * 10) AS BIGINT), 9) AS bucket,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(xscore AS DECIMAL(12,6))) AS sp,
+      |    CAST(sum(label) AS BIGINT) AS npos
+      |  FROM s GROUP BY 1)
+      |SELECT bucket, n,
+      |  CAST(sp AS DOUBLE) / n AS mean_pred,
+      |  npos / n AS frac_pos,
+      |  CAST(sp AS DOUBLE) / n - npos / n AS gap
+      |FROM g ORDER BY bucket""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "a5_corr_groups" -> a5CorrGroups,
     "a18_logistic_irls" -> a18LogisticIrls,
+    "a19_calibration" -> a19Calibration,
     "a6_quantiles" -> a6Quantiles,
     "a7_minmax_rescale" -> a7MinmaxRescale,
     "a8_binned_agg" -> a8BinnedAgg,

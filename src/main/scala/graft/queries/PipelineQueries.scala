@@ -329,6 +329,44 @@ object PipelineQueries {
        |  ROUND(CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / n_truth END, 4) AS rec
        |FROM g ORDER BY tau""".stripMargin)
 
+  /** x26: LSH parameter planner — the S-curve table that justifies a
+    * banding choice BEFORE burning a corpus pass: candidate probability
+    * p = 1 − (1 − J^r)^b for every (bands b × rows r) split of the 8-hash
+    * signature budget, over a Jaccard grid. This is the design tool behind
+    * x2/x7's 8×1 banding and x24's measured recall: read the row where
+    * J = your dup threshold and pick the (b, r) whose p is steep there.
+    * Powers unroll as PINNED multiplication chains (q2=q·q, q4=q2·q2,
+    * q8=q4·q4) — `pow()` is libm and not engine-stable, a multiply chain
+    * is — so both engines produce identical doubles with no rounding.
+    * Pure literal-grid compute: zero table scans at any scale. */
+  private val x26LshPlanner = Q(
+    (s, d) => {
+      import s.implicits._
+      val js = (1 to 9).map(_ / 10.0).toDF("j")
+      val cfgs = Seq((8, 1), (4, 2), (2, 4)).toDF("b", "r")
+      val j = col("j")
+      val jr = when(col("r") === 1, j)
+        .when(col("r") === 2, j * j)
+        .otherwise((j * j) * (j * j))
+      val q = lit(1.0) - jr
+      val qb = when(col("b") === 2, q * q)
+        .when(col("b") === 4, (q * q) * (q * q))
+        .otherwise(((q * q) * (q * q)) * ((q * q) * (q * q)))
+      js.crossJoin(cfgs)
+        .select(j, col("b"), col("r"), (lit(1.0) - qb).as("p_cand"))
+        .orderBy("j", "b")
+    },
+    """WITH js AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS j),
+      |cfgs AS (SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4)) AS t(b, r)),
+      |g AS (SELECT j, b, r,
+      |    1.0 - (CASE WHEN r = 1 THEN j WHEN r = 2 THEN j * j
+      |           ELSE (j * j) * (j * j) END) AS q
+      |  FROM js CROSS JOIN cfgs)
+      |SELECT j, b, r,
+      |  1.0 - (CASE WHEN b = 2 THEN q * q WHEN b = 4 THEN (q * q) * (q * q)
+      |         ELSE ((q * q) * (q * q)) * ((q * q) * (q * q)) END) AS p_cand
+      |FROM g ORDER BY j, b""".stripMargin)
+
   /** x16: fuzzy verify by edit distance — the string-metric rung of the
     * verify ladder: LSH candidate pairs scored by Levenshtein distance
     * over the document HEAD (first 40 chars), the cheap fuzzy-match
@@ -3177,6 +3215,7 @@ object PipelineQueries {
     "x23_chunk_retrieval" -> x23ChunkRetrieval,
     "x24_lsh_eval" -> x24LshEval,
     "x25_cluster_best" -> x25ClusterBest,
+    "x26_lsh_planner" -> x26LshPlanner,
     "x11_chunk_dedup" -> x11ChunkDedup,
     "x12_bloom_prefilter" -> x12BloomPrefilter,
     "x13_curation_v2" -> x13CurationV2,

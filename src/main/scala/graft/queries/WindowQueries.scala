@@ -433,6 +433,52 @@ object WindowQueries {
       |  FROM supplier) x
       |WHERE rank BETWEEN 17 AND 32 ORDER BY rank""".stripMargin)
 
+  /** W14: exponentially-weighted moving average over a bounded lookback —
+    * the smoothing primitive behind drift monitors and rate limiters.
+    * Two deliberate choices make it BIT-EXACT across engines (no decimal
+    * machinery needed): (1) decay α = 1/2, so every weight 2⁻ⁱ is a power
+    * of two and each product value·2⁻ⁱ is an EXACT double scaling;
+    * (2) the 8-term numerator/denominator are assembled from lag() values
+    * in pinned left-to-right order, so both engines add the same doubles
+    * in the same sequence, and the final normalize is one IEEE division.
+    * (A frame-SUM would NOT be stable — DuckDB evaluates bounded frames
+    * with segment trees, Spark re-adds in frame order.) The window
+    * partitions by user_id — bounded state, parallel sort. Head-of-series
+    * rows normalize over the weights actually present. */
+  private val w14Ewma = Q(
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      val lags = (1 to 7).map(i => lag(col("value"), i).over(w))
+      val terms = col("value") +: lags
+      val weights = (0 to 7).map(i => math.pow(0.5, i))
+      val num = terms.zip(weights)
+        .map { case (t, wt) => when(t.isNull, 0.0).otherwise(t * wt) }
+        .reduce(_ + _)
+      val den = terms.zip(weights)
+        .map { case (t, wt) => when(t.isNull, 0.0).otherwise(lit(wt)) }
+        .reduce(_ + _)
+      Tables.events(s, d)
+        .filter(col("user_id") < 200)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("ewma8", num / den)
+        .orderBy("event_id")
+    },
+    {
+      val numSql = (0 to 7).map { i =>
+        val t = if (i == 0) "value" else s"lag(value, $i) OVER w"
+        s"CASE WHEN $t IS NULL THEN 0.0 ELSE $t * CAST(${math.pow(0.5, i)} AS DOUBLE) END"
+      }.mkString(" + ")
+      val denSql = (0 to 7).map { i =>
+        val t = if (i == 0) "value" else s"lag(value, $i) OVER w"
+        s"CASE WHEN $t IS NULL THEN 0.0 ELSE CAST(${math.pow(0.5, i)} AS DOUBLE) END"
+      }.mkString(" + ")
+      s"""SELECT event_id, user_id, value,
+         |  ($numSql) / ($denSql) AS ewma8
+         |FROM events WHERE user_id < 200
+         |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         |ORDER BY event_id""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "w1_lag_yoy" -> w1LagYoy,
     "w2_running_sum" -> w2RunningSum,
@@ -443,6 +489,7 @@ object WindowQueries {
     "w10_rolling_mean" -> w10RollingMean,
     "w11_session_funnel" -> w11SessionFunnel,
     "w13_next_gap" -> w13NextGap,
+    "w14_ewma" -> w14Ewma,
     "w12_cohort_retention" -> w12CohortRetention,
     "w3_top1_per_group" -> w3Top1PerGroup,
     "w4_rank_index" -> w4RankIndex,
