@@ -803,6 +803,40 @@ object PipelineQueries {
        |JOIN sz ON sz.cluster_id = l.cluster_id
        |ORDER BY l.doc_id""".stripMargin)
 
+  /** x29: duplicate-graph health panel — the one-row corpus report a
+    * dedup run should publish before anyone trusts it: document count,
+    * cluster count, singleton count, the largest cluster (a boilerplate
+    * explosion shows up here first), and the duplicate fraction
+    * (1 − clusters/docs, one long/long division off two counts). All
+    * map-side-combinable aggregates over the shared CC labels. */
+  private val x29ClusterStats = Q(
+    (s, d) => {
+      val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+        maxBucket = Some(X2MaxBucket))
+      val labels = Dedup.connectedComponents(pairs, Tables.documents(s, d), "doc_id")
+        .select("doc_id", "cluster_id")
+      labels.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+        .agg(
+          sum(col("csize")).as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          sum(when(col("csize") === 1, 1L).otherwise(0L)).as("n_singletons"),
+          max(col("csize")).as("max_cluster"))
+        .select(col("n_docs"), col("n_clusters"), col("n_singletons"),
+          col("max_cluster"),
+          (lit(1.0) - col("n_clusters") / col("n_docs")).as("dup_frac"))
+    },
+    s"""WITH RECURSIVE $componentsCtes,
+       |lbl AS (SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+       |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+       |  FROM lbl GROUP BY 1)
+       |SELECT CAST(sum(csize) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(CASE WHEN csize = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+       |  max(csize) AS max_cluster,
+       |  1.0 - CAST(count(*) AS BIGINT) / CAST(sum(csize) AS BIGINT) AS dup_frac
+       |FROM sz""".stripMargin)
+
   /** Approximate distinct counting — the 100-TB form of dedup statistics
     * (an exact COUNT(DISTINCT) shuffles every distinct value; the HLL
     * sketch ships fixed-size buffers). HLL estimates are engine-specific,
@@ -928,6 +962,80 @@ object PipelineQueries {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
        |  FROM scored) r
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
+  /** y8: ANN recall evaluation — x24's twin for the similarity side: the
+    * harness that tells you what the bucketed paths actually RECALL.
+    * Brute-force top-10 per query is ground truth (the rerank rung is
+    * exact by definition); the single-bucket join (y2's shape) and the
+    * Hamming-1 multi-probe (y2b's) are graded by pair overlap. Output is
+    * pure integer counts plus ONE int/int division per method — no
+    * tolerance, no float folds. Reading this beside x26's S-curve is how
+    * you pick plane count and probe radius before a corpus-scale run.
+    * Scale: ground truth inherently costs |Q|·|C|, so the query batch is
+    * BOUNDED (% 50 ∧ vec_id < 1000 — a no-op at correctness SFs): recall
+    * is graded on a fixed sample while the corpus side grows linearly;
+    * candidates stay bucket equi-joins. */
+  private val y8AnnEval = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val truth = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000), e,
+          "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("c_id"))
+      val m1 = Similarity.bucketedTopK(e, id => id % 50 === 0 && id < 1000, "vec_id",
+          "embedding", k = 10).select(col("q_id"), col("c_id"), lit("bucket").as("method"))
+      val m2 = Similarity.bucketedTopK(e, id => id % 50 === 0 && id < 1000, "vec_id",
+          "embedding", k = 10, probeRadius = 1)
+        .select(col("q_id"), col("c_id"), lit("probe1").as("method"))
+      val cands = m1.union(m2)
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val perMethod = cands.groupBy("method").agg(count(lit(1)).as("n_cand"))
+      val hits = cands.join(truth, Seq("q_id", "c_id"), "left_semi")
+        .groupBy("method").agg(count(lit(1)).as("n_hits"))
+      perMethod.join(hits, Seq("method"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .crossJoin(broadcast(nTruth))
+        .select(col("method"), col("n_cand"), col("n_hits"), col("n_truth"),
+          (col("n_hits") / col("n_truth")).as("recall_at_10"))
+        .orderBy("method")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm,
+       |    CAST($bucketSql AS BIGINT) AS bucket FROM v),
+       |truth AS (SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+       |          c.vec_id) AS rank
+       |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000) t WHERE rank <= 10),
+       |m1 AS (SELECT q_id, c_id, 'bucket' AS method FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+       |          c.vec_id) AS rank
+       |    FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |    WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000) t WHERE rank <= 10),
+       |m2 AS (SELECT q_id, c_id, 'probe1' AS method FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+       |          c.vec_id) AS rank
+       |    FROM n q JOIN n c
+       |      ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+       |    WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000) t WHERE rank <= 10),
+       |cands AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |pm AS (SELECT method, CAST(count(*) AS BIGINT) AS n_cand
+       |  FROM cands GROUP BY 1),
+       |h AS (SELECT method, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM cands c WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.q_id = c.q_id AND t.c_id = c.c_id)
+       |  GROUP BY 1)
+       |SELECT pm.method, pm.n_cand, COALESCE(h.n_hits, 0) AS n_hits,
+       |  nt.n_truth, COALESCE(h.n_hits, 0) / nt.n_truth AS recall_at_10
+       |FROM pm LEFT JOIN h ON h.method = pm.method CROSS JOIN nt
+       |ORDER BY pm.method""".stripMargin)
 
   /** y3b: the iterated Lloyd loop over the IVF anchors — 4 assign/refine
     * rounds from the deterministic seed anchors. Refined centroids are
@@ -3211,11 +3319,13 @@ object PipelineQueries {
     "z20_bm25" -> z20Bm25,
     "y5_pq_ann" -> y5PqAnn,
     "y7_bitext_margin" -> y7BitextMargin,
+    "y8_ann_eval" -> y8AnnEval,
     "y6_sq_ann" -> y6SqAnn,
     "x23_chunk_retrieval" -> x23ChunkRetrieval,
     "x24_lsh_eval" -> x24LshEval,
     "x25_cluster_best" -> x25ClusterBest,
     "x26_lsh_planner" -> x26LshPlanner,
+    "x29_cluster_stats" -> x29ClusterStats,
     "x11_chunk_dedup" -> x11ChunkDedup,
     "x12_bloom_prefilter" -> x12BloomPrefilter,
     "x13_curation_v2" -> x13CurationV2,
