@@ -1750,6 +1750,73 @@ object PipelineQueries {
       |SELECT q_id, bucket, rank, c_id, cosine FROM ranked WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin)
 
+  /** m5: payload fingerprint near-dup — the perceptual-hash rung of media
+    * dedup: a weighted SimHash over ALL overlapping 16-byte windows of the
+    * payload (stride 1 — alignment-free, so a shifted/rotated near-dup
+    * still shares most windows; a strided variant would lose collisions
+    * whenever the shift isn't a stride multiple), then x3b's banded
+    * Hamming join + per-doc panel. A real phash hashes decoded image
+    * blocks; the byte-window form here runs on the raw payload through the
+    * same machinery (m2 precedent: the corpus is pure ASCII, so the SQL
+    * substring replays the byte windows exactly). Window counts are per-
+    * doc-linear and the 32 bit-sums are map-side combinable; pairs only
+    * materialize inside band buckets with pigeonhole-exact recall ≤ 3.
+    * Cost note (10× soak: 6.1→52.8 s, linear in windows + pairs): the
+    * md5-per-window hash is the dominant constant, kept because the
+    * oracle replays it engine-exactly; a production fingerprinter uses a
+    * rolling Rabin-Karp hash — O(n) total for all windows — which z4
+    * already demonstrates on the word stream. */
+  private val m5PhashDedup = Q(
+    (s, d) => {
+      val hv = Tables.documents(s, d)
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), expr("length(text) - 16"))).as("k"))
+        .select(col("doc_id"),
+          TextAnalysis.hash32(expr("substring(text, k + 1, 16)")).as("hv"))
+      val pairs = Dedup.simhashPairs(Dedup.simhash32(hv, "doc_id"), "doc_id")
+      pairs.select(explode(array(
+          struct(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("hamming")),
+          struct(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("hamming"))))
+          .as("e"))
+        .select(col("e.doc_id"), col("e.partner"), col("e.hamming").as("hamming"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_neardups"),
+          min(col("partner")).as("min_partner"),
+          min(col("hamming")).as("min_hamming"))
+        .orderBy("doc_id")
+    },
+    {
+      val bitSums = (0 until 32).map(j =>
+        s"SUM(CASE WHEN ((hv >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n    ")
+      val packed = (0 until 32).map(j =>
+        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH pos AS (SELECT doc_id, text,
+         |    unnest(generate_series(0, length(text) - 16)) AS k
+         |  FROM documents WHERE length(text) >= 16),
+         |hv AS (SELECT doc_id,
+         |    ${h32Sql("substring(text, k + 1, 16)")} AS hv
+         |  FROM pos),
+         |bits AS (SELECT doc_id,
+         |    $bitSums
+         |  FROM hv GROUP BY 1),
+         |sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sym AS (
+         |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs)
+         |SELECT doc_id, COUNT(*) AS n_neardups,
+         |  MIN(partner) AS min_partner,
+         |  CAST(MIN(hamming) AS INT) AS min_hamming
+         |FROM sym GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
   private val m1MediaFeatures = Q(
     (s, d) => {
       val pay = Multimodal.payloads(Tables.documents(s, d), "doc_id", "text")
@@ -3376,6 +3443,7 @@ object PipelineQueries {
     "z3_token_counts" -> z3TokenCounts,
     "z4_fingerprint" -> z4Fingerprint,
     "m1_media_features" -> m1MediaFeatures,
+    "m5_phash_dedup" -> m5PhashDedup,
     "m4_media_embed_ann" -> m4MediaEmbedAnn,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan)

@@ -87,6 +87,42 @@ object EventStreams {
         .withColumn("split", graft.operators.Sampling.splitAssign(col(idCol))),
       destDir, checkpointDir, partCol = "split")
 
+  /** Streaming ANN serving: each arriving query vector gets its best
+    * static-corpus neighbor — the online half of the y2 bucket index.
+    * The join is STREAM-STATIC on the hyperplane bucket (stateless: no
+    * stream-stream state, the static side is just a relation Spark
+    * re-reads per micro-batch — broadcast when small, shuffled when not),
+    * and the only stateful op is the watermarked per-query top-1
+    * aggregate (max over a (cosine, c_id) struct — deterministic tie by
+    * id), whose state expires with the watermark. So total state is
+    * O(queries inside the watermark), independent of corpus size — the
+    * property that lets this serve forever. Cosine rounds to 6 dp before
+    * the max, mirroring the batch ranking exactly (`StreamingSpec` gates
+    * stream == batch recompute). Queries landing in an EMPTY bucket emit
+    * nothing — at serving scale you raise probeRadius or fall back to a
+    * brute rerank for those (the batch path's y2b lesson). */
+  def annServe(queries: DataFrame, corpus: DataFrame, idCol: String,
+               vecCol: String, tsCol: String,
+               watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Similarity
+    val c = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_nrm", Similarity.norm("c_vec"))
+      .withColumn("bucket", Similarity.hyperplaneBucket("c_vec"))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(tsCol).as("ts"), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", Similarity.norm("q_vec"))
+      .withColumn("bucket", Similarity.hyperplaneBucket("q_vec"))
+      .withWatermark("ts", watermark)
+    q.join(c, Seq("bucket"))
+      .withColumn("cosine",
+        round(Similarity.dot("q_vec", "c_vec") / (col("q_nrm") * col("c_nrm")), 6))
+      .groupBy(col("q_id"), col("ts"))
+      .agg(max(struct(col("cosine"), col("c_id"))).as("best"))
+      .select(col("q_id"), col("ts"),
+        col("best.c_id").as("c_id"), col("best.cosine").as("cosine"))
+  }
+
   /** Streaming near-dup gate: drop incoming docs whose minhash signature
     * LSH-collides with a static corpus — the continuous form of
     * `Dedup.lshCandidatesAgainst`. The corpus rides along as a Bloom

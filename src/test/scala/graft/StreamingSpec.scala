@@ -170,6 +170,45 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L, 3L)) // the corpus near-dup is gone
   }
 
+  test("annServe top-1 over a file stream equals the batch bucket-join replica") {
+    import graft.operators.Similarity
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 7 + i * 13) % 17) - 8).toFloat)
+    // 16 corpus ids < one period of the seed formula → all vectors distinct
+    val corpus = (100L to 115L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val src = tmpDir("ann_src")
+    // queries are exact twins of three corpus vectors: their buckets are
+    // guaranteed non-empty, so all three must be served
+    val qRows = Seq((1L, ts(5), vec(103L)), (2L, ts(10), vec(107L)), (3L, ts(15), vec(111L)))
+    qRows.toDF("vec_id", "ts", "embedding").repartition(1).write.mode("append").parquet(src)
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("ts", TimestampType),
+      StructField("embedding", ArrayType(FloatType))))
+    val served = EventStreams.annServe(
+      spark.readStream.schema(qSchema).parquet(src), corpus, "vec_id", "embedding", "ts")
+    val q = served.writeStream.format("memory").queryName("ann_out")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ann_out").select("q_id", "c_id", "cosine")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val cB = corpus.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      .withColumn("c_nrm", Similarity.norm("c_vec"))
+      .withColumn("bucket", Similarity.hyperplaneBucket("c_vec"))
+    val qB = qRows.toDF("vec_id", "ts", "embedding")
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("q_nrm", Similarity.norm("q_vec"))
+      .withColumn("bucket", Similarity.hyperplaneBucket("q_vec"))
+    val exp = qB.join(cB, Seq("bucket"))
+      .withColumn("cosine",
+        round(Similarity.dot("q_vec", "c_vec") / (col("q_nrm") * col("c_nrm")), 6))
+      .groupBy("q_id").agg(max(struct(col("cosine"), col("c_id"))).as("best"))
+      .select(col("q_id"), col("best.c_id"), col("best.cosine"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), s"every twin-backed query must be served: $got")
+    assert(got === exp, s"stream $got != batch $exp")
+  }
+
   test("maxFilesPerTrigger throttles an AvailableNow drain into bounded batches") {
     // the ingest throttle SCALE.md names for continuous 100-TB/day runs:
     // a backlog of N files must drain as N bounded micro-batches, not one
