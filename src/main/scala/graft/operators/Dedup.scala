@@ -381,6 +381,40 @@ object Dedup {
     * alternating large-star/small-star contraction (same fixpoint).
     * `nodes` supplies the full id universe — isolated docs keep their own
     * id as cluster. */
+  /** Incremental connected components — merge an ingest batch into
+    * EXISTING cluster labels without reclustering the corpus. Only the
+    * clusters touched by a new edge are re-solved: membership edges
+    * (member → its label id) keep each old component connected inside the
+    * subgraph, so the subgraph fixpoint equals the full-recompute fixpoint
+    * restricted to touched nodes — and the canonical min-member id is
+    * preserved because every member of a touched cluster rides along.
+    * Untouched labels pass through by anti-join. The 100-TB property: an
+    * ingest pays O(batch + touched-cluster membership), never O(corpus);
+    * label storage is the only corpus-sized relation read, and only twice
+    * (semi + anti). `newPairs` must only contain edges with at least one
+    * endpoint in `newDocs` (exactly what `lshCandidatesAgainst` + a
+    * batch-internal `lshCandidates` produce). Gated by x30's oracle:
+    * incremental == full recompute, at any SF. */
+  def incrementalComponents(labels: DataFrame, newDocs: DataFrame,
+                            newPairs: DataFrame, idCol: String): DataFrame = {
+    val ends = newPairs.select(col("doc_a").as(idCol))
+      .union(newPairs.select(col("doc_b").as(idCol)))
+      .distinct()
+    val touched = labels.join(ends, Seq(idCol), "left_semi")
+      .select("cluster_id").distinct()
+    val members = labels.join(touched, Seq("cluster_id"), "left_semi")
+    val memberEdges = members.filter(col(idCol) =!= col("cluster_id"))
+      .select(col(idCol).as("doc_a"), col("cluster_id").as("doc_b"))
+    val nodes = newDocs.select(col(idCol))
+      .union(members.select(col(idCol)))
+      .distinct()
+    val sub = connectedComponents(
+      newPairs.select(col("doc_a"), col("doc_b")).union(memberEdges), nodes, idCol)
+    labels.join(touched, Seq("cluster_id"), "left_anti")
+      .select(col(idCol), col("cluster_id"))
+      .union(sub.select(col(idCol), col("cluster_id")))
+  }
+
   def connectedComponents(pairs: DataFrame, nodes: DataFrame, idCol: String,
                           maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession

@@ -803,6 +803,54 @@ object PipelineQueries {
        |JOIN sz ON sz.cluster_id = l.cluster_id
        |ORDER BY l.doc_id""".stripMargin)
 
+  /** x30: incremental cluster maintenance — the missing lifecycle step
+    * between x10 (incremental candidates) and x8 (batch clustering): an
+    * ingest batch's pairs are merged into the EXISTING labels via
+    * `Dedup.incrementalComponents`, re-solving only touched clusters.
+    * The oracle is the strongest gate available: the FULL-corpus
+    * recompute fixpoint — incremental must equal it exactly, so a subtle
+    * merge bug (dropped membership edge, wrong canonical id) hash-fails.
+    * Deliberately UNCAPPED candidate stages on both sides: the hot-bucket
+    * cap's df counts are population-relative, so capping the split stages
+    * and the full recompute differently would make the two legitimately
+    * diverge — the cap belongs to the candidate generator (x2), not to
+    * this equality gate. */
+  private val x30IncrementalCc = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = minhashSig(s, d)
+      val exist = sig.filter(col("doc_id") % 10 =!= 0)
+      val batch = sig.filter(col("doc_id") % 10 === 0)
+      val labels0 = Dedup.connectedComponents(
+        Dedup.lshCandidates(exist, "doc_id", 8),
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id")
+      val newPairs = Dedup.lshCandidatesAgainst(batch, exist, "doc_id", 8)
+        .select(col("doc_new").as("doc_a"), col("doc_base").as("doc_b"))
+        .union(Dedup.lshCandidates(batch, "doc_id", 8))
+      Dedup.incrementalComponents(labels0,
+          docs.filter(col("doc_id") % 10 === 0).select("doc_id"), newPairs, "doc_id")
+        .withColumn("is_survivor", col("doc_id") === col("cluster_id"))
+        .orderBy("doc_id")
+    },
+    s"""WITH RECURSIVE $minhashCtes,
+       |bands AS ($bandsSql),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(comp.cid, d.doc_id) AS cluster_id,
+       |  COALESCE(comp.cid, d.doc_id) = d.doc_id AS is_survivor
+       |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+       |ORDER BY d.doc_id""".stripMargin)
+
   /** x29: duplicate-graph health panel — the one-row corpus report a
     * dedup run should publish before anyone trusts it: document count,
     * cluster count, singleton count, the largest cluster (a boilerplate
@@ -3393,6 +3441,7 @@ object PipelineQueries {
     "x25_cluster_best" -> x25ClusterBest,
     "x26_lsh_planner" -> x26LshPlanner,
     "x29_cluster_stats" -> x29ClusterStats,
+    "x30_incremental_cc" -> x30IncrementalCc,
     "x11_chunk_dedup" -> x11ChunkDedup,
     "x12_bloom_prefilter" -> x12BloomPrefilter,
     "x13_curation_v2" -> x13CurationV2,

@@ -115,6 +115,31 @@ class RelationalSpec extends SparkSpec {
     assert(byStar === byLabel)
   }
 
+  test("incrementalComponents equals full recompute on random old/new splits") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 80
+      val all = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // every 4th node arrives in the "batch"; the rest are the corpus
+      val isNew = (id: Long) => id % 4 == 0
+      val oldPairs = all.filter { case (a, b) => !isNew(a) && !isNew(b) }
+      val newPairs = all.filter { case (a, b) => isNew(a) || isNew(b) }
+      val oldNodes = (0 until n).map(_.toLong).filterNot(isNew)
+      val newNodes = (0 until n).map(_.toLong).filter(isNew)
+      val labels0 = Dedup.connectedComponents(
+        oldPairs.toDF("doc_a", "doc_b"), oldNodes.toDF("id"), "id")
+      val inc = Dedup.incrementalComponents(labels0, newNodes.toDF("id"),
+          newPairs.toDF("doc_a", "doc_b"), "id")
+        .as[(Long, Long)].collect().toMap
+      val full = Dedup.connectedComponents(
+          all.toDF("doc_a", "doc_b"), (0 until n).map(_.toLong).toDF("id"), "id")
+        .as[(Long, Long)].collect().toMap
+      assert(inc === full, s"trial $trial: incremental diverged from recompute")
+    }
+  }
+
   test("asOfJoin matches the latest right row at-or-before each left time") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("k", "t", "tag")
