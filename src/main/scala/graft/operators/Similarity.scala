@@ -396,6 +396,34 @@ object Similarity {
         Seq(col("rank"), col("c_id"), col("qcos")): _*)
   }
 
+  /** Deterministic pseudo-random projection weight for JL dimensionality
+    * reduction: input dim i → output dim j. Same spirit as [[planeWeight]]
+    * (sparse integer weights in [-8, 8], seeded by position, no RNG state
+    * to ship or version) but a different lattice so a projected space
+    * never accidentally aligns with the LSH planes. */
+  def projWeight(i: Int, j: Int): Int = ((i * 37 + j * 23) % 17) - 8
+
+  /** Johnson–Lindenstrauss random projection of a float-vector column to
+    * `outDims` dimensions: output dim j = Σᵢ vec[i]·w(i,j), each component
+    * a pinned left-to-right fold (deterministic, engine-portable — the
+    * dotSql/bucketSql discipline). Pure projection, zero shuffle: runs
+    * inside the scan's codegen stage, so reducing 64 floats to 16 costs
+    * one map pass and every downstream shuffle/join/index moves 4× fewer
+    * vector bytes — the cheapest lever a 100-TB embedding pipeline has
+    * before any ANN structure is even chosen. JL guarantees pairwise
+    * geometry is approximately preserved; y10's report MEASURES that on a
+    * bounded sample instead of assuming it. */
+  def randomProjection(vecCol: String, outDims: Int, inDims: Int = 64): Column = {
+    val comps = (0 until outDims).map { j =>
+      val terms = (0 until inDims).map(i =>
+        s"CAST(element_at($vecCol, ${i + 1}) AS DOUBLE) * ${projWeight(i, j)}.0D")
+      // pinned left-to-right sum: parenthesization is the parse order, so
+      // both engines add in the identical sequence
+      expr(terms.mkString("(", " + ", ")"))
+    }
+    array(comps: _*)
+  }
+
   /** Squared L2 distance between two float-array columns restricted to
     * subspace `subCol` (an INT column expression in scope, 0-based: dims
     * [sub·subDim, (sub+1)·subDim)), as a deterministic sequential fold.

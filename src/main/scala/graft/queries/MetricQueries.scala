@@ -473,8 +473,73 @@ object MetricQueries {
       |  CAST(sp AS DOUBLE) / n - npos / n AS gap
       |FROM g ORDER BY bucket""".stripMargin)
 
+  /** a20: grouped Welch two-sample t-test — the statistical gate behind
+    * every "did this source's English slice drift?" question: per source,
+    * test whether mean document length differs between the English docs
+    * and the rest, without assuming equal variances (Welch), and report
+    * the Satterthwaite effective df alongside the statistic.
+    *
+    * Scale + exactness: ONE map-side-combinable pass computes the six
+    * conditional integer aggregates (n, Σx, Σx² per side — n_chars is
+    * BIGINT, so every sum is exact); means, variances, t and df are then
+    * a fixed sequence of IEEE double ops on those exact ints, written
+    * with the identical parse tree in both engines — bit-identical
+    * without rounding or decimal machinery. Output is |sources| rows at
+    * any corpus size; no shuffle ever carries more than the partial
+    * aggregate rows. */
+  private val a20WelchTtest = Q(
+    (s, d) => {
+      val en = col("lang") === "en"
+      val x = col("n_chars")
+      val g = Tables.documents(s, d).groupBy("source")
+        .agg(
+          sum(when(en, 1L).otherwise(0L)).as("n_en"),
+          sum(when(en, x).otherwise(0L)).as("s_en"),
+          sum(when(en, x * x).otherwise(0L)).as("ss_en"),
+          sum(when(!en, 1L).otherwise(0L)).as("n_ot"),
+          sum(when(!en, x).otherwise(0L)).as("s_ot"),
+          sum(when(!en, x * x).otherwise(0L)).as("ss_ot"))
+      val mEn = g("s_en").cast(DoubleType) / g("n_en")
+      val mOt = g("s_ot").cast(DoubleType) / g("n_ot")
+      val vEn = (g("ss_en").cast(DoubleType)
+        - g("s_en").cast(DoubleType) * g("s_en").cast(DoubleType) / g("n_en")) / (g("n_en") - 1)
+      val vOt = (g("ss_ot").cast(DoubleType)
+        - g("s_ot").cast(DoubleType) * g("s_ot").cast(DoubleType) / g("n_ot")) / (g("n_ot") - 1)
+      val vnEn = vEn / g("n_en")
+      val vnOt = vOt / g("n_ot")
+      g.select(col("source"), col("n_en"), col("n_ot"),
+          mEn.as("mean_en"), mOt.as("mean_ot"),
+          ((mEn - mOt) / sqrt(vnEn + vnOt)).as("t_stat"),
+          ((vnEn + vnOt) * (vnEn + vnOt)
+            / (vnEn * vnEn / (g("n_en") - 1) + vnOt * vnOt / (g("n_ot") - 1)))
+            .as("df_welch"))
+        .orderBy("source")
+    },
+    """WITH g AS (SELECT source,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS s_en,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS ss_en,
+      |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_ot,
+      |    CAST(sum(CASE WHEN lang <> 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS s_ot,
+      |    CAST(sum(CASE WHEN lang <> 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS ss_ot
+      |  FROM documents GROUP BY 1),
+      |m AS (SELECT source, n_en, n_ot,
+      |    CAST(s_en AS DOUBLE) / n_en AS mean_en,
+      |    CAST(s_ot AS DOUBLE) / n_ot AS mean_ot,
+      |    (CAST(ss_en AS DOUBLE) - CAST(s_en AS DOUBLE) * CAST(s_en AS DOUBLE) / n_en)
+      |      / (n_en - 1) / n_en AS vn_en,
+      |    (CAST(ss_ot AS DOUBLE) - CAST(s_ot AS DOUBLE) * CAST(s_ot AS DOUBLE) / n_ot)
+      |      / (n_ot - 1) / n_ot AS vn_ot
+      |  FROM g)
+      |SELECT source, n_en, n_ot, mean_en, mean_ot,
+      |  (mean_en - mean_ot) / sqrt(vn_en + vn_ot) AS t_stat,
+      |  (vn_en + vn_ot) * (vn_en + vn_ot)
+      |    / (vn_en * vn_en / (n_en - 1) + vn_ot * vn_ot / (n_ot - 1)) AS df_welch
+      |FROM m ORDER BY source""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "a5_corr_groups" -> a5CorrGroups,
+    "a20_welch_ttest" -> a20WelchTtest,
     "a18_logistic_irls" -> a18LogisticIrls,
     "a19_calibration" -> a19Calibration,
     "a6_quantiles" -> a6Quantiles,

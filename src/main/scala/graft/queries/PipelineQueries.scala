@@ -631,6 +631,61 @@ object PipelineQueries {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin)
 
+  /** z35: asymmetric shingle containment — the near-dup relation Jaccard
+    * is structurally blind to: when a short document is QUOTED inside a
+    * long one (syndicated article + boilerplate, a README embedded in a
+    * larger page, benchmark text pasted into a forum post), the
+    * intersection is nearly all of the short side but a sliver of the
+    * union, so Jaccard stays low and symmetric dedup keeps both copies.
+    * Containment C(A→B) = |S_A ∩ S_B| / |S_A| scores each direction
+    * separately; pairs with high max-containment but low Jaccard are
+    * exactly the subset/quote cases (the `subset_only` flag). This is the
+    * relation decontamination actually needs — benchmark text is almost
+    * always CONTAINED in a training doc, not equal to it.
+    *
+    * Scale shape: identical to x4 — same language-blocked inverted-index
+    * join, same stop-shingle df cap bounding the worst posting list, ONE
+    * extra int/int division per surviving pair (n_a, n_b, n_inter are
+    * already on the row). Divisions are raw IEEE on exact ints — the x4
+    * rounding discipline. */
+  private val z35Containment = Q(
+    (s, d) => {
+      val pairs = Dedup.shingleJaccardPairs(shingles(Tables.documents(s, d)), "doc_id", "lang",
+        maxDocFreq = Some(X4MaxDocFreq))
+      pairs
+        .withColumn("cont_ab", col("n_inter").cast("double") / col("n_a"))
+        .withColumn("cont_ba", col("n_inter").cast("double") / col("n_b"))
+        .withColumn("cont_max", greatest(col("cont_ab"), col("cont_ba")))
+        .withColumn("subset_only",
+          col("cont_max") >= 0.8 && col("jaccard") < 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("cont_ab"),
+          col("cont_ba"), col("cont_max"), col("jaccard"), col("subset_only"))
+        .orderBy(col("cont_max").desc, col("doc_a"), col("doc_b"))
+        .limit(100)
+    },
+    s"""WITH $shingleCte,
+       |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+       |kept AS (SELECT sh.doc_id, sh.lang, sh.s FROM sh JOIN df USING (s) WHERE df <= $X4MaxDocFreq),
+       |sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM kept a JOIN kept b
+       |    ON a.lang = b.lang AND a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_a, doc_b, n_inter,
+       |    CAST(n_inter AS DOUBLE) / sa.n_sh AS cont_ab,
+       |    CAST(n_inter AS DOUBLE) / sb.n_sh AS cont_ba,
+       |    GREATEST(CAST(n_inter AS DOUBLE) / sa.n_sh,
+       |      CAST(n_inter AS DOUBLE) / sb.n_sh) AS cont_max,
+       |    CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+       |  FROM inter
+       |  JOIN sizes sa ON doc_a = sa.doc_id
+       |  JOIN sizes sb ON doc_b = sb.doc_id)
+       |SELECT doc_a, doc_b, n_inter, cont_ab, cont_ba, cont_max, jaccard,
+       |  cont_max >= CAST(0.8 AS DOUBLE) AND jaccard < CAST(0.5 AS DOUBLE) AS subset_only
+       |FROM scored
+       |ORDER BY cont_max DESC, doc_a, doc_b LIMIT 100""".stripMargin)
+
   /** Banded LSH (4 bands × 2 rows over the 8-hash signature): all hashes
     * in a band must agree, giving the 1-(1-j^2)^4 collision curve — far
     * fewer, far higher-precision candidates than the 8×1 banding of x2. */
@@ -2699,6 +2754,132 @@ object PipelineQueries {
       |  FROM adc) r
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 
+  /** y9: IVF-PQ — the two FAISS halves composed the way a production
+    * vector index actually runs them: the IVF coarse quantizer PRUNES
+    * (every vector lands in its nearest-anchor cell, serving joins on the
+    * cell key — y3's shape, so y3c's nprobe knob transfers unchanged) and
+    * PQ COMPRESSES what survives pruning (candidates inside the probed
+    * cell are ranked by y5's asymmetric distance over their 8 subspace
+    * codes — candidate vectors are never read at serve time).
+    *
+    * Scale shape: each half fixes the other's weak end. PQ alone (y5)
+    * still touches every corpus code per query unless something blocks
+    * the (sub, code) join — here the cell key does, so the ADC scan is
+    * per-cell, not per-corpus. IVF alone (y3) ranks by full-width float
+    * cosine inside the cell — here the cell's candidates cost 8 bytes
+    * each, so a 1000-executor serve holds the probed cells' code tables
+    * in a fraction of the float corpus's footprint (64 floats → 8 codes
+    * per candidate). Everything shuffles at most once, keyed by cell;
+    * the codebook and anchor relations are constant-sized broadcasts.
+    * Codes are PQ over RAW vectors within cells (IVFFlat-PQ); residual
+    * encoding (subtract the cell centroid before coding) drops into the
+    * same DAG at the pqEncode input seam. ADC sums ride exact DECIMAL
+    * (y5's discipline), so the approximate distance is reproducible
+    * across engines and partitionings. */
+  private val y9IvfPq = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val codebook = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val assigned = Similarity.ivfAssign(e, anchors, "vec_id", "embedding")
+        .select("vec_id", "embedding", "cell")
+      val codes = Similarity.pqEncode(assigned, codebook, "vec_id", "embedding",
+        m = 8, subDim = 8, carryCols = Seq("cell"))
+      Similarity.pqTopK(codes, codebook, assigned.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", m = 8, subDim = 8, k = 5,
+          blockCol = Some("cell"))
+        .orderBy("q_id", "rank")
+    },
+    s"""WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+      |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < 8),
+      |adists AS (
+      |  SELECT v.vec_id, v.vd, a.anchor_id,
+      |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+      |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+      |  FROM v CROSS JOIN anchors a),
+      |assigned AS (SELECT vec_id, vd, anchor_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, anchor_id) AS rn
+      |    FROM adists) x WHERE rn = 1),
+      |cb AS (SELECT vec_id AS anchor_id, vd AS cvd FROM v WHERE vec_id < 16),
+      |subs AS (SELECT vec_id, vd, cell, unnest(generate_series(0, 7)) AS sub FROM assigned),
+      |sd AS (SELECT s.vec_id, s.cell, s.sub, c.anchor_id,
+      |    ROUND(list_reduce(list_transform(generate_series(s.sub * 8 + 1, s.sub * 8 + 8),
+      |      i -> (s.vd[i] - c.cvd[i]) * (s.vd[i] - c.cvd[i])), (acc, x) -> acc + x), 6) AS d6
+      |  FROM subs s CROSS JOIN cb c),
+      |codes AS (SELECT vec_id, cell, sub, anchor_id AS code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d6, anchor_id) AS rn
+      |    FROM sd) x WHERE rn = 1),
+      |qd AS (SELECT vec_id AS q_id, cell, sub, anchor_id AS code,
+      |    CAST(d6 AS DECIMAL(18,6)) AS dd
+      |  FROM sd WHERE vec_id % 50 = 0),
+      |adc AS (SELECT q.q_id, c.vec_id AS c_id, SUM(q.dd) AS s
+      |  FROM qd q JOIN codes c USING (cell, sub, code)
+      |  WHERE q.q_id <> c.vec_id GROUP BY 1, 2)
+      |SELECT q_id, rank, c_id, approx_d2 FROM (
+      |  SELECT q_id, c_id, CAST(s AS DOUBLE) AS approx_d2,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY CAST(s AS DOUBLE), c_id) AS INT) AS rank
+      |  FROM adc) r
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
+  /** y10: Johnson–Lindenstrauss random projection + preservation report —
+    * the dimensionality-reduction rung of the embedding ladder (y6
+    * quantizes components, y5 codes subspaces, y10 drops dimensions):
+    * every vector projects 64 → 16 dims with deterministic integer
+    * weights ([[Similarity.projWeight]]), IN-SCAN and shuffle-free, so
+    * every downstream shuffle/join/ANN index moves 4× fewer vector
+    * bytes. JL says pairwise geometry survives; this query MEASURES it —
+    * original vs projected cosine per pair on a BOUNDED query batch
+    * (% 25 ∧ < 1000, the y7/y8 sampling discipline: the report is a
+    * fixed-size diagnostic while the projection itself scales linearly
+    * with the corpus). Both cosines round to 6 dp before the comparison;
+    * each projected component is a pinned left-to-right 64-term sum, so
+    * both engines compute bit-identical doubles (bucketSql discipline).
+    * Reading max/mean |Δcos| here is how you pick the output dimension
+    * before committing a corpus-scale re-embed. */
+  private val y10JlProject = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < 1000)
+        .withColumn("p", Similarity.randomProjection("embedding", 16))
+        .withColumn("nrm64", Similarity.norm("embedding"))
+        .withColumn("nrm16", Similarity.norm("p"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+        col("p").as("a_p"), col("nrm64").as("a_n64"), col("nrm16").as("a_n16"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+        col("p").as("b_p"), col("nrm64").as("b_n64"), col("nrm16").as("b_n16"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos64",
+          round(Similarity.dot("a_v", "b_v") / (col("a_n64") * col("b_n64")), 6))
+        .withColumn("cos16",
+          round(Similarity.dot("a_p", "b_p") / (col("a_n16") * col("b_n16")), 6))
+        .select(col("a_id"), col("b_id"), col("cos64"), col("cos16"),
+          round(abs(col("cos64") - col("cos16")), 6).as("abs_err"))
+        .orderBy("a_id", "b_id")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings
+      |  WHERE vec_id % 25 = 0 AND vec_id < 1000),
+      |p AS (SELECT vec_id, vd,
+      |    list_transform(generate_series(0, 15), j ->
+      |      list_reduce(list_transform(generate_series(0, 63),
+      |        i -> vd[i + 1] * CAST((i * 37 + j * 23) % 17 - 8 AS DOUBLE)),
+      |      (acc, x) -> acc + x)) AS pv
+      |  FROM v),
+      |n AS (SELECT vec_id, vd, pv, ${nrmSql("vd")} AS n64,
+      |    sqrt(list_reduce(list_transform(pv, x -> x * x), (acc, x) -> acc + x)) AS n16
+      |  FROM p),
+      |pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    ROUND(${dotSql("a.vd", "b.vd")} / (a.n64 * b.n64), 6) AS cos64,
+      |    ROUND(list_reduce(list_transform(generate_series(1, 16),
+      |        i -> a.pv[i] * b.pv[i]), (acc, x) -> acc + x) / (a.n16 * b.n16), 6) AS cos16
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT a_id, b_id, cos64, cos16, ROUND(abs(cos64 - cos16), 6) AS abs_err
+      |FROM pairs ORDER BY a_id, b_id""".stripMargin)
+
   /** y6: int8 scalar-quantized ANN — the entry rung of the embedding
     * compression ladder (y5's PQ is the next): one corpus pass finds the
     * global max |component|, every vector quantizes to ints in [-127, 127],
@@ -3433,6 +3614,8 @@ object PipelineQueries {
     "z22_temperature_mix" -> z22TemperatureMix,
     "z20_bm25" -> z20Bm25,
     "y5_pq_ann" -> y5PqAnn,
+    "y9_ivfpq" -> y9IvfPq,
+    "y10_jl_project" -> y10JlProject,
     "y7_bitext_margin" -> y7BitextMargin,
     "y8_ann_eval" -> y8AnnEval,
     "y6_sq_ann" -> y6SqAnn,
@@ -3470,6 +3653,7 @@ object PipelineQueries {
     "z10_repetition" -> z10Repetition,
     "z12_pii_redact" -> z12PiiRedact,
     "x4_ngram_jaccard" -> x4NgramJaccard,
+    "z35_containment" -> z35Containment,
     "x5_embed_neardup" -> x5EmbedNeardup,
     "x6_approx_distinct" -> x6ApproxDistinct,
     "x7_lsh_banded" -> x7LshBanded,

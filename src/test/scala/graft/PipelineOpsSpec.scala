@@ -199,6 +199,33 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a fully-quoted document scores containment 1.0 while Jaccard stays low") {
+    // doc 1's entire shingle set {abc, bcd} appears inside doc 2's
+    // {abc, bcd, cde, def, efg}: containment(1→2) = 2/2 = 1.0 exactly,
+    // Jaccard = 2/5 — the subset/quote case symmetric dedup never flags
+    val docs = Seq(
+      (1L, "en", "a b c d"),
+      (2L, "en", "a b c d e f g"),
+      (3L, "en", "p q r s t u")
+    ).toDF("doc_id", "lang", "text")
+    val shingled = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("lang"),
+        explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
+      .distinct()
+    val pairs = Dedup.shingleJaccardPairs(shingled, "doc_id", "lang")
+      .withColumn("cont_ab", col("n_inter").cast("double") / col("n_a"))
+      .select("doc_a", "doc_b", "cont_ab", "jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0, 0.4)))
+    // doc 3 shares nothing — the inverted-index join never pairs it
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
@@ -256,6 +283,47 @@ class SimilaritySpec extends SparkSpec {
     val planes = (0 until Similarity.NumPlanes)
       .map(j => (0 until 8).map(i => Similarity.planeWeight(i, j)))
     assert(planes.distinct.size === Similarity.NumPlanes, planes.toString)
+  }
+
+  test("randomProjection is deterministic, linear, and in [-8,8] integer weights") {
+    val vs = Seq(
+      (0L, Array(1.0f, 2.0f, -3.0f, 0.5f)),
+      (1L, Array(2.0f, 4.0f, -6.0f, 1.0f))   // exactly 2 x vector 0
+    ).toDF("vec_id", "embedding")
+    val p = vs.withColumn("p", Similarity.randomProjection("embedding", 3, inDims = 4))
+      .select("vec_id", "p").as[(Long, Array[Double])].collect().toMap
+    // linearity: projection is a fixed linear map, so P(2v) = 2 P(v)
+    // exactly (doubling a double is exponent arithmetic — no rounding)
+    assert(p(1L).toSeq === p(0L).map(_ * 2.0).toSeq)
+    // determinism: a second evaluation bit-matches the first
+    val p2 = vs.withColumn("p", Similarity.randomProjection("embedding", 3, inDims = 4))
+      .select("vec_id", "p").as[(Long, Array[Double])].collect().toMap
+    assert(p2(0L).toSeq === p(0L).toSeq)
+    // the weight lattice stays in [-8, 8] and output dims get distinct rows
+    val rows = (0 until 3).map(j => (0 until 4).map(i => Similarity.projWeight(i, j)))
+    assert(rows.flatten.forall(w => w >= -8 && w <= 8))
+    assert(rows.distinct.size === 3, rows.toString)
+  }
+
+  test("pqTopK blocked on the IVF cell never crosses a cell boundary") {
+    val vs = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(10.0f, 10.0f)),   // anchors + codebook
+      (2L, Array(1.0f, 1.0f)), (3L, Array(2.0f, 2.0f)),     // cell 0
+      (4L, Array(9.0f, 9.0f)), (5L, Array(8.0f, 8.0f))      // cell 1
+    ).toDF("vec_id", "embedding")
+    val anchors = vs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+    val assigned = Similarity.ivfAssign(vs, anchors, "vec_id", "embedding")
+      .select("vec_id", "embedding", "cell")
+    val codes = Similarity.pqEncode(assigned, anchors, "vec_id", "embedding",
+      m = 1, subDim = 2, carryCols = Seq("cell"), dims = 2)
+    val got = Similarity.pqTopK(codes, anchors,
+      assigned.filter(col("vec_id") === 2), "vec_id", "embedding",
+      m = 1, subDim = 2, k = 5, blockCol = Some("cell"), dims = 2)
+      .select("c_id").as[Long].collect().toSet
+    // query 2 lives in cell 0: candidates from cell 1 (4, 5) must never
+    // appear, however small their ADC distance — that's the IVF pruning
+    assert(got === Set(0L, 3L), got.toString)
   }
 
   test("multi-probe bucketedTopK recall >= single-probe against brute force") {

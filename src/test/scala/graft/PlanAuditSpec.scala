@@ -82,6 +82,36 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(bnlj <= 2, s"unexpected nested-loop joins in y6 plan: $bnlj")
   }
 
+  test("y9: IVF-PQ serving crosses only broadcast anchor/codebook relations") {
+    val plan = formatted("y9_ivfpq")
+    assert(!plan.contains("CartesianProduct"), "y9 grew a real cartesian")
+    // constant-sized broadcast attaches only: anchors (cell assign — the
+    // assigned relation feeds BOTH serve sides, so it appears twice in
+    // the one-DAG plan), codebook (encode argmin), codebook again (query
+    // distance table) — the ADC serve join itself must be an equi-join
+    // on (cell, sub, code)
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 4, s"unexpected nested-loop joins in y9 plan: $bnlj")
+  }
+
+  test("y10: the projection runs in-scan; only the bounded pair batch nest-loops") {
+    val plan = formatted("y10_jl_project")
+    // one non-equi pair join over the bounded query batch is the design;
+    // nothing else may nest-loop and the corpus scan reads 2 columns
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"unexpected joins in y10 plan: $bnlj")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.count(_ == ':') <= 3, s"scan reads too many columns: $read")
+  }
+
+  test("z35: containment stays on x4's capped inverted-index equi-join") {
+    val plan = formatted("z35_containment")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "z35 must stay a (lang, shingle) equi-join")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-100 must plan as TakeOrdered, not a global sort")
+  }
+
   test("s5: the cleanup path reads only the two source columns") {
     val read = formatted("s5_clean_table").linesIterator
       .find(_.contains("ReadSchema")).get

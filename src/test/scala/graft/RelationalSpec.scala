@@ -490,4 +490,20 @@ class RelationalSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
     Housekeeping.releaseAllBlocks(spark)
   }
+
+  test("a20 Welch t-test: sign follows the mean gap, df inside the Welch bounds") {
+    // mathematical contracts of the statistic, independent of the DuckDB
+    // oracle: t has the sign of (mean_en - mean_ot); the Satterthwaite df
+    // lies in [min(n1,n2) - 1, n1 + n2 - 2] whenever both variances are
+    // positive (standard Welch bounds)
+    val rows = SparkEntry.queries("a20_welch_ttest")(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, nEn, nOt, mEn, mOt, t, df) =>
+      assert(!t.isNaN && !t.isInfinite, s"$src: t=$t")
+      assert(math.signum(t) === math.signum(mEn - mOt), s"$src: sign mismatch")
+      assert(df >= math.min(nEn, nOt) - 1 && df <= nEn + nOt - 2,
+        s"$src: df=$df outside [${math.min(nEn, nOt) - 1}, ${nEn + nOt - 2}]")
+    }
+  }
 }
