@@ -2268,6 +2268,58 @@ object PipelineQueries {
       |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** z36: CCNet-style perplexity banding — the published head/middle/tail
+    * split (Wenzek et al., CCNet): score every document with the corpus
+    * LM (z15's unigram stage — the pipeline's cheapest perplexity proxy;
+    * z23's backoff chain drops in at the same seam), then cut each
+    * LANGUAGE into three equal bands by score. "Keep head+middle, drop
+    * tail" is the crawl-filtering policy those pipelines ship.
+    *
+    * Scale: banding per language is exactly the z16 trap — `ntile(3)
+    * over (partition by lang ...)` would sort each language's whole
+    * corpus on one task, so the split rides `Relational.groupedNtile`
+    * (range-partitioned two-pass, bit-identical to SQL NTILE). Scoring
+    * keeps z15's discipline: ln snapshots at DECIMAL(12,6), exact-decimal
+    * per-doc sums, one IEEE division at the boundary — so the band order
+    * (avg_logprob, doc_id) is deterministic in both engines. Ascending
+    * logprob puts the worst docs in bucket 1: tail/middle/head. */
+  private val z36PerplexityBuckets = Q(
+    (s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
+      val cnt = w.groupBy("term").agg(count(lit(1)).as("n_w"))
+      val tot = w.agg(count(lit(1)).as("n_tot"))
+      val perDoc = w.join(broadcast(cnt), Seq("term"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          log(col("n_w").cast("double") / col("n_tot")).cast("decimal(12,6)"))
+        .groupBy("doc_id", "lang")
+        .agg((sum(col("lp")).cast("double") / count(lit(1))).as("avg_logprob"))
+      Relational.groupedNtile(perDoc, groups = Seq("lang"),
+          order = Seq("avg_logprob", "doc_id"), n = 3, out = "bucket")
+        .withColumn("band", when(col("bucket") === 3, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+        .groupBy("lang", "bucket", "band")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_logprob")).as("min_lp"),
+          max(col("avg_logprob")).as("max_lp"))
+        .orderBy("lang", "bucket")
+    },
+    """WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+      |cnt AS (SELECT term, COUNT(*) AS n_w FROM w GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tot FROM cnt),
+      |pd AS (SELECT doc_id, lang,
+      |    CAST(SUM(CAST(ln(CAST(n_w AS DOUBLE) / n_tot) AS DECIMAL(12,6))) AS DOUBLE)
+      |      / COUNT(*) AS avg_logprob
+      |  FROM w JOIN cnt USING (term) CROSS JOIN tot GROUP BY 1, 2),
+      |t AS (SELECT lang, avg_logprob,
+      |    CAST(NTILE(3) OVER (PARTITION BY lang ORDER BY avg_logprob, doc_id) AS INT) AS bucket
+      |  FROM pd)
+      |SELECT lang, bucket,
+      |  CASE WHEN bucket = 3 THEN 'head' WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS band,
+      |  COUNT(*) AS n_docs, MIN(avg_logprob) AS min_lp, MAX(avg_logprob) AS max_lp
+      |FROM t GROUP BY 1, 2, 3 ORDER BY lang, bucket""".stripMargin)
+
   /** z18: lexical diversity — type-token ratio and hapax fraction, the
     * repetition-adjacent quality features (a low TTR flags word-salad
     * spam; a low hapax fraction flags template text). Per-(doc, term)
@@ -3634,6 +3686,7 @@ object PipelineQueries {
     "x17_curation_v3" -> x17CurationV3,
     "z15_unigram_logprob" -> z15UnigramLogprob,
     "z16_quality_deciles" -> z16QualityDeciles,
+    "z36_perplexity_buckets" -> z36PerplexityBuckets,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
     "z19_sequence_pack" -> z19SequencePack,

@@ -851,6 +851,81 @@ object RelationalQueries {
       |  CAST(SUM(CASE WHEN v_old = v_new THEN 1 ELSE 0 END) AS BIGINT) AS same
       |FROM old FULL OUTER JOIN neu USING (event_id)""".stripMargin)
 
+  /** S20: per-column statistics panel (ANALYZE TABLE shape) — the
+    * null-count / distinct-count / min-max profile a cost-based optimizer
+    * and every data-contract check reads. ONE scan computes every
+    * column's aggregates side by side; the per-column rows come from a
+    * `stack` over the single result row, never a second pass.
+    *
+    * The ndv pair follows x6's contract discipline: the exact
+    * COUNT(DISTINCT) rung exists to GATE the HLL sketch (deterministic,
+    * rsd 0.02, asserted within 5%) — at 100 TB you run only the sketch
+    * (fixed-size buffers, map-side combinable) and drop the exact rung,
+    * which is the expensive one (per-column Expand + distinct shuffle).
+    * min/max render through CAST(.. AS STRING) so the panel is one
+    * uniform relation across numeric and string columns (ints stringify
+    * identically in both engines; no doubles are profiled here). */
+  private val s20ColumnStats = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      li.agg(
+          count(lit(1)).as("n_rows"),
+          nn("l_orderkey").as("nn_ok"),
+          countDistinct(col("l_orderkey")).as("nd_ok"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("na_ok"),
+          min(col("l_orderkey")).cast("string").as("mn_ok"),
+          max(col("l_orderkey")).cast("string").as("mx_ok"),
+          nn("l_linenumber").as("nn_ln"),
+          countDistinct(col("l_linenumber")).as("nd_ln"),
+          approx_count_distinct(col("l_linenumber"), 0.02).as("na_ln"),
+          min(col("l_linenumber")).cast("string").as("mn_ln"),
+          max(col("l_linenumber")).cast("string").as("mx_ln"),
+          nn("l_returnflag").as("nn_rf"),
+          countDistinct(col("l_returnflag")).as("nd_rf"),
+          approx_count_distinct(col("l_returnflag"), 0.02).as("na_rf"),
+          min(col("l_returnflag")).as("mn_rf"),
+          max(col("l_returnflag")).as("mx_rf"),
+          nn("l_linestatus").as("nn_ls"),
+          countDistinct(col("l_linestatus")).as("nd_ls"),
+          approx_count_distinct(col("l_linestatus"), 0.02).as("na_ls"),
+          min(col("l_linestatus")).as("mn_ls"),
+          max(col("l_linestatus")).as("mx_ls"))
+        .selectExpr("n_rows", """stack(4,
+            'l_orderkey',  nn_ok, nd_ok, na_ok, mn_ok, mx_ok,
+            'l_linenumber', nn_ln, nd_ln, na_ln, mn_ln, mx_ln,
+            'l_returnflag', nn_rf, nd_rf, na_rf, mn_rf, mx_rf,
+            'l_linestatus', nn_ls, nd_ls, na_ls, mn_ls, mx_ls)
+          AS (col_name, n_nulls, ndv, ndv_est, min_s, max_s)""")
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("ndv").cast(LongType).as("ndv"),
+          (abs(col("ndv_est") - col("ndv")) <= col("ndv") * 0.05).as("approx_ok"),
+          col("min_s"), col("max_s"))
+        .orderBy("col_name")
+    },
+    """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ok,
+      |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nd_ok,
+      |    CAST(MIN(l_orderkey) AS VARCHAR) AS mn_ok, CAST(MAX(l_orderkey) AS VARCHAR) AS mx_ok,
+      |    CAST(SUM(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ln,
+      |    CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS nd_ln,
+      |    CAST(MIN(l_linenumber) AS VARCHAR) AS mn_ln, CAST(MAX(l_linenumber) AS VARCHAR) AS mx_ln,
+      |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_rf,
+      |    CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS nd_rf,
+      |    MIN(l_returnflag) AS mn_rf, MAX(l_returnflag) AS mx_rf,
+      |    CAST(SUM(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_ls,
+      |    CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS nd_ls,
+      |    MIN(l_linestatus) AS mn_ls, MAX(l_linestatus) AS mx_ls
+      |  FROM lineitem),
+      |u AS (
+      |  SELECT 'l_orderkey' AS col_name, n_rows, nn_ok AS n_nulls, nd_ok AS ndv,
+      |    TRUE AS approx_ok, mn_ok AS min_s, mx_ok AS max_s FROM a
+      |  UNION ALL SELECT 'l_linenumber', n_rows, nn_ln, nd_ln, TRUE, mn_ln, mx_ln FROM a
+      |  UNION ALL SELECT 'l_returnflag', n_rows, nn_rf, nd_rf, TRUE, mn_rf, mx_rf FROM a
+      |  UNION ALL SELECT 'l_linestatus', n_rows, nn_ls, nd_ls, TRUE, mn_ls, mx_ls FROM a)
+      |SELECT col_name, n_rows, n_nulls, ndv, approx_ok, min_s, max_s
+      |FROM u ORDER BY col_name""".stripMargin)
+
   /** S19: compaction planning — the table-maintenance report every
     * long-lived partitioned store needs: per partition (source), row and
     * byte volume, the file count a compaction pass should produce
@@ -1313,6 +1388,7 @@ object RelationalQueries {
     "s16_table_audit" -> s16TableAudit,
     "a17_grouped_mode" -> a17GroupedMode,
     "s17_snapshot_diff" -> s17SnapshotDiff,
+    "s20_column_stats" -> s20ColumnStats,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

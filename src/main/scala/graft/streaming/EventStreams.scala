@@ -348,6 +348,65 @@ object EventStreams {
       .drop("__rk")
   }
 
+  /** quotaGate input: one arriving document's token bill. */
+  case class DocIn(doc_id: Long, source: String, n_tokens: Long)
+  /** quotaGate output: the per-document admission verdict plus the
+    * source's running admitted-token total AFTER this document. */
+  case class QuotaVerdict(doc_id: Long, source: String, n_tokens: Long,
+                          admitted: Boolean, running_total: Long)
+
+  /** Per-source token-budget enforcement on Spark 4's `transformWithState`
+    * (the arbitrary-stateful-processing v2 API — typed state handles, TTL,
+    * timers — which supersedes `flatMapGroupsWithState` for new code; the
+    * session-cut op above keeps the v1 form deliberately, so both API
+    * generations stay exercised).
+    *
+    * The ingest-quota shape every multi-tenant training-data pipeline
+    * needs: each source may admit documents until its cumulative token
+    * count would exceed `budget`; an oversized document is REJECTED and
+    * does not consume budget (a later, smaller one may still fit — hard
+    * caps, not clip-and-truncate). State per source is ONE long, read and
+    * written once per micro-batch; rows fold in doc_id order inside each
+    * batch so the admission sequence is deterministic, not
+    * batch-layout-dependent (the sessionCut/Ev lesson). The state store
+    * must be RocksDB (`spark.sql.streaming.stateStore.providerClass` —
+    * transformWithState refuses the HDFS-backed provider); state survives
+    * restarts through the checkpoint like every other stateful op here.
+    *
+    * `stateTtl`: on a continuous stream with a churning source population,
+    * pass a duration so idle sources' counters expire instead of growing
+    * the store without bound (TTL is the v2 replacement for the manual
+    * timeout dance in [[sessionCut]]). */
+  class QuotaProcessor(budget: Long, stateTtl: Option[java.time.Duration])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, DocIn, QuotaVerdict] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, TimerValues, ValueState}
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong,
+        stateTtl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+    override def handleInputRows(key: String, rows: Iterator[DocIn],
+                                 timerValues: TimerValues): Iterator[QuotaVerdict] = {
+      var t = if (total.exists()) total.get() else 0L
+      val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+        val admit = t + r.n_tokens <= budget
+        if (admit) t += r.n_tokens
+        QuotaVerdict(r.doc_id, key, r.n_tokens, admit, t)
+      }
+      total.update(t)
+      out.iterator
+    }
+  }
+
+  def quotaGate(docs: Dataset[DocIn], budget: Long,
+                stateTtl: Option[java.time.Duration] = None): Dataset[QuotaVerdict] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    docs.groupByKey(_.source)
+      .transformWithState(new QuotaProcessor(budget, stateTtl),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-user running state for shape 3. */
   case class UserAcc(userId: Long, total: Double, nEvents: Int)
   /** Emitted when a user's running value-total first crosses `cutoff`. */

@@ -232,6 +232,63 @@ class StreamingSpec extends SparkSpec {
     assert(batches.get() === 3, s"expected 3 one-file batches, got ${batches.get()}")
   }
 
+  test("quotaGate (transformWithState) enforces per-source token budgets across drains") {
+    val src = tmpDir("quota_src"); val ckpt = tmpDir("quota_ckpt")
+    def writeDocs(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "source", "n_tokens")
+        .repartition(1).write.mode("append").parquet(src)
+    // transformWithState requires the RocksDB provider; scope it to this
+    // test (suites run sequentially in the forked JVM)
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_tokens", LongType)))
+      // the memory sink cannot recover from a checkpoint, and checkpoint
+      // recovery IS what's under test here — drain to parquet like the
+      // other restartable shapes
+      val dest = tmpDir("quota_dest") + "/tbl"
+      def drain(): Map[Long, (Boolean, Long)] = {
+        val in = EventStreams.fileSource(spark, src, docSchema)
+          .as[EventStreams.DocIn]
+        val q = EventStreams.quotaGate(in, budget = 100L)
+          .writeStream.format("parquet")
+          .option("path", dest)
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        spark.read.parquet(dest)
+          .select("doc_id", "admitted", "running_total")
+          .as[(Long, Boolean, Long)].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+      }
+      // batch 1: srcA admits 60+30, rejects 20 (would hit 110), admits 5;
+      // srcB has its own independent budget
+      writeDocs(Seq((1L, "srcA", 60L), (2L, "srcA", 30L), (3L, "srcA", 20L),
+        (4L, "srcA", 5L), (5L, "srcB", 90L)))
+      val v1 = drain()
+      assert(v1(1L) === ((true, 60L)) && v1(2L) === ((true, 90L)))
+      assert(v1(3L) === ((false, 90L)), "doc 3 must be rejected, not clipped")
+      assert(v1(4L) === ((true, 95L)), "a later smaller doc still fits")
+      assert(v1(5L) === ((true, 90L)))
+      // batch 2: state survived the restart via the checkpoint — srcA has
+      // 5 tokens of headroom left, srcB 10
+      writeDocs(Seq((6L, "srcA", 6L), (7L, "srcA", 5L), (8L, "srcB", 10L)))
+      val v2 = drain()
+      assert(v2(6L) === ((false, 95L)), "cross-drain total must persist")
+      assert(v2(7L) === ((true, 100L)))
+      assert(v2(8L) === ((true, 100L)))
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("aggStateMaintenance folds batches into state equal to full recompute") {
     val src = tmpDir("aggstate_src"); val state = tmpDir("aggstate_state") + "/tbl"
     val ckpt = tmpDir("aggstate_ckpt")
