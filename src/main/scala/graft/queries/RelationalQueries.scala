@@ -869,28 +869,39 @@ object RelationalQueries {
     (s, d) => {
       val li = Tables.lineitem(s, d)
       def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
-      li.agg(
+      // two passes by AGGREGATE BUFFER TYPE, not by column: min/max over
+      // STRING columns carry immutable UTF8String buffers, which evicts
+      // the whole aggregate from HashAggregate to SortAggregate — and
+      // dragging the countDistinct Expand (×5 row fan-out) through
+      // sort-based aggregation measured 27 s at sf0.1 vs ~2 s split.
+      // Pass 1 keeps every fixed-width buffer (counts, exact ndv's
+      // Expand, HLL sketches) in HashAggregate; pass 2 does the string
+      // min/max over the raw scan (partial-combined per partition, no
+      // Expand); the two 1-row frames cross-join for the stack.
+      val cnts = li.agg(
           count(lit(1)).as("n_rows"),
           nn("l_orderkey").as("nn_ok"),
           countDistinct(col("l_orderkey")).as("nd_ok"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("na_ok"),
-          min(col("l_orderkey")).cast("string").as("mn_ok"),
-          max(col("l_orderkey")).cast("string").as("mx_ok"),
           nn("l_linenumber").as("nn_ln"),
           countDistinct(col("l_linenumber")).as("nd_ln"),
           approx_count_distinct(col("l_linenumber"), 0.02).as("na_ln"),
-          min(col("l_linenumber")).cast("string").as("mn_ln"),
-          max(col("l_linenumber")).cast("string").as("mx_ln"),
           nn("l_returnflag").as("nn_rf"),
           countDistinct(col("l_returnflag")).as("nd_rf"),
           approx_count_distinct(col("l_returnflag"), 0.02).as("na_rf"),
-          min(col("l_returnflag")).as("mn_rf"),
-          max(col("l_returnflag")).as("mx_rf"),
           nn("l_linestatus").as("nn_ls"),
           countDistinct(col("l_linestatus")).as("nd_ls"),
-          approx_count_distinct(col("l_linestatus"), 0.02).as("na_ls"),
+          approx_count_distinct(col("l_linestatus"), 0.02).as("na_ls"))
+      val ranges = li.agg(
+          min(col("l_orderkey")).cast("string").as("mn_ok"),
+          max(col("l_orderkey")).cast("string").as("mx_ok"),
+          min(col("l_linenumber")).cast("string").as("mn_ln"),
+          max(col("l_linenumber")).cast("string").as("mx_ln"),
+          min(col("l_returnflag")).as("mn_rf"),
+          max(col("l_returnflag")).as("mx_rf"),
           min(col("l_linestatus")).as("mn_ls"),
           max(col("l_linestatus")).as("mx_ls"))
+      cnts.crossJoin(ranges)
         .selectExpr("n_rows", """stack(4,
             'l_orderkey',  nn_ok, nd_ok, na_ok, mn_ok, mx_ok,
             'l_linenumber', nn_ln, nd_ln, na_ln, mn_ln, mx_ln,

@@ -112,6 +112,17 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "the top-100 must plan as TakeOrdered, not a global sort")
   }
 
+  test("s20: the ndv Expand stays in HashAggregate; only the string min/max sorts") {
+    val plan = formatted("s20_column_stats")
+    // the countDistinct Expand (×5 fan-out) must aggregate hash-based:
+    // one string min/max in the same agg evicts EVERYTHING to
+    // SortAggregate (immutable UTF8String buffer) — measured 27 s vs
+    // ~2 s at sf0.1. The ranges pass alone may sort (partial + final).
+    assert(plan.contains("Expand") && plan.contains("HashAggregate"))
+    val sortAggs = "\\(\\d+\\) SortAggregate".r.findAllIn(plan).size
+    assert(sortAggs <= 2, s"string min/max leaked into the Expand pass: $sortAggs")
+  }
+
   test("s5: the cleanup path reads only the two source columns") {
     val read = formatted("s5_clean_table").linesIterator
       .find(_.contains("ReadSchema")).get
