@@ -424,6 +424,29 @@ object Similarity {
     array(comps: _*)
   }
 
+  /** Exact upper-triangle Gram matrix of a float-vector column — the
+    * one-pass second-moment relation under whitening / PCA / OPQ (the
+    * dims×dims eigensolve is driver-side metadata once this lands).
+    * Each vector expands to its dims·(dims+1)/2 products IN-TASK (two
+    * chained posexplodes + j ≥ i — raw pair rows never leave the stage);
+    * products snapshot at DECIMAL(20,10) so the corpus sum is exact and
+    * shuffle-order-independent; the single shuffle carries the
+    * map-side-combined (i, j) partials — dims² × partitions rows, never
+    * the corpus. Output: (i, j, n, gram·as·double). */
+  def gramUpper(vectors: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    vectors
+      .select(col(vecCol).as("__v"), posexplode(col(vecCol)).as(Seq("i", "__xi")))
+      .select(col("i"), col("__xi"), posexplode(col("__v")).as(Seq("j", "__xj")))
+      .filter(col("j") >= col("i"))
+      .select(col("i"), col("j"),
+        (col("__xi").cast(DoubleType) * col("__xj").cast(DoubleType))
+          .cast(DecimalType(20, 10)).as("__p"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("n"), sum(col("__p")).as("__s"))
+      .select(col("i"), col("j"), col("n"), col("__s").cast(DoubleType).as("gram"))
+  }
+
   /** Squared L2 distance between two float-array columns restricted to
     * subspace `subCol` (an INT column expression in scope, 0-based: dims
     * [sub·subDim, (sub+1)·subDim)), as a deterministic sequential fold.

@@ -537,9 +537,79 @@ object MetricQueries {
       |    / (vn_en * vn_en / (n_en - 1) + vn_ot * vn_ot / (n_ot - 1)) AS df_welch
       |FROM m ORDER BY source""".stripMargin)
 
+  /** a21: per-source chi-square goodness-of-fit — a20's categorical
+    * sibling: does a source's LANGUAGE MIX match the corpus-wide mix?
+    * (The crawl-drift alarm for composition rather than length.) One
+    * combinable pass computes observed counts per (source, fixed lang
+    * set) via conditional aggregates plus the corpus margins; χ² =
+    * Σ (o−e)²/e folds over the FIXED alphabetical language list as a
+    * pinned left-to-right chain (z20's term() discipline — a
+    * data-ordered sum over doubles would be engine-ambiguous), each
+    * expected count two IEEE ops on exact ints. dof = |langs|−1 is
+    * constant by construction. Output is |sources| rows at any corpus
+    * size. */
+  private val a21Chi2LangMix = Q(
+    (s, d) => {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      def o(l: String) = sum(when(col("lang") === l, 1L).otherwise(0L))
+      val dd = Tables.documents(s, d).select("source", "lang")
+      val per = dd.groupBy("source")
+        .agg(count(lit(1)).as("n_s"),
+          langs.map(l => o(l).as(s"o_$l")): _*)
+      val tot = dd.agg(count(lit(1)).as("n_tot"),
+        langs.map(l => o(l).as(s"t_$l")): _*)
+      // a language absent from the WHOLE corpus has e = 0 and o = 0 —
+      // its χ² contribution is 0 by convention (and ANSI Spark would
+      // otherwise raise on the division; the verify-skill rule: at scale
+      // some group is always degenerate)
+      def term(l: String) = {
+        val e = col("n_s").cast(DoubleType) * col(s"t_$l") / col("n_tot")
+        when(col(s"t_$l") === 0L, lit(0.0))
+          .otherwise((col(s"o_$l") - e) * (col(s"o_$l") - e) / e)
+      }
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s"),
+          langs.map(term).reduce(_ + _).as("chi2"),
+          lit(4L).as("dof"))
+        .orderBy("source")
+    },
+    """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+      |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS o_de,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS o_en,
+      |    CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS o_es,
+      |    CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS o_fr,
+      |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS o_zh
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+      |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS t_de,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_en,
+      |    CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS t_es,
+      |    CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS t_fr,
+      |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS t_zh
+      |  FROM documents)
+      |SELECT source, n_s,
+      |  CASE WHEN t_de = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+      |    (o_de - CAST(n_s AS DOUBLE) * t_de / n_tot) * (o_de - CAST(n_s AS DOUBLE) * t_de / n_tot)
+      |    / (CAST(n_s AS DOUBLE) * t_de / n_tot) END
+      |  + CASE WHEN t_en = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+      |    (o_en - CAST(n_s AS DOUBLE) * t_en / n_tot) * (o_en - CAST(n_s AS DOUBLE) * t_en / n_tot)
+      |    / (CAST(n_s AS DOUBLE) * t_en / n_tot) END
+      |  + CASE WHEN t_es = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+      |    (o_es - CAST(n_s AS DOUBLE) * t_es / n_tot) * (o_es - CAST(n_s AS DOUBLE) * t_es / n_tot)
+      |    / (CAST(n_s AS DOUBLE) * t_es / n_tot) END
+      |  + CASE WHEN t_fr = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+      |    (o_fr - CAST(n_s AS DOUBLE) * t_fr / n_tot) * (o_fr - CAST(n_s AS DOUBLE) * t_fr / n_tot)
+      |    / (CAST(n_s AS DOUBLE) * t_fr / n_tot) END
+      |  + CASE WHEN t_zh = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+      |    (o_zh - CAST(n_s AS DOUBLE) * t_zh / n_tot) * (o_zh - CAST(n_s AS DOUBLE) * t_zh / n_tot)
+      |    / (CAST(n_s AS DOUBLE) * t_zh / n_tot) END AS chi2,
+      |  CAST(4 AS BIGINT) AS dof
+      |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "a5_corr_groups" -> a5CorrGroups,
     "a20_welch_ttest" -> a20WelchTtest,
+    "a21_chi2_langmix" -> a21Chi2LangMix,
     "a18_logistic_irls" -> a18LogisticIrls,
     "a19_calibration" -> a19Calibration,
     "a6_quantiles" -> a6Quantiles,

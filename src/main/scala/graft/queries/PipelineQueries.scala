@@ -1140,6 +1140,116 @@ object PipelineQueries {
        |FROM pm LEFT JOIN h ON h.method = pm.method CROSS JOIN nt
        |ORDER BY pm.method""".stripMargin)
 
+  /** y11: the IVF nprobe operating curve — y8's harness swept across the
+    * recall knob itself: the SAME bounded query batch graded at nprobe =
+    * 1, 2, 4 against brute-force truth, one row per setting. This is the
+    * table an operator reads to buy recall with probes instead of
+    * re-clustering (y3c picks a point on this curve; x26 is the analogous
+    * planner for the LSH banding). Recall here is monotone in nprobe BY
+    * CONSTRUCTION (probe sets nest), so the curve also doubles as a
+    * cheap sanity gate on the cell assignment — a non-monotone row means
+    * the probe ranking broke. Scale: truth costs |Q|·|C| (bounded batch,
+    * the y7/y8 discipline); each candidate arm is the cell equi-join with
+    * the query side exploded nprobe-way; the corpus side never
+    * duplicates. */
+  private val y11NprobeCurve = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val truth = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000), e,
+          "vec_id", "embedding", k = 10)
+        .select(col("q_id"), col("c_id"))
+      val cands = Seq(1, 2, 4).map { p =>
+        Similarity.ivfTopK(e, anchors, id => id % 50 === 0 && id < 1000,
+            "vec_id", "embedding", k = 10, nprobe = p)
+          .select(col("q_id"), col("c_id"), lit(p).as("nprobe"))
+      }.reduce(_ union _)
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val perProbe = cands.groupBy("nprobe").agg(count(lit(1)).as("n_cand"))
+      val hits = cands.join(truth, Seq("q_id", "c_id"), "left_semi")
+        .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+      perProbe.join(hits, Seq("nprobe"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .crossJoin(broadcast(nTruth))
+        .select(col("nprobe"), col("n_cand"), col("n_hits"), col("n_truth"),
+          (col("n_hits") / col("n_truth")).as("recall_at_10"))
+        .orderBy("nprobe")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < 8),
+       |dists AS (
+       |  SELECT v.vec_id, v.vd, a.anchor_id,
+       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+       |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+       |  FROM v CROSS JOIN anchors a),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, anchor_id) AS rn
+       |  FROM dists),
+       |n AS (SELECT vec_id, vd, anchor_id AS cell, ${nrmSql("vd")} AS nrm
+       |  FROM ranked WHERE rn = 1),
+       |truth AS (SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+       |          c.vec_id) AS rank
+       |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+       |    WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000) t WHERE rank <= 10),
+       |probes AS (SELECT vec_id, vd, anchor_id AS cell, rn, ${nrmSql("vd")} AS nrm
+       |  FROM ranked WHERE vec_id % 50 = 0 AND vec_id < 1000),
+       |lvl AS (SELECT unnest([1, 2, 4]) AS nprobe),
+       |cands AS (SELECT nprobe, q_id, c_id FROM (
+       |    SELECT l.nprobe, q.vec_id AS q_id, c.vec_id AS c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY l.nprobe, q.vec_id
+       |        ORDER BY ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+       |          c.vec_id) AS rank
+       |    FROM lvl l JOIN probes q ON q.rn <= l.nprobe
+       |    JOIN n c ON q.cell = c.cell AND q.vec_id <> c.vec_id) t
+       |  WHERE rank <= 10),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+       |pm AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_cand
+       |  FROM cands GROUP BY 1),
+       |h AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM cands c WHERE EXISTS (SELECT 1 FROM truth t
+       |    WHERE t.q_id = c.q_id AND t.c_id = c.c_id)
+       |  GROUP BY 1)
+       |SELECT pm.nprobe, pm.n_cand, COALESCE(h.n_hits, 0) AS n_hits,
+       |  nt.n_truth, COALESCE(h.n_hits, 0) / nt.n_truth AS recall_at_10
+       |FROM pm LEFT JOIN h ON h.nprobe = pm.nprobe CROSS JOIN nt
+       |ORDER BY pm.nprobe""".stripMargin)
+
+  /** y12: exact Gram matrix over the embedding table — the one-pass
+    * second-moment primitive under whitening, PCA and OPQ rotation
+    * (every one of those starts from Σ xᵢxⱼ; the 64×64 eigensolve itself
+    * is driver-side metadata once this relation lands — y3b's
+    * collect-one-summary-row precedent). Upper triangle only (the matrix
+    * is symmetric), so the output is dims·(dims+1)/2 = 2080 rows at ANY
+    * corpus size.
+    *
+    * Scale shape: each vector expands to its 2080 upper-triangle
+    * products IN-TASK (two chained posexplodes + a j ≥ i filter — raw
+    * pair rows never leave the stage), the per-product double multiply
+    * snapshots at DECIMAL(20,10) (y4's discipline: float-derived double
+    * products are one correctly-rounded op in both engines, and the
+    * exact-decimal SUM is shuffle-order-independent), and the single
+    * shuffle carries the map-side-combined (i, j) partials — dims² × P
+    * rows, never the corpus. The expansion is compute (dims²/2 multiplies
+    * per vector — what a Gram pass costs anywhere); the wire cost is
+    * constant. */
+  private val y12GramMatrix = Q(
+    (s, d) => Similarity.gramUpper(Tables.embeddings(s, d), "embedding")
+      .orderBy("i", "j"),
+    s"""WITH e AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |idx AS (SELECT unnest(generate_series(0, 63)) AS k),
+       |p AS (SELECT i.k AS i, j.k AS j,
+       |    CAST(e.vd[i.k + 1] * e.vd[j.k + 1] AS DECIMAL(20,10)) AS p
+       |  FROM e CROSS JOIN idx i CROSS JOIN idx j
+       |  WHERE j.k >= i.k)
+       |SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(p) AS DOUBLE) AS gram
+       |FROM p GROUP BY 1, 2 ORDER BY i, j""".stripMargin)
+
   /** y3b: the iterated Lloyd loop over the IVF anchors — 4 assign/refine
     * rounds from the deterministic seed anchors. Refined centroids are
     * double means (engine-unstable by design, see lloydRefine), so the
@@ -3719,6 +3829,8 @@ object PipelineQueries {
     "y2b_knn_multiprobe" -> y2bKnnMultiprobe,
     "y3_knn_ivf" -> y3KnnIvf,
     "y3c_knn_nprobe" -> y3cKnnNprobe,
+    "y11_nprobe_curve" -> y11NprobeCurve,
+    "y12_gram_matrix" -> y12GramMatrix,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
     "y4_centroid_stats" -> y4CentroidStats,

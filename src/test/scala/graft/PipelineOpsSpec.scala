@@ -326,6 +326,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Set(0L, 3L), got.toString)
   }
 
+  test("gramUpper matches the hand-computed second moments exactly") {
+    val vs = Seq(
+      (0L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(0.5f, -1.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.gramUpper(vs, "embedding")
+      .select("i", "j", "n", "gram")
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // 3 dims → 6 upper-triangle cells, each the exact sum of two products
+    assert(got.size === 6)
+    assert(got((0, 0)) === ((2L, 1.0 * 1.0 + 0.5 * 0.5)))
+    assert(got((0, 1)) === ((2L, 1.0 * 2.0 + 0.5 * -1.0)))
+    assert(got((0, 2)) === ((2L, 1.0 * 3.0 + 0.5 * 4.0)))
+    assert(got((1, 1)) === ((2L, 2.0 * 2.0 + -1.0 * -1.0)))
+    assert(got((1, 2)) === ((2L, 2.0 * 3.0 + -1.0 * 4.0)))
+    assert(got((2, 2)) === ((2L, 3.0 * 3.0 + 4.0 * 4.0)))
+  }
+
+  test("y11: IVF recall is monotone non-decreasing in nprobe (probe sets nest)") {
+    val rows = SparkEntry.queries("y11_nprobe_curve")(spark, "/root/testdata/sf0.001")
+      .select("nprobe", "recall_at_10").as[(Int, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4))
+    rows.sliding(2).foreach { case Array((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, s"recall dropped from nprobe=$p1 ($r1) to nprobe=$p2 ($r2)")
+    }
+  }
+
   test("multi-probe bucketedTopK recall >= single-probe against brute force") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select("vec_id", "embedding")
