@@ -13,7 +13,7 @@ import org.apache.spark.sql.types.LongType
   *   minhash:  shingle explode (map side) → one shuffle keyed by doc for
   *             signatures → one shuffle keyed by (band, key) for the LSH
   *             bucket join — candidate pairs only, never O(n²);
-  *   simhash:  same shape, 32 partial-sum aggregates in one pass;
+  *   simhash:  same shape, 64 partial-sum aggregates in one pass;
   *   n-gram:   inverted-index self-join on shingle (blocked), never a
   *             cartesian product.
   */
@@ -316,32 +316,53 @@ object Dedup {
       idCol, maxBucket)
   }
 
-  /** 32-bit simhash over a (id, word-hash "hv") exploded relation: per bit,
-    * sum ±1 weighted by the bit of each word hash; bit set where the sum is
-    * positive. Single aggregation pass, 32 partial sums. */
-  def simhash32(hashed: DataFrame, idCol: String): DataFrame = {
-    val bitSums = (0 until 32).map { j =>
-      sum(when(shiftright(col("hv"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+  /** 64-bit simhash over an (id, hv_hi, hv_lo) exploded relation — the
+    * element hash arrives as two 32-bit halves (first / second 8 md5 hex
+    * digits: TextAnalysis.hash32 / hash32b) because a single 16-hex-digit
+    * unsigned value can exceed Long.Max, which one engine or the other
+    * mangles at construction; the halves never can. Per bit, sum ±1
+    * weighted by the element's bit (bits 0-31 from hv_lo, 32-63 from
+    * hv_hi); bit set where the sum is positive. Single aggregation pass,
+    * 64 partial sums. Packing adds one distinct power of two per set bit
+    * — distinct powers never carry, so the partial sums stay in BIGINT
+    * range in both engines even though bit 63's coefficient is
+    * Long.MinValue (the signed representation of 2⁶³).
+    *
+    * 64 bits is the scale-bearing width: with 4×16-bit bands a band key
+    * spans 65 536 values, so the banded pair join's per-bucket population
+    * is corpus/65 536 — the 32-bit form's 256-value bands made every
+    * bucket corpus/256 and the pair join O(n²/256), a quadratic no cap
+    * could hide at 10⁹ docs. */
+  def simhash64(hashed: DataFrame, idCol: String): DataFrame = {
+    def bitOf(j: Int): Column =
+      if (j < 32) shiftright(col("hv_lo"), j).bitwiseAND(lit(1L))
+      else shiftright(col("hv_hi"), j - 32).bitwiseAND(lit(1L))
+    val bitSums = (0 until 64).map { j =>
+      sum(when(bitOf(j) === 1L, 1).otherwise(-1)).as(s"b$j")
     }
-    val packed = (0 until 32)
+    val packed = (0 until 64)
       .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), packed.cast(LongType).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: band the 32-bit signature into `bands` equal
+  /** SimHash near-dup pairs: band the 64-bit signature into `bands` equal
     * slices, equi-join docs that agree on at least one band, verify with
     * the exact Hamming distance. Pigeonhole gives EXACT recall for
     * `maxHamming < bands` (k bit flips can't touch all bands), so with the
     * defaults (4 bands, ≤3) this is the banded-LSH shape with a recall
     * guarantee, not a probability curve. Pairs only materialize inside
-    * band buckets — never |docs|²; bucket width (32/bands bits) is the
-    * skew knob at scale, exactly like the MinHash band key. */
+    * band buckets — never |docs|²; bucket width (64/bands bits) is the
+    * skew knob at scale, exactly like the MinHash band key, and at the
+    * default 16-bit width a band already spans 65 536 values. Arithmetic
+    * (sign-extending) right shift is identical in Spark and DuckDB, so
+    * the masked band keys agree even on negative signatures. */
   def simhashPairs(sigs: DataFrame, idCol: String, bands: Int = 4,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming < bands, "pigeonhole recall needs maxHamming < bands")
-    val width = 32 / bands
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    val width = 64 / bands
     val mask = (1L << width) - 1
     val banded = sigs.select(col(idCol).as("id"), col("simhash"),
       explode(array((0 until bands).map(j =>
@@ -637,10 +658,15 @@ object Dedup {
     // jaccard for true near-dups. THE knob that keeps the join linear-ish
     // at corpus scale. NOTE: sizes are computed after removal, so the
     // jaccard is over the capped shingle space on both sides of the ratio.
+    // the kept-shingle set is DISTINCT-SHINGLE-SPACE sized (Heaps' law:
+    // it grows with the corpus), so it joins UNHINTED — AQE broadcasts it
+    // while it fits and degrades to a shuffle join when it doesn't; a
+    // forced hint would bypass the size check and OOM the driver at web
+    // scale (the bigram-table rule)
     val capped = maxDocFreq match {
       case Some(cap) =>
         val df = shingled.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
-        shingled.join(broadcast(df.filter(col("__df") <= cap).select("sh")), Seq("sh"))
+        shingled.join(df.filter(col("__df") <= cap).select("sh"), Seq("sh"))
       case None => shingled
     }
     // the inverted index is referenced three times (sizes + both join

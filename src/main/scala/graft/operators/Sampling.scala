@@ -49,16 +49,29 @@ object Sampling {
 
   /** Stratified cap: keep at most `n` rows per group, chosen by md5 order
     * of the key — a deterministic "random" subset per stratum (the
-    * cap-documents-per-domain curation op). One shuffle on the group key;
-    * per-group state in the window is a single counter. The md5 string
-    * itself is the sort key (lowercase hex in every engine), with the raw
-    * key as tiebreaker for the total order. */
+    * cap-documents-per-domain curation op). The md5 string itself is the
+    * sort key (lowercase hex in every engine), with the raw key as
+    * tiebreaker for the total order.
+    *
+    * Scale shape: the stratum key is LOW-cardinality (a handful of
+    * sources over a 100-TB corpus), so the naive `row_number() OVER
+    * (PARTITION BY group ...)` would funnel each source's ENTIRE corpus
+    * through one window task. This rides [[Relational.groupedTopK]]
+    * instead: a salted local top-n bounds every task at 1/salts of a
+    * stratum, then the exact rank replays on ≤ n·salts survivors per
+    * group — identical rows to the naive window (spec-matched), never a
+    * whole-stratum sort. */
   def capPerGroup(df: DataFrame, group: Column, key: Column, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("__cap_rn", row_number().over(
-        Window.partitionBy(group).orderBy(md5(key.cast("string")), key)))
-      .filter(col("__cap_rn") <= n)
-      .drop("__cap_rn")
+    val reserved = Seq("__cap_g", "__cap_rn")
+    require(!df.columns.exists(c => reserved.contains(c.toLowerCase)),
+      s"column names ${reserved.mkString("/")} are reserved")
+    Relational.groupedTopK(
+        df.withColumn("__cap_g", group),
+        groups = Seq("__cap_g"),
+        keyCol = key,
+        order = Seq(md5(key.cast("string")), key),
+        k = n, out = "__cap_rn")
+      .drop("__cap_g", "__cap_rn")
   }
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):

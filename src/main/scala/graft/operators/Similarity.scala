@@ -429,10 +429,14 @@ object Similarity {
     * dims×dims eigensolve is driver-side metadata once this lands).
     * Each vector expands to its dims·(dims+1)/2 products IN-TASK (two
     * chained posexplodes + j ≥ i — raw pair rows never leave the stage);
-    * products snapshot at DECIMAL(20,10) so the corpus sum is exact and
-    * shuffle-order-independent; the single shuffle carries the
-    * map-side-combined (i, j) partials — dims² × partitions rows, never
-    * the corpus. Output: (i, j, n, gram·as·double). */
+    * products snapshot at DECIMAL(30,10) so the corpus sum is exact and
+    * shuffle-order-independent (the 20-digit integer headroom covers any
+    * |xi·xj| < 1e20 — a component-magnitude bound no real embedding
+    * approaches; at DECIMAL(20,10) a product ≥ 1e10 would overflow to
+    * NULL in non-ANSI Spark and sum() would silently skip it); the
+    * single shuffle carries the map-side-combined (i, j) partials —
+    * dims² × partitions rows, never the corpus.
+    * Output: (i, j, n, gram·as·double). */
   def gramUpper(vectors: DataFrame, vecCol: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     vectors
@@ -441,7 +445,7 @@ object Similarity {
       .filter(col("j") >= col("i"))
       .select(col("i"), col("j"),
         (col("__xi").cast(DoubleType) * col("__xj").cast(DoubleType))
-          .cast(DecimalType(20, 10)).as("__p"))
+          .cast(DecimalType(30, 10)).as("__p"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("n"), sum(col("__p")).as("__s"))
       .select(col("i"), col("j"), col("n"), col("__s").cast(DoubleType).as("gram"))

@@ -25,6 +25,15 @@ object TextAnalysis {
   def hash32Sql(v: String): String =
     s"CAST(conv(substring(md5($v),1,8),16,10) AS BIGINT)"
 
+  /** The SECOND 8 md5 hex digits as a BIGINT — together with [[hash32]]
+    * this forms a 64-bit element hash carried as two 32-bit halves.
+    * The halves stay in [0, 2³²), so neither engine ever constructs a
+    * >Long.Max unsigned value (a single 16-hex-digit conv would overflow
+    * a signed BIGINT cast); consumers that need true 64-bit keys
+    * assemble them bitwise (see Dedup.simhash64's packing). */
+  def hash32b(c: Column): Column =
+    conv(substring(md5(c), 9, 8), 16, 10).cast(LongType)
+
   /** Whitespace tokenization (single-space corpus convention). */
   def words(text: Column): Column = split(text, " ")
 
@@ -231,7 +240,10 @@ object TextAnalysis {
     val tf = w.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    tf.join(broadcast(df), Seq("term"))
+    // the df table is vocabulary-sized (grows with the corpus — Heaps'
+    // law), so it joins UNHINTED per the klDrift rule below; only the
+    // one-row doc count is hinted
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .select(col(idCol), col("term"),
         col("tf").cast(org.apache.spark.sql.types.IntegerType).as("tf"),

@@ -480,25 +480,33 @@ object MetricQueries {
     * the Satterthwaite effective df alongside the statistic.
     *
     * Scale + exactness: ONE map-side-combinable pass computes the six
-    * conditional integer aggregates (n, Σx, Σx² per side — n_chars is
-    * BIGINT, so every sum is exact); means, variances, t and df are then
-    * a fixed sequence of IEEE double ops on those exact ints, written
-    * with the identical parse tree in both engines — bit-identical
-    * without rounding or decimal machinery. Output is |sources| rows at
-    * any corpus size; no shuffle ever carries more than the partial
-    * aggregate rows. */
+    * conditional aggregates (n, Σx, Σx² per side). n and Σx are exact in
+    * BIGINT (Σx caps out only past ~9e18 total chars per source); Σx² is
+    * accumulated in DECIMAL(38,0) because a single 10⁹-char document
+    * squares past the BIGINT range, where Spark would wrap silently while
+    * DuckDB widens to HUGEINT — the decimal form is exact and identical
+    * in both engines. Means, variances, t and df are then a fixed
+    * sequence of IEEE double ops on those exact values, written with the
+    * identical parse tree in both engines — bit-identical without
+    * rounding machinery. Degenerate sources (a side with ≤1 doc — at
+    * scale some group always is) emit NULL mean/t/df rather than an
+    * engine-dependent NULL-vs-inf divide-by-zero. Output is |sources|
+    * rows at any corpus size; no shuffle ever carries more than the
+    * partial aggregate rows. */
   private val a20WelchTtest = Q(
     (s, d) => {
       val en = col("lang") === "en"
       val x = col("n_chars")
+      val xd = x.cast(DecimalType(19, 0))
+      val zeroD = lit(0).cast(DecimalType(38, 0))
       val g = Tables.documents(s, d).groupBy("source")
         .agg(
           sum(when(en, 1L).otherwise(0L)).as("n_en"),
           sum(when(en, x).otherwise(0L)).as("s_en"),
-          sum(when(en, x * x).otherwise(0L)).as("ss_en"),
+          sum(when(en, xd * xd).otherwise(zeroD)).as("ss_en"),
           sum(when(!en, 1L).otherwise(0L)).as("n_ot"),
           sum(when(!en, x).otherwise(0L)).as("s_ot"),
-          sum(when(!en, x * x).otherwise(0L)).as("ss_ot"))
+          sum(when(!en, xd * xd).otherwise(zeroD)).as("ss_ot"))
       val mEn = g("s_en").cast(DoubleType) / g("n_en")
       val mOt = g("s_ot").cast(DoubleType) / g("n_ot")
       val vEn = (g("ss_en").cast(DoubleType)
@@ -507,10 +515,12 @@ object MetricQueries {
         - g("s_ot").cast(DoubleType) * g("s_ot").cast(DoubleType) / g("n_ot")) / (g("n_ot") - 1)
       val vnEn = vEn / g("n_en")
       val vnOt = vOt / g("n_ot")
+      val ok = g("n_en") > 1 && g("n_ot") > 1
       g.select(col("source"), col("n_en"), col("n_ot"),
-          mEn.as("mean_en"), mOt.as("mean_ot"),
-          ((mEn - mOt) / sqrt(vnEn + vnOt)).as("t_stat"),
-          ((vnEn + vnOt) * (vnEn + vnOt)
+          when(g("n_en") > 0, mEn).as("mean_en"),
+          when(g("n_ot") > 0, mOt).as("mean_ot"),
+          when(ok, (mEn - mOt) / sqrt(vnEn + vnOt)).as("t_stat"),
+          when(ok, (vnEn + vnOt) * (vnEn + vnOt)
             / (vnEn * vnEn / (g("n_en") - 1) + vnOt * vnOt / (g("n_ot") - 1)))
             .as("df_welch"))
         .orderBy("source")
@@ -518,10 +528,14 @@ object MetricQueries {
     """WITH g AS (SELECT source,
       |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
       |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS s_en,
-      |    CAST(sum(CASE WHEN lang = 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS ss_en,
+      |    sum(CASE WHEN lang = 'en'
+      |      THEN CAST(n_chars AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_en,
       |    CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_ot,
       |    CAST(sum(CASE WHEN lang <> 'en' THEN n_chars ELSE 0 END) AS BIGINT) AS s_ot,
-      |    CAST(sum(CASE WHEN lang <> 'en' THEN n_chars * n_chars ELSE 0 END) AS BIGINT) AS ss_ot
+      |    sum(CASE WHEN lang <> 'en'
+      |      THEN CAST(n_chars AS DECIMAL(19,0)) * CAST(n_chars AS DECIMAL(19,0))
+      |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS ss_ot
       |  FROM documents GROUP BY 1),
       |m AS (SELECT source, n_en, n_ot,
       |    CAST(s_en AS DOUBLE) / n_en AS mean_en,
@@ -531,10 +545,14 @@ object MetricQueries {
       |    (CAST(ss_ot AS DOUBLE) - CAST(s_ot AS DOUBLE) * CAST(s_ot AS DOUBLE) / n_ot)
       |      / (n_ot - 1) / n_ot AS vn_ot
       |  FROM g)
-      |SELECT source, n_en, n_ot, mean_en, mean_ot,
-      |  (mean_en - mean_ot) / sqrt(vn_en + vn_ot) AS t_stat,
-      |  (vn_en + vn_ot) * (vn_en + vn_ot)
-      |    / (vn_en * vn_en / (n_en - 1) + vn_ot * vn_ot / (n_ot - 1)) AS df_welch
+      |SELECT source, n_en, n_ot,
+      |  CASE WHEN n_en > 0 THEN mean_en END AS mean_en,
+      |  CASE WHEN n_ot > 0 THEN mean_ot END AS mean_ot,
+      |  CASE WHEN n_en > 1 AND n_ot > 1 THEN
+      |    (mean_en - mean_ot) / sqrt(vn_en + vn_ot) END AS t_stat,
+      |  CASE WHEN n_en > 1 AND n_ot > 1 THEN
+      |    (vn_en + vn_ot) * (vn_en + vn_ot)
+      |      / (vn_en * vn_en / (n_en - 1) + vn_ot * vn_ot / (n_ot - 1)) END AS df_welch
       |FROM m ORDER BY source""".stripMargin)
 
   /** a21: per-source chi-square goodness-of-fit — a20's categorical
@@ -545,20 +563,27 @@ object MetricQueries {
     * Σ (o−e)²/e folds over the FIXED alphabetical language list as a
     * pinned left-to-right chain (z20's term() discipline — a
     * data-ordered sum over doubles would be engine-ambiguous), each
-    * expected count two IEEE ops on exact ints. dof = |langs|−1 is
-    * constant by construction. Output is |sources| rows at any corpus
-    * size. */
+    * expected count two IEEE ops on exact ints. Languages OUTSIDE the
+    * fixed list (and NULL lang) fold into an `other` category so the
+    * observed and expected totals always agree, and dof = (#categories
+    * present in the corpus) − 1 — data-derived, so a corpus that gains a
+    * sixth language widens the test instead of silently deflating it.
+    * Output is |sources| rows at any corpus size. */
   private val a21Chi2LangMix = Q(
     (s, d) => {
       val langs = Seq("de", "en", "es", "fr", "zh")
-      def o(l: String) = sum(when(col("lang") === l, 1L).otherwise(0L))
+      val isOther = col("lang").isNull || !col("lang").isin(langs: _*)
+      def o(l: String) =
+        if (l == "other") sum(when(isOther, 1L).otherwise(0L))
+        else sum(when(col("lang") === l, 1L).otherwise(0L))
+      val cats = langs :+ "other"
       val dd = Tables.documents(s, d).select("source", "lang")
       val per = dd.groupBy("source")
         .agg(count(lit(1)).as("n_s"),
-          langs.map(l => o(l).as(s"o_$l")): _*)
+          cats.map(l => o(l).as(s"o_$l")): _*)
       val tot = dd.agg(count(lit(1)).as("n_tot"),
-        langs.map(l => o(l).as(s"t_$l")): _*)
-      // a language absent from the WHOLE corpus has e = 0 and o = 0 —
+        cats.map(l => o(l).as(s"t_$l")): _*)
+      // a category absent from the WHOLE corpus has e = 0 and o = 0 —
       // its χ² contribution is 0 by convention (and ANSI Spark would
       // otherwise raise on the division; the verify-skill rule: at scale
       // some group is always degenerate)
@@ -567,10 +592,11 @@ object MetricQueries {
         when(col(s"t_$l") === 0L, lit(0.0))
           .otherwise((col(s"o_$l") - e) * (col(s"o_$l") - e) / e)
       }
+      val present = cats.map(l => when(col(s"t_$l") > 0L, 1L).otherwise(0L)).reduce(_ + _)
       per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_s"),
-          langs.map(term).reduce(_ + _).as("chi2"),
-          lit(4L).as("dof"))
+          cats.map(term).reduce(_ + _).as("chi2"),
+          (present - 1L).as("dof"))
         .orderBy("source")
     },
     """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
@@ -578,14 +604,18 @@ object MetricQueries {
       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS o_en,
       |    CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS o_es,
       |    CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS o_fr,
-      |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS o_zh
+      |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS o_zh,
+      |    CAST(SUM(CASE WHEN lang IS NULL
+      |      OR lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS o_other
       |  FROM documents GROUP BY 1),
       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
       |    CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS t_de,
       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_en,
       |    CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS t_es,
       |    CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS t_fr,
-      |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS t_zh
+      |    CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS t_zh,
+      |    CAST(SUM(CASE WHEN lang IS NULL
+      |      OR lang NOT IN ('de','en','es','fr','zh') THEN 1 ELSE 0 END) AS BIGINT) AS t_other
       |  FROM documents)
       |SELECT source, n_s,
       |  CASE WHEN t_de = 0 THEN CAST(0.0 AS DOUBLE) ELSE
@@ -602,8 +632,15 @@ object MetricQueries {
       |    / (CAST(n_s AS DOUBLE) * t_fr / n_tot) END
       |  + CASE WHEN t_zh = 0 THEN CAST(0.0 AS DOUBLE) ELSE
       |    (o_zh - CAST(n_s AS DOUBLE) * t_zh / n_tot) * (o_zh - CAST(n_s AS DOUBLE) * t_zh / n_tot)
-      |    / (CAST(n_s AS DOUBLE) * t_zh / n_tot) END AS chi2,
-      |  CAST(4 AS BIGINT) AS dof
+      |    / (CAST(n_s AS DOUBLE) * t_zh / n_tot) END
+      |  + CASE WHEN t_other = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+      |    (o_other - CAST(n_s AS DOUBLE) * t_other / n_tot)
+      |    * (o_other - CAST(n_s AS DOUBLE) * t_other / n_tot)
+      |    / (CAST(n_s AS DOUBLE) * t_other / n_tot) END AS chi2,
+      |  CAST(CASE WHEN t_de > 0 THEN 1 ELSE 0 END + CASE WHEN t_en > 0 THEN 1 ELSE 0 END
+      |    + CASE WHEN t_es > 0 THEN 1 ELSE 0 END + CASE WHEN t_fr > 0 THEN 1 ELSE 0 END
+      |    + CASE WHEN t_zh > 0 THEN 1 ELSE 0 END + CASE WHEN t_other > 0 THEN 1 ELSE 0 END
+      |    - 1 AS BIGINT) AS dof
       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)
 
   val all: Map[String, Q] = Map(

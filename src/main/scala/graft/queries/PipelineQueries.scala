@@ -29,6 +29,25 @@ object PipelineQueries {
   private def h32Sql(v: String): String =
     s"('0x' || substring(md5($v), 1, 8))::BIGINT"
 
+  /** DuckDB rendering of TextAnalysis.hash32b (second 8 md5 hex digits —
+    * the low half of the 64-bit element hash). */
+  private def h32bSql(v: String): String =
+    s"('0x' || substring(md5($v), 9, 8))::BIGINT"
+
+  /** DuckDB 64 bit-sum columns b0..b63 over (hv_hi, hv_lo) halves, and the
+    * signed-BIGINT packing — the oracle rendering of Dedup.simhash64
+    * (bit 63's coefficient prints as Long.MinValue; adding distinct powers
+    * of two never carries, so the sum stays in BIGINT range). */
+  private val simhashBitSumsSql: String =
+    ((0 until 32).map(j =>
+      s"SUM(CASE WHEN ((hv_lo >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j") ++
+     (32 until 64).map(j =>
+      s"SUM(CASE WHEN ((hv_hi >> ${j - 32}) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"))
+      .mkString(",\n    ")
+  private val simhashPackedSql: String =
+    (0 until 64).map(j =>
+      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
   /** DuckDB CTEs producing distinct (doc_id [, lang], 3-gram shingle). */
   private val shingleCte =
     """ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
@@ -182,10 +201,12 @@ object PipelineQueries {
       val est = Dedup.jaccardEstimate(sig, pairs, "doc_id", 8)
       val sz = hv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       // the b-side would otherwise shuffle the WHOLE hash relation into
-      // the (doc_b, hv) join; the candidate pairs are broadcast-sized, so
-      // a semi-join first cuts that shuffle to pair members only
+      // the (doc_b, hv) join; a semi-join against the pair ids first cuts
+      // that shuffle to pair members only. The pair set grows with the
+      // corpus (the soak shows 10×-corpus → 10×-pairs), so it joins
+      // UNHINTED — AQE broadcasts while it fits, shuffles when it doesn't
       val hvB = hv.select(col("doc_id").as("doc_b"), col("hv"))
-        .join(broadcast(pairs.select("doc_b").distinct()), Seq("doc_b"), "left_semi")
+        .join(pairs.select("doc_b").distinct(), Seq("doc_b"), "left_semi")
       val inter = pairs
         .join(hv.select(col("doc_id").as("doc_a"), col("hv")), Seq("doc_a"))
         .join(hvB, Seq("doc_b", "hv"))
@@ -256,8 +277,10 @@ object PipelineQueries {
         .distinct()
         .localCheckpoint(true)
       val hdf = hv0.groupBy("hv").agg(count(lit(1)).as("__df"))
+      // kept-shingle set is vocabulary-sized (grows with the corpus):
+      // unhinted, per the shingleJaccardPairs rule
       val hv = hv0
-        .join(broadcast(hdf.filter(col("__df") <= X4MaxDocFreq).select("hv")), Seq("hv"))
+        .join(hdf.filter(col("__df") <= X4MaxDocFreq).select("hv"), Seq("hv"))
       val sig = Dedup.minhashSignature(hv, "doc_id", 8)
       val cand = Dedup.lshCandidates(sig, "doc_id", 8, maxBucket = Some(X2MaxBucket))
       val sz = hv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -524,31 +547,27 @@ object PipelineQueries {
        |WHERE d.doc_id % 97 <> 0
        |ORDER BY d.doc_id""".stripMargin)
 
-  /** Spark-side simhash signature frame shared by x3/x3b: 32-bit SimHash
-    * per document over the distinct-word-hash set — one aggregation pass
-    * with 32 partial sums. */
+  /** Spark-side simhash signature frame shared by x3/x3b: 64-bit SimHash
+    * per document over the distinct-word-hash set (carried as two 32-bit
+    * md5 halves) — one aggregation pass with 64 partial sums. */
   private def simhashSigs(s: SparkSession, d: String) = {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .select(col("doc_id"), TextAnalysis.hash32(col("word")).as("hv"))
+      .select(col("doc_id"),
+        TextAnalysis.hash32(col("word")).as("hv_hi"),
+        TextAnalysis.hash32b(col("word")).as("hv_lo"))
       .distinct()
-    Dedup.simhash32(words, "doc_id")
+    Dedup.simhash64(words, "doc_id")
   }
 
   /** DuckDB CTE chain ending in `sh(doc_id, simhash)` — the x3 oracle. */
-  private val simhashCtes: String = {
-    val bitSums = (0 until 32).map(j =>
-      s"SUM(CASE WHEN ((hv >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
-      .mkString(",\n    ")
-    val packed = (0 until 32).map(j =>
-      s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-    s"""wd AS (SELECT DISTINCT doc_id, ${h32Sql("w")} AS hv
+  private val simhashCtes: String =
+    s"""wd AS (SELECT DISTINCT doc_id, ${h32Sql("w")} AS hv_hi, ${h32bSql("w")} AS hv_lo
        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)),
        |bits AS (SELECT doc_id,
-       |    $bitSums
+       |    $simhashBitSumsSql
        |  FROM wd GROUP BY 1),
-       |sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits)""".stripMargin
-  }
+       |sh AS (SELECT doc_id, CAST($simhashPackedSql AS BIGINT) AS simhash FROM bits)""".stripMargin
 
   private val x3Simhash = Q(
     (s, d) => simhashSigs(s, d).orderBy("doc_id"),
@@ -557,11 +576,14 @@ object PipelineQueries {
 
   /** x3b: SimHash near-dup pairs — banded bucket join + Hamming verify,
     * summarized to a per-doc near-dup degree (the corpus's tiny vocab
-    * makes 32-bit SimHash pair-dense: ~1.5M raw pairs at sf0.1, so the
-    * declared output is the 1-row-per-doc profile, with the pair relation
-    * internal). The oracle is the PLAIN all-pairs Hamming join: pigeonhole
-    * makes the banded plan's recall exact for hamming < bands, so matching
-    * brute force proves the bucketing loses nothing. */
+    * makes SimHash pair-dense, so the declared output is the
+    * 1-row-per-doc profile, with the pair relation internal). The 64-bit
+    * signature gives 16-bit band keys — 65 536 bucket values per band, so
+    * per-bucket population (and the pair join) stays corpus/65 536 where
+    * the old 32-bit form was corpus/256. The oracle is the PLAIN
+    * all-pairs Hamming join: pigeonhole makes the banded plan's recall
+    * exact for hamming < bands, so matching brute force proves the
+    * bucketing loses nothing. */
   private val x3bSimhashPairs = Q(
     (s, d) => {
       val pairs = Dedup.simhashPairs(simhashSigs(s, d), "doc_id")
@@ -1230,7 +1252,7 @@ object PipelineQueries {
     * Scale shape: each vector expands to its 2080 upper-triangle
     * products IN-TASK (two chained posexplodes + a j ≥ i filter — raw
     * pair rows never leave the stage), the per-product double multiply
-    * snapshots at DECIMAL(20,10) (y4's discipline: float-derived double
+    * snapshots at DECIMAL(30,10) (y4's discipline: float-derived double
     * products are one correctly-rounded op in both engines, and the
     * exact-decimal SUM is shuffle-order-independent), and the single
     * shuffle carries the map-side-combined (i, j) partials — dims² × P
@@ -1243,7 +1265,7 @@ object PipelineQueries {
     s"""WITH e AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
        |idx AS (SELECT unnest(generate_series(0, 63)) AS k),
        |p AS (SELECT i.k AS i, j.k AS j,
-       |    CAST(e.vd[i.k + 1] * e.vd[j.k + 1] AS DECIMAL(20,10)) AS p
+       |    CAST(e.vd[i.k + 1] * e.vd[j.k + 1] AS DECIMAL(30,10)) AS p
        |  FROM e CROSS JOIN idx i CROSS JOIN idx j
        |  WHERE j.k >= i.k)
        |SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1530,8 +1552,13 @@ object PipelineQueries {
         } else y3dIndexAndAnchors(s, d)
       val served = Similarity.ivfTopKAssigned(index, anchors,
         id => id % 50 === 0, "vec_id", "embedding", k = 5, nprobe = 2)
+      // recall gate on a BOUNDED query batch (y8's `< 1000` discipline —
+      // no-op at the correctness SFs): the brute side is then
+      // corpus-linear, O(1000·n), not the n²/50 an unbounded query set
+      // would cost. The serve path itself stays unbounded.
       val brute = Similarity.bruteForceTopK(
-        e.filter(col("vec_id") % 50 === 0), e, "vec_id", "embedding", k = 5)
+        e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000),
+        e, "vec_id", "embedding", k = 5)
       val nMatch = served.select("q_id", "c_id")
         .join(brute.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
         .agg(count(lit(1)).as("n_match"))
@@ -1972,8 +1999,9 @@ object PipelineQueries {
     * blocks; the byte-window form here runs on the raw payload through the
     * same machinery (m2 precedent: the corpus is pure ASCII, so the SQL
     * substring replays the byte windows exactly). Window counts are per-
-    * doc-linear and the 32 bit-sums are map-side combinable; pairs only
-    * materialize inside band buckets with pigeonhole-exact recall ≤ 3.
+    * doc-linear and the 64 bit-sums are map-side combinable; pairs only
+    * materialize inside 16-bit band buckets (65 536 values per band) with
+    * pigeonhole-exact recall ≤ 3.
     * Cost note (10× soak: 6.1→52.8 s, linear in windows + pairs): the
     * md5-per-window hash is the dominant constant, kept because the
     * oracle replays it engine-exactly; a production fingerprinter uses a
@@ -1986,8 +2014,9 @@ object PipelineQueries {
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0), expr("length(text) - 16"))).as("k"))
         .select(col("doc_id"),
-          TextAnalysis.hash32(expr("substring(text, k + 1, 16)")).as("hv"))
-      val pairs = Dedup.simhashPairs(Dedup.simhash32(hv, "doc_id"), "doc_id")
+          TextAnalysis.hash32(expr("substring(text, k + 1, 16)")).as("hv_hi"),
+          TextAnalysis.hash32b(expr("substring(text, k + 1, 16)")).as("hv_lo"))
+      val pairs = Dedup.simhashPairs(Dedup.simhash64(hv, "doc_id"), "doc_id")
       pairs.select(explode(array(
           struct(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("hamming")),
           struct(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("hamming"))))
@@ -2000,21 +2029,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
     {
-      val bitSums = (0 until 32).map(j =>
-        s"SUM(CASE WHEN ((hv >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
-        .mkString(",\n    ")
-      val packed = (0 until 32).map(j =>
-        s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
       s"""WITH pos AS (SELECT doc_id, text,
          |    unnest(generate_series(0, length(text) - 16)) AS k
          |  FROM documents WHERE length(text) >= 16),
          |hv AS (SELECT doc_id,
-         |    ${h32Sql("substring(text, k + 1, 16)")} AS hv
+         |    ${h32Sql("substring(text, k + 1, 16)")} AS hv_hi,
+         |    ${h32bSql("substring(text, k + 1, 16)")} AS hv_lo
          |  FROM pos),
          |bits AS (SELECT doc_id,
-         |    $bitSums
+         |    $simhashBitSumsSql
          |  FROM hv GROUP BY 1),
-         |sh AS (SELECT doc_id, CAST($packed AS BIGINT) AS simhash FROM bits),
+         |sh AS (SELECT doc_id, CAST($simhashPackedSql AS BIGINT) AS simhash FROM bits),
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
@@ -2289,7 +2314,10 @@ object PipelineQueries {
 
   /** z6: stratified per-source cap — at most N docs per source, selected
     * by md5 order (deterministic "random" subset per stratum). The
-    * balance-the-corpus curation op: one shuffle on the stratum key. */
+    * balance-the-corpus curation op, on the salted groupedTopK path so a
+    * low-cardinality source column never funnels a whole stratum through
+    * one window task (the oracle replays the naive window — identical
+    * rows by groupedTopK's exactness contract). */
   private val z6StratifiedCap = Q(
     (s, d) => Sampling.capPerGroup(Tables.documents(s, d),
         col("source"), col("doc_id"), 50)
@@ -2399,7 +2427,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("term"))
       val cnt = w.groupBy("term").agg(count(lit(1)).as("n_w"))
       val tot = w.agg(count(lit(1)).as("n_tot"))
-      val perDoc = w.join(broadcast(cnt), Seq("term"))
+      // unigram table unhinted (vocabulary grows with the corpus — z15's rule)
+      val perDoc = w.join(cnt, Seq("term"))
         .crossJoin(broadcast(tot))
         .withColumn("lp",
           log(col("n_w").cast("double") / col("n_tot")).cast("decimal(12,6)"))
@@ -2542,9 +2571,11 @@ object PipelineQueries {
       val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       val cnt = w.groupBy("term").agg(count(lit(1)).as("n_w"))
       // n_tot = total token count — counting w directly avoids re-running
-      // the corpus-wide term aggregation just to sum it back up
+      // the corpus-wide term aggregation just to sum it back up.
+      // The unigram table is vocabulary-sized (Heaps' law — grows with
+      // the corpus) so it joins UNHINTED; only the one-row total is hinted
       val tot = w.agg(count(lit(1)).as("n_tot"))
-      w.join(broadcast(cnt), Seq("term"))
+      w.join(cnt, Seq("term"))
         .crossJoin(broadcast(tot))
         .withColumn("lp",
           log(col("n_w").cast("double") / col("n_tot")).cast("decimal(12,6)"))

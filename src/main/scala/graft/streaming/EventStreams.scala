@@ -402,9 +402,12 @@ object EventStreams {
                 stateTtl: Option[java.time.Duration] = None): Dataset[QuotaVerdict] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.TimeMode
+    // TTL-backed state requires a clock: Spark rejects TTLConfig under
+    // TimeMode.None(), so the eviction path runs in ProcessingTime mode.
+    val timeMode = if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     docs.groupByKey(_.source)
       .transformWithState(new QuotaProcessor(budget, stateTtl),
-        TimeMode.None(), OutputMode.Append())
+        timeMode, OutputMode.Append())
   }
 
   /** Per-user running state for shape 3. */

@@ -187,10 +187,12 @@ class DedupSpec extends SparkSpec {
       (3L, 0) -> true, (3L, 1) -> false))
   }
 
-  test("simhash32 is a set signature: equal sets equal, different sets differ") {
+  test("simhash64 is a set signature: equal sets equal, different sets differ") {
     val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), TextAnalysis.hash32(col("w")).as("hv")).distinct()
-    val s = Dedup.simhash32(words, "doc_id").as[(Long, Long)].collect().toMap
+      .select(col("doc_id"),
+        TextAnalysis.hash32(col("w")).as("hv_hi"),
+        TextAnalysis.hash32b(col("w")).as("hv_lo")).distinct()
+    val s = Dedup.simhash64(words, "doc_id").as[(Long, Long)].collect().toMap
     assert(s(1L) === s(2L))
     assert(s(1L) !== s(4L))
     // near-dup differs in few bits: hamming(1,3) < hamming(1,4)

@@ -64,13 +64,15 @@ class RelationalSpec extends SparkSpec {
 
   test("simhashPairs banded recall is exact for hamming < bands (vs brute force)") {
     import graft.operators.Dedup
-    // seeded signatures plus planted near-dups (1-3 bit flips) — the banded
-    // bucket join must find EXACTLY the brute-force hamming<=3 pair set
+    // seeded 64-bit signatures (negative values included — the signed
+    // packing) plus planted near-dups (1-3 bit flips anywhere in the 64
+    // bits) — the banded bucket join must find EXACTLY the brute-force
+    // hamming<=3 pair set
     val rnd = new scala.util.Random(7)
-    val base = Seq.tabulate(60)(i => (i.toLong, rnd.nextInt().toLong & 0xFFFFFFFFL))
+    val base = Seq.tabulate(60)(i => (i.toLong, rnd.nextLong()))
     val planted = base.take(20).map { case (id, sig) =>
       val flips = 1 + rnd.nextInt(3)
-      val flipped = (1 to flips).foldLeft(sig)((s, _) => s ^ (1L << rnd.nextInt(32)))
+      val flipped = (1 to flips).foldLeft(sig)((s, _) => s ^ (1L << rnd.nextInt(64)))
       (id + 1000, flipped)
     }
     val all = base ++ planted
