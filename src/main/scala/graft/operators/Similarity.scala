@@ -56,17 +56,28 @@ object Similarity {
       .select("q_id", "rank", "c_id", "cosine")
   }
 
-  /** Number of LSH hyperplanes (bucket signature bits) — delegated to the
-    * native expression so the two forms can never disagree. */
+  /** Default number of LSH hyperplanes (bucket signature bits) — delegated
+    * to the native expression so the two forms can never disagree. The
+    * plane count is the 100-TB knob: every bucketed path's per-bucket
+    * candidate population is corpus/2^planes, so a production corpus
+    * passes a higher `planes` to [[hyperplaneBucket]] (each added plane
+    * halves expected occupancy — measured in the soak table). */
   val NumPlanes: Int = graft.plans.HyperplaneBucket.NumPlanes
 
-  /** Deterministic pseudo-random hyperplane weight: plane j, dimension i.
-    * Modulus 13 with multiplier 19 keeps all `NumPlanes` planes DISTINCT:
-    * the earlier (… j*17) % 7 form made plane 7 identical to plane 0
-    * (7·17 ≡ 0 mod 7), silently halving the effective bucket count. */
-  def planeWeight(i: Int, j: Int): Int = ((i * 31 + j * 19) % 13) - 6
+  /** Deterministic pseudo-random hyperplane weight: plane j, dimension i —
+    * delegated to the native expression's lattice (planes 0-12 the
+    * original mod-13 form, 13+ a coprime mod-17 extension; see
+    * HyperplaneBucket.weight for why mod 13 cannot extend past 13 planes
+    * without duplicating one). */
+  def planeWeight(i: Int, j: Int): Int = graft.plans.HyperplaneBucket.weight(i, j)
 
-  /** Signed-projection bucket id (0..2^NumPlanes-1) for a float vector
+  /** SQL/Java source of [[planeWeight]] over a loop variable `iVar` —
+    * shared by the HOF form here and every DuckDB oracle rendering so the
+    * three never drift. */
+  def planeWeightSql(iVar: String, j: Int): String =
+    graft.plans.HyperplaneBucket.weightJava(iVar, j)
+
+  /** Signed-projection bucket id (0..2^planes-1) for a float vector
     * column: bit j = [dot(vec, plane_j) > 0]. Evaluates through the native
     * codegen'd `hyperplane_bucket` expression (one primitive loop per row
     * accumulating all planes) registered by GraftExtensions; bit-identical
@@ -79,10 +90,11 @@ object Similarity {
     * Requires a session built with the graft extensions — like
     * `vector_dot`, every production entry point (GraftSession/Verify/
     * Bench) installs them. */
-  def hyperplaneBucket(vecCol: String, dims: Int = 64): Column = {
+  def hyperplaneBucket(vecCol: String, dims: Int = 64,
+                       planes: Int = NumPlanes): Column = {
     val v = col(vecCol)
     when(v.isNull, lit(null).cast("bigint"))
-      .when(size(v) === dims, call_function("hyperplane_bucket", v))
+      .when(size(v) === dims, call_function("hyperplane_bucket", v, lit(planes)))
       .otherwise(raise_error(concat(
         lit(s"hyperplane_bucket: expected a $dims-element vector, got "),
         size(v).cast("string"))))
@@ -92,12 +104,13 @@ object Similarity {
     * one `aggregate` fold per plane over dims elements. Kept as the
     * executable specification of the bucket semantics (and for sessions
     * without the extensions installed). */
-  def hyperplaneBucketHof(vecCol: String, dims: Int = 64): Column = {
-    val bits = (0 until NumPlanes).map { j =>
+  def hyperplaneBucketHof(vecCol: String, dims: Int = 64,
+                          planes: Int = NumPlanes): Column = {
+    val bits = (0 until planes).map { j =>
       val dotJ = expr(
         s"""aggregate(sequence(0, ${dims - 1}), CAST(0 AS DOUBLE),
            |  (acc, i) -> acc + CAST($vecCol[i] AS DOUBLE)
-           |                    * CAST((i * 31 + $j * 19) % 13 - 6 AS DOUBLE))""".stripMargin)
+           |                    * CAST(${planeWeightSql("i", j)} AS DOUBLE))""".stripMargin)
       when(dotJ > 0, lit(1L << j)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
@@ -289,12 +302,12 @@ object Similarity {
     * `bucket` is the query's OWN bucket in both modes. */
   def bucketedTopK(vectors: DataFrame, queryIds: Column => Column, idCol: String,
                    vecCol: String, k: Int, probeRadius: Int = 0,
-                   dims: Int = 64): DataFrame = {
+                   dims: Int = 64, planes: Int = NumPlanes): DataFrame = {
     require(probeRadius >= 0 && probeRadius <= 1,
       s"probeRadius 0 (own bucket) or 1 (Hamming-1 neighbors) supported, got $probeRadius")
     val bucketed = vectors
       .select(col(idCol), col(vecCol))
-      .withColumn("bucket", hyperplaneBucket(vecCol, dims))
+      .withColumn("bucket", hyperplaneBucket(vecCol, dims, planes))
       .withColumn("nrm", norm(vecCol))
     val q0 = bucketed.filter(queryIds(col(idCol)))
       .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
@@ -303,7 +316,7 @@ object Similarity {
       if (probeRadius == 0) q0.withColumn("__probe", col("bucket"))
       else q0.withColumn("__probe", explode(array(
         col("bucket") +:
-          (0 until NumPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
+          (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
     val c = bucketed.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"),
       col("nrm").as("c_nrm"), col("bucket").as("__probe"))
     // NO broadcast hint on the query side: callers like media ANN pass a

@@ -77,11 +77,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
-      (children: Seq[Expression]) => {
-        if (children.length != 1)
-          throw new IllegalArgumentException(
-            s"hyperplane_bucket requires exactly 1 argument, got ${children.length}")
-        HyperplaneBucket(children.head)
+      (children: Seq[Expression]) => children match {
+        // plane count must be a LITERAL: it sizes the codegen'd
+        // accumulator array, so it is plan-shape, not data
+        case Seq(v) => HyperplaneBucket(v)
+        case Seq(v, Literal(p: Int, org.apache.spark.sql.types.IntegerType)) =>
+          HyperplaneBucket(v, p)
+        case Seq(_, other) => throw new IllegalArgumentException(
+          s"hyperplane_bucket: plane count must be an integer literal, got $other")
+        case _ => throw new IllegalArgumentException(
+          s"hyperplane_bucket(vec[, planes]) takes 1 or 2 arguments, got ${children.length}")
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cms_estimate"),

@@ -121,6 +121,15 @@ object PipelineQueries {
     * string interpolates it. */
   private val X4MaxDocFreq = 8L
 
+  /** IVF coarse-quantizer cell count for the y3 family (seed anchors =
+    * the first `IvfCells` vectors). A PARAMETER, not a baked shape: every
+    * anchor filter and oracle rendering derives from it, and y3e runs the
+    * same serve plan at 64 cells to prove the knob turns. At production
+    * scale the cell count is sized so corpus/cells stays a task-sized
+    * candidate set (the per-cell population grows linearly with the
+    * corpus at any fixed count). */
+  private val IvfCells = 8
+
   /** DuckDB mirror of Dedup.pairJoin's maxBucket semi-join: the bands CTE
     * filtered to buckets at or under the cap. */
   private def cappedBandsCte(bands: String): String =
@@ -1004,11 +1013,14 @@ object PipelineQueries {
     s"sqrt(list_reduce(list_transform($v, x -> x * x), (acc, x) -> acc + x))"
 
   /** DuckDB rendering of Similarity.hyperplaneBucket over a `vd` double
-    * list of `dims` elements (64-dim form shared by y2/x5; 8-dim by m4). */
-  private def bucketSqlFor(dims: Int): String = {
-    val planeDots = (0 until Similarity.NumPlanes).map { j =>
+    * list of `dims` elements (64-dim form shared by y2/x5; 8-dim by m4;
+    * the 16-plane form by y2c). The weight formula prints through
+    * Similarity.planeWeightSql — the SAME renderer the HOF form and the
+    * native codegen use, so the three can never drift. */
+  private def bucketSqlFor(dims: Int, planes: Int = Similarity.NumPlanes): String = {
+    val planeDots = (0 until planes).map { j =>
       s"""list_reduce(list_transform(generate_series(0, ${dims - 1}),
-         |        i -> vd[i + 1] * CAST((i * 31 + $j * 19) % 13 - 6 AS DOUBLE)),
+         |        i -> vd[i + 1] * CAST(${Similarity.planeWeightSql("i", j)} AS DOUBLE)),
          |      (acc, x) -> acc + x)""".stripMargin
     }
     planeDots.zipWithIndex.map { case (dj, j) =>
@@ -1076,6 +1088,36 @@ object PipelineQueries {
     s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
        |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm,
        |    CAST($bucketSql AS BIGINT) AS bucket FROM v),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.bucket, c.vec_id AS c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c
+       |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 50 = 0)
+       |SELECT q_id, bucket, rank, c_id, cosine FROM (
+       |  SELECT q_id, bucket, c_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
+  /** y2c: y2 at SIXTEEN hyperplanes — the declared proof that the coarse
+    * quantizer's scale knob actually turns. The plane count is a literal
+    * argument of the native `hyperplane_bucket` expression (and of the
+    * oracle rendering), not a baked constant: a 10⁹-doc corpus runs this
+    * exact plan with planes sized so corpus/2^planes stays a task-sized
+    * bucket — each added plane halves expected occupancy (multi-probe,
+    * y2b's shape, buys back the boundary recall the narrower buckets
+    * cost). Plus-probe at Hamming 1 keeps the tiny-SF output non-trivial:
+    * at 2^16 buckets over a correctness-SF corpus most own-buckets are
+    * singletons. */
+  private val y2cKnnBucketed16 = Q(
+    (s, d) => Similarity.bucketedTopK(
+        Tables.embeddings(s, d), id => id % 50 === 0, "vec_id", "embedding",
+        k = 5, probeRadius = 1, planes = 16)
+      .orderBy("q_id", "rank"),
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm,
+       |    CAST(${bucketSqlFor(64, 16)} AS BIGINT) AS bucket FROM v),
        |scored AS (
        |  SELECT q.vec_id AS q_id, q.bucket, c.vec_id AS c_id,
        |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
@@ -1177,7 +1219,7 @@ object PipelineQueries {
   private val y11NprobeCurve = Q(
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val anchors = e.filter(col("vec_id") < 8)
+      val anchors = e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
       val truth = Similarity.bruteForceTopK(
           e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000), e,
@@ -1200,7 +1242,7 @@ object PipelineQueries {
         .orderBy("nprobe")
     },
     s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
-       |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < 8),
+       |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < $IvfCells),
        |dists AS (
        |  SELECT v.vec_id, v.vd, a.anchor_id,
        |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
@@ -1293,32 +1335,32 @@ object PipelineQueries {
     (s, d) => {
       import s.implicits._
       val e = Tables.embeddings(s, d)
-      val anchors = e.filter(col("vec_id") < 8)
+      val anchors = e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
       val res = Similarity.kmeansFit(e, anchors, "vec_id", "embedding",
         maxIters = 4, eps = 0.0)
       val contract = res.history.zip(Double.PositiveInfinity +: res.history.map(_.wcss))
         .map { case (r, prevWcss) =>
-          (r.iter, r.nCells == 8L, r.wcss <= prevWcss + 2e-6 * (r.n + 1)) }
+          (r.iter, r.nCells == IvfCells.toLong, r.wcss <= prevWcss + 2e-6 * (r.n + 1)) }
       contract.toDF("iter", "cells_nonempty", "wcss_decreased").orderBy("iter")
     },
     """SELECT CAST(i AS INT) AS iter, TRUE AS cells_nonempty,
       |  TRUE AS wcss_decreased
       |FROM generate_series(1, 4) t(i) ORDER BY iter""".stripMargin)
 
-  /** IVF ANN: deterministic anchor vectors (vec_id < 8) as the coarse
-    * quantizer, argmin-L2 cell assignment (6-dp-rounded distances, anchor
-    * id tiebreak), cosine top-5 within the query's own cell. */
+  /** IVF ANN: deterministic anchor vectors (the first IvfCells) as the
+    * coarse quantizer, argmin-L2 cell assignment (6-dp-rounded distances,
+    * anchor id tiebreak), cosine top-5 within the query's own cell. */
   private val y3KnnIvf = Q(
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val anchors = e.filter(col("vec_id") < 8)
+      val anchors = e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
       Similarity.ivfTopK(e, anchors, id => id % 50 === 0, "vec_id", "embedding", k = 5)
         .orderBy("q_id", "rank")
     },
     s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
-       |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < 8),
+       |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < $IvfCells),
        |dists AS (
        |  SELECT v.vec_id, v.vd, a.anchor_id,
        |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
@@ -1448,14 +1490,14 @@ object PipelineQueries {
   private val y3cKnnNprobe = Q(
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val anchors = e.filter(col("vec_id") < 8)
+      val anchors = e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
       Similarity.ivfTopK(e, anchors, id => id % 50 === 0, "vec_id", "embedding",
           k = 5, nprobe = 3)
         .orderBy("q_id", "rank")
     },
     s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
-       |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < 8),
+       |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < $IvfCells),
        |dists AS (
        |  SELECT v.vec_id, v.vd, a.anchor_id,
        |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
@@ -1469,6 +1511,47 @@ object PipelineQueries {
        |qprobe AS (
        |  SELECT vec_id, vd, anchor_id AS cell, ${nrmSql("vd")} AS nrm
        |  FROM ranked WHERE rn <= 3 AND vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.cell, c.vec_id AS c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM qprobe q JOIN n c ON q.cell = c.cell AND q.vec_id <> c.vec_id)
+       |SELECT q_id, cell, rank, c_id, cosine FROM (
+       |  SELECT q_id, cell, c_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS INT) AS rank
+       |  FROM scored) r
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
+  /** y3e: the y3 serve plan at SIXTY-FOUR cells — the anchor-count twin
+    * of y2c's plane proof: nothing in the IVF path is shaped around a
+    * cell count (assignment is the same argmin over a broadcast anchor
+    * table, serving the same cell equi-join), so a production corpus
+    * raises the count until corpus/cells is a task-sized candidate set.
+    * nprobe=2 keeps the tiny-SF output non-trivial (≈8 vectors per cell
+    * at sf0.01). */
+  private val y3eKnnIvf64 = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      Similarity.ivfTopK(e, anchors, id => id % 50 === 0, "vec_id", "embedding",
+          k = 5, nprobe = 2)
+        .orderBy("q_id", "rank")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < 64),
+       |dists AS (
+       |  SELECT v.vec_id, v.vd, a.anchor_id,
+       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+       |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+       |  FROM v CROSS JOIN anchors a),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, anchor_id) AS rn
+       |  FROM dists),
+       |assigned AS (SELECT vec_id, vd, anchor_id AS cell FROM ranked WHERE rn = 1),
+       |n AS (SELECT vec_id, vd, cell, ${nrmSql("vd")} AS nrm FROM assigned),
+       |qprobe AS (
+       |  SELECT vec_id, vd, anchor_id AS cell, ${nrmSql("vd")} AS nrm
+       |  FROM ranked WHERE rn <= 2 AND vec_id % 50 = 0),
        |scored AS (
        |  SELECT q.vec_id AS q_id, c.cell, c.vec_id AS c_id,
        |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
@@ -1516,7 +1599,7 @@ object PipelineQueries {
   private def y3dIndexAndAnchors(s: SparkSession, d: String) =
     y3dBuilt.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
       val e = Tables.embeddings(s, d)
-      val seed = e.filter(col("vec_id") < 8)
+      val seed = e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
       val fit = Similarity.kmeansFit(e, seed, "vec_id", "embedding",
         maxIters = 3, eps = 0.0)
@@ -1545,7 +1628,7 @@ object PipelineQueries {
           // plan/schema sweeps: same serve-plan shape (assign → cell
           // equi-join → per-query window) off the in-memory assignment,
           // zero actions and zero writes at construction time
-          val seed = e.filter(col("vec_id") < 8)
+          val seed = e.filter(col("vec_id") < IvfCells)
             .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
           (Similarity.ivfAssign(e, seed, "vec_id", "embedding")
             .withColumn("nrm", Similarity.norm("embedding")).drop("cell_d2"), seed)
@@ -1568,7 +1651,7 @@ object PipelineQueries {
       val nCells = index.agg(countDistinct(col("cell")).as("n_cells"))
       nQ.crossJoin(nCells).crossJoin(nMatch).crossJoin(nBrute)
         .select(col("n_queries"),
-          (col("n_cells") === 8).as("cells_nonempty"),
+          (col("n_cells") === IvfCells).as("cells_nonempty"),
           (col("n_match") >= col("n_brute") * 0.4).as("recall_ok"))
     },
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
@@ -2972,7 +3055,7 @@ object PipelineQueries {
   private val y9IvfPq = Q(
     (s, d) => {
       val e = Tables.embeddings(s, d)
-      val anchors = e.filter(col("vec_id") < 8)
+      val anchors = e.filter(col("vec_id") < IvfCells)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
       val codebook = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
@@ -2987,7 +3070,7 @@ object PipelineQueries {
     },
     s"""WITH v AS (SELECT vec_id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
-      |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < 8),
+      |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < $IvfCells),
       |adists AS (
       |  SELECT v.vec_id, v.vd, a.anchor_id,
       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
@@ -3858,8 +3941,10 @@ object PipelineQueries {
     "y1_knn_brute" -> y1KnnBrute,
     "y2_knn_bucketed" -> y2KnnBucketed,
     "y2b_knn_multiprobe" -> y2bKnnMultiprobe,
+    "y2c_knn_bucketed16" -> y2cKnnBucketed16,
     "y3_knn_ivf" -> y3KnnIvf,
     "y3c_knn_nprobe" -> y3cKnnNprobe,
+    "y3e_knn_ivf64" -> y3eKnnIvf64,
     "y11_nprobe_curve" -> y11NprobeCurve,
     "y12_gram_matrix" -> y12GramMatrix,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,

@@ -97,6 +97,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(na.isNullAt(0))
   }
 
+  test("hyperplane_bucket plane-count knob: native == HOF at 16 planes, low bits stable") {
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 300L).map(id =>
+      (id, Array.fill(64)((rnd.nextFloat() - 0.5f) * 4f))).toDF("id", "v")
+    val drift = df.select(col("id"),
+        Similarity.hyperplaneBucket("v", 64, planes = 16).as("nat"),
+        Similarity.hyperplaneBucketHof("v", 64, planes = 16).as("hof"))
+      .filter(col("nat") =!= col("hof"))
+    assert(drift.isEmpty, "native/HOF drift at planes=16")
+    // adding planes REFINES buckets: the low 8 bits of the 16-plane
+    // bucket are exactly the 8-plane bucket (existing ids preserved)
+    val stable = df.select(
+        Similarity.hyperplaneBucket("v", 64, planes = 16).bitwiseAND(lit(255L)).as("lo"),
+        Similarity.hyperplaneBucket("v", 64).as("b8"))
+      .filter(col("lo") =!= col("b8"))
+    assert(stable.isEmpty, "16-plane low bits drifted from the 8-plane bucket")
+    // and the wider signature splits occupancy: strictly more distinct
+    // buckets at 16 planes than at 8 on this corpus
+    val n8 = df.select(Similarity.hyperplaneBucket("v", 64)).distinct().count()
+    val n16 = df.select(Similarity.hyperplaneBucket("v", 64, planes = 16)).distinct().count()
+    assert(n16 > n8, s"16 planes did not split buckets ($n16 <= $n8)")
+    // every plane in the full 30-plane range is a distinct weight vector —
+    // the mod-13 lattice would silently duplicate plane 0 at j=13
+    val planes = (0 until graft.plans.HyperplaneBucket.MaxPlanes)
+      .map(j => (0 until 64).map(i => Similarity.planeWeight(i, j)))
+    assert(planes.distinct.size === graft.plans.HyperplaneBucket.MaxPlanes)
+  }
+
   test("graft_cms_estimate reads back Spark's count_min_sketch exactly on a small vocab") {
     // 26 distinct terms, known counts: term i appears i+1 times. A sketch
     // with width 2000 over 26 keys is collision-free, so the CMS upper

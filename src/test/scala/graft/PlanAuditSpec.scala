@@ -50,9 +50,10 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"))
   }
 
-  test("x2/x3b/x10/y2/y2b/m4: bucketed pair generation contains no cartesian product") {
+  test("x2/x3b/x10/y2/y2b/y2c/m4: bucketed pair generation contains no cartesian product") {
     for (q <- Seq("x2_minhash_lsh", "x3b_simhash_pairs", "x10_incremental_lsh",
-        "y2_knn_bucketed", "y2b_knn_multiprobe", "m4_media_embed_ann")) {
+        "y2_knn_bucketed", "y2b_knn_multiprobe", "y2c_knn_bucketed16",
+        "m4_media_embed_ann")) {
       val plan = formatted(q)
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
         s"$q must stay a bucket equi-join")
@@ -80,6 +81,19 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // be hash/sort-merge on the bucket key
     val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size
     assert(bnlj <= 2, s"unexpected nested-loop joins in y6 plan: $bnlj")
+  }
+
+  test("y3e: 64-cell IVF serving crosses only the broadcast anchor relation") {
+    val plan = formatted("y3e_knn_ivf64")
+    assert(!plan.contains("CartesianProduct"), "y3e grew a real cartesian")
+    // the 64-row anchor table broadcast-crosses for cell assignment —
+    // corpus side plus the nprobe=2 query probe expansion re-ranks
+    // against the same anchors (3 attaches in the one DAG); the serve
+    // join itself must be a hash equi-join on the cell key
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 3, s"unexpected nested-loop joins in y3e plan: $bnlj")
+    assert("\\(\\d+\\) (Broadcast|Shuffled)HashJoin".r.findAllIn(plan).nonEmpty
+      || plan.contains("SortMergeJoin"), "y3e serve join must be an equi-join")
   }
 
   test("y9: IVF-PQ serving crosses only broadcast anchor/codebook relations") {
