@@ -404,6 +404,12 @@ object EventStreams {
     import org.apache.spark.sql.streaming.TimeMode
     // TTL-backed state requires a clock: Spark rejects TTLConfig under
     // TimeMode.None(), so the eviction path runs in ProcessingTime mode.
+    // CAVEAT (measured): in ProcessingTime mode the engine keeps
+    // scheduling micro-batches to advance the clock for eviction, so an
+    // AvailableNow drain NEVER self-terminates (a test drain committed
+    // 3,700+ empty batches before being killed). TTL is for CONTINUOUS
+    // triggers — drive drains with processAllAvailable() + stop(); batch
+    // backfills that rely on AvailableNow termination use stateTtl=None.
     val timeMode = if (stateTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     docs.groupByKey(_.source)
       .transformWithState(new QuotaProcessor(budget, stateTtl),

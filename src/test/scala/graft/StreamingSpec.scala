@@ -289,6 +289,70 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("quotaGate with a state TTL configured starts and drains (ProcessingTime mode)") {
+    // regression gate: TTL'd ValueState is only legal in ProcessingTime
+    // time mode — the documented stateTtl=Some(..) path used to throw at
+    // query start under TimeMode.None. Eviction timing is not asserted
+    // (wall-clock); what's under test is that the TTL path RUNS and the
+    // state is live across drains within the TTL. NOTE the drain shape:
+    // in ProcessingTime mode the engine schedules batches continuously to
+    // advance the eviction clock, so AvailableNow never terminates AND
+    // processAllAvailable() never unblocks (the operator keeps requesting
+    // clock batches, so noNewData never latches — both measured here;
+    // 3,700+ empty batch commits before the kill). The only terminating
+    // drain is poll-the-sink-then-stop().
+    val src = tmpDir("quota_ttl_src"); val ckpt = tmpDir("quota_ttl_ckpt")
+    def writeDocs(rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "source", "n_tokens")
+        .repartition(1).write.mode("append").parquet(src)
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_tokens", LongType)))
+      val dest = tmpDir("quota_ttl_dest") + "/tbl"
+      def drain(expectRows: Int): Map[Long, (Boolean, Long)] = {
+        val in = EventStreams.fileSource(spark, src, docSchema)
+          .as[EventStreams.DocIn]
+        val q = EventStreams.quotaGate(in, budget = 100L,
+            stateTtl = Some(java.time.Duration.ofHours(1)))
+          .writeStream.format("parquet")
+          .option("path", dest)
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.ProcessingTime(100L)).start()
+        def read() =
+          try spark.read.parquet(dest)
+            .select("doc_id", "admitted", "running_total")
+            .as[(Long, Boolean, Long)].collect()
+          catch { case _: Exception => Array.empty[(Long, Boolean, Long)] }
+        try {
+          val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+          while (read().length < expectRows && System.nanoTime() < deadline) {
+            if (q.exception.isDefined) throw q.exception.get
+            Thread.sleep(200)
+          }
+        } finally q.stop()
+        read().map(r => r._1 -> ((r._2, r._3))).toMap
+      }
+      writeDocs(Seq((1L, "srcA", 70L), (2L, "srcA", 40L)))
+      val v1 = drain(expectRows = 2)
+      assert(v1(1L) === ((true, 70L)))
+      assert(v1(2L) === ((false, 70L)), "doc 2 must be rejected over budget")
+      // within the TTL the running total persists across a restart
+      writeDocs(Seq((3L, "srcA", 30L)))
+      val v2 = drain(expectRows = 3)
+      assert(v2(3L) === ((true, 100L)), "TTL'd state must survive the drain boundary")
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("aggStateMaintenance folds batches into state equal to full recompute") {
     val src = tmpDir("aggstate_src"); val state = tmpDir("aggstate_state") + "/tbl"
     val ckpt = tmpDir("aggstate_ckpt")
