@@ -515,6 +515,142 @@ object Similarity {
         carryCols.map(col)): _*)
   }
 
+  /** Driver-side cyclic Jacobi eigensolve of a small symmetric matrix —
+    * the CONSUMER of [[gramUpper]]'s output: the Gram relation is dims²
+    * scalars (a few KB at any corpus size — the y3b collect-one-summary
+    * precedent), so the eigensolve is driver metadata, never a
+    * distributed op. Deterministic: fixed (p, q) sweep order, fixed
+    * convergence threshold, no randomness — the same Gram matrix yields
+    * the same rotation on every run and every machine.
+    * Returns (eigenvalues, eigenvectors) with eigenvector k in COLUMN k
+    * of the returned matrix (A·v_k = λ_k·v_k). */
+  def jacobiEigen(a0: Array[Array[Double]], maxSweeps: Int = 50,
+                  tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    require(n > 0 && a0.forall(_.length == n), "jacobiEigen needs a square matrix")
+    val a = Array.tabulate(n, n)((i, j) => a0(i)(j))
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def offNorm: Double = {
+      var s = 0.0; var i = 0
+      while (i < n) { var j = i + 1; while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }; i += 1 }
+      math.sqrt(s)
+    }
+    var sweep = 0
+    while (sweep < maxSweeps && offNorm > tol) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // stable tan: t = sign(θ)/(|θ| + sqrt(θ²+1)); θ=0 → t=1
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < n) { // A ← A·J (columns p, q)
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < n) { // A ← Jᵀ·A (rows p, q)
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+            k = 0
+            while (k < n) { // V ← V·J (eigenvectors accumulate in columns)
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Assemble the full symmetric dims×dims matrix from [[gramUpper]]'s
+    * collected (i, j, gram) upper-triangle rows. */
+  def gramToMatrix(rows: Seq[(Int, Int, Double)], dims: Int): Array[Array[Double]] = {
+    val m = Array.fill(dims, dims)(0.0)
+    rows.foreach { case (i, j, g) => m(i)(j) = g; m(j)(i) = g }
+    m
+  }
+
+  /** OPQ-style rotation from the corpus second-moment (Gram) matrix:
+    * eigen-decompose, sort eigenvectors by DESCENDING eigenvalue, then
+    * deal them round-robin across the `m` PQ subspaces (sorted index t →
+    * output position (t mod m)·subDim + t div m) — the eigenvalue-
+    * allocation heuristic from the OPQ literature (Ge et al., CVPR 2013,
+    * parametric form): each subspace carries a balanced slice of the
+    * spectrum instead of subspace 0 hoarding all the variance, which is
+    * what cuts per-subspace quantization error at equal code budget.
+    * Returns row-major R (rotated[j] = ⟨R(j), x⟩); rows are orthonormal
+    * because Jacobi's V is. Rotation is orthogonal, so full-width L2 /
+    * cosine geometry is EXACTLY preserved (spec-gated) — only the
+    * subspace tiling changes. */
+  def opqRotation(gram: Array[Array[Double]], m: Int): Array[Array[Double]] = {
+    val dims = gram.length
+    require(m >= 1 && dims % m == 0, s"m ($m) must divide dims ($dims)")
+    val subDim = dims / m
+    val (vals, vecs) = jacobiEigen(gram)
+    val order = (0 until dims).sortBy(k => (-vals(k), k))
+    val r = Array.fill(dims, dims)(0.0)
+    order.zipWithIndex.foreach { case (k, t) =>
+      val pos = (t % m) * subDim + t / m
+      var i = 0
+      while (i < dims) { r(pos)(i) = vecs(i)(k); i += 1 }
+    }
+    r
+  }
+
+  /** Max |R·Rᵀ − I| — the driver-side orthogonality check a rotation must
+    * pass before it is trusted at the encode seam. */
+  def orthogonalityDefect(r: Array[Array[Double]]): Double = {
+    val n = r.length
+    var worst = 0.0
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        var s = 0.0; var k = 0
+        while (k < n) { s += r(i)(k) * r(j)(k); k += 1 }
+        val target = if (i == j) 1.0 else 0.0
+        worst = math.max(worst, math.abs(s - target))
+        j += 1
+      }
+      i += 1
+    }
+    worst
+  }
+
+  /** Apply a driver-computed rotation to a vector column: output
+    * component j = Σᵢ R(j)(i)·vec[i], each a 6-dp-rounded pinned fold.
+    * The matrix travels as ONE array<array<double>> literal (dims² ≈ 32 KB
+    * at 64 dims — plan-constant, broadcast with the task binary, no join);
+    * the fold is a HOF over the literal, so the rotation runs in-task
+    * inside the scan stage — zero shuffle, the randomProjection shape with
+    * a data-learned matrix instead of a fixed lattice. */
+  def rotateVec(vecCol: String, r: Array[Array[Double]]): Column = {
+    val dims = r.length
+    val rl = typedLit(r.map(_.toSeq).toSeq)
+    transform(sequence(lit(0), lit(dims - 1)), j =>
+      round(aggregate(sequence(lit(0), lit(r.head.length - 1)), lit(0.0),
+        (acc, i) => acc + get(col(vecCol), i).cast("double") * get(get(rl, j), i)), 6))
+  }
+
   /** PQ asymmetric-distance (ADC) top-k: approximate squared L2 between a
     * query and a candidate = the sum over subspaces of the exact distance
     * from the query's sub-vector to the candidate's CODE centroid — the

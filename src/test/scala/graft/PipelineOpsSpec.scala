@@ -453,6 +453,66 @@ class SimilaritySpec extends SparkSpec {
       assert(d < 1.0, s"anchor $ci ended $d away from its center")
     }
   }
+
+  test("jacobiEigen solves a random symmetric matrix: A·v = λ·v, V orthonormal") {
+    val rnd = new scala.util.Random(3)
+    val n = 8
+    val a = Array.fill(n, n)(0.0)
+    for (i <- 0 until n; j <- i until n) {
+      val x = rnd.nextDouble() * 4 - 2
+      a(i)(j) = x; a(j)(i) = x
+    }
+    val (vals, vecs) = Similarity.jacobiEigen(a)
+    for (k <- 0 until n; i <- 0 until n) {
+      val av = (0 until n).map(j => a(i)(j) * vecs(j)(k)).sum
+      assert(math.abs(av - vals(k) * vecs(i)(k)) < 1e-9,
+        s"A·v != λ·v at eigenpair $k, row $i")
+    }
+    // columns orthonormal → the transpose is a valid rotation
+    val rt = Array.tabulate(n, n)((i, j) => vecs(j)(i))
+    assert(Similarity.orthogonalityDefect(rt) < 1e-10)
+  }
+
+  test("opqRotation balances the spectrum across subspaces (eigenvalue allocation)") {
+    val n = 8
+    // diagonal Gram with a steep ramp: natural contiguous tiling puts all
+    // the variance in subspace 0
+    val g = Array.tabulate(n, n)((i, j) => if (i == j) math.pow(2.0, n - i).toDouble else 0.0)
+    val m = 4
+    val r = Similarity.opqRotation(g, m)
+    assert(Similarity.orthogonalityDefect(r) < 1e-10)
+    // variance carried by output position p = Σᵢ R(p)(i)² · g(i)(i)
+    def posVar(p: Int) = (0 until n).map(i => r(p)(i) * r(p)(i) * g(i)(i)).sum
+    val subDim = n / m
+    val subVars = (0 until m).map(s =>
+      (s * subDim until (s + 1) * subDim).map(posVar).sum)
+    val natural = (0 until m).map(s =>
+      (s * subDim until (s + 1) * subDim).map(i => g(i)(i)).sum)
+    assert(subVars.max / subVars.min < natural.max / natural.min / 4,
+      s"allocation did not balance: rotated $subVars vs natural $natural")
+  }
+
+  test("rotateVec preserves pairwise geometry (orthogonal rotation, 6-dp rounding)") {
+    val rnd = new scala.util.Random(17)
+    val dims = 8
+    val df = (0L until 12L).map(id =>
+      (id, Array.fill(dims)((rnd.nextFloat() - 0.5f) * 3f))).toDF("vec_id", "v")
+    // learn a rotation from this corpus's own Gram
+    val rows = Similarity.gramUpper(df, "v").select("i", "j", "gram")
+      .as[(Int, Int, Double)].collect().toSeq
+    val r = Similarity.opqRotation(Similarity.gramToMatrix(rows, dims), m = 2)
+    val rdf = df.withColumn("rv", Similarity.rotateVec("v", r))
+    val a = rdf.select(col("vec_id").as("ia"), col("v").as("va"), col("rv").as("ra"))
+    val b = rdf.select(col("vec_id").as("ib"), col("v").as("vb"), col("rv").as("rb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(Similarity.dot("va", "vb").as("raw"),
+        Similarity.dot("ra", "rb").as("rot"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (raw, rot) =>
+      // 6-dp component rounding perturbs a d-dim dot by O(d · |v| · 5e-7)
+      assert(math.abs(raw - rot) < 1e-4, s"dot drifted: $raw vs $rot")
+    }
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
