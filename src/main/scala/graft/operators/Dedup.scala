@@ -709,9 +709,9 @@ object Dedup {
     * Output: per-doc window/dup-window counts and the duplicated fraction
     * (one int division — engine-stable). */
   def spanDupStats(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int): DataFrame = {
+                   k: Int, rolling: Boolean = false): DataFrame = {
     require(k >= 1, s"span width must be positive, got $k")
-    val perDocFp = spanFingerprints(docs, idCol, textCol, k)
+    val perDocFp = spanFingerprints(docs, idCol, textCol, k, rolling)
     val totals = perDocFp.groupBy(col("fp"))
       .agg(sum(col("c")).as("t"))
     perDocFp.join(totals, Seq("fp"))
@@ -723,19 +723,32 @@ object Dedup {
 
   /** Per-document k-word span fingerprint counts: (idCol, fp, c) — the
     * shared first stage of [[spanDupStats]] and [[spanDecontaminate]].
-    * Fingerprints are generated in-scan (`transform` over the word array)
-    * and aggregated map-side; docs shorter than k words have no windows
-    * and are absent. */
+    * Fingerprints are generated in-scan and aggregated map-side; docs
+    * shorter than k words have no windows and are absent.
+    *
+    * Two fingerprint rungs: the md5-per-window form (`transform` over the
+    * word array — O(n·k·word-bytes), engine-exact in DuckDB so it stays
+    * the oracle-anchored default) and the ROLLING form (one md5 per WORD,
+    * then Rabin–Karp O(1) slides through the native
+    * `graft_rolling_windows` expression — O(n) total, the production
+    * shape for wide spans; its residues are also engine-exact, via
+    * per-window Horner folds in the oracle). */
   private def spanFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                               k: Int): DataFrame =
-    docs
+                               k: Int, rolling: Boolean = false): DataFrame = {
+    val words = docs
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= k)
-      .select(col(idCol), explode(expr(
-        s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
-        .as("fp"))
-      .groupBy(col(idCol), col("fp"))
-      .agg(count(lit(1)).as("c"))
+    val fps =
+      if (rolling)
+        words.select(col(idCol), explode(graft.operators.TextAnalysis.rollingWindows(
+          expr(s"transform(w, x -> ${graft.operators.TextAnalysis.hash32Sql("x")})"), k))
+          .as("fp"))
+      else
+        words.select(col(idCol), explode(expr(
+          s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
+          .as("fp"))
+    fps.groupBy(col(idCol), col("fp")).agg(count(lit(1)).as("c"))
+  }
 
   /** Span-level benchmark decontamination — z11's shingle-overlap check at
     * the granularity eval-contamination actually leaks: a corpus document

@@ -92,6 +92,27 @@ object TextAnalysis {
       regexp_replace(c, EmailPattern, "[EMAIL]"),
       PhonePattern, "[PHONE]")
 
+  /** Default Rabin–Karp lattices for [[rollingWindows]]: two coprime
+    * (base, mod) pairs — both mods the largest primes under 2³¹, so every
+    * intermediate stays inside the 64-bit lane in both engines (see
+    * graft.plans.RollingWindows) — giving two independent 31-bit window
+    * fingerprints where a 64-bit identity is assembled from halves
+    * (simhash64's hv_hi/hv_lo convention). */
+  val RollingA: (Long, Long) = (257L, 2147483647L)
+  val RollingB: (Long, Long) = (263L, 2147483629L)
+
+  /** All overlapping k-window Rabin–Karp fingerprints of a string (byte
+    * windows) or array<bigint> (element windows) column — the O(n)
+    * production form of a per-window hash: delegates to the native
+    * codegen'd `graft_rolling_windows` expression (one md5 per ELEMENT at
+    * most, one O(1) slide per window, vs O(n·k) for an md5 per window).
+    * Requires a session with the graft extensions installed — every
+    * production entry point (GraftSession/Verify/Bench) installs them. */
+  def rollingWindows(c: Column, k: Int,
+                     lattice: (Long, Long) = RollingA): Column =
+    call_function("graft_rolling_windows", c, lit(k),
+      lit(lattice._1), lit(lattice._2))
+
   /** Rolling polynomial (Horner) fingerprint over the word sequence —
     * order-sensitive, unlike the minhash/simhash set signatures. */
   def fingerprint(wsCol: String, mod: Long = 1000000007L): Column =

@@ -89,13 +89,27 @@ object Vocab {
 
   /** Learn up to `merges` BPE merges from the corpus (fewer if every word
     * fully merges first). Runs the driver loop at call time: one tiny job
-    * per round over the pinned histogram, one collected row per round. */
-  def bpeLearn(docs: DataFrame, textCol: String, merges: Int): Seq[Merge] = {
+    * per round over the pinned histogram, one collected row per round.
+    *
+    * The histogram plan grows one `withColumn` (two literal replaces) per
+    * round — fine at a handful of merges, but a production 30k-merge
+    * vocabulary would build a 30k-node plan whose ANALYSIS cost dwarfs the
+    * jobs. `repinEvery` bounds it: every K rounds the current histogram is
+    * re-localCheckpointed (vocab-sized — tiny) and the previous pin freed,
+    * so plan depth never exceeds K nodes above a checkpoint scan and
+    * memory holds ONE extra pinned copy transiently during the swap.
+    * Results are invariant to K (spec-gated: K=4 == no-repin on a 64-merge
+    * run); `onRound` is a test probe for asserting the bound. */
+  def bpeLearn(docs: DataFrame, textCol: String, merges: Int,
+               repinEvery: Int = 16,
+               onRound: (Int, DataFrame) => Unit = (_, _) => ()): Seq[Merge] = {
     require(merges >= 1, s"merges must be positive, got $merges")
+    require(repinEvery >= 1, s"repinEvery must be positive, got $repinEvery")
     val spark = docs.sparkSession
-    val pinned = Housekeeping.pin(spark)(wordHistogram(docs, textCol))
+    var pinned = Housekeeping.pin(spark)(wordHistogram(docs, textCol))
     try {
       var hist = pinned.df
+      var sincePin = 0
       val out = Seq.newBuilder[Merge]
       var step = 1
       var exhausted = false
@@ -109,6 +123,15 @@ object Vocab {
           val Array(a, b) = pair.split(" ", 2)
           out += Merge(step, a, b, a + b, cnt)
           hist = hist.withColumn("ts", mergePair(col("ts"), a, b))
+          sincePin += 1
+          if (sincePin >= repinEvery && step < merges) {
+            val next = Housekeeping.pin(spark)(hist)
+            pinned.free()
+            pinned = next
+            hist = pinned.df
+            sincePin = 0
+          }
+          onRound(step, hist)
           step += 1
         }
       }

@@ -89,6 +89,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"hyperplane_bucket(vec[, planes]) takes 1 or 2 arguments, got ${children.length}")
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_rolling_windows"),
+      new ExpressionInfo(classOf[RollingWindows].getName, "graft_rolling_windows"),
+      (children: Seq[Expression]) => children match {
+        // k/base/mod are plan-shape constants the DuckDB oracle rendering
+        // must agree on — literals only
+        case Seq(v, Literal(k: Int, org.apache.spark.sql.types.IntegerType),
+                 RollingWindows.LongLit(base), RollingWindows.LongLit(mod)) =>
+          RollingWindows(v, k, base, mod)
+        case _ => throw new IllegalArgumentException(
+          "graft_rolling_windows(input, k, base, mod) takes a column plus " +
+            s"3 integer literals, got ${children.mkString(", ")}")
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
       (children: Seq[Expression]) => {

@@ -2232,6 +2232,73 @@ object PipelineQueries {
          |FROM sym GROUP BY doc_id ORDER BY doc_id""".stripMargin
     })
 
+  /** m5b: m5's payload phash on the ROLLING Rabin–Karp window hash — the
+    * production fingerprinter the m5 cost note promised: one O(1) slide
+    * per 16-byte window instead of an md5 per window, through the native
+    * `graft_rolling_windows` expression (two coprime sub-2³¹ lattices
+    * give the hv_hi/hv_lo halves; modular congruence makes the rolling
+    * form and the oracle's independent per-window Horner folds
+    * bit-identical). Same SimHash/banded-pair/panel machinery as m5 —
+    * the fingerprint space changes (31-bit halves → signature bits 31/63
+    * constant, every 16-bit band still ≥ 15 effective bits), the
+    * near-dup semantics don't. The md5 form stays declared as m5; this is
+    * the rung a 100-TB payload scan actually runs (the md5-per-window
+    * constant was m5's measured 10× soak dominator). */
+  private val m5bPhashRolling = Q(
+    (s, d) => {
+      val hv = Tables.documents(s, d)
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id"),
+          explode(zip_with(
+            TextAnalysis.rollingWindows(col("text"), 16, TextAnalysis.RollingA),
+            TextAnalysis.rollingWindows(col("text"), 16, TextAnalysis.RollingB),
+            (hi, lo) => struct(hi.as("hv_hi"), lo.as("hv_lo")))).as("e"))
+        .select(col("doc_id"), col("e.hv_hi"), col("e.hv_lo"))
+      val pairs = Dedup.simhashPairs(Dedup.simhash64(hv, "doc_id"), "doc_id")
+      pairs.select(explode(array(
+          struct(col("doc_a").as("doc_id"), col("doc_b").as("partner"), col("hamming")),
+          struct(col("doc_b").as("doc_id"), col("doc_a").as("partner"), col("hamming"))))
+          .as("e"))
+        .select(col("e.doc_id"), col("e.partner"), col("e.hamming").as("hamming"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_neardups"),
+          min(col("partner")).as("min_partner"),
+          min(col("hamming")).as("min_hamming"))
+        .orderBy("doc_id")
+    },
+    {
+      val (b1, m1) = TextAnalysis.RollingA
+      val (b2, m2) = TextAnalysis.RollingB
+      def hornerSql(base: Long, mod: Long): String =
+        s"""list_reduce(list_transform(generate_series(1, 16),
+           |      i -> CAST(ascii(substring(text, p + i, 1)) AS BIGINT)),
+           |      (acc, b) -> (acc * $base + b) % $mod)""".stripMargin
+      s"""WITH pos AS (SELECT doc_id, text,
+         |    unnest(generate_series(0, length(text) - 16)) AS p
+         |  FROM documents WHERE length(text) >= 16),
+         |hv AS (SELECT doc_id,
+         |    ${hornerSql(b1, m1)} AS hv_hi,
+         |    ${hornerSql(b2, m2)} AS hv_lo
+         |  FROM pos),
+         |bits AS (SELECT doc_id,
+         |    $simhashBitSumsSql
+         |  FROM hv GROUP BY 1),
+         |sh AS (SELECT doc_id, CAST($simhashPackedSql AS BIGINT) AS simhash FROM bits),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sym AS (
+         |  SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b AS doc_id, doc_a AS partner, hamming FROM pairs)
+         |SELECT doc_id, COUNT(*) AS n_neardups,
+         |  MIN(partner) AS min_partner,
+         |  CAST(MIN(hamming) AS INT) AS min_hamming
+         |FROM sym GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    })
+
   private val m1MediaFeatures = Q(
     (s, d) => {
       val pay = Multimodal.payloads(Tables.documents(s, d), "doc_id", "text")
@@ -2957,6 +3024,40 @@ object PipelineQueries {
       |  FROM pd JOIN tot USING (fp) GROUP BY 1)
       |SELECT doc_id, n_windows, n_dup, n_dup / n_windows AS dup_frac
       |FROM agg ORDER BY doc_id""".stripMargin)
+
+  /** x18b: x18's span-duplication panel on the ROLLING word-window
+    * fingerprint — one md5 per WORD plus an O(1) Rabin–Karp slide per
+    * span instead of an md5 over every k-word concatenation (O(n) vs
+    * O(n·k·word-bytes) — the production rung for wide spans, where the
+    * per-window md5 constant dominates exactly as m5's soak measured on
+    * byte windows). Same dup semantics, same aggregate-only scale shape;
+    * the oracle replays the word-hash stream and folds each window's
+    * Horner polynomial independently (congruent to the rolling form, so
+    * residues match bit-for-bit). x18 stays declared as the md5-anchored
+    * variant. */
+  private val x18bSpanRolling = Q(
+    (s, d) => Dedup.spanDupStats(Tables.documents(s, d), "doc_id", "text",
+        k = 8, rolling = true)
+      .orderBy("doc_id"),
+    {
+      val (b, m) = TextAnalysis.RollingA
+      s"""WITH ws AS (SELECT doc_id,
+         |    list_transform(string_split(text, ' '), x -> ${h32Sql("x")}) AS hs
+         |  FROM documents),
+         |win AS (
+         |  SELECT doc_id,
+         |    list_reduce(hs[i:i+7], (acc, h) -> (acc * $b + h) % $m) AS fp
+         |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 7)) AS i
+         |        FROM ws WHERE len(hs) >= 8)),
+         |pd AS (SELECT doc_id, fp, COUNT(*) AS c FROM win GROUP BY 1, 2),
+         |tot AS (SELECT fp, SUM(c) AS t FROM pd GROUP BY 1),
+         |agg AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
+         |    CAST(SUM(CASE WHEN t >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM pd JOIN tot USING (fp) GROUP BY 1)
+         |SELECT doc_id, n_windows, n_dup, n_dup / n_windows AS dup_frac
+         |FROM agg ORDER BY doc_id""".stripMargin
+    })
 
   /** x22: most-duplicated spans corpus-wide — the memorization-risk
     * report behind span dedup: which exact 8-word sequences recur most,
@@ -3976,6 +4077,7 @@ object PipelineQueries {
     "z26_kl_drift" -> z26KlDrift,
     "z27_weighted_sample" -> z27WeightedSample,
     "x18_span_dedup" -> x18SpanDedup,
+    "x18b_span_rolling" -> x18bSpanRolling,
     "x22_top_spans" -> x22TopSpans,
     "x19_span_decontaminate" -> x19SpanDecontaminate,
     "z23_backoff_lm" -> z23BackoffLm,
@@ -4053,6 +4155,7 @@ object PipelineQueries {
     "z4_fingerprint" -> z4Fingerprint,
     "m1_media_features" -> m1MediaFeatures,
     "m5_phash_dedup" -> m5PhashDedup,
+    "m5b_phash_rolling" -> m5bPhashRolling,
     "m4_media_embed_ann" -> m4MediaEmbedAnn,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan)

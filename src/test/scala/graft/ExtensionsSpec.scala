@@ -125,6 +125,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(planes.distinct.size === graft.plans.HyperplaneBucket.MaxPlanes)
   }
 
+  test("graft_rolling_windows: rolling fingerprints equal independent per-window Horner folds") {
+    val (b, m) = graft.operators.TextAnalysis.RollingA
+    // string (byte-window) form, including a doc shorter than k (empty
+    // array, not null) and one exactly k long (single window)
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "short"), (3L, "exactly16bytes!!"), (4L, "aaaaaaaaaaaaaaaaaaaaaa"))
+      .toDF("id", "t")
+    val k = 16
+    val got = docs.select(col("id"),
+        graft.operators.TextAnalysis.rollingWindows(col("t"), k).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def horner(vals: Seq[Long]): Long =
+      vals.foldLeft(0L)((acc, x) => (acc * b + x % m) % m)
+    for ((id, t) <- Seq(1L -> "the quick brown fox jumps over the lazy dog",
+        2L -> "short", 3L -> "exactly16bytes!!", 4L -> "aaaaaaaaaaaaaaaaaaaaaa")) {
+      val bytes = t.getBytes("UTF-8").map(x => (x & 0xFF).toLong).toSeq
+      val want =
+        if (bytes.length < k) Seq.empty[Long]
+        else (0 to bytes.length - k).map(i => horner(bytes.slice(i, i + k)))
+      assert(got(id) === want, s"doc $id rolling drifted from direct Horner")
+    }
+    // array<bigint> (word-hash-stream) form
+    val arr = Seq((1L, Seq(7L, 4294967295L, 12L, 99L, 3L))).toDF("id", "hs")
+    val gotA = arr.select(graft.operators.TextAnalysis.rollingWindows(col("hs"), 3).as("f"))
+      .as[Seq[Long]].head()
+    val vals = Seq(7L, 4294967295L, 12L, 99L, 3L)
+    assert(gotA === (0 to 2).map(i => horner(vals.slice(i, i + 3))))
+    // null input → null
+    val nul = docs.select(graft.operators.TextAnalysis.rollingWindows(
+        when(col("id") === 99L, col("t")), k).as("f"))
+      .filter(col("f").isNull).count()
+    assert(nul === 4L)
+  }
+
   test("graft_cms_estimate reads back Spark's count_min_sketch exactly on a small vocab") {
     // 26 distinct terms, known counts: term i appears i+1 times. A sketch
     // with width 2000 over 26 keys is collision-free, so the CMS upper

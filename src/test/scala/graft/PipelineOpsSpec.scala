@@ -661,6 +661,21 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.contains(5L))
   }
 
+  test("spanDupStats rolling rung matches the md5 rung row-for-row") {
+    // same docs as the md5 test: the fingerprint SPACE differs (31-bit
+    // Rabin–Karp vs md5 string) but span identity — and therefore every
+    // count — must agree exactly on collision-free data
+    val docs = Seq(
+      (1L, "x y z p q r"), (2L, "x y z a b c"), (3L, "u v w t s m"),
+      (4L, "m m m m m"), (5L, "a b")
+    ).toDF("doc_id", "text")
+    def rows(rolling: Boolean) =
+      Dedup.spanDupStats(docs, "doc_id", "text", k = 3, rolling = rolling)
+        .select("doc_id", "n_windows", "n_dup", "dup_frac")
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows(rolling = true) === rows(rolling = false))
+  }
+
   test("spanDecontaminate scores verbatim benchmark spans, ignores novel text") {
     val corpus = Seq(
       (1L, "q1 q2 q3 a b c"),   // leading 3-span is verbatim benchmark

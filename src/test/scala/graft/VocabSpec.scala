@@ -100,6 +100,33 @@ class VocabSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet === before)
   }
 
+  test("bpeLearn re-pins every K rounds: 64-merge run, flat plan depth, K-invariant merges") {
+    // enough raw material for 64+ productive merges (each word can merge
+    // len-1 times; pairs are shared across repeated words)
+    val df = Seq("alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliett kilo lima mike november oscar papa quebec romeo " +
+      "sierra tango uniform victor whiskey xray yankee zulu")
+      .toDF("text")
+    def planNodes(h: org.apache.spark.sql.DataFrame): Int =
+      h.queryExecution.analyzed.collect { case p => p }.length
+    var maxRepin = 0
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val withRepin = Vocab.bpeLearn(df, "text", merges = 64, repinEvery = 4,
+      onRound = (_, h) => maxRepin = math.max(maxRepin, planNodes(h)))
+    var maxFlat = 0
+    val without = Vocab.bpeLearn(df, "text", merges = 64, repinEvery = 1000,
+      onRound = (_, h) => maxFlat = math.max(maxFlat, planNodes(h)))
+    // learned merges are invariant to the re-pin cadence
+    assert(withRepin === without)
+    assert(withRepin.length === 64, s"expected 64 merges, got ${withRepin.length}")
+    // re-pinned plan depth is BOUNDED (≤ checkpoint scan + K projects);
+    // the unpinned form grows one node per round
+    assert(maxRepin <= 8, s"re-pinned plan grew to $maxRepin nodes")
+    assert(maxFlat > 32, s"control plan unexpectedly flat: $maxFlat nodes")
+    // and the swap discipline leaks no blocks
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before)
+  }
+
   test("hashedBowVectors: counts scatter by token hash and sum to the token count") {
     import graft.operators.TextAnalysis
     val df = Seq(
