@@ -187,6 +187,71 @@ object TextAnalysis {
         ((size(col("sh")) - size(array_distinct(col("sh")))) / size(col("sh")))
           .as("dup_ratio"))
 
+  /** Gopher repetition panel (Rae et al. 2021, "Scaling Language Models",
+    * Table A1's repetition-rule family) — the standard production
+    * keep/drop gate z10's single ratio summarizes: per document,
+    *  - top-n-gram character fraction for n ∈ {2,3,4}: characters covered
+    *    by ALL occurrences of the single most frequent n-gram / doc chars
+    *    (ties break by larger gram string — pinned in both engines);
+    *  - duplicate-n-gram character fraction for n ∈ {5,10}: characters
+    *    that would disappear if every repeat beyond the first occurrence
+    *    of each duplicated n-gram were deleted, i.e. Σ (c−1)·len(gram) /
+    *    doc chars (reproductions differ on overlap handling; this form is
+    *    deterministic, documented, and replayed exactly by the oracle);
+    *  - `keep`: the Gopher thresholds (0.20/0.18/0.16 top, 0.15/0.10 dup)
+    *    applied as EXACT integer cross-multiplications (cl·5 ≤ chars etc.)
+    *    so the verdict never rides a float boundary.
+    *
+    * Scale shape: ONE explode producing (n, gram) rows (≈5 rows per word),
+    * one map-side-combinable (doc, n, gram) count, one per-(doc, n)
+    * aggregate (top via max(struct), dup via conditional sum), one
+    * 5-value pivot — every stage linear in corpus tokens, no windows over
+    * raw data, no joins. Fractions are raw IEEE divisions of exact ints.
+    * Docs under 2 words have no rows and are absent. */
+  def gopherRepetition(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val ns = Seq(2, 3, 4, 5, 10)
+    val gramArrays = ns.map { n =>
+      val parts = (0 until n).map(j => s"ws[i+$j]").mkString(", ")
+      s"""CASE WHEN size(ws) >= $n THEN
+         |  transform(sequence(0, size(ws) - $n),
+         |    i -> struct($n AS n, concat_ws(' ', $parts) AS gram))
+         |ELSE array() END""".stripMargin
+    }
+    val grams = docs
+      .select(col(idCol), length(col(textCol)).as("n_chars"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol), col("n_chars"),
+        explode(expr(gramArrays.mkString("flatten(array(", ", ", "))"))).as("g"))
+      .select(col(idCol), col("n_chars"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val counts = grams
+      .groupBy(col(idCol), col("n_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("gl", length(col("gram")).cast(LongType))
+    val perN = counts
+      .groupBy(col(idCol), col("n_chars"), col("n"))
+      .agg(max(struct((col("c") * col("gl")).as("cl"), col("gram").as("g"))).as("top"),
+        sum(when(col("c") >= 2, (col("c") - 1) * col("gl")).otherwise(lit(0L))).as("dupch"))
+      .select(col(idCol), col("n_chars"), col("n"),
+        col("top.cl").as("cl"), col("dupch"))
+    val piv = perN.groupBy(col(idCol), col("n_chars"))
+      .pivot("n", ns.map(_.asInstanceOf[Any]))
+      .agg(first(col("cl")).as("cl"), first(col("dupch")).as("dup"))
+    def cl(n: Int) = coalesce(col(s"${n}_cl"), lit(0L))
+    def dup(n: Int) = coalesce(col(s"${n}_dup"), lit(0L))
+    // LONG arithmetic for the verdict cross-multiplications: an int nc·9
+    // would wrap on a ~240 MB document in non-ANSI Spark
+    val nc = col("n_chars").cast(LongType)
+    piv.select(col(idCol),
+      (cl(2) / nc).as("top2_frac"),
+      (cl(3) / nc).as("top3_frac"),
+      (cl(4) / nc).as("top4_frac"),
+      (dup(5) / nc).as("dup5_frac"),
+      (dup(10) / nc).as("dup10_frac"),
+      (cl(2) * 5 <= nc && cl(3) * 50 <= nc * 9 && cl(4) * 25 <= nc * 4 &&
+        dup(5) * 20 <= nc * 3 && dup(10) * 10 <= nc).as("keep"))
+  }
+
   /** Corpus heavy hitters: top-k terms per group by frequency — the vocab /
     * boilerplate-token report a corpus build runs before choosing stopword
     * and cap lists. The count aggregate is map-side combinable (a hot term

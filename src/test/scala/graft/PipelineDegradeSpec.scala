@@ -56,6 +56,25 @@ class PipelineDegradeSpec extends SparkSpec {
     Housekeeping.releaseAllBlocks(spark)
   }
 
+  test("z38: Kneser-Ney scoring survives a zero broadcast budget with identical rows") {
+    // all four count tables (bigram, context, continuation fwd/bwd) are
+    // vocabulary/bigram-space sized and join UNHINTED; only the one-row
+    // distinct-bigram total keeps its hint
+    val baseline = SparkEntry.queries("z38_kneser_ney")(spark, sf).collect()
+    val degraded = withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("z38_kneser_ney")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        "with the budget at -1 the count-table joins must fall back to shuffle joins")
+      df.collect()
+    }
+    assert(degraded.toSeq == baseline.toSeq,
+      "join-strategy fallback changed the KN-scored rows")
+    Housekeeping.releaseAllBlocks(spark)
+  }
+
   test("bucketed/IVF ANN survive a zero broadcast budget with identical rows") {
     // the query side of bucketedTopK/ivfTopKAssigned is unhinted (a query
     // batch can grow with the corpus); when AQE can't broadcast it, the

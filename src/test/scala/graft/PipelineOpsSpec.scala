@@ -661,6 +661,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.contains(5L))
   }
 
+  test("gopherRepetition matches hand-computed fractions and integer-exact verdict") {
+    // doc 2: 30 distinct 3-char words (119 chars) — every n-gram unique,
+    // so every top fraction is one gram's own chars and all dups are 0
+    val unique30 = (1 to 30).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, "a b a b a b"), // 11 chars, heavy repetition
+      (2L, unique30),
+      (3L, "x")            // <2 words: absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .select("doc_id", "top2_frac", "top3_frac", "dup5_frac", "keep")
+      .as[(Long, Double, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: 2-grams = [a b]x3, [b a]x2 → top covers 3·3=9 of 11 chars
+    // (9·5 > 11 → dropped); 3-grams = [a b a]x2, [b a b]x2 → 2·5=10 of 11;
+    // 5-grams both occur once → dup5 = 0
+    assert(got(1L) === ((9.0 / 11, 10.0 / 11, 0.0, false)))
+    // doc 2: top 2-gram covers 7 of 119 chars (5.9% < 20%) → kept
+    assert(got(2L) === ((7.0 / 119, 11.0 / 119, 0.0, true)))
+    assert(!got.contains(3L))
+  }
+
   test("spanDupStats rolling rung matches the md5 rung row-for-row") {
     // same docs as the md5 test: the fingerprint SPACE differs (31-bit
     // Rabin–Karp vs md5 string) but span identity — and therefore every
