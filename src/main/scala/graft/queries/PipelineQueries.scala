@@ -3013,6 +3013,48 @@ object PipelineQueries {
       |  CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_kn_logprob
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** z39: character-entropy quality signal — the compression-ratio proxy
+    * low-quality detectors use beside z2's ratio panel: gibberish,
+    * base64 blobs and keyboard-mash score HIGH (flat char distribution),
+    * template/repeated boilerplate scores LOW. H = −Σ (c/n)·ln(c/n) in
+    * nats, assembled as Σ c·snapshot(ln(c/n)) in EXACT decimal (ln at
+    * DECIMAL(12,6), integer c scales exactly, shuffle-order-independent)
+    * with one double division at the output boundary. One in-scan char
+    * explode + a combinable (doc, char) count; the char alphabet bounds
+    * the aggregate at ≤ |alphabet| rows per doc. */
+  private val z39CharEntropy = Q(
+    (s, d) => {
+      val chars = Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
+            .as("ch"))
+      chars.groupBy("doc_id", "n_chars", "ch")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("term",
+          (col("c").cast("decimal(20,0)") *
+            log(col("c").cast("double") / col("n_chars")).cast("decimal(12,6)"))
+            .cast("decimal(26,6)"))
+        .groupBy("doc_id", "n_chars")
+        .agg(countDistinct(col("ch")).cast("int").as("n_alphabet"),
+          sum(col("term")).as("hsum"))
+        .select(col("doc_id"), col("n_chars"), col("n_alphabet"),
+          (-col("hsum").cast("double") / col("n_chars")).as("entropy_nats"))
+        .orderBy("doc_id")
+    },
+    """WITH ch AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+      |    unnest(regexp_extract_all(text, '.')) AS ch
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, n_chars, ch, COUNT(*) AS c
+      |  FROM ch GROUP BY 1, 2, 3),
+      |t AS (SELECT doc_id, n_chars, ch,
+      |    CAST(c AS DECIMAL(20,0)) *
+      |      CAST(ln(CAST(c AS DOUBLE) / n_chars) AS DECIMAL(12,6)) AS term
+      |  FROM cnt)
+      |SELECT doc_id, n_chars,
+      |  CAST(COUNT(DISTINCT ch) AS INT) AS n_alphabet,
+      |  -CAST(SUM(term) AS DOUBLE) / n_chars AS entropy_nats
+      |FROM t GROUP BY doc_id, n_chars ORDER BY doc_id""".stripMargin)
+
   /** x12: Bloom pre-filter for incremental exact dedup — the arriving
     * batch (doc_id % 10 = 0) probes a corpus content-hash Bloom so the
     * exact semi-join only runs on probable dups. Like x6, the oracle is a
@@ -4237,6 +4279,7 @@ object PipelineQueries {
     "z36_perplexity_buckets" -> z36PerplexityBuckets,
     "z37_gopher_repetition" -> z37GopherRepetition,
     "z38_kneser_ney" -> z38KneserNey,
+    "z39_char_entropy" -> z39CharEntropy,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
     "z19_sequence_pack" -> z19SequencePack,

@@ -232,6 +232,39 @@ class StreamingSpec extends SparkSpec {
     assert(batches.get() === 3, s"expected 3 one-file batches, got ${batches.get()}")
   }
 
+  test("dedupWithinWatermark drops re-deliveries across drains, emits first sighting once") {
+    val src = tmpDir("sdedup_src"); val ckpt = tmpDir("sdedup_ckpt")
+    val dest = tmpDir("sdedup_dest") + "/tbl"
+    def drain(): Map[Long, Long] = {
+      val q = EventStreams.dedupWithinWatermark(
+          EventStreams.fileSource(spark, src, schema), Seq("event_id"))
+        .writeStream.format("parquet")
+        .option("path", dest)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(dest).groupBy("event_id").count()
+        .as[(Long, Long)].collect().toMap
+    }
+    // batch 1: event 1 delivered twice (same key, different ts), event 2 once
+    writeBatch(src, Seq(
+      (1L, ts(0), 10L, "click", 1.0),
+      (1L, ts(1), 10L, "click", 1.0),
+      (2L, ts(2), 11L, "view", 2.0)))
+    val v1 = drain()
+    assert(v1 === Map(1L -> 1L, 2L -> 1L),
+      "each key must be emitted exactly once per watermark window")
+    // batch 2: event 1 re-delivered within the 10-min window → dropped
+    // (dedup state survived the restart via the checkpoint); event 3 new
+    writeBatch(src, Seq(
+      (1L, ts(3), 10L, "click", 1.0),
+      (3L, ts(30), 12L, "view", 3.0)))
+    val v2 = drain()
+    assert(v2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "a re-delivery inside the watermark must be dropped across drains")
+  }
+
   test("quotaGate (transformWithState) enforces per-source token budgets across drains") {
     val src = tmpDir("quota_src"); val ckpt = tmpDir("quota_ckpt")
     def writeDocs(rows: Seq[(Long, String, Long)]): Unit =
