@@ -2964,34 +2964,39 @@ object PipelineQueries {
     * corpus) so every join is UNHINTED per the z17 rule; only the one-row
     * distinct-bigram total is hinted. Scoring is one explode + four
     * combinable aggregates + equi-joins keyed on words. */
+  /** Per-doc interpolated-KN bigram scores — shared by z38 (the declared
+    * panel) and x32 (the v5 curation composition's perplexity gate).
+    * Returns (doc_id, n_bigrams, avg_kn_logprob); docs under 2 words are
+    * absent. Numerics and scale notes on z38. */
+  private def knScored(docs: org.apache.spark.sql.DataFrame) = {
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val bcnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n_bg"))
+    val pcnt = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
+    val n1fwd = bcnt.groupBy("prev").agg(count(lit(1)).as("n1_fwd"))
+    val n1bwd = bcnt.groupBy("cur").agg(count(lit(1)).as("n1_bwd"))
+    val n1tot = bcnt.agg(count(lit(1)).as("n1_tot"))
+    bg.join(bcnt, Seq("prev", "cur"))
+      .join(pcnt, Seq("prev"))
+      .join(n1fwd, Seq("prev"))
+      .join(n1bwd, Seq("cur"))
+      .crossJoin(broadcast(n1tot))
+      .withColumn("pkn",
+        greatest(col("n_bg").cast("double") - lit(0.75), lit(0.0)) / col("n_prev")
+          + (lit(0.75) * col("n1_fwd") / col("n_prev"))
+            * (col("n1_bwd") / col("n1_tot")))
+      .withColumn("lp", log(col("pkn")).cast("decimal(12,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("avg_kn_logprob"))
+  }
+
   private val z38KneserNey = Q(
-    (s, d) => {
-      val bg = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
-        .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-      val bcnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n_bg"))
-      val pcnt = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
-      val n1fwd = bcnt.groupBy("prev").agg(count(lit(1)).as("n1_fwd"))
-      val n1bwd = bcnt.groupBy("cur").agg(count(lit(1)).as("n1_bwd"))
-      val n1tot = bcnt.agg(count(lit(1)).as("n1_tot"))
-      bg.join(bcnt, Seq("prev", "cur"))
-        .join(pcnt, Seq("prev"))
-        .join(n1fwd, Seq("prev"))
-        .join(n1bwd, Seq("cur"))
-        .crossJoin(broadcast(n1tot))
-        .withColumn("pkn",
-          greatest(col("n_bg").cast("double") - lit(0.75), lit(0.0)) / col("n_prev")
-            + (lit(0.75) * col("n1_fwd") / col("n_prev"))
-              * (col("n1_bwd") / col("n1_tot")))
-        .withColumn("lp", log(col("pkn")).cast("decimal(12,6)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).cast("int").as("n_bigrams"),
-          (sum(col("lp")).cast("double") / count(lit(1))).as("avg_kn_logprob"))
-        .orderBy("doc_id")
-    },
+    (s, d) => knScored(Tables.documents(s, d)).orderBy("doc_id"),
     """WITH wl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       |pos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
       |        FROM wl WHERE len(l) >= 2),
@@ -3012,6 +3017,108 @@ object PipelineQueries {
       |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
       |  CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_kn_logprob
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+
+  /** x32: curation v5 — THIS round's rungs composed as one corpus build,
+    * the x9→x21 lineage continued with the production forms: (1) the full
+    * Gopher repetition gate (z37's integer-exact verdict), (2) rolling-
+    * fingerprint span dedup (x18b's O(n) rung; drop docs that are
+    * majority duplicated material, n_dup·2 ≤ n_windows — integer-exact),
+    * (3) CCNet-style Kneser–Ney perplexity banding per language (z38's
+    * scores through the scale-safe groupedNtile, keep middle+head).
+    * Survivors reported per (source, lang). Docs too short to score
+    * (< 2 words for Gopher/KN, < 8 for spans) are dropped by the gates —
+    * a real pipeline's minimum-length rule falling out of composition.
+    * Every gate is a semi-join of combinable aggregates; the only
+    * range shuffle is the banding's. */
+  private val x32CurationV5 = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gop = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+      val span = Dedup.spanDupStats(docs, "doc_id", "text", k = 8, rolling = true)
+        .filter(col("n_dup") * 2 <= col("n_windows")).select("doc_id")
+      val kn = knScored(docs)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      val banded = Relational.groupedNtile(
+          kn.select("doc_id", "lang", "avg_kn_logprob"),
+          groups = Seq("lang"), order = Seq("avg_kn_logprob", "doc_id"),
+          n = 3, out = "band")
+        .filter(col("band") >= 2).select("doc_id")
+      docs.join(gop, Seq("doc_id"), "left_semi")
+        .join(span, Seq("doc_id"), "left_semi")
+        .join(banded, Seq("doc_id"), "left_semi")
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).as("wt"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("wt")).cast("long").as("n_tokens"))
+        .orderBy("source", "lang")
+    },
+    s"""WITH dws AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+       |    string_split(text, ' ') AS ws
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |gg0 AS (SELECT doc_id, nc, n, ws,
+       |    unnest(generate_series(1, len(ws) - n + 1)) AS i
+       |  FROM dws CROSS JOIN (VALUES (2), (3), (4), (5), (10)) t(n)
+       |  WHERE len(ws) >= n),
+       |gg AS (SELECT doc_id, nc, n, array_to_string(ws[i:i+n-1], ' ') AS gram FROM gg0),
+       |gcnt AS (SELECT doc_id, nc, n, gram, COUNT(*) AS c,
+       |    CAST(length(gram) AS BIGINT) AS gl
+       |  FROM gg GROUP BY 1, 2, 3, 4, length(gram)),
+       |grk AS (SELECT doc_id, nc, n, c * gl AS cl, ROW_NUMBER() OVER (
+       |      PARTITION BY doc_id, n ORDER BY c * gl DESC, gram DESC) AS rn
+       |  FROM gcnt),
+       |gtp AS (SELECT doc_id, ANY_VALUE(nc) AS nc,
+       |    COALESCE(MAX(CASE WHEN n = 2 THEN cl END), 0) AS cl2,
+       |    COALESCE(MAX(CASE WHEN n = 3 THEN cl END), 0) AS cl3,
+       |    COALESCE(MAX(CASE WHEN n = 4 THEN cl END), 0) AS cl4
+       |  FROM grk WHERE rn = 1 GROUP BY 1),
+       |gdp AS (SELECT doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN n = 5 AND c >= 2 THEN (c - 1) * gl END), 0) AS BIGINT) AS dup5,
+       |    CAST(COALESCE(SUM(CASE WHEN n = 10 AND c >= 2 THEN (c - 1) * gl END), 0) AS BIGINT) AS dup10
+       |  FROM gcnt GROUP BY 1),
+       |gkeep AS (SELECT gtp.doc_id FROM gtp JOIN gdp USING (doc_id)
+       |  WHERE cl2 * 5 <= nc AND cl3 * 50 <= nc * 9 AND cl4 * 25 <= nc * 4
+       |    AND dup5 * 20 <= nc * 3 AND dup10 * 10 <= nc),
+       |shs AS (SELECT doc_id,
+       |    list_transform(string_split(text, ' '), x -> ${h32Sql("x")}) AS hs
+       |  FROM documents),
+       |swin AS (SELECT doc_id,
+       |    list_reduce(hs[i:i+7], (acc, h) -> (acc * 257 + h) % 2147483647) AS fp
+       |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 7)) AS i
+       |        FROM shs WHERE len(hs) >= 8)),
+       |spd AS (SELECT doc_id, fp, COUNT(*) AS c FROM swin GROUP BY 1, 2),
+       |stot AS (SELECT fp, SUM(c) AS t FROM spd GROUP BY 1),
+       |skeep AS (SELECT doc_id FROM spd JOIN stot USING (fp) GROUP BY doc_id
+       |  HAVING CAST(SUM(CASE WHEN t >= 2 THEN c ELSE 0 END) AS BIGINT) * 2
+       |    <= CAST(SUM(c) AS BIGINT)),
+       |pos AS (SELECT doc_id, ws AS l, unnest(generate_series(1, len(ws) - 1)) AS i
+       |  FROM dws),
+       |bg AS (SELECT doc_id, l[i] AS prev, l[i+1] AS cur FROM pos),
+       |bcnt AS (SELECT prev, cur, COUNT(*) AS n_bg FROM bg GROUP BY 1, 2),
+       |pcnt AS (SELECT prev, COUNT(*) AS n_prev FROM bg GROUP BY 1),
+       |nf AS (SELECT prev, COUNT(*) AS n1_fwd FROM bcnt GROUP BY 1),
+       |nb AS (SELECT cur, COUNT(*) AS n1_bwd FROM bcnt GROUP BY 1),
+       |nt AS (SELECT COUNT(*) AS n1_tot FROM bcnt),
+       |p AS (SELECT doc_id,
+       |    CAST(ln(
+       |      greatest(CAST(n_bg AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / n_prev
+       |      + (CAST(0.75 AS DOUBLE) * n1_fwd / n_prev)
+       |        * (CAST(n1_bwd AS DOUBLE) / n1_tot)
+       |    ) AS DECIMAL(12,6)) AS lp
+       |  FROM bg JOIN bcnt USING (prev, cur) JOIN pcnt USING (prev)
+       |    JOIN nf USING (prev) JOIN nb USING (cur) CROSS JOIN nt),
+       |kavg AS (SELECT doc_id, CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_lp
+       |  FROM p GROUP BY 1),
+       |kb AS (SELECT k.doc_id, NTILE(3) OVER (
+       |      PARTITION BY d.lang ORDER BY k.avg_lp, k.doc_id) AS band
+       |  FROM kavg k JOIN documents d ON d.doc_id = k.doc_id),
+       |kkeep AS (SELECT doc_id FROM kb WHERE band >= 2)
+       |SELECT d.source, d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+       |FROM documents d
+       |JOIN gkeep USING (doc_id) JOIN skeep USING (doc_id) JOIN kkeep USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** z39: character-entropy quality signal — the compression-ratio proxy
     * low-quality detectors use beside z2's ratio panel: gibberish,
@@ -4280,6 +4387,7 @@ object PipelineQueries {
     "z37_gopher_repetition" -> z37GopherRepetition,
     "z38_kneser_ney" -> z38KneserNey,
     "z39_char_entropy" -> z39CharEntropy,
+    "x32_curation_v5" -> x32CurationV5,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
     "z19_sequence_pack" -> z19SequencePack,
