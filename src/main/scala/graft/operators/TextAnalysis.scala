@@ -228,9 +228,55 @@ object TextAnalysis {
       .groupBy(col(idCol), col("n_chars"), col("n"), col("gram"))
       .agg(count(lit(1)).as("c"))
       .withColumn("gl", length(col("gram")).cast(LongType))
+    gopherPanel(counts, idCol, col("gram"))
+  }
+
+  /** [[gopherRepetition]]'s production rung: gram identity is the rolling
+    * Rabin–Karp fingerprint of the word-hash window and gram LENGTH is a
+    * rolling window SUM (base=1 lattice) of word lengths plus separators —
+    * two native `graft_rolling_windows` passes per n, so the
+    * (doc, n, key) shuffle carries two LONGs where the exact form carries
+    * the gram string (measured at the 10×-corpus soak: 41.9 s → the
+    * string shuffle was the dominant constant). Same fractions and
+    * verdict modulo fingerprint collisions (astronomically rare; the
+    * oracle replays the identical fingerprints, so the gate is exact) and
+    * top-gram TIE-BREAK (by fp instead of gram — ties have equal cl, so
+    * every emitted fraction is identical either way; spec-gated). */
+  def gopherRepetitionRolling(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                              textCol: String): org.apache.spark.sql.DataFrame = {
+    val ns = Seq(2, 3, 4, 5, 10)
+    val base = docs
+      .select(col(idCol), length(col(textCol)).as("n_chars"), words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("hs", expr(s"transform(ws, x -> ${hash32Sql("x")})"))
+      .withColumn("ls", expr("transform(ws, x -> CAST(length(x) AS BIGINT))"))
+    val perN = ns.map { n =>
+      base.select(col(idCol), col("n_chars"),
+        explode(zip_with(
+          rollingWindows(col("hs"), n),
+          rollingWindows(col("ls"), n, (1L, 2147483647L)),
+          (fp, s) => struct(fp.as("fp"), (s + lit(n - 1).cast(LongType)).as("gl"))))
+          .as("w"))
+        .select(col(idCol), col("n_chars"), lit(n).as("n"),
+          col("w.fp").as("fp"), col("w.gl").as("gl"))
+    }.reduce(_ union _)
+    val counts = perN
+      .groupBy(col(idCol), col("n_chars"), col("n"), col("fp"), col("gl"))
+      .agg(count(lit(1)).as("c"))
+    gopherPanel(counts, idCol, col("fp"))
+  }
+
+  /** Shared Gopher-panel tail: per-(doc, n) top/duplicate character
+    * totals → 5-value pivot → fractions + integer-exact verdict. `counts`
+    * = (idCol, n_chars, n, <key cols>, c, gl); `tie` breaks equal-cl top
+    * grams deterministically (equal cl ⇒ identical emitted fraction, so
+    * the tie column never changes the output values). */
+  private def gopherPanel(counts: org.apache.spark.sql.DataFrame, idCol: String,
+                          tie: Column): org.apache.spark.sql.DataFrame = {
+    val ns = Seq(2, 3, 4, 5, 10)
     val perN = counts
       .groupBy(col(idCol), col("n_chars"), col("n"))
-      .agg(max(struct((col("c") * col("gl")).as("cl"), col("gram").as("g"))).as("top"),
+      .agg(max(struct((col("c") * col("gl")).as("cl"), tie.as("t"))).as("top"),
         sum(when(col("c") >= 2, (col("c") - 1) * col("gl")).otherwise(lit(0L))).as("dupch"))
       .select(col(idCol), col("n_chars"), col("n"),
         col("top.cl").as("cl"), col("dupch"))

@@ -39,8 +39,11 @@ case class RollingWindows(child: Expression, k: Int, base: Long, mod: Long)
     extends UnaryExpression {
 
   require(k >= 1, s"graft_rolling_windows: window size must be >= 1, got $k")
-  require(base > 1 && mod > 1 && mod <= Int.MaxValue.toLong,
-    s"graft_rolling_windows: need base > 1 and 1 < mod < 2^31, got ($base, $mod)")
+  // base = 1 is the degenerate-but-useful lattice: window fingerprints
+  // collapse to rolling window SUMS (mod m) — one pass for "sum of
+  // element values per k-window" (e.g. window character lengths)
+  require(base >= 1 && mod > 1 && mod <= Int.MaxValue.toLong,
+    s"graft_rolling_windows: need base >= 1 and 1 < mod < 2^31, got ($base, $mod)")
   require(base < mod, s"graft_rolling_windows: base ($base) must be < mod ($mod)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

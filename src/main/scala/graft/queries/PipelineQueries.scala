@@ -2554,6 +2554,51 @@ object PipelineQueries {
       |    AND dup5 * 20 <= nc * 3 AND dup10 * 10 <= nc) AS keep
       |FROM tp JOIN dp ON dp.doc_id = tp.doc_id ORDER BY tp.doc_id""".stripMargin)
 
+  /** z37b: the Gopher panel on ROLLING gram fingerprints — z37's
+    * production rung (the x18→x18b pattern): gram identity = Rabin–Karp
+    * over the word-hash window, gram length = a rolling window SUM
+    * (base=1 lattice) of word lengths + separators, so the (doc, n, key)
+    * shuffle carries two longs instead of the gram string (the measured
+    * dominant constant at the 10× soak). Identical fractions and verdict
+    * — equal-cl ties don't affect emitted values, and the oracle replays
+    * the same fingerprints bit-for-bit. */
+  private val z37bGopherRolling = Q(
+    (s, d) => TextAnalysis.gopherRepetitionRolling(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id"),
+    s"""WITH dws AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+       |    string_split(text, ' ') AS ws
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+       |h AS (SELECT doc_id, nc, ws,
+       |    list_transform(ws, x -> ${h32Sql("x")}) AS hs FROM dws),
+       |g0 AS (SELECT doc_id, nc, n, ws, hs,
+       |    unnest(generate_series(1, len(ws) - n + 1)) AS i
+       |  FROM h CROSS JOIN (VALUES (2), (3), (4), (5), (10)) t(n)
+       |  WHERE len(ws) >= n),
+       |g AS (SELECT doc_id, nc, n,
+       |    list_reduce(hs[i:i+n-1], (acc, x) -> (acc * 257 + x) % 2147483647) AS fp,
+       |    CAST(length(array_to_string(ws[i:i+n-1], ' ')) AS BIGINT) AS gl
+       |  FROM g0),
+       |cnt AS (SELECT doc_id, nc, n, fp, gl, COUNT(*) AS c
+       |  FROM g GROUP BY 1, 2, 3, 4, 5),
+       |grk AS (SELECT doc_id, nc, n, c * gl AS cl, ROW_NUMBER() OVER (
+       |      PARTITION BY doc_id, n ORDER BY c * gl DESC, fp DESC) AS rn
+       |  FROM cnt),
+       |gtp AS (SELECT doc_id, ANY_VALUE(nc) AS nc,
+       |    COALESCE(MAX(CASE WHEN n = 2 THEN cl END), 0) AS cl2,
+       |    COALESCE(MAX(CASE WHEN n = 3 THEN cl END), 0) AS cl3,
+       |    COALESCE(MAX(CASE WHEN n = 4 THEN cl END), 0) AS cl4
+       |  FROM grk WHERE rn = 1 GROUP BY 1),
+       |gdp AS (SELECT doc_id,
+       |    CAST(COALESCE(SUM(CASE WHEN n = 5 AND c >= 2 THEN (c - 1) * gl END), 0) AS BIGINT) AS dup5,
+       |    CAST(COALESCE(SUM(CASE WHEN n = 10 AND c >= 2 THEN (c - 1) * gl END), 0) AS BIGINT) AS dup10
+       |  FROM cnt GROUP BY 1)
+       |SELECT gtp.doc_id,
+       |  cl2 / nc AS top2_frac, cl3 / nc AS top3_frac, cl4 / nc AS top4_frac,
+       |  dup5 / nc AS dup5_frac, dup10 / nc AS dup10_frac,
+       |  (cl2 * 5 <= nc AND cl3 * 50 <= nc * 9 AND cl4 * 25 <= nc * 4
+       |    AND dup5 * 20 <= nc * 3 AND dup10 * 10 <= nc) AS keep
+       |FROM gtp JOIN gdp ON gdp.doc_id = gtp.doc_id ORDER BY gtp.doc_id""".stripMargin)
+
   /** x9: the operators composed as a real curation pass — exact dedup
     * (keep-first survivors) → token counting → deterministic split →
     * per-(split, lang) corpus stats. One dedup shuffle + one id semi-join
@@ -3128,13 +3173,19 @@ object PipelineQueries {
     * DECIMAL(12,6), integer c scales exactly, shuffle-order-independent)
     * with one double division at the output boundary. One in-scan char
     * explode + a combinable (doc, char) count; the char alphabet bounds
-    * the aggregate at ≤ |alphabet| rows per doc. */
+    * the aggregate at ≤ |alphabet| rows per doc. The char stream rides
+    * the native `graft_rolling_windows` at k=1 — window fingerprints of
+    * width 1 ARE the byte codes (every byte < the modulus), one codegen'd
+    * pass emitting a primitive long array; the substring-per-character
+    * HOF form measured 12.8 s vs 3.9 s at the 5k-doc soak (one
+    * UTF8String allocation per character was the whole difference).
+    * ASCII corpus ⇒ byte code ↔ character bijection, so entropy over
+    * codes equals entropy over characters. */
   private val z39CharEntropy = Q(
     (s, d) => {
       val chars = Tables.documents(s, d)
         .select(col("doc_id"), length(col("text")).as("n_chars"),
-          explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))"))
-            .as("ch"))
+          explode(TextAnalysis.rollingWindows(col("text"), 1)).as("ch"))
       chars.groupBy("doc_id", "n_chars", "ch")
         .agg(count(lit(1)).as("c"))
         .withColumn("term",
@@ -3149,7 +3200,8 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
     """WITH ch AS (SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
-      |    unnest(regexp_extract_all(text, '.')) AS ch
+      |    unnest(list_transform(regexp_extract_all(text, '.'),
+      |      c -> CAST(ascii(c) AS BIGINT))) AS ch
       |  FROM documents),
       |cnt AS (SELECT doc_id, n_chars, ch, COUNT(*) AS c
       |  FROM ch GROUP BY 1, 2, 3),
@@ -4385,6 +4437,7 @@ object PipelineQueries {
     "z16_quality_deciles" -> z16QualityDeciles,
     "z36_perplexity_buckets" -> z36PerplexityBuckets,
     "z37_gopher_repetition" -> z37GopherRepetition,
+    "z37b_gopher_rolling" -> z37bGopherRolling,
     "z38_kneser_ney" -> z38KneserNey,
     "z39_char_entropy" -> z39CharEntropy,
     "x32_curation_v5" -> x32CurationV5,

@@ -683,6 +683,20 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("gopherRepetitionRolling matches the exact-gram panel row-for-row") {
+    val unique30b = (1 to 30).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, "a b a b a b"), (2L, unique30b), (3L, "m m m m m m m m m m m m"),
+      (4L, "x y")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "top2_frac", "top3_frac", "top4_frac",
+          "dup5_frac", "dup10_frac", "keep")
+        .as[(Long, Double, Double, Double, Double, Double, Boolean)]
+        .collect().sortBy(_._1).toSeq
+    assert(rows(TextAnalysis.gopherRepetitionRolling(docs, "doc_id", "text"))
+      === rows(TextAnalysis.gopherRepetition(docs, "doc_id", "text")))
+  }
+
   test("spanDupStats rolling rung matches the md5 rung row-for-row") {
     // same docs as the md5 test: the fingerprint SPACE differs (31-bit
     // Rabin–Karp vs md5 string) but span identity — and therefore every
