@@ -643,8 +643,48 @@ object MetricQueries {
       |    - 1 AS BIGINT) AS dof
       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin)
 
+  /** a22: winsorized mean — the robust-mean report data-quality panels
+    * pair with a15's z-score outliers: clamp each value to its group's
+    * exact [p5, p95] (a6's percentile ≡ quantile_cont equivalence, 4-dp
+    * snapshot so both engines clamp at the identical cutoff), then the
+    * raw vs winsorized means side by side. Means ride exact DECIMAL(18,6)
+    * snapshots of the doubles (engine-stable at scale 6) with one IEEE
+    * division at the boundary. Two passes — the quantile aggregate (a
+    * |group|-sized relation, broadcast back like a15's moments) and the
+    * clamped re-aggregate; both map-side combinable. */
+  private val a22WinsorizedMean = Q(
+    (s, d) => {
+      val e = Tables.events(s, d)
+      val qs = e.groupBy("event_type")
+        .agg(expr("percentile(value, array(0.05, 0.95))").as("qs"))
+        .select(col("event_type"),
+          stat4(col("qs").getItem(0)).as("qlo"),
+          stat4(col("qs").getItem(1)).as("qhi"))
+      e.join(broadcast(qs), Seq("event_type"))
+        .withColumn("wv", least(greatest(col("value"), col("qlo")), col("qhi")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("wv").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            .as("winsor_mean"),
+          (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+            .as("raw_mean"))
+        .orderBy("event_type")
+    },
+    """WITH q AS (SELECT event_type,
+      |    ROUND(CAST(quantile_cont(value, 0.05) AS DOUBLE), 4) AS qlo,
+      |    ROUND(CAST(quantile_cont(value, 0.95) AS DOUBLE), 4) AS qhi
+      |  FROM events GROUP BY 1),
+      |w AS (SELECT e.event_type, value,
+      |    least(greatest(value, qlo), qhi) AS wv
+      |  FROM events e JOIN q USING (event_type))
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS winsor_mean,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS raw_mean
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "a5_corr_groups" -> a5CorrGroups,
+    "a22_winsorized_mean" -> a22WinsorizedMean,
     "a20_welch_ttest" -> a20WelchTtest,
     "a21_chi2_langmix" -> a21Chi2LangMix,
     "a18_logistic_irls" -> a18LogisticIrls,

@@ -326,6 +326,32 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert("\\(\\d+\\) Exchange".r.findAllIn(a14).size <= 2, "a14 grew shuffles")
   }
 
+  test("z37/z37b/z38/x32: round-6 text gates keep bounded shapes") {
+    // the Gopher panels are explode → combinable aggregates → pivot:
+    // no joins over raw gram/fingerprint rows at all
+    for (q <- Seq("z37_gopher_repetition", "z37b_gopher_rolling")) {
+      val p = formatted(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q grew a non-equi join")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+        && !p.contains("BroadcastHashJoin"),
+        s"$q must be pure aggregation — a join appeared")
+    }
+    // z38: KN count tables are unhinted equi-joins (z17's rule); the only
+    // nested-loop is the one-row distinct-bigram total attach
+    val z38 = formatted("z38_kneser_ney")
+    assert(!z38.contains("CartesianProduct"), "z38 grew a real cartesian")
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(z38).size <= 1,
+      "z38: only the 1-row total may nest-loop")
+    // x32: the banding must ride the two-pass groupedNtile, never a
+    // per-language single-task ntile window
+    val x32 = formatted("x32_curation_v5")
+    assert(!x32.contains("ntile("),
+      "x32 regressed to a single-task per-language ntile window")
+    assert(x32.contains("__pid"), "the bounded-task numbering key left x32")
+    assert(!x32.contains("CartesianProduct"), "x32 grew a cartesian")
+  }
+
   test("x15/z17/w12: composed pipelines keep their bounded join shapes") {
     val x15 = formatted("x15_semantic_dedup")
     assert(!x15.contains("CartesianProduct") && !x15.contains("BroadcastNestedLoopJoin"),
