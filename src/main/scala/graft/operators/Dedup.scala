@@ -763,10 +763,11 @@ object Dedup {
     * no forced hint, the corpus side never re-shuffles for a growing
     * benchmark). */
   def spanDecontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
-                        textCol: String, k: Int): DataFrame = {
+                        textCol: String, k: Int,
+                        rolling: Boolean = false): DataFrame = {
     require(k >= 1, s"span width must be positive, got $k")
-    val corpusFp = spanFingerprints(corpus, idCol, textCol, k)
-    val benchFp = spanFingerprints(bench, idCol, textCol, k)
+    val corpusFp = spanFingerprints(corpus, idCol, textCol, k, rolling)
+    val benchFp = spanFingerprints(bench, idCol, textCol, k, rolling)
       .select(col("fp")).distinct().withColumn("__hit", lit(1))
     corpusFp.join(benchFp, Seq("fp"), "left")
       .groupBy(col(idCol))

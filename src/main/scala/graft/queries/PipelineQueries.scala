@@ -3851,6 +3851,38 @@ object PipelineQueries {
       |SELECT doc_id, n_windows, n_contam, n_contam / n_windows AS contam_frac
       |FROM agg ORDER BY doc_id""".stripMargin)
 
+  /** x19b: span decontamination on the ROLLING fingerprint — completes
+    * the rolling family (x18b spans, m5b payloads, z37b grams): one md5
+    * per word + O(1) slides on BOTH the corpus and benchmark sides, so
+    * the fp-keyed verdict join carries longs, not md5 strings. Same
+    * contamination semantics; oracle replays the identical Horner folds. */
+  private val x19bSpanDeconRolling = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.spanDecontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", k = 8, rolling = true)
+        .orderBy("doc_id")
+    },
+    s"""WITH hs AS (SELECT doc_id,
+       |    list_transform(string_split(text, ' '), x -> ${h32Sql("x")}) AS hs
+       |  FROM documents),
+       |win AS (
+       |  SELECT doc_id,
+       |    list_reduce(hs[i:i+7], (acc, h) -> (acc * 257 + h) % 2147483647) AS fp
+       |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 7)) AS i
+       |        FROM hs WHERE len(hs) >= 8)),
+       |pd AS (SELECT doc_id, fp, COUNT(*) AS c FROM win
+       |       WHERE doc_id % 97 <> 0 GROUP BY 1, 2),
+       |bench AS (SELECT DISTINCT fp FROM win WHERE doc_id % 97 = 0),
+       |agg AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_windows,
+       |    CAST(SUM(CASE WHEN b.fp IS NOT NULL THEN c ELSE 0 END) AS BIGINT) AS n_contam
+       |  FROM pd LEFT JOIN bench b ON pd.fp = b.fp GROUP BY 1)
+       |SELECT doc_id, n_windows, n_contam, n_contam / n_windows AS contam_frac
+       |FROM agg ORDER BY doc_id""".stripMargin)
+
   /** Shared z21/x21 stage: DSIR-shaped per-document importance frame
     * (doc_id, source, llr_dec, kept) — data selection by unigram
     * log-likelihood ratio between a target domain (source src0 as the
@@ -4409,6 +4441,7 @@ object PipelineQueries {
     "x18b_span_rolling" -> x18bSpanRolling,
     "x22_top_spans" -> x22TopSpans,
     "x19_span_decontaminate" -> x19SpanDecontaminate,
+    "x19b_span_decon_rolling" -> x19bSpanDeconRolling,
     "z23_backoff_lm" -> z23BackoffLm,
     "z24_source_overlap" -> z24SourceOverlap,
     "z21_dsir_sample" -> z21DsirSample,
