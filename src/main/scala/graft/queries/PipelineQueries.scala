@@ -2599,6 +2599,45 @@ object PipelineQueries {
        |    AND dup5 * 20 <= nc * 3 AND dup10 * 10 <= nc) AS keep
        |FROM gtp JOIN gdp ON gdp.doc_id = gtp.doc_id ORDER BY gtp.doc_id""".stripMargin)
 
+  /** z40: Zipf rank-frequency fit — the corpus-health diagnostic beside
+    * z13's heavy hitters: OLS slope of ln(freq) on ln(rank) over the
+    * top-200 vocabulary (natural text ≈ −1; a slope near 0 means
+    * synthetic/templated text, a cliff means boilerplate domination).
+    * Scale: term counts are the map-side-combinable vocab aggregate; the
+    * top-200 plans as TakeOrdered (never a vocab sort on one task) and
+    * the rank window runs over ≤ 200 rows. ln snapshots at DECIMAL(12,6)
+    * so both engines regress on IDENTICAL (x, y); the fit reuses a11's
+    * olsAggs (covar/var closed form, 4-dp snapshot). */
+  private val z40ZipfFit = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n_w"))
+      val top = cnt.orderBy(col("n_w").desc, col("term")).limit(200)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("n_w").desc, col("term"))))
+      val xy = top.select(
+        log(col("rnk").cast("double")).cast("decimal(12,6)").cast("double").as("x"),
+        log(col("n_w").cast("double")).cast("decimal(12,6)").cast("double").as("y"))
+      val aggs = Relational.olsAggs(col("x"), col("y")) :+
+        count(lit(1)).cast("int").as("n_terms")
+      xy.agg(aggs.head, aggs.tail: _*)
+    },
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |c AS (SELECT term, COUNT(*) AS n_w FROM w GROUP BY 1),
+      |top AS (SELECT term, n_w, ROW_NUMBER() OVER (ORDER BY n_w DESC, term) AS rnk
+      |  FROM c ORDER BY n_w DESC, term LIMIT 200),
+      |xy AS (SELECT
+      |    CAST(CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(12,6)) AS DOUBLE) AS x,
+      |    CAST(CAST(ln(CAST(n_w AS DOUBLE)) AS DECIMAL(12,6)) AS DOUBLE) AS y
+      |  FROM top)
+      |SELECT ROUND(CAST(covar_samp(x, y) / var_samp(x) AS DOUBLE), 4) AS slope,
+      |  ROUND(CAST(AVG(y) - (covar_samp(x, y) / var_samp(x)) * AVG(x) AS DOUBLE), 4) AS intercept,
+      |  ROUND(CAST(POW(corr(x, y), 2) AS DOUBLE), 4) AS r2,
+      |  CAST(COUNT(*) AS INT) AS n_terms
+      |FROM xy""".stripMargin)
+
   /** x9: the operators composed as a real curation pass — exact dedup
     * (keep-first survivors) → token counting → deterministic split →
     * per-(split, lang) corpus stats. One dedup shuffle + one id semi-join
@@ -4473,6 +4512,7 @@ object PipelineQueries {
     "z37b_gopher_rolling" -> z37bGopherRolling,
     "z38_kneser_ney" -> z38KneserNey,
     "z39_char_entropy" -> z39CharEntropy,
+    "z40_zipf_fit" -> z40ZipfFit,
     "x32_curation_v5" -> x32CurationV5,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
