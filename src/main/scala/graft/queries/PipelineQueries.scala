@@ -3116,8 +3116,10 @@ object PipelineQueries {
     * range shuffle is the banding's. */
   private val x32CurationV5 = Q(
     (s, d) => {
+      // all three gates run their PRODUCTION rungs: rolling Gopher panel
+      // (z37b), rolling span dedup (x18b), KN banding via groupedNtile
       val docs = Tables.documents(s, d)
-      val gop = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      val gop = TextAnalysis.gopherRepetitionRolling(docs, "doc_id", "text")
         .filter(col("keep")).select("doc_id")
       val span = Dedup.spanDupStats(docs, "doc_id", "text", k = 8, rolling = true)
         .filter(col("n_dup") * 2 <= col("n_windows")).select("doc_id")
@@ -3141,16 +3143,20 @@ object PipelineQueries {
     s"""WITH dws AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
        |    string_split(text, ' ') AS ws
        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
-       |gg0 AS (SELECT doc_id, nc, n, ws,
+       |gh AS (SELECT doc_id, nc, ws,
+       |    list_transform(ws, x -> ${h32Sql("x")}) AS hs FROM dws),
+       |gg0 AS (SELECT doc_id, nc, n, ws, hs,
        |    unnest(generate_series(1, len(ws) - n + 1)) AS i
-       |  FROM dws CROSS JOIN (VALUES (2), (3), (4), (5), (10)) t(n)
+       |  FROM gh CROSS JOIN (VALUES (2), (3), (4), (5), (10)) t(n)
        |  WHERE len(ws) >= n),
-       |gg AS (SELECT doc_id, nc, n, array_to_string(ws[i:i+n-1], ' ') AS gram FROM gg0),
-       |gcnt AS (SELECT doc_id, nc, n, gram, COUNT(*) AS c,
-       |    CAST(length(gram) AS BIGINT) AS gl
-       |  FROM gg GROUP BY 1, 2, 3, 4, length(gram)),
+       |gg AS (SELECT doc_id, nc, n,
+       |    list_reduce(hs[i:i+n-1], (acc, x) -> (acc * 257 + x) % 2147483647) AS fp,
+       |    CAST(length(array_to_string(ws[i:i+n-1], ' ')) AS BIGINT) AS gl
+       |  FROM gg0),
+       |gcnt AS (SELECT doc_id, nc, n, fp, gl, COUNT(*) AS c
+       |  FROM gg GROUP BY 1, 2, 3, 4, 5),
        |grk AS (SELECT doc_id, nc, n, c * gl AS cl, ROW_NUMBER() OVER (
-       |      PARTITION BY doc_id, n ORDER BY c * gl DESC, gram DESC) AS rn
+       |      PARTITION BY doc_id, n ORDER BY c * gl DESC, fp DESC) AS rn
        |  FROM gcnt),
        |gtp AS (SELECT doc_id, ANY_VALUE(nc) AS nc,
        |    COALESCE(MAX(CASE WHEN n = 2 THEN cl END), 0) AS cl2,
