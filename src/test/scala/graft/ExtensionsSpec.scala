@@ -159,6 +159,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(nul === 4L)
   }
 
+  test("RollingWindows rolling update == direct Horner on random inputs (scalacheck)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // exercises the subtract-lead/multiply/add slide (the only nontrivial
+    // arithmetic) directly on the static helper — no Spark job per case
+    val latticeGen = Gen.oneOf((257L, 2147483647L), (263L, 2147483629L),
+      (1L, 2147483647L)) // base=1: rolling window SUMS
+    val valsGen = Gen.listOf(Gen.chooseNum(0L, 4294967295L)) // word-hash range
+    val kGen = Gen.chooseNum(1, 12)
+    val prop = Prop.forAll(valsGen, kGen, latticeGen) { case (vs, k, (b, m)) =>
+      val got = graft.plans.RollingWindows
+        .overLongs(new GenericArrayData(vs.toArray), k, b, m, intElements = false)
+        .toLongArray().toSeq
+      def horner(w: Seq[Long]) = w.foldLeft(0L)((acc, x) => (acc * b + x % m) % m)
+      val want =
+        if (vs.length < k) Seq.empty[Long]
+        else (0 to vs.length - k).map(i => horner(vs.slice(i, i + k)))
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("graft_cms_estimate reads back Spark's count_min_sketch exactly on a small vocab") {
     // 26 distinct terms, known counts: term i appears i+1 times. A sketch
     // with width 2000 over 26 keys is collision-free, so the CMS upper
