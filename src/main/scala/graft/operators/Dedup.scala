@@ -732,7 +732,16 @@ object Dedup {
     * then Rabin–Karp O(1) slides through the native
     * `graft_rolling_windows` expression — O(n) total, the production
     * shape for wide spans; its residues are also engine-exact, via
-    * per-window Horner folds in the oracle). */
+    * per-window Horner folds in the oracle).
+    *
+    * The rolling fingerprint is a 62-BIT identity — TWO coprime lattices
+    * (RollingA, RollingB) over the same word-hash stream, packed as
+    * hi·2³¹ + lo (the m5b simhash64 convention). The span verdicts
+    * compare fingerprints CORPUS-WIDE (dup = corpus total ≥ 2, decon =
+    * benchmark match), so a single 31-bit lattice's birthday collisions
+    * (n²/2³² — saturated at the 10⁹-doc scale these rungs target) would
+    * inflate n_dup/n_contam; at 62 bits the collision expectation stays
+    * ≪ 1 per 10⁹·100-word corpus. */
   private def spanFingerprints(docs: DataFrame, idCol: String, textCol: String,
                                k: Int, rolling: Boolean = false): DataFrame = {
     val words = docs
@@ -740,9 +749,13 @@ object Dedup {
       .filter(size(col("w")) >= k)
     val fps =
       if (rolling)
-        words.select(col(idCol), explode(graft.operators.TextAnalysis.rollingWindows(
-          expr(s"transform(w, x -> ${graft.operators.TextAnalysis.hash32Sql("x")})"), k))
-          .as("fp"))
+        words
+          .withColumn("hs",
+            expr(s"transform(w, x -> ${TextAnalysis.hash32Sql("x")})"))
+          .select(col(idCol), explode(zip_with(
+            TextAnalysis.rollingWindows(col("hs"), k, TextAnalysis.RollingA),
+            TextAnalysis.rollingWindows(col("hs"), k, TextAnalysis.RollingB),
+            (hi, lo) => hi * lit(2147483648L) + lo)).as("fp"))
       else
         words.select(col(idCol), explode(expr(
           s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))

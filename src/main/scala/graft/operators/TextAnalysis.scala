@@ -191,8 +191,10 @@ object TextAnalysis {
     * Table A1's repetition-rule family) — the standard production
     * keep/drop gate z10's single ratio summarizes: per document,
     *  - top-n-gram character fraction for n ∈ {2,3,4}: characters covered
-    *    by ALL occurrences of the single most frequent n-gram / doc chars
-    *    (ties break by larger gram string — pinned in both engines);
+    *    by ALL occurrences of the single most frequent n-gram / doc chars.
+    *    Ranking is BY OCCURRENCE COUNT first (Rae et al. Table A1 ranks
+    *    by frequency), equal counts break toward the larger character
+    *    coverage then the larger gram string — pinned in both engines;
     *  - duplicate-n-gram character fraction for n ∈ {5,10}: characters
     *    that would disappear if every repeat beyond the first occurrence
     *    of each duplicated n-gram were deleted, i.e. Σ (c−1)·len(gram) /
@@ -240,8 +242,8 @@ object TextAnalysis {
     * string shuffle was the dominant constant). Same fractions and
     * verdict modulo fingerprint collisions (astronomically rare; the
     * oracle replays the identical fingerprints, so the gate is exact) and
-    * top-gram TIE-BREAK (by fp instead of gram — ties have equal cl, so
-    * every emitted fraction is identical either way; spec-gated). */
+    * top-gram TIE-BREAK (by fp instead of gram — after (count, coverage)
+    * ties, the emitted fraction is identical either way; spec-gated). */
   def gopherRepetitionRolling(docs: org.apache.spark.sql.DataFrame, idCol: String,
                               textCol: String): org.apache.spark.sql.DataFrame = {
     val ns = Seq(2, 3, 4, 5, 10)
@@ -268,15 +270,18 @@ object TextAnalysis {
 
   /** Shared Gopher-panel tail: per-(doc, n) top/duplicate character
     * totals → 5-value pivot → fractions + integer-exact verdict. `counts`
-    * = (idCol, n_chars, n, <key cols>, c, gl); `tie` breaks equal-cl top
-    * grams deterministically (equal cl ⇒ identical emitted fraction, so
-    * the tie column never changes the output values). */
+    * = (idCol, n_chars, n, <key cols>, c, gl). The top gram ranks by
+    * OCCURRENCE COUNT first (the published rule's "most frequent
+    * n-gram"), then by character coverage c·gl, then `tie` — the tie
+    * column only decides between grams with identical (c, cl), whose
+    * emitted fraction is identical, so it never changes output values. */
   private def gopherPanel(counts: org.apache.spark.sql.DataFrame, idCol: String,
                           tie: Column): org.apache.spark.sql.DataFrame = {
     val ns = Seq(2, 3, 4, 5, 10)
     val perN = counts
       .groupBy(col(idCol), col("n_chars"), col("n"))
-      .agg(max(struct((col("c") * col("gl")).as("cl"), tie.as("t"))).as("top"),
+      .agg(max(struct(col("c").as("c"),
+          (col("c") * col("gl")).as("cl"), tie.as("t"))).as("top"),
         sum(when(col("c") >= 2, (col("c") - 1) * col("gl")).otherwise(lit(0L))).as("dupch"))
       .select(col(idCol), col("n_chars"), col("n"),
         col("top.cl").as("cl"), col("dupch"))

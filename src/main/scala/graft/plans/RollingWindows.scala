@@ -32,6 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * effective bits. Empty/short inputs yield an EMPTY array (no windows),
   * null input yields null, and a null ARRAY ELEMENT contributes 0 (the
   * md5-hash streams this consumes are never-null by construction).
+  * NEGATIVE array elements are normalized into [0, mod) — Java's % would
+  * otherwise leak a negative residue into the subtract-lead slide — so
+  * the rolling form stays congruent with an independent mathematical-mod
+  * per-window Horner fold for arbitrary bigint inputs (all current
+  * callers feed non-negative md5/byte streams, where % and mod agree).
   *
   * k, base, mod arrive as literals: they size nothing dynamically but are
   * plan-shape constants the oracle rendering must agree on. */
@@ -112,10 +117,15 @@ object RollingWindows {
   private def roll(n: Int, v: Int => Long, k: Int, base: Long,
                    mod: Long): ArrayData = {
     if (n < k) return new GenericArrayData(Array.empty[Long])
+    // Java % of a negative element would yield a negative residue and
+    // break the fp ∈ [0, mod) invariant the subtract-lead slide (and the
+    // oracle's independent Horner folds) assume — normalize every element
+    // into [0, mod) so arbitrary bigint inputs are congruence-safe
+    def vm(i: Int): Long = { val r = v(i) % mod; if (r < 0) r + mod else r }
     val out = new Array[Long](n - k + 1)
     var fp = 0L
     var i = 0
-    while (i < k) { fp = (fp * base + v(i) % mod) % mod; i += 1 }
+    while (i < k) { fp = (fp * base + vm(i)) % mod; i += 1 }
     out(0) = fp
     var lead = 1L
     i = 1
@@ -124,7 +134,7 @@ object RollingWindows {
     while (i < n) {
       // every factor < mod < 2^31 keeps products < 2^62: no overflow in
       // either engine's 64-bit lane
-      fp = ((fp - (v(i - k) % mod) * lead % mod + mod) % mod * base + v(i) % mod) % mod
+      fp = ((fp - vm(i - k) * lead % mod + mod) % mod * base + vm(i)) % mod
       out(i - k + 1) = fp
       i += 1
     }

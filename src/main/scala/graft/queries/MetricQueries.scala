@@ -647,9 +647,12 @@ object MetricQueries {
     * pair with a15's z-score outliers: clamp each value to its group's
     * exact [p5, p95] (a6's percentile ≡ quantile_cont equivalence, 4-dp
     * snapshot so both engines clamp at the identical cutoff), then the
-    * raw vs winsorized means side by side. Means ride exact DECIMAL(18,6)
-    * snapshots of the doubles (engine-stable at scale 6) with one IEEE
-    * division at the boundary. Two passes — the quantile aggregate (a
+    * raw vs winsorized means side by side. Means ride exact DECIMAL(28,6)
+    * snapshots of the doubles (engine-stable at scale 6, and wide enough
+    * that a |value| up to 1e22 can't overflow the cast to a silent NULL
+    * that sum() would skip — the a20 sum-of-squares widening discipline)
+    * with one IEEE division at the boundary. Two passes — the quantile
+    * aggregate (a
     * |group|-sized relation, broadcast back like a15's moments) and the
     * clamped re-aggregate; both map-side combinable. */
   private val a22WinsorizedMean = Q(
@@ -664,9 +667,9 @@ object MetricQueries {
         .withColumn("wv", least(greatest(col("value"), col("qlo")), col("qhi")))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          (sum(col("wv").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          (sum(col("wv").cast("decimal(28,6)")).cast("double") / count(lit(1)))
             .as("winsor_mean"),
-          (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          (sum(col("value").cast("decimal(28,6)")).cast("double") / count(lit(1)))
             .as("raw_mean"))
         .orderBy("event_type")
     },
@@ -678,8 +681,8 @@ object MetricQueries {
       |    least(greatest(value, qlo), qhi) AS wv
       |  FROM events e JOIN q USING (event_type))
       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-      |  CAST(SUM(CAST(wv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS winsor_mean,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS raw_mean
+      |  CAST(SUM(CAST(wv AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS winsor_mean,
+      |  CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS raw_mean
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
 
   val all: Map[String, Q] = Map(

@@ -2532,7 +2532,7 @@ object PipelineQueries {
       |  FROM g GROUP BY 1, 2, 3, 4, length(gram)),
       |rk AS (SELECT doc_id, nc, n, c * gl AS cl,
       |    ROW_NUMBER() OVER (PARTITION BY doc_id, n
-      |      ORDER BY c * gl DESC, gram DESC) AS rn
+      |      ORDER BY c DESC, c * gl DESC, gram DESC) AS rn
       |  FROM cnt),
       |top AS (SELECT doc_id, nc, n, cl FROM rk WHERE rn = 1),
       |dup AS (SELECT doc_id, n,
@@ -2581,7 +2581,7 @@ object PipelineQueries {
        |cnt AS (SELECT doc_id, nc, n, fp, gl, COUNT(*) AS c
        |  FROM g GROUP BY 1, 2, 3, 4, 5),
        |grk AS (SELECT doc_id, nc, n, c * gl AS cl, ROW_NUMBER() OVER (
-       |      PARTITION BY doc_id, n ORDER BY c * gl DESC, fp DESC) AS rn
+       |      PARTITION BY doc_id, n ORDER BY c DESC, c * gl DESC, fp DESC) AS rn
        |  FROM cnt),
        |gtp AS (SELECT doc_id, ANY_VALUE(nc) AS nc,
        |    COALESCE(MAX(CASE WHEN n = 2 THEN cl END), 0) AS cl2,
@@ -3156,7 +3156,7 @@ object PipelineQueries {
        |gcnt AS (SELECT doc_id, nc, n, fp, gl, COUNT(*) AS c
        |  FROM gg GROUP BY 1, 2, 3, 4, 5),
        |grk AS (SELECT doc_id, nc, n, c * gl AS cl, ROW_NUMBER() OVER (
-       |      PARTITION BY doc_id, n ORDER BY c * gl DESC, fp DESC) AS rn
+       |      PARTITION BY doc_id, n ORDER BY c DESC, c * gl DESC, fp DESC) AS rn
        |  FROM gcnt),
        |gtp AS (SELECT doc_id, ANY_VALUE(nc) AS nc,
        |    COALESCE(MAX(CASE WHEN n = 2 THEN cl END), 0) AS cl2,
@@ -3174,7 +3174,8 @@ object PipelineQueries {
        |    list_transform(string_split(text, ' '), x -> ${h32Sql("x")}) AS hs
        |  FROM documents),
        |swin AS (SELECT doc_id,
-       |    list_reduce(hs[i:i+7], (acc, h) -> (acc * 257 + h) % 2147483647) AS fp
+       |    list_reduce(hs[i:i+7], (acc, h) -> (acc * 257 + h) % 2147483647) * 2147483648
+       |      + list_reduce(hs[i:i+7], (acc, h) -> (acc * 263 + h) % 2147483629) AS fp
        |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 7)) AS i
        |        FROM shs WHERE len(hs) >= 8)),
        |spd AS (SELECT doc_id, fp, COUNT(*) AS c FROM swin GROUP BY 1, 2),
@@ -3406,21 +3407,25 @@ object PipelineQueries {
     * per-window md5 constant dominates exactly as m5's soak measured on
     * byte windows). Same dup semantics, same aggregate-only scale shape;
     * the oracle replays the word-hash stream and folds each window's
-    * Horner polynomial independently (congruent to the rolling form, so
-    * residues match bit-for-bit). x18 stays declared as the md5-anchored
-    * variant. */
+    * Horner polynomial independently on BOTH lattices (congruent to the
+    * rolling form, so residues match bit-for-bit), packing hi·2³¹ + lo
+    * into the 62-bit span identity that keeps corpus-wide fingerprint
+    * comparison collision-safe at the 10⁹-doc scale. x18 stays declared
+    * as the md5-anchored variant. */
   private val x18bSpanRolling = Q(
     (s, d) => Dedup.spanDupStats(Tables.documents(s, d), "doc_id", "text",
         k = 8, rolling = true)
       .orderBy("doc_id"),
     {
-      val (b, m) = TextAnalysis.RollingA
+      val (ba, ma) = TextAnalysis.RollingA
+      val (bb, mb) = TextAnalysis.RollingB
       s"""WITH ws AS (SELECT doc_id,
          |    list_transform(string_split(text, ' '), x -> ${h32Sql("x")}) AS hs
          |  FROM documents),
          |win AS (
          |  SELECT doc_id,
-         |    list_reduce(hs[i:i+7], (acc, h) -> (acc * $b + h) % $m) AS fp
+         |    list_reduce(hs[i:i+7], (acc, h) -> (acc * $ba + h) % $ma) * 2147483648
+         |      + list_reduce(hs[i:i+7], (acc, h) -> (acc * $bb + h) % $mb) AS fp
          |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 7)) AS i
          |        FROM ws WHERE len(hs) >= 8)),
          |pd AS (SELECT doc_id, fp, COUNT(*) AS c FROM win GROUP BY 1, 2),
@@ -3900,7 +3905,9 @@ object PipelineQueries {
     * the rolling family (x18b spans, m5b payloads, z37b grams): one md5
     * per word + O(1) slides on BOTH the corpus and benchmark sides, so
     * the fp-keyed verdict join carries longs, not md5 strings. Same
-    * contamination semantics; oracle replays the identical Horner folds. */
+    * contamination semantics; the fingerprint is the dual-lattice 62-bit
+    * pack (hi·2³¹ + lo — see spanFingerprints), and the oracle replays
+    * both Horner folds identically. */
   private val x19bSpanDeconRolling = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
@@ -3915,7 +3922,8 @@ object PipelineQueries {
        |  FROM documents),
        |win AS (
        |  SELECT doc_id,
-       |    list_reduce(hs[i:i+7], (acc, h) -> (acc * 257 + h) % 2147483647) AS fp
+       |    list_reduce(hs[i:i+7], (acc, h) -> (acc * 257 + h) % 2147483647) * 2147483648
+       |      + list_reduce(hs[i:i+7], (acc, h) -> (acc * 263 + h) % 2147483629) AS fp
        |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 7)) AS i
        |        FROM hs WHERE len(hs) >= 8)),
        |pd AS (SELECT doc_id, fp, COUNT(*) AS c FROM win

@@ -166,13 +166,19 @@ class ExtensionsSpec extends SparkSpec {
     // arithmetic) directly on the static helper — no Spark job per case
     val latticeGen = Gen.oneOf((257L, 2147483647L), (263L, 2147483629L),
       (1L, 2147483647L)) // base=1: rolling window SUMS
-    val valsGen = Gen.listOf(Gen.chooseNum(0L, 4294967295L)) // word-hash range
+    // word-hash range PLUS negative values: the expression normalizes any
+    // bigint element into [0, mod), so the rolling slide must stay
+    // congruent with a mathematical-mod Horner fold even below zero
+    val valsGen = Gen.listOf(Gen.oneOf(
+      Gen.chooseNum(0L, 4294967295L),
+      Gen.chooseNum(Long.MinValue, Long.MaxValue)))
     val kGen = Gen.chooseNum(1, 12)
     val prop = Prop.forAll(valsGen, kGen, latticeGen) { case (vs, k, (b, m)) =>
       val got = graft.plans.RollingWindows
         .overLongs(new GenericArrayData(vs.toArray), k, b, m, intElements = false)
         .toLongArray().toSeq
-      def horner(w: Seq[Long]) = w.foldLeft(0L)((acc, x) => (acc * b + x % m) % m)
+      def pmod(x: Long) = { val r = x % m; if (r < 0) r + m else r }
+      def horner(w: Seq[Long]) = w.foldLeft(0L)((acc, x) => (acc * b + pmod(x)) % m)
       val want =
         if (vs.length < k) Seq.empty[Long]
         else (0 to vs.length - k).map(i => horner(vs.slice(i, i + k)))

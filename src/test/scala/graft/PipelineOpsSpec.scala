@@ -683,6 +683,20 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.contains(3L))
   }
 
+  test("gopherRepetition top gram ranks by occurrence count, not character coverage") {
+    // 2-grams: [a b]x3 (covers 9 chars) vs [xxxxx yyyyy]x2 (covers 22) —
+    // the published rule ranks by FREQUENCY, so the c=3 gram must win
+    // even though the longer c=2 gram covers more characters
+    val docs = Seq((1L, "a b a b a b xxxxx yyyyy xxxxx yyyyy"))
+      .toDF("doc_id", "text") // 35 chars
+    val top2 = TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .select("top2_frac").as[Double].collect().head
+    assert(top2 === 9.0 / 35, "most frequent 2-gram [a b]x3 covers 9 chars")
+    val top2r = TextAnalysis.gopherRepetitionRolling(docs, "doc_id", "text")
+      .select("top2_frac").as[Double].collect().head
+    assert(top2r === 9.0 / 35)
+  }
+
   test("gopherRepetitionRolling matches the exact-gram panel row-for-row") {
     val unique30b = (1 to 30).map(i => f"w$i%02d").mkString(" ")
     val docs = Seq(
