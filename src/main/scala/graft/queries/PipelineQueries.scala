@@ -3000,11 +3000,7 @@ object PipelineQueries {
     * aggregate, ONE definition so the conditional-probability model can
     * never drift between them. */
   private def bigramScored(docs: org.apache.spark.sql.DataFrame) = {
-    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
-      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val bg = bigramTokens(docs)
     val bcnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n_bg"))
     val pcnt = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
     bg.join(bcnt, Seq("prev", "cur"))
@@ -3048,17 +3044,23 @@ object PipelineQueries {
     * corpus) so every join is UNHINTED per the z17 rule; only the one-row
     * distinct-bigram total is hinted. Scoring is one explode + four
     * combinable aggregates + equi-joins keyed on words. */
+  /** Per-position bigram token stream (doc_id, prev, cur) — the shared
+    * first stage of every bigram-LM rung (z17/z38/z41): one in-scan
+    * explode, no shuffle. Docs under 2 words have no bigrams and are
+    * absent. */
+  private def bigramTokens(docs: org.apache.spark.sql.DataFrame) = docs
+    .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    .filter(size(col("ws")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
+    .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+
   /** Per-doc interpolated-KN bigram scores — shared by z38 (the declared
     * panel) and x32 (the v5 curation composition's perplexity gate).
     * Returns (doc_id, n_bigrams, avg_kn_logprob); docs under 2 words are
     * absent. Numerics and scale notes on z38. */
   private def knScored(docs: org.apache.spark.sql.DataFrame) = {
-    val bg = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
-      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val bg = bigramTokens(docs)
     val bcnt = bg.groupBy("prev", "cur").agg(count(lit(1)).as("n_bg"))
     val pcnt = bg.groupBy("prev").agg(count(lit(1)).as("n_prev"))
     val n1fwd = bcnt.groupBy("prev").agg(count(lit(1)).as("n1_fwd"))
@@ -3102,6 +3104,147 @@ object PipelineQueries {
       |  CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_kn_logprob
       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
+  /** The fitted KN bigram model is ONE table: the (prev, cur, n_bg)
+    * counts — every other statistic the interpolated-KN formula needs
+    * (c(w1·), N1+(w1·), N1+(·w2), N1+(··), |continuation vocab|) is an
+    * AGGREGATE of it, so persisting bcnt alone IS the model (exactly what
+    * count-based LM toolkits serialize). Built from the TRAIN split and
+    * written through the Store partitioned by a prev-hash shard (8-way —
+    * key-hash sharding is how a billion-row bigram table co-locates with
+    * its scorer join), then read back: the serve side never re-derives
+    * counts from training text. One build per (session, input dir) —
+    * y3d's cache-and-shutdown-hook discipline, same plan-only escape for
+    * the registry-wide plan sweeps. */
+  private val z41Built = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  private def knBigramCounts(docs: org.apache.spark.sql.DataFrame) =
+    bigramTokens(docs).groupBy("prev", "cur")
+      .agg(count(lit(1)).as("n_bg"))
+
+  private def knModelStored(s: SparkSession, d: String) =
+    z41Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"kn_model_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "part")
+      store.destroy()
+      store.append(knBigramCounts(
+          Tables.documents(s, d).filter(col("doc_id") % 2 === 0))
+        .withColumn("part", pmod(hash(col("prev")), lit(8))))
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      store.read.drop("part")
+    })
+
+  /** Score `docs` against a FITTED bigram count model (training text not
+    * required — the production shape of CCNet-style perplexity filtering,
+    * where the LM trains on a clean reference corpus and scores the
+    * crawl). Unlike [[knScored]]'s within-corpus inner joins, every model
+    * join is LEFT, so unseen events stay representable:
+    *   - unseen bigram, seen prev: the max(c−d,0) term is 0 and the
+    *     score is the backoff mass d·N1+(w1·)/c(w1·) times the
+    *     continuation probability — interpolated KN's own floor;
+    *   - unseen prev (no backoff mass defined): the continuation
+    *     probability alone;
+    *   - unseen cur: the continuation probability rides an add-one floor,
+    *     Pc(w2) = (N1+(·w2)+1)/(N1+(··)+V) — strictly positive for any
+    *     input token, so ln never sees 0.
+    * Numerics: same z38 discipline (d=0.75 dyadic, pinned IEEE tree, ln
+    * at DECIMAL(12,6), exact-decimal sums). Scale: model aggregates are
+    * model-sized and UNHINTED (z17 rule — a web-scale bigram table must
+    * not be forced to broadcast); the corpus pays one explode and three
+    * left equi-joins; only the one-row totals broadcast by hint. Emits
+    * n_unseen (bigrams absent from the model) beside the score — the
+    * coverage diagnostic a production filter monitors for domain drift. */
+  private def knHeldoutScored(model: org.apache.spark.sql.DataFrame,
+                              docs: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.types.LongType
+    val bg = bigramTokens(docs)
+    val pstats = model.groupBy("prev").agg(
+      sum(col("n_bg")).cast(LongType).as("n_prev"),
+      count(lit(1)).cast(LongType).as("n1_fwd"))
+    val n1bwd = model.groupBy("cur").agg(count(lit(1)).cast(LongType).as("n1_bwd"))
+    val nt = model.agg(count(lit(1)).cast(LongType).as("n1_tot"),
+      countDistinct(col("cur")).cast(LongType).as("v_cont"))
+    bg.join(model, Seq("prev", "cur"), "left")
+      .join(pstats, Seq("prev"), "left")
+      .join(n1bwd, Seq("cur"), "left")
+      .crossJoin(broadcast(nt))
+      .withColumn("pcont",
+        (coalesce(col("n1_bwd"), lit(0L)) + lit(1L)) / (col("n1_tot") + col("v_cont")))
+      .withColumn("pkn",
+        when(col("n_prev").isNull, col("pcont"))
+          .otherwise(
+            greatest(coalesce(col("n_bg"), lit(0L)).cast("double") - lit(0.75), lit(0.0))
+              / col("n_prev")
+              + (lit(0.75) * col("n1_fwd") / col("n_prev")) * col("pcont")))
+      .withColumn("lp", log(col("pkn")).cast("decimal(12,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum(when(col("n_bg").isNull, 1).otherwise(0)).cast("int").as("n_unseen"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("avg_kn_logprob"))
+  }
+
+  /** DuckDB CTE chain replaying [[knHeldoutScored]] over a train/score
+    * doc split — shared by the z41 oracle and the x32b banding gate so
+    * the held-out scoring semantics can never drift between them.
+    * `trainPred`/`scorePred` are SQL predicates over `documents`. */
+  private def knHeldoutCtes(trainPred: String, scorePred: String): String =
+    s"""ktr AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |  WHERE $trainPred),
+       |ktpos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+       |  FROM ktr WHERE len(l) >= 2),
+       |ktbg AS (SELECT l[i] AS prev, l[i+1] AS cur FROM ktpos),
+       |kbcnt AS (SELECT prev, cur, COUNT(*) AS n_bg FROM ktbg GROUP BY 1, 2),
+       |kps AS (SELECT prev, CAST(SUM(n_bg) AS BIGINT) AS n_prev,
+       |    COUNT(*) AS n1_fwd FROM kbcnt GROUP BY 1),
+       |knb AS (SELECT cur, COUNT(*) AS n1_bwd FROM kbcnt GROUP BY 1),
+       |knt AS (SELECT COUNT(*) AS n1_tot, COUNT(DISTINCT cur) AS v_cont FROM kbcnt),
+       |kte AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |  WHERE $scorePred),
+       |kpos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+       |  FROM kte WHERE len(l) >= 2),
+       |kbg AS (SELECT doc_id, l[i] AS prev, l[i+1] AS cur FROM kpos),
+       |ksc AS (SELECT doc_id, b.n_bg, p.n_prev, p.n1_fwd, knb.n1_bwd,
+       |    knt.n1_tot, knt.v_cont
+       |  FROM kbg LEFT JOIN kbcnt b USING (prev, cur)
+       |  LEFT JOIN kps p USING (prev) LEFT JOIN knb USING (cur) CROSS JOIN knt),
+       |klp AS (SELECT doc_id, n_bg,
+       |    CAST(ln(CASE WHEN n_prev IS NULL
+       |      THEN (COALESCE(n1_bwd, 0) + 1) / (n1_tot + v_cont)
+       |      ELSE greatest(CAST(COALESCE(n_bg, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE),
+       |          CAST(0 AS DOUBLE)) / n_prev
+       |        + (CAST(0.75 AS DOUBLE) * n1_fwd / n_prev)
+       |          * ((COALESCE(n1_bwd, 0) + 1) / (n1_tot + v_cont))
+       |    END) AS DECIMAL(12,6)) AS lp
+       |  FROM ksc),
+       |kout AS (SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bigrams,
+       |    CAST(SUM(CASE WHEN n_bg IS NULL THEN 1 ELSE 0 END) AS INT) AS n_unseen,
+       |    CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_kn_logprob
+       |  FROM klp GROUP BY doc_id)""".stripMargin
+
+  /** z41: HELD-OUT Kneser–Ney perplexity scoring — the train/score
+    * separation z38 lacks and the one production perplexity filtering
+    * (the CCNet recipe) actually runs: fit the LM on a reference corpus
+    * (here the even-doc_id half), PERSIST the count table as a model
+    * through the Store, and score a DISJOINT document set (the odd half)
+    * off the stored model via left joins, with interpolated KN's own
+    * backoff mass covering unseen bigrams and an add-one continuation
+    * floor covering unseen words. The oracle replays the split and the
+    * whole formula; n_unseen pins the left-join semantics (an inner-join
+    * scorer would silently drop those positions). */
+  private val z41HeldoutPerplexity = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model =
+        if (planOnly) knBigramCounts(docs.filter(col("doc_id") % 2 === 0))
+        else knModelStored(s, d)
+      knHeldoutScored(model, docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    },
+    s"""WITH ${knHeldoutCtes("doc_id % 2 = 0", "doc_id % 2 = 1")}
+       |SELECT doc_id, n_bigrams, n_unseen, avg_kn_logprob
+       |FROM kout ORDER BY doc_id""".stripMargin)
+
   /** x32: curation v5 — THIS round's rungs composed as one corpus build,
     * the x9→x21 lineage continued with the production forms: (1) the full
     * Gopher repetition gate (z37's integer-exact verdict), (2) rolling-
@@ -3114,33 +3257,12 @@ object PipelineQueries {
     * a real pipeline's minimum-length rule falling out of composition.
     * Every gate is a semi-join of combinable aggregates; the only
     * range shuffle is the banding's. */
-  private val x32CurationV5 = Q(
-    (s, d) => {
-      // all three gates run their PRODUCTION rungs: rolling Gopher panel
-      // (z37b), rolling span dedup (x18b), KN banding via groupedNtile
-      val docs = Tables.documents(s, d)
-      val gop = TextAnalysis.gopherRepetitionRolling(docs, "doc_id", "text")
-        .filter(col("keep")).select("doc_id")
-      val span = Dedup.spanDupStats(docs, "doc_id", "text", k = 8, rolling = true)
-        .filter(col("n_dup") * 2 <= col("n_windows")).select("doc_id")
-      val kn = knScored(docs)
-        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      val banded = Relational.groupedNtile(
-          kn.select("doc_id", "lang", "avg_kn_logprob"),
-          groups = Seq("lang"), order = Seq("avg_kn_logprob", "doc_id"),
-          n = 3, out = "band")
-        .filter(col("band") >= 2).select("doc_id")
-      docs.join(gop, Seq("doc_id"), "left_semi")
-        .join(span, Seq("doc_id"), "left_semi")
-        .join(banded, Seq("doc_id"), "left_semi")
-        .select(col("source"), col("lang"),
-          size(split(col("text"), " ")).as("wt"))
-        .groupBy("source", "lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("wt")).cast("long").as("n_tokens"))
-        .orderBy("source", "lang")
-    },
-    s"""WITH dws AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
+  /** Shared DuckDB CTE chain for the v5/v5b curation gates: the rolling
+    * Gopher keep set (`gkeep`, via `dws`) and the rolling span-dedup keep
+    * set (`skeep`) — ONE definition so the x32 and x32b oracles can never
+    * drift on the gate semantics. */
+  private val x32GateCtes: String =
+    s"""dws AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
        |    string_split(text, ' ') AS ws
        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
        |gh AS (SELECT doc_id, nc, ws,
@@ -3182,7 +3304,44 @@ object PipelineQueries {
        |stot AS (SELECT fp, SUM(c) AS t FROM spd GROUP BY 1),
        |skeep AS (SELECT doc_id FROM spd JOIN stot USING (fp) GROUP BY doc_id
        |  HAVING CAST(SUM(CASE WHEN t >= 2 THEN c ELSE 0 END) AS BIGINT) * 2
-       |    <= CAST(SUM(c) AS BIGINT)),
+       |    <= CAST(SUM(c) AS BIGINT))""".stripMargin
+
+  /** Shared final SELECT of the v5-family oracles: survivors of all three
+    * keep sets, aggregated per (source, lang). */
+  private val x32FinalSql: String =
+    """SELECT d.source, d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+      |FROM documents d
+      |JOIN gkeep USING (doc_id) JOIN skeep USING (doc_id) JOIN kkeep USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val x32CurationV5 = Q(
+    (s, d) => {
+      // all three gates run their PRODUCTION rungs: rolling Gopher panel
+      // (z37b), rolling span dedup (x18b), KN banding via groupedNtile
+      val docs = Tables.documents(s, d)
+      val gop = TextAnalysis.gopherRepetitionRolling(docs, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+      val span = Dedup.spanDupStats(docs, "doc_id", "text", k = 8, rolling = true)
+        .filter(col("n_dup") * 2 <= col("n_windows")).select("doc_id")
+      val kn = knScored(docs)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      val banded = Relational.groupedNtile(
+          kn.select("doc_id", "lang", "avg_kn_logprob"),
+          groups = Seq("lang"), order = Seq("avg_kn_logprob", "doc_id"),
+          n = 3, out = "band")
+        .filter(col("band") >= 2).select("doc_id")
+      docs.join(gop, Seq("doc_id"), "left_semi")
+        .join(span, Seq("doc_id"), "left_semi")
+        .join(banded, Seq("doc_id"), "left_semi")
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).as("wt"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("wt")).cast("long").as("n_tokens"))
+        .orderBy("source", "lang")
+    },
+    s"""WITH $x32GateCtes,
        |pos AS (SELECT doc_id, ws AS l, unnest(generate_series(1, len(ws) - 1)) AS i
        |  FROM dws),
        |bg AS (SELECT doc_id, l[i] AS prev, l[i+1] AS cur FROM pos),
@@ -3205,11 +3364,53 @@ object PipelineQueries {
        |      PARTITION BY d.lang ORDER BY k.avg_lp, k.doc_id) AS band
        |  FROM kavg k JOIN documents d ON d.doc_id = k.doc_id),
        |kkeep AS (SELECT doc_id FROM kb WHERE band >= 2)
-       |SELECT d.source, d.lang, COUNT(*) AS n_docs,
-       |  CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
-       |FROM documents d
-       |JOIN gkeep USING (doc_id) JOIN skeep USING (doc_id) JOIN kkeep USING (doc_id)
-       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+       |$x32FinalSql""".stripMargin)
+
+  /** x32b: curation v5 with the banding gate POINTED AT NEW DATA — the
+    * production shape z41 unlocks. x32's KN banding self-scores (its
+    * count tables come from the very corpus being banded, so the gate
+    * can't run on a fresh crawl); here the Gopher and span gates are
+    * identical but the perplexity gate scores EVERY document off the
+    * STORED model fitted to the even-doc_id reference half
+    * ([[knModelStored]] — left joins, unseen-bigram backoff, add-one
+    * continuation floor), then bands per language exactly as v5 does.
+    * This is CCNet's architecture: a fixed reference LM gating an
+    * arbitrary input corpus. Same scale shape as x32 plus the model
+    * reads; the only range shuffle is still the banding's. */
+  private val x32bCurationHeldout = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val gop = TextAnalysis.gopherRepetitionRolling(docs, "doc_id", "text")
+        .filter(col("keep")).select("doc_id")
+      val span = Dedup.spanDupStats(docs, "doc_id", "text", k = 8, rolling = true)
+        .filter(col("n_dup") * 2 <= col("n_windows")).select("doc_id")
+      val model =
+        if (planOnly) knBigramCounts(docs.filter(col("doc_id") % 2 === 0))
+        else knModelStored(s, d)
+      val kn = knHeldoutScored(model, docs)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      val banded = Relational.groupedNtile(
+          kn.select("doc_id", "lang", "avg_kn_logprob"),
+          groups = Seq("lang"), order = Seq("avg_kn_logprob", "doc_id"),
+          n = 3, out = "band")
+        .filter(col("band") >= 2).select("doc_id")
+      docs.join(gop, Seq("doc_id"), "left_semi")
+        .join(span, Seq("doc_id"), "left_semi")
+        .join(banded, Seq("doc_id"), "left_semi")
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).as("wt"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("wt")).cast("long").as("n_tokens"))
+        .orderBy("source", "lang")
+    },
+    s"""WITH $x32GateCtes,
+       |${knHeldoutCtes("doc_id % 2 = 0", "TRUE")},
+       |kb AS (SELECT k.doc_id, NTILE(3) OVER (
+       |      PARTITION BY d.lang ORDER BY k.avg_kn_logprob, k.doc_id) AS band
+       |  FROM kout k JOIN documents d ON d.doc_id = k.doc_id),
+       |kkeep AS (SELECT doc_id FROM kb WHERE band >= 2)
+       |$x32FinalSql""".stripMargin)
 
   /** z39: character-entropy quality signal — the compression-ratio proxy
     * low-quality detectors use beside z2's ratio panel: gibberish,
@@ -4525,9 +4726,11 @@ object PipelineQueries {
     "z37_gopher_repetition" -> z37GopherRepetition,
     "z37b_gopher_rolling" -> z37bGopherRolling,
     "z38_kneser_ney" -> z38KneserNey,
+    "z41_heldout_perplexity" -> z41HeldoutPerplexity,
     "z39_char_entropy" -> z39CharEntropy,
     "z40_zipf_fit" -> z40ZipfFit,
     "x32_curation_v5" -> x32CurationV5,
+    "x32b_curation_heldout" -> x32bCurationHeldout,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
     "z19_sequence_pack" -> z19SequencePack,
