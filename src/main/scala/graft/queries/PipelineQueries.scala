@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{Dedup, Multimodal, Relational, Sampling, Similarity, TextAnalysis}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -371,21 +371,28 @@ object PipelineQueries {
     * q8=q4·q4) — `pow()` is libm and not engine-stable, a multiply chain
     * is — so both engines produce identical doubles with no rounding.
     * Pure literal-grid compute: zero table scans at any scale. */
+  /** Pinned multiply-chain S-curve probability 1 − (1 − J^r)^b over the
+    * (b, r) ∈ {(8,1), (4,2), (2,4)} config grid (`b`/`r` columns in
+    * scope) — ONE definition shared by x26 (the planner table) and x33
+    * (the applied choice) so the curve math can never drift. */
+  private def sCurvePcand(j: Column): Column = {
+    val jr = when(col("r") === 1, j)
+      .when(col("r") === 2, j * j)
+      .otherwise((j * j) * (j * j))
+    val q = lit(1.0) - jr
+    val qb = when(col("b") === 2, q * q)
+      .when(col("b") === 4, (q * q) * (q * q))
+      .otherwise(((q * q) * (q * q)) * ((q * q) * (q * q)))
+    lit(1.0) - qb
+  }
+
   private val x26LshPlanner = Q(
     (s, d) => {
       import s.implicits._
       val js = (1 to 9).map(_ / 10.0).toDF("j")
       val cfgs = Seq((8, 1), (4, 2), (2, 4)).toDF("b", "r")
-      val j = col("j")
-      val jr = when(col("r") === 1, j)
-        .when(col("r") === 2, j * j)
-        .otherwise((j * j) * (j * j))
-      val q = lit(1.0) - jr
-      val qb = when(col("b") === 2, q * q)
-        .when(col("b") === 4, (q * q) * (q * q))
-        .otherwise(((q * q) * (q * q)) * ((q * q) * (q * q)))
       js.crossJoin(cfgs)
-        .select(j, col("b"), col("r"), (lit(1.0) - qb).as("p_cand"))
+        .select(col("j"), col("b"), col("r"), sCurvePcand(col("j")).as("p_cand"))
         .orderBy("j", "b")
     },
     """WITH js AS (SELECT CAST(unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS j),
@@ -398,6 +405,109 @@ object PipelineQueries {
       |  1.0 - (CASE WHEN b = 2 THEN q * q WHEN b = 4 THEN (q * q) * (q * q)
       |         ELSE ((q * q) * (q * q)) * ((q * q) * (q * q)) END) AS p_cand
       |FROM g ORDER BY j, b""".stripMargin)
+
+  /** x33: the planner's output CONSUMED — closing the stats → chosen
+    * config → measured occupancy loop that makes the scale story
+    * self-tuning instead of documented. Three knob choices, all replayed
+    * by the oracle:
+    *  - (bands, rows): from x26's S-curve, maximize catch probability at
+    *    the dup threshold (J=0.5) subject to the noise-pair cap
+    *    p(J=0.2) < 0.5 — the standard recall-under-precision-budget rule
+    *    (picks (4,2): 8×1 fails the noise cap, 2×4 catches 6× less);
+    *  - planes: the smallest count with corpus/2^planes ≤ the target
+    *    occupancy (32) — the "each added plane halves occupancy" rule
+    *    y2c documents, now DERIVED from the corpus count instead of
+    *    hand-picked (4 at the 500-vector correctness SFs, 6 at sf0.1's
+    *    2000 — the knob visibly turns with the data);
+    *  - IVF cells: the smallest power of two with corpus/cells ≤ 256
+    *    (8 at the correctness SFs — exactly the IvfCells default the
+    *    y3 family hand-chose).
+    * The corpus count is the ONE collected scalar (metadata-sized by
+    * construction — the planner IS a driver-side decision, exactly like
+    * production knob selection); serving then buckets the whole corpus at
+    * the chosen literal plane count and reports measured occupancy
+    * against the target, with a 2× skew allowance on the mean (the
+    * embedding space is clustered; multi-probe serving absorbs per-bucket
+    * skew). The oracle derives the same knobs arithmetically (the weight
+    * lattice is closed-form in BOTH the element and plane indices, so the
+    * plane count can stay a computed value in SQL where the Spark side
+    * runs the native expression at a literal). */
+  private val x33PlannerApplied = Q(
+    (s, d) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      val target = 32L
+      val n = if (planOnly) 500L else e.count()
+      val planes = (1 to graft.plans.HyperplaneBucket.MaxPlanes)
+        .find(p => n <= target * (1L << p))
+        .getOrElse(graft.plans.HyperplaneBucket.MaxPlanes)
+      val cells = (3 to 20).map(k => 1L << k).find(c => n <= 256L * c)
+        .getOrElse(1L << 20)
+      val cfgs = Seq((8, 1), (4, 2), (2, 4)).toDF("b", "r")
+      val grid = Seq(0.2, 0.5).toDF("j").crossJoin(cfgs)
+        .select(col("b"), col("r"), col("j"), sCurvePcand(col("j")).as("p_cand"))
+      val chosen = grid.groupBy("b", "r")
+        .agg(max(when(col("j") === 0.5, col("p_cand"))).as("p_dup"),
+          max(when(col("j") === 0.2, col("p_cand"))).as("p_noise"))
+        .filter(col("p_noise") < 0.5)
+        .orderBy(col("p_dup").desc, col("b"))
+        .limit(1)
+        .select(col("b").as("bands"), col("r").as("rows_per_band"), col("p_dup"))
+      val occ = e
+        .withColumn("bucket", Similarity.hyperplaneBucket("embedding", planes = planes))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+      val stats = occ.agg(count(lit(1)).as("n_buckets_used"),
+        max(col("c")).as("max_occ"))
+      chosen.crossJoin(broadcast(stats))
+        .select(lit(n).as("n_vecs"), col("bands"), col("rows_per_band"), col("p_dup"),
+          lit(planes).as("planes"), lit(cells).as("cells"),
+          col("n_buckets_used"), col("max_occ"),
+          (lit(n) / col("n_buckets_used")).as("mean_occ"),
+          (lit(n) / col("n_buckets_used") <= lit((2 * target).toDouble))
+            .as("occupancy_ok"))
+    },
+    s"""WITH cnt AS (SELECT COUNT(*) AS n FROM embeddings),
+       |pp AS (SELECT unnest(generate_series(1, ${graft.plans.HyperplaneBucket.MaxPlanes})) AS p),
+       |chp AS (SELECT MIN(p) AS p FROM pp, cnt WHERE n <= 32 * (CAST(1 AS BIGINT) << p)),
+       |ck AS (SELECT unnest(generate_series(3, 20)) AS k),
+       |chc AS (SELECT MIN(CAST(1 AS BIGINT) << k) AS cells FROM ck, cnt
+       |  WHERE n <= 256 * (CAST(1 AS BIGINT) << k)),
+       |js AS (SELECT CAST(unnest([0.2, 0.5]) AS DOUBLE) AS j),
+       |cfgs AS (SELECT * FROM (VALUES (8, 1), (4, 2), (2, 4)) AS t(b, r)),
+       |g AS (SELECT j, b, r,
+       |    1.0 - (CASE WHEN r = 1 THEN j WHEN r = 2 THEN j * j
+       |           ELSE (j * j) * (j * j) END) AS q
+       |  FROM js CROSS JOIN cfgs),
+       |sc AS (SELECT j, b, r,
+       |    1.0 - (CASE WHEN b = 2 THEN q * q WHEN b = 4 THEN (q * q) * (q * q)
+       |           ELSE ((q * q) * (q * q)) * ((q * q) * (q * q)) END) AS p_cand
+       |  FROM g),
+       |aggc AS (SELECT b, r,
+       |    MAX(CASE WHEN j = 0.5 THEN p_cand END) AS p_dup,
+       |    MAX(CASE WHEN j = 0.2 THEN p_cand END) AS p_noise
+       |  FROM sc GROUP BY 1, 2),
+       |chosen AS (SELECT b AS bands, r AS rows_per_band, p_dup FROM aggc
+       |  WHERE p_noise < 0.5 ORDER BY p_dup DESC, b LIMIT 1),
+       |v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |pl AS (SELECT unnest(generate_series(0, (SELECT p FROM chp) - 1)) AS j),
+       |pd AS (SELECT v.vec_id, pl.j,
+       |    list_reduce(list_transform(generate_series(0, 63),
+       |      i -> vd[i + 1] * CAST(CASE WHEN pl.j < 13 THEN (i * 31 + pl.j * 19) % 13 - 6
+       |           ELSE (i * 29 + pl.j * 23) % 17 - 8 END AS DOUBLE)),
+       |      (acc, x) -> acc + x) AS dj
+       |  FROM v CROSS JOIN pl),
+       |bkt AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dj > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pd GROUP BY 1),
+       |occ AS (SELECT bucket, COUNT(*) AS c FROM bkt GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n_buckets_used, MAX(c) AS max_occ FROM occ)
+       |SELECT (SELECT n FROM cnt) AS n_vecs, bands, rows_per_band, p_dup,
+       |  CAST((SELECT p FROM chp) AS INT) AS planes,
+       |  (SELECT cells FROM chc) AS cells,
+       |  n_buckets_used, max_occ,
+       |  (SELECT n FROM cnt) / n_buckets_used AS mean_occ,
+       |  (SELECT n FROM cnt) / n_buckets_used <= CAST(64 AS DOUBLE) AS occupancy_ok
+       |FROM chosen CROSS JOIN st""".stripMargin)
 
   /** x16: fuzzy verify by edit distance — the string-metric rung of the
     * verify ladder: LSH candidate pairs scored by Levenshtein distance
@@ -1391,12 +1501,7 @@ object PipelineQueries {
     (s, d) => {
       val e = y13Mixed(s, d)
       val (r, er) =
-        if (planOnly) {
-          // plan sweeps: identity rotation, plain (unpinned) projection —
-          // same plan shape downstream, zero actions at construction
-          val id = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
-          (id, e.withColumn("rvec", Similarity.rotateVec("mvec", id)))
-        } else y13RotationFor(s, d)
+        if (planOnly) identityRotated(e) else y13RotationFor(s, d)
       val orthogonal = Similarity.orthogonalityDefect(r) < 1e-8
       val qPred = col("vec_id") % 50 === 0 && col("vec_id") < 1000
       val cbRaw = e.filter(col("vec_id") < 16)
@@ -1423,6 +1528,158 @@ object PipelineQueries {
     },
     """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
       |  TRUE AS rotation_orthogonal, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000""".stripMargin)
+
+  /** The identity rotation + unpinned projection pair the plan-only
+    * sweeps substitute for [[y13RotationFor]] — same downstream plan
+    * shape, zero actions at construction. */
+  private def identityRotated(e: org.apache.spark.sql.DataFrame)
+      : (Array[Array[Double]], org.apache.spark.sql.DataFrame) = {
+    val id = Array.tabulate(64, 64)((i, j) => if (i == j) 1.0 else 0.0)
+    (id, e.withColumn("rvec", Similarity.rotateVec("mvec", id)))
+  }
+
+  /** y9b: the IVF-PQ SERVING path (y9) with the OPQ rotation applied at
+    * its encode seam — the first of the two production deployments the
+    * y13 rotation was built for. Both arms run the COMPLETE y9 DAG
+    * (coarse-assign → per-cell PQ codes → blocked ADC top-10) on the
+    * anisotropic [[y13Mixed]] corpus at equal code budget; the rotated
+    * arm rotates EVERYTHING (corpus, anchors, codebook, queries), which
+    * an orthogonal rotation makes free: true distances are preserved, so
+    * cell pruning is geometry-identical, and only the PQ subspace tiling
+    * — the quantization-error lever — changes. Same x6-style contract as
+    * y13 (bounded batch, orthogonality, recall_rotated ≥ recall_raw
+    * against exact brute truth); the measured hit counts are pinned in
+    * ExtensionsSpec so a quantizer regression can't hide inside the
+    * still-true inequality. */
+  private val y9bIvfPqRotated = Q(
+    (s, d) => {
+      val e = y13Mixed(s, d)
+      val (r, er) =
+        if (planOnly) identityRotated(e) else y13RotationFor(s, d)
+      val orthogonal = Similarity.orthogonalityDefect(r) < 1e-8
+      val qPred = col("vec_id") % 50 === 0 && col("vec_id") < 1000
+      val truth = Similarity.bruteForceTopK(
+          e.filter(qPred), e, "vec_id", "mvec", k = 10)
+        .select("q_id", "c_id")
+      def hitsFor(vecs: org.apache.spark.sql.DataFrame, vc: String) = {
+        val anchors = vecs.filter(col("vec_id") < IvfCells)
+          .select(col("vec_id").as("anchor_id"), col(vc).as("anchor_vec"))
+        val cb = vecs.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("anchor_id"), col(vc).as("anchor_vec"))
+        val assigned = Similarity.ivfAssign(vecs, anchors, "vec_id", vc)
+          .select(col("vec_id"), col(vc), col("cell"))
+        val codes = Similarity.pqEncode(assigned, cb, "vec_id", vc,
+          m = 8, subDim = 8, carryCols = Seq("cell"))
+        Similarity.pqTopK(codes, cb, assigned.filter(qPred), "vec_id", vc,
+            m = 8, subDim = 8, k = 10, blockCol = Some("cell"))
+          .select("q_id", "c_id")
+          .join(truth, Seq("q_id", "c_id"), "left_semi")
+          .agg(count(lit(1)).as("n"))
+      }
+      val nQ = e.filter(qPred).agg(count(lit(1)).as("n_queries"))
+      nQ.crossJoin(hitsFor(e, "mvec").select(col("n").as("n_raw")))
+        .crossJoin(hitsFor(er.select(col("vec_id"), col("rvec")), "rvec")
+          .select(col("n").as("n_rot")))
+        .select(col("n_queries"), lit(orthogonal).as("rotation_orthogonal"),
+          (col("n_rot") >= col("n_raw")).as("recall_ok"))
+    },
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  TRUE AS rotation_orthogonal, TRUE AS recall_ok
+      |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000""".stripMargin)
+
+  /** One stored rotated-PQ index per (session, input dir) — y3d's
+    * cache-and-shutdown-hook discipline for the OPQ-rotated serve table:
+    * coarse-assign the ROTATED corpus, PQ-encode in rotated space, and
+    * persist the 8-byte code rows through the Store partitioned by cell
+    * (the read side prunes to probed cells; candidate vectors are never
+    * read at serve time — the whole point of a PQ index on 100 TB). */
+  private val y3fBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  private def y3fStoredCodes(s: SparkSession, d: String,
+                             er: org.apache.spark.sql.DataFrame) =
+    y3fBuilt.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      val anchors = er.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("anchor_id"), col("rvec").as("anchor_vec"))
+      val cb = er.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("anchor_id"), col("rvec").as("anchor_vec"))
+      val assigned = Similarity.ivfAssign(er, anchors, "vec_id", "rvec")
+        .select(col("vec_id"), col("rvec"), col("cell"))
+      val codes = Similarity.pqEncode(assigned, cb, "vec_id", "rvec",
+        m = 8, subDim = 8, carryCols = Seq("cell"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"opq_index_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "cell")
+      store.destroy()
+      store.append(codes)
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      store.read
+    })
+
+  /** y3f: the fitted STORE/SERVE index rotated — the second production
+    * deployment (y3d's lifecycle with OPQ + PQ codes as the persisted
+    * payload). Build: rotate the corpus (the cached y13 rotation),
+    * coarse-assign and PQ-encode in rotated space, persist the code
+    * table through the Store partitioned by cell. Serve: assign the
+    * BOUNDED query batch to its cell, ADC-rank the STORED codes of that
+    * cell (the corpus is never re-read or re-encoded at serve time).
+    * Graded like y9b: recall against exact brute truth must be ≥ the
+    * same-budget UNROTATED in-memory IVF-PQ arm, the rotation must be
+    * orthogonal, and every cell of the stored index must be non-empty
+    * (y3d's contract). Hit counts pinned in ExtensionsSpec. */
+  private val y3fKnnOpqFitted = Q(
+    (s, d) => {
+      val e = y13Mixed(s, d)
+      val (r, er) =
+        if (planOnly) identityRotated(e) else y13RotationFor(s, d)
+      val orthogonal = Similarity.orthogonalityDefect(r) < 1e-8
+      val qPred = col("vec_id") % 50 === 0 && col("vec_id") < 1000
+      val anchorsRot = er.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("anchor_id"), col("rvec").as("anchor_vec"))
+      val cbRot = er.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("anchor_id"), col("rvec").as("anchor_vec"))
+      val stored =
+        if (planOnly)
+          Similarity.pqEncode(
+            Similarity.ivfAssign(er, anchorsRot, "vec_id", "rvec")
+              .select(col("vec_id"), col("rvec"), col("cell")),
+            cbRot, "vec_id", "rvec", m = 8, subDim = 8, carryCols = Seq("cell"))
+        else y3fStoredCodes(s, d, er)
+      val truth = Similarity.bruteForceTopK(
+          e.filter(qPred), e, "vec_id", "mvec", k = 10)
+        .select("q_id", "c_id")
+      def hits(top: org.apache.spark.sql.DataFrame) = top.select("q_id", "c_id")
+        .join(truth, Seq("q_id", "c_id"), "left_semi")
+        .agg(count(lit(1)).as("n"))
+      val qAssigned = Similarity.ivfAssign(er.filter(qPred), anchorsRot,
+          "vec_id", "rvec")
+        .select(col("vec_id"), col("rvec"), col("cell"))
+      val rotTop = Similarity.pqTopK(stored, cbRot, qAssigned, "vec_id", "rvec",
+        m = 8, subDim = 8, k = 10, blockCol = Some("cell"))
+      // equal-budget unrotated arm, in-memory (the y9 DAG verbatim)
+      val anchorsRaw = e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("anchor_id"), col("mvec").as("anchor_vec"))
+      val cbRaw = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("anchor_id"), col("mvec").as("anchor_vec"))
+      val assignedRaw = Similarity.ivfAssign(e, anchorsRaw, "vec_id", "mvec")
+        .select(col("vec_id"), col("mvec"), col("cell"))
+      val rawTop = Similarity.pqTopK(
+        Similarity.pqEncode(assignedRaw, cbRaw, "vec_id", "mvec",
+          m = 8, subDim = 8, carryCols = Seq("cell")),
+        cbRaw, assignedRaw.filter(qPred), "vec_id", "mvec",
+        m = 8, subDim = 8, k = 10, blockCol = Some("cell"))
+      val nQ = e.filter(qPred).agg(count(lit(1)).as("n_queries"))
+      val nCells = stored.agg(countDistinct(col("cell")).as("n_cells"))
+      nQ.crossJoin(broadcast(nCells))
+        .crossJoin(hits(rawTop).select(col("n").as("n_raw")))
+        .crossJoin(hits(rotTop).select(col("n").as("n_rot")))
+        .select(col("n_queries"), lit(orthogonal).as("rotation_orthogonal"),
+          (col("n_cells") === IvfCells).as("cells_nonempty"),
+          (col("n_rot") >= col("n_raw")).as("recall_ok"))
+    },
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+      |  TRUE AS rotation_orthogonal, TRUE AS cells_nonempty, TRUE AS recall_ok
       |FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 1000""".stripMargin)
 
   /** y3b: the iterated Lloyd loop over the IVF anchors — 4 assign/refine
@@ -4703,6 +4960,8 @@ object PipelineQueries {
     "z20_bm25" -> z20Bm25,
     "y5_pq_ann" -> y5PqAnn,
     "y9_ivfpq" -> y9IvfPq,
+    "y9b_ivfpq_rotated" -> y9bIvfPqRotated,
+    "y3f_knn_opq_fitted" -> y3fKnnOpqFitted,
     "y10_jl_project" -> y10JlProject,
     "y7_bitext_margin" -> y7BitextMargin,
     "y8_ann_eval" -> y8AnnEval,
@@ -4711,6 +4970,7 @@ object PipelineQueries {
     "x24_lsh_eval" -> x24LshEval,
     "x25_cluster_best" -> x25ClusterBest,
     "x26_lsh_planner" -> x26LshPlanner,
+    "x33_planner_applied" -> x33PlannerApplied,
     "x29_cluster_stats" -> x29ClusterStats,
     "x30_incremental_cc" -> x30IncrementalCc,
     "x11_chunk_dedup" -> x11ChunkDedup,

@@ -226,6 +226,63 @@ class ExtensionsSpec extends SparkSpec {
     assert(e2.getMessage.toLowerCase.contains("binary"), e2.getMessage)
   }
 
+  test("OPQ recall integers at sf0.001 are pinned for all three consumers (PQ, IVF-PQ, fitted)") {
+    // Independent reproduction of the y13/y9b/y3f measurement through the
+    // public Similarity API, asserting the EXACT hit counts — the declared
+    // queries gate only the ≥ contract, so without these integers a
+    // quantizer regression could hide inside a still-true inequality.
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+      .withColumn("mvec", transform(col("embedding"), (x, i) =>
+        (x.cast("double") * pow(lit(2.0), (lit(32.0) - i.cast("double")) / lit(16.0)))
+          .cast("float")))
+      .select(col("vec_id"), col("mvec"))
+    val gram = Similarity.gramUpper(e, "mvec")
+      .select("i", "j", "gram").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    val r = Similarity.opqRotation(Similarity.gramToMatrix(gram, 64), m = 8)
+    val er = e.withColumn("rvec", Similarity.rotateVec("mvec", r))
+      .localCheckpoint()
+    val qPred = col("vec_id") % 50 === 0 && col("vec_id") < 1000
+    val truth = Similarity.bruteForceTopK(
+        e.filter(qPred), e, "vec_id", "mvec", k = 10)
+      .select("q_id", "c_id").localCheckpoint()
+    def hitCount(top: org.apache.spark.sql.DataFrame): Long =
+      top.select("q_id", "c_id").join(truth, Seq("q_id", "c_id"), "left_semi").count()
+    def cbOf(vecs: org.apache.spark.sql.DataFrame, vc: String, n: Int) =
+      vecs.filter(col("vec_id") < n)
+        .select(col("vec_id").as("anchor_id"), col(vc).as("anchor_vec"))
+    // plain PQ (y13's arms)
+    def pqArm(vecs: org.apache.spark.sql.DataFrame, vc: String): Long = {
+      val cb = cbOf(vecs, vc, 16)
+      hitCount(Similarity.pqTopK(
+        Similarity.pqEncode(vecs, cb, "vec_id", vc, m = 8, subDim = 8),
+        cb, vecs.filter(qPred), "vec_id", vc, m = 8, subDim = 8, k = 10))
+    }
+    // IVF-PQ (y9b's arms; y3f's rotated arm serves the same geometry off
+    // the stored codes, so its counts coincide with these)
+    def ivfPqArm(vecs: org.apache.spark.sql.DataFrame, vc: String): Long = {
+      val assigned = Similarity.ivfAssign(vecs, cbOf(vecs, vc, 8), "vec_id", vc)
+        .select(col("vec_id"), col(vc), col("cell"))
+      val cb = cbOf(vecs, vc, 16)
+      hitCount(Similarity.pqTopK(
+        Similarity.pqEncode(assigned, cb, "vec_id", vc, m = 8, subDim = 8,
+          carryCols = Seq("cell")),
+        cb, assigned.filter(qPred), "vec_id", vc, m = 8, subDim = 8, k = 10,
+        blockCol = Some("cell")))
+    }
+    val rvecs = er.select(col("vec_id"), col("rvec"))
+    // plain PQ shows the rotation's win (21 -> 26); the IVF-PQ arms TIE
+    // at this SF (24 = 24) because 8-cell pruning on ~60-vector cells is
+    // the recall ceiling, not quantization error - the declared >=
+    // contracts hold either way, and any drift in these integers is a
+    // quantizer change that must be explained
+    assert(pqArm(e, "mvec") === 21L, "y13 raw-PQ hits")
+    assert(pqArm(rvecs, "rvec") === 26L, "y13 rotated-PQ hits")
+    assert(ivfPqArm(e, "mvec") === 24L, "y9b raw IVF-PQ hits")
+    assert(ivfPqArm(rvecs, "rvec") === 24L, "y9b/y3f rotated IVF-PQ hits")
+  }
+
   test("kNN through the rewrite matches the hand path end-to-end") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
