@@ -763,6 +763,51 @@ object Dedup {
     fps.groupBy(col(idCol), col("fp")).agg(count(lit(1)).as("c"))
   }
 
+  /** Serialized Bloom over a reference corpus's ROLLING span fingerprints
+    * (the dual-lattice 62-bit pack [[spanFingerprints]] emits) — the
+    * static side a streaming span gate probes: at 100 TB the reference's
+    * distinct-span set cannot broadcast, its ~MB/billion-spans filter
+    * can. Probe with `graft_might_contain(lit(bloom),
+    * xxhash64(fp.cast("string")))` (keyBloom's convention). */
+  def spanFpBloom(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                  expectedItems: Option[Long] = None,
+                  bitsPerItem: Long = 8L): Option[Array[Byte]] =
+    keyBloom(spanFingerprints(docs, idCol, textCol, k, rolling = true)
+      .select("fp"), "fp", expectedItems, bitsPerItem)
+
+  /** The span-duplication keep/drop verdict as one pure row-local
+    * expression — the streaming form of [[spanDupStats]]'s
+    * `n_dup·2 ≤ n_windows` gate (x32's production rung) for stateless
+    * routers. A window is duplicated if it repeats WITHIN the arriving
+    * document or its fingerprint hits the REFERENCE corpus's span Bloom
+    * ([[spanFpBloom]]) — exactly the corpus-total ≥ 2 verdict when the
+    * reference holds the rest of the corpus and arrivals are new docs
+    * (modulo Bloom false positives, which only ever DROP conservatively;
+    * false negatives cannot happen). Same dual-lattice rolling
+    * fingerprints as the batch rung, so verdicts are spec-gated
+    * identical to `spanDupStats` over reference ∪ arrival. Docs under k
+    * words are keep=false (no windows — the batch gate's semi-join drops
+    * them). Within-doc counting is a nested HOF — O(windows²) per
+    * arrival, the stateless-gate cost shape (see gopherKeepExpr). */
+  def spanKeepExpr(text: Column, k: Int,
+                   refBloom: Option[Array[Byte]]): Column = {
+    val ws = split(text, " ")
+    val hs = transform(ws, w => TextAnalysis.hash32(w))
+    val fps = zip_with(
+      TextAnalysis.rollingWindows(hs, k, TextAnalysis.RollingA),
+      TextAnalysis.rollingWindows(hs, k, TextAnalysis.RollingB),
+      (hi, lo) => hi * lit(2147483648L) + lo)
+    val refHit: Column => Column = refBloom match {
+      case Some(b) => f =>
+        call_function("graft_might_contain", lit(b), xxhash64(f.cast("string")))
+      case None => _ => lit(false)
+    }
+    val nWin = size(fps).cast(LongType)
+    val nDup = size(filter(fps, f =>
+      size(filter(fps, x => x === f)) >= 2 || refHit(f))).cast(LongType)
+    coalesce(nWin >= 1L && nDup * 2 <= nWin, lit(false))
+  }
+
   /** Span-level benchmark decontamination — z11's shingle-overlap check at
     * the granularity eval-contamination actually leaks: a corpus document
     * is contaminated to the degree its k-word spans appear verbatim in the

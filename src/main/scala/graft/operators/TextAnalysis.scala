@@ -303,6 +303,65 @@ object TextAnalysis {
         dup(5) * 20 <= nc * 3 && dup(10) * 10 <= nc).as("keep"))
   }
 
+  /** The Gopher keep/drop VERDICT as one pure row-local expression — the
+    * streaming form of [[gopherRepetitionRolling]]'s `keep` column for
+    * gates that must run with ZERO state (a router filtering arrivals):
+    * same rolling (fp, gl) gram identities, same count-first top ranking,
+    * same duplicate-character sums, same integer cross-multiplied
+    * thresholds, so the verdict is row-for-row identical to the batch
+    * panel's (spec-gated). Docs under 2 words are keep=false — exactly
+    * the docs the batch panel has no row for and a curation semi-join
+    * (x32's shape) therefore drops.
+    *
+    * Cost shape: the within-doc gram counting is nested HOFs —
+    * O(words²) per document per n, vs the batch panel's O(words) explode
+    * + aggregate. That is the price of statelessness; it is bounded by
+    * the ARRIVAL's length, not the corpus (chunk pathological payloads
+    * upstream, z8's rule), and buys a gate with no shuffle, no state
+    * store, and no watermark coupling. */
+  def gopherKeepExpr(text: Column): Column = {
+    val ws = split(text, " ")
+    val hs = transform(ws, w => hash32(w))
+    val ls = transform(ws, w => length(w).cast(LongType))
+    val nc = length(text).cast(LongType)
+    def zn(n: Int): Column = zip_with(
+      rollingWindows(hs, n),
+      rollingWindows(ls, n, (1L, 2147483647L)),
+      (f, s) => struct(f.as("fp"), (s + lit((n - 1).toLong)).as("gl")))
+    def sameGram(x: Column, e: Column): Column =
+      x.getField("fp") === e.getField("fp") && x.getField("gl") === e.getField("gl")
+    def cOf(za: Column, e: Column): Column =
+      size(filter(za, x => sameGram(x, e))).cast(LongType)
+    // top gram by (count, coverage) — max(struct) ≡ the batch ranking
+    def topCl(n: Int): Column = {
+      val za = zn(n)
+      coalesce(
+        array_max(transform(za, e =>
+          struct(cOf(za, e).as("c"), (cOf(za, e) * e.getField("gl")).as("cl"))))
+          .getField("cl"),
+        lit(0L))
+    }
+    // Σ (c−1)·gl over DISTINCT duplicated grams: each gram contributes at
+    // its FIRST occurrence only (no earlier equal element in the array)
+    def dupCh(n: Int): Column = {
+      val za = zn(n)
+      when(size(za) >= 1, aggregate(
+        transform(sequence(lit(0), size(za) - 1), i => {
+          val e = element_at(za, i + 1)
+          val c = cOf(za, e)
+          when(size(filter(slice(za, lit(1), i), x => sameGram(x, e))) === 0 && c >= 2,
+            (c - 1) * e.getField("gl")).otherwise(lit(0L))
+        }),
+        lit(0L), (acc, x) => acc + x))
+        .otherwise(lit(0L))
+    }
+    coalesce(
+      size(ws) >= 2 &&
+        topCl(2) * 5 <= nc && topCl(3) * 50 <= nc * 9 && topCl(4) * 25 <= nc * 4 &&
+        dupCh(5) * 20 <= nc * 3 && dupCh(10) * 10 <= nc,
+      lit(false))
+  }
+
   /** Corpus heavy hitters: top-k terms per group by frequency — the vocab /
     * boilerplate-token report a corpus build runs before choosing stopword
     * and cap lists. The count aggregate is map-side combinable (a hot term

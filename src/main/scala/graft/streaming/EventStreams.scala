@@ -92,20 +92,40 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
-  /** Streaming curation router: continuous dedup + deterministic
-    * train/val/test assignment, drained exactly-once into a split-
-    * partitioned layout. The streaming form of the batch curation pass
-    * (x9): re-arrivals within the watermark drop, every surviving doc gets
-    * the same split it would get in batch (md5 assignment is engine- and
-    * batch-boundary-independent), and downstream training jobs read one
-    * split directory without touching the others. */
+  /** Streaming curation router: continuous dedup + (optionally) the v5
+    * quality gates + deterministic train/val/test assignment, drained
+    * exactly-once into a split-partitioned layout. The streaming form of
+    * the batch curation pass (x9 → x32): re-arrivals within the watermark
+    * drop, every surviving doc gets the same split it would get in batch
+    * (md5 assignment is engine- and batch-boundary-independent), and
+    * downstream training jobs read one split directory without touching
+    * the others.
+    *
+    * With `textCol` set, each arrival also passes the ROLLING quality
+    * gates x32 runs in batch, as PURE per-row expressions (zero new
+    * state, no shuffle, no watermark coupling): the Gopher repetition
+    * verdict ([[graft.operators.TextAnalysis.gopherKeepExpr]]) and the
+    * span-duplication gate ([[graft.operators.Dedup.spanKeepExpr]])
+    * probing `spanRefBloom` — a reference corpus's span-fingerprint Bloom
+    * ([[graft.operators.Dedup.spanFpBloom]], broadcast-sized at any
+    * corpus scale). StreamingSpec gates both verdicts identical to the
+    * batch operators on the same drain. */
   def curationRouter(docs: DataFrame, keyCols: Seq[String], idCol: String,
                      destDir: String, checkpointDir: String,
-                     watermark: String = "1 hour"): StreamingQuery =
+                     watermark: String = "1 hour",
+                     textCol: Option[String] = None,
+                     spanRefBloom: Option[Array[Byte]] = None,
+                     spanK: Int = 8): StreamingQuery = {
+    val deduped = dedupStream(docs, keyCols, watermark)
+    val gated = textCol.fold(deduped) { tc =>
+      deduped.filter(
+        graft.operators.TextAnalysis.gopherKeepExpr(col(tc)) &&
+          graft.operators.Dedup.spanKeepExpr(col(tc), spanK, spanRefBloom))
+    }
     drainToParquet(
-      dedupStream(docs, keyCols, watermark)
-        .withColumn("split", graft.operators.Sampling.splitAssign(col(idCol))),
+      gated.withColumn("split", graft.operators.Sampling.splitAssign(col(idCol))),
       destDir, checkpointDir, partCol = "split")
+  }
 
   /** Streaming ANN serving: each arriving query vector gets its best
     * static-corpus neighbor — the online half of the y2 bucket index.

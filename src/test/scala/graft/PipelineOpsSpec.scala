@@ -697,6 +697,58 @@ class MultimodalSpec extends SparkSpec {
     assert(top2r === 9.0 / 35)
   }
 
+  test("gopherKeepExpr (stateless gate) equals the rolling panel's keep verdict") {
+    val unique30g = (1 to 30).map(i => f"w$i%02d").mkString(" ")
+    val docs = Seq(
+      (1L, "a b a b a b"),                       // repetition → drop
+      (2L, unique30g),                           // clean → keep
+      (3L, "m m m m m m m m m m m m"),           // degenerate → drop
+      (4L, "x y"),                               // minimal 2-word doc
+      (5L, "x"),                                 // <2 words: no panel row → gate false
+      (6L, "a b a b a b xxxxx yyyyy xxxxx yyyyy") // count-vs-coverage case
+    ).toDF("doc_id", "text")
+    val exprKeep = docs
+      .select(col("doc_id"), TextAnalysis.gopherKeepExpr(col("text")).as("k"))
+      .as[(Long, Boolean)].collect().toMap
+    val panelKeep = TextAnalysis.gopherRepetitionRolling(docs, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    for (id <- 1L to 6L)
+      assert(exprKeep(id) === panelKeep.getOrElse(id, false), s"doc $id")
+  }
+
+  test("spanKeepExpr (stateless gate) equals spanDupStats' verdict against a reference bloom") {
+    import graft.operators.Dedup
+    val ref = Seq((100L, "r1 r2 r3 r4 r5 r6")).toDF("doc_id", "text")
+    // arrivals share no spans with EACH OTHER (distinct vocab per doc), so
+    // corpus-total >= 2 over ref ∪ arrivals decomposes exactly into
+    // within-doc repetition OR reference membership — the stream gate's form
+    val arrivals = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8"),          // clean → keep
+      (2L, "r1 r2 r3 r4 r5 x1"),                // mostly reference spans → drop
+      (3L, "b b b b b b b b"),                  // all within-doc dups → drop
+      (4L, "c1 c2"),                            // < k words: no windows → drop
+      (5L, (Seq("d1", "d2", "d3", "d1", "d2", "d3") ++
+        (1 to 24).map(i => f"u$i%02d")).mkString(" ")) // small dup frac → keep
+    ).toDF("doc_id", "text")
+    val bloom = Dedup.spanFpBloom(ref, "doc_id", "text", k = 3, bitsPerItem = 64L)
+    assert(bloom.isDefined)
+    val exprKeep = arrivals
+      .select(col("doc_id"), Dedup.spanKeepExpr(col("text"), 3, bloom).as("k"))
+      .as[(Long, Boolean)].collect().toMap
+    val batchKeep = Dedup.spanDupStats(ref.union(arrivals), "doc_id", "text",
+        k = 3, rolling = true)
+      .select(col("doc_id"), (col("n_dup") * 2 <= col("n_windows")).as("k"))
+      .as[(Long, Boolean)].collect().toMap
+    for (id <- 1L to 5L)
+      assert(exprKeep(id) === batchKeep.getOrElse(id, false), s"doc $id")
+    assert(exprKeep(1L) && !exprKeep(2L) && !exprKeep(3L) && !exprKeep(4L) && exprKeep(5L))
+    // no reference: verdict is pure within-doc duplication
+    val noRef = arrivals
+      .select(col("doc_id"), Dedup.spanKeepExpr(col("text"), 3, None).as("k"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(noRef(2L), "without the reference bloom, doc 2 has no dup spans")
+  }
+
   test("gopherRepetitionRolling matches the exact-gram panel row-for-row") {
     val unique30b = (1 to 30).map(i => f"w$i%02d").mkString(" ")
     val docs = Seq(

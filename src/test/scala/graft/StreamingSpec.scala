@@ -113,6 +113,62 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(dest).listFiles().exists(_.getName.startsWith("split=")))
   }
 
+  test("curationRouter's rolling quality gates match the batch x32 gate verdicts on the same drain") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val ref = Seq((100L, (1 to 24).map(i => f"r$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    // arrival docs share no spans with each other (distinct vocab), so the
+    // batch corpus-wide span verdict over ref ∪ arrivals decomposes into
+    // exactly what the stateless gate computes per row. Docs need ~24
+    // unique words to clear the Gopher top-gram thresholds (a unique
+    // n-gram still covers (n·w+n−1)/nc characters), so each doc that
+    // isolates the SPAN gate must be long enough to pass the Gopher one.
+    val arrivals = Seq(
+      (1L, (1 to 24).map(i => f"a$i%02d").mkString(" ")),   // clean → keep
+      // 20 reference words + 4 fresh: Gopher-clean, but 18 of 22 spans hit
+      // the reference bloom → majority duplicated → span gate drops it
+      (2L, ((1 to 20).map(i => f"r$i%02d") ++ (1 to 4).map(i => f"y$i%02d")).mkString(" ")),
+      (3L, "b b b b b b b b"),                              // degenerate → drop
+      (4L, "c1"),                                           // <2 words → drop
+      (5L, (Seq("d1", "d2", "d3", "d1", "d2", "d3") ++      // small dup frac → keep
+        (1 to 24).map(i => f"u$i%02d")).mkString(" ")))
+    val src = tmpDir("gate_src"); val dest = tmpDir("gate_dest") + "/corpus"
+    val ckpt = tmpDir("gate_ckpt")
+    arrivals.zipWithIndex.map { case ((id, t), i) => (id, ts(i), t) }
+      .toDF("doc_id", "ts", "text")
+      .repartition(1).write.mode("append").parquet(src)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val bloom = Dedup.spanFpBloom(ref, "doc_id", "text", k = 3, bitsPerItem = 64L)
+    EventStreams.curationRouter(
+      spark.readStream.schema(docSchema).parquet(src),
+      keyCols = Seq("text"), idCol = "doc_id", dest, ckpt, "30 minutes",
+      textCol = Some("text"), spanRefBloom = bloom, spanK = 3).awaitTermination()
+    val streamKept = spark.read.parquet(dest)
+      .select("doc_id").as[Long].collect().toSet
+    // batch verdicts: the exact x32 gate forms (rolling Gopher panel +
+    // rolling span-dup stats over reference ∪ arrivals)
+    val arrDf = arrivals.toDF("doc_id", "text")
+    val gopKeep = TextAnalysis.gopherRepetitionRolling(arrDf, "doc_id", "text")
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val spanKeep = Dedup.spanDupStats(ref.union(arrDf), "doc_id", "text",
+        k = 3, rolling = true)
+      .filter(col("n_dup") * 2 <= col("n_windows"))
+      .select("doc_id").as[Long].collect().toSet
+    val batchKept = arrivals.map(_._1).toSet.intersect(gopKeep).intersect(spanKeep)
+    assert(streamKept === batchKept)
+    assert(streamKept === Set(1L, 5L)) // gates discriminate, not vacuous
+    // survivors still get the batch-identical split assignment
+    val expected = streamKept.toSeq.sorted.toDF("doc_id")
+      .select(col("doc_id"),
+        graft.operators.Sampling.splitAssign(col("doc_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    val got = spark.read.parquet(dest)
+      .select(col("doc_id"), col("split")).as[(Long, String)].collect().toMap
+    assert(got === expected)
+  }
+
   test("classifierScore gates a stream statelessly with batch-identical scores") {
     import graft.operators.TextAnalysis
     val rows = Seq(
