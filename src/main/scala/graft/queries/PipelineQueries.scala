@@ -48,11 +48,14 @@ object PipelineQueries {
     (0 until 64).map(j =>
       s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
-  /** DuckDB CTEs producing distinct (doc_id [, lang], 3-gram shingle). */
-  private val shingleCte =
-    """ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-      |pos AS (SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 2)) AS i FROM ws),
-      |sh AS (SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM pos)""".stripMargin
+  /** DuckDB CTEs producing distinct (doc_id [, lang], 3-gram shingle).
+    * Parameterized by the source relation so the v6 capstone can run the
+    * identical chain over its survivor set. */
+  private def shingleCteFor(src: String, pfx: String = ""): String =
+    s"""${pfx}ws AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM $src),
+       |${pfx}pos AS (SELECT doc_id, lang, w, unnest(generate_series(1, len(w) - 2)) AS i FROM ${pfx}ws),
+       |${pfx}sh AS (SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM ${pfx}pos)""".stripMargin
+  private val shingleCte = shingleCteFor("documents")
 
   /** Spark side of the same: distinct (doc_id, lang, shingle). */
   private def shingles(docs: org.apache.spark.sql.DataFrame) =
@@ -66,12 +69,13 @@ object PipelineQueries {
   private val sigCols = (0 until 8).map(i =>
     s"min((hv * ${Dedup.MinhashA(i)} + ${Dedup.MinhashB(i)}) % ${Dedup.MinhashP}) AS mh$i")
     .mkString(",\n    ")
-  private def minhashCtes: String =
-    s"""$shingleCte,
-       |hv AS (SELECT DISTINCT doc_id, ${h32Sql("s")} AS hv FROM sh),
-       |sig AS (SELECT doc_id,
+  private def minhashCtes: String = minhashCtesFor("documents")
+  private def minhashCtesFor(src: String, pfx: String = ""): String =
+    s"""${shingleCteFor(src, pfx)},
+       |${pfx}hv AS (SELECT DISTINCT doc_id, ${h32Sql("s")} AS hv FROM ${pfx}sh),
+       |${pfx}sig AS (SELECT doc_id,
        |    $sigCols
-       |  FROM hv GROUP BY 1)""".stripMargin
+       |  FROM ${pfx}hv GROUP BY 1)""".stripMargin
 
   /** Shared Spark side: 3-gram shingle hashes → 8-hash signature.
     * Deliberately NO distinct before the signature aggregate: min over a
@@ -81,8 +85,11 @@ object PipelineQueries {
     * path) from every signature consumer (x2/x7/x8/x8b/x9b/x10/x16).
     * Paths that need SET semantics (x14's sizes/intersections) build
     * their own distinct (doc_id, hv) relation. */
-  private def minhashSig(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sh = Tables.documents(s, d)
+  private def minhashSig(s: org.apache.spark.sql.SparkSession, d: String) =
+    minhashSigOf(Tables.documents(s, d))
+
+  private def minhashSigOf(docs: org.apache.spark.sql.DataFrame) = {
+    val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
@@ -103,8 +110,9 @@ object PipelineQueries {
   /** DuckDB band relation for the 8×1 banding — shared by every oracle
     * that touches LSH candidates (x2/x10/x8/x8b/x9b) so the band/key
     * encoding can never drift between them. */
-  private val bandsSql: String = (0 until 8).map(i =>
-    s"SELECT doc_id, $i AS band, mh$i AS key FROM sig").mkString("\n  UNION ALL ")
+  private def bandsSqlFor(pfx: String): String = (0 until 8).map(i =>
+    s"SELECT doc_id, $i AS band, mh$i AS key FROM ${pfx}sig").mkString("\n  UNION ALL ")
+  private val bandsSql: String = bandsSqlFor("")
 
   /** Hot-bucket cap for the single-hash LSH candidate stage (x2/x8/x8b) —
     * x4's stop-shingle trick in band form: a (band, key) bucket of df docs
@@ -132,10 +140,10 @@ object PipelineQueries {
 
   /** DuckDB mirror of Dedup.pairJoin's maxBucket semi-join: the bands CTE
     * filtered to buckets at or under the cap. */
-  private def cappedBandsCte(bands: String): String =
-    s"""bands AS ($bands),
-       |kept AS (SELECT doc_id, band, key FROM (
-       |    SELECT *, count(*) OVER (PARTITION BY band, key) AS df FROM bands)
+  private def cappedBandsCte(bands: String, pfx: String = ""): String =
+    s"""${pfx}bands AS ($bands),
+       |${pfx}kept AS (SELECT doc_id, band, key FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band, key) AS df FROM ${pfx}bands)
        |  WHERE df <= $X2MaxBucket)""".stripMargin
 
   /** MinHash + LSH near-dup candidates: shingle explode → 8-hash signature
@@ -849,20 +857,21 @@ object PipelineQueries {
   /** Recursive-CTE chain ending in `comp(node, cid)` — the LSH candidate
     * pairs → connected components fixpoint, shared by the x8/x8b cluster
     * oracles and the x9b near-dup curation oracle. */
-  private val componentsCtes: String = {
-    s"""$minhashCtes,
-       |${cappedBandsCte(bandsSql)},
-       |pairs AS (
+  private val componentsCtes: String = componentsCtesFor("documents")
+  private def componentsCtesFor(src: String, pfx: String = ""): String = {
+    s"""${minhashCtesFor(src, pfx)},
+       |${cappedBandsCte(bandsSqlFor(pfx), pfx)},
+       |${pfx}pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM kept a JOIN kept b
+       |  FROM ${pfx}kept a JOIN ${pfx}kept b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-       |reach(node, r) AS (
-       |  SELECT src, src FROM edges
+       |${pfx}edges AS (SELECT doc_a AS src, doc_b AS dst FROM ${pfx}pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM ${pfx}pairs),
+       |${pfx}reach(node, r) AS (
+       |  SELECT src, src FROM ${pfx}edges
        |  UNION
-       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
-       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1)""".stripMargin
+       |  SELECT e.dst, ${pfx}reach.r FROM ${pfx}edges e JOIN ${pfx}reach ON e.src = ${pfx}reach.node),
+       |${pfx}comp AS (SELECT node, min(r) AS cid FROM ${pfx}reach GROUP BY 1)""".stripMargin
   }
 
   /** Reachability oracle for the dedup pipeline's final stage (one cluster
@@ -3563,6 +3572,34 @@ object PipelineQueries {
        |  HAVING CAST(SUM(CASE WHEN t >= 2 THEN c ELSE 0 END) AS BIGINT) * 2
        |    <= CAST(SUM(c) AS BIGINT))""".stripMargin
 
+  /** The v5 oracle's KN-banding CTE chain (per-doc within-corpus KN
+    * score → per-language NTILE(3) → keep middle+head as `kkeep`) —
+    * shared by the x32 and x34 oracles. Reads `dws` from
+    * [[x32GateCtes]]. */
+  private val x32KnBandCtes: String =
+    """pos AS (SELECT doc_id, ws AS l, unnest(generate_series(1, len(ws) - 1)) AS i
+      |  FROM dws),
+      |bg AS (SELECT doc_id, l[i] AS prev, l[i+1] AS cur FROM pos),
+      |bcnt AS (SELECT prev, cur, COUNT(*) AS n_bg FROM bg GROUP BY 1, 2),
+      |pcnt AS (SELECT prev, COUNT(*) AS n_prev FROM bg GROUP BY 1),
+      |nf AS (SELECT prev, COUNT(*) AS n1_fwd FROM bcnt GROUP BY 1),
+      |nb AS (SELECT cur, COUNT(*) AS n1_bwd FROM bcnt GROUP BY 1),
+      |nt AS (SELECT COUNT(*) AS n1_tot FROM bcnt),
+      |p AS (SELECT doc_id,
+      |    CAST(ln(
+      |      greatest(CAST(n_bg AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / n_prev
+      |      + (CAST(0.75 AS DOUBLE) * n1_fwd / n_prev)
+      |        * (CAST(n1_bwd AS DOUBLE) / n1_tot)
+      |    ) AS DECIMAL(12,6)) AS lp
+      |  FROM bg JOIN bcnt USING (prev, cur) JOIN pcnt USING (prev)
+      |    JOIN nf USING (prev) JOIN nb USING (cur) CROSS JOIN nt),
+      |kavg AS (SELECT doc_id, CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_lp
+      |  FROM p GROUP BY 1),
+      |kb AS (SELECT k.doc_id, NTILE(3) OVER (
+      |      PARTITION BY d.lang ORDER BY k.avg_lp, k.doc_id) AS band
+      |  FROM kavg k JOIN documents d ON d.doc_id = k.doc_id),
+      |kkeep AS (SELECT doc_id FROM kb WHERE band >= 2)""".stripMargin
+
   /** Shared final SELECT of the v5-family oracles: survivors of all three
     * keep sets, aggregated per (source, lang). */
   private val x32FinalSql: String =
@@ -3572,25 +3609,31 @@ object PipelineQueries {
       |JOIN gkeep USING (doc_id) JOIN skeep USING (doc_id) JOIN kkeep USING (doc_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** x32's three-gate survivor document frame (all production rungs:
+    * rolling Gopher panel, rolling span dedup, KN banding via the
+    * scale-safe groupedNtile) — ONE implementation shared by the
+    * declared v5 query and the v6 capstone, so the gate semantics can
+    * never drift between them. Returns full `documents` columns. */
+  private def v5Survivors(docs: org.apache.spark.sql.DataFrame) = {
+    val gop = TextAnalysis.gopherRepetitionRolling(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id")
+    val span = Dedup.spanDupStats(docs, "doc_id", "text", k = 8, rolling = true)
+      .filter(col("n_dup") * 2 <= col("n_windows")).select("doc_id")
+    val kn = knScored(docs)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val banded = Relational.groupedNtile(
+        kn.select("doc_id", "lang", "avg_kn_logprob"),
+        groups = Seq("lang"), order = Seq("avg_kn_logprob", "doc_id"),
+        n = 3, out = "band")
+      .filter(col("band") >= 2).select("doc_id")
+    docs.join(gop, Seq("doc_id"), "left_semi")
+      .join(span, Seq("doc_id"), "left_semi")
+      .join(banded, Seq("doc_id"), "left_semi")
+  }
+
   private val x32CurationV5 = Q(
     (s, d) => {
-      // all three gates run their PRODUCTION rungs: rolling Gopher panel
-      // (z37b), rolling span dedup (x18b), KN banding via groupedNtile
-      val docs = Tables.documents(s, d)
-      val gop = TextAnalysis.gopherRepetitionRolling(docs, "doc_id", "text")
-        .filter(col("keep")).select("doc_id")
-      val span = Dedup.spanDupStats(docs, "doc_id", "text", k = 8, rolling = true)
-        .filter(col("n_dup") * 2 <= col("n_windows")).select("doc_id")
-      val kn = knScored(docs)
-        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-      val banded = Relational.groupedNtile(
-          kn.select("doc_id", "lang", "avg_kn_logprob"),
-          groups = Seq("lang"), order = Seq("avg_kn_logprob", "doc_id"),
-          n = 3, out = "band")
-        .filter(col("band") >= 2).select("doc_id")
-      docs.join(gop, Seq("doc_id"), "left_semi")
-        .join(span, Seq("doc_id"), "left_semi")
-        .join(banded, Seq("doc_id"), "left_semi")
+      v5Survivors(Tables.documents(s, d))
         .select(col("source"), col("lang"),
           size(split(col("text"), " ")).as("wt"))
         .groupBy("source", "lang")
@@ -3599,28 +3642,7 @@ object PipelineQueries {
         .orderBy("source", "lang")
     },
     s"""WITH $x32GateCtes,
-       |pos AS (SELECT doc_id, ws AS l, unnest(generate_series(1, len(ws) - 1)) AS i
-       |  FROM dws),
-       |bg AS (SELECT doc_id, l[i] AS prev, l[i+1] AS cur FROM pos),
-       |bcnt AS (SELECT prev, cur, COUNT(*) AS n_bg FROM bg GROUP BY 1, 2),
-       |pcnt AS (SELECT prev, COUNT(*) AS n_prev FROM bg GROUP BY 1),
-       |nf AS (SELECT prev, COUNT(*) AS n1_fwd FROM bcnt GROUP BY 1),
-       |nb AS (SELECT cur, COUNT(*) AS n1_bwd FROM bcnt GROUP BY 1),
-       |nt AS (SELECT COUNT(*) AS n1_tot FROM bcnt),
-       |p AS (SELECT doc_id,
-       |    CAST(ln(
-       |      greatest(CAST(n_bg AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / n_prev
-       |      + (CAST(0.75 AS DOUBLE) * n1_fwd / n_prev)
-       |        * (CAST(n1_bwd AS DOUBLE) / n1_tot)
-       |    ) AS DECIMAL(12,6)) AS lp
-       |  FROM bg JOIN bcnt USING (prev, cur) JOIN pcnt USING (prev)
-       |    JOIN nf USING (prev) JOIN nb USING (cur) CROSS JOIN nt),
-       |kavg AS (SELECT doc_id, CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_lp
-       |  FROM p GROUP BY 1),
-       |kb AS (SELECT k.doc_id, NTILE(3) OVER (
-       |      PARTITION BY d.lang ORDER BY k.avg_lp, k.doc_id) AS band
-       |  FROM kavg k JOIN documents d ON d.doc_id = k.doc_id),
-       |kkeep AS (SELECT doc_id FROM kb WHERE band >= 2)
+       |$x32KnBandCtes
        |$x32FinalSql""".stripMargin)
 
   /** x32b: curation v5 with the banding gate POINTED AT NEW DATA — the
@@ -3668,6 +3690,116 @@ object PipelineQueries {
        |  FROM kout k JOIN documents d ON d.doc_id = k.doc_id),
        |kkeep AS (SELECT doc_id FROM kb WHERE band >= 2)
        |$x32FinalSql""".stripMargin)
+
+  /** x34: curation v6 — the capstone that ships a training MIX, not just
+    * survivors: the full pretraining-data lifecycle as ONE oracle-gated
+    * DAG. Chain:
+    *  1. v5's three-gate survivor set ([[v5Survivors]] — rolling Gopher,
+    *     rolling span dedup, per-language KN banding);
+    *  2. best-copy dedup RESOLUTION on the survivors (x25's policy:
+    *     LSH pairs → connected components → keep the highest
+    *     lexical-diversity copy per cluster — filter-then-dedup, so the
+    *     winner is the best SURVIVING copy);
+    *  3. DSIR importance gate (z21's llr weights + deterministic
+    *     resample), weights fitted on the RESOLVED corpus;
+    *  4. per-source stratified cap at 40 (z6's deterministic md5 order,
+    *     riding the salted grouped top-k);
+    *  5. temperature mixture weights over the capped set (z22's
+    *     sqrt-flattened shares + repeat factors);
+    *  6. sequence packing of the final mix into 2048-token bins (z19's
+    *     two-pass running total — bounded per-partition sorts, no
+    *     single-task corpus window).
+    * Output: one row per source — docs/tokens/languages in the mix, its
+    * temperature share and repeat factor, and the global packed bin
+    * count. Every stage is a reused, already-gated implementation; the
+    * oracle replays the complete chain (gates → KN banding → recursive
+    * CC fixpoint over the survivor set → DSIR weights → cap window →
+    * mix arithmetic → packing window) in one WITH RECURSIVE chain built
+    * from the same shared CTE renderers as the component queries. */
+  private val x34CurationV6 = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+      val surv = v5Survivors(Tables.documents(s, d))
+      val pairs = Dedup.lshCandidates(minhashSigOf(surv), "doc_id", 8,
+        maxBucket = Some(X2MaxBucket))
+      val labels = Dedup.connectedComponents(pairs, surv, "doc_id")
+        .select("doc_id", "cluster_id")
+      val wsx = split(col("text"), " ")
+      val qual = surv.select(col("doc_id"),
+        (size(array_distinct(wsx)) / size(wsx)).as("qscore"))
+      val best = Relational.top1PerGroup(labels.join(qual, Seq("doc_id")),
+          Seq(col("cluster_id")), Seq(col("qscore").desc, col("doc_id").asc))
+        .select(col("doc_id"))
+      val resolved = surv.join(best, Seq("doc_id"), "left_semi")
+      val dkept = resolved.join(
+        dsirPerDoc(resolved).filter(col("kept")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val capped = Sampling.capPerGroup(dkept, col("source"), col("doc_id"), 40)
+      val st = capped
+        .select(col("source"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast(LongType).as("n_tokens"),
+          countDistinct(col("lang")).cast(IntegerType).as("n_langs"))
+      val wmix = st.withColumn("w_dec",
+        sqrt(col("n_tokens").cast(DoubleType)).cast(DecimalType(18, 8)))
+      val wtot = wmix.agg(sum(col("w_dec")).as("w_tot"))
+      val packed = Relational.runningTotal(
+          capped.select(col("doc_id"),
+            size(split(col("text"), " ")).cast(LongType).as("toks")),
+          Seq("doc_id"), "toks", "cum")
+        .agg((max(expr("(cum - toks) DIV 2048")) + 1).cast(LongType).as("n_bins"))
+      wmix.crossJoin(broadcast(wtot)).crossJoin(broadcast(packed))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          (col("w_dec").cast(DoubleType) / col("w_tot").cast(DoubleType)).as("share"),
+          (col("w_dec").cast(DoubleType) / col("w_tot").cast(DoubleType)
+            * lit(1000000.0) / col("n_tokens")).as("repeat_factor"),
+          col("n_bins"))
+        .orderBy("source")
+    },
+    s"""WITH RECURSIVE $x32GateCtes,
+       |$x32KnBandCtes,
+       |surv AS MATERIALIZED (SELECT d.doc_id, d.source, d.lang, d.text FROM documents d
+       |  JOIN gkeep USING (doc_id) JOIN skeep USING (doc_id) JOIN kkeep USING (doc_id)),
+       |${componentsCtesFor("surv", "c")},
+       |lbl AS (SELECT s2.doc_id, COALESCE(ccomp.cid, s2.doc_id) AS cluster_id
+       |  FROM surv s2 LEFT JOIN ccomp ON s2.doc_id = ccomp.node),
+       |q AS (SELECT doc_id,
+       |    len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS qscore
+       |  FROM surv),
+       |b AS (SELECT l.cluster_id, l.doc_id AS keep_id,
+       |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |      ORDER BY q.qscore DESC, l.doc_id) AS rn
+       |  FROM lbl l JOIN q ON q.doc_id = l.doc_id),
+       |best AS (SELECT keep_id FROM b WHERE rn = 1),
+       |resolved AS MATERIALIZED (SELECT s2.* FROM surv s2 JOIN best ON s2.doc_id = best.keep_id),
+       |${dsirCtesFor("resolved")},
+       |dkept AS (SELECT r.* FROM resolved r
+       |  JOIN perdoc p2 ON p2.doc_id = r.doc_id WHERE p2.kept),
+       |capped AS MATERIALIZED (SELECT * FROM (
+       |    SELECT d2.*, ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS crn
+       |    FROM dkept d2) x WHERE crn <= 40),
+       |st AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(DISTINCT lang) AS INT) AS n_langs
+       |  FROM capped GROUP BY 1),
+       |wmix AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,8)) AS w_dec
+       |  FROM st),
+       |wtot AS (SELECT SUM(w_dec) AS w_tot FROM wmix),
+       |packcum AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM capped),
+       |packn AS (SELECT CAST(MAX((cum - toks) // 2048) + 1 AS BIGINT) AS n_bins
+       |  FROM packcum)
+       |SELECT source, n_docs, n_tokens, n_langs,
+       |  CAST(w_dec AS DOUBLE) / CAST(w_tot AS DOUBLE) AS share,
+       |  CAST(w_dec AS DOUBLE) / CAST(w_tot AS DOUBLE)
+       |    * CAST(1000000.0 AS DOUBLE) / n_tokens AS repeat_factor,
+       |  n_bins
+       |FROM wmix CROSS JOIN wtot CROSS JOIN packn ORDER BY source""".stripMargin)
 
   /** z39: character-entropy quality signal — the compression-ratio proxy
     * low-quality detectors use beside z2's ratio panel: gibberish,
@@ -4407,9 +4539,9 @@ object PipelineQueries {
     * hint); the corpus pays one term explode and one doc-keyed sum. ONE
     * implementation so the declared z21 query and the curation-v4
     * composition can never drift on the weight or resample definitions. */
-  private def dsirPerDoc(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+  private def dsirPerDoc(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.types.{DecimalType, LongType}
-      val tcx = Tables.documents(s, d)
+      val tcx = docs
         .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("term"))
       // ONE corpus explode: tf is the only aggregate built directly on the
       // exploded relation; the term-level count tables derive from tf's
@@ -4440,37 +4572,44 @@ object PipelineQueries {
             when(col("llr_dec") > 0, 800).otherwise(200))
   }
 
+  /** DuckDB CTE chain replaying [[dsirPerDoc]] over `src` — ends in
+    * `perdoc(doc_id, source, llr_dec, kept)`. ONE definition shared by
+    * the z21 oracle and the v6 capstone so the weight table and resample
+    * rule can never drift. */
+  private def dsirCtesFor(src: String): String =
+    s"""tcx AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+       |            FROM $src),
+       |cc AS (SELECT term, COUNT(*) AS cc FROM tcx GROUP BY 1),
+       |tcnt AS (SELECT term, COUNT(*) AS tc FROM tcx WHERE source = 'src0' GROUP BY 1),
+       |tots AS (SELECT CAST(SUM(cc) AS BIGINT) AS ctot, COUNT(*) AS v FROM cc),
+       |ttots AS (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS ttot FROM tcnt),
+       |w AS (SELECT cc.term,
+       |    CAST(ln((COALESCE(tc, 0) + 1) / (ttot + v)) AS DECIMAL(12,6))
+       |  - CAST(ln((cc + 1) / (ctot + v)) AS DECIMAL(12,6)) AS llr6
+       |  FROM cc LEFT JOIN tcnt ON cc.term = tcnt.term
+       |  CROSS JOIN tots CROSS JOIN ttots),
+       |tf AS (SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tcx GROUP BY 1, 2, 3),
+       |perdoc AS (
+       |  SELECT doc_id, source, SUM(tf * llr6) AS llr_dec,
+       |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 <
+       |      CASE WHEN SUM(tf * llr6) > 0 THEN 800 ELSE 200 END AS kept
+       |  FROM tf JOIN w USING (term) GROUP BY 1, 2)""".stripMargin
+
   private val z21DsirSample = Q(
     (s, d) => {
       import org.apache.spark.sql.types.{DoubleType, LongType}
-      dsirPerDoc(s, d).groupBy("source")
+      dsirPerDoc(Tables.documents(s, d)).groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("kept"), 1).otherwise(0)).cast(LongType).as("n_kept"),
           (sum(col("llr_dec")).cast(DoubleType) / count(lit(1))).as("mean_llr"))
         .orderBy("source")
     },
-    """WITH tcx AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
-      |            FROM documents),
-      |cc AS (SELECT term, COUNT(*) AS cc FROM tcx GROUP BY 1),
-      |tcnt AS (SELECT term, COUNT(*) AS tc FROM tcx WHERE source = 'src0' GROUP BY 1),
-      |tots AS (SELECT CAST(SUM(cc) AS BIGINT) AS ctot, COUNT(*) AS v FROM cc),
-      |ttots AS (SELECT CAST(COALESCE(SUM(tc), 0) AS BIGINT) AS ttot FROM tcnt),
-      |w AS (SELECT cc.term,
-      |    CAST(ln((COALESCE(tc, 0) + 1) / (ttot + v)) AS DECIMAL(12,6))
-      |  - CAST(ln((cc + 1) / (ctot + v)) AS DECIMAL(12,6)) AS llr6
-      |  FROM cc LEFT JOIN tcnt ON cc.term = tcnt.term
-      |  CROSS JOIN tots CROSS JOIN ttots),
-      |tf AS (SELECT doc_id, source, term, CAST(COUNT(*) AS BIGINT) AS tf
-      |       FROM tcx GROUP BY 1, 2, 3),
-      |perdoc AS (
-      |  SELECT doc_id, source, SUM(tf * llr6) AS llr_dec,
-      |    ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 <
-      |      CASE WHEN SUM(tf * llr6) > 0 THEN 800 ELSE 200 END AS kept
-      |  FROM tf JOIN w USING (term) GROUP BY 1, 2)
-      |SELECT source, COUNT(*) AS n_docs,
-      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |  CAST(SUM(llr_dec) AS DOUBLE) / COUNT(*) AS mean_llr
-      |FROM perdoc GROUP BY source ORDER BY source""".stripMargin)
+    s"""WITH ${dsirCtesFor("documents")}
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(llr_dec) AS DOUBLE) / COUNT(*) AS mean_llr
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin)
 
   /** z22: temperature-scaled mixture weights — the Pile/ROOTS-style
     * source reweighting that decides how often each domain repeats in the
@@ -4806,7 +4945,7 @@ object PipelineQueries {
       val spanContam = Dedup.spanDecontaminate(
           corpus, docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 8)
         .select(col("doc_id"), col("n_contam"))
-      val dsirKeep = dsirPerDoc(s, d).filter(col("kept")).select("doc_id")
+      val dsirKeep = dsirPerDoc(Tables.documents(s, d)).filter(col("kept")).select("doc_id")
       // one LSH pass: the pair frame is pinned and shared by the
       // components fixpoint AND the PageRank loop (each would otherwise
       // re-execute the whole candidate pipeline); blocks are the
@@ -4991,6 +5130,7 @@ object PipelineQueries {
     "z40_zipf_fit" -> z40ZipfFit,
     "x32_curation_v5" -> x32CurationV5,
     "x32b_curation_heldout" -> x32bCurationHeldout,
+    "x34_curation_v6" -> x34CurationV6,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
     "z19_sequence_pack" -> z19SequencePack,
