@@ -3719,7 +3719,17 @@ object PipelineQueries {
   private val x34CurationV6 = Q(
     (s, d) => {
       import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
-      val surv = v5Survivors(Tables.documents(s, d))
+      // pin the three-gate survivor frame before the fan-out: four
+      // downstream consumers (signature build, CC label loop, quality
+      // ranking, resolution join) would otherwise each re-run the whole
+      // gate DAG — and the CC loop re-runs its input per iteration.
+      // At warehouse scale the same barrier is a store write of the
+      // survivor set (y13's rule). Plan-only sweeps skip the pin (no
+      // actions at construction).
+      val surv =
+        if (planOnly) v5Survivors(Tables.documents(s, d))
+        else graft.Housekeeping.retainCheckpoint(s)(
+          v5Survivors(Tables.documents(s, d)))
       val pairs = Dedup.lshCandidates(minhashSigOf(surv), "doc_id", 8,
         maxBucket = Some(X2MaxBucket))
       val labels = Dedup.connectedComponents(pairs, surv, "doc_id")
