@@ -3311,15 +3311,10 @@ object PipelineQueries {
     * distinct-bigram total is hinted. Scoring is one explode + four
     * combinable aggregates + equi-joins keyed on words. */
   /** Per-position bigram token stream (doc_id, prev, cur) — the shared
-    * first stage of every bigram-LM rung (z17/z38/z41): one in-scan
-    * explode, no shuffle. Docs under 2 words have no bigrams and are
-    * absent. */
-  private def bigramTokens(docs: org.apache.spark.sql.DataFrame) = docs
-    .select(col("doc_id"), split(col("text"), " ").as("ws"))
-    .filter(size(col("ws")) >= 2)
-    .select(col("doc_id"), explode(expr(
-      "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
-    .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    * first stage of every bigram-LM rung (z17/z38/z41); see
+    * [[graft.operators.Lm.bigramTokens]]. */
+  private def bigramTokens(docs: org.apache.spark.sql.DataFrame) =
+    graft.operators.Lm.bigramTokens(docs)
 
   /** Per-doc interpolated-KN bigram scores — shared by z38 (the declared
     * panel) and x32 (the v5 curation composition's perplexity gate).
@@ -3385,8 +3380,7 @@ object PipelineQueries {
     String, org.apache.spark.sql.DataFrame]()
 
   private def knBigramCounts(docs: org.apache.spark.sql.DataFrame) =
-    bigramTokens(docs).groupBy("prev", "cur")
-      .agg(count(lit(1)).as("n_bg"))
+    graft.operators.Lm.bigramCounts(docs)
 
   private def knModelStored(s: SparkSession, d: String) =
     z41Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
@@ -3422,33 +3416,8 @@ object PipelineQueries {
     * n_unseen (bigrams absent from the model) beside the score — the
     * coverage diagnostic a production filter monitors for domain drift. */
   private def knHeldoutScored(model: org.apache.spark.sql.DataFrame,
-                              docs: org.apache.spark.sql.DataFrame) = {
-    import org.apache.spark.sql.types.LongType
-    val bg = bigramTokens(docs)
-    val pstats = model.groupBy("prev").agg(
-      sum(col("n_bg")).cast(LongType).as("n_prev"),
-      count(lit(1)).cast(LongType).as("n1_fwd"))
-    val n1bwd = model.groupBy("cur").agg(count(lit(1)).cast(LongType).as("n1_bwd"))
-    val nt = model.agg(count(lit(1)).cast(LongType).as("n1_tot"),
-      countDistinct(col("cur")).cast(LongType).as("v_cont"))
-    bg.join(model, Seq("prev", "cur"), "left")
-      .join(pstats, Seq("prev"), "left")
-      .join(n1bwd, Seq("cur"), "left")
-      .crossJoin(broadcast(nt))
-      .withColumn("pcont",
-        (coalesce(col("n1_bwd"), lit(0L)) + lit(1L)) / (col("n1_tot") + col("v_cont")))
-      .withColumn("pkn",
-        when(col("n_prev").isNull, col("pcont"))
-          .otherwise(
-            greatest(coalesce(col("n_bg"), lit(0L)).cast("double") - lit(0.75), lit(0.0))
-              / col("n_prev")
-              + (lit(0.75) * col("n1_fwd") / col("n_prev")) * col("pcont")))
-      .withColumn("lp", log(col("pkn")).cast("decimal(12,6)"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_bigrams"),
-        sum(when(col("n_bg").isNull, 1).otherwise(0)).cast("int").as("n_unseen"),
-        (sum(col("lp")).cast("double") / count(lit(1))).as("avg_kn_logprob"))
-  }
+                              docs: org.apache.spark.sql.DataFrame) =
+    graft.operators.Lm.heldoutScored(model, docs)
 
   /** DuckDB CTE chain replaying [[knHeldoutScored]] over a train/score
     * doc split — shared by the z41 oracle and the x32b banding gate so

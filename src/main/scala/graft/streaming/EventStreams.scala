@@ -163,6 +163,52 @@ object EventStreams {
         col("best.c_id").as("c_id"), col("best.cosine").as("cosine"))
   }
 
+  /** Streaming held-out perplexity scoring — the online half of z41: each
+    * arriving document is scored against a FITTED bigram count model (the
+    * (prev, cur, n_bg) table a batch job persisted through the Store),
+    * with interpolated Kneser–Ney's backoff covering bigrams the model
+    * never saw. This is what lets the CCNet-style perplexity gate run on
+    * a live crawl: the reference LM is fixed, arrivals are new.
+    *
+    * Scale shape: the bigram explode is stateless and in-scan; the three
+    * model joins are STREAM-STATIC left joins (no stream-stream state —
+    * the static side is a relation Spark re-reads per micro-batch,
+    * broadcast while it fits); the two model scalars (N1+(··), |V_cont|)
+    * collect ONCE at stream construction (the model is static — two
+    * longs, driver metadata). The only stateful op is the watermarked
+    * per-(doc, ts) aggregate, whose state expires with the watermark —
+    * total state is O(docs inside the watermark), independent of model
+    * and corpus size. Numerics identical to the batch scorer (ONE
+    * implementation: [[graft.operators.Lm]]); the spec gates stream ==
+    * batch scores on the same drain. Docs under 2 words have no bigrams
+    * and emit nothing (the batch scorer's absence semantics). */
+  def perplexityScore(docs: DataFrame, model: DataFrame, idCol: String,
+                      textCol: String, tsCol: String,
+                      watermark: String = "10 minutes"): DataFrame = {
+    import graft.operators.Lm
+    val ntRow = model.agg(
+      count(lit(1)).cast("long").as("n1_tot"),
+      countDistinct(col("cur")).cast("long").as("v_cont")).head()
+    val (n1Tot, vCont) = (ntRow.getLong(0), ntRow.getLong(1))
+    val bg = docs
+      .select(col(idCol), col(tsCol).as("ts"), split(col(textCol), " ").as("ws"))
+      .withWatermark("ts", watermark)
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol), col("ts"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS prev, ws[i] AS cur))")).as("b"))
+      .select(col(idCol), col("ts"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    bg.join(model, Seq("prev", "cur"), "left")
+      .join(Lm.prevStats(model), Seq("prev"), "left")
+      .join(Lm.contStats(model), Seq("cur"), "left")
+      .withColumn("pkn", Lm.pknExpr(col("n_bg"), col("n_prev"), col("n1_fwd"),
+        col("n1_bwd"), lit(n1Tot), lit(vCont)))
+      .withColumn("lp", log(col("pkn")).cast("decimal(12,6)"))
+      .groupBy(col(idCol), col("ts"))
+      .agg(count(lit(1)).cast("int").as("n_bigrams"),
+        sum(when(col("n_bg").isNull, 1).otherwise(0)).cast("int").as("n_unseen"),
+        (sum(col("lp")).cast("double") / count(lit(1))).as("avg_kn_logprob"))
+  }
+
   /** Streaming near-dup gate: drop incoming docs whose minhash signature
     * LSH-collides with a static corpus — the continuous form of
     * `Dedup.lshCandidatesAgainst`. The corpus rides along as a Bloom

@@ -169,6 +169,46 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("perplexityScore over a file stream equals the batch held-out scorer") {
+    import graft.operators.Lm
+    // reference corpus fits the model; arrivals contain seen bigrams,
+    // bigrams with a seen prev only, a wholly unseen vocabulary, and a
+    // one-word doc (no bigrams → absent on BOTH sides)
+    val ref = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "the dog sat on the rug")).toDF("doc_id", "text")
+    val model = Lm.bigramCounts(ref)
+    val arrivals = Seq(
+      (1L, "the cat sat on the rug"),   // all bigrams seen
+      (2L, "the cat ate the mat"),      // 'cat ate' unseen, prev seen
+      (3L, "quantum flux capacitor"),   // wholly unseen vocabulary
+      (4L, "mat"))                      // <2 words → no output row
+    val src = tmpDir("ppl_src")
+    arrivals.zipWithIndex.map { case ((id, t), i) => (id, ts(i), t) }
+      .toDF("doc_id", "ts", "text")
+      .repartition(1).write.mode("append").parquet(src)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val scored = EventStreams.perplexityScore(
+      spark.readStream.schema(docSchema).parquet(src),
+      model, "doc_id", "text", "ts")
+    val q = scored.writeStream.format("memory").queryName("ppl_out")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ppl_out")
+      .select("doc_id", "n_bigrams", "n_unseen", "avg_kn_logprob")
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val want = Lm.heldoutScored(model, arrivals.toDF("doc_id", "text"))
+      .as[(Long, Int, Int, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === want, s"stream $got != batch $want")
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L)._2 === 0 && got(2L)._2 > 0, "n_unseen discriminates")
+    assert(got(3L)._2 === got(3L)._1, "wholly unseen doc: every bigram unseen")
+  }
+
   test("classifierScore gates a stream statelessly with batch-identical scores") {
     import graft.operators.TextAnalysis
     val rows = Seq(
