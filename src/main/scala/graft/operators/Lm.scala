@@ -38,6 +38,21 @@ object Lm {
     bigramTokens(docs, idCol, textCol).groupBy("prev", "cur")
       .agg(count(lit(1)).as("n_bg"))
 
+  /** Incremental model maintenance — the E2 lifecycle for the fitted LM:
+    * merge an arriving batch's bigram counts into an existing model by
+    * union + re-aggregation. Counts are additive, so fit(A) merged with
+    * counts(B) EQUALS fit(A ∪ B) exactly (spec-gated) — the property
+    * that lets a production reference model track a growing clean corpus
+    * without refitting from scratch. Map-side combinable; at warehouse
+    * scale the result lands back through the Store's partition overwrite
+    * (both sides shard by the same key hash, so the merge shuffle is
+    * partition-aligned). */
+  def mergeCounts(model: DataFrame, batchCounts: DataFrame): DataFrame =
+    model.select("prev", "cur", "n_bg")
+      .unionByName(batchCounts.select("prev", "cur", "n_bg"))
+      .groupBy("prev", "cur")
+      .agg(sum(col("n_bg")).cast(LongType).as("n_bg"))
+
   /** Model-derived per-prev stats: c(w1·) and N1+(w1·) in one aggregate. */
   def prevStats(model: DataFrame): DataFrame =
     model.groupBy("prev").agg(

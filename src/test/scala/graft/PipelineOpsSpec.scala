@@ -602,6 +602,43 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class LmSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.Lm
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("mergeCounts: fit(A) + counts(B) equals fit(A ∪ B) exactly") {
+    val a = docs((1L, "the cat sat on the mat"), (2L, "the dog sat"))
+    val b = docs((3L, "the cat ran"), (4L, "a cat sat on a rug"))
+    val merged = Lm.mergeCounts(Lm.bigramCounts(a), Lm.bigramCounts(b))
+      .as[(String, String, Long)].collect().toSet
+    val refit = Lm.bigramCounts(a.union(b))
+      .as[(String, String, Long)].collect().toSet
+    assert(merged === refit)
+    // and the merged model SCORES identically to the refit one
+    val probe = docs((9L, "the cat sat on a mat"), (10L, "zz yy"))
+    def score(m: org.apache.spark.sql.DataFrame) =
+      Lm.heldoutScored(m, probe).as[(Long, Int, Int, Double)].collect().toSet
+    assert(score(Lm.mergeCounts(Lm.bigramCounts(a), Lm.bigramCounts(b)))
+      === score(Lm.bigramCounts(a.union(b))))
+  }
+
+  test("scoring the training corpus through the held-out path has zero unseen bigrams") {
+    // every bigram of the train set is in the model, so the left joins
+    // all hit and the formula reduces to the within-corpus KN form
+    val train = docs(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "a cat and a dog"))
+    val scored = Lm.heldoutScored(Lm.bigramCounts(train), train)
+      .as[(Long, Int, Int, Double)].collect()
+    assert(scored.length === 3)
+    assert(scored.forall(_._3 === 0), s"train-on-train must have n_unseen 0: ${scored.toSeq}")
+    assert(scored.forall(r => r._4 < 0.0), "log-probs are negative")
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
