@@ -352,6 +352,35 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!x32.contains("CartesianProduct"), "x32 grew a cartesian")
   }
 
+  test("z41/x32b/x33/x34: round-7 additions keep their scale shapes") {
+    // z41: every model join must stay UNHINTED (a web-scale bigram table
+    // must not be forced to broadcast) and LEFT (unseen bigrams must
+    // survive to the backoff floor — an inner join would drop them)
+    val z41 = formatted("z41_heldout_perplexity")
+    assert(!z41.contains("CartesianProduct"), "z41 grew a cartesian")
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(z41).size <= 1,
+      "z41: only the 1-row totals may nest-loop")
+    assert(z41.contains("LeftOuter"),
+      "z41 lost its left joins — unseen bigrams would be dropped")
+    // x32b: same banding discipline as x32 (two-pass groupedNtile)
+    val x32b = formatted("x32b_curation_heldout")
+    assert(!x32b.contains("ntile("),
+      "x32b regressed to a single-task per-language ntile window")
+    assert(x32b.contains("__pid"), "the bounded-task numbering key left x32b")
+    assert(!x32b.contains("CartesianProduct"), "x32b grew a cartesian")
+    // x33: the occupancy measurement is scan → hash aggregate — no join
+    // may touch the corpus side (the planner chooses from aggregates)
+    val x33 = formatted("x33_planner_applied")
+    assert(!x33.contains("CartesianProduct"), "x33 grew a real cartesian")
+    assert(x33.contains("HashAggregate"), "x33's occupancy must hash-aggregate")
+    // x34: the capstone keeps the banding discipline and never sorts the
+    // corpus on one task (packing rides the two-pass running total)
+    val x34 = formatted("x34_curation_v6")
+    assert(!x34.contains("ntile("),
+      "x34 regressed to a single-task per-language ntile window")
+    assert(!x34.contains("CartesianProduct"), "x34 grew a cartesian")
+  }
+
   test("x15/z17/w12: composed pipelines keep their bounded join shapes") {
     val x15 = formatted("x15_semantic_dedup")
     assert(!x15.contains("CartesianProduct") && !x15.contains("BroadcastNestedLoopJoin"),
