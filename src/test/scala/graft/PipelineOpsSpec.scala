@@ -786,6 +786,45 @@ class MultimodalSpec extends SparkSpec {
     assert(noRef(2L), "without the reference bloom, doc 2 has no dup spans")
   }
 
+  test("stateless gates match batch operators on randomized repetitive docs") {
+    // deterministic-seed fuzz over a tiny vocab (repetition-dense by
+    // construction): the nested-HOF gates must agree with the batch
+    // operators on every doc, not just the hand-picked cases
+    val rnd = new scala.util.Random(1234)
+    // two pools: repetition-dense (tiny vocab) and corpus-like (wide
+    // vocab, ~30 words) so both verdicts appear
+    val dirty = Vector("aa", "bb", "cc", "dd", "longword")
+    val clean = (1 to 40).map(i => f"w$i%02d").toVector
+    val docs = (1L to 30L).map { id =>
+      val (vocab, n) =
+        if (id % 2 == 0) (dirty, 2 + rnd.nextInt(30))
+        else (clean, 24 + rnd.nextInt(12))
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val gotG = docs
+      .select(col("doc_id"), TextAnalysis.gopherKeepExpr(col("text")).as("k"))
+      .as[(Long, Boolean)].collect().toMap
+    val wantG = TextAnalysis.gopherRepetitionRolling(docs, "doc_id", "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    for (id <- 1L to 30L)
+      assert(gotG(id) === wantG.getOrElse(id, false), s"gopher doc $id")
+    assert(gotG.values.exists(identity) && gotG.values.exists(!_),
+      "fuzz corpus must exercise both verdicts")
+    // span gate (no reference): per-doc equality against spanDupStats run
+    // on each doc ALONE (single-doc corpus ⇒ corpus-total == within-doc)
+    val gotS = docs
+      .select(col("doc_id"), Dedup.spanKeepExpr(col("text"), 3, None).as("k"))
+      .as[(Long, Boolean)].collect().toMap
+    val rows = docs.as[(Long, String)].collect()
+    for ((id, text) <- rows) {
+      val one = Seq((id, text)).toDF("doc_id", "text")
+      val want = Dedup.spanDupStats(one, "doc_id", "text", k = 3, rolling = true)
+        .select(col("doc_id"), (col("n_dup") * 2 <= col("n_windows")).as("k"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(gotS(id) === want.getOrElse(id, false), s"span doc $id: '$text'")
+    }
+  }
+
   test("gopherRepetitionRolling matches the exact-gram panel row-for-row") {
     val unique30b = (1 to 30).map(i => f"w$i%02d").mkString(" ")
     val docs = Seq(
