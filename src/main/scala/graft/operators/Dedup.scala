@@ -834,4 +834,109 @@ object Dedup {
           .cast("long").as("n_contam"))
       .withColumn("contam_frac", col("n_contam") / col("n_windows"))
   }
+
+  /** Duplicate-span REMOVAL — the production complement of
+    * [[spanDupStats]]'s detect-and-score: instead of dropping (or merely
+    * grading) a document whose k-word windows recur corpus-wide, strip the
+    * duplicated spans and keep the remainder (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — their ExactSubstr
+    * pipeline REMOVES the duplicated bytes rather than discarding docs;
+    * cf. `/root/reference` has no analog — 100-TB extension layer).
+    *
+    * Semantics: a window is duplicated iff its fingerprint occurs ≥ 2
+    * times corpus-wide (x18's verdict — both copies are scrubbed; the
+    * conservative form, since boilerplate carries no training signal in
+    * any copy). A token is removed iff ANY duplicated window covers it;
+    * overlapping/touching windows therefore merge into maximal spans
+    * (equal-width windows make the island rule adjacent-start arithmetic:
+    * sorted starts break a span iff the gap exceeds k). Docs shorter than
+    * k words have no windows and pass through untouched, as does any doc
+    * with zero duplicated windows (its `clean_text` IS the input string —
+    * no split/rejoin canonicalization).
+    *
+    * Scale shape: positions are generated in-scan (one posexplode of the
+    * per-doc window-fingerprint array); the dup-fingerprint set comes from
+    * ONE map-side-combinable count keyed by fp; the verdict join is
+    * fp-keyed and unhinted (the dup set is usually small — AQE broadcasts
+    * it while it fits, degrades to shuffle when boilerplate explodes); the
+    * island merge and text rebuild are row-local HOFs over the per-doc
+    * sorted dup-start array — no window function, no corpus sort, per-doc
+    * state bounded by the doc's own window count. Output per doc:
+    * (idCol, n_tokens, n_dup_windows, n_spans_removed, n_removed_tokens,
+    * clean_frac, clean_text). */
+  def spanScrub(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"span width must be positive, got $k")
+    val words = docs.select(col(idCol), col(textCol),
+      split(col(textCol), " ").as("w"))
+    val pos = words
+      .filter(size(col("w")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(w) - ${k - 1}), i -> md5(concat_ws(' ', slice(w, i, $k))))"))
+        .as(Seq("p0", "fp")))
+      .select(col(idCol), (col("p0") + 1).cast("int").as("pos"), col("fp"))
+    val dupFps = pos.groupBy(col("fp")).agg(count(lit(1)).as("t"))
+      .filter(col("t") >= 2).select("fp")
+    val perDoc = pos.join(dupFps, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("dp"),
+        count(lit(1)).cast("int").as("n_dup_windows"))
+    words.join(perDoc, Seq(idCol), "left")
+      .withColumn("dp", coalesce(col("dp"), expr("CAST(array() AS array<int>)")))
+      .withColumn("n_dup_windows", coalesce(col("n_dup_windows"), lit(0)))
+      .withColumn("n_tokens", size(col("w")))
+      .withColumn("kept", expr(
+        s"filter(sequence(1, size(w)), j -> NOT exists(dp, p -> j >= p AND j <= p + ${k - 1}))"))
+      .withColumn("n_spans_removed", expr(
+        s"""CASE WHEN size(dp) = 0 THEN 0
+           |ELSE CAST(size(filter(sequence(1, size(dp)),
+           |  i -> i = 1 OR element_at(dp, i) - element_at(dp, i - 1) > $k)) AS INT)
+           |END""".stripMargin))
+      .withColumn("n_removed_tokens", (col("n_tokens") - size(col("kept"))).cast("int"))
+      .withColumn("clean_frac", size(col("kept")) / col("n_tokens"))
+      .withColumn("clean_text", when(col("n_dup_windows") === 0, col(textCol))
+        .otherwise(expr("concat_ws(' ', transform(kept, j -> element_at(w, j)))")))
+      .select(col(idCol), col("n_tokens"), col("n_dup_windows"),
+        col("n_spans_removed"), col("n_removed_tokens"), col("clean_frac"),
+        col("clean_text"))
+  }
+
+  /** [[spanScrub]] as one pure row-local expression — the stateless
+    * streaming form, mirroring [[spanKeepExpr]]'s verdict contract: a
+    * window of the ARRIVING document is duplicated iff it repeats within
+    * the document itself or its dual-lattice rolling fingerprint hits the
+    * REFERENCE corpus's span Bloom ([[spanFpBloom]]) — exactly the batch
+    * corpus-total ≥ 2 verdict when the reference holds the rest of the
+    * corpus and arrivals are new docs (modulo Bloom false positives, which
+    * only ever scrub MORE, the conservative direction). Returns the
+    * cleaned text; a doc with no duplicated windows (or under k words)
+    * passes through as the original string, matching the batch rung.
+    * Within-doc counting is the nested-HOF O(windows²) shape all
+    * stateless gates pay (see gopherKeepExpr); the token-coverage test
+    * adds O(tokens·dup-windows). */
+  def spanScrubExpr(text: Column, k: Int,
+                    refBloom: Option[Array[Byte]]): Column = {
+    val ws = split(text, " ")
+    val hs = transform(ws, w => TextAnalysis.hash32(w))
+    val fps = zip_with(
+      TextAnalysis.rollingWindows(hs, k, TextAnalysis.RollingA),
+      TextAnalysis.rollingWindows(hs, k, TextAnalysis.RollingB),
+      (hi, lo) => hi * lit(2147483648L) + lo)
+    val refHit: Column => Column = refBloom match {
+      case Some(b) => f =>
+        call_function("graft_might_contain", lit(b), xxhash64(f.cast("string")))
+      case None => _ => lit(false)
+    }
+    // 1-based start positions of duplicated windows (sorted by construction:
+    // filter preserves the positional order of the window array).
+    val dupStarts = filter(
+      transform(fps, (f, i) =>
+        when(size(filter(fps, x => x === f)) >= 2 || refHit(f), i + 1)
+          .otherwise(lit(null))),
+      p => p.isNotNull)
+    val kept = filter(sequence(lit(1), size(ws)), j =>
+      !exists(dupStarts, p => j >= p && j <= p + (k - 1)))
+    when(size(dupStarts) === 0, text)
+      .otherwise(concat_ws(" ", transform(kept, j => element_at(ws, j))))
+  }
 }

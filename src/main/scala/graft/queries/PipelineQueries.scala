@@ -4007,6 +4007,52 @@ object PipelineQueries {
          |FROM agg ORDER BY doc_id""".stripMargin
     })
 
+  /** x35: duplicate-span REMOVAL — x18 detects and scores, this one edits:
+    * every 8-word window occurring ≥ 2 times corpus-wide is stripped from
+    * its document and the remainder survives (Lee et al.'s ExactSubstr
+    * production shape — remove the duplicated bytes, don't drop the doc).
+    * Overlapping/touching dup windows merge into maximal spans (equal
+    * window widths make the island rule adjacent-start gap arithmetic);
+    * untouched docs pass through as the ORIGINAL string. The oracle
+    * replays positions, the dup-fp set, the island merge, and the token
+    * rebuild — `clean_text` is exact-string-compared, so the
+    * reconstruction itself is hash-gated. Scale shape: in-scan posexplode,
+    * one combinable fp count, an unhinted fp-keyed verdict join, and
+    * row-local HOF island/rebuild — no window function, no corpus sort
+    * (see Dedup.spanScrub's scaladoc). */
+  private val x35SpanScrub = Q(
+    (s, d) => Dedup.spanScrub(Tables.documents(s, d), "doc_id", "text", k = 8)
+      .orderBy("doc_id"),
+    """WITH ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS fp
+      |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      |        FROM ws WHERE len(w) >= 8)),
+      |dupfp AS (SELECT fp FROM pos GROUP BY fp HAVING COUNT(*) >= 2),
+      |dpt AS (
+      |  SELECT doc_id, list_sort(list(pos)) AS dp, CAST(COUNT(*) AS INT) AS n_dup
+      |  FROM pos JOIN dupfp USING (fp) GROUP BY 1),
+      |j AS (
+      |  SELECT ws.doc_id, ws.text, ws.w,
+      |    coalesce(dpt.dp, CAST([] AS BIGINT[])) AS dp,
+      |    coalesce(dpt.n_dup, 0) AS n_dup
+      |  FROM ws LEFT JOIN dpt USING (doc_id)),
+      |kpt AS (
+      |  SELECT *, list_filter(generate_series(1, len(w)),
+      |    jj -> len(list_filter(dp, p -> jj >= p AND jj <= p + 7)) = 0) AS kept
+      |  FROM j)
+      |SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, n_dup AS n_dup_windows,
+      |  CASE WHEN len(dp) = 0 THEN 0
+      |       ELSE CAST(len(list_filter(generate_series(1, len(dp)),
+      |              i -> i = 1 OR dp[i] - dp[i-1] > 8)) AS INT)
+      |  END AS n_spans_removed,
+      |  CAST(len(w) - len(kept) AS INT) AS n_removed_tokens,
+      |  len(kept) / len(w) AS clean_frac,
+      |  CASE WHEN n_dup = 0 THEN text
+      |       ELSE coalesce(array_to_string(list_transform(kept, jj -> w[jj]), ' '), '')
+      |  END AS clean_text
+      |FROM kpt ORDER BY doc_id""".stripMargin)
+
   /** x22: most-duplicated spans corpus-wide — the memorization-risk
     * report behind span dedup: which exact 8-word sequences recur most,
     * in how many documents, how many times in total. x18 scores each
@@ -5069,6 +5115,7 @@ object PipelineQueries {
     "x18_span_dedup" -> x18SpanDedup,
     "x18b_span_rolling" -> x18bSpanRolling,
     "x22_top_spans" -> x22TopSpans,
+    "x35_span_scrub" -> x35SpanScrub,
     "x19_span_decontaminate" -> x19SpanDecontaminate,
     "x19b_span_decon_rolling" -> x19bSpanDeconRolling,
     "z23_backoff_lm" -> z23BackoffLm,

@@ -786,6 +786,64 @@ class MultimodalSpec extends SparkSpec {
     assert(noRef(2L), "without the reference bloom, doc 2 has no dup spans")
   }
 
+  test("spanScrub merges overlapping dup windows into islands and rebuilds the rest") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "s1 s2 s3 a1 a2 a3 a4"),          // shared 3-gram at pos 1
+      (2L, "b1 s1 s2 s3 b2 b3 b4"),          // same 3-gram at pos 2
+      (3L, "c0 s5 s6 s7 s8 c1 c2 c3"),       // shared 4-run → 2 overlapping windows
+      (4L, "s5 s6 s7 s8 d1 d2 d3"),          //   ... merge into ONE island each
+      (5L, "e1 e2 e3 x e1 e2 e3"),           // within-doc repeat → 2 islands
+      (6L, "f1 f2"),                          // < k words: untouched
+      (7L, "g1  g2 g3 g4")                    // clean, double space: ORIGINAL string survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanScrub(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "n_dup_windows", "n_spans_removed", "n_removed_tokens", "clean_text")
+      .as[(Long, Int, Int, Int, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L) === ((1, 1, 3, "a1 a2 a3 a4")))
+    assert(got(2L) === ((1, 1, 3, "b1 b2 b3 b4")))
+    assert(got(3L) === ((2, 1, 4, "c0 c1 c2 c3")))
+    assert(got(4L) === ((2, 1, 4, "d1 d2 d3")))
+    assert(got(5L) === ((2, 2, 6, "x")))
+    assert(got(6L) === ((0, 0, 0, "f1 f2")))
+    assert(got(7L) === ((0, 0, 0, "g1  g2 g3 g4")))
+  }
+
+  test("spanScrubExpr (stateless) equals spanScrub's cleaned text against a reference bloom") {
+    import graft.operators.Dedup
+    val ref = Seq((100L, "r1 r2 r3 r4 r5 r6")).toDF("doc_id", "text")
+    // arrivals share no spans with EACH OTHER (distinct vocab per doc), so
+    // corpus-total >= 2 over ref ∪ arrivals decomposes exactly into
+    // within-doc repetition OR reference membership — the stream gate's form
+    val arrivals = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8"),          // clean → untouched
+      (2L, "r1 r2 r3 r4 r5 x1"),                // reference spans → scrubbed
+      (3L, "b b b b b b b b"),                  // all within-doc dups → emptied
+      (4L, "c1 c2"),                            // < k words → untouched
+      (5L, (Seq("d1", "d2", "d3", "d1", "d2", "d3") ++
+        (1 to 24).map(i => f"u$i%02d")).mkString(" "))
+    ).toDF("doc_id", "text")
+    // generously sized filter: at 4 items × 64 bits Spark's BloomFilterImpl
+    // measurably false-positives (~8% observed) — FPs only ever scrub MORE
+    // (the documented conservative direction), but exact-string parity
+    // needs an FP-free run, so size for one
+    val bloom = Dedup.spanFpBloom(ref, "doc_id", "text", k = 3,
+      expectedItems = Some(4096L), bitsPerItem = 16L)
+    val exprClean = arrivals
+      .select(col("doc_id"), Dedup.spanScrubExpr(col("text"), 3, bloom).as("t"))
+      .as[(Long, String)].collect().toMap
+    val batchClean = Dedup.spanScrub(ref.union(arrivals), "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("clean_text"))
+      .as[(Long, String)].collect().toMap
+    for (id <- 1L to 5L)
+      assert(exprClean(id) === batchClean(id), s"doc $id")
+    assert(exprClean(1L) === "a1 a2 a3 a4 a5 a6 a7 a8")
+    assert(exprClean(2L) === "x1")   // r1..r5 windows all hit the reference
+    assert(exprClean(3L) === "")
+    assert(exprClean(4L) === "c1 c2")
+  }
+
   test("stateless gates match batch operators on randomized repetitive docs") {
     // deterministic-seed fuzz over a tiny vocab (repetition-dense by
     // construction): the nested-HOF gates must agree with the batch
@@ -822,6 +880,18 @@ class MultimodalSpec extends SparkSpec {
         .select(col("doc_id"), (col("n_dup") * 2 <= col("n_windows")).as("k"))
         .as[(Long, Boolean)].collect().toMap
       assert(gotS(id) === want.getOrElse(id, false), s"span doc $id: '$text'")
+    }
+    // span SCRUB: stateless rebuild == batch rebuild on each doc alone
+    // (single-doc corpus ⇒ corpus-total == within-doc repetition)
+    val gotC = docs
+      .select(col("doc_id"), Dedup.spanScrubExpr(col("text"), 3, None).as("t"))
+      .as[(Long, String)].collect().toMap
+    for ((id, text) <- rows) {
+      val one = Seq((id, text)).toDF("doc_id", "text")
+      val want = Dedup.spanScrub(one, "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("clean_text"))
+        .as[(Long, String)].collect().toMap
+      assert(gotC(id) === want(id), s"scrub doc $id: '$text'")
     }
   }
 
