@@ -122,4 +122,69 @@ object Sampling {
       .orderBy(col("es_key").desc, key)
       .limit(k)
   }
+
+  /** Token-budget mixture allocation — the step that turns z22-style
+    * temperature SHARES into an executable training recipe: given
+    * per-source token counts, a global token budget, and a max-epoch cap
+    * (the Llama/Pile discipline: never repeat a source more than ~4×
+    * however much its share asks for), emit per source how many tokens it
+    * contributes (`alloc_tokens`) and at what repeat rate (`epochs`).
+    * `capped` marks sources whose temperature-flattened share exceeded
+    * the epoch ceiling — the budget they could not absorb is reported,
+    * not silently redistributed (a second proportional pass is a rerun of
+    * this operator on the uncapped remainder).
+    *
+    * Float discipline (z22's): the weight is sqrt(n_tokens) — one
+    * correctly-rounded op — snapshot at DECIMAL(18,8); the normalizer is
+    * an exact decimal sum (shuffle-order-independent); share and
+    * target_tokens are computed in two deterministic double ops and
+    * floored to exact BIGINTs, after which the cap and allocation are
+    * integer arithmetic; `epochs` is one raw IEEE division at the output
+    * boundary. Scale: `stats` is source-level (a handful of rows at any
+    * corpus size) — the one-row budget/normalizer cross-join broadcasts.
+    *
+    * `budget`: one-row frame with a BIGINT `budget_tokens` column
+    * (typically an aggregate of `stats` itself, or a constant). */
+  def tokenBudget(stats: DataFrame, keyCol: String, tokensCol: String,
+                  budget: DataFrame, maxEpochs: Int = 4): DataFrame = {
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val w = stats.withColumn("__w_dec",
+      sqrt(col(tokensCol).cast("double")).cast("decimal(18,8)"))
+    val tot = w.agg(sum(col("__w_dec")).as("__w_tot"))
+    w.crossJoin(broadcast(tot)).crossJoin(broadcast(budget))
+      .withColumn("share",
+        col("__w_dec").cast("double") / col("__w_tot").cast("double"))
+      .withColumn("target_tokens",
+        floor(col("share") * col("budget_tokens").cast("double")))
+      .withColumn("alloc_tokens",
+        least(col("target_tokens"), col(tokensCol) * maxEpochs))
+      .withColumn("epochs",
+        col("alloc_tokens").cast("double") / col(tokensCol))
+      .withColumn("capped", col("target_tokens") > col(tokensCol) * maxEpochs)
+      .drop("__w_dec", "__w_tot")
+  }
+
+  /** Balanced shard assignment — the writer-side step after packing:
+    * round-robin over the GLOBAL token-size-descending order, so each of
+    * `nShards` output shards lands within one max-document of the mean
+    * token load (the greedy balance data-parallel training needs; plain
+    * `doc_id % n` leaves whatever size skew the id order carries).
+    *
+    * The global rank is NOT a corpus window function: it rides
+    * [[Relational.runningTotal]]'s two-pass range-partition offsets
+    * (bounded per-partition sorts, one partition-count-sized offset
+    * table), so the corpus never funnels through one task. Deterministic:
+    * rank ties break on `keyCols`. Adds `shard` ∈ [0, nShards). */
+  def shardAssign(df: DataFrame, keyCols: Seq[String], tokensCol: String,
+                  nShards: Int): DataFrame = {
+    require(nShards >= 1, s"shard count must be positive, got $nShards")
+    val reserved = Seq("__negt", "__one", "__rank")
+    require(!df.columns.exists(c => reserved.contains(c.toLowerCase)),
+      s"column names ${reserved.mkString("/")} are reserved")
+    Relational.runningTotal(
+        df.withColumn("__negt", -col(tokensCol)).withColumn("__one", lit(1L)),
+        order = Seq("__negt") ++ keyCols, valueCol = "__one", out = "__rank")
+      .withColumn("shard", ((col("__rank") - 1) % nShards).cast("int"))
+      .drop("__negt", "__one", "__rank")
+  }
 }

@@ -4673,6 +4673,75 @@ object PipelineQueries {
       |    * CAST(1000000.0 AS DOUBLE) / n_tokens AS repeat_factor
       |FROM w CROSS JOIN t ORDER BY source""".stripMargin)
 
+  /** z43: token-budget mixture allocation — z22 computes temperature
+    * SHARES; this rung turns them into the executable recipe: a 4×-corpus
+    * token budget (the repeat-heavy small-corpus regime) split by
+    * sqrt-flattened share, with each source's repeat rate capped at 4
+    * epochs (the Llama/Pile discipline). Emits per source the allocated
+    * tokens, the effective epoch rate, and whether the cap bound — the
+    * unabsorbed budget is visible as target − alloc, never silently
+    * redistributed. Integer-exact after two deterministic double ops
+    * (share, target) land in a floor; see Sampling.tokenBudget. */
+  private val z43TokenBudget = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val stats = Tables.documents(s, d)
+        .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("toks"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).cast(LongType).as("n_tokens"))
+      val budget = stats.agg((sum(col("n_tokens")) * 4).cast(LongType).as("budget_tokens"))
+      Sampling.tokenBudget(stats, "source", "n_tokens", budget, maxEpochs = 4)
+        .select("source", "n_docs", "n_tokens", "share", "target_tokens",
+          "alloc_tokens", "epochs", "capped")
+        .orderBy("source")
+    },
+    """WITH s AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |w AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,8)) AS w_dec
+      |      FROM s),
+      |t AS (SELECT SUM(w_dec) AS w_tot,
+      |             CAST(SUM(n_tokens) * 4 AS BIGINT) AS budget_tokens FROM w),
+      |a AS (SELECT source, n_docs, n_tokens,
+      |  CAST(w_dec AS DOUBLE) / CAST(w_tot AS DOUBLE) AS share,
+      |  CAST(FLOOR(CAST(w_dec AS DOUBLE) / CAST(w_tot AS DOUBLE)
+      |    * CAST(budget_tokens AS DOUBLE)) AS BIGINT) AS target_tokens
+      |  FROM w CROSS JOIN t)
+      |SELECT source, n_docs, n_tokens, share, target_tokens,
+      |  LEAST(target_tokens, n_tokens * 4) AS alloc_tokens,
+      |  LEAST(target_tokens, n_tokens * 4) / n_tokens AS epochs,
+      |  target_tokens > n_tokens * 4 AS capped
+      |FROM a ORDER BY source""".stripMargin)
+
+  /** z44: balanced shard assignment — the writer-side step after z19's
+    * packing: round-robin over the global token-size-descending order
+    * lands every one of 16 shards within one max-document of the mean
+    * load, where `doc_id % 16` keeps whatever skew the id order carries.
+    * The global rank rides runningTotal's two-pass range-partition
+    * offsets (z19's machinery) — bounded per-partition sorts, never a
+    * corpus window; the oracle replays the rank as a window function.
+    * Per-shard doc/token totals are integer-exact. */
+  private val z44ShardAssign = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("toks"))
+      Sampling.shardAssign(docs, Seq("doc_id"), "toks", nShards = 16)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast(LongType).as("shard_tokens"),
+          max(col("toks")).cast(LongType).as("max_doc_tokens"))
+        .orderBy("shard")
+    },
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+      |r AS (SELECT doc_id, toks,
+      |    ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) AS rnk FROM t)
+      |SELECT CAST((rnk - 1) % 16 AS INT) AS shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(toks) AS BIGINT) AS shard_tokens,
+      |  CAST(MAX(toks) AS BIGINT) AS max_doc_tokens
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** z23: trigram Stupid Backoff scoring (Brants et al., "Large Language
     * Models in Machine Translation") — the web-scale LM smoothing that
     * never normalizes: S(w|u,v) = trigram MLE when the train slice saw
@@ -5122,6 +5191,8 @@ object PipelineQueries {
     "z24_source_overlap" -> z24SourceOverlap,
     "z21_dsir_sample" -> z21DsirSample,
     "z22_temperature_mix" -> z22TemperatureMix,
+    "z43_token_budget" -> z43TokenBudget,
+    "z44_shard_assign" -> z44ShardAssign,
     "z20_bm25" -> z20Bm25,
     "y5_pq_ann" -> y5PqAnn,
     "y9_ivfpq" -> y9IvfPq,

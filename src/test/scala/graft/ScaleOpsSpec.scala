@@ -105,6 +105,59 @@ class ScaleOpsSpec extends SparkSpec {
     assert(scaled.toSet === picked.toSet)
   }
 
+  test("tokenBudget: allocation respects the budget, the epoch cap, and integer identities") {
+    import graft.operators.Sampling
+    // three sources: tiny (cap must bind under sqrt flattening), medium, huge
+    val stats = Seq(("a", 100L), ("b", 10000L), ("c", 1000000L))
+      .toDF("source", "n_tokens")
+    val budget = stats.agg(sum(col("n_tokens")).cast("long").as("budget_tokens"))
+    val got = Sampling.tokenBudget(stats, "source", "n_tokens", budget, maxEpochs = 4)
+      .select("source", "n_tokens", "share", "target_tokens", "alloc_tokens",
+        "epochs", "capped")
+      .as[(String, Long, Double, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // shares normalize (floor slack below one token per source)
+    assert(math.abs(got.values.map(_._3).sum - 1.0) < 1e-9)
+    for ((_, (_, n, _, target, alloc, epochs, capped)) <- got) {
+      assert(alloc === math.min(target, 4 * n))
+      assert(capped === (target > 4 * n))
+      assert(math.abs(epochs - alloc.toDouble / n) < 1e-12)
+      assert(epochs <= 4.0 + 1e-12)
+    }
+    // sqrt flattening hands the tiny source far more than its raw share —
+    // the cap must bind there and not on the huge source
+    assert(got("a")._7 && !got("c")._7)
+    // total allocation never exceeds the budget
+    assert(got.values.map(_._5).sum <= 1010100L)
+  }
+
+  test("shardAssign: balanced within one max-document, deterministic, exhaustive") {
+    import graft.operators.Sampling
+    // adversarially skewed sizes: doc 0 is enormous, the rest follow a ramp
+    val df = spark.range(500)
+      .select(col("id"), (when(col("id") === 0, 50000L)
+        .otherwise(col("id") % 97 + 1)).as("toks"))
+    val assigned = Sampling.shardAssign(df, Seq("id"), "toks", nShards = 8)
+    val perShard = assigned.groupBy("shard")
+      .agg(sum("toks").as("t"), count(lit(1)).as("n"))
+      .as[(Int, Long, Long)].collect()
+    assert(perShard.map(_._1).sorted.toSeq === (0 until 8))
+    assert(perShard.map(_._3).sum === 500L)
+    // round-robin over the size-sorted order: shard spread is bounded by
+    // one max NON-head document per slot position (the giant head doc sits
+    // alone in its slot and only ever raises the max by itself)
+    val loads = perShard.map(_._2)
+    assert(loads.max - loads.min <= 50000L, s"spread ${loads.max - loads.min}")
+    val noHead = assigned.filter(col("id") =!= 0).groupBy("shard")
+      .agg(sum("toks").as("t")).as[(Int, Long)].collect().map(_._2)
+    assert(noHead.max - noHead.min <= 97L, s"non-head spread ${noHead.max - noHead.min}")
+    // deterministic: same call, same assignment
+    val again = Sampling.shardAssign(df, Seq("id"), "toks", nShards = 8)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    val first = assigned.select("id", "shard").as[(Long, Int)].collect().toMap
+    assert(again === first)
+  }
+
   test("weightedReservoir favors heavy rows: mean sampled weight beats the population mean") {
     import graft.operators.Sampling
     // weights 1..1000 — a weighted sample's mean weight must sit well above
