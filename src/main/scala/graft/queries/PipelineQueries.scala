@@ -3780,6 +3780,115 @@ object PipelineQueries {
        |  n_bins
        |FROM wmix CROSS JOIN wtot CROSS JOIN packn ORDER BY source""".stripMargin)
 
+  /** x37: curation v7 — the corpus-EDITING capstone: where v6 (x34) ships
+    * a mix of whole surviving documents, v7 edits the survivors before
+    * materializing the training run. Chain:
+    *  1. v5's three-gate survivor set ([[v5Survivors]] — rolling Gopher,
+    *     rolling span dedup, per-language KN banding);
+    *  2. duplicate-span SCRUB over the survivor corpus (x35's rung:
+    *     corpus-wide dup windows island-merged and stripped — remove the
+    *     boilerplate bytes, keep the doc);
+    *  3. refilter: scrubbed docs must retain ≥ 8 tokens (a doc reduced to
+    *     fragments by scrubbing carries no training signal);
+    *  4. token-budget allocation over the SCRUBBED per-source token
+    *     counts (z43's rung: 4×-corpus budget, sqrt-flattened shares,
+    *     4-epoch cap);
+    *  5. balanced shard assignment of the scrubbed docs into 16 writers
+    *     (z44's rung: round-robin over the global size-sorted order),
+    *     reported as the max−min shard-token spread.
+    * Output: one row per source — docs/tokens in the scrubbed mix, the
+    * scrub fraction, temperature share, allocated tokens, epoch rate,
+    * cap flag — plus the global writer spread. Every stage reuses an
+    * already-gated implementation; the oracle replays the complete chain
+    * (gates → KN banding → positional scrub → island rebuild → budget
+    * arithmetic → shard rank window) from the same shared CTE renderers.
+    * Scale: the survivor frame is pinned before the scrub fan-out (the
+    * positional relation feeds both the dup-fp count and the verdict
+    * join), and the scrubbed frame before its stats/shard fan-out — at
+    * warehouse scale both barriers are store writes (y13's rule). */
+  private val x37CurationV7 = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val surv =
+        if (planOnly) v5Survivors(Tables.documents(s, d))
+        else graft.Housekeeping.retainCheckpoint(s)(
+          v5Survivors(Tables.documents(s, d)))
+      val scr = Dedup.spanScrub(surv, "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("n_tokens").cast(LongType).as("orig_toks"),
+          (col("n_tokens") - col("n_removed_tokens")).cast(LongType).as("clean_toks"))
+      val cleanedFrame = scr
+        .join(surv.select("doc_id", "source"), Seq("doc_id"))
+        .filter(col("clean_toks") >= 8)
+        .select("doc_id", "source", "orig_toks", "clean_toks")
+      val cleaned =
+        if (planOnly) cleanedFrame
+        else graft.Housekeeping.retainCheckpoint(s)(cleanedFrame)
+      val st = cleaned.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("clean_toks")).cast(LongType).as("n_tokens"),
+          sum(col("orig_toks")).cast(LongType).as("orig_tokens"),
+          sum(col("orig_toks") - col("clean_toks")).cast(LongType).as("removed_tokens"))
+        .withColumn("scrub_frac", col("removed_tokens") / col("orig_tokens"))
+      val budget = st.agg((sum(col("n_tokens")) * 4).cast(LongType).as("budget_tokens"))
+      val alloc = Sampling.tokenBudget(
+        st.select("source", "n_docs", "n_tokens", "scrub_frac"),
+        "source", "n_tokens", budget, maxEpochs = 4)
+      val spread = Sampling.shardAssign(
+          cleaned.select(col("doc_id"), col("clean_toks")),
+          Seq("doc_id"), "clean_toks", nShards = 16)
+        .groupBy("shard").agg(sum(col("clean_toks")).as("t"))
+        .agg((max(col("t")) - min(col("t"))).cast(LongType).as("shard_spread"))
+      alloc.crossJoin(broadcast(spread))
+        .select("source", "n_docs", "n_tokens", "scrub_frac", "share",
+          "alloc_tokens", "epochs", "capped", "shard_spread")
+        .orderBy("source")
+    },
+    s"""WITH $x32GateCtes,
+       |$x32KnBandCtes,
+       |surv AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN gkeep USING (doc_id) JOIN skeep USING (doc_id) JOIN kkeep USING (doc_id)),
+       |sws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM surv),
+       |spos AS (
+       |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS fp
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+       |        FROM sws WHERE len(w) >= 8)),
+       |sdupfp AS (SELECT fp FROM spos GROUP BY fp HAVING COUNT(*) >= 2),
+       |sdpt AS (SELECT doc_id, list_sort(list(pos)) AS dp
+       |  FROM spos JOIN sdupfp USING (fp) GROUP BY 1),
+       |cleaned AS MATERIALIZED (
+       |  SELECT s2.doc_id, s2.source, CAST(len(s2.w) AS BIGINT) AS orig_toks,
+       |    CAST(len(list_filter(generate_series(1, len(s2.w)),
+       |      jj -> len(list_filter(coalesce(sdpt.dp, CAST([] AS BIGINT[])),
+       |        p -> jj >= p AND jj <= p + 7)) = 0)) AS BIGINT) AS clean_toks
+       |  FROM sws s2 LEFT JOIN sdpt USING (doc_id)),
+       |cl AS (SELECT * FROM cleaned WHERE clean_toks >= 8),
+       |st AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(clean_toks) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(orig_toks) AS BIGINT) AS orig_tokens,
+       |    CAST(SUM(orig_toks - clean_toks) AS BIGINT) AS removed_tokens
+       |  FROM cl GROUP BY 1),
+       |w2 AS (SELECT *, CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,8)) AS w_dec
+       |  FROM st),
+       |t2 AS (SELECT SUM(w_dec) AS w_tot,
+       |       CAST(SUM(n_tokens) * 4 AS BIGINT) AS budget_tokens FROM w2),
+       |a2 AS (SELECT source, n_docs, n_tokens,
+       |    removed_tokens / orig_tokens AS scrub_frac,
+       |    CAST(w_dec AS DOUBLE) / CAST(w_tot AS DOUBLE) AS share,
+       |    CAST(FLOOR(CAST(w_dec AS DOUBLE) / CAST(w_tot AS DOUBLE)
+       |      * CAST(budget_tokens AS DOUBLE)) AS BIGINT) AS target_tokens,
+       |    n_tokens AS nt
+       |  FROM w2 CROSS JOIN t2),
+       |shr AS (SELECT doc_id, clean_toks,
+       |    ROW_NUMBER() OVER (ORDER BY clean_toks DESC, doc_id) AS rnk FROM cl),
+       |sprd AS (SELECT CAST(MAX(t) - MIN(t) AS BIGINT) AS shard_spread
+       |  FROM (SELECT (rnk - 1) % 16 AS shard, SUM(clean_toks) AS t
+       |        FROM shr GROUP BY 1))
+       |SELECT source, n_docs, n_tokens, scrub_frac, share,
+       |  LEAST(target_tokens, nt * 4) AS alloc_tokens,
+       |  LEAST(target_tokens, nt * 4) / nt AS epochs,
+       |  target_tokens > nt * 4 AS capped, shard_spread
+       |FROM a2 CROSS JOIN sprd ORDER BY source""".stripMargin)
+
   /** z39: character-entropy quality signal — the compression-ratio proxy
     * low-quality detectors use beside z2's ratio panel: gibberish,
     * base64 blobs and keyboard-mash score HIGH (flat char distribution),
@@ -5228,6 +5337,7 @@ object PipelineQueries {
     "x32_curation_v5" -> x32CurationV5,
     "x32b_curation_heldout" -> x32bCurationHeldout,
     "x34_curation_v6" -> x34CurationV6,
+    "x37_curation_v7" -> x37CurationV7,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
     "z19_sequence_pack" -> z19SequencePack,

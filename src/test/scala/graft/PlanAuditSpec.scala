@@ -381,6 +381,37 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!x34.contains("CartesianProduct"), "x34 grew a cartesian")
   }
 
+  test("x35/z43/z44/x37: scrub-and-materialize additions keep their scale shapes") {
+    // x35: the scrub is aggregates + equi-joins + row-local HOFs — never a
+    // window function or a span self-join; exactly two equi-joins (the
+    // dup-fp verdict and the per-doc rebuild join)
+    val x35 = formatted("x35_span_scrub")
+    assert(!x35.contains("Window"), "span scrub regressed to a window")
+    assert(!x35.contains("CartesianProduct") && !x35.contains("BroadcastNestedLoopJoin"))
+    assert("\\(\\d+\\) (BroadcastHash|SortMerge|ShuffledHash)Join".r
+      .findAllIn(x35).size == 2, "span scrub grew extra joins")
+    // z43: source-level arithmetic — the only nest-loops are the two
+    // broadcast one-row relations (normalizer, budget); no corpus re-join
+    val z43 = formatted("z43_token_budget")
+    assert(!z43.contains("CartesianProduct"), "z43 grew a real cartesian")
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(z43).size <= 2,
+      "z43: only the two 1-row relations may nest-loop")
+    // z44: the global rank rides the two-pass running total — exactly the
+    // two bounded Window ops (per-partition local + partition-count
+    // offsets), never one corpus-wide rank window
+    val z44 = formatted("z44_shard_assign")
+    assert("\\(\\d+\\) Window".r.findAllIn(z44).size == 2,
+      "z44 must keep the two-pass running-total shape")
+    assert(z44.contains("__pid"), "the bounded-task offset key left z44")
+    // x37: the capstone composes the above — banding stays two-pass, no
+    // cartesian, and the scrub/shard machinery keeps its bounded windows
+    val x37 = formatted("x37_curation_v7")
+    assert(!x37.contains("ntile("),
+      "x37 regressed to a single-task per-language ntile window")
+    assert(!x37.contains("CartesianProduct"), "x37 grew a cartesian")
+    assert(x37.contains("__pid"), "the bounded-task numbering key left x37")
+  }
+
   test("x15/z17/w12: composed pipelines keep their bounded join shapes") {
     val x15 = formatted("x15_semantic_dedup")
     assert(!x15.contains("CartesianProduct") && !x15.contains("BroadcastNestedLoopJoin"),
