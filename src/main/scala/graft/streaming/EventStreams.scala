@@ -109,21 +109,37 @@ object EventStreams {
     * probing `spanRefBloom` — a reference corpus's span-fingerprint Bloom
     * ([[graft.operators.Dedup.spanFpBloom]], broadcast-sized at any
     * corpus scale). StreamingSpec gates both verdicts identical to the
-    * batch operators on the same drain. */
+    * batch operators on the same drain.
+    *
+    * With `scrubText` also set, survivors are EDITED before landing:
+    * duplicated spans (within-doc repeats and reference-Bloom hits) are
+    * island-merged and stripped by [[graft.operators.Dedup.spanScrubExpr]]
+    * — x37's gate-then-scrub order as one more stateless expression,
+    * spec-gated identical to the batch spanScrub rebuild. */
   def curationRouter(docs: DataFrame, keyCols: Seq[String], idCol: String,
                      destDir: String, checkpointDir: String,
                      watermark: String = "1 hour",
                      textCol: Option[String] = None,
                      spanRefBloom: Option[Array[Byte]] = None,
-                     spanK: Int = 8): StreamingQuery = {
+                     spanK: Int = 8,
+                     scrubText: Boolean = false): StreamingQuery = {
     val deduped = dedupStream(docs, keyCols, watermark)
     val gated = textCol.fold(deduped) { tc =>
       deduped.filter(
         graft.operators.TextAnalysis.gopherKeepExpr(col(tc)) &&
           graft.operators.Dedup.spanKeepExpr(col(tc), spanK, spanRefBloom))
     }
+    // x37's order: gate on the ORIGINAL text, then edit the survivors —
+    // the scrub is another pure expression (no state), so the router
+    // stays stateless beyond its dedup watermark
+    val edited =
+      if (!scrubText) gated
+      else textCol.fold(gated) { tc =>
+        gated.withColumn(tc,
+          graft.operators.Dedup.spanScrubExpr(col(tc), spanK, spanRefBloom))
+      }
     drainToParquet(
-      gated.withColumn("split", graft.operators.Sampling.splitAssign(col(idCol))),
+      edited.withColumn("split", graft.operators.Sampling.splitAssign(col(idCol))),
       destDir, checkpointDir, partCol = "split")
   }
 

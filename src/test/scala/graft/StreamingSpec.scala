@@ -169,6 +169,49 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("curationRouter with scrubText edits survivors identically to the batch spanScrub") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val ref = Seq((100L, (1 to 24).map(i => f"r$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    // all three survive the gates; doc 2 carries a 3-word reference run
+    // (scrubbed via the bloom), doc 3 a within-doc repeat (scrubbed
+    // locally), doc 1 is untouched — distinct vocab per doc, so the batch
+    // corpus-wide verdict decomposes into the stateless per-row form
+    val arrivals = Seq(
+      (1L, (1 to 24).map(i => f"a$i%02d").mkString(" ")),
+      (2L, (Seq("r01", "r02", "r03") ++ (1 to 24).map(i => f"y$i%02d")).mkString(" ")),
+      (3L, (Seq("d1", "d2", "d3", "d1", "d2", "d3") ++
+        (1 to 24).map(i => f"u$i%02d")).mkString(" ")))
+    val src = tmpDir("scrub_src"); val dest = tmpDir("scrub_dest") + "/corpus"
+    val ckpt = tmpDir("scrub_ckpt")
+    arrivals.zipWithIndex.map { case ((id, t), i) => (id, ts(i), t) }
+      .toDF("doc_id", "ts", "text")
+      .repartition(1).write.mode("append").parquet(src)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    // FP-free sizing (tiny filters measurably false-positive; FPs only
+    // scrub more, but exact-string parity needs none)
+    val bloom = Dedup.spanFpBloom(ref, "doc_id", "text", k = 3,
+      expectedItems = Some(4096L), bitsPerItem = 16L)
+    EventStreams.curationRouter(
+      spark.readStream.schema(docSchema).parquet(src),
+      keyCols = Seq("text"), idCol = "doc_id", dest, ckpt, "30 minutes",
+      textCol = Some("text"), spanRefBloom = bloom, spanK = 3,
+      scrubText = true).awaitTermination()
+    val streamed = spark.read.parquet(dest)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(streamed.keySet === Set(1L, 2L, 3L), "all three docs pass the gates")
+    // batch replay: the corpus-wide scrub over reference ∪ arrivals
+    val batch = Dedup.spanScrub(ref.union(arrivals.toDF("doc_id", "text")),
+        "doc_id", "text", k = 3)
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toMap
+    for (id <- 1L to 3L) assert(streamed(id) === batch(id), s"doc $id")
+    assert(streamed(1L) === (1 to 24).map(i => f"a$i%02d").mkString(" "))
+    assert(streamed(2L) === (1 to 24).map(i => f"y$i%02d").mkString(" "))
+    assert(streamed(3L) === (1 to 24).map(i => f"u$i%02d").mkString(" "))
+  }
+
   test("perplexityScore over a file stream equals the batch held-out scorer") {
     import graft.operators.Lm
     // reference corpus fits the model; arrivals contain seen bigrams,
