@@ -4162,6 +4162,59 @@ object PipelineQueries {
       |  END AS clean_text
       |FROM kpt ORDER BY doc_id""".stripMargin)
 
+  /** x35b: x35's span scrub on the ROLLING dual-lattice fingerprint —
+    * one md5 per WORD plus an O(1) Rabin–Karp slide per window instead
+    * of an md5 over every 8-word concatenation (x18b's production rung,
+    * applied to the EDIT: soak measured the md5 form 3.5→24.4 s at
+    * 1×→10× where the span-stats rolling rung runs ~2.4×). Same island
+    * semantics, same reconstruction, 62-bit fingerprint identity for the
+    * corpus-wide dup verdict; the oracle folds each window's Horner
+    * polynomial independently on both lattices (congruent to the rolling
+    * update — residues match bit-for-bit). x35 stays declared as the
+    * md5-anchored variant. */
+  private val x35bSpanScrubRolling = Q(
+    (s, d) => Dedup.spanScrub(Tables.documents(s, d), "doc_id", "text",
+        k = 8, rolling = true)
+      .orderBy("doc_id"),
+    {
+      val (ba, ma) = TextAnalysis.RollingA
+      val (bb, mb) = TextAnalysis.RollingB
+      s"""WITH ws AS (SELECT doc_id, text,
+         |    list_transform(string_split(text, ' '), x -> ${h32Sql("x")}) AS hs,
+         |    string_split(text, ' ') AS w
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, i AS pos,
+         |    list_reduce(hs[i:i+7], (acc, h) -> (acc * $ba + h) % $ma) * 2147483648
+         |      + list_reduce(hs[i:i+7], (acc, h) -> (acc * $bb + h) % $mb) AS fp
+         |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 7)) AS i
+         |        FROM ws WHERE len(hs) >= 8)),
+         |dupfp AS (SELECT fp FROM pos GROUP BY fp HAVING COUNT(*) >= 2),
+         |dpt AS (
+         |  SELECT doc_id, list_sort(list(pos)) AS dp, CAST(COUNT(*) AS INT) AS n_dup
+         |  FROM pos JOIN dupfp USING (fp) GROUP BY 1),
+         |j AS (
+         |  SELECT ws.doc_id, ws.text, ws.w,
+         |    coalesce(dpt.dp, CAST([] AS BIGINT[])) AS dp,
+         |    coalesce(dpt.n_dup, 0) AS n_dup
+         |  FROM ws LEFT JOIN dpt USING (doc_id)),
+         |kpt AS (
+         |  SELECT *, list_filter(generate_series(1, len(w)),
+         |    jj -> len(list_filter(dp, p -> jj >= p AND jj <= p + 7)) = 0) AS kept
+         |  FROM j)
+         |SELECT doc_id, CAST(len(w) AS INT) AS n_tokens, n_dup AS n_dup_windows,
+         |  CASE WHEN len(dp) = 0 THEN 0
+         |       ELSE CAST(len(list_filter(generate_series(1, len(dp)),
+         |              i -> i = 1 OR dp[i] - dp[i-1] > 8)) AS INT)
+         |  END AS n_spans_removed,
+         |  CAST(len(w) - len(kept) AS INT) AS n_removed_tokens,
+         |  len(kept) / len(w) AS clean_frac,
+         |  CASE WHEN n_dup = 0 THEN text
+         |       ELSE coalesce(array_to_string(list_transform(kept, jj -> w[jj]), ' '), '')
+         |  END AS clean_text
+         |FROM kpt ORDER BY doc_id""".stripMargin
+    })
+
   /** x22: most-duplicated spans corpus-wide — the memorization-risk
     * report behind span dedup: which exact 8-word sequences recur most,
     * in how many documents, how many times in total. x18 scores each
@@ -5294,6 +5347,7 @@ object PipelineQueries {
     "x18b_span_rolling" -> x18bSpanRolling,
     "x22_top_spans" -> x22TopSpans,
     "x35_span_scrub" -> x35SpanScrub,
+    "x35b_span_scrub_rolling" -> x35bSpanScrubRolling,
     "x19_span_decontaminate" -> x19SpanDecontaminate,
     "x19b_span_decon_rolling" -> x19bSpanDeconRolling,
     "z23_backoff_lm" -> z23BackoffLm,

@@ -810,6 +810,24 @@ class MultimodalSpec extends SparkSpec {
     assert(got(7L) === ((0, 0, 0, "g1  g2 g3 g4")))
   }
 
+  test("spanScrub rolling rung matches the md5 rung row-for-row") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "s1 s2 s3 a1 a2 a3 a4"),
+      (2L, "b1 s1 s2 s3 b2 b3 b4"),
+      (3L, "c0 s5 s6 s7 s8 c1 c2 c3"),
+      (4L, "s5 s6 s7 s8 d1 d2 d3"),
+      (5L, "e1 e2 e3 x e1 e2 e3"),
+      (6L, "f1 f2"),
+      (7L, (1 to 30).map(i => f"w$i%02d").mkString(" "))
+    ).toDF("doc_id", "text")
+    val md5Rows = Dedup.spanScrub(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect().toSeq
+    val rollRows = Dedup.spanScrub(docs, "doc_id", "text", k = 3, rolling = true)
+      .orderBy("doc_id").collect().toSeq
+    assert(md5Rows === rollRows)
+  }
+
   test("spanScrubExpr (stateless) equals spanScrub's cleaned text against a reference bloom") {
     import graft.operators.Dedup
     val ref = Seq((100L, "r1 r2 r3 r4 r5 r6")).toDF("doc_id", "text")

@@ -385,11 +385,13 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // x35: the scrub is aggregates + equi-joins + row-local HOFs — never a
     // window function or a span self-join; exactly two equi-joins (the
     // dup-fp verdict and the per-doc rebuild join)
-    val x35 = formatted("x35_span_scrub")
-    assert(!x35.contains("Window"), "span scrub regressed to a window")
-    assert(!x35.contains("CartesianProduct") && !x35.contains("BroadcastNestedLoopJoin"))
-    assert("\\(\\d+\\) (BroadcastHash|SortMerge|ShuffledHash)Join".r
-      .findAllIn(x35).size == 2, "span scrub grew extra joins")
+    for (q <- Seq("x35_span_scrub", "x35b_span_scrub_rolling")) {
+      val x35 = formatted(q)
+      assert(!x35.contains("Window"), s"$q: span scrub regressed to a window")
+      assert(!x35.contains("CartesianProduct") && !x35.contains("BroadcastNestedLoopJoin"))
+      assert("\\(\\d+\\) (BroadcastHash|SortMerge|ShuffledHash)Join".r
+        .findAllIn(x35).size == 2, s"$q: span scrub grew extra joins")
+    }
     // z43: source-level arithmetic — the only nest-loops are the two
     // broadcast one-row relations (normalizer, budget); no corpus re-join
     val z43 = formatted("z43_token_budget")
