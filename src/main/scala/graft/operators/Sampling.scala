@@ -148,8 +148,15 @@ object Sampling {
   def tokenBudget(stats: DataFrame, keyCol: String, tokensCol: String,
                   budget: DataFrame, maxEpochs: Int = 4): DataFrame = {
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    // a zero-token source is corrupt upstream data: its share is 0 but
+    // `epochs` would be 0/0 = NaN, which silently poisons any downstream
+    // comparison (NaN breaks both < and >=) — raise like esKey does
+    val guarded = when(col(tokensCol) > 0, col(tokensCol))
+      .otherwise(raise_error(concat(
+        lit("tokenBudget: token count must be positive, got "),
+        col(tokensCol).cast("string"))))
     val w = stats.withColumn("__w_dec",
-      sqrt(col(tokensCol).cast("double")).cast("decimal(18,8)"))
+      sqrt(guarded.cast("double")).cast("decimal(18,8)"))
     val tot = w.agg(sum(col("__w_dec")).as("__w_tot"))
     w.crossJoin(broadcast(tot)).crossJoin(broadcast(budget))
       .withColumn("share",

@@ -3214,6 +3214,41 @@ object PipelineQueries {
        |SELECT doc_id, n_tokens, score, score > CAST(0 AS DOUBLE) AS keep
        |FROM sc ORDER BY doc_id""".stripMargin)
 
+  /** z45: classifier threshold sweep — the keep-rate curve a corpus build
+    * reads before picking z14's gate threshold (production tunes the
+    * cutoff to a target retention, not the other way around). Each doc's
+    * hashing-trick score is computed ONCE in-scan; the sweep explodes a
+    * constant 11-threshold ladder per doc — a map-local blowup that
+    * collapses to thresholds × partitions rows under the combinable
+    * count, so the shuffle carries 11 keys at any corpus size. The
+    * verdict `score > t` is one IEEE comparison of exact-fold doubles —
+    * engine-stable; keep_frac is one raw division at the boundary. */
+  private val z45ThresholdSweep = Q(
+    (s, d) => {
+      val sc0 = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), TextAnalysis.classifierScore("ws").as("score"))
+      val tot = sc0.agg(count(lit(1)).as("n_total"))
+      sc0.select(explode(sequence(lit(-5), lit(5))).as("t"), col("score"))
+        .groupBy("t")
+        .agg(sum(when(col("score") > col("t").cast("double"), 1L).otherwise(0L))
+          .as("n_keep"))
+        .crossJoin(broadcast(tot))
+        .select(col("t").cast("int").as("t"), col("n_keep"),
+          (col("n_keep") / col("n_total")).as("keep_frac"))
+        .orderBy("t")
+    },
+    s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sc AS (SELECT doc_id, ${classifierScoreSql("w")} AS score FROM s),
+       |tt AS (SELECT unnest(generate_series(-5, 5)) AS t),
+       |tot AS (SELECT COUNT(*) AS n_total FROM sc)
+       |SELECT CAST(t AS INT) AS t,
+       |  CAST(SUM(CASE WHEN score > CAST(t AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(SUM(CASE WHEN score > CAST(t AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+       |    / n_total AS keep_frac
+       |FROM sc CROSS JOIN tt CROSS JOIN tot
+       |GROUP BY t, n_total ORDER BY t""".stripMargin)
+
   /** z15: unigram LM log-prob scoring — the cheap perplexity-style quality
     * filter: p(w) from corpus counts (one map-side-combinable pass), doc
     * score = mean token log-prob. The vocab-sized count table broadcasts
@@ -5356,6 +5391,7 @@ object PipelineQueries {
     "z22_temperature_mix" -> z22TemperatureMix,
     "z43_token_budget" -> z43TokenBudget,
     "z44_shard_assign" -> z44ShardAssign,
+    "z45_threshold_sweep" -> z45ThresholdSweep,
     "z20_bm25" -> z20Bm25,
     "y5_pq_ann" -> y5PqAnn,
     "y9_ivfpq" -> y9IvfPq,

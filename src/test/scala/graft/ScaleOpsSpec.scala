@@ -131,6 +131,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(got.values.map(_._5).sum <= 1010100L)
   }
 
+  test("tokenBudget: a zero-token source raises instead of emitting NaN epochs") {
+    import graft.operators.Sampling
+    val stats = Seq(("a", 100L), ("bad", 0L)).toDF("source", "n_tokens")
+    val budget = Seq(400L).toDF("budget_tokens")
+    val e = intercept[Exception] {
+      Sampling.tokenBudget(stats, "source", "n_tokens", budget).collect()
+    }
+    assert(e.getMessage.contains("token count must be positive"))
+  }
+
   test("shardAssign: balanced within one max-document, deterministic, exhaustive") {
     import graft.operators.Sampling
     // adversarially skewed sizes: doc 0 is enormous, the rest follow a ramp
