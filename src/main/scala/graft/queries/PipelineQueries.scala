@@ -261,6 +261,110 @@ object PipelineQueries {
        |JOIN sz sb ON sb.doc_id = e.doc_b
        |ORDER BY e.doc_a, e.doc_b""".stripMargin)
 
+  /** x36: dedup threshold sweep — the tuning panel a corpus build reads
+    * before fixing the near-dup Jaccard cutoff (z45's shape applied to
+    * dedup): how many candidate pairs qualify as duplicates, and how many
+    * documents the greedy keep-first-by-id policy would drop, at every
+    * threshold t = i/20 for i ∈ 1..19. Production picks the cutoff to hit
+    * a target survivor rate; without this curve the threshold is folklore.
+    * Rides ONE x14-shaped pair pass (shingle hashes materialized once,
+    * LSH-capped candidates, exact intersect over pair members only); the
+    * 19-threshold ladder explodes over the ALREADY-REDUCED relations (the
+    * pair list and the per-doc max-Jaccard), so the widest frames pay no
+    * blowup and the count shuffles carry 19 keys at any corpus size. The
+    * greedy policy (doc b drops iff some pair (a,b), a<b, reaches t) is
+    * deliberately CC-free: it prices the cheap pairwise dedup a pipeline
+    * runs when it skips clustering, and differs from x8's component
+    * semantics only through id-ordering chains. Every cell is an integer
+    * count or an int/int division (t itself is i/20, one correctly-rounded
+    * double op in both engines) — no tolerance needed. */
+  private val x36DedupThresholdSweep = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val hv = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
+        .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv"))
+        .distinct()
+        .localCheckpoint(true)
+      val sig = Dedup.minhashSignature(hv, "doc_id", 8)
+      val pairs = Dedup.lshCandidates(sig, "doc_id", 8, maxBucket = Some(X2MaxBucket))
+      val sz = hv.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val hvB = hv.select(col("doc_id").as("doc_b"), col("hv"))
+        .join(pairs.select("doc_b").distinct(), Seq("doc_b"), "left_semi")
+      val inter = pairs
+        .join(hv.select(col("doc_id").as("doc_a"), col("hv")), Seq("doc_a"))
+        .join(hvB, Seq("doc_b", "hv"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      val jpairs = pairs
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("ni", coalesce(col("ni"), lit(0L)))
+        .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+        .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("ni") / (col("sz_a") + col("sz_b") - col("ni"))).as("j"))
+      val jmax = jpairs.groupBy("doc_b").agg(max(col("j")).as("jmax"))
+      val pc = jpairs
+        .select(explode(sequence(lit(1), lit(19))).as("i"), col("j"))
+        .groupBy("i")
+        .agg(sum(when(col("j") >= col("i") / lit(20), 1L).otherwise(0L))
+          .as("n_pairs_dup"))
+      val dc = jmax
+        .select(explode(sequence(lit(1), lit(19))).as("i"), col("jmax"))
+        .groupBy("i")
+        .agg(sum(when(col("jmax") >= col("i") / lit(20), 1L).otherwise(0L))
+          .as("n_docs_dropped"))
+      val tot = docs.agg(count(lit(1)).as("n_total"))
+      tot.select(explode(sequence(lit(1), lit(19))).as("i"), col("n_total"))
+        .join(pc, Seq("i"), "left").join(dc, Seq("i"), "left")
+        .withColumn("n_pairs_dup", coalesce(col("n_pairs_dup"), lit(0L)))
+        .withColumn("n_docs_dropped", coalesce(col("n_docs_dropped"), lit(0L)))
+        .select((col("i") / lit(20)).as("t"), col("n_pairs_dup"),
+          col("n_docs_dropped"),
+          (col("n_total") - col("n_docs_dropped")).as("n_survivors"),
+          ((col("n_total") - col("n_docs_dropped")) / col("n_total"))
+            .as("survivor_frac"))
+        .orderBy("t")
+    },
+    s"""WITH $minhashCtes,
+       |${cappedBandsCte(bandsSql)},
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) AS sz FROM hv GROUP BY 1),
+       |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS ni
+       |  FROM p JOIN hv ha ON ha.doc_id = p.doc_a
+       |         JOIN hv hb ON hb.doc_id = p.doc_b AND hb.hv = ha.hv
+       |  GROUP BY 1, 2),
+       |jp AS (SELECT p.doc_a, p.doc_b,
+       |    COALESCE(i.ni, 0) / (sa.sz + sb.sz - COALESCE(i.ni, 0)) AS j
+       |  FROM p
+       |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |  JOIN sz sa ON sa.doc_id = p.doc_a
+       |  JOIN sz sb ON sb.doc_id = p.doc_b),
+       |jmax AS (SELECT doc_b, MAX(j) AS jmax FROM jp GROUP BY 1),
+       |grid AS (SELECT unnest(generate_series(1, 19)) AS i),
+       |tot AS (SELECT COUNT(*) AS n_total FROM documents),
+       |pc AS (SELECT g.i,
+       |    CAST(SUM(CASE WHEN jp.j >= g.i / 20 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_pairs_dup
+       |  FROM grid g CROSS JOIN jp GROUP BY 1),
+       |dc AS (SELECT g.i,
+       |    CAST(SUM(CASE WHEN m.jmax >= g.i / 20 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_docs_dropped
+       |  FROM grid g CROSS JOIN jmax m GROUP BY 1)
+       |SELECT g.i / 20 AS t,
+       |  COALESCE(pc.n_pairs_dup, 0) AS n_pairs_dup,
+       |  COALESCE(dc.n_docs_dropped, 0) AS n_docs_dropped,
+       |  tot.n_total - COALESCE(dc.n_docs_dropped, 0) AS n_survivors,
+       |  (tot.n_total - COALESCE(dc.n_docs_dropped, 0)) / tot.n_total
+       |    AS survivor_frac
+       |FROM grid g CROSS JOIN tot
+       |LEFT JOIN pc ON pc.i = g.i
+       |LEFT JOIN dc ON dc.i = g.i
+       |ORDER BY t""".stripMargin)
+
   /** x24: LSH quality evaluation — the harness that tells you whether the
     * dedup stage is ANY GOOD: precision/recall of the capped MinHash-LSH
     * candidate generator against exact shingle-Jaccard ground truth, at
@@ -5412,6 +5516,7 @@ object PipelineQueries {
     "x12_bloom_prefilter" -> x12BloomPrefilter,
     "x13_curation_v2" -> x13CurationV2,
     "x14_jaccard_estimate" -> x14JaccardEstimate,
+    "x36_dedup_threshold_sweep" -> x36DedupThresholdSweep,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
     "x17_curation_v3" -> x17CurationV3,
