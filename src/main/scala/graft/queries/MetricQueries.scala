@@ -12,6 +12,54 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongTyp
   * fixed point. The reference computes these with repeated full-table scans
   * (20 LogLoss slices, 26 cor() calls); here each is a single pass.
   */
+/** Shared DuckDB renderer for ridge-IRLS logistic regression (λ=1, the
+  * Cramer 3×3 solve), parameterized by the feature relation and group
+  * column so a18's within-corpus fit and z42's train/score split render
+  * the SAME Newton-step text — the step semantics can never drift between
+  * them. Expression arrangement mirrors `Relational.logisticIrls` term
+  * for term. */
+private[queries] object IrlsSql {
+  private def step(featsRel: String, g: String, prev: String,
+                   sAlias: String, bAlias: String): String = {
+    val detSql = "(a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02))"
+    s"""$sAlias AS (
+       |  SELECT t.$g,
+       |    sum(w) AS s0, sum(w * x1) AS s1, sum(w * x2) AS s2,
+       |    sum(w * x1 * x1) AS s11, sum(w * x1 * x2) AS s12, sum(w * x2 * x2) AS s22,
+       |    sum(w * z) AS r0, sum(w * z * x1) AS r1, sum(w * z * x2) AS r2
+       |  FROM (
+       |    SELECT u.$g, u.x1, u.x2, u.mu * (1.0 - u.mu) AS w,
+       |      u.eta + (u.y - u.mu) / (u.mu * (1.0 - u.mu)) AS z
+       |    FROM (
+       |      SELECT f.$g, f.x1, f.x2, f.y,
+       |        b.b0 + b.b1 * f.x1 + b.b2 * f.x2 AS eta,
+       |        GREATEST(LEAST(1.0 / (1.0 + EXP(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 0.999999), 0.000001) AS mu
+       |      FROM $featsRel f JOIN $prev b ON f.$g = b.$g) u) t
+       |  GROUP BY t.$g),
+       |$bAlias AS (
+       |  SELECT $g,
+       |    (r0 * (a11 * a22 - a12 * a12) - a01 * (r1 * a22 - a12 * r2) + a02 * (r1 * a12 - a11 * r2)) / $detSql AS b0,
+       |    (a00 * (r1 * a22 - a12 * r2) - r0 * (a01 * a22 - a12 * a02) + a02 * (a01 * r2 - r1 * a02)) / $detSql AS b1,
+       |    (a00 * (a11 * r2 - r1 * a12) - a01 * (a01 * r2 - r1 * a02) + r0 * (a01 * a12 - a11 * a02)) / $detSql AS b2
+       |  FROM (SELECT $g, s0 + 1.0 AS a00, s1 AS a01, s2 AS a02,
+       |          s11 + 1.0 AS a11, s12 AS a12, s22 + 1.0 AS a22, r0, r1, r2
+       |        FROM $sAlias) m)""".stripMargin
+  }
+
+  /** `b0it` zero-init plus `iters` unrolled Newton steps; the final
+    * coefficient relation is `b<iters>it`. */
+  def ctes(featsRel: String, g: String, iters: Int): String = {
+    val init =
+      s"""b0it AS (
+         |  SELECT $g, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
+         |  FROM (SELECT DISTINCT $g FROM $featsRel) g0)""".stripMargin
+    val steps = (1 to iters).map(i =>
+      step(featsRel, g, if (i == 1) "b0it" else s"b${i - 1}it", s"s${i}it", s"b${i}it"))
+      .mkString(",\n")
+    s"$init,\n$steps"
+  }
+}
+
 object MetricQueries {
 
   /** A5: grouped correlation matrix (`summarize(c_epa = cor(...))`,
@@ -354,36 +402,6 @@ object MetricQueries {
         |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / n_chars AS x2,
         |    CAST(source IN ('src0', 'src3', 'src6', 'src9') AS DOUBLE) AS y
         |  FROM documents""".stripMargin
-    // one Newton step: aggregate pass at the previous coefficients, then the
-    // Cramer solve of the ridge-penalized (λ=1) 3×3 normal equations —
-    // expression arrangement mirrors Relational.logisticIrls term for term
-    def stepSql(prev: String, sAlias: String, bAlias: String): String = {
-      val detSql = "(a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02))"
-      s"""$sAlias AS (
-         |  SELECT t.lang,
-         |    sum(w) AS s0, sum(w * x1) AS s1, sum(w * x2) AS s2,
-         |    sum(w * x1 * x1) AS s11, sum(w * x1 * x2) AS s12, sum(w * x2 * x2) AS s22,
-         |    sum(w * z) AS r0, sum(w * z * x1) AS r1, sum(w * z * x2) AS r2
-         |  FROM (
-         |    SELECT u.lang, u.x1, u.x2, u.mu * (1.0 - u.mu) AS w,
-         |      u.eta + (u.y - u.mu) / (u.mu * (1.0 - u.mu)) AS z
-         |    FROM (
-         |      SELECT f.lang, f.x1, f.x2, f.y,
-         |        b.b0 + b.b1 * f.x1 + b.b2 * f.x2 AS eta,
-         |        GREATEST(LEAST(1.0 / (1.0 + EXP(-(b.b0 + b.b1 * f.x1 + b.b2 * f.x2))), 0.999999), 0.000001) AS mu
-         |      FROM feats f JOIN $prev b ON f.lang = b.lang) u) t
-         |  GROUP BY t.lang),
-         |$bAlias AS (
-         |  SELECT lang,
-         |    (r0 * (a11 * a22 - a12 * a12) - a01 * (r1 * a22 - a12 * r2) + a02 * (r1 * a12 - a11 * r2)) / $detSql AS b0,
-         |    (a00 * (r1 * a22 - a12 * r2) - r0 * (a01 * a22 - a12 * a02) + a02 * (a01 * r2 - r1 * a02)) / $detSql AS b1,
-         |    (a00 * (a11 * r2 - r1 * a12) - a01 * (a01 * r2 - r1 * a02) + r0 * (a01 * a12 - a11 * a02)) / $detSql AS b2
-         |  FROM (SELECT lang, s0 + 1.0 AS a00, s1 AS a01, s2 AS a02,
-         |          s11 + 1.0 AS a11, s12 AS a12, s22 + 1.0 AS a22, r0, r1, r2
-         |        FROM $sAlias) m)""".stripMargin
-    }
-    val steps = (1 to iters).map(i => stepSql(if (i == 1) "b0it" else s"b${i - 1}it", s"s${i}it", s"b${i}it"))
-      .mkString(",\n")
     Q(
       (s, d) => {
         val feats = Tables.documents(s, d).select(
@@ -409,10 +427,7 @@ object MetricQueries {
       },
       s"""WITH feats AS (
          |  $featsSql),
-         |b0it AS (
-         |  SELECT lang, 0.0 AS b0, 0.0 AS b1, 0.0 AS b2
-         |  FROM (SELECT DISTINCT lang FROM feats) g),
-         |$steps,
+         |${IrlsSql.ctes("feats", "lang", iters)},
          |loss AS (
          |  SELECT t.lang, count(*) AS n,
          |    -AVG(t.y * LN(t.mu) + (1.0 - t.y) * LN(1.0 - t.mu)) AS ll

@@ -3619,6 +3619,119 @@ object PipelineQueries {
        |SELECT doc_id, n_bigrams, n_unseen, avg_kn_logprob
        |FROM kout ORDER BY doc_id""".stripMargin)
 
+  /** The classifier features a18 trains on, shared verbatim by z42's
+    * train and score sides: length and whitespace-density quality
+    * signals, label = "curated source". */
+  private def clsFeats(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), col("lang"),
+      log(lit(1.0) + col("n_chars")).as("x1"),
+      ((length(col("text")) - length(expr("replace(text, ' ', '')")))
+        .cast("double") / col("n_chars")).as("x2"),
+      col("source").isin("src0", "src3", "src6", "src9").cast("double").as("y"))
+
+  /** Fit the per-lang ridge-IRLS discriminator on the TRAIN half and
+    * snapshot the coefficients at DECIMAL(12,4) — the engine-stable
+    * granularity both serving sides score with (a18's output precision,
+    * applied at the model seam instead of the display boundary). */
+  private def clsModelFit(docs: org.apache.spark.sql.DataFrame) =
+    Relational.logisticIrls(
+        clsFeats(docs.filter(col("doc_id") % 2 === 0)), "lang",
+        iters = 4, lambda = 1.0)
+      .select(col("lang"),
+        col("b0").cast("decimal(12,4)").cast("double").as("b0s"),
+        col("b1").cast("decimal(12,4)").cast("double").as("b1s"),
+        col("b2").cast("decimal(12,4)").cast("double").as("b2s"))
+
+  private val z42Built = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  /** The fitted discriminator persisted through the Store (lang →
+    * snapshot coefficients, partitioned by lang) and read back — the
+    * serve side never re-derives weights from training text. Same
+    * cache-and-shutdown-hook discipline and plan-only escape as z41's
+    * bigram model. */
+  private def clsModelStored(s: SparkSession, d: String) =
+    z42Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"cls_model_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "part")
+      store.destroy()
+      store.append(clsModelFit(Tables.documents(s, d))
+        .withColumn("part", col("lang")))
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      store.read.drop("part")
+    })
+
+  /** z42: FITTED quality classifier — train/score separation for the
+    * learned-discriminator gate (the GPT-3/CCNet companion to z41's LM
+    * split): a18's ridge-IRLS logistic regression fit per language on the
+    * even-doc_id half, coefficients snapshotted at DECIMAL(12,4) and
+    * PERSISTED through the Store as the model artifact, then the odd half
+    * scored off the stored weights — z14 with learned instead of fixed
+    * weights, pointable at data the fit never saw. The keep verdict is
+    * `eta > 0` (σ(eta) > ½) on the snapshot coefficients: one fixed-shape
+    * IEEE expression of engine-stable inputs, so the counts are integers
+    * and need no tolerance; mean_mu rides per-doc DECIMAL(12,6) snapshots
+    * (z15's ln/EXP discipline) through an exact sum. Scale: the model is
+    * group-cardinality (broadcast is CORRECT here, it cannot grow with
+    * the corpus); training is 4 combinable aggregate passes; scoring is
+    * one scan of the held-out half. The oracle replays the split, all 4
+    * Newton steps (IrlsSql — the SAME renderer a18 uses), the snapshot,
+    * and the scoring. */
+  private val z42ClassifierFitted = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val model =
+        if (planOnly) clsModelFit(docs)
+        else clsModelStored(s, d)
+      val scored = clsFeats(docs.filter(col("doc_id") % 2 === 1))
+        .join(broadcast(model), Seq("lang"))
+        .withColumn("eta",
+          col("b0s") + col("b1s") * col("x1") + col("b2s") * col("x2"))
+        .withColumn("mu", greatest(
+          least(lit(1.0) / (lit(1.0) + exp(-col("eta"))), lit(0.999999)),
+          lit(1e-6)))
+      scored.groupBy("lang").agg(
+          count(lit(1)).as("n_scored"),
+          sum(when(col("eta") > lit(0.0), 1L).otherwise(0L)).as("n_keep"),
+          (sum(col("mu").cast("decimal(12,6)")).cast("double") /
+            count(lit(1))).as("mean_mu"))
+        .join(model, Seq("lang"))
+        .select(col("lang"), col("b0s"), col("b1s"), col("b2s"),
+          col("n_scored"), col("n_keep"), col("mean_mu"))
+        .orderBy("lang")
+    },
+    s"""WITH feats AS (
+       |  SELECT doc_id, lang,
+       |    ln(1.0 + n_chars) AS x1,
+       |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / n_chars AS x2,
+       |    CAST(source IN ('src0', 'src3', 'src6', 'src9') AS DOUBLE) AS y
+       |  FROM documents),
+       |tf AS (SELECT lang, x1, x2, y FROM feats WHERE doc_id % 2 = 0),
+       |${IrlsSql.ctes("tf", "lang", 4)},
+       |model AS (SELECT lang,
+       |    CAST(CAST(b0 AS DECIMAL(12,4)) AS DOUBLE) AS b0s,
+       |    CAST(CAST(b1 AS DECIMAL(12,4)) AS DOUBLE) AS b1s,
+       |    CAST(CAST(b2 AS DECIMAL(12,4)) AS DOUBLE) AS b2s
+       |  FROM b4it),
+       |sc AS (
+       |  SELECT f.lang,
+       |    m.b0s + m.b1s * f.x1 + m.b2s * f.x2 AS eta
+       |  FROM feats f JOIN model m ON f.lang = m.lang
+       |  WHERE f.doc_id % 2 = 1),
+       |scm AS (
+       |  SELECT lang, eta,
+       |    GREATEST(LEAST(1.0 / (1.0 + EXP(-eta)), 0.999999), 0.000001) AS mu
+       |  FROM sc),
+       |agg AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       |    CAST(SUM(CASE WHEN eta > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |    CAST(SUM(CAST(mu AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*) AS mean_mu
+       |  FROM scm GROUP BY lang)
+       |SELECT m.lang, m.b0s, m.b1s, m.b2s, a.n_scored, a.n_keep, a.mean_mu
+       |FROM agg a JOIN model m ON a.lang = m.lang
+       |ORDER BY m.lang""".stripMargin)
+
   /** x32: curation v5 — THIS round's rungs composed as one corpus build,
     * the x9→x21 lineage continued with the production forms: (1) the full
     * Gopher repetition gate (z37's integer-exact verdict), (2) rolling-
@@ -5527,6 +5640,7 @@ object PipelineQueries {
     "z37b_gopher_rolling" -> z37bGopherRolling,
     "z38_kneser_ney" -> z38KneserNey,
     "z41_heldout_perplexity" -> z41HeldoutPerplexity,
+    "z42_classifier_fitted" -> z42ClassifierFitted,
     "z39_char_entropy" -> z39CharEntropy,
     "z40_zipf_fit" -> z40ZipfFit,
     "x32_curation_v5" -> x32CurationV5,
