@@ -5156,6 +5156,58 @@ object PipelineQueries {
       |  CAST(MAX(toks) AS BIGINT) AS max_doc_tokens
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** z46: per-epoch data-loader order — the LAST artifact of the training
+    * lifecycle (mixture → budget → shards → the order each epoch reads):
+    * every epoch gets a different but fully reproducible permutation of
+    * each z44 shard, keyed by md5(doc_id ":" epoch) — no RNG state, any
+    * worker can recompute its slice from the key alone (the production
+    * property: resume-from-step needs order to be a pure function of
+    * (doc, epoch)). Emitting the permutation itself would be corpus×epoch
+    * rows, so the query pins it with per-(epoch, shard) integer
+    * invariants instead: the first doc in order and the position-weighted
+    * checksum Σ pos·doc_id, which no reordering of two or more docs
+    * preserves (adjacent swap changes the sum by the doc_id difference;
+    * equal doc_ids cannot occur). Scale: the rank window partitions by
+    * (epoch, shard) — shard-sized frames, never a corpus sort; the
+    * epoch explode multiplies rows by a constant 4 (a production writer
+    * materializes one epoch at a time; the checksum audit is what you
+    * run over ALL of them). All cells are exact integers. */
+  private val z46EpochShuffle = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("toks"))
+      val sharded = Sampling.shardAssign(docs, Seq("doc_id"), "toks", nShards = 16)
+      val ep = sharded.select(col("doc_id"), col("shard"),
+        explode(sequence(lit(0), lit(3))).as("epoch"))
+      val ordered = ep.withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy(
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("epoch").cast("string"))), col("doc_id"))))
+      ordered.groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          max(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
+          sum(col("pos").cast(LongType) * col("doc_id")).cast(LongType)
+            .as("order_checksum"))
+        .orderBy("epoch", "shard")
+    },
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+      |r AS (SELECT doc_id, toks,
+      |    ROW_NUMBER() OVER (ORDER BY toks DESC, doc_id) AS rnk FROM t),
+      |sh AS (SELECT doc_id, CAST((rnk - 1) % 16 AS INT) AS shard FROM r),
+      |ep AS (SELECT doc_id, shard,
+      |    CAST(unnest(generate_series(0, 3)) AS INT) AS epoch FROM sh),
+      |o AS (SELECT epoch, shard, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY epoch, shard
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),
+      |        doc_id) AS pos
+      |  FROM ep)
+      |SELECT epoch, shard, COUNT(*) AS n_docs,
+      |  MAX(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+      |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+      |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** z23: trigram Stupid Backoff scoring (Brants et al., "Large Language
     * Models in Machine Translation") — the web-scale LM smoothing that
     * never normalizes: S(w|u,v) = trigram MLE when the train slice saw
@@ -5609,6 +5661,7 @@ object PipelineQueries {
     "z43_token_budget" -> z43TokenBudget,
     "z44_shard_assign" -> z44ShardAssign,
     "z45_threshold_sweep" -> z45ThresholdSweep,
+    "z46_epoch_shuffle" -> z46EpochShuffle,
     "z20_bm25" -> z20Bm25,
     "y5_pq_ann" -> y5PqAnn,
     "y9_ivfpq" -> y9IvfPq,
