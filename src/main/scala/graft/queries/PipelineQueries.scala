@@ -1353,6 +1353,129 @@ object PipelineQueries {
        |  FROM scored) r
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 
+  /** y14: FILTERED vector search — the production ANN feature every
+    * vector store ships (search WHERE metadata predicate) and the classic
+    * way deployments silently lose recall: post-filtering retrieves top-K
+    * from the unfiltered index and keeps survivors, which starves exactly
+    * when the predicate is selective. The panel grades both strategies
+    * per query against exact filtered-corpus truth (label < 3, ~30%
+    * selectivity): PRE-filter applies the predicate inside the candidate
+    * scan before ranking (at scale the label predicate pushes down to
+    * the parquet scan of the probed bucket partitions — the filter is
+    * FREE); POST-filter ranks all candidates, keeps the top-20, then
+    * filters and takes 5 (the k'=4k rule of thumb). Both arms ride ONE
+    * scored Hamming-1 multi-probe equi-join (y2b's candidate generator —
+    * wide enough that the top-20 cutoff actually binds, which is where
+    * post-filtering loses); truth costs |Q|·|C_filtered| on the
+    * BOUNDED query batch (% 50 ∧ < 1000, the y-family discipline). Every
+    * cell is an integer count — tolerance-free. n_pre_hit ≥ n_post_hit
+    * row-by-row is the expected read; equality at low selectivity is the
+    * sign post-filtering would have been fine. */
+  private val y14FilteredAnn = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val b = e.select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("bucket", Similarity.hyperplaneBucket("embedding"))
+        .withColumn("nrm", Similarity.norm("embedding"))
+      val q = b.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("nrm").as("q_nrm"), col("bucket"))
+        .withColumn("__probe", explode(array(
+          col("bucket") +: (0 until Similarity.NumPlanes).map(j =>
+            col("bucket").bitwiseXOR(lit(1L << j))): _*)))
+      val c = b.select(col("vec_id").as("c_id"), col("label"),
+        col("embedding").as("c_vec"), col("nrm").as("c_nrm"),
+        col("bucket").as("__probe"))
+      val scored = q.join(c, Seq("__probe")).filter(col("q_id") =!= col("c_id"))
+        .withColumn("cosine", round(
+          Similarity.dot("q_vec", "c_vec") / (col("q_nrm") * col("c_nrm")), 6))
+        .select("q_id", "c_id", "label", "cosine")
+      val wq = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+      val pre = scored.filter(col("label") < 3)
+        .withColumn("rank", row_number().over(wq)).filter(col("rank") <= 5)
+        .select("q_id", "c_id")
+      val post = scored.withColumn("rank_all", row_number().over(wq))
+        .filter(col("rank_all") <= 20 && col("label") < 3)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("q_id").orderBy("rank_all")))
+        .filter(col("rank") <= 5)
+        .select("q_id", "c_id")
+      val truth = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000),
+          e.filter(col("label") < 3), "vec_id", "embedding", k = 5)
+        .select("q_id", "c_id")
+      def cnt(dfx: org.apache.spark.sql.DataFrame, name: String) =
+        dfx.groupBy("q_id").agg(count(lit(1)).as(name))
+      def hit(dfx: org.apache.spark.sql.DataFrame, name: String) =
+        dfx.join(truth, Seq("q_id", "c_id"), "left_semi")
+          .groupBy("q_id").agg(count(lit(1)).as(name))
+      q.select("q_id").distinct()
+        .join(cnt(truth, "n_truth"), Seq("q_id"), "left")
+        .join(cnt(pre, "n_pre"), Seq("q_id"), "left")
+        .join(hit(pre, "n_pre_hit"), Seq("q_id"), "left")
+        .join(cnt(post, "n_post"), Seq("q_id"), "left")
+        .join(hit(post, "n_post_hit"), Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+          coalesce(col("n_pre"), lit(0L)).as("n_pre"),
+          coalesce(col("n_pre_hit"), lit(0L)).as("n_pre_hit"),
+          coalesce(col("n_post"), lit(0L)).as("n_post"),
+          coalesce(col("n_post_hit"), lit(0L)).as("n_post_hit"))
+        .orderBy("q_id")
+    },
+    s"""WITH v AS (SELECT vec_id, label, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, label, vd, ${nrmSql("vd")} AS nrm,
+       |    CAST($bucketSql AS BIGINT) AS bucket FROM v),
+       |qs AS (SELECT vec_id FROM n WHERE vec_id % 50 = 0 AND vec_id < 1000),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label,
+       |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c
+       |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000),
+       |pre AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+       |    FROM scored WHERE label < 3) a
+       |  WHERE rank <= 5),
+       |post AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rank_all) AS rank
+       |    FROM (
+       |      SELECT q_id, c_id, label,
+       |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank_all
+       |      FROM scored) a
+       |    WHERE rank_all <= 20 AND label < 3) b
+       |  WHERE rank <= 5),
+       |truth AS (SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+       |          c.vec_id) AS rank
+       |    FROM n q JOIN n c ON q.vec_id <> c.vec_id AND c.label < 3
+       |    WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000) t
+       |  WHERE rank <= 5),
+       |tc AS (SELECT q_id, COUNT(*) AS n_truth FROM truth GROUP BY 1),
+       |pc AS (SELECT q_id, COUNT(*) AS n_pre FROM pre GROUP BY 1),
+       |ph AS (SELECT p.q_id, COUNT(*) AS n_pre_hit
+       |  FROM pre p JOIN truth t ON t.q_id = p.q_id AND t.c_id = p.c_id GROUP BY 1),
+       |oc AS (SELECT q_id, COUNT(*) AS n_post FROM post GROUP BY 1),
+       |oh AS (SELECT p.q_id, COUNT(*) AS n_post_hit
+       |  FROM post p JOIN truth t ON t.q_id = p.q_id AND t.c_id = p.c_id GROUP BY 1)
+       |SELECT qs.vec_id AS q_id,
+       |  COALESCE(tc.n_truth, 0) AS n_truth,
+       |  COALESCE(pc.n_pre, 0) AS n_pre,
+       |  COALESCE(ph.n_pre_hit, 0) AS n_pre_hit,
+       |  COALESCE(oc.n_post, 0) AS n_post,
+       |  COALESCE(oh.n_post_hit, 0) AS n_post_hit
+       |FROM qs
+       |LEFT JOIN tc ON tc.q_id = qs.vec_id
+       |LEFT JOIN pc ON pc.q_id = qs.vec_id
+       |LEFT JOIN ph ON ph.q_id = qs.vec_id
+       |LEFT JOIN oc ON oc.q_id = qs.vec_id
+       |LEFT JOIN oh ON oh.q_id = qs.vec_id
+       |ORDER BY q_id""".stripMargin)
+
   /** y8: ANN recall evaluation — x24's twin for the similarity side: the
     * harness that tells you what the bucketed paths actually RECALL.
     * Brute-force top-10 per query is ground truth (the rerank rung is
@@ -5737,6 +5860,7 @@ object PipelineQueries {
     "y11_nprobe_curve" -> y11NprobeCurve,
     "y12_gram_matrix" -> y12GramMatrix,
     "y13_opq_rotation" -> y13OpqRotation,
+    "y14_filtered_ann" -> y14FilteredAnn,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
     "y4_centroid_stats" -> y4CentroidStats,
