@@ -2931,6 +2931,72 @@ object PipelineQueries {
       |      FROM documents) t
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** z47: LEAKAGE-FREE train/test split — z5's hash split made safe
+    * against near-duplicate leakage (Lee et al.'s "Deduplicating Training
+    * Data" finding: test-set near-dups of training docs inflate eval):
+    * hash the CLUSTER id, not the doc id, so every member of an LSH
+    * connected component lands in the same split by construction. The
+    * panel proves it with data rather than argument: n_leaked_cluster
+    * (candidate pairs straddling splits under the cluster-keyed split)
+    * must be 0, while n_leaked_naive prices the doc-keyed split's
+    * leakage on the same pair set — the number a naive pipeline never
+    * measures. Scale: the cluster machinery is x8's (LSH-capped pairs,
+    * label-prop CC); split assignment and leak counting are two
+    * equi-joins of the pair relation against the assignment — all
+    * combinable aggregates; per-split cluster counts are a distinct on
+    * (split, cluster), never a corpus window. All cells integer. */
+  private val z47LeakageSplit = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+        maxBucket = Some(X2MaxBucket))
+      val assigned = Dedup.connectedComponents(pairs, docs, "doc_id")
+        .withColumn("cl_split", Sampling.splitAssign(col("cluster_id"), 80, 10))
+        .withColumn("doc_split", Sampling.splitAssign(col("doc_id"), 80, 10))
+      val leaks = pairs
+        .join(assigned.select(col("doc_id").as("doc_a"),
+          col("cl_split").as("ca"), col("doc_split").as("da")), Seq("doc_a"))
+        .join(assigned.select(col("doc_id").as("doc_b"),
+          col("cl_split").as("cb"), col("doc_split").as("db")), Seq("doc_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)), lit(0L))
+            .as("n_leaked_cluster"),
+          coalesce(sum(when(col("da") =!= col("db"), 1L).otherwise(0L)), lit(0L))
+            .as("n_leaked_naive"))
+      assigned.groupBy(col("cl_split").as("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .crossJoin(broadcast(leaks))
+        .select(col("split"), col("n_docs"), col("n_clusters"),
+          col("n_pairs"), col("n_leaked_cluster"), col("n_leaked_naive"))
+        .orderBy("split")
+    },
+    s"""WITH RECURSIVE $componentsCtes,
+       |asg AS (SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+       |spl AS (SELECT doc_id, cluster_id,
+       |    CASE WHEN cb < 80 THEN 'train' WHEN cb < 90 THEN 'val'
+       |         ELSE 'test' END AS cl_split,
+       |    CASE WHEN db < 80 THEN 'train' WHEN db < 90 THEN 'val'
+       |         ELSE 'test' END AS doc_split
+       |  FROM (SELECT doc_id, cluster_id,
+       |      ('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS cb,
+       |      ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS db
+       |    FROM asg) t),
+       |lk AS (SELECT COUNT(*) AS n_pairs,
+       |    CAST(COALESCE(SUM(CASE WHEN a.cl_split <> b.cl_split THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS n_leaked_cluster,
+       |    CAST(COALESCE(SUM(CASE WHEN a.doc_split <> b.doc_split THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS n_leaked_naive
+       |  FROM pairs p JOIN spl a ON a.doc_id = p.doc_a
+       |  JOIN spl b ON b.doc_id = p.doc_b)
+       |SELECT s.cl_split AS split, COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT s.cluster_id) AS BIGINT) AS n_clusters,
+       |  lk.n_pairs, lk.n_leaked_cluster, lk.n_leaked_naive
+       |FROM spl s CROSS JOIN lk
+       |GROUP BY 1, lk.n_pairs, lk.n_leaked_cluster, lk.n_leaked_naive
+       |ORDER BY 1""".stripMargin)
+
   /** z7: doc-term TF-IDF weights. tf/df are exact ints; the weight is
     * tf·ln(N/df) where N/df is one correctly-rounded division — the ln's
     * last-ulp wobble is absorbed by the 4 dp output rounding. Ordered by
@@ -5785,6 +5851,7 @@ object PipelineQueries {
     "z44_shard_assign" -> z44ShardAssign,
     "z45_threshold_sweep" -> z45ThresholdSweep,
     "z46_epoch_shuffle" -> z46EpochShuffle,
+    "z47_leakage_split" -> z47LeakageSplit,
     "z20_bm25" -> z20Bm25,
     "y5_pq_ann" -> y5PqAnn,
     "y9_ivfpq" -> y9IvfPq,
