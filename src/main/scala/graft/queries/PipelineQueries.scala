@@ -4101,6 +4101,103 @@ object PipelineQueries {
        |kkeep AS (SELECT doc_id FROM kb WHERE band >= 2)
        |$x32FinalSql""".stripMargin)
 
+  /** x38: quality-gate AGREEMENT audit — the panel a pipeline owner reads
+    * before stacking two fitted quality filters: on the held-out half,
+    * the CCNet-style LM gate (z41's stored KN model → per-lang perplexity
+    * band ≥ 2 of 3) and the GPT-3-style discriminator gate (z42's stored
+    * IRLS weights → per-lang TOP HALF by score, a retention-targeted
+    * cutoff rather than σ>½ — the z45 lesson: production tunes the
+    * threshold to a keep rate) vote on every document, and the confusion
+    * matrix per language shows where they agree, where only one fires,
+    * and what fraction of the corpus the DISAGREEMENT puts in play (the
+    * docs whose fate depends on which filter you trust — production
+    * measures this overlap before composing gates, because two filters
+    * that mostly disagree are not two independent signals). Both models
+    * are FITTED artifacts read back from the Store (train half never
+    * rescored); docs too short for the LM scorer count as LM-drop via
+    * the left join. Scale: two model joins (group-cardinality
+    * discriminator broadcast, model-sized KN tables unhinted) + one
+    * banding ntile per lang; the matrix is one combinable aggregate.
+    * Counts integer; agreement_frac is one long/long division. */
+  private val x38GateAgreement = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      val knM =
+        if (planOnly) knBigramCounts(docs.filter(col("doc_id") % 2 === 0))
+        else knModelStored(s, d)
+      val banded = Relational.groupedNtile(
+          knHeldoutScored(knM, odd)
+            .join(odd.select("doc_id", "lang"), Seq("doc_id"))
+            .select("doc_id", "lang", "avg_kn_logprob"),
+          groups = Seq("lang"), order = Seq("avg_kn_logprob", "doc_id"),
+          n = 3, out = "band")
+        .select(col("doc_id"), (col("band") >= 2).as("lm_keep"))
+      val clsM =
+        if (planOnly) clsModelFit(docs)
+        else clsModelStored(s, d)
+      val cls = Relational.groupedNtile(
+          clsFeats(odd).join(broadcast(clsM), Seq("lang"))
+            .select(col("doc_id"), col("lang"),
+              (col("b0s") + col("b1s") * col("x1") + col("b2s") * col("x2"))
+                .as("eta")),
+          groups = Seq("lang"), order = Seq("eta", "doc_id"),
+          n = 2, out = "cband")
+        .select(col("doc_id"), (col("cband") === 2).as("cls_keep"))
+      odd.select("doc_id", "lang")
+        .join(banded, Seq("doc_id"), "left")
+        .join(cls, Seq("doc_id"))
+        .withColumn("lm_keep", coalesce(col("lm_keep"), lit(false)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lm_keep") && col("cls_keep"), 1L).otherwise(0L))
+            .as("n_both_keep"),
+          sum(when(col("lm_keep") && !col("cls_keep"), 1L).otherwise(0L))
+            .as("n_lm_only"),
+          sum(when(!col("lm_keep") && col("cls_keep"), 1L).otherwise(0L))
+            .as("n_cls_only"),
+          sum(when(!col("lm_keep") && !col("cls_keep"), 1L).otherwise(0L))
+            .as("n_both_drop"))
+        .withColumn("agreement_frac",
+          (col("n_both_keep") + col("n_both_drop")) / col("n_docs"))
+        .orderBy("lang")
+    },
+    s"""WITH feats AS (
+       |  SELECT doc_id, lang,
+       |    ln(1.0 + n_chars) AS x1,
+       |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / n_chars AS x2,
+       |    CAST(source IN ('src0', 'src3', 'src6', 'src9') AS DOUBLE) AS y
+       |  FROM documents),
+       |tf AS (SELECT lang, x1, x2, y FROM feats WHERE doc_id % 2 = 0),
+       |${IrlsSql.ctes("tf", "lang", 4)},
+       |model AS (SELECT lang,
+       |    CAST(CAST(b0 AS DECIMAL(12,4)) AS DOUBLE) AS b0s,
+       |    CAST(CAST(b1 AS DECIMAL(12,4)) AS DOUBLE) AS b1s,
+       |    CAST(CAST(b2 AS DECIMAL(12,4)) AS DOUBLE) AS b2s
+       |  FROM b4it),
+       |${knHeldoutCtes("doc_id % 2 = 0", "doc_id % 2 = 1")},
+       |kb AS (SELECT k.doc_id, NTILE(3) OVER (
+       |      PARTITION BY d.lang ORDER BY k.avg_kn_logprob, k.doc_id) AS band
+       |  FROM kout k JOIN documents d ON d.doc_id = k.doc_id),
+       |ce AS (SELECT f.doc_id, f.lang,
+       |    m.b0s + m.b1s * f.x1 + m.b2s * f.x2 AS eta
+       |  FROM feats f JOIN model m ON f.lang = m.lang
+       |  WHERE f.doc_id % 2 = 1),
+       |cv AS (SELECT doc_id, lang,
+       |    NTILE(2) OVER (PARTITION BY lang ORDER BY eta, doc_id) = 2 AS cls_keep
+       |  FROM ce),
+       |j AS (SELECT cv.lang,
+       |    COALESCE(kb.band >= 2, FALSE) AS lm_keep, cv.cls_keep
+       |  FROM cv LEFT JOIN kb ON kb.doc_id = cv.doc_id)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN lm_keep AND cls_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both_keep,
+       |  CAST(SUM(CASE WHEN lm_keep AND NOT cls_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_lm_only,
+       |  CAST(SUM(CASE WHEN NOT lm_keep AND cls_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_cls_only,
+       |  CAST(SUM(CASE WHEN NOT lm_keep AND NOT cls_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_both_drop,
+       |  (CAST(SUM(CASE WHEN lm_keep = cls_keep THEN 1 ELSE 0 END) AS BIGINT))
+       |    / COUNT(*) AS agreement_frac
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin)
+
   /** x34: curation v6 — the capstone that ships a training MIX, not just
     * survivors: the full pretraining-data lifecycle as ONE oracle-gated
     * DAG. Chain:
@@ -5884,6 +5981,7 @@ object PipelineQueries {
     "z38_kneser_ney" -> z38KneserNey,
     "z41_heldout_perplexity" -> z41HeldoutPerplexity,
     "z42_classifier_fitted" -> z42ClassifierFitted,
+    "x38_gate_agreement" -> x38GateAgreement,
     "z39_char_entropy" -> z39CharEntropy,
     "z40_zipf_fit" -> z40ZipfFit,
     "x32_curation_v5" -> x32CurationV5,
