@@ -225,6 +225,31 @@ object EventStreams {
         (sum(col("lp")).cast("double") / count(lit(1))).as("avg_kn_logprob"))
   }
 
+  /** Streaming fitted-discriminator gate — the online half of z42: each
+    * arriving document is scored with the logistic coefficients a batch
+    * fit persisted (`model`: lang → b0s/b1s/b2s plus the fit-time keep
+    * cutoff `cut`), as ONE stream-static broadcast join (the model is
+    * group-cardinality — it CANNOT grow with the corpus, so broadcast is
+    * the correct hint here) plus pure expressions. Features are computed
+    * in-scan from the text itself — x1 = ln(1+chars), x2 = whitespace
+    * fraction, z42's exact definitions (documents.n_chars ≡ length(text),
+    * so batch and stream score identically; spec-gated bit-exact). The
+    * verdict is eta > cut, the per-language retention cutoff chosen AT
+    * FIT TIME — x38's lesson made streaming-shaped: a stream cannot rank
+    * inside an unbounded corpus, so the threshold must ship WITH the
+    * model. Stateless: no watermark, no shuffle, no state store. */
+  def discriminatorGate(docs: DataFrame, model: DataFrame, textCol: String,
+                        langCol: String = "lang"): DataFrame = {
+    val nc = length(col(textCol))
+    val x1 = log(lit(1.0) + nc)
+    val x2 = (nc - length(expr(s"replace($textCol, ' ', '')")))
+      .cast("double") / nc
+    docs.join(broadcast(model), Seq(langCol))
+      .withColumn("eta", col("b0s") + col("b1s") * x1 + col("b2s") * x2)
+      .withColumn("keep", col("eta") > col("cut"))
+      .drop("b0s", "b1s", "b2s", "cut")
+  }
+
   /** Streaming near-dup gate: drop incoming docs whose minhash signature
     * LSH-collides with a static corpus — the continuous form of
     * `Dedup.lshCandidatesAgainst`. The corpus rides along as a Bloom

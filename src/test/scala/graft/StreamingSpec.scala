@@ -274,6 +274,65 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch) // zero-state expression: stream ≡ batch bit-for-bit
   }
 
+  test("discriminatorGate scores a stream off the fitted model, batch-identical") {
+    import graft.operators.Relational
+    // train frame: whitespace density correlates with the label, so the
+    // fit learns a usable x2 coefficient; two languages, separate models
+    val train = Seq(
+      ("en", "a b c d e f g h", 1.0), ("en", "aa bb cc dd", 1.0),
+      ("en", "wordswithoutspacesatall", 0.0), ("en", "longcompoundtoken x", 0.0),
+      ("fr", "un deux trois quatre", 1.0), ("fr", "motcomposesansespace", 0.0),
+      ("fr", "le la les un une", 1.0), ("fr", "agglutinationcomplete y", 0.0))
+      .toDF("lang", "text", "y")
+    def featsOf(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("__nc", length(col("text")))
+      .withColumn("x1", log(lit(1.0) + col("__nc")))
+      .withColumn("x2", (col("__nc") - length(expr("replace(text, ' ', '')")))
+        .cast("double") / col("__nc"))
+    val beta = Relational.logisticIrls(featsOf(train), "lang", iters = 4)
+      .select(col("lang"),
+        col("b0").cast("decimal(12,4)").cast("double").as("b0s"),
+        col("b1").cast("decimal(12,4)").cast("double").as("b1s"),
+        col("b2").cast("decimal(12,4)").cast("double").as("b2s"))
+    // fit-time retention cutoff: per-lang median train eta (ships WITH
+    // the model — a stream cannot rank inside an unbounded corpus)
+    val model = featsOf(train).join(beta, Seq("lang"))
+      .withColumn("eta", col("b0s") + col("b1s") * col("x1") + col("b2s") * col("x2"))
+      .groupBy("lang", "b0s", "b1s", "b2s")
+      .agg(percentile(col("eta"), lit(0.5)).as("cut"))
+    // arrivals clone one train positive and one train negative per lang:
+    // their etas equal those train rows' etas, which sit strictly above /
+    // below the interpolated median cut as long as the fit ranks the four
+    // train rows correctly — deterministic keep/drop expectations
+    val arrivals = Seq(
+      (1L, "en", "a b c d e f g h"), (2L, "en", "wordswithoutspacesatall"),
+      (3L, "fr", "un deux trois quatre"), (4L, "fr", "motcomposesansespace"))
+    val src = tmpDir("disc_src")
+    arrivals.toDF("doc_id", "lang", "text").repartition(1)
+      .write.mode("append").parquet(src)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val q = EventStreams.discriminatorGate(
+        spark.readStream.schema(docSchema).parquet(src), model, "text")
+      .select("doc_id", "eta", "keep")
+      .writeStream.format("memory").queryName("disc_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("disc_out")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // batch recompute with z42's feature definitions (n_chars ≡ length)
+    val batch = featsOf(arrivals.toDF("doc_id", "lang", "text"))
+      .join(model, Seq("lang"))
+      .withColumn("eta", col("b0s") + col("b1s") * col("x1") + col("b2s") * col("x2"))
+      .select(col("doc_id"), col("eta"), (col("eta") > col("cut")).as("keep"))
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed === batch) // stateless expressions: stream ≡ batch bit-for-bit
+    // the gate discriminates: spacey docs keep, agglutinated drop
+    assert(streamed(1L)._2 && streamed(3L)._2)
+    assert(!streamed(2L)._2 && !streamed(4L)._2)
+  }
+
   test("nearDupGate drops stream docs that LSH-collide with the static corpus") {
     import graft.operators.{Dedup, TextAnalysis}
     val corpus = Seq(
