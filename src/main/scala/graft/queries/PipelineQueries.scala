@@ -5451,9 +5451,13 @@ object PipelineQueries {
     * (doc, epoch)). Emitting the permutation itself would be corpus×epoch
     * rows, so the query pins it with per-(epoch, shard) integer
     * invariants instead: the first doc in order and the position-weighted
-    * checksum Σ pos·doc_id, which no reordering of two or more docs
-    * preserves (adjacent swap changes the sum by the doc_id difference;
-    * equal doc_ids cannot occur). Scale: the rank window partitions by
+    * checksum Σ pos·doc_id. The checksum is a strong pin, not a perfect
+    * one: any adjacent transposition changes it (by the doc_id
+    * difference, nonzero since ids are distinct), but a crafted k-cycle
+    * can preserve the sum — combined with first_doc, n_docs, and the
+    * deterministic md5 key it is collision-hard in practice, and the
+    * point is drift DETECTION, not cryptographic commitment. Scale: the
+    * rank window partitions by
     * (epoch, shard) — shard-sized frames, never a corpus sort; the
     * epoch explode multiplies rows by a constant 4 (a production writer
     * materializes one epoch at a time; the checksum audit is what you
