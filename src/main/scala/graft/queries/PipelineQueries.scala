@@ -3821,15 +3821,28 @@ object PipelineQueries {
   /** Fit the per-lang ridge-IRLS discriminator on the TRAIN half and
     * snapshot the coefficients at DECIMAL(12,4) — the engine-stable
     * granularity both serving sides score with (a18's output precision,
-    * applied at the model seam instead of the display boundary). */
-  private def clsModelFit(docs: org.apache.spark.sql.DataFrame) =
-    Relational.logisticIrls(
-        clsFeats(docs.filter(col("doc_id") % 2 === 0)), "lang",
-        iters = 4, lambda = 1.0)
+    * applied at the model seam instead of the display boundary). The
+    * artifact also carries `cut`, the per-lang MEDIAN train-half eta —
+    * the fit-time retention cutoff a serving gate compares against
+    * (`EventStreams.discriminatorGate`): a stream cannot rank inside an
+    * unbounded corpus, so the threshold must ship WITH the model. */
+  private def clsModelFit(docs: org.apache.spark.sql.DataFrame) = {
+    val train = clsFeats(docs.filter(col("doc_id") % 2 === 0))
+    val beta = Relational.logisticIrls(train, "lang", iters = 4, lambda = 1.0)
       .select(col("lang"),
         col("b0").cast("decimal(12,4)").cast("double").as("b0s"),
         col("b1").cast("decimal(12,4)").cast("double").as("b1s"),
         col("b2").cast("decimal(12,4)").cast("double").as("b2s"))
+    train.join(broadcast(beta), Seq("lang"))
+      .withColumn("eta",
+        col("b0s") + col("b1s") * col("x1") + col("b2s") * col("x2"))
+      .groupBy("lang", "b0s", "b1s", "b2s")
+      .agg(percentile(col("eta"), lit(0.5)).as("cut"))
+  }
+
+  /** The fitted discriminator as a servable artifact (test seam for the
+    * streaming gate — same build + Store cache the declared queries use). */
+  private[graft] def clsModel(s: SparkSession, d: String) = clsModelStored(s, d)
 
   private val z42Built = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.DataFrame]()

@@ -333,6 +333,35 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed(2L)._2 && !streamed(4L)._2)
   }
 
+  test("discriminatorGate serves the persisted z42 artifact batch-identically") {
+    val d = "/root/testdata/sf0.001"
+    // the REAL fitted artifact — same Store build + cache the declared
+    // queries read; carries the fit-time per-lang cutoff
+    val model = graft.queries.PipelineQueries.clsModel(spark, d)
+    assert(model.columns.contains("cut"))
+    val odd = Tables.documents(spark, d)
+      .filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "text")
+    val src = tmpDir("disc2_src")
+    odd.repartition(1).write.mode("append").parquet(src)
+    val sch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val q = EventStreams.discriminatorGate(
+        spark.readStream.schema(sch).parquet(src), model, "text")
+      .select("doc_id", "eta", "keep")
+      .writeStream.format("memory").queryName("disc2_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("disc2_out")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val batch = EventStreams.discriminatorGate(odd, model, "text")
+      .select("doc_id", "eta", "keep")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed === batch)
+    assert(streamed.size === odd.count())
+    // the median cutoff splits the held-out half: both verdicts occur
+    assert(streamed.values.exists(_._2) && streamed.values.exists(!_._2))
+  }
+
   test("nearDupGate drops stream docs that LSH-collide with the static corpus") {
     import graft.operators.{Dedup, TextAnalysis}
     val corpus = Seq(
