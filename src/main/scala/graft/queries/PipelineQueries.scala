@@ -5464,7 +5464,8 @@ object PipelineQueries {
     * (doc, epoch)). Emitting the permutation itself would be corpus×epoch
     * rows, so the query pins it with per-(epoch, shard) integer
     * invariants instead: the first doc in order and the position-weighted
-    * checksum Σ pos·doc_id. The checksum is a strong pin, not a perfect
+    * checksum Σ pos·doc_id on the 2³¹−1 lattice (overflow-safe at 64-bit
+    * id widths). The checksum is a strong pin, not a perfect
     * one: any adjacent transposition changes it (by the doc_id
     * difference, nonzero since ids are distinct), but a crafted k-cycle
     * can preserve the sum — combined with first_doc, n_docs, and the
@@ -5487,11 +5488,18 @@ object PipelineQueries {
         Window.partitionBy("epoch", "shard").orderBy(
           md5(concat(col("doc_id").cast("string"), lit(":"),
             col("epoch").cast("string"))), col("doc_id"))))
+      // checksum terms ride the 2^31-1 lattice (RollingWindows' modulus):
+      // raw pos·doc_id would overflow BIGINT at production id widths
+      // (64-bit hash ids × 10^8-row shards raise under ANSI), while
+      // ((pos%M)·(id%M))%M keeps every product under 2^62 and the sum
+      // under 2^63 to ~4e9 rows per (epoch, shard), folded once more at
+      // the end. Same arithmetic in the oracle.
+      val M = lit(2147483647L)
       ordered.groupBy("epoch", "shard")
         .agg(count(lit(1)).as("n_docs"),
           max(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
-          sum(col("pos").cast(LongType) * col("doc_id")).cast(LongType)
-            .as("order_checksum"))
+          pmod(sum((col("pos").cast(LongType) % M) * (col("doc_id") % M) % M), M)
+            .cast(LongType).as("order_checksum"))
         .orderBy("epoch", "shard")
     },
     """WITH t AS (SELECT doc_id,
@@ -5508,7 +5516,8 @@ object PipelineQueries {
       |  FROM ep)
       |SELECT epoch, shard, COUNT(*) AS n_docs,
       |  MAX(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
-      |  CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+      |  CAST(SUM((pos % 2147483647) * (doc_id % 2147483647) % 2147483647)
+      |    % 2147483647 AS BIGINT) AS order_checksum
       |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** z23: trigram Stupid Backoff scoring (Brants et al., "Large Language
