@@ -240,13 +240,17 @@ object EventStreams {
     * model. Stateless: no watermark, no shuffle, no state store. */
   def discriminatorGate(docs: DataFrame, model: DataFrame, textCol: String,
                         langCol: String = "lang"): DataFrame = {
+    // empty/null text has no features (x2 would divide by zero — an ANSI
+    // raise that would kill the stream on one bad arrival): score NULL
+    // and drop conservatively, the same posture as the Bloom gates
     val nc = length(col(textCol))
     val x1 = log(lit(1.0) + nc)
     val x2 = (nc - length(expr(s"replace($textCol, ' ', '')")))
       .cast("double") / nc
     docs.join(broadcast(model), Seq(langCol))
-      .withColumn("eta", col("b0s") + col("b1s") * x1 + col("b2s") * x2)
-      .withColumn("keep", col("eta") > col("cut"))
+      .withColumn("eta", when(nc > 0,
+        col("b0s") + col("b1s") * x1 + col("b2s") * x2))
+      .withColumn("keep", coalesce(col("eta") > col("cut"), lit(false)))
       .drop("b0s", "b1s", "b2s", "cut")
   }
 

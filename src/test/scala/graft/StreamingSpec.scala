@@ -331,6 +331,12 @@ class StreamingSpec extends SparkSpec {
     // the gate discriminates: spacey docs keep, agglutinated drop
     assert(streamed(1L)._2 && streamed(3L)._2)
     assert(!streamed(2L)._2 && !streamed(4L)._2)
+    // empty text cannot kill the stream (ANSI /0): null score, drop
+    val empties = EventStreams.discriminatorGate(
+        Seq((9L, "en", "")).toDF("doc_id", "lang", "text"), model, "text")
+      .select("doc_id", "eta", "keep")
+      .as[(Long, Option[Double], Boolean)].collect()
+    assert(empties.toSeq === Seq((9L, None, false)))
   }
 
   test("discriminatorGate serves the persisted z42 artifact batch-identically") {
