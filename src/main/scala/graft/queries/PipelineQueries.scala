@@ -1160,6 +1160,105 @@ object PipelineQueries {
        |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
        |ORDER BY d.doc_id""".stripMargin)
 
+  /** The base-corpus canonical map (doc_id → cluster_id over the
+    * non-arrival 90%), PERSISTED through the Store sharded by a doc-hash
+    * partition and read back — the artifact a daily dedup increment
+    * resolves against (z41/z42's fit→store→serve discipline applied to
+    * the dedup side). One build per (session, input dir). */
+  private val x39Built = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  private def baseMapFit(s: SparkSession, d: String) =
+    Dedup.connectedComponents(
+      Dedup.lshCandidates(minhashSig(s, d).filter(col("doc_id") % 10 =!= 0),
+        "doc_id", 8),
+      Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0), "doc_id")
+
+  private def baseMapStored(s: SparkSession, d: String) =
+    x39Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"basemap_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "part")
+      store.destroy()
+      store.append(baseMapFit(s, d)
+        .select("doc_id", "cluster_id")
+        .withColumn("part", pmod(hash(col("doc_id")), lit(8))))
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      store.read.drop("part")
+    })
+
+  /** x39: ARRIVAL RESOLUTION report — the daily-ingest artifact on top of
+    * x30's incremental exactness: the base corpus's canonical map is a
+    * STORED artifact (never recomputed at ingest time); the arriving 10%
+    * is resolved against it incrementally (x10's against-join for
+    * new↔base candidates, x30's touched-only label propagation), and each
+    * arrival is classified by where it landed — `joined_existing` (its
+    * final cluster contains a base doc: a re-crawl or near-dup of known
+    * content), `new_cluster` (≥2 arrivals cluster together: new
+    * duplicated material entering the corpus), or `singleton` (genuinely
+    * novel). Per-(source, outcome) counts are what an ingest dashboard
+    * plots per day. The ORACLE RECOMPUTES THE FULL CORPUS from scratch —
+    * matching it proves the stored-artifact + incremental path lands on
+    * the exact full-recompute clustering, ids included (x30's guarantee
+    * extended through the Store round-trip). Scale: the base map is
+    * O(base) once, then each increment pays O(batch + touched); the
+    * classification is one aggregate over cluster sizes joined back to
+    * arrivals. */
+  private val x39ArrivalResolution = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val sig = minhashSig(s, d)
+      val exist = sig.filter(col("doc_id") % 10 =!= 0)
+      val batch = sig.filter(col("doc_id") % 10 === 0)
+      val labels0 =
+        if (planOnly) baseMapFit(s, d)
+        else baseMapStored(s, d)
+      val newPairs = Dedup.lshCandidatesAgainst(batch, exist, "doc_id", 8)
+        .select(col("doc_new").as("doc_a"), col("doc_base").as("doc_b"))
+        .union(Dedup.lshCandidates(batch, "doc_id", 8))
+      val labels = Dedup.incrementalComponents(labels0,
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"), newPairs, "doc_id")
+      val cl = labels.groupBy("cluster_id").agg(
+        sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_base"),
+        count(lit(1)).as("n_all"))
+      labels.filter(col("doc_id") % 10 === 0)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .join(cl, Seq("cluster_id"))
+        .withColumn("outcome", when(col("n_base") > 0, "joined_existing")
+          .when(col("n_all") >= 2, "new_cluster").otherwise("singleton"))
+        .groupBy("source", "outcome")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "outcome")
+    },
+    s"""WITH RECURSIVE $minhashCtes,
+       |bands AS ($bandsSql),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1),
+       |lbl AS (SELECT d.doc_id, d.source,
+       |    COALESCE(comp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+       |cl AS (SELECT cluster_id,
+       |    CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |    COUNT(*) AS n_all
+       |  FROM lbl GROUP BY 1),
+       |arr AS (SELECT l.source,
+       |    CASE WHEN c.n_base > 0 THEN 'joined_existing'
+       |         WHEN c.n_all >= 2 THEN 'new_cluster'
+       |         ELSE 'singleton' END AS outcome
+       |  FROM lbl l JOIN cl c ON c.cluster_id = l.cluster_id
+       |  WHERE l.doc_id % 10 = 0)
+       |SELECT source, outcome, COUNT(*) AS n_docs
+       |FROM arr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+
   /** x29: duplicate-graph health panel — the one-row corpus report a
     * dedup run should publish before anyone trusts it: document count,
     * cluster count, singleton count, the largest cluster (a boilerplate
@@ -6008,6 +6107,7 @@ object PipelineQueries {
     "z41_heldout_perplexity" -> z41HeldoutPerplexity,
     "z42_classifier_fitted" -> z42ClassifierFitted,
     "x38_gate_agreement" -> x38GateAgreement,
+    "x39_arrival_resolution" -> x39ArrivalResolution,
     "z39_char_entropy" -> z39CharEntropy,
     "z40_zipf_fit" -> z40ZipfFit,
     "x32_curation_v5" -> x32CurationV5,
