@@ -2929,6 +2929,107 @@ object PipelineQueries {
       |  substring(text, 1, 8) AS head
       |FROM cs ORDER BY doc_id""".stripMargin)
 
+  /** m7: CROSS-MODAL dedup — union the two duplicate graphs a multimodal
+    * corpus has (text: 3-gram shingle MinHash-LSH candidates, x2's capped
+    * generator; payload: m5's 64-bit SimHash over 16-byte windows,
+    * Hamming ≤ 3) and classify every resulting dup CLUSTER by which
+    * modality sees it: `both`, `text_only` (payload re-encoded, words
+    * near-identical), `payload_only` (caption rewritten, bytes
+    * near-identical — the dup a text-only pipeline ships twice). This is
+    * the production reason multimodal dedup runs ONE union-find over all
+    * evidence instead of per-modality passes: transitive chains across
+    * modalities merge (text links A-B, payload links B-C ⇒ {A,B,C} is
+    * one cluster), which per-modality dedup provably misses. Scale: both
+    * pair generators are the already-bounded rungs (capped bucket join,
+    * banded simhash); the union adds one pair-level distinct; CC is the
+    * shared label-prop machinery; evidence flags are a combinable max per
+    * cluster. All cells integer counts. */
+  private val m7CrossmodalDedup = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tpairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+        maxBucket = Some(X2MaxBucket))
+      val phv = docs
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), expr("length(text) - 16"))).as("k"))
+        .select(col("doc_id"),
+          TextAnalysis.hash32(expr("substring(text, k + 1, 16)")).as("hv_hi"),
+          TextAnalysis.hash32b(expr("substring(text, k + 1, 16)")).as("hv_lo"))
+      val ppairs = Dedup.simhashPairs(Dedup.simhash64(phv, "doc_id"), "doc_id")
+        .select("doc_a", "doc_b")
+      val tagged = tpairs.select(col("doc_a"), col("doc_b"),
+          lit(1).as("is_text"), lit(0).as("is_payload"))
+        .union(ppairs.select(col("doc_a"), col("doc_b"),
+          lit(0).as("is_text"), lit(1).as("is_payload")))
+        .groupBy("doc_a", "doc_b")
+        .agg(max(col("is_text")).as("is_text"),
+          max(col("is_payload")).as("is_payload"))
+      val cc = Dedup.connectedComponents(
+        tagged.select("doc_a", "doc_b"), docs, "doc_id")
+      val ev = tagged
+        .join(cc.select(col("doc_id").as("doc_a"), col("cluster_id")), Seq("doc_a"))
+        .groupBy("cluster_id")
+        .agg(max(col("is_text")).as("has_text"),
+          max(col("is_payload")).as("has_payload"))
+      val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+      ev.join(sizes, Seq("cluster_id"))
+        .withColumn("outcome",
+          when(col("has_text") === 1 && col("has_payload") === 1, "both")
+            .when(col("has_text") === 1, "text_only")
+            .otherwise("payload_only"))
+        .groupBy("outcome")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("n_docs")).cast("long").as("n_dup_docs"))
+        .orderBy("outcome")
+    },
+    s"""WITH RECURSIVE $minhashCtes,
+       |${cappedBandsCte(bandsSql)},
+       |tp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |mpos AS (SELECT doc_id, text,
+       |    unnest(generate_series(0, length(text) - 16)) AS k
+       |  FROM documents WHERE length(text) >= 16),
+       |mhv AS (SELECT doc_id,
+       |    ${h32Sql("substring(text, k + 1, 16)")} AS hv_hi,
+       |    ${h32bSql("substring(text, k + 1, 16)")} AS hv_lo
+       |  FROM mpos),
+       |mbits AS (SELECT doc_id,
+       |    $simhashBitSumsSql
+       |  FROM mhv GROUP BY 1),
+       |msh AS (SELECT doc_id, CAST($simhashPackedSql AS BIGINT) AS simhash FROM mbits),
+       |mp AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM msh a JOIN msh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |up AS (
+       |  SELECT doc_a, doc_b, MAX(is_text) AS is_text, MAX(is_payload) AS is_payload
+       |  FROM (SELECT doc_a, doc_b, 1 AS is_text, 0 AS is_payload FROM tp
+       |        UNION ALL
+       |        SELECT doc_a, doc_b, 0, 1 FROM mp) t
+       |  GROUP BY 1, 2),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM up
+       |          UNION ALL SELECT doc_b, doc_a FROM up),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1),
+       |lbl AS (SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+       |ev AS (SELECT l.cluster_id,
+       |    MAX(u.is_text) AS has_text, MAX(u.is_payload) AS has_payload
+       |  FROM up u JOIN lbl l ON l.doc_id = u.doc_a GROUP BY 1),
+       |sz AS (SELECT cluster_id, COUNT(*) AS n_docs FROM lbl GROUP BY 1)
+       |SELECT CASE WHEN ev.has_text = 1 AND ev.has_payload = 1 THEN 'both'
+       |            WHEN ev.has_text = 1 THEN 'text_only'
+       |            ELSE 'payload_only' END AS outcome,
+       |  COUNT(*) AS n_clusters,
+       |  CAST(SUM(sz.n_docs) AS BIGINT) AS n_dup_docs
+       |FROM ev JOIN sz ON sz.cluster_id = ev.cluster_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** One-to-many frame sampling through the typed flatMap seam: 3 evenly
     * strided 16-byte windows per payload, checksummed. The oracle replays
     * the byte windows as ASCII substrings (corpus verified pure ASCII). */
@@ -6164,6 +6265,7 @@ object PipelineQueries {
     "m1_media_features" -> m1MediaFeatures,
     "m5_phash_dedup" -> m5PhashDedup,
     "m5b_phash_rolling" -> m5bPhashRolling,
+    "m7_crossmodal_dedup" -> m7CrossmodalDedup,
     "m4_media_embed_ann" -> m4MediaEmbedAnn,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan)
