@@ -2931,8 +2931,9 @@ object PipelineQueries {
 
   /** m7: CROSS-MODAL dedup — union the two duplicate graphs a multimodal
     * corpus has (text: 3-gram shingle MinHash-LSH candidates, x2's capped
-    * generator; payload: m5's 64-bit SimHash over 16-byte windows,
-    * Hamming ≤ 3) and classify every resulting dup CLUSTER by which
+    * generator; payload: 64-bit SimHash over 16-byte windows on m5b's
+    * PRODUCTION rolling fingerprints, Hamming ≤ 3) and classify every
+    * resulting dup CLUSTER by which
     * modality sees it: `both`, `text_only` (payload re-encoded, words
     * near-identical), `payload_only` (caption rewritten, bytes
     * near-identical — the dup a text-only pipeline ships twice). This is
@@ -2944,18 +2945,33 @@ object PipelineQueries {
     * banded simhash); the union adds one pair-level distinct; CC is the
     * shared label-prop machinery; evidence flags are a combinable max per
     * cluster. All cells integer counts. */
+  /** DuckDB independent Horner fold over a 16-byte window at offset `p` —
+    * the oracle side of the rolling fingerprint lattice (m5b's renderer
+    * shape, shared here by m7's payload modality). */
+  private def m7HornerSql(lattice: (Long, Long)): String = {
+    val (base, mod) = lattice
+    s"""list_reduce(list_transform(generate_series(1, 16),
+       |      i -> CAST(ascii(substring(text, p + i, 1)) AS BIGINT)),
+       |      (acc, b) -> (acc * $base + b) % $mod)""".stripMargin
+  }
+
   private val m7CrossmodalDedup = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
       val tpairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
         maxBucket = Some(X2MaxBucket))
+      // payload fingerprints ride m5b's PRODUCTION rung (dual-lattice
+      // rolling windows, one O(1) slide per byte) — the md5-per-window
+      // anchor form stays declared as m5; at the 10× soak it dominated
+      // this query 158 s vs the rolling form's cost
       val phv = docs
         .filter(length(col("text")) >= 16)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0), expr("length(text) - 16"))).as("k"))
         .select(col("doc_id"),
-          TextAnalysis.hash32(expr("substring(text, k + 1, 16)")).as("hv_hi"),
-          TextAnalysis.hash32b(expr("substring(text, k + 1, 16)")).as("hv_lo"))
+          explode(zip_with(
+            TextAnalysis.rollingWindows(col("text"), 16, TextAnalysis.RollingA),
+            TextAnalysis.rollingWindows(col("text"), 16, TextAnalysis.RollingB),
+            (hi, lo) => struct(hi.as("hv_hi"), lo.as("hv_lo")))).as("e"))
+        .select(col("doc_id"), col("e.hv_hi"), col("e.hv_lo"))
       val ppairs = Dedup.simhashPairs(Dedup.simhash64(phv, "doc_id"), "doc_id")
         .select("doc_a", "doc_b")
       val tagged = tpairs.select(col("doc_a"), col("doc_b"),
@@ -2989,11 +3005,11 @@ object PipelineQueries {
        |  FROM kept a JOIN kept b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
        |mpos AS (SELECT doc_id, text,
-       |    unnest(generate_series(0, length(text) - 16)) AS k
+       |    unnest(generate_series(0, length(text) - 16)) AS p
        |  FROM documents WHERE length(text) >= 16),
        |mhv AS (SELECT doc_id,
-       |    ${h32Sql("substring(text, k + 1, 16)")} AS hv_hi,
-       |    ${h32bSql("substring(text, k + 1, 16)")} AS hv_lo
+       |    ${m7HornerSql(TextAnalysis.RollingA)} AS hv_hi,
+       |    ${m7HornerSql(TextAnalysis.RollingB)} AS hv_lo
        |  FROM mpos),
        |mbits AS (SELECT doc_id,
        |    $simhashBitSumsSql
