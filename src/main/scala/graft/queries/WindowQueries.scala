@@ -220,6 +220,56 @@ object WindowQueries {
       |  MAX(gap_us) AS max_gap_us
       |FROM g GROUP BY 1 HAVING COUNT(gap_us) > 0 ORDER BY 1""".stripMargin)
 
+  /** W15: time-weighted average over IRREGULAR samples — the metric
+    * billing/telemetry pipelines actually need (a plain AVG over-weights
+    * bursts): step-and-hold (left-Riemann) TWA per (user, event_type)
+    * series, Σ value·Δt / span, the last sample carrying zero forward
+    * weight; then the per-type mean of the per-series TWAs. Numerics:
+    * value snapshots at DECIMAL(18,2) (the money convention) and
+    * multiplies EXACTLY by integer µs gaps, so the weighted sum is
+    * shuffle-order-independent; the per-series division is one IEEE op of
+    * exact inputs, snapshotted at DECIMAL(12,6) before the cross-user
+    * mean (w10's bounded-frame lesson applied to weighted sums).
+    * Single-sample and zero-span series are excluded deterministically
+    * (span > 0). Scale: windows partition on the high-cardinality
+    * (user, type) pair — small per-partition state; both aggregates are
+    * map-side combinable. */
+  private val w15TimeWeightedAvg = Q(
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      val terms = Tables.events(s, d)
+        .withColumn("t_us", unix_micros(col("ts")))
+        .withColumn("dt_us", lead(col("t_us"), 1).over(w) - col("t_us"))
+        .withColumn("term",
+          col("value").cast("decimal(18,2)") * coalesce(col("dt_us"), lit(0L)))
+      terms.groupBy("user_id", "event_type")
+        .agg(sum(col("term")).as("wsum"),
+          (max(col("t_us")) - min(col("t_us"))).as("span_us"))
+        .filter(col("span_us") > 0)
+        .withColumn("twa",
+          (col("wsum").cast(DoubleType) / col("span_us")).cast("decimal(12,6)"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_series"),
+          (sum(col("twa")).cast(DoubleType) / count(lit(1))).as("mean_twa"))
+        .orderBy("event_type")
+    },
+    """WITH t AS (SELECT user_id, event_type, value, epoch_us(ts) AS t_us, event_id
+      |  FROM events),
+      |g AS (SELECT user_id, event_type, value, t_us,
+      |    LEAD(t_us, 1) OVER (PARTITION BY user_id, event_type
+      |      ORDER BY t_us, event_id) - t_us AS dt_us
+      |  FROM t),
+      |p AS (SELECT user_id, event_type,
+      |    SUM(CAST(value AS DECIMAL(18,2)) * COALESCE(dt_us, 0)) AS wsum,
+      |    MAX(t_us) - MIN(t_us) AS span_us
+      |  FROM g GROUP BY 1, 2),
+      |u AS (SELECT event_type,
+      |    CAST(CAST(wsum AS DOUBLE) / span_us AS DECIMAL(12,6)) AS twa
+      |  FROM p WHERE span_us > 0)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_series,
+      |  CAST(SUM(twa) AS DOUBLE) / COUNT(*) AS mean_twa
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** W11: session funnel — the composition the sessionizer exists for:
     * per 30-minute session, did a click lead to a purchase LATER in the
     * same session? One (user, ts) sort feeds both the sessionizer and the
@@ -490,6 +540,7 @@ object WindowQueries {
     "w11_session_funnel" -> w11SessionFunnel,
     "w13_next_gap" -> w13NextGap,
     "w14_ewma" -> w14Ewma,
+    "w15_time_weighted_avg" -> w15TimeWeightedAvg,
     "w12_cohort_retention" -> w12CohortRetention,
     "w3_top1_per_group" -> w3Top1PerGroup,
     "w4_rank_index" -> w4RankIndex,
