@@ -2436,6 +2436,132 @@ object PipelineQueries {
        |  CAST(COUNT(*) - COUNT(DISTINCT cluster_id) AS BIGINT) AS n_merged
        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** y15: IVF ARRIVAL MAINTENANCE panel — the ANN-side twin of x39's
+    * ingest story: a fitted index's centroids are a STORED artifact, and
+    * the daily embedding batch is assigned against them without touching
+    * the base corpus. The panel an index-maintenance dashboard plots per
+    * cell: base occupancy, arrival occupancy, mean assignment distance on
+    * each side, a `growth_hot` flag (arrivals landing in this cell at
+    * over 2× their global 1-in-10 share — occupancy skew building up) and
+    * a `drift` flag (arrival mean d² over 1.5× the base mean — the batch
+    * is landing FAR from this centroid, the refit trigger signal). The
+    * anchors here are the seeded y3/y3e kind so the whole panel is
+    * engine-replayable; y3d's Lloyd-refined lifecycle serves real traffic,
+    * and this panel is what decides when to re-run its fit.
+    *
+    * Scale: assignment is the y3 argmin against a broadcast anchor table
+    * (corpus never shuffles); the panel is one map-side-combinable
+    * aggregate on the cell key — cells ≪ executors, so the final exchange
+    * carries `cells` rows. Mean distances ride DECIMAL(20,6) sums of the
+    * per-row rounded d² (fold-order-exact on any cluster). */
+  private val y15IvfArrival = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < IvfCells && col("vec_id") % 10 =!= 9)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val assigned = Similarity.ivfAssign(e, anchors, "vec_id", "embedding")
+        .withColumn("arr", col("vec_id") % 10 === 9)
+      val d2dec = col("cell_d2").cast(DecimalType(20, 6))
+      assigned.groupBy("cell")
+        .agg(
+          sum(when(!col("arr"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("arr"), 1L).otherwise(0L)).as("n_arrivals"),
+          sum(when(!col("arr"), d2dec)).as("sb"),
+          sum(when(col("arr"), d2dec)).as("sa"))
+        .withColumn("base_mean_d2",
+          when(col("n_base") > 0, col("sb").cast(DoubleType) / col("n_base")))
+        .withColumn("arr_mean_d2",
+          when(col("n_arrivals") > 0, col("sa").cast(DoubleType) / col("n_arrivals")))
+        .withColumn("growth_hot", col("n_arrivals") * 9 > col("n_base") * 2)
+        .withColumn("drift",
+          coalesce(col("arr_mean_d2") > col("base_mean_d2") * 1.5, lit(false)))
+        .select(col("cell"), col("n_base"), col("n_arrivals"),
+          col("base_mean_d2"), col("arr_mean_d2"), col("growth_hot"), col("drift"))
+        .orderBy("cell")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v
+       |            WHERE vec_id < $IvfCells AND vec_id % 10 <> 9),
+       |dists AS (
+       |  SELECT v.vec_id, a.anchor_id,
+       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+       |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+       |  FROM v CROSS JOIN anchors a),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, anchor_id) AS rn
+       |  FROM dists),
+       |asg AS (SELECT vec_id, anchor_id AS cell, d2, vec_id % 10 = 9 AS arr
+       |        FROM ranked WHERE rn = 1),
+       |p AS (SELECT cell,
+       |    CAST(SUM(CASE WHEN NOT arr THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |    CAST(SUM(CASE WHEN arr THEN 1 ELSE 0 END) AS BIGINT) AS n_arrivals,
+       |    SUM(CASE WHEN NOT arr THEN CAST(d2 AS DECIMAL(20,6)) END) AS sb,
+       |    SUM(CASE WHEN arr THEN CAST(d2 AS DECIMAL(20,6)) END) AS sa
+       |  FROM asg GROUP BY 1),
+       |m AS (SELECT cell, n_base, n_arrivals,
+       |    CASE WHEN n_base > 0 THEN CAST(sb AS DOUBLE) / n_base END AS base_mean_d2,
+       |    CASE WHEN n_arrivals > 0 THEN CAST(sa AS DOUBLE) / n_arrivals END AS arr_mean_d2
+       |  FROM p)
+       |SELECT cell, n_base, n_arrivals, base_mean_d2, arr_mean_d2,
+       |  n_arrivals * 9 > n_base * 2 AS growth_hot,
+       |  COALESCE(arr_mean_d2 > base_mean_d2 * 1.5, FALSE) AS drift
+       |FROM m ORDER BY cell""".stripMargin)
+
+  /** z48: positional POSTINGS index + phrase search — exact multi-word
+    * phrase lookup the way a corpus-scale search layer does it: explode
+    * the corpus once into a positional inverted index (token, doc, pos),
+    * then a k-word phrase is k-1 self-equi-joins on (doc, pos+offset) —
+    * never a LIKE scan over raw text. The declared query runs both halves
+    * of the lifecycle: MINE the top-3 trigram phrases from the postings
+    * (the same consecutive-position join, aggregated corpus-wide) and
+    * SEARCH them back, reporting per phrase its occurrence count, the
+    * distinct documents containing it, and the id span.
+    *
+    * Scale: the postings explode is in-scan; the consecutive-position
+    * joins key on (doc_id, pos) — dense integer keys, uniformly
+    * distributed, shuffle linear in corpus tokens. For a SINGLE known
+    * phrase the production path filters postings to the phrase's tokens
+    * BEFORE the join (predicate pushdown to the token-sorted index makes
+    * each lookup linear in those tokens' posting lists, not the corpus);
+    * mining keeps all tokens because every trigram is a candidate. */
+  private val z48PhrasePostings = Q(
+    (s, d) => {
+      val post = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      val p0 = post.select(col("doc_id"), col("pos"), col("token").as("w0"))
+      val p1 = post.select(col("doc_id"), (col("pos") - 1).as("pos"), col("token").as("w1"))
+      val p2 = post.select(col("doc_id"), (col("pos") - 2).as("pos"), col("token").as("w2"))
+      val tri = p0.join(p1, Seq("doc_id", "pos")).join(p2, Seq("doc_id", "pos"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("w0"), col("w1"), col("w2")).as("phrase"))
+      val perPhrase = tri.groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+      val top = perPhrase.select("phrase", "n_occ")
+        .orderBy(col("n_occ").desc, col("phrase")).limit(3)
+      perPhrase.join(broadcast(top.select("phrase")), Seq("phrase"))
+        .orderBy(col("n_occ").desc, col("phrase"))
+    },
+    """WITH g AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ix AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos FROM g),
+      |post AS (SELECT doc_id, pos, ws[pos] AS token FROM ix),
+      |tri AS (
+      |  SELECT a.doc_id, a.token || ' ' || b.token || ' ' || c.token AS phrase
+      |  FROM post a
+      |  JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      |  JOIN post c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+      |per AS (SELECT phrase, COUNT(*) AS n_occ,
+      |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |    MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |  FROM tri GROUP BY 1),
+      |top AS (SELECT phrase FROM per ORDER BY n_occ DESC, phrase LIMIT 3)
+      |SELECT p.phrase, p.n_occ, p.n_docs, p.first_doc, p.last_doc
+      |FROM per p JOIN top t ON t.phrase = p.phrase
+      |ORDER BY p.n_occ DESC, p.phrase""".stripMargin)
+
   // ---- text analysis ----
 
   /** Corpus-tuned language markers (the production default,
@@ -6269,6 +6395,8 @@ object PipelineQueries {
     "y12_gram_matrix" -> y12GramMatrix,
     "y13_opq_rotation" -> y13OpqRotation,
     "y14_filtered_ann" -> y14FilteredAnn,
+    "y15_ivf_arrival" -> y15IvfArrival,
+    "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
     "y4_centroid_stats" -> y4CentroidStats,

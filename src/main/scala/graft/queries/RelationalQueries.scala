@@ -937,6 +937,81 @@ object RelationalQueries {
       |SELECT col_name, n_rows, n_nulls, ndv, approx_ok, min_s, max_s
       |FROM u ORDER BY col_name""".stripMargin)
 
+  /** S21: ingest PROFILE DIFF — the per-column data-quality gate a daily
+    * ingest pipeline runs before committing an arrival batch: profile the
+    * new window (row volume, distinct users/types, null incidence, exact
+    * decimal mean of the value column) against the established window and
+    * flag any metric that moved more than 25% relative. This is the
+    * DATA-drift sibling of s16's single-snapshot integrity audit and z33's
+    * single-column KL drift: schema-wide, two-window, and cheap enough to
+    * run on every batch (ONE scan — both sides profile in one conditional
+    * aggregate; the metric stack is a row-local explode of the 1-row
+    * result).
+    *
+    * Scale: one pass over the fact table partition-pruned to the two
+    * windows; every aggregate (conditional count, exact conditional ndv,
+    * null count, DECIMAL(28,6) sum) is map-side combinable and the global
+    * aggregate reduces to ONE row. The 25% gate and the guarded v_a=0
+    * branch are pure row-local arithmetic — identical IEEE operands on
+    * any engine. */
+  private val s21ProfileDiff = Q(
+    (s, d) => {
+      val cut = lit("2024-01-16").cast("timestamp")
+      // one conditional-aggregation pass computes both windows' profiles
+      // (side-a terms NULL out on side-b rows and vice versa) — a
+      // groupBy(side) + self-join would scan the fact table twice
+      val e = Tables.events(s, d).withColumn("ia", col("ts") < cut)
+      def sideAgg(a: Boolean): Seq[org.apache.spark.sql.Column] = {
+        val in = if (a) col("ia") else !col("ia")
+        val sfx = if (a) "a" else "b"
+        Seq(
+          sum(when(in, 1L).otherwise(0L)).cast(DoubleType).as(s"n_rows_$sfx"),
+          countDistinct(when(in, col("user_id"))).cast(DoubleType).as(s"ndv_user_$sfx"),
+          countDistinct(when(in, col("event_type"))).cast(DoubleType).as(s"ndv_type_$sfx"),
+          sum(when(in && col("value").isNull, 1L).otherwise(0L))
+            .cast(DoubleType).as(s"null_value_$sfx"),
+          (sum(when(in, col("value").cast(DecimalType(28, 6)))).cast(DoubleType)
+            / sum(when(in, 1L).otherwise(0L))).as(s"mean_value_$sfx"))
+      }
+      val aggs = sideAgg(a = true) ++ sideAgg(a = false)
+      val metrics = Seq("mean_value", "n_rows", "ndv_type", "ndv_user", "null_value")
+      val kv = explode(array(metrics.map(m =>
+        struct(lit(m).as("metric"),
+          col(s"${m}_a").as("v_a"), col(s"${m}_b").as("v_b"))): _*))
+      e.agg(aggs.head, aggs.tail: _*)
+        .select(kv.as("kv")).select(col("kv.*"))
+        .withColumn("rel_change",
+          when(col("v_a") =!= 0.0, round((col("v_b") - col("v_a")) / col("v_a"), 6)))
+        .withColumn("drift",
+          when(col("v_a") === 0.0, col("v_b") =!= 0.0)
+            .otherwise(abs(col("rel_change")) > 0.25))
+        .orderBy("metric")
+    },
+    """WITH s AS (
+      |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS side,
+      |    user_id, event_type, value
+      |  FROM events),
+      |p AS (SELECT side,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_rows,
+      |    CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS ndv_user,
+      |    CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS ndv_type,
+      |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_value,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_value
+      |  FROM s GROUP BY 1),
+      |a AS (SELECT * FROM p WHERE side = 'a'),
+      |b AS (SELECT * FROM p WHERE side = 'b'),
+      |m AS (
+      |  SELECT 'mean_value' AS metric, a.mean_value AS v_a, b.mean_value AS v_b FROM a, b
+      |  UNION ALL SELECT 'n_rows', a.n_rows, b.n_rows FROM a, b
+      |  UNION ALL SELECT 'ndv_type', a.ndv_type, b.ndv_type FROM a, b
+      |  UNION ALL SELECT 'ndv_user', a.ndv_user, b.ndv_user FROM a, b
+      |  UNION ALL SELECT 'null_value', a.null_value, b.null_value FROM a, b)
+      |SELECT metric, v_a, v_b,
+      |  CASE WHEN v_a <> 0 THEN ROUND((v_b - v_a) / v_a, 6) END AS rel_change,
+      |  CASE WHEN v_a = 0 THEN v_b <> 0
+      |       ELSE ABS(ROUND((v_b - v_a) / v_a, 6)) > 0.25 END AS drift
+      |FROM m ORDER BY metric""".stripMargin)
+
   /** S19: compaction planning — the table-maintenance report every
     * long-lived partitioned store needs: per partition (source), row and
     * byte volume, the file count a compaction pass should produce
@@ -1400,6 +1475,7 @@ object RelationalQueries {
     "a17_grouped_mode" -> a17GroupedMode,
     "s17_snapshot_diff" -> s17SnapshotDiff,
     "s20_column_stats" -> s20ColumnStats,
+    "s21_profile_diff" -> s21ProfileDiff,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

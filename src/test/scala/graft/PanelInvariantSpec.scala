@@ -79,4 +79,45 @@ class PanelInvariantSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1).count()
     assert(r.map(_.getLong(1)).sum === oddCount)
   }
+
+  test("y15: cells partition the corpus; both flags follow their definitions") {
+    val r = rows("y15_ivf_arrival")
+    assert(r.nonEmpty)
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(r.map(x => x.getLong(1) + x.getLong(2)).sum === corpus,
+      "per-cell base+arrival counts must partition every vector")
+    r.foreach { x =>
+      val (nb, na) = (x.getLong(1), x.getLong(2))
+      assert(x.getBoolean(5) === (na * 9 > nb * 2), s"growth_hot wrong at cell=${x.getLong(0)}")
+      if (x.getBoolean(6)) {
+        assert(!x.isNullAt(3) && !x.isNullAt(4), "drift with an undefined mean")
+        assert(x.getDouble(4) > 1.5 * x.getDouble(3), s"drift flag wrong at cell=${x.getLong(0)}")
+      }
+    }
+  }
+
+  test("z48: mined phrases are trigrams; doc counts bound occurrences") {
+    val r = rows("z48_phrase_postings")
+    assert(r.length === 3)
+    r.foreach { x =>
+      assert(x.getString(0).split(" ").length === 3, s"not a trigram: ${x.getString(0)}")
+      assert(x.getLong(2) <= x.getLong(1), "n_docs exceeds n_occ")
+      assert(x.getLong(2) >= 1L && x.getLong(3) <= x.getLong(4))
+    }
+    // mining is corpus-frequency-ranked: the emitted counts are non-increasing
+    assert(r.map(_.getLong(1)).toSeq === r.map(_.getLong(1)).sortBy(-_).toSeq)
+  }
+
+  test("s21: the five-metric panel's drift verdicts follow the 25% rule") {
+    val r = rows("s21_profile_diff")
+    assert(r.map(_.getString(0)).sorted.toSeq ===
+      Seq("mean_value", "n_rows", "ndv_type", "ndv_user", "null_value"))
+    r.foreach { x =>
+      val (va, vb) = (x.getDouble(1), x.getDouble(2))
+      val drift = x.getBoolean(4)
+      if (va == 0.0) assert(drift === (vb != 0.0))
+      else assert(drift === (math.abs(x.getDouble(3)) > 0.25),
+        s"drift wrong at metric=${x.getString(0)}")
+    }
+  }
 }

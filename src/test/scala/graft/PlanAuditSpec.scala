@@ -462,6 +462,28 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!y7.contains("SortMergeJoin"), "y7 must not shuffle the corpus side for the join")
   }
 
+  test("y15: assignment broadcasts the anchors; the corpus never shuffles for a join") {
+    val plan = formatted("y15_ivf_arrival")
+    assert(plan.contains("BroadcastExchange"), "anchor table must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      "the corpus side must not shuffle to meet the anchors")
+  }
+
+  test("z48: postings joins stay equi-joins; the phrase mine is a TakeOrdered top-3") {
+    val plan = formatted("z48_phrase_postings")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "consecutive-position joins must be (doc_id, pos) equi-joins")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-3 phrase mine must not globally sort the trigram relation")
+  }
+
+  test("s21: both window profiles come from ONE scan of the fact table") {
+    val plan = formatted("s21_profile_diff")
+    // count detail-section entries ("(1) Scan parquet"), not tree echoes
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(plan).size === 1,
+      "the two-window profile must be one conditional-aggregation pass")
+  }
+
   test("no query output schema contains a DECIMAL column") {
     // The driver's compare reads Spark parquet decimals scale-preserving
     // ("1.50") but DuckDB oracle decimals as doubles ("1.5"): any DECIMAL
