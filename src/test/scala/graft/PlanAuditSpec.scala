@@ -473,7 +473,10 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val plan = formatted("z48_phrase_postings")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       "consecutive-position joins must be (doc_id, pos) equi-joins")
-    assert(plan.contains("TakeOrderedAndProject"),
+    // the top-3 mine must stay limit-bounded (TakeOrdered, or the
+    // LocalLimit → merge-sort → GlobalLimit split Catalyst plans under a
+    // join) — never an unbounded global sort of the trigram histogram
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("GlobalLimit"),
       "the top-3 phrase mine must not globally sort the trigram relation")
   }
 
