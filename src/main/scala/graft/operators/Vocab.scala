@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Housekeeping
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -168,4 +169,139 @@ object Vocab {
       .groupBy(idCol)
       .agg(sum(col("w_tokens")).cast(LongType).as("n_tokens"),
         count(lit(1)).cast(IntegerType).as("n_words"))
+
+  // ---- unigram-LM tokenizer (SentencePiece-style, Kudo 2018) ----
+
+  /** Viterbi segmentation of one word under a token→cost map (costs =
+    * −ln p snapshotted at DECIMAL(12,6), so the DP's additions and
+    * comparisons are EXACT and engine-portable): best[i] = min over the
+    * last-token length l ≤ maxTok of best[i−l] + cost(substr ending at i),
+    * ties broken by fewer tokens, then the lexicographically smallest
+    * token path — a total order, so the winning segmentation is unique
+    * and identical on any engine that replays the same costs.
+    *
+    * One pure `aggregate` HOF: the accumulator is the growing best[0..i]
+    * array of (cost, n_tokens, path) structs; `array_min` over the
+    * candidate structs IS the (c, k, p) lexicographic argmin. O(len·maxTok)
+    * per word, in-scan, no shuffle, no UDF. Requires every single
+    * character to be in the map (chars are never pruned — [[unigramFit]]'s
+    * invariant), so every prefix is reachable. */
+  def unigramViterbi(word: Column, vmap: Column, maxTok: Int): Column = {
+    val zero = array(struct(
+      lit(0).cast(DecimalType(18, 6)).as("c"),
+      lit(0).as("k"), lit("").as("p")))
+    aggregate(
+      sequence(lit(1), length(word)),
+      zero,
+      (acc, i) => {
+        val cands = filter(
+          transform(sequence(lit(1), least(lit(maxTok), i)), l => {
+            val j = i - l
+            val tok = word.substr(j + lit(1), l)
+            val prev = element_at(acc, j + lit(1))
+            struct(
+              (prev.getField("c") + element_at(vmap, tok))
+                .cast(DecimalType(18, 6)).as("c"),
+              (prev.getField("k") + lit(1)).as("k"),
+              concat(prev.getField("p"), lit(" "), tok).as("p"))
+          }),
+          s => s.getField("c").isNotNull)
+        concat(acc, array(array_min(cands)))
+      },
+      acc => split(ltrim(element_at(acc, lit(-1)).getField("p")), " "))
+  }
+
+  /** Unigram-LM vocabulary fit (the SentencePiece training shape, hard-EM
+    * variant): candidate tokens are every ≤ maxTok-char substring of the
+    * corpus WORD HISTOGRAM (the same Heaps'-law trick as [[bpeLearn]] —
+    * the corpus pays one scan, every round runs on vocab-sized frames plus
+    * one histogram-wide segmentation pass); the initial vocabulary keeps
+    * every single character (never pruned — segmentability guarantee) plus
+    * the top `initMulti` multi-char candidates by weighted occurrence
+    * count. Each EM round Viterbi-segments the histogram under the current
+    * costs ([[unigramViterbi]]), recounts token usage (map-side-combinable
+    * weighted aggregate), prunes multi-char tokens to the top `pruneTo` by
+    * usage, and re-derives costs as add-1-smoothed negative log
+    * frequencies, −ln((u+1)/(total+|V|)), snapshotted at DECIMAL(12,6) —
+    * integer-operand division + one ln + one engine-stable decimal cast,
+    * so every round's costs (and therefore every segmentation) replays
+    * bit-identically in the oracle.
+    *
+    * Returns the post-round-R vocabulary: (token, n_uses, cost
+    * DECIMAL(12,6), is_char), usage from round R's segmentation, costs
+    * from round R's M-step.
+    *
+    * `pinRounds` (default true) localCheckpoints each round's vocab-sized
+    * cost table, so round r's plan references a ~40-row checkpoint scan
+    * instead of nesting every earlier round's full segmentation subtree —
+    * without it the composed plan's ANALYSIS alone measured ~9 s at ANY
+    * corpus size (the bpeLearn plan-depth lesson, at the optimizer level).
+    * Pass false for action-free construction (plan-shape sweeps); results
+    * are invariant (spec-gated). A production 10⁶-word histogram would
+    * additionally pin the histogram and driver-iterate like [[bpeLearn]]. */
+  def unigramFit(docs: DataFrame, textCol: String, maxTok: Int = 4,
+                 initMulti: Int = 24, pruneTo: Int = 16,
+                 rounds: Int = 2, pinRounds: Boolean = true): DataFrame = {
+    require(rounds >= 1 && maxTok >= 2 && initMulti >= 1 && pruneTo >= 1)
+    val words = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("n"))
+
+    // smoothed cost table from a (token, u) frame: −ln((u+1)/(total+|V|))
+    def costs(vocab: DataFrame): DataFrame = {
+      val scal = vocab.agg(sum(col("u")).cast(LongType).as("tot"),
+        count(lit(1)).as("nv"))
+      vocab.crossJoin(scal)
+        .select(col("token"),
+          (-log((col("u") + lit(1L)) / (col("tot") + col("nv"))))
+            .cast(DecimalType(12, 6)).as("cost"))
+    }
+
+    // one-row token→cost map for the segmentation crossJoin
+    def asMap(costDf: DataFrame): DataFrame =
+      costDf.agg(map_from_entries(collect_list(struct(col("token"), col("cost"))))
+        .as("vmap"))
+
+    // initial candidates: every (start, len ≤ maxTok) substring of every
+    // histogram word, weighted by word count
+    val subs = words.select(explode(expr(
+      s"""flatten(transform(sequence(1, length(w)),
+         |  i -> transform(sequence(1, least($maxTok, length(w) - i + 1)),
+         |    l -> substring(w, i, l))))""".stripMargin)).as("token"), col("n"))
+      .groupBy("token").agg(sum(col("n")).as("u"))
+    val chars0 = subs.filter(length(col("token")) === 1)
+    val multi0 = subs.filter(length(col("token")) > 1)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("u").desc, col("token").asc)))
+      .filter(col("rn") <= initMulti).drop("rn")
+    val v0 = chars0.unionByName(multi0)
+
+    // one EM round: segment under `prev` costs → usage → prune → new vocab
+    def emRound(prevCosts: DataFrame): DataFrame = {
+      val seg = words.crossJoin(broadcast(asMap(prevCosts)))
+        .select(explode(unigramViterbi(col("w"), col("vmap"), maxTok)).as("token"),
+          col("n"))
+      val usage = seg.groupBy("token").agg(sum(col("n")).as("u"))
+      val chars = prevCosts.filter(length(col("token")) === 1).select("token")
+        .join(usage, Seq("token"), "left")
+        .select(col("token"), coalesce(col("u"), lit(0L)).as("u"))
+      val multi = usage.filter(length(col("token")) > 1)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("u").desc, col("token").asc)))
+        .filter(col("rn") <= pruneTo).drop("rn")
+      chars.unionByName(multi)
+    }
+
+    def maybePin(df: DataFrame): DataFrame =
+      if (pinRounds) Housekeeping.pin(docs.sparkSession)(df).df else df
+    var vocab = v0
+    var cost = maybePin(costs(v0))
+    for (_ <- 1 to rounds) {
+      vocab = maybePin(emRound(cost))
+      cost = maybePin(costs(vocab))
+    }
+    vocab.join(cost, Seq("token"))
+      .select(col("token"), col("u").cast(LongType).as("n_uses"),
+        col("cost"), (length(col("token")) === 1).as("is_char"))
+  }
 }

@@ -162,8 +162,120 @@ object VocabQueries {
       |        / COUNT(*), 6) AS dup_ratio
       |FROM h JOIN c USING (h) GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  // ---- unigram-LM tokenizer oracle (unrolled Viterbi DP + EM rounds) ----
+
+  /** Unigram fit parameters shared by the Spark query and the oracle:
+    * token length ≤ UgMaxTok, UgInitMulti initial multi-char candidates,
+    * pruned to UgPruneTo per round, UgRounds hard-EM rounds. UgMaxWord
+    * bounds the oracle's DP unroll — corpus words are ≤ 8 chars at the
+    * correctness SFs; positions beyond a word's length produce no rows,
+    * so the bound is slack, not semantics. */
+  private val UgMaxTok = 4
+  private val UgInitMulti = 24
+  private val UgPruneTo = 16
+  private val UgRounds = 2
+  private val UgMaxWord = 12
+
+  /** Smoothed cost CTE over a (token, u) vocab CTE `v`:
+    * −ln((u+1)/(total+|V|)) at DECIMAL(12,6) — integer-operand division,
+    * one ln, one engine-stable cast (mirrors Vocab.unigramFit.costs). */
+  private def ugCostCte(c: String, v: String): String =
+    s"""$c AS MATERIALIZED (SELECT token,
+       |  CAST(-ln((u + 1) / (t.tot + t.nv)) AS DECIMAL(12,6)) AS cost
+       |  FROM $v CROSS JOIN (SELECT CAST(SUM(u) AS BIGINT) AS tot,
+       |    COUNT(*) AS nv FROM $v) t)""".stripMargin
+
+  /** One EM round's CTE chain: Viterbi DP b{r}_0..b{r}_maxWord under cost
+    * table `cPrev`, winners f{r}, usage u{r}, pruned vocab v{r}, costs
+    * c{r} — the relational unroll of Vocab.unigramViterbi's HOF (same
+    * (c, k, p) lexicographic argmin, same DECIMAL-exact arithmetic). */
+  private def ugRoundCtes(r: Int, cPrev: String): String = {
+    val b0 = s"b${r}_0 AS MATERIALIZED (SELECT w, n, CAST(0 AS DECIMAL(18,6)) AS c, " +
+      s"0 AS k, '' AS p FROM wh)"
+    val dp = (1 to UgMaxWord).map { i =>
+      val branches = (1 to math.min(UgMaxTok, i)).map { l =>
+        s"""      SELECT b.w, b.n, CAST(b.c + v.cost AS DECIMAL(18,6)) AS c,
+           |        b.k + 1 AS k, b.p || ' ' || v.token AS p
+           |      FROM b${r}_${i - l} b JOIN $cPrev v
+           |        ON len(b.w) >= $i AND v.token = substr(b.w, ${i - l + 1}, $l)"""
+          .stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""b${r}_$i AS MATERIALIZED (
+         |  SELECT w, n, c, k, p FROM (
+         |    SELECT w, n, c, k, p,
+         |      ROW_NUMBER() OVER (PARTITION BY w ORDER BY c, k, p) AS rn
+         |    FROM (
+         |$branches
+         |    ) cand) best WHERE rn = 1)""".stripMargin
+    }
+    val f = (1 to UgMaxWord).map(i =>
+        s"  SELECT w, n, ltrim(p) AS p FROM b${r}_$i WHERE len(w) = $i")
+      .mkString("\n  UNION ALL\n")
+    val tail =
+      s"""f$r AS MATERIALIZED (
+         |$f),
+         |u$r AS MATERIALIZED (SELECT token, CAST(SUM(n) AS BIGINT) AS u FROM (
+         |    SELECT unnest(string_split(p, ' ')) AS token, n FROM f$r)
+         |  GROUP BY 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT c.token, CAST(COALESCE(u.u, 0) AS BIGINT) AS u
+         |  FROM chs c LEFT JOIN u$r u USING (token)
+         |  UNION ALL
+         |  SELECT token, u FROM (
+         |    SELECT token, u, ROW_NUMBER() OVER (ORDER BY u DESC, token) AS rn
+         |    FROM u$r WHERE len(token) > 1) mu WHERE rn <= $UgPruneTo),
+         |${ugCostCte(s"c$r", s"v$r")}""".stripMargin
+    (Seq(b0) ++ dp :+ tail).mkString(",\n")
+  }
+
+  private def ugOracleSql: String = {
+    val rounds = (1 to UgRounds).map(r => ugRoundCtes(r, s"c${r - 1}"))
+      .mkString(",\n")
+    s"""WITH wh AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |sub AS MATERIALIZED (SELECT token, CAST(SUM(n) AS BIGINT) AS u FROM (
+       |    SELECT unnest(flatten(list_transform(generate_series(1, len(w)),
+       |      i -> list_transform(generate_series(1, least($UgMaxTok, len(w) - i + 1)),
+       |        l -> substr(w, i, l))))) AS token, n
+       |    FROM wh) GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT token, u FROM sub WHERE len(token) = 1
+       |  UNION ALL
+       |  SELECT token, u FROM (
+       |    SELECT token, u, ROW_NUMBER() OVER (ORDER BY u DESC, token) AS rn
+       |    FROM sub WHERE len(token) > 1) mu WHERE rn <= $UgInitMulti),
+       |chs AS MATERIALIZED (SELECT token FROM v0 WHERE len(token) = 1),
+       |${ugCostCte("c0", "v0")},
+       |$rounds
+       |SELECT v.token, v.u AS n_uses, CAST(c.cost AS DOUBLE) AS cost,
+       |  len(v.token) = 1 AS is_char
+       |FROM v$UgRounds v JOIN c$UgRounds c USING (token)
+       |ORDER BY n_uses DESC, token""".stripMargin
+  }
+
+  /** z49: unigram-LM tokenizer fit (the SentencePiece training shape,
+    * Kudo 2018, hard-EM) — the probabilistic sibling of z30's greedy BPE:
+    * candidate tokens from the word histogram's substrings, two Viterbi-EM
+    * rounds (segment under current costs, recount usage, prune multi-char
+    * tokens, re-derive add-1-smoothed costs), final vocabulary with usage
+    * and cost. Every comparison in the DP rides DECIMAL(12,6)-snapshotted
+    * costs with a (cost, n_tokens, path) total order, so the oracle's
+    * fully-unrolled relational DP lands on the bit-identical vocabulary —
+    * the differential gate covers init, both EM rounds, and the pruning
+    * rule end to end. */
+  private val z49UnigramFit = Q(
+    (s, d) => Vocab.unigramFit(Tables.documents(s, d), "text",
+        maxTok = UgMaxTok, initMulti = UgInitMulti, pruneTo = UgPruneTo,
+        rounds = UgRounds, pinRounds = !planOnly)
+      .select(col("token"), col("n_uses"),
+        col("cost").cast("double").as("cost"), col("is_char"))
+      .orderBy(col("n_uses").desc, col("token")),
+    ugOracleSql)
+
   val all: Map[String, Q] = Map(
     "z30_bpe_learn" -> z30BpeLearn,
     "z31_bpe_tokens" -> z31BpeTokens,
-    "z32_datacard" -> z32Datacard)
+    "z32_datacard" -> z32Datacard,
+    "z49_unigram_fit" -> z49UnigramFit)
 }

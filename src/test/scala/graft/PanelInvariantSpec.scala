@@ -108,6 +108,20 @@ class PanelInvariantSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).toSeq === r.map(_.getLong(1)).sortBy(-_).toSeq)
   }
 
+  test("z49: the learned vocabulary conserves corpus characters exactly") {
+    import org.apache.spark.sql.functions.{col, sum, length, translate}
+    val r = rows("z49_unigram_fit")
+    // Σ len(token)·n_uses over the final vocab = every non-space character
+    // of the corpus, segmented exactly once — the Viterbi totality invariant
+    val mass = r.map(x => x.getString(0).length * x.getLong(1)).sum
+    val corpusChars = Tables.documents(spark, sf)
+      .agg(sum(length(translate(col("text"), " ", ""))))
+      .head().getLong(0)
+    assert(mass === corpusChars)
+    assert(r.count(x => !x.getBoolean(3)) <= 16, "multi-char vocab over pruneTo")
+    assert(r.forall(_.getDouble(2) > 0.0), "smoothed costs must be positive")
+  }
+
   test("s21: the five-metric panel's drift verdicts follow the 25% rule") {
     val r = rows("s21_profile_diff")
     assert(r.map(_.getString(0)).sorted.toSeq ===

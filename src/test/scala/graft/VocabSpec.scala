@@ -127,6 +127,58 @@ class VocabSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet === before)
   }
 
+  test("unigramViterbi picks the cheapest segmentation under exact decimal costs") {
+    import org.apache.spark.sql.types.DecimalType
+    def m(entries: (String, String)*) = map(entries.flatMap { case (t, c) =>
+      Seq(lit(t), lit(c).cast(DecimalType(12, 6))) }: _*)
+    // ab+ab (3.9+3.9=7.8) beats abab (9.0) and a+b+a+b (8.0)
+    val vm = m("a" -> "2.0", "b" -> "2.0", "ab" -> "3.9", "abab" -> "9.0")
+    val out = Seq("abab").toDF("w")
+      .select(Vocab.unigramViterbi(col("w"), vm, 4)).as[Seq[String]].head()
+    assert(out === Seq("ab", "ab"))
+  }
+
+  test("unigramViterbi ties break by fewer tokens, then lexicographic path") {
+    import org.apache.spark.sql.types.DecimalType
+    def m(entries: (String, String)*) = map(entries.flatMap { case (t, c) =>
+      Seq(lit(t), lit(c).cast(DecimalType(12, 6))) }: _*)
+    // cost("ab") == cost("a")+cost("b") — fewer tokens wins
+    val vm1 = m("a" -> "1.0", "b" -> "1.0", "ab" -> "2.0")
+    val t1 = Seq("ab").toDF("w")
+      .select(Vocab.unigramViterbi(col("w"), vm1, 4)).as[Seq[String]].head()
+    assert(t1 === Seq("ab"))
+    // equal cost AND token count: "ab c" vs "a bc" — lexicographic path
+    val vm2 = m("a" -> "1.0", "b" -> "1.0", "c" -> "1.0",
+      "ab" -> "2.0", "bc" -> "2.0")
+    val t2 = Seq("abc").toDF("w")
+      .select(Vocab.unigramViterbi(col("w"), vm2, 4)).as[Seq[String]].head()
+    assert(t2 === Seq("a", "bc"), "' a bc' < ' ab c' lexicographically")
+  }
+
+  test("unigramFit: chars never pruned, usage conserves corpus characters") {
+    val docs = Seq("abab abab ab", "abab ab ab", "cd cd abab").toDF("text")
+    val fit = Vocab.unigramFit(docs, "text", maxTok = 4, initMulti = 8,
+      pruneTo = 4, rounds = 2).collect()
+    val chars = fit.filter(_.getBoolean(3)).map(_.getString(0)).sorted
+    assert(chars.toSeq === Seq("a", "b", "c", "d"), "corpus chars must survive")
+    // every word occurrence segments exactly: Σ len(tok)·uses = Σ len(word)
+    val charMass = fit.map(r => r.getString(0).length * r.getLong(1)).sum
+    val corpusChars = Seq("abab abab ab", "abab ab ab", "cd cd abab")
+      .flatMap(_.split(" ")).map(_.length).sum
+    assert(charMass === corpusChars)
+    // the dominant repeated structure is learned as a multi-char token
+    val multi = fit.filter(!_.getBoolean(3)).map(_.getString(0))
+    assert(multi.nonEmpty && multi.exists(t => t == "abab" || t == "ab"))
+    // costs are positive and finite (add-1 smoothing: no -ln(0))
+    fit.foreach(r => assert(!r.isNullAt(2) &&
+      r.getDecimal(2).doubleValue() > 0.0))
+    // round-boundary pinning is a plan-shape optimization, not semantics
+    val unpinned = Vocab.unigramFit(docs, "text", maxTok = 4, initMulti = 8,
+      pruneTo = 4, rounds = 2, pinRounds = false).collect()
+    assert(fit.map(_.toString).sorted.toSeq ===
+      unpinned.map(_.toString).sorted.toSeq)
+  }
+
   test("hashedBowVectors: counts scatter by token hash and sum to the token count") {
     import graft.operators.TextAnalysis
     val df = Seq(
