@@ -228,10 +228,14 @@ object VocabQueries {
     (Seq(b0) ++ dp :+ tail).mkString(",\n")
   }
 
-  private def ugOracleSql: String = {
-    val rounds = (1 to UgRounds).map(r => ugRoundCtes(r, s"c${r - 1}"))
+  /** The shared fit CTE body (histogram, candidates, init vocab, and
+    * `nRounds` EM-round chains) — z49 consumes v/c at round UgRounds; z50
+    * appends one extra round whose E-step DP (f{R+1}) IS "encode under the
+    * final fitted costs". */
+  private def ugFitCtes(nRounds: Int): String = {
+    val rounds = (1 to nRounds).map(r => ugRoundCtes(r, s"c${r - 1}"))
       .mkString(",\n")
-    s"""WITH wh AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+    s"""wh AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  WHERE w <> '' GROUP BY 1),
        |sub AS MATERIALIZED (SELECT token, CAST(SUM(n) AS BIGINT) AS u FROM (
@@ -247,12 +251,15 @@ object VocabQueries {
        |    FROM sub WHERE len(token) > 1) mu WHERE rn <= $UgInitMulti),
        |chs AS MATERIALIZED (SELECT token FROM v0 WHERE len(token) = 1),
        |${ugCostCte("c0", "v0")},
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def ugOracleSql: String =
+    s"""WITH ${ugFitCtes(UgRounds)}
        |SELECT v.token, v.u AS n_uses, CAST(c.cost AS DOUBLE) AS cost,
        |  len(v.token) = 1 AS is_char
        |FROM v$UgRounds v JOIN c$UgRounds c USING (token)
        |ORDER BY n_uses DESC, token""".stripMargin
-  }
 
   /** z49: unigram-LM tokenizer fit (the SentencePiece training shape,
     * Kudo 2018, hard-EM) — the probabilistic sibling of z30's greedy BPE:
@@ -273,9 +280,61 @@ object VocabQueries {
       .orderBy(col("n_uses").desc, col("token")),
     ugOracleSql)
 
+  /** z50: re-tokenize the corpus under the FITTED unigram vocabulary —
+    * z31's accounting for the probabilistic tokenizer, gating learn →
+    * encode end to end (the oracle re-derives the same fit and replays
+    * the same DP). Segmentation runs ONCE PER DISTINCT WORD (the
+    * histogram trick again — at 100 TB the per-word token count is a
+    * Heaps'-sized dimension the doc join broadcasts), then per-doc counts
+    * are one map-side-combinable aggregate. Tokens-per-word under the
+    * final costs reuses round R's winning paths, so the encode side is
+    * exactly the fit's own segmentation — no second DP formulation to
+    * drift. */
+  private val z50UnigramTokens = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val fitCosts = Vocab.unigramFit(docs, "text",
+          maxTok = UgMaxTok, initMulti = UgInitMulti, pruneTo = UgPruneTo,
+          rounds = UgRounds, pinRounds = !planOnly)
+        .select(col("token"), col("cost"))
+      val vmap = fitCosts.agg(
+        map_from_entries(collect_list(struct(col("token"), col("cost"))))
+          .as("vmap"))
+      val perWord = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .crossJoin(broadcast(vmap))
+        .select(col("w"),
+          size(Vocab.unigramViterbi(col("w"), col("vmap"), UgMaxTok))
+            .cast(IntegerType).as("w_tokens"))
+      docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(perWord, Seq("w"))
+        .groupBy("doc_id")
+        .agg(sum(col("w_tokens")).cast(LongType).as("n_tokens"),
+          count(lit(1)).cast(IntegerType).as("n_words"))
+        .orderBy("doc_id")
+    }, {
+      // the fit chain plus ONE extra round: its E-step DP (f{R+1}) is the
+      // per-word segmentation under the FINAL fitted costs c{R} — exactly
+      // the encode the Spark side runs (the extra round's u/v/c CTEs are
+      // generated but unused)
+      s"""WITH ${ugFitCtes(UgRounds + 1)},
+         |wt AS (SELECT w, CAST(len(string_split(p, ' ')) AS INT) AS w_tokens
+         |  FROM f${UgRounds + 1}),
+         |dw AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '')
+         |SELECT dw.doc_id, CAST(SUM(wt.w_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(*) AS INT) AS n_words
+         |FROM dw JOIN wt USING (w)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "z30_bpe_learn" -> z30BpeLearn,
     "z31_bpe_tokens" -> z31BpeTokens,
     "z32_datacard" -> z32Datacard,
-    "z49_unigram_fit" -> z49UnigramFit)
+    "z49_unigram_fit" -> z49UnigramFit,
+    "z50_unigram_tokens" -> z50UnigramTokens)
 }

@@ -122,6 +122,26 @@ class PanelInvariantSpec extends SparkSpec {
     assert(r.forall(_.getDouble(2) > 0.0), "smoothed costs must be positive")
   }
 
+  test("z50: token counts bound by words below and characters above, all docs present") {
+    import org.apache.spark.sql.functions.{col, length, split, size, sum, translate}
+    val r = rows("z50_unigram_tokens")
+    val docs = Tables.documents(spark, sf)
+    assert(r.length === docs.count())
+    r.foreach { x =>
+      assert(x.getLong(1) >= x.getInt(2).toLong, "a word segments to ≥ 1 token")
+    }
+    // Σ n_tokens ≤ Σ chars (char segmentation is the worst case) and the
+    // learned multi-char tokens actually compress: strictly fewer tokens
+    // than characters corpus-wide
+    val totalTokens = r.map(_.getLong(1)).sum
+    val totalChars = docs.agg(sum(length(translate(col("text"), " ", ""))))
+      .head().getLong(0)
+    val totalWords = docs.agg(sum(size(split(col("text"), " "))))
+      .head().getLong(0)
+    assert(totalTokens <= totalChars && totalTokens < totalChars)
+    assert(r.map(_.getInt(2).toLong).sum === totalWords)
+  }
+
   test("s21: the five-metric panel's drift verdicts follow the 25% rule") {
     val r = rows("s21_profile_diff")
     assert(r.map(_.getString(0)).sorted.toSeq ===
