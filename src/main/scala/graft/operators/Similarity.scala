@@ -122,11 +122,11 @@ object Similarity {
     * 6 dp before the argmin so the assignment is reproducible across
     * engines/runs; the (dist, anchor_id) struct ordering breaks ties. */
   def ivfAssign(vectors: DataFrame, anchors: DataFrame, idCol: String,
-                vecCol: String): DataFrame =
+                vecCol: String, extraCols: Seq[String] = Nil): DataFrame =
     rankCells(vectors, anchors, idCol, vecCol)
       .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col("anchor_id").as("cell"),
-        col("d2").as("cell_d2"))
+      .select(Seq(col(idCol), col(vecCol)) ++ extraCols.map(col) ++
+        Seq(col("anchor_id").as("cell"), col("d2").as("cell_d2")): _*)
 
   /** Every (vector, anchor) pair with the rounded L2 distance and the
     * per-vector distance rank — the ONE implementation of the cell

@@ -2508,6 +2508,101 @@ object PipelineQueries {
        |  COALESCE(arr_mean_d2 > base_mean_d2 * 1.5, FALSE) AS drift
        |FROM m ORDER BY cell""".stripMargin)
 
+  /** y16: INDEX REFRESH — the action y15's drift verdict calls for, with
+    * the payoff measured: arrivals here are a coherent new content family
+    * (one embedding-space label cluster — a new data source coming online,
+    * the case coarse quantizers age worst on), and the panel compares the
+    * STALE index (anchors seeded from base content only) against the
+    * REFRESHED one (same anchors + the first two arrival exemplars
+    * promoted to anchors — the cheap refresh that avoids a full refit).
+    * Per arm: cells in use, occupancy concentration (max cell share), and
+    * DECIMAL-exact mean assignment distance for base and arrival vectors
+    * separately — the refresh must spread the hot cells AND pull the
+    * arrival distance down without degrading the base fit. Everything is
+    * seeded/argmin-deterministic, so BOTH arms replay bit-identically in
+    * the oracle; y3d's Lloyd pipeline is the full-refit escalation when
+    * the cheap refresh stops paying.
+    *
+    * Scale: two broadcast-argmin assignment passes (the corpus never
+    * shuffles), per-cell combinable aggregates, final frames are
+    * cells-sized. Exemplar promotion is a TakeOrdered(2) on the arrival
+    * batch. */
+  private val y16IndexRefresh = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val e = Tables.embeddings(s, d)
+      val a0 = e.filter(col("label") =!= 7).orderBy("vec_id").limit(IvfCells)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val ax = e.filter(col("label") === 7).orderBy("vec_id").limit(2)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      def arm(anchors: org.apache.spark.sql.DataFrame, name: String) = {
+        val asg = Similarity.ivfAssign(e, anchors, "vec_id", "embedding",
+            extraCols = Seq("label"))
+          .withColumn("is_arr", col("label") === 7)
+        val d2 = col("cell_d2").cast(DecimalType(20, 6))
+        asg.groupBy("cell")
+          .agg(count(lit(1)).as("nc"),
+            sum(when(col("is_arr"), d2)).as("sa"),
+            sum(when(col("is_arr"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("is_arr"), d2)).as("sb"),
+            sum(when(!col("is_arr"), 1L).otherwise(0L)).as("nb"))
+          .agg(count(lit(1)).as("n_cells_used"),
+            (max(col("nc")).cast(DoubleType) / sum(col("nc"))).as("max_share"),
+            (sum(col("sb")).cast(DoubleType) / sum(col("nb"))).as("base_mean_d2"),
+            (sum(col("sa")).cast(DoubleType) / sum(col("na"))).as("arr_mean_d2"))
+          .select(lit(name).as("arm"), col("n_cells_used"), col("max_share"),
+            col("base_mean_d2"), col("arr_mean_d2"))
+      }
+      arm(a0, "stale").unionByName(arm(a0.unionByName(ax), "refreshed"))
+        .orderBy("arm")
+    },
+    s"""WITH v AS (SELECT vec_id, label, ${vdSql("embedding")} AS vd FROM embeddings),
+       |a0 AS (SELECT vec_id AS anchor_id, vd AS avd FROM v
+       |       WHERE label <> 7 ORDER BY vec_id LIMIT $IvfCells),
+       |a1 AS (SELECT * FROM a0 UNION ALL
+       |       SELECT vec_id, vd FROM (SELECT vec_id, vd FROM v
+       |         WHERE label = 7 ORDER BY vec_id LIMIT 2) x),
+       |d0 AS (SELECT v.vec_id, v.label = 7 AS is_arr, a.anchor_id,
+       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+       |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+       |  FROM v CROSS JOIN a0 a),
+       |d1 AS (SELECT v.vec_id, v.label = 7 AS is_arr, a.anchor_id,
+       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+       |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+       |  FROM v CROSS JOIN a1 a),
+       |g0 AS (SELECT vec_id, is_arr, anchor_id AS cell, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, anchor_id) rn
+       |    FROM d0) z WHERE rn = 1),
+       |g1 AS (SELECT vec_id, is_arr, anchor_id AS cell, d2 FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, anchor_id) rn
+       |    FROM d1) z WHERE rn = 1),
+       |c0 AS (SELECT cell, COUNT(*) AS nc,
+       |    SUM(CASE WHEN is_arr THEN CAST(d2 AS DECIMAL(20,6)) END) AS sa,
+       |    SUM(CASE WHEN is_arr THEN 1 ELSE 0 END) AS na,
+       |    SUM(CASE WHEN NOT is_arr THEN CAST(d2 AS DECIMAL(20,6)) END) AS sb,
+       |    SUM(CASE WHEN NOT is_arr THEN 1 ELSE 0 END) AS nb
+       |  FROM g0 GROUP BY 1),
+       |c1 AS (SELECT cell, COUNT(*) AS nc,
+       |    SUM(CASE WHEN is_arr THEN CAST(d2 AS DECIMAL(20,6)) END) AS sa,
+       |    SUM(CASE WHEN is_arr THEN 1 ELSE 0 END) AS na,
+       |    SUM(CASE WHEN NOT is_arr THEN CAST(d2 AS DECIMAL(20,6)) END) AS sb,
+       |    SUM(CASE WHEN NOT is_arr THEN 1 ELSE 0 END) AS nb
+       |  FROM g1 GROUP BY 1),
+       |p AS (
+       |  SELECT 'stale' AS arm, CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+       |    CAST(MAX(nc) AS DOUBLE) / CAST(SUM(nc) AS BIGINT) AS max_share,
+       |    CAST(SUM(sb) AS DOUBLE) / CAST(SUM(nb) AS BIGINT) AS base_mean_d2,
+       |    CAST(SUM(sa) AS DOUBLE) / CAST(SUM(na) AS BIGINT) AS arr_mean_d2
+       |  FROM c0
+       |  UNION ALL
+       |  SELECT 'refreshed', CAST(COUNT(*) AS BIGINT),
+       |    CAST(MAX(nc) AS DOUBLE) / CAST(SUM(nc) AS BIGINT),
+       |    CAST(SUM(sb) AS DOUBLE) / CAST(SUM(nb) AS BIGINT),
+       |    CAST(SUM(sa) AS DOUBLE) / CAST(SUM(na) AS BIGINT)
+       |  FROM c1)
+       |SELECT arm, n_cells_used, max_share, base_mean_d2, arr_mean_d2
+       |FROM p ORDER BY arm""".stripMargin)
+
   /** z48: positional POSTINGS index + phrase search — both halves of the
     * exact-phrase lifecycle, each in its scale-correct shape:
     *
@@ -6425,6 +6520,7 @@ object PipelineQueries {
     "y13_opq_rotation" -> y13OpqRotation,
     "y14_filtered_ann" -> y14FilteredAnn,
     "y15_ivf_arrival" -> y15IvfArrival,
+    "y16_index_refresh" -> y16IndexRefresh,
     "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,

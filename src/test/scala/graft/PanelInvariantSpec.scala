@@ -96,6 +96,19 @@ class PanelInvariantSpec extends SparkSpec {
     }
   }
 
+  test("y16: anchor-superset monotonicity — the refresh never degrades either side") {
+    val r = rows("y16_index_refresh").map(x => x.getString(0) -> x).toMap
+    val (st, rf) = (r("stale"), r("refreshed"))
+    // min over an anchor SUPERSET is pointwise ≤ — both means must drop or hold
+    assert(rf.getDouble(3) <= st.getDouble(3), "base fit degraded by refresh")
+    assert(rf.getDouble(4) < st.getDouble(4),
+      "arrival fit must strictly improve (the exemplars serve themselves at d²=0)")
+    Seq(st, rf).foreach { x =>
+      assert(x.getDouble(2) > 0.0 && x.getDouble(2) <= 1.0)
+      assert(x.getLong(1) >= 1L)
+    }
+  }
+
   test("z48: mined phrases are trigrams; doc counts bound occurrences") {
     val r = rows("z48_phrase_postings")
     assert(r.length === 3)
