@@ -183,9 +183,16 @@ object Vocab {
     * One pure `aggregate` HOF: the accumulator is the growing best[0..i]
     * array of (cost, n_tokens, path) structs; `array_min` over the
     * candidate structs IS the (c, k, p) lexicographic argmin. O(len·maxTok)
-    * per word, in-scan, no shuffle, no UDF. Requires every single
-    * character to be in the map (chars are never pruned — [[unigramFit]]'s
-    * invariant), so every prefix is reachable. */
+    * per word, in-scan, no shuffle, no UDF.
+    *
+    * Totality: a single-character candidate missing from the map costs
+    * [[UnkCost]] (the byte-fallback posture every serving tokenizer needs),
+    * so ANY input segments. In the fit path the char vocabulary is
+    * corpus-derived and never pruned, so the fallback is unreachable there
+    * (the z49/z50 oracles replay without it); it is load-bearing only for
+    * arbitrary arrivals (the streaming fertility gate). */
+  val UnkCost: Double = 25.0
+
   def unigramViterbi(word: Column, vmap: Column, maxTok: Int): Column = {
     val zero = array(struct(
       lit(0).cast(DecimalType(18, 6)).as("c"),
@@ -199,8 +206,11 @@ object Vocab {
             val j = i - l
             val tok = word.substr(j + lit(1), l)
             val prev = element_at(acc, j + lit(1))
+            val raw = element_at(vmap, tok)
+            val cst = when(l === lit(1),
+              coalesce(raw, lit(UnkCost).cast(DecimalType(12, 6)))).otherwise(raw)
             struct(
-              (prev.getField("c") + element_at(vmap, tok))
+              (prev.getField("c") + cst)
                 .cast(DecimalType(18, 6)).as("c"),
               (prev.getField("k") + lit(1)).as("k"),
               concat(prev.getField("p"), lit(" "), tok).as("p"))

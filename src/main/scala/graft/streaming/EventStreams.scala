@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
 
 /** Structured Streaming layer (the 100-TB extension; the reference is batch-
   * only, SURVEY.md §2.12).
@@ -252,6 +252,40 @@ object EventStreams {
         col("b0s") + col("b1s") * x1 + col("b2s") * x2))
       .withColumn("keep", coalesce(col("eta") > col("cut"), lit(false)))
       .drop("b0s", "b1s", "b2s", "cut")
+  }
+
+  /** Stateless unigram-FERTILITY gate: score arrivals by tokens-per-char
+    * under a FITTED unigram tokenizer (`Vocab.unigramFit`'s cost table read
+    * back from the Store, the z42/z41 fitted-artifact shape) and keep docs
+    * that compress — gibberish and wrong-script text segments to near one
+    * token per character while in-domain text reuses the learned multi-char
+    * tokens, so the ratio is a cheap quality signal the tokenizer itself
+    * provides (the fertility-filtering recipe). The model joins as ONE
+    * broadcast stream-static row (a constant-key equi-join — the token→cost
+    * map is vocab-sized and cannot grow with the corpus); segmentation is
+    * `Vocab.unigramViterbi` nested in a pure HOF fold per word — zero
+    * state, no watermark, no shuffle. Empty text scores NULL and drops
+    * conservatively (the discriminatorGate posture). */
+  def fertilityGate(docs: DataFrame, costModel: DataFrame, textCol: String,
+                    maxTokensPerChar: Double, maxTok: Int = 4): DataFrame = {
+    val vmap = costModel
+      .agg(map_from_entries(collect_list(struct(col("token"), col("cost"))))
+        .as("vmap"))
+      .withColumn("__k", lit(1))
+    val joined = docs.withColumn("__k", lit(1))
+      .join(broadcast(vmap), Seq("__k")).drop("__k")
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    val toks = aggregate(words, lit(0L), (acc, w) =>
+      acc + size(graft.operators.Vocab.unigramViterbi(w, col("vmap"), maxTok))
+        .cast(LongType))
+    val chars = length(translate(col(textCol), " ", ""))
+    joined
+      .withColumn("n_tokens", toks)
+      .withColumn("tokens_per_char",
+        when(chars > 0, col("n_tokens").cast(DoubleType) / chars))
+      .withColumn("keep",
+        coalesce(col("tokens_per_char") <= maxTokensPerChar, lit(false)))
+      .drop("vmap")
   }
 
   /** Streaming near-dup gate: drop incoming docs whose minhash signature

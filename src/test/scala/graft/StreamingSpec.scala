@@ -368,6 +368,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.exists(_._2) && streamed.values.exists(!_._2))
   }
 
+  test("fertilityGate keeps compressing text, drops gibberish, off the fitted tokenizer") {
+    import graft.operators.Vocab
+    // fit on an in-domain reference corpus: multi-char tokens get learned,
+    // so in-domain text compresses well below one token per character
+    val ref = Seq.fill(6)("batch merge window batch merge window").toDF("text")
+    val model = Vocab.unigramFit(ref, "text", maxTok = 4, initMulti = 8,
+      pruneTo = 6, rounds = 2).select("token", "cost")
+    val arrivals = Seq(
+      (1L, "batch merge batch window"), // in-domain: reuses learned tokens
+      (2L, "qzxj vkqp zzxx"),           // unseen chars: UNK fallback, ratio 1.0
+      (3L, ""))                         // empty: null ratio, conservative drop
+    val src = tmpDir("fert_src")
+    arrivals.toDF("doc_id", "text").repartition(1)
+      .write.mode("append").parquet(src)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val q = EventStreams.fertilityGate(
+        spark.readStream.schema(docSchema).parquet(src), model, "text",
+        maxTokensPerChar = 0.7)
+      .select("doc_id", "tokens_per_char", "keep")
+      .writeStream.format("memory").queryName("fert_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("fert_out")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // stateless expressions: the batch application is bit-identical
+    val batch = EventStreams.fertilityGate(
+        arrivals.toDF("doc_id", "text"), model, "text", maxTokensPerChar = 0.7)
+      .select("doc_id", "tokens_per_char", "keep")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(streamed === batch)
+    assert(streamed(1L)._1.get < 0.7 && streamed(1L)._2)
+    assert(streamed(2L)._1.get == 1.0 && !streamed(2L)._2,
+      "unseen chars must segment via the UNK fallback at one token per char")
+    assert(streamed(3L)._1.isEmpty && !streamed(3L)._2)
+  }
+
   test("nearDupGate drops stream docs that LSH-collide with the static corpus") {
     import graft.operators.{Dedup, TextAnalysis}
     val corpus = Seq(
