@@ -331,10 +331,69 @@ object VocabQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     })
 
+  /** z51: FERTILITY PANEL — the batch curation view of the tokenizer's own
+    * quality signal (the streaming fertilityGate's corpus-wide form):
+    * per-doc tokens-per-char under the FITTED unigram tokenizer, profiled
+    * per language — doc count, DECIMAL-exact mean, and the min/max spread
+    * that calibrates the streaming gate's threshold (a production corpus
+    * sets the cut from THIS panel's in-domain spread; out-of-domain text
+    * surfaces as max-side outliers approaching 1 token/char). Ratio is one
+    * division of exact long counts; min/max order deterministic doubles —
+    * engine-identical. Same per-distinct-word segmentation shape as z50;
+    * the panel aggregate carries |langs| rows. */
+  private val z51FertilityBands = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val fitCosts = Vocab.unigramFit(docs, "text",
+          maxTok = UgMaxTok, initMulti = UgInitMulti, pruneTo = UgPruneTo,
+          rounds = UgRounds, pinRounds = !planOnly)
+        .select(col("token"), col("cost"))
+      val vmap = fitCosts.agg(
+        map_from_entries(collect_list(struct(col("token"), col("cost"))))
+          .as("vmap"))
+      val perWord = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .crossJoin(broadcast(vmap))
+        .select(col("w"),
+          size(Vocab.unigramViterbi(col("w"), col("vmap"), UgMaxTok))
+            .cast(LongType).as("w_tokens"),
+          length(col("w")).cast(LongType).as("w_chars"))
+      val perDoc = docs
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(perWord, Seq("w"))
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("w_tokens")).as("nt"), sum(col("w_chars")).as("nc"))
+        .withColumn("ratio", col("nt").cast("double") / col("nc"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("ratio").cast("decimal(12,6)")).cast("double")
+            / count(lit(1))).as("mean_ratio"),
+          min(col("ratio")).as("min_ratio"),
+          max(col("ratio")).as("max_ratio"))
+        .orderBy("lang")
+    },
+    s"""WITH ${ugFitCtes(UgRounds + 1)},
+       |wt AS (SELECT w, CAST(len(string_split(p, ' ')) AS BIGINT) AS w_tokens,
+       |    CAST(len(w) AS BIGINT) AS w_chars
+       |  FROM f${UgRounds + 1}),
+       |dw AS (SELECT doc_id, lang, w FROM (
+       |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |pd AS (SELECT dw.doc_id, dw.lang,
+       |    CAST(SUM(wt.w_tokens) AS DOUBLE) / CAST(SUM(wt.w_chars) AS BIGINT) AS ratio
+       |  FROM dw JOIN wt USING (w) GROUP BY 1, 2)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(ratio AS DECIMAL(12,6))) AS DOUBLE) / COUNT(*) AS mean_ratio,
+       |  MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio
+       |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "z30_bpe_learn" -> z30BpeLearn,
     "z31_bpe_tokens" -> z31BpeTokens,
     "z32_datacard" -> z32Datacard,
     "z49_unigram_fit" -> z49UnigramFit,
-    "z50_unigram_tokens" -> z50UnigramTokens)
+    "z50_unigram_tokens" -> z50UnigramTokens,
+    "z51_fertility_panel" -> z51FertilityBands)
 }
