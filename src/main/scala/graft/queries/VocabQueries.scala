@@ -231,14 +231,19 @@ object VocabQueries {
   /** The shared fit CTE body (histogram, candidates, init vocab, and
     * `nRounds` EM-round chains) — z49 consumes v/c at round UgRounds; z50
     * appends one extra round whose E-step DP (f{R+1}) IS "encode under the
-    * final fitted costs". */
-  private def ugFitCtes(nRounds: Int): String = {
+    * final fitted costs". `includeWh=false` omits the word-histogram CTE
+    * for composition with the BPE chain, which defines an identical `wh`
+    * (z52). */
+  private def ugFitCtes(nRounds: Int, includeWh: Boolean = true): String = {
     val rounds = (1 to nRounds).map(r => ugRoundCtes(r, s"c${r - 1}"))
       .mkString(",\n")
-    s"""wh AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' GROUP BY 1),
-       |sub AS MATERIALIZED (SELECT token, CAST(SUM(n) AS BIGINT) AS u FROM (
+    val whCte = if (includeWh)
+      s"""wh AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY 1),
+         |""".stripMargin
+    else ""
+    s"""$whCte|sub AS MATERIALIZED (SELECT token, CAST(SUM(n) AS BIGINT) AS u FROM (
        |    SELECT unnest(flatten(list_transform(generate_series(1, len(w)),
        |      i -> list_transform(generate_series(1, least($UgMaxTok, len(w) - i + 1)),
        |        l -> substr(w, i, l))))) AS token, n
@@ -389,11 +394,86 @@ object VocabQueries {
        |  MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio
        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** z52: TOKENIZER COMPARISON — the decision artifact for picking the
+    * corpus's tokenizer: both learners fit on the same corpus (z30's
+    * 6-merge BPE, z49's 2-round unigram-LM), both encodings replayed per
+    * document, compared per source as total token budgets and the
+    * unigram-to-BPE ratio. One frame answers "which tokenizer compresses
+    * THIS corpus better, and is the answer uniform across sources?" —
+    * the question every pretraining run prices before committing a vocab.
+    * The oracle composes BOTH unrolled chains (they share the word
+    * histogram CTE) so the comparison can never drift from the learners
+    * it compares. Scale: both encodes are per-distinct-word (Heaps-sized),
+    * the doc-level replay is in-scan (BPE) or one broadcast join
+    * (unigram), the panel is |sources| rows. */
+  private val z52TokenizerCompare = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val ms = if (planOnly) Nil else merges(s, d)
+      val bpe = Vocab.bpeTokenCounts(docs, "doc_id", "text", ms)
+        .select(col("doc_id"), col("n_tokens").as("bt"))
+      val fitCosts = Vocab.unigramFit(docs, "text",
+          maxTok = UgMaxTok, initMulti = UgInitMulti, pruneTo = UgPruneTo,
+          rounds = UgRounds, pinRounds = !planOnly)
+        .select(col("token"), col("cost"))
+      val vmap = fitCosts.agg(
+        map_from_entries(collect_list(struct(col("token"), col("cost"))))
+          .as("vmap"))
+      val perWord = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .crossJoin(broadcast(vmap))
+        .select(col("w"),
+          size(Vocab.unigramViterbi(col("w"), col("vmap"), UgMaxTok))
+            .cast(LongType).as("w_tokens"))
+      val ug = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .join(perWord, Seq("w"))
+        .groupBy("doc_id").agg(sum(col("w_tokens")).as("ut"))
+      docs.select("doc_id", "source")
+        .join(bpe, Seq("doc_id")).join(ug, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bt")).cast(LongType).as("bpe_tokens"),
+          sum(col("ut")).cast(LongType).as("ug_tokens"))
+        .withColumn("ug_to_bpe",
+          col("ug_tokens").cast("double") / col("bpe_tokens"))
+        .orderBy("source")
+    }, {
+      val chain = (1 to BpeMerges).foldLeft(charSql("w")) { (acc, r) =>
+        mergeSql(acc, s"b$r.pair")
+      }
+      val crosses = (1 to BpeMerges).map(r => s"CROSS JOIN b$r b$r").mkString(" ")
+      s"""WITH ${bpeRoundsCtes(BpeMerges)},
+         |${ugFitCtes(UgRounds + 1, includeWh = false)},
+         |dwx AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
+         |benc AS (SELECT doc_id, $chain AS ts FROM dwx $crosses),
+         |bt AS (SELECT doc_id,
+         |    CAST(SUM(len(string_split(ts, ' '))) AS BIGINT) AS bt
+         |  FROM benc GROUP BY 1),
+         |wt AS (SELECT w, CAST(len(string_split(p, ' ')) AS BIGINT) AS w_tokens
+         |  FROM f${UgRounds + 1}),
+         |ut AS (SELECT doc_id, CAST(SUM(w_tokens) AS BIGINT) AS ut
+         |  FROM dwx JOIN wt USING (w) GROUP BY 1)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(bt.bt) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(ut.ut) AS BIGINT) AS ug_tokens,
+         |  CAST(SUM(ut.ut) AS DOUBLE) / CAST(SUM(bt.bt) AS BIGINT) AS ug_to_bpe
+         |FROM documents d
+         |JOIN bt ON bt.doc_id = d.doc_id
+         |JOIN ut ON ut.doc_id = d.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "z30_bpe_learn" -> z30BpeLearn,
     "z31_bpe_tokens" -> z31BpeTokens,
     "z32_datacard" -> z32Datacard,
     "z49_unigram_fit" -> z49UnigramFit,
     "z50_unigram_tokens" -> z50UnigramTokens,
-    "z51_fertility_panel" -> z51FertilityBands)
+    "z51_fertility_panel" -> z51FertilityBands,
+    "z52_tokenizer_compare" -> z52TokenizerCompare)
 }

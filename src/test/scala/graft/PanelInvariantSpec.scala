@@ -155,6 +155,17 @@ class PanelInvariantSpec extends SparkSpec {
     assert(r.map(_.getInt(2).toLong).sum === totalWords)
   }
 
+  test("z51: per-lang fertility spread is ordered and covers every doc") {
+    val r = rows("z51_fertility_panel")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (mean, mn, mx) = (x.getDouble(2), x.getDouble(3), x.getDouble(4))
+      assert(mn <= mean && mean <= mx, s"spread disordered for ${x.getString(0)}")
+      assert(mn > 0.0 && mx <= 1.0, "tokens-per-char must sit in (0, 1]")
+    }
+    assert(r.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
+  }
+
   test("s21: the five-metric panel's drift verdicts follow the 25% rule") {
     val r = rows("s21_profile_diff")
     assert(r.map(_.getString(0)).sorted.toSeq ===
