@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Housekeeping
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -197,7 +196,10 @@ object Vocab {
     val zero = array(struct(
       lit(0).cast(DecimalType(18, 6)).as("c"),
       lit(0).as("k"), lit("").as("p")))
-    aggregate(
+    // Totality guard: length=0 would make sequence(1, 0) DESCEND to [1, 0]
+    // and the i=0 step index element_at(acc, 0), which Spark rejects
+    // (array indices are 1-based). An empty word segments to zero tokens.
+    val dp = aggregate(
       sequence(lit(1), length(word)),
       zero,
       (acc, i) => {
@@ -219,6 +221,7 @@ object Vocab {
         concat(acc, array(array_min(cands)))
       },
       acc => split(ltrim(element_at(acc, lit(-1)).getField("p")), " "))
+    when(length(word) === 0, array().cast(ArrayType(StringType))).otherwise(dp)
   }
 
   /** Unigram-LM vocabulary fit (the SentencePiece training shape, hard-EM
@@ -280,10 +283,13 @@ object Vocab {
          |    l -> substring(w, i, l))))""".stripMargin)).as("token"), col("n"))
       .groupBy("token").agg(sum(col("n")).as("u"))
     val chars0 = subs.filter(length(col("token")) === 1)
+    // top-k by usage via orderBy+limit: compiles to TakeOrderedAndProject
+    // (per-partition heap + driver merge of k rows), NOT a single-partition
+    // global sort — the candidate-substring histogram reaches 10⁷–10⁸ rows
+    // on CJK-heavy corpora and must never land on one task.
     val multi0 = subs.filter(length(col("token")) > 1)
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("u").desc, col("token").asc)))
-      .filter(col("rn") <= initMulti).drop("rn")
+      .orderBy(col("u").desc, col("token").asc)
+      .limit(initMulti)
     val v0 = chars0.unionByName(multi0)
 
     // one EM round: segment under `prev` costs → usage → prune → new vocab
@@ -296,9 +302,8 @@ object Vocab {
         .join(usage, Seq("token"), "left")
         .select(col("token"), coalesce(col("u"), lit(0L)).as("u"))
       val multi = usage.filter(length(col("token")) > 1)
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("u").desc, col("token").asc)))
-        .filter(col("rn") <= pruneTo).drop("rn")
+        .orderBy(col("u").desc, col("token").asc)
+        .limit(pruneTo)
       chars.unionByName(multi)
     }
 

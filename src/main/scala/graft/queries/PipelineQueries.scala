@@ -2441,8 +2441,9 @@ object PipelineQueries {
     * the daily embedding batch is assigned against them without touching
     * the base corpus. The panel an index-maintenance dashboard plots per
     * cell: base occupancy, arrival occupancy, mean assignment distance on
-    * each side, a `growth_hot` flag (arrivals landing in this cell at
-    * over 2× their global 1-in-10 share — occupancy skew building up) and
+    * each side, a `growth_hot` flag (this cell's arrival-to-base ratio
+    * over 2× the global 1:9 arrival-to-base ratio, i.e. an in-cell
+    * arrival share above ~18.2% — occupancy skew building up) and
     * a `drift` flag (arrival mean d² over 1.5× the base mean — the batch
     * is landing FAR from this centroid, the refit trigger signal). The
     * anchors here are the seeded y3/y3e kind so the whole panel is

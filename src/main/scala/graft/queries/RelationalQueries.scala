@@ -988,24 +988,28 @@ object RelationalQueries {
         .orderBy("metric")
     },
     """WITH s AS (
-      |  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END AS side,
-      |    user_id, event_type, value
+      |  SELECT ts < TIMESTAMP '2024-01-16' AS ia, user_id, event_type, value
       |  FROM events),
-      |p AS (SELECT side,
-      |    CAST(COUNT(*) AS DOUBLE) AS n_rows,
-      |    CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS ndv_user,
-      |    CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS ndv_type,
-      |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_value,
-      |    CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS mean_value
-      |  FROM s GROUP BY 1),
-      |a AS (SELECT * FROM p WHERE side = 'a'),
-      |b AS (SELECT * FROM p WHERE side = 'b'),
+      |p AS (SELECT
+      |    CAST(SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS DOUBLE) AS n_rows_a,
+      |    CAST(COUNT(DISTINCT CASE WHEN ia THEN user_id END) AS DOUBLE) AS ndv_user_a,
+      |    CAST(COUNT(DISTINCT CASE WHEN ia THEN event_type END) AS DOUBLE) AS ndv_type_a,
+      |    CAST(SUM(CASE WHEN ia AND value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_value_a,
+      |    CAST(SUM(CASE WHEN ia THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+      |      / SUM(CASE WHEN ia THEN 1 ELSE 0 END) AS mean_value_a,
+      |    CAST(SUM(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS DOUBLE) AS n_rows_b,
+      |    CAST(COUNT(DISTINCT CASE WHEN NOT ia THEN user_id END) AS DOUBLE) AS ndv_user_b,
+      |    CAST(COUNT(DISTINCT CASE WHEN NOT ia THEN event_type END) AS DOUBLE) AS ndv_type_b,
+      |    CAST(SUM(CASE WHEN NOT ia AND value IS NULL THEN 1 ELSE 0 END) AS DOUBLE) AS null_value_b,
+      |    CAST(SUM(CASE WHEN NOT ia THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE)
+      |      / SUM(CASE WHEN NOT ia THEN 1 ELSE 0 END) AS mean_value_b
+      |  FROM s),
       |m AS (
-      |  SELECT 'mean_value' AS metric, a.mean_value AS v_a, b.mean_value AS v_b FROM a, b
-      |  UNION ALL SELECT 'n_rows', a.n_rows, b.n_rows FROM a, b
-      |  UNION ALL SELECT 'ndv_type', a.ndv_type, b.ndv_type FROM a, b
-      |  UNION ALL SELECT 'ndv_user', a.ndv_user, b.ndv_user FROM a, b
-      |  UNION ALL SELECT 'null_value', a.null_value, b.null_value FROM a, b)
+      |  SELECT 'mean_value' AS metric, mean_value_a AS v_a, mean_value_b AS v_b FROM p
+      |  UNION ALL SELECT 'n_rows', n_rows_a, n_rows_b FROM p
+      |  UNION ALL SELECT 'ndv_type', ndv_type_a, ndv_type_b FROM p
+      |  UNION ALL SELECT 'ndv_user', ndv_user_a, ndv_user_b FROM p
+      |  UNION ALL SELECT 'null_value', null_value_a, null_value_b FROM p)
       |SELECT metric, v_a, v_b,
       |  CASE WHEN v_a <> 0 THEN ROUND((v_b - v_a) / v_a, 6) END AS rel_change,
       |  CASE WHEN v_a = 0 THEN v_b <> 0

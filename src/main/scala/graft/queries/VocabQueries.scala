@@ -174,7 +174,7 @@ object VocabQueries {
   private val UgInitMulti = 24
   private val UgPruneTo = 16
   private val UgRounds = 2
-  private val UgMaxWord = 12
+  private[graft] val UgMaxWord = 12
 
   /** Smoothed cost CTE over a (token, u) vocab CTE `v`:
     * −ln((u+1)/(total+|V|)) at DECIMAL(12,6) — integer-operand division,

@@ -225,6 +225,20 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!plan.contains("Window"), "BM25 must not rank through a window")
   }
 
+  test("z49: unigram-fit candidate prunes are TakeOrdered, never a global-sort window") {
+    // The distinct-substring histogram the init/EM prunes rank can reach
+    // 10⁷–10⁸ rows on CJK-heavy corpora: a row_number over an unpartitioned
+    // Window.orderBy would sort it on ONE task. The prunes must plan as
+    // TakeOrderedAndProject (per-partition heap + k-row driver merge); the
+    // only acceptable global Sort is the declared output's range-partitioned
+    // orderBy. (Audited on the unpinned composed plan — planOnly mode.)
+    val plan = formatted("z49_unigram_fit")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k candidate prunes must plan as TakeOrdered")
+    assert(!plan.contains("Window"),
+      "unigram fit must not rank candidates through a window (single-partition sort)")
+  }
+
   test("z27/z28/x21: weighted sampling plans stay scale-safe") {
     // global form: per-partition top-k + one k·P merge, never a sort
     val p27 = formatted("z27_weighted_sample")

@@ -50,6 +50,23 @@ class VocabSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("oracle DP unroll bound: no corpus word exceeds UgMaxWord at the correctness SFs") {
+    // The unigram oracle's relational Viterbi is unrolled to UgMaxWord
+    // positions, so a word longer than that would be SILENTLY dropped from
+    // the oracle's f{r}/usage/encode chains while the Spark side segments
+    // any length. This pins the data assumption so a generator change
+    // fails here with a readable message, not as a confusing hash diff.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val maxLen = spark.read.parquet(s"$d/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(max(length(col("w")))).as[Int].head()
+      assert(maxLen <= graft.queries.VocabQueries.UgMaxWord,
+        s"$d: longest corpus word is $maxLen chars > UgMaxWord=" +
+          s"${graft.queries.VocabQueries.UgMaxWord} — the unigram oracle's " +
+          "unrolled DP would silently drop it; raise UgMaxWord")
+    }
+  }
+
   test("bpeLearn reproduces the hand-computed merge sequence") {
     // corpus: "low" x5, "lower" x2, "newest" x6, "widest" x3  (the classic
     // Sennrich example shape). Pair counts round 1:
