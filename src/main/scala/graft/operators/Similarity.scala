@@ -158,6 +158,33 @@ object Similarity {
       .select(col("cell").as("anchor_id"),
         expr("transform(ps, p -> CAST(p.m AS FLOAT))").as("anchor_vec"))
 
+  /** [[lloydRefine]] in ENGINE-REPLAYABLE arithmetic: per-(cell, pos)
+    * means ride an exact DECIMAL(20,7) sum (component values snapshot
+    * double→decimal, which is engine-stable at scale ≤ 12), the division
+    * is ONE correctly-rounded IEEE op on identical operands, and the
+    * result casts back to float exactly like [[lloydRefine]] — so refined
+    * assignments CAN sit inside an oracle-matched query (y17), unlike the
+    * plain double-avg form whose fold order drifts across engines. A cell
+    * that loses all its vectors keeps its `prev` centroid ([[kmeansFit]]'s
+    * dead-cell rule). Same shuffle shape as [[lloydRefine]]: posexplode →
+    * one (cell, pos) aggregate (cardinality = cells × dims, bounded) →
+    * cells-sized reassembly. */
+  def lloydRefineExact(assigned: DataFrame, vecCol: String,
+                       prev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val means = assigned
+      .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg((sum(col("x").cast(DoubleType).cast(DecimalType(20, 7)))
+        .cast(DoubleType) / count(lit(1))).as("m"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("ps"))
+      .select(col("cell").as("anchor_id"),
+        expr("transform(ps, p -> CAST(p.m AS FLOAT))").as("anchor_vec"))
+    means.unionByName(
+      prev.join(means.select("anchor_id"), Seq("anchor_id"), "left_anti"))
+  }
+
   /** One iteration's summary from [[kmeansFit]]: `wcss` is the total
     * within-cluster squared L2 at the round's ASSIGNMENT (before refine),
     * `maxMovement` the largest centroid L2 shift produced by the round's

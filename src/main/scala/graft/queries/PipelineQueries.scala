@@ -2604,6 +2604,135 @@ object PipelineQueries {
        |SELECT arm, n_cells_used, max_share, base_mean_d2, arr_mean_d2
        |FROM p ORDER BY arm""".stripMargin)
 
+  /** y17: REFIT-PAYOFF PANEL — the measured action crossover y15's drift
+    * trigger calls for. y16 showed the cheap refresh (anchor promotion);
+    * this panel runs all THREE maintenance arms on the same aged index and
+    * corpus (base + the label-7 arrival family) so the trigger maps to a
+    * measured decision, not a doc note:
+    *   stale      — the base-only seeded anchors, untouched;
+    *   refreshed  — stale + the first two arrival exemplars promoted
+    *                (y16's cheap arm: no assignment pass over the corpus
+    *                beyond serving);
+    *   refit      — two full Lloyd rounds from the stale anchors over
+    *                base + arrivals (y3b/y3d's escalation machinery).
+    * Per arm: cells in use, occupancy concentration (max cell share), and
+    * DECIMAL-exact mean assignment d² for base and arrival vectors
+    * separately — the panel an index-maintenance job reads to decide
+    * whether the drift flag is worth a corpus-wide refit.
+    *
+    * Cross-engine exactness of the REFIT arm (the new part — y3b had to
+    * summarize its loop as contract booleans because double-avg centroids
+    * drift across engines): each Lloyd round here is
+    * [[Similarity.lloydRefineExact]] — per-(cell, pos) means as exact
+    * DECIMAL(20,7) sums (double→decimal snapshot, engine-stable) divided
+    * in ONE correctly-rounded IEEE op, cast back to float exactly like
+    * lloydRefine — so the refined centroids, hence every assignment and
+    * the whole panel, replay bit-identically in the oracle's unrolled
+    * two-round CTE chain.
+    *
+    * Scale: three broadcast-argmin assignment passes + two refine rounds
+    * — the corpus never shuffles on the assignment side; each refine is
+    * one (cell, pos) aggregate of bounded cardinality (cells × 64) and a
+    * cells-sized reassembly; panel aggregates are map-side combinable.
+    * At 100 TB the three arms share the same scan and the refit rounds
+    * are the y3d store-write lifecycle run offline. */
+  private val y17RefitPayoff = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      val e = Tables.embeddings(s, d)
+      val a0 = e.filter(col("label") =!= 7).orderBy("vec_id").limit(IvfCells)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val ax = e.filter(col("label") === 7).orderBy("vec_id").limit(2)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      var refit = a0
+      for (_ <- 1 to 2)
+        refit = Similarity.lloydRefineExact(
+          Similarity.ivfAssign(e, refit, "vec_id", "embedding"),
+          "embedding", refit)
+      def arm(anchors: org.apache.spark.sql.DataFrame, name: String) = {
+        val asg = Similarity.ivfAssign(e, anchors, "vec_id", "embedding",
+            extraCols = Seq("label"))
+          .withColumn("is_arr", col("label") === 7)
+        val d2 = col("cell_d2").cast(DecimalType(20, 6))
+        asg.groupBy("cell")
+          .agg(count(lit(1)).as("nc"),
+            sum(when(col("is_arr"), d2)).as("sa"),
+            sum(when(col("is_arr"), 1L).otherwise(0L)).as("na"),
+            sum(when(!col("is_arr"), d2)).as("sb"),
+            sum(when(!col("is_arr"), 1L).otherwise(0L)).as("nb"))
+          .agg(count(lit(1)).as("n_cells_used"),
+            (max(col("nc")).cast(DoubleType) / sum(col("nc"))).as("max_share"),
+            (sum(col("sb")).cast(DoubleType) / sum(col("nb"))).as("base_mean_d2"),
+            (sum(col("sa")).cast(DoubleType) / sum(col("na"))).as("arr_mean_d2"))
+          .select(lit(name).as("arm"), col("n_cells_used"), col("max_share"),
+            col("base_mean_d2"), col("arr_mean_d2"))
+      }
+      arm(a0, "stale")
+        .unionByName(arm(a0.unionByName(ax), "refreshed"))
+        .unionByName(arm(refit, "refit"))
+        .orderBy("arm")
+    },
+    {
+      def roundCtes(r: Int, prev: String): String =
+        s"""rd$r AS MATERIALIZED (SELECT v.vec_id, a.anchor_id,
+           |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+           |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+           |  FROM v CROSS JOIN $prev a),
+           |rg$r AS (SELECT vec_id, anchor_id AS cell FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, anchor_id) rn
+           |    FROM rd$r) z WHERE rn = 1),
+           |rm$r AS (SELECT g.cell, p.pos,
+           |    CAST(SUM(CAST(v.vd[p.pos] AS DECIMAL(20,7))) AS DOUBLE) / COUNT(*) AS m
+           |  FROM rg$r g JOIN v ON g.vec_id = v.vec_id
+           |  CROSS JOIN generate_series(1, 64) p(pos)
+           |  GROUP BY 1, 2),
+           |rc$r AS (SELECT cell AS anchor_id,
+           |    list_transform(list(m ORDER BY pos), x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS avd
+           |  FROM rm$r GROUP BY cell),
+           |ra$r AS MATERIALIZED (SELECT p.anchor_id, COALESCE(c.avd, p.avd) AS avd
+           |  FROM $prev p LEFT JOIN rc$r c ON p.anchor_id = c.anchor_id)""".stripMargin
+      def armCtes(tag: String, anchors: String): String =
+        s"""d$tag AS (SELECT v.vec_id, v.label = 7 AS is_arr, a.anchor_id,
+           |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+           |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+           |  FROM v CROSS JOIN $anchors a),
+           |g$tag AS (SELECT vec_id, is_arr, anchor_id AS cell, d2 FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, anchor_id) rn
+           |    FROM d$tag) z WHERE rn = 1),
+           |c$tag AS (SELECT cell, COUNT(*) AS nc,
+           |    SUM(CASE WHEN is_arr THEN CAST(d2 AS DECIMAL(20,6)) END) AS sa,
+           |    SUM(CASE WHEN is_arr THEN 1 ELSE 0 END) AS na,
+           |    SUM(CASE WHEN NOT is_arr THEN CAST(d2 AS DECIMAL(20,6)) END) AS sb,
+           |    SUM(CASE WHEN NOT is_arr THEN 1 ELSE 0 END) AS nb
+           |  FROM g$tag GROUP BY 1)""".stripMargin
+      def armSelect(name: String, tag: String): String =
+        s"""SELECT '$name' AS arm, CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+           |    CAST(MAX(nc) AS DOUBLE) / CAST(SUM(nc) AS BIGINT) AS max_share,
+           |    CAST(SUM(sb) AS DOUBLE) / CAST(SUM(nb) AS BIGINT) AS base_mean_d2,
+           |    CAST(SUM(sa) AS DOUBLE) / CAST(SUM(na) AS BIGINT) AS arr_mean_d2
+           |  FROM c$tag""".stripMargin
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT vec_id, label, ${vdSql("embedding")} AS vd FROM embeddings),
+         |a0 AS MATERIALIZED (SELECT vec_id AS anchor_id, vd AS avd FROM v
+         |       WHERE label <> 7 ORDER BY vec_id LIMIT $IvfCells),
+         |a1 AS (SELECT * FROM a0 UNION ALL
+         |       SELECT vec_id, vd FROM (SELECT vec_id, vd FROM v
+         |         WHERE label = 7 ORDER BY vec_id LIMIT 2) x),
+         |${roundCtes(1, "a0")},
+         |${roundCtes(2, "ra1")},
+         |${armCtes("s", "a0")},
+         |${armCtes("f", "a1")},
+         |${armCtes("r", "ra2")},
+         |p AS (
+         |  ${armSelect("stale", "s")}
+         |  UNION ALL
+         |  ${armSelect("refreshed", "f")}
+         |  UNION ALL
+         |  ${armSelect("refit", "r")})
+         |SELECT arm, n_cells_used, max_share, base_mean_d2, arr_mean_d2
+         |FROM p ORDER BY arm""".stripMargin
+    })
+
   /** z48: positional POSTINGS index + phrase search — both halves of the
     * exact-phrase lifecycle, each in its scale-correct shape:
     *
@@ -6522,6 +6651,7 @@ object PipelineQueries {
     "y14_filtered_ann" -> y14FilteredAnn,
     "y15_ivf_arrival" -> y15IvfArrival,
     "y16_index_refresh" -> y16IndexRefresh,
+    "y17_refit_payoff" -> y17RefitPayoff,
     "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,

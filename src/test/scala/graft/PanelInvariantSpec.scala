@@ -109,6 +109,33 @@ class PanelInvariantSpec extends SparkSpec {
     }
   }
 
+  test("y17: refit arm obeys Lloyd's guarantee and beats the stale index overall") {
+    val r = rows("y17_refit_payoff").map(x => x.getString(0) -> x).toMap
+    def totalMeanD2(x: org.apache.spark.sql.Row): Double = {
+      // recombine the per-side means into the overall mean via cell counts
+      // is not possible from the panel alone; the Lloyd guarantee is on the
+      // FULL corpus, so bound via both sides: refit must not degrade either
+      (x.getDouble(3), x.getDouble(4)) match { case (b, a) => b.max(a) }
+    }
+    val (st, rf, ft) = (r("stale"), r("refreshed"), r("refit"))
+    // Lloyd rounds are non-increasing in WCSS over base + arrivals: with the
+    // whole corpus in play, two refine rounds must improve BOTH side means
+    // against the stale anchors (2e-6·n slack per the y3b rounding analysis
+    // is far below the observed gap; assert the raw inequality on this data)
+    assert(ft.getDouble(3) < st.getDouble(3), "refit degraded the base fit")
+    assert(ft.getDouble(4) < st.getDouble(4), "refit degraded the arrival fit")
+    // the escalation is worth its cost on a coherent drift family: the full
+    // refit must beat the cheap refresh on the drifting side — this is the
+    // measured crossover the y15 drift trigger maps to
+    assert(ft.getDouble(4) < rf.getDouble(4),
+      "full refit should out-fit the cheap anchor promotion on arrivals")
+    Seq(st, rf, ft).foreach { x =>
+      assert(x.getDouble(2) > 0.0 && x.getDouble(2) <= 1.0)
+      assert(x.getLong(1) >= 1L)
+    }
+    assert(totalMeanD2(ft) < totalMeanD2(st))
+  }
+
   test("z48: mined phrases are trigrams; doc counts bound occurrences") {
     val r = rows("z48_phrase_postings")
     assert(r.length === 3)
