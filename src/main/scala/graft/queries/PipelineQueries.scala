@@ -4650,6 +4650,30 @@ object PipelineQueries {
       .join(banded, Seq("doc_id"), "left_semi")
   }
 
+  /** The three-gate survivor set persisted THROUGH THE STORE, once per
+    * (session, input dir) — the warehouse-scale barrier the x34/x37
+    * scaladocs always named (y13's rule: a frame feeding a multi-consumer
+    * fan-out is a store write, not an executor-memory checkpoint).
+    * localCheckpoint is memory-resident and not fault-tolerant; the store
+    * write costs one extra scan but survives executor loss and is exactly
+    * what a production curation DAG does between its gate stage and its
+    * mix/edit stages. Partitioned by source so downstream per-source
+    * consumers get static pruning. Shutdown hook cleans the table up
+    * (y3d's discipline). */
+  private val v5SurvBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  private def v5SurvivorsStored(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    v5SurvBuilt.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"survivors_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "source")
+      store.destroy()
+      store.append(v5Survivors(Tables.documents(s, d)))
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      store.read
+    })
+
   private val x32CurationV5 = Q(
     (s, d) => {
       v5Survivors(Tables.documents(s, d))
@@ -4835,17 +4859,17 @@ object PipelineQueries {
   private val x34CurationV6 = Q(
     (s, d) => {
       import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
-      // pin the three-gate survivor frame before the fan-out: four
+      // barrier the three-gate survivor frame before the fan-out: four
       // downstream consumers (signature build, CC label loop, quality
       // ranking, resolution join) would otherwise each re-run the whole
       // gate DAG — and the CC loop re-runs its input per iteration.
-      // At warehouse scale the same barrier is a store write of the
-      // survivor set (y13's rule). Plan-only sweeps skip the pin (no
-      // actions at construction).
+      // The barrier IS a store write ([[v5SurvivorsStored]] — y13's rule,
+      // now implemented rather than documented: fault-tolerant, shared
+      // with x37/x41, pruned by source on the read side). Plan-only
+      // sweeps skip it (no actions at construction).
       val surv =
         if (planOnly) v5Survivors(Tables.documents(s, d))
-        else graft.Housekeeping.retainCheckpoint(s)(
-          v5Survivors(Tables.documents(s, d)))
+        else v5SurvivorsStored(s, d)
       val pairs = Dedup.lshCandidates(minhashSigOf(surv), "doc_id", 8,
         maxBucket = Some(X2MaxBucket))
       val labels = Dedup.connectedComponents(pairs, surv, "doc_id")
@@ -4949,27 +4973,62 @@ object PipelineQueries {
     * already-gated implementation; the oracle replays the complete chain
     * (gates → KN banding → positional scrub → island rebuild → budget
     * arithmetic → shard rank window) from the same shared CTE renderers.
-    * Scale: the survivor frame is pinned before the scrub fan-out (the
-    * positional relation feeds both the dup-fp count and the verdict
-    * join), and the scrubbed frame before its stats/shard fan-out — at
-    * warehouse scale both barriers are store writes (y13's rule). */
+    * Scale: the survivor frame is barriered as a STORE WRITE before the
+    * scrub fan-out ([[v5SurvivorsStored]] — the positional relation feeds
+    * both the dup-fp count and the verdict join), and the scrubbed frame
+    * localCheckpoints before its stats/shard fan-out (a small
+    * intermediate bounded by durable ends; [[scrubbedSurvivors]]). */
+  /** x37/x41 shared: the scrubbed-survivor manifest (doc_id, source,
+    * orig_toks, clean_toks) — v5 gates (store-barriered survivor set,
+    * [[v5SurvivorsStored]]) → span scrub → ≥8-token refilter. The
+    * scrubbed frame keeps a localCheckpoint barrier (a small intermediate
+    * between the store-backed survivor read and x41's store-backed run
+    * write — the two durable ends bound the recompute cost on loss). */
+  private def scrubbedSurvivors(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val surv =
+      if (planOnly) v5Survivors(Tables.documents(s, d))
+      else v5SurvivorsStored(s, d)
+    val scr = Dedup.spanScrub(surv, "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("n_tokens").cast(LongType).as("orig_toks"),
+        (col("n_tokens") - col("n_removed_tokens")).cast(LongType).as("clean_toks"))
+    val cleanedFrame = scr
+      .join(surv.select("doc_id", "source"), Seq("doc_id"))
+      .filter(col("clean_toks") >= 8)
+      .select("doc_id", "source", "orig_toks", "clean_toks")
+    if (planOnly) cleanedFrame
+    else graft.Housekeeping.retainCheckpoint(s)(cleanedFrame)
+  }
+
+  /** Oracle CTE chain producing `cl` — the scrubbed-survivor manifest
+    * (doc_id, source, orig_toks, clean_toks) — shared verbatim by the
+    * x37 and x41 oracles so the plan and its materialization can never
+    * drift on the replay side either. */
+  private val x37ScrubCtes: String =
+    s"""$x32GateCtes,
+       |$x32KnBandCtes,
+       |surv AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM documents d
+       |  JOIN gkeep USING (doc_id) JOIN skeep USING (doc_id) JOIN kkeep USING (doc_id)),
+       |sws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM surv),
+       |spos AS (
+       |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS fp
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+       |        FROM sws WHERE len(w) >= 8)),
+       |sdupfp AS (SELECT fp FROM spos GROUP BY fp HAVING COUNT(*) >= 2),
+       |sdpt AS (SELECT doc_id, list_sort(list(pos)) AS dp
+       |  FROM spos JOIN sdupfp USING (fp) GROUP BY 1),
+       |cleaned AS MATERIALIZED (
+       |  SELECT s2.doc_id, s2.source, CAST(len(s2.w) AS BIGINT) AS orig_toks,
+       |    CAST(len(list_filter(generate_series(1, len(s2.w)),
+       |      jj -> len(list_filter(coalesce(sdpt.dp, CAST([] AS BIGINT[])),
+       |        p -> jj >= p AND jj <= p + 7)) = 0)) AS BIGINT) AS clean_toks
+       |  FROM sws s2 LEFT JOIN sdpt USING (doc_id)),
+       |cl AS (SELECT * FROM cleaned WHERE clean_toks >= 8)""".stripMargin
+
   private val x37CurationV7 = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
-      val surv =
-        if (planOnly) v5Survivors(Tables.documents(s, d))
-        else graft.Housekeeping.retainCheckpoint(s)(
-          v5Survivors(Tables.documents(s, d)))
-      val scr = Dedup.spanScrub(surv, "doc_id", "text", k = 8)
-        .select(col("doc_id"), col("n_tokens").cast(LongType).as("orig_toks"),
-          (col("n_tokens") - col("n_removed_tokens")).cast(LongType).as("clean_toks"))
-      val cleanedFrame = scr
-        .join(surv.select("doc_id", "source"), Seq("doc_id"))
-        .filter(col("clean_toks") >= 8)
-        .select("doc_id", "source", "orig_toks", "clean_toks")
-      val cleaned =
-        if (planOnly) cleanedFrame
-        else graft.Housekeeping.retainCheckpoint(s)(cleanedFrame)
+      val cleaned = scrubbedSurvivors(s, d)
       val st = cleaned.groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("clean_toks")).cast(LongType).as("n_tokens"),
@@ -4990,25 +5049,7 @@ object PipelineQueries {
           "alloc_tokens", "epochs", "capped", "shard_spread")
         .orderBy("source")
     },
-    s"""WITH $x32GateCtes,
-       |$x32KnBandCtes,
-       |surv AS MATERIALIZED (SELECT d.doc_id, d.source, d.text FROM documents d
-       |  JOIN gkeep USING (doc_id) JOIN skeep USING (doc_id) JOIN kkeep USING (doc_id)),
-       |sws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM surv),
-       |spos AS (
-       |  SELECT doc_id, i AS pos, md5(array_to_string(w[i:i+7], ' ')) AS fp
-       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
-       |        FROM sws WHERE len(w) >= 8)),
-       |sdupfp AS (SELECT fp FROM spos GROUP BY fp HAVING COUNT(*) >= 2),
-       |sdpt AS (SELECT doc_id, list_sort(list(pos)) AS dp
-       |  FROM spos JOIN sdupfp USING (fp) GROUP BY 1),
-       |cleaned AS MATERIALIZED (
-       |  SELECT s2.doc_id, s2.source, CAST(len(s2.w) AS BIGINT) AS orig_toks,
-       |    CAST(len(list_filter(generate_series(1, len(s2.w)),
-       |      jj -> len(list_filter(coalesce(sdpt.dp, CAST([] AS BIGINT[])),
-       |        p -> jj >= p AND jj <= p + 7)) = 0)) AS BIGINT) AS clean_toks
-       |  FROM sws s2 LEFT JOIN sdpt USING (doc_id)),
-       |cl AS (SELECT * FROM cleaned WHERE clean_toks >= 8),
+    s"""WITH $x37ScrubCtes,
        |st AS (SELECT source, COUNT(*) AS n_docs,
        |    CAST(SUM(clean_toks) AS BIGINT) AS n_tokens,
        |    CAST(SUM(orig_toks) AS BIGINT) AS orig_tokens,
@@ -5035,6 +5076,90 @@ object PipelineQueries {
        |  LEAST(target_tokens, nt * 4) / nt AS epochs,
        |  target_tokens > nt * 4 AS capped, shard_spread
        |FROM a2 CROSS JOIN sprd ORDER BY source""".stripMargin)
+
+  /** One MATERIALIZED training run per (session, input dir): x37's
+    * scrubbed-survivor manifest shard-assigned and WRITTEN through the
+    * Store partitioned by shard — 16 partition directories, one per
+    * writer, exactly the layout a data-parallel trainer reads. Cached and
+    * shutdown-hook-destroyed (y3d's discipline). */
+  private val x41Built = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  private def x41StoredRun(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    x41Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      val sharded = Sampling.shardAssign(scrubbedSurvivors(s, d),
+        Seq("doc_id"), "clean_toks", nShards = 16)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"train_run_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "shard")
+      store.destroy()
+      store.append(sharded)
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      store.read
+    })
+
+  /** x41: MATERIALIZE THE TRAINING RUN — x37 computes the shard plan;
+    * this query LANDS it and proves the landing faithful. The scrubbed
+    * manifest is shard-assigned (z44's balanced round-robin over the
+    * global size order) and written through the Store partitioned by
+    * shard ([[x41StoredRun]] — 16 partition directories, the layout a
+    * data-parallel trainer's 16 readers consume with static pruning);
+    * the declared output is computed entirely FROM THE RE-READ STORE:
+    * per (epoch, shard) doc counts, token totals, the first doc in each
+    * epoch's deterministic md5 order, and z46's position-weighted order
+    * checksum on the 2³¹−1 lattice. The oracle never sees the store — it
+    * replays the PLAN (the x37 scrub chain → shard rank → epoch
+    * permutation → checksum), so hash equality IS the write-path
+    * verification: every doc landed in its planned shard, no row lost or
+    * doubled, and the epoch order derivable from the materialized table
+    * matches the one derived from the plan. StoreSpec adds the restart
+    * case (a fresh handle re-reads the same totals; re-materialization
+    * is bit-identical).
+    *
+    * Scale: the shard rank rides the distributed prefix-sum (no corpus
+    * window); the store write is 16 hash-partitioned directories; the
+    * read side computes only per-(epoch, shard) combinable aggregates
+    * (64 output rows at any corpus size). */
+  private val x41RunMaterialize = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val run =
+        if (planOnly)
+          Sampling.shardAssign(scrubbedSurvivors(s, d),
+            Seq("doc_id"), "clean_toks", nShards = 16)
+        else x41StoredRun(s, d)
+      val ep = run.select(col("doc_id"), col("shard"), col("clean_toks"),
+        explode(sequence(lit(0), lit(3))).as("epoch"))
+      val ordered = ep.withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy(
+          md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("epoch").cast("string"))), col("doc_id"))))
+      val M = lit(2147483647L)
+      ordered.groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("clean_toks")).cast(LongType).as("shard_tokens"),
+          max(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
+          pmod(sum((col("pos").cast(LongType) % M) * (col("doc_id") % M) % M), M)
+            .cast(LongType).as("order_checksum"))
+        .orderBy("epoch", "shard")
+    },
+    s"""WITH $x37ScrubCtes,
+       |shr AS (SELECT doc_id, clean_toks,
+       |    ROW_NUMBER() OVER (ORDER BY clean_toks DESC, doc_id) AS rnk FROM cl),
+       |sh AS (SELECT doc_id, clean_toks, CAST((rnk - 1) % 16 AS INT) AS shard FROM shr),
+       |ep AS (SELECT doc_id, clean_toks, shard,
+       |    CAST(unnest(generate_series(0, 3)) AS INT) AS epoch FROM sh),
+       |o AS (SELECT epoch, shard, doc_id, clean_toks,
+       |    ROW_NUMBER() OVER (PARTITION BY epoch, shard
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),
+       |        doc_id) AS pos
+       |  FROM ep)
+       |SELECT epoch, shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(clean_toks) AS BIGINT) AS shard_tokens,
+       |  MAX(CASE WHEN pos = 1 THEN doc_id END) AS first_doc,
+       |  CAST(SUM((pos % 2147483647) * (doc_id % 2147483647) % 2147483647)
+       |    % 2147483647 AS BIGINT) AS order_checksum
+       |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
   /** z39: character-entropy quality signal — the compression-ratio proxy
     * low-quality detectors use beside z2's ratio panel: gibberish,
@@ -6611,6 +6736,7 @@ object PipelineQueries {
     "x32b_curation_heldout" -> x32bCurationHeldout,
     "x34_curation_v6" -> x34CurationV6,
     "x37_curation_v7" -> x37CurationV7,
+    "x41_run_materialize" -> x41RunMaterialize,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
     "z19_sequence_pack" -> z19SequencePack,

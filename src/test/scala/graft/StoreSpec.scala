@@ -21,6 +21,34 @@ class StoreSpec extends SparkSpec {
     assert(store.countsByPartition.as[(Int, Long)].collect().toMap === Map(1999 -> 3L))
   }
 
+  test("materialized shard run survives a restart: fresh handle re-reads the plan exactly") {
+    // the x41 contract in miniature: shard-assign a manifest, land it
+    // through a shard-partitioned store, then simulate a writer restart —
+    // a FRESH handle (new Store instance, read from path only) must see
+    // exactly the planned per-shard totals, and re-materializing from
+    // scratch must land bit-identical content (the plan is deterministic,
+    // so a crashed-and-restarted run converges to the same table)
+    val docs = (1L to 200L).map(i => (i, (i * 7919 % 97) + 1)).toDF("doc_id", "toks")
+    val plan = graft.operators.Sampling.shardAssign(docs, Seq("doc_id"), "toks", 8)
+    val planTotals = plan.groupBy("shard")
+      .agg(count(lit(1)).as("n"), sum("toks").as("t"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val path = tmpDir("store_run_restart")
+    Store(spark, path, "shard").rebuild(Iterator(plan))
+    // restart: a brand-new handle with no lineage back to `plan`
+    val reread = Store(spark, path, "shard").read
+    assert(reread.groupBy("shard").agg(count(lit(1)).as("n"), sum("toks").as("t"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap === planTotals)
+    assert(planTotals.keySet === (0 until 8).toSet)
+    // re-materialization after a destroy lands the identical row set
+    // (collect the first landing BEFORE the destroy — the frame is lazy)
+    val firstRun = reread.as[(Long, Long, Int)].collect().toSet
+    val store2 = Store(spark, path, "shard")
+    store2.rebuild(Iterator(
+      graft.operators.Sampling.shardAssign(docs, Seq("doc_id"), "toks", 8)))
+    assert(store2.read.as[(Long, Long, Int)].collect().toSet === firstRun)
+  }
+
   test("update appends only unseen keys and is idempotent") {
     val store = Store(spark, tmpDir("store_update"), "season")
     store.rebuild(Iterator(season(2023, 2)))
