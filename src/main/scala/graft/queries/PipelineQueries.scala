@@ -1259,6 +1259,314 @@ object PipelineQueries {
        |SELECT source, outcome, COUNT(*) AS n_docs
        |FROM arr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** x40's stored MODEL artifacts, fit once on the base corpus
+    * (doc_id % 10 ≠ 0 — "yesterday's" clean holdings) and persisted
+    * through the Store: the KN bigram count table sharded by prev-hash
+    * (knModelStored's layout at the ingest split) and the per-lang
+    * discriminator coefficients (z42's snapshot discipline). One build
+    * per (session, input dir); y3d's cache-and-shutdown-hook rules. */
+  private val x40LmBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  private def x40LmStored(s: SparkSession, d: String) =
+    x40LmBuilt.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"ingest_lm_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "part")
+      store.destroy()
+      store.append(graft.operators.Lm.bigramCounts(
+          Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
+        .withColumn("part", pmod(hash(col("prev")), lit(8))))
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      store.read.drop("part")
+    })
+
+  private def x40ClsFit(docs: org.apache.spark.sql.DataFrame) =
+    Relational.logisticIrls(
+        clsFeats(docs.filter(col("doc_id") % 10 =!= 0)),
+        "lang", iters = 4, lambda = 1.0)
+      .select(col("lang"),
+        col("b0").cast("decimal(12,4)").cast("double").as("b0s"),
+        col("b1").cast("decimal(12,4)").cast("double").as("b1s"),
+        col("b2").cast("decimal(12,4)").cast("double").as("b2s"))
+
+  private val x40ClsBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  private def x40ClsStored(s: SparkSession, d: String) =
+    x40ClsBuilt.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"ingest_cls_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "part")
+      store.destroy()
+      store.append(x40ClsFit(Tables.documents(s, d))
+        .withColumn("part", col("lang")))
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      store.read.drop("part")
+    })
+
+  /** x40: THE DAILY-INGEST CAPSTONE — every arrival-path rung composed as
+    * the ONE job a production corpus actually runs each day, entirely
+    * against STORED artifacts ("yesterday's store"): today's batch
+    * (doc_id % 10 = 0, vec_id % 10 = 0) flows through
+    *  1. dedup RESOLUTION against the persisted canonical map
+    *     ([[baseMapStored]] — x39's machinery: against-join candidates,
+    *     touched-only incremental label propagation) → each arrival is
+    *     `joined_existing` (a re-crawl/near-dup of known content — MERGED
+    *     away, never re-ingested), `new_cluster`, or `singleton`;
+    *  2. held-out KN perplexity scoring off the stored base-fit bigram
+    *     model ([[x40LmStored]] — z41's left-join scorer with backoff
+    *     floors) banded per language WITHIN the batch (x32b's CCNet
+    *     shape; an unscoreable doc fails closed);
+    *  3. the learned discriminator gate off the stored coefficients
+    *     ([[x40ClsStored]] — z42's snapshot discipline), per-lang top
+    *     half by eta within the batch (x38's retention shape);
+    *  4. model MAINTENANCE: the kept docs' bigram counts merge into the
+    *     stored model via [[graft.operators.Lm.mergeCounts]], and the
+    *     report carries the post-merge row count, token total, and a
+    *     2³¹−1-lattice content checksum — the ORACLE recomputes the
+    *     model from scratch over base ∪ kept text, so the hash gate
+    *     proves fit(A) + counts(B) ≡ fit(A ∪ B) content-exactly
+    *     (mergeCounts' missing oracle gate, closed);
+    *  5. ANN-side drift: the embedding batch assigned against the seeded
+    *     base anchors (y15's broadcast argmin — the corpus never
+    *     shuffles) with the per-cell growth/drift flags aggregated to
+    *     the two counts an ingest dashboard alerts on.
+    * Output: one row per source — arrivals, merged/new-cluster/singleton
+    * resolution counts, kept (passed both gates and not merged), dropped
+    * — with the global model-maintenance and drift columns cross-joined
+    * (x37's one-row-global pattern). The ORACLE REPLAYS EVERYTHING FROM
+    * SCRATCH (full-recompute CC over the whole corpus, 4 Newton steps,
+    * the complete KN formula, the refit model, the IVF panel), so hash
+    * equality proves the stored-artifact incremental path lands exactly
+    * where a from-scratch daily rebuild would — x39's guarantee extended
+    * across the whole ingest surface.
+    *
+    * Scale: base artifacts are O(base) ONCE, then each day pays
+    * O(batch + touched): the canonical map join is touched-clusters-only,
+    * every model join is model-sized and UNHINTED, the batch gates
+    * shuffle only batch-sized frames (the banding windows partition by
+    * lang within the batch), the merge shuffle is partition-aligned with
+    * the stored model's prev-hash shards, and the ANN pass is one
+    * broadcast argmin over the embedding table. */
+  private val x40DailyIngest = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      // 1. dedup resolution against the stored canonical map
+      val sig = minhashSig(s, d)
+      val labels0 =
+        if (planOnly) baseMapFit(s, d)
+        else baseMapStored(s, d)
+      val newPairs = Dedup.lshCandidatesAgainst(
+          sig.filter(col("doc_id") % 10 === 0),
+          sig.filter(col("doc_id") % 10 =!= 0), "doc_id", 8)
+        .select(col("doc_new").as("doc_a"), col("doc_base").as("doc_b"))
+        .union(Dedup.lshCandidates(sig.filter(col("doc_id") % 10 === 0), "doc_id", 8))
+      val labels = Dedup.incrementalComponents(labels0,
+        batch.select("doc_id"), newPairs, "doc_id")
+      val cl = labels.groupBy("cluster_id").agg(
+        sum(when(col("doc_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_base"),
+        count(lit(1)).as("n_all"))
+      val outcome = labels.filter(col("doc_id") % 10 === 0)
+        .join(cl, Seq("cluster_id"))
+        .select(col("doc_id"),
+          when(col("n_base") > 0, "joined_existing")
+            .when(col("n_all") >= 2, "new_cluster")
+            .otherwise("singleton").as("outcome"))
+      // 2. LM gate off the stored base model
+      val knM =
+        if (planOnly) graft.operators.Lm.bigramCounts(
+          docs.filter(col("doc_id") % 10 =!= 0))
+        else x40LmStored(s, d)
+      val lmBand = Relational.groupedNtile(
+          knHeldoutScored(knM, batch)
+            .join(batch.select("doc_id", "lang"), Seq("doc_id"))
+            .select("doc_id", "lang", "avg_kn_logprob"),
+          groups = Seq("lang"), order = Seq("avg_kn_logprob", "doc_id"),
+          n = 3, out = "band")
+        .select(col("doc_id"), (col("band") >= 2).as("lm_keep"))
+      // 3. discriminator gate off the stored coefficients
+      val clsM =
+        if (planOnly) x40ClsFit(docs)
+        else x40ClsStored(s, d)
+      val clsKeep = Relational.groupedNtile(
+          clsFeats(batch).join(broadcast(clsM), Seq("lang"))
+            .select(col("doc_id"), col("lang"),
+              (col("b0s") + col("b1s") * col("x1") + col("b2s") * col("x2"))
+                .as("eta")),
+          groups = Seq("lang"), order = Seq("eta", "doc_id"),
+          n = 2, out = "cband")
+        .select(col("doc_id"), (col("cband") === 2).as("cls_keep"))
+      val verdicts = batch.select("doc_id", "source")
+        .join(outcome, Seq("doc_id"))
+        .join(lmBand, Seq("doc_id"), "left")
+        .join(clsKeep, Seq("doc_id"), "left")
+        .withColumn("lm_keep", coalesce(col("lm_keep"), lit(false)))
+        .withColumn("cls_keep", coalesce(col("cls_keep"), lit(false)))
+        .withColumn("kept", col("outcome") =!= "joined_existing" &&
+          col("lm_keep") && col("cls_keep"))
+      // 4. model maintenance: merge the kept docs' counts into the model
+      val keptDocs = batch.join(
+        verdicts.filter(col("kept")).select("doc_id"), Seq("doc_id"), "left_semi")
+      val merged = graft.operators.Lm.mergeCounts(
+        knM, graft.operators.Lm.bigramCounts(keptDocs))
+      val M = lit(2147483647L)
+      val before = knM.agg(count(lit(1)).as("model_rows_before"))
+      val after = merged.agg(
+        count(lit(1)).as("model_rows_after"),
+        sum(col("n_bg")).cast(LongType).as("model_tokens_after"),
+        pmod(sum(
+          (TextAnalysis.hash32(col("prev")) * 31 + TextAnalysis.hash32(col("cur"))) % M
+            * (col("n_bg") % M) % M), M).cast(LongType).as("model_checksum"))
+      // 5. ANN drift flags for the embedding batch
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") >= 1 && col("vec_id") <= IvfCells)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val d2dec = col("cell_d2").cast(DecimalType(20, 6))
+      val cells = Similarity.ivfAssign(e, anchors, "vec_id", "embedding")
+        .withColumn("arr", col("vec_id") % 10 === 0)
+        .groupBy("cell").agg(
+          sum(when(!col("arr"), 1L).otherwise(0L)).as("nb"),
+          sum(when(col("arr"), 1L).otherwise(0L)).as("na"),
+          sum(when(!col("arr"), d2dec)).as("sb"),
+          sum(when(col("arr"), d2dec)).as("sa"))
+        .withColumn("bm", when(col("nb") > 0, col("sb").cast(DoubleType) / col("nb")))
+        .withColumn("am", when(col("na") > 0, col("sa").cast(DoubleType) / col("na")))
+      val drift = cells.agg(
+        sum(when(coalesce(col("am") > col("bm") * 1.5, lit(false)), 1L).otherwise(0L))
+          .as("n_drift_cells"),
+        sum(when(col("na") * 9 > col("nb") * 2, 1L).otherwise(0L))
+          .as("n_growth_cells"))
+      verdicts.groupBy("source").agg(
+          count(lit(1)).as("n_arrivals"),
+          sum(when(col("outcome") === "joined_existing", 1L).otherwise(0L)).as("n_merged"),
+          sum(when(col("outcome") === "new_cluster", 1L).otherwise(0L)).as("n_new_cluster"),
+          sum(when(col("outcome") === "singleton", 1L).otherwise(0L)).as("n_singleton"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("outcome") =!= "joined_existing" && !col("kept"), 1L)
+            .otherwise(0L)).as("n_dropped_gates"))
+        .crossJoin(broadcast(before))
+        .crossJoin(broadcast(after))
+        .crossJoin(broadcast(drift))
+        .orderBy("source")
+    },
+    s"""WITH RECURSIVE $minhashCtes,
+       |bands AS ($bandsSql),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1),
+       |lbl AS (SELECT d.doc_id, d.source,
+       |    COALESCE(comp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp ON d.doc_id = comp.node),
+       |cl AS (SELECT cluster_id,
+       |    CAST(SUM(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |    COUNT(*) AS n_all
+       |  FROM lbl GROUP BY 1),
+       |outc AS (SELECT l.doc_id,
+       |    CASE WHEN c.n_base > 0 THEN 'joined_existing'
+       |         WHEN c.n_all >= 2 THEN 'new_cluster'
+       |         ELSE 'singleton' END AS outcome
+       |  FROM lbl l JOIN cl c ON c.cluster_id = l.cluster_id
+       |  WHERE l.doc_id % 10 = 0),
+       |${knHeldoutCtes("doc_id % 10 <> 0", "doc_id % 10 = 0")},
+       |kb AS (SELECT k.doc_id, NTILE(3) OVER (
+       |      PARTITION BY dd.lang ORDER BY k.avg_kn_logprob, k.doc_id) AS band
+       |  FROM kout k JOIN documents dd ON dd.doc_id = k.doc_id),
+       |feats AS (
+       |  SELECT doc_id, lang,
+       |    ln(1.0 + n_chars) AS x1,
+       |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) / n_chars AS x2,
+       |    CAST(source IN ('src0', 'src3', 'src6', 'src9') AS DOUBLE) AS y
+       |  FROM documents),
+       |tf AS (SELECT lang, x1, x2, y FROM feats WHERE doc_id % 10 <> 0),
+       |${IrlsSql.ctes("tf", "lang", 4)},
+       |model AS (SELECT lang,
+       |    CAST(CAST(b0 AS DECIMAL(12,4)) AS DOUBLE) AS b0s,
+       |    CAST(CAST(b1 AS DECIMAL(12,4)) AS DOUBLE) AS b1s,
+       |    CAST(CAST(b2 AS DECIMAL(12,4)) AS DOUBLE) AS b2s
+       |  FROM b4it),
+       |ce AS (SELECT f.doc_id, f.lang,
+       |    m.b0s + m.b1s * f.x1 + m.b2s * f.x2 AS eta
+       |  FROM feats f JOIN model m ON f.lang = m.lang
+       |  WHERE f.doc_id % 10 = 0),
+       |cv AS (SELECT doc_id,
+       |    NTILE(2) OVER (PARTITION BY lang ORDER BY eta, doc_id) = 2 AS cls_keep
+       |  FROM ce),
+       |verd AS (SELECT b.doc_id, b.source, o.outcome,
+       |    COALESCE(kb.band >= 2, FALSE) AS lm_keep,
+       |    COALESCE(cv.cls_keep, FALSE) AS cls_keep,
+       |    o.outcome <> 'joined_existing'
+       |      AND COALESCE(kb.band >= 2, FALSE)
+       |      AND COALESCE(cv.cls_keep, FALSE) AS kept
+       |  FROM documents b JOIN outc o ON o.doc_id = b.doc_id
+       |  LEFT JOIN kb ON kb.doc_id = b.doc_id
+       |  LEFT JOIN cv ON cv.doc_id = b.doc_id
+       |  WHERE b.doc_id % 10 = 0),
+       |keptids AS (SELECT doc_id FROM verd WHERE kept),
+       |mrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS model_rows_before FROM kbcnt),
+       |mtr AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |  WHERE doc_id % 10 <> 0 OR doc_id IN (SELECT doc_id FROM keptids)),
+       |mpos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+       |  FROM mtr WHERE len(l) >= 2),
+       |mbg AS (SELECT l[i] AS prev, l[i+1] AS cur FROM mpos),
+       |mcnt AS (SELECT prev, cur, COUNT(*) AS n_bg FROM mbg GROUP BY 1, 2),
+       |magg AS (SELECT CAST(COUNT(*) AS BIGINT) AS model_rows_after,
+       |    CAST(SUM(n_bg) AS BIGINT) AS model_tokens_after,
+       |    CAST(SUM(((${h32Sql("prev")} * 31 + ${h32Sql("cur")}) % 2147483647)
+       |      * (n_bg % 2147483647) % 2147483647) % 2147483647 AS BIGINT)
+       |      AS model_checksum
+       |  FROM mcnt),
+       |ev AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |eanch AS (SELECT vec_id AS anchor_id, vd AS avd FROM ev
+       |          WHERE vec_id BETWEEN 1 AND $IvfCells),
+       |edist AS (SELECT v.vec_id, a.anchor_id,
+       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+       |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+       |  FROM ev v CROSS JOIN eanch a),
+       |easg AS (SELECT vec_id, anchor_id AS cell, d2, vec_id % 10 = 0 AS arr
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, anchor_id) AS rn FROM edist) z WHERE rn = 1),
+       |ecell AS (SELECT cell,
+       |    CAST(SUM(CASE WHEN NOT arr THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    CAST(SUM(CASE WHEN arr THEN 1 ELSE 0 END) AS BIGINT) AS na,
+       |    SUM(CASE WHEN NOT arr THEN CAST(d2 AS DECIMAL(20,6)) END) AS sb,
+       |    SUM(CASE WHEN arr THEN CAST(d2 AS DECIMAL(20,6)) END) AS sa
+       |  FROM easg GROUP BY 1),
+       |edrift AS (SELECT
+       |    CAST(SUM(CASE WHEN COALESCE(
+       |        (CASE WHEN na > 0 THEN CAST(sa AS DOUBLE) / na END) >
+       |        (CASE WHEN nb > 0 THEN CAST(sb AS DOUBLE) / nb END) * 1.5,
+       |        FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS n_drift_cells,
+       |    CAST(SUM(CASE WHEN na * 9 > nb * 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_growth_cells
+       |  FROM ecell),
+       |persrc AS (SELECT source,
+       |    CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+       |    CAST(SUM(CASE WHEN outcome = 'joined_existing' THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+       |    CAST(SUM(CASE WHEN outcome = 'new_cluster' THEN 1 ELSE 0 END) AS BIGINT) AS n_new_cluster,
+       |    CAST(SUM(CASE WHEN outcome = 'singleton' THEN 1 ELSE 0 END) AS BIGINT) AS n_singleton,
+       |    CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(SUM(CASE WHEN outcome <> 'joined_existing' AND NOT kept
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_gates
+       |  FROM verd GROUP BY 1)
+       |SELECT p.source, p.n_arrivals, p.n_merged, p.n_new_cluster,
+       |  p.n_singleton, p.n_kept, p.n_dropped_gates,
+       |  mrow.model_rows_before, magg.model_rows_after,
+       |  magg.model_tokens_after, magg.model_checksum,
+       |  edrift.n_drift_cells, edrift.n_growth_cells
+       |FROM persrc p CROSS JOIN mrow CROSS JOIN magg CROSS JOIN edrift
+       |ORDER BY p.source""".stripMargin)
+
   /** x29: duplicate-graph health panel — the one-row corpus report a
     * dedup run should publish before anyone trusts it: document count,
     * cluster count, singleton count, the largest cluster (a boilerplate
@@ -6730,6 +7038,7 @@ object PipelineQueries {
     "z42_classifier_fitted" -> z42ClassifierFitted,
     "x38_gate_agreement" -> x38GateAgreement,
     "x39_arrival_resolution" -> x39ArrivalResolution,
+    "x40_daily_ingest" -> x40DailyIngest,
     "z39_char_entropy" -> z39CharEntropy,
     "z40_zipf_fit" -> z40ZipfFit,
     "x32_curation_v5" -> x32CurationV5,

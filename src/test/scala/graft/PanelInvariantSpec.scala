@@ -109,6 +109,24 @@ class PanelInvariantSpec extends SparkSpec {
     }
   }
 
+  test("x40: ingest report accounting is closed and the merge only grows the model") {
+    val r = rows("x40_daily_ingest")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      // resolution outcomes partition the arrivals
+      assert(x.getLong(1) === x.getLong(2) + x.getLong(3) + x.getLong(4),
+        s"outcomes don't partition arrivals for ${x.getString(0)}")
+      // every non-merged arrival is either kept or gate-dropped
+      assert(x.getLong(1) - x.getLong(2) === x.getLong(5) + x.getLong(6),
+        s"kept+dropped don't cover non-merged arrivals for ${x.getString(0)}")
+      // merging counts can add bigram types but never remove them, and the
+      // global columns are identical on every row (one-row cross-join)
+      assert(x.getLong(8) >= x.getLong(7), "merge shrank the model")
+      assert(x.getLong(10) >= 0L && x.getLong(10) < 2147483647L)
+    }
+    assert(r.map(x => (x.getLong(7), x.getLong(8), x.getLong(9), x.getLong(10))).distinct.size === 1)
+  }
+
   test("y17: refit arm obeys Lloyd's guarantee and beats the stale index overall") {
     val r = rows("y17_refit_payoff").map(x => x.getString(0) -> x).toMap
     def totalMeanD2(x: org.apache.spark.sql.Row): Double = {
