@@ -212,6 +212,60 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(3L) === (1 to 24).map(i => f"u$i%02d").mkString(" "))
   }
 
+  test("curated+scrubbed drain is exactly-once across a kill/resume, batch-identical") {
+    import graft.operators.Dedup
+    // the x37 lifecycle as a restartable stream: gate → scrub-edit →
+    // checkpointed parquet drain. Day 1 drains, the query terminates
+    // (AvailableNow = the kill point with a durable checkpoint), day 2's
+    // files land, and a NEW query on the SAME checkpoint resumes — the
+    // final table must hold each survivor exactly once with exactly the
+    // batch spanScrub's edits (ids AND scrubbed token counts).
+    val ref = Seq((100L, (1 to 24).map(i => f"r$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val day1 = Seq(
+      (1L, (1 to 24).map(i => f"a$i%02d").mkString(" ")),                    // untouched
+      (2L, (Seq("r01", "r02", "r03") ++ (1 to 24).map(i => f"y$i%02d")).mkString(" "))) // ref span scrubbed
+    val day2 = Seq(
+      (3L, (Seq("d1", "d2", "d3", "d1", "d2", "d3") ++
+        (1 to 24).map(i => f"u$i%02d")).mkString(" ")),                      // local repeat scrubbed
+      (4L, (Seq("r04", "r05", "r06") ++ (1 to 24).map(i => f"w$i%02d")).mkString(" "))) // ref span scrubbed
+    val src = tmpDir("resume_src"); val dest = tmpDir("resume_dest") + "/corpus"
+    val ckpt = tmpDir("resume_ckpt")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val bloom = Dedup.spanFpBloom(ref, "doc_id", "text", k = 3,
+      expectedItems = Some(4096L), bitsPerItem = 16L)
+    def drain(): Unit = EventStreams.curationRouter(
+      spark.readStream.schema(docSchema).parquet(src),
+      keyCols = Seq("text"), idCol = "doc_id", dest, ckpt, "30 minutes",
+      textCol = Some("text"), spanRefBloom = bloom, spanK = 3,
+      scrubText = true).awaitTermination()
+    day1.zipWithIndex.map { case ((id, t), i) => (id, ts(i), t) }
+      .toDF("doc_id", "ts", "text").repartition(1).write.mode("append").parquet(src)
+    drain() // day 1 lands, query terminates (the kill)
+    assert(spark.read.parquet(dest).count() === 2)
+    day2.zipWithIndex.map { case ((id, t), i) => (id, ts(10 + i), t) }
+      .toDF("doc_id", "ts", "text").repartition(1).write.mode("append").parquet(src)
+    drain() // resume on the same checkpoint: only day 2's files re-ingest
+    val streamed = spark.read.parquet(dest)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).as("n_toks"))
+      .as[(Long, String, Int)].collect()
+    // exactly-once: each survivor appears ONCE across both drains
+    assert(streamed.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // batch replay of the whole horizon: corpus-wide scrub over ref ∪ all
+    val batch = Dedup.spanScrub(
+        ref.union((day1 ++ day2).toDF("doc_id", "text")), "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("clean_text"),
+        (col("n_tokens") - col("n_removed_tokens")).cast("int").as("n_toks"))
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    streamed.foreach { case (id, text, n) =>
+      assert((text, n) === batch(id), s"doc $id diverged from the batch edit")
+    }
+    assert(streamed.map(_._2).forall(_.split(" ").length >= 24)) // edits kept payload
+  }
+
   test("perplexityScore over a file stream equals the batch held-out scorer") {
     import graft.operators.Lm
     // reference corpus fits the model; arrivals contain seen bigrams,
