@@ -196,6 +196,24 @@ class VocabSpec extends SparkSpec {
       unpinned.map(_.toString).sorted.toSeq)
   }
 
+  test("unigram fit at production knobs (maxTok=8, wide prune): pin-invariant, chars conserved") {
+    // the large-knob path the 10x soak times (SCALE.md): 8-char candidate
+    // tokens and a prune wide enough to keep every observed candidate —
+    // the pinning invariance and the segmentation-totality conservation
+    // must hold on this path exactly as on the 16-token oracle rung
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def fitAt(pin: Boolean) = Vocab.unigramFit(docs, "text", maxTok = 8,
+      initMulti = 64, pruneTo = 512, rounds = 2, pinRounds = pin).collect()
+    val fit = fitAt(pin = true)
+    assert(fit.map(_.toString).sorted.toSeq === fitAt(pin = false).map(_.toString).sorted.toSeq,
+      "round pinning changed the fitted vocabulary at production knobs")
+    val charMass = fit.map(r => r.getString(0).length * r.getLong(1)).sum
+    val corpusChars = docs
+      .select(sum(length(translate(col("text"), " ", "")))).as[Long].head()
+    assert(charMass === corpusChars, "production-knob fit lost corpus characters")
+    assert(fit.count(!_.getBoolean(3)) > 16, "wide prune should retain more multis than the oracle rung")
+  }
+
   test("hashedBowVectors: counts scatter by token hash and sum to the token count") {
     import graft.operators.TextAnalysis
     val df = Seq(
