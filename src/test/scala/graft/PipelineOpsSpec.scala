@@ -624,6 +624,32 @@ class LmSpec extends SparkSpec {
       === score(Lm.bigramCounts(a.union(b))))
   }
 
+  test("model maintenance closes the loop: the merge lands back through the Store for tomorrow") {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    // the x40 lifecycle's write-back half: yesterday's stored model +
+    // today's kept-batch counts merge and land via partition overwrite on
+    // the SAME prev-hash sharding, so tomorrow's scorer reads the updated
+    // artifact — and a no-op day (empty batch) leaves the table unchanged
+    val store = graft.sources.Store(spark, tmpDir("lm_maint") + "/model", "part")
+    def shard(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("part", pmod(hash(col("prev")), lit(4)))
+    val base = docs((1L, "the cat sat on the mat"), (2L, "the dog sat"))
+    store.rebuild(Iterator(shard(Lm.bigramCounts(base))))
+    val batch = docs((3L, "the cat ran"), (4L, "a cat sat on a rug"))
+    val merged = Lm.mergeCounts(store.read.drop("part"), Lm.bigramCounts(batch))
+    store.overwritePartitions(shard(merged))
+    val landed = store.read.drop("part")
+      .as[(String, String, Long)].collect().toSet
+    assert(landed === Lm.bigramCounts(base.union(batch))
+      .as[(String, String, Long)].collect().toSet,
+      "the landed artifact must equal the from-scratch refit")
+    // idempotent no-op day: merging an empty batch and re-landing changes nothing
+    val day2 = Lm.mergeCounts(store.read.drop("part"),
+      Lm.bigramCounts(docs()).select(col("prev"), col("cur"), col("n_bg")))
+    store.overwritePartitions(shard(day2))
+    assert(store.read.drop("part").as[(String, String, Long)].collect().toSet === landed)
+  }
+
   test("scoring the training corpus through the held-out path has zero unseen bigrams") {
     // every bigram of the train set is in the model, so the left joins
     // all hit and the formula reduces to the within-corpus KN form

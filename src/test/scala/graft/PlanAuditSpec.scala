@@ -483,6 +483,20 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "the corpus side must not shuffle to meet the anchors")
   }
 
+  test("x40: the ingest composition keeps every stage's scale shape") {
+    // the daily-ingest capstone must not lose its components' guarantees
+    // when composed: no quadratic pair generation anywhere (all LSH
+    // candidate joins stay equi-joins), and the ANN drift pass keeps
+    // y15's broadcast-argmin shape (the embedding corpus never shuffles
+    // to meet the 8 anchors). NOTE: construction runs the CC driver loop
+    // (planOnly substitutes in-memory artifacts) — a few seconds.
+    val plan = formatted("x40_daily_ingest")
+    assert(!plan.contains("CartesianProduct"),
+      "x40 grew a cartesian pair stage")
+    assert(plan.contains("BroadcastExchange"),
+      "anchor/model small sides must broadcast")
+  }
+
   test("z48: postings joins stay equi-joins; the phrase mine is a TakeOrdered top-3") {
     val plan = formatted("z48_phrase_postings")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
