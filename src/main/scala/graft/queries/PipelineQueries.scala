@@ -5469,6 +5469,128 @@ object PipelineQueries {
        |    % 2147483647 AS BIGINT) AS order_checksum
        |FROM o GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 
+  /** x42: the RUN MANIFEST — the reproducibility artifact a corpus build
+    * publishes beside its outputs: one row per STORED artifact (the v5
+    * survivor set, the x41 sharded training run, the x40 base-fit bigram
+    * model, the x39 canonical dedup map) with its row count, a
+    * domain total (tokens / allocated tokens / bigram mass / distinct
+    * clusters), and a 2³¹−1-lattice content checksum. Two runs produced
+    * the same data iff their manifests are identical — the diff a
+    * release process checks before promoting a corpus, and the lineage
+    * record an audit asks for.
+    *
+    * The Spark side reads every number FROM THE STORES; the oracle
+    * recomputes every artifact FROM SCRATCH (the gate chain, the shard
+    * rank, the base bigram fit, the base-only recursive CC). So beyond
+    * describing the run, the query continuously audits that what is ON
+    * DISK equals what the plan says should be — the x41 write-path
+    * verification generalized to the whole artifact set.
+    *
+    * Scale: every aggregate is map-side combinable over its artifact
+    * (checksum terms reduce below 2³¹ before summing, z46's overflow
+    * rule); the manifest itself is 4 rows at any corpus size. */
+  private val x42RunManifest = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val surv =
+        if (planOnly) v5Survivors(Tables.documents(s, d))
+        else v5SurvivorsStored(s, d)
+      val run =
+        if (planOnly) Sampling.shardAssign(scrubbedSurvivors(s, d),
+          Seq("doc_id"), "clean_toks", nShards = 16)
+        else x41StoredRun(s, d)
+      val lm =
+        if (planOnly) graft.operators.Lm.bigramCounts(
+          Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
+        else x40LmStored(s, d)
+      val bm =
+        if (planOnly) baseMapFit(s, d).select("doc_id", "cluster_id")
+        else baseMapStored(s, d)
+      val survRow = surv.agg(
+          count(lit(1)).as("n_rows"),
+          sum(size(split(col("text"), " ")).cast(LongType)).as("total"),
+          pmod(sum((col("doc_id") % M) * (col("doc_id") % M) % M), M)
+            .cast(LongType).as("checksum"))
+        .select(lit("survivor_set").as("artifact"), col("n_rows"),
+          col("total"), col("checksum"))
+      val runRow = run.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("clean_toks")).cast(LongType).as("total"),
+          pmod(sum((col("doc_id") % M) * ((col("shard") + 1) % M) % M), M)
+            .cast(LongType).as("checksum"))
+        .select(lit("train_run").as("artifact"), col("n_rows"),
+          col("total"), col("checksum"))
+      val lmRow = lm.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_bg")).cast(LongType).as("total"),
+          pmod(sum(
+            (TextAnalysis.hash32(col("prev")) * 31 + TextAnalysis.hash32(col("cur"))) % M
+              * (col("n_bg") % M) % M), M).cast(LongType).as("checksum"))
+        .select(lit("lm_model").as("artifact"), col("n_rows"),
+          col("total"), col("checksum"))
+      val bmRow = bm.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("cluster_id")).cast(LongType).as("total"),
+          pmod(sum((col("doc_id") % M) * (col("cluster_id") % M) % M), M)
+            .cast(LongType).as("checksum"))
+        .select(lit("canonical_map").as("artifact"), col("n_rows"),
+          col("total"), col("checksum"))
+      survRow.unionByName(runRow).unionByName(lmRow).unionByName(bmRow)
+        .orderBy("artifact")
+    },
+    s"""WITH RECURSIVE $x37ScrubCtes,
+       |xshr AS (SELECT doc_id, clean_toks,
+       |    ROW_NUMBER() OVER (ORDER BY clean_toks DESC, doc_id) AS rnk FROM cl),
+       |xsh AS (SELECT doc_id, clean_toks, CAST((rnk - 1) % 16 AS INT) AS shard FROM xshr),
+       |qtr AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |  WHERE doc_id % 10 <> 0),
+       |qpos AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i
+       |  FROM qtr WHERE len(l) >= 2),
+       |qbg AS (SELECT l[i] AS prev, l[i+1] AS cur FROM qpos),
+       |qcnt AS (SELECT prev, cur, COUNT(*) AS n_bg FROM qbg GROUP BY 1, 2),
+       |${minhashCtesFor("(SELECT * FROM documents WHERE doc_id % 10 <> 0)", "b")},
+       |bbands AS (${bandsSqlFor("b")}),
+       |bpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bbands a JOIN bbands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |bedges AS (SELECT doc_a AS src, doc_b AS dst FROM bpairs
+       |           UNION ALL SELECT doc_b, doc_a FROM bpairs),
+       |breach(node, r) AS (
+       |  SELECT src, src FROM bedges
+       |  UNION
+       |  SELECT e.dst, breach.r FROM bedges e JOIN breach ON e.src = breach.node),
+       |bcomp AS (SELECT node, min(r) AS cid FROM breach GROUP BY 1),
+       |blbl AS (SELECT d.doc_id, COALESCE(bcomp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN bcomp ON d.doc_id = bcomp.node
+       |  WHERE d.doc_id % 10 <> 0),
+       |mrows AS (
+       |  SELECT 'survivor_set' AS artifact, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total,
+       |    CAST(SUM((doc_id % 2147483647) * (doc_id % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT) AS checksum
+       |  FROM surv
+       |  UNION ALL
+       |  SELECT 'train_run', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(clean_toks) AS BIGINT),
+       |    CAST(SUM((doc_id % 2147483647) * ((shard + 1) % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT)
+       |  FROM xsh
+       |  UNION ALL
+       |  SELECT 'lm_model', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(n_bg) AS BIGINT),
+       |    CAST(SUM(((${h32Sql("prev")} * 31 + ${h32Sql("cur")}) % 2147483647)
+       |      * (n_bg % 2147483647) % 2147483647) % 2147483647 AS BIGINT)
+       |  FROM qcnt
+       |  UNION ALL
+       |  SELECT 'canonical_map', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(DISTINCT cluster_id) AS BIGINT),
+       |    CAST(SUM((doc_id % 2147483647) * (cluster_id % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT)
+       |  FROM blbl)
+       |SELECT artifact, n_rows, total, checksum FROM mrows ORDER BY artifact""".stripMargin)
+
   /** z39: character-entropy quality signal — the compression-ratio proxy
     * low-quality detectors use beside z2's ratio panel: gibberish,
     * base64 blobs and keyboard-mash score HIGH (flat char distribution),
@@ -7046,6 +7168,7 @@ object PipelineQueries {
     "x34_curation_v6" -> x34CurationV6,
     "x37_curation_v7" -> x37CurationV7,
     "x41_run_materialize" -> x41RunMaterialize,
+    "x42_run_manifest" -> x42RunManifest,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
     "z19_sequence_pack" -> z19SequencePack,
