@@ -3041,6 +3041,87 @@ object PipelineQueries {
          |FROM p ORDER BY arm""".stripMargin
     })
 
+  /** One stored IVF assignment table per (session, input dir), built from
+    * the BASE vectors and then INCREMENTALLY APPENDED with the arrival
+    * batch — the ANN store's E2 lifecycle ([[y18IndexAppend]]): the base
+    * index lands cell-partitioned, the arrivals are assigned against the
+    * SAME anchors (broadcast argmin — the base table is never re-read or
+    * re-assigned) and appended as new files into their cell partition
+    * directories. Cache + shutdown-hook discipline as y3d. */
+  private val y18Built = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  private def y18Anchors(e: org.apache.spark.sql.DataFrame) =
+    e.filter(col("vec_id") >= 1 && col("vec_id") <= IvfCells)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+
+  private def y18StoredIndex(s: SparkSession, d: String) =
+    y18Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      val e = Tables.embeddings(s, d)
+      val anchors = y18Anchors(e)
+      def asg(pred: org.apache.spark.sql.Column) =
+        Similarity.ivfAssign(e.filter(pred), anchors, "vec_id", "embedding")
+          .select(col("vec_id"), col("cell"), col("cell_d2"))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"ivf_index_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "cell")
+      store.destroy()
+      store.append(asg(col("vec_id") % 10 =!= 0)) // the base build
+      store.append(asg(col("vec_id") % 10 === 0)) // the daily increment
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      store.read
+    })
+
+  /** y18: INDEX APPEND — the ANN store's E2, x39/x41's proof style on the
+    * vector side: y15/y16/y17 MEASURE the aging index, this query LANDS
+    * the daily increment. The base assignment table is persisted
+    * cell-partitioned ([[y18StoredIndex]]); the arrival batch is assigned
+    * against the same anchors and APPENDED — new files into existing cell
+    * directories, the base rows never re-read, re-assigned, or rewritten
+    * (at 100 TB the increment costs O(batch), and cell partitioning keeps
+    * serve-side pruning intact). The declared output is computed entirely
+    * FROM THE RE-READ STORE — per cell: total vectors, base/arrival
+    * split, DECIMAL-exact mean d², and an id-lattice checksum — while the
+    * oracle recomputes the FULL corpus assignment from scratch, so hash
+    * equality proves build + append ≡ full rebuild, content included. */
+  private val y18IndexAppend = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val e = Tables.embeddings(s, d)
+      val index =
+        if (planOnly)
+          Similarity.ivfAssign(e, y18Anchors(e), "vec_id", "embedding")
+            .select(col("vec_id"), col("cell"), col("cell_d2"))
+        else y18StoredIndex(s, d)
+      val M = lit(2147483647L)
+      index.groupBy("cell").agg(
+          count(lit(1)).as("n_vecs"),
+          sum(when(col("vec_id") % 10 =!= 0, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("vec_id") % 10 === 0, 1L).otherwise(0L)).as("n_arrivals"),
+          (sum(col("cell_d2").cast(DecimalType(20, 6))).cast(DoubleType)
+            / count(lit(1))).as("mean_d2"),
+          pmod(sum((col("vec_id") % M) * ((col("vec_id") + 7) % M) % M), M)
+            .cast(LongType).as("member_checksum"))
+        .orderBy("cell")
+    },
+    s"""WITH ev AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |eanch AS (SELECT vec_id AS anchor_id, vd AS avd FROM ev
+       |          WHERE vec_id BETWEEN 1 AND $IvfCells),
+       |edist AS (SELECT v.vec_id, a.anchor_id,
+       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+       |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+       |  FROM ev v CROSS JOIN eanch a),
+       |easg AS (SELECT vec_id, anchor_id AS cell, d2
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, anchor_id) AS rn FROM edist) z WHERE rn = 1)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(CASE WHEN vec_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+       |  CAST(SUM(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_arrivals,
+       |  CAST(SUM(CAST(d2 AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS mean_d2,
+       |  CAST(SUM((vec_id % 2147483647) * ((vec_id + 7) % 2147483647) % 2147483647)
+       |    % 2147483647 AS BIGINT) AS member_checksum
+       |FROM easg GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** z48: positional POSTINGS index + phrase search — both halves of the
     * exact-phrase lifecycle, each in its scale-correct shape:
     *
@@ -7210,6 +7291,7 @@ object PipelineQueries {
     "y15_ivf_arrival" -> y15IvfArrival,
     "y16_index_refresh" -> y16IndexRefresh,
     "y17_refit_payoff" -> y17RefitPayoff,
+    "y18_index_append" -> y18IndexAppend,
     "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
