@@ -1274,11 +1274,12 @@ object PipelineQueries {
         s"ingest_lm_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
       val store = graft.sources.Store(s, path, "part")
       store.destroy()
-      store.append(graft.operators.Lm.bigramCounts(
+      val built = graft.operators.Lm.bigramCounts(
           Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
-        .withColumn("part", pmod(hash(col("prev")), lit(8))))
+        .withColumn("part", pmod(hash(col("prev")), lit(8)))
+      store.append(built)
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
-      store.read.drop("part")
+      readOrEmpty(store, built).drop("part")
     })
 
   private def x40ClsFit(docs: org.apache.spark.sql.DataFrame) =
@@ -3069,7 +3070,7 @@ object PipelineQueries {
       store.append(asg(col("vec_id") % 10 =!= 0)) // the base build
       store.append(asg(col("vec_id") % 10 === 0)) // the daily increment
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
-      store.read
+      readOrEmpty(store, asg(lit(false)))
     })
 
   /** y18: INDEX APPEND — the ANN store's E2, x39/x41's proof style on the
@@ -5052,15 +5053,29 @@ object PipelineQueries {
   private val v5SurvBuilt = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.DataFrame]()
 
+  /** Read back a just-appended store table, tolerating the EMPTY artifact:
+    * a zero-row append writes no parquet data files (only _SUCCESS), so
+    * schema inference on the read side fails — fall back to the builder
+    * frame's own empty slice, which carries the schema. A legitimately
+    * empty artifact happens in production (a gate that drops everything —
+    * the 10× soak corpus does exactly this to the v5 gates, every doc
+    * being a rotated near-dup family member) and must not kill the run. */
+  private def readOrEmpty(store: graft.sources.Store,
+                          built: org.apache.spark.sql.DataFrame) =
+    try store.read catch {
+      case _: org.apache.spark.sql.AnalysisException => built.limit(0)
+    }
+
   private def v5SurvivorsStored(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     v5SurvBuilt.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
         s"survivors_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
       val store = graft.sources.Store(s, path, "source")
       store.destroy()
-      store.append(v5Survivors(Tables.documents(s, d)))
+      val built = v5Survivors(Tables.documents(s, d))
+      store.append(built)
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
-      store.read
+      readOrEmpty(store, built)
     })
 
   private val x32CurationV5 = Q(
@@ -5484,7 +5499,7 @@ object PipelineQueries {
       store.destroy()
       store.append(sharded)
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
-      store.read
+      readOrEmpty(store, sharded)
     })
 
   /** x41: MATERIALIZE THE TRAINING RUN — x37 computes the shard plan;
