@@ -5687,6 +5687,246 @@ object PipelineQueries {
        |  FROM blbl)
        |SELECT artifact, n_rows, total, checksum FROM mrows ORDER BY artifact""".stripMargin)
 
+  /** x44: TAKEDOWN PROPAGATION — the deletion E2 the manifest's artifact
+    * set needs: a removal list (a takedown / right-to-be-forgotten batch,
+    * here the deterministic `doc_id % 17 = 3` slice, vectors by the same
+    * rule on vec_id) propagated through EVERY stored artifact the run
+    * manifest (x42) covers, each by its own production-correct
+    * incremental rule, never a from-scratch rebuild:
+    *
+    *  - survivor_set / train_run: TOMBSTONE delete — gate decisions and
+    *    shard assignments are frozen at build time; a takedown removes
+    *    documents, it does not re-adjudicate the others or re-balance the
+    *    run (re-curation is the next release's job, and the manifest diff
+    *    shows exactly what the tombstones did to the totals).
+    *  - lm_model: SUBTRACT-merge — bigram counts are additive, so the
+    *    removed docs' counts merge in NEGATED ([[Lm.mergeCounts]]) and
+    *    rows that reach zero leave the relation. The oracle refits on the
+    *    retained corpus, so hash equality proves subtract ≡ refit — the
+    *    count-unlearning rule that makes model takedown O(removed), not
+    *    O(corpus).
+    *  - canonical_map: TOUCHED-CLUSTER relabel — the delete-side dual of
+    *    x39's arrival resolution. Removing a doc can SPLIT its cluster
+    *    (the removed doc may be the only LSH bridge between two
+    *    sub-families) and can take the cluster's min-id LABEL with it, so
+    *    tombstoning the map would leave wrong downstream dedup decisions.
+    *    LSH band collisions are pairwise, so edges partition by original
+    *    cluster: it suffices to re-run CC over the retained members of
+    *    TOUCHED clusters only (O(touched), never O(corpus)); untouched
+    *    clusters keep their labels (their min member is still present).
+    *    The oracle recomputes the full CC over the retained corpus —
+    *    equality proves touched-only ≡ full recompute, ids included.
+    *  - ann_index: TOMBSTONE delete of member rows; the centroids stay.
+    *    Centroids are aggregate model parameters, not copies of any
+    *    member (y17's refit is where they get re-derived), and retained
+    *    assignments are per-vector argmins — unaffected by other rows
+    *    leaving. The oracle re-assigns the retained vectors from scratch
+    *    against the same anchors.
+    *
+    * Output: one row per artifact — rows before/removed/after, the
+    * domain total after (tokens / clean tokens / bigram mass / distinct
+    * clusters / cells in use), and the artifact's content checksum after
+    * (x42's lattice formulas), all computed from the incrementally-EDITED
+    * stored artifacts while the oracle recomputes every artifact from the
+    * retained corpus. Scale: every update is O(removed + touched) against
+    * partitioned stores; aggregates are map-side combinable. */
+  private val x44Takedown = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      val rmDoc = col("doc_id") % 17 === 3
+      val surv =
+        if (planOnly) v5Survivors(docs)
+        else v5SurvivorsStored(s, d)
+      val run =
+        if (planOnly) Sampling.shardAssign(scrubbedSurvivors(s, d),
+          Seq("doc_id"), "clean_toks", nShards = 16)
+        else x41StoredRun(s, d)
+      val lm =
+        if (planOnly) graft.operators.Lm.bigramCounts(
+          docs.filter(col("doc_id") % 10 =!= 0))
+        else x40LmStored(s, d)
+      val bm =
+        if (planOnly) baseMapFit(s, d).select("doc_id", "cluster_id")
+        else baseMapStored(s, d)
+      val e = Tables.embeddings(s, d)
+      val idx =
+        if (planOnly)
+          Similarity.ivfAssign(e, y18Anchors(e), "vec_id", "embedding")
+            .select(col("vec_id"), col("cell"), col("cell_d2"))
+        else y18StoredIndex(s, d)
+
+      // tombstone artifacts: one conditional-aggregation pass each
+      val survRow = surv.agg(
+          count(lit(1)).as("n_before"),
+          sum(when(rmDoc, 1L).otherwise(0L)).cast(LongType).as("n_removed"),
+          sum(when(!rmDoc, 1L).otherwise(0L)).cast(LongType).as("n_after"),
+          sum(when(!rmDoc, size(split(col("text"), " ")).cast(LongType))
+            .otherwise(0L)).cast(LongType).as("total_after"),
+          pmod(sum(when(!rmDoc, (col("doc_id") % M) * (col("doc_id") % M) % M)
+            .otherwise(0L)), M).cast(LongType).as("checksum_after"))
+        .select(lit("survivor_set").as("artifact"), col("n_before"),
+          col("n_removed"), col("n_after"), col("total_after"), col("checksum_after"))
+      val runRow = run.agg(
+          count(lit(1)).as("n_before"),
+          sum(when(rmDoc, 1L).otherwise(0L)).cast(LongType).as("n_removed"),
+          sum(when(!rmDoc, 1L).otherwise(0L)).cast(LongType).as("n_after"),
+          sum(when(!rmDoc, col("clean_toks")).otherwise(0L))
+            .cast(LongType).as("total_after"),
+          pmod(sum(when(!rmDoc,
+            (col("doc_id") % M) * ((col("shard") + 1) % M) % M).otherwise(0L)), M)
+            .cast(LongType).as("checksum_after"))
+        .select(lit("train_run").as("artifact"), col("n_before"),
+          col("n_removed"), col("n_after"), col("total_after"), col("checksum_after"))
+      val rmVec = col("vec_id") % 17 === 3
+      val idxRow = idx.agg(
+          count(lit(1)).as("n_before"),
+          sum(when(rmVec, 1L).otherwise(0L)).cast(LongType).as("n_removed"),
+          sum(when(!rmVec, 1L).otherwise(0L)).cast(LongType).as("n_after"),
+          countDistinct(when(!rmVec, col("cell"))).cast(LongType).as("total_after"),
+          pmod(sum(when(!rmVec,
+            (col("vec_id") % M) * ((col("cell") + 1) % M) % M).otherwise(0L)), M)
+            .cast(LongType).as("checksum_after"))
+        .select(lit("ann_index").as("artifact"), col("n_before"),
+          col("n_removed"), col("n_after"), col("total_after"), col("checksum_after"))
+
+      // lm_model: subtract-merge, zeroed rows leave
+      val rmCounts = graft.operators.Lm.bigramCounts(
+        docs.filter(col("doc_id") % 10 =!= 0 && rmDoc))
+      val lmAfter = graft.operators.Lm.mergeCounts(
+          lm, rmCounts.withColumn("n_bg", -col("n_bg")))
+        .filter(col("n_bg") =!= 0)
+      val lmRow = lm.agg(count(lit(1)).as("n_before"))
+        .crossJoin(lmAfter.agg(
+          count(lit(1)).as("n_after"),
+          sum(col("n_bg")).cast(LongType).as("total_after"),
+          pmod(sum(
+            (TextAnalysis.hash32(col("prev")) * 31 + TextAnalysis.hash32(col("cur"))) % M
+              * (col("n_bg") % M) % M), M).cast(LongType).as("checksum_after")))
+        .select(lit("lm_model").as("artifact"), col("n_before"),
+          (col("n_before") - col("n_after")).cast(LongType).as("n_removed"),
+          col("n_after"), col("total_after"), col("checksum_after"))
+
+      // canonical_map: touched-cluster relabel
+      val touched = bm.filter(rmDoc).select("cluster_id").distinct()
+      val untouched = bm.join(touched, Seq("cluster_id"), "left_anti")
+        .select("doc_id", "cluster_id")
+      val tRetained = bm.join(touched, Seq("cluster_id"), "left_semi")
+        .filter(!rmDoc).select("doc_id")
+      val tSig = minhashSig(s, d).join(tRetained, Seq("doc_id"), "left_semi")
+      val relab = Dedup.connectedComponents(
+        Dedup.lshCandidates(tSig, "doc_id", 8), tRetained, "doc_id")
+      val bmAfter = untouched.unionByName(relab.select("doc_id", "cluster_id"))
+      val bmRow = bm.agg(
+          count(lit(1)).as("n_before"),
+          sum(when(rmDoc, 1L).otherwise(0L)).cast(LongType).as("n_removed"))
+        .crossJoin(bmAfter.agg(
+          count(lit(1)).as("n_after"),
+          countDistinct(col("cluster_id")).cast(LongType).as("total_after"),
+          pmod(sum((col("doc_id") % M) * (col("cluster_id") % M) % M), M)
+            .cast(LongType).as("checksum_after")))
+        .select(lit("canonical_map").as("artifact"), col("n_before"),
+          col("n_removed"), col("n_after"), col("total_after"), col("checksum_after"))
+
+      survRow.unionByName(runRow).unionByName(lmRow).unionByName(bmRow)
+        .unionByName(idxRow)
+        .orderBy("artifact")
+    },
+    s"""WITH RECURSIVE $x37ScrubCtes,
+       |tshr AS (SELECT doc_id, clean_toks,
+       |    ROW_NUMBER() OVER (ORDER BY clean_toks DESC, doc_id) AS rnk FROM cl),
+       |tsh AS (SELECT doc_id, clean_toks, CAST((rnk - 1) % 16 AS INT) AS shard FROM tshr),
+       |qbt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |  WHERE doc_id % 10 <> 0),
+       |qbp AS (SELECT l[i] AS prev, l[i+1] AS cur
+       |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+       |        FROM qbt WHERE len(l) >= 2)),
+       |qbc AS (SELECT prev, cur, COUNT(*) AS n_bg FROM qbp GROUP BY 1, 2),
+       |qrt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |  WHERE doc_id % 10 <> 0 AND doc_id % 17 <> 3),
+       |qrp AS (SELECT l[i] AS prev, l[i+1] AS cur
+       |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+       |        FROM qrt WHERE len(l) >= 2)),
+       |qrc AS (SELECT prev, cur, COUNT(*) AS n_bg FROM qrp GROUP BY 1, 2),
+       |${minhashCtesFor(
+           "(SELECT * FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 17 <> 3)", "r")},
+       |rbands AS (${bandsSqlFor("r")}),
+       |rpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rbands a JOIN rbands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |redges AS (SELECT doc_a AS src, doc_b AS dst FROM rpairs
+       |           UNION ALL SELECT doc_b, doc_a FROM rpairs),
+       |rreach(node, r) AS (
+       |  SELECT src, src FROM redges
+       |  UNION
+       |  SELECT e.dst, rreach.r FROM redges e JOIN rreach ON e.src = rreach.node),
+       |rcomp AS (SELECT node, min(r) AS cid FROM rreach GROUP BY 1),
+       |rlbl AS (SELECT d.doc_id, COALESCE(rcomp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN rcomp ON d.doc_id = rcomp.node
+       |  WHERE d.doc_id % 10 <> 0 AND d.doc_id % 17 <> 3),
+       |tev AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |teanch AS (SELECT vec_id AS anchor_id, vd AS avd FROM tev
+       |           WHERE vec_id BETWEEN 1 AND $IvfCells),
+       |tedist AS (SELECT v.vec_id, a.anchor_id,
+       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+       |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+       |  FROM tev v CROSS JOIN teanch a WHERE v.vec_id % 17 <> 3),
+       |teasg AS (SELECT vec_id, anchor_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, anchor_id) AS rn FROM tedist) z WHERE rn = 1),
+       |trows AS (
+       |  SELECT 'survivor_set' AS artifact,
+       |    CAST(COUNT(*) AS BIGINT) AS n_before,
+       |    CAST(SUM(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |    CAST(SUM(CASE WHEN doc_id % 17 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       |    CAST(SUM(CASE WHEN doc_id % 17 <> 3
+       |      THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS total_after,
+       |    CAST(SUM(CASE WHEN doc_id % 17 <> 3
+       |      THEN (doc_id % 2147483647) * (doc_id % 2147483647) % 2147483647
+       |      ELSE 0 END) % 2147483647 AS BIGINT) AS checksum_after
+       |  FROM surv
+       |  UNION ALL
+       |  SELECT 'train_run', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN doc_id % 17 <> 3 THEN 1 ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN doc_id % 17 <> 3 THEN clean_toks ELSE 0 END) AS BIGINT),
+       |    CAST(SUM(CASE WHEN doc_id % 17 <> 3
+       |      THEN (doc_id % 2147483647) * ((shard + 1) % 2147483647) % 2147483647
+       |      ELSE 0 END) % 2147483647 AS BIGINT)
+       |  FROM tsh
+       |  UNION ALL
+       |  SELECT 'lm_model', (SELECT CAST(COUNT(*) AS BIGINT) FROM qbc),
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM qbc)
+       |      - (SELECT CAST(COUNT(*) AS BIGINT) FROM qrc),
+       |    CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(n_bg) AS BIGINT),
+       |    CAST(SUM(((${h32Sql("prev")} * 31 + ${h32Sql("cur")}) % 2147483647)
+       |      * (n_bg % 2147483647) % 2147483647) % 2147483647 AS BIGINT)
+       |  FROM qrc
+       |  UNION ALL
+       |  SELECT 'canonical_map',
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id % 10 <> 0),
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |       WHERE doc_id % 10 <> 0 AND doc_id % 17 = 3),
+       |    CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(DISTINCT cluster_id) AS BIGINT),
+       |    CAST(SUM((doc_id % 2147483647) * (cluster_id % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT)
+       |  FROM rlbl
+       |  UNION ALL
+       |  SELECT 'ann_index',
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings),
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 17 = 3),
+       |    CAST(COUNT(*) AS BIGINT),
+       |    CAST(COUNT(DISTINCT cell) AS BIGINT),
+       |    CAST(SUM((vec_id % 2147483647) * ((cell + 1) % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT)
+       |  FROM teasg)
+       |SELECT artifact, n_before, n_removed, n_after, total_after, checksum_after
+       |FROM trows ORDER BY artifact""".stripMargin)
+
   /** z39: character-entropy quality signal — the compression-ratio proxy
     * low-quality detectors use beside z2's ratio panel: gibberish,
     * base64 blobs and keyboard-mash score HIGH (flat char distribution),
@@ -7265,6 +7505,7 @@ object PipelineQueries {
     "x37_curation_v7" -> x37CurationV7,
     "x41_run_materialize" -> x41RunMaterialize,
     "x42_run_manifest" -> x42RunManifest,
+    "x44_takedown" -> x44Takedown,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
     "z19_sequence_pack" -> z19SequencePack,

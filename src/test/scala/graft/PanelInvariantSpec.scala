@@ -211,6 +211,23 @@ class PanelInvariantSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
   }
 
+  test("x44: takedown accounting closes on every artifact and the removal bites") {
+    val r = rows("x44_takedown")
+    assert(r.map(_.getString(0)).sorted.toSeq ===
+      Seq("ann_index", "canonical_map", "lm_model", "survivor_set", "train_run"))
+    r.foreach { x =>
+      val (before, removed, after) = (x.getLong(1), x.getLong(2), x.getLong(3))
+      assert(before === removed + after,
+        s"rows don't balance for ${x.getString(0)}")
+      // the %17 slice must actually delete something from every artifact
+      // at this SF, or the incremental paths are gate-invisible
+      assert(removed > 0L, s"takedown removed nothing from ${x.getString(0)}")
+      assert(x.getLong(4) > 0L, s"empty domain total for ${x.getString(0)}")
+      val ck = x.getLong(5)
+      assert(ck >= 0L && ck < 2147483647L, "checksum off the lattice")
+    }
+  }
+
   test("s21: the five-metric panel's drift verdicts follow the 25% rule") {
     val r = rows("s21_profile_diff")
     assert(r.map(_.getString(0)).sorted.toSeq ===

@@ -624,6 +624,27 @@ class LmSpec extends SparkSpec {
       === score(Lm.bigramCounts(a.union(b))))
   }
 
+  test("mergeCounts with negated counts unlearns a batch exactly (x44's takedown rule)") {
+    val keep = docs((1L, "the cat sat on the mat"), (2L, "the dog sat"))
+    val gone = docs((3L, "the cat ran far"), (4L, "a cat sat on a rug"))
+    val full = Lm.bigramCounts(keep.union(gone))
+    val unlearned = Lm.mergeCounts(full,
+        Lm.bigramCounts(gone).withColumn("n_bg", -col("n_bg")))
+      .filter(col("n_bg") =!= 0)
+    val refit = Lm.bigramCounts(keep).as[(String, String, Long)].collect().toSet
+    assert(unlearned.as[(String, String, Long)].collect().toSet === refit)
+    // a bigram seen ONLY in the removed docs ("cat ran") must vanish, not
+    // linger as a zero row — zero-count rows would distort N1+ statistics
+    assert(!refit.exists(r => r._1 == "cat" && r._2 == "ran"))
+    // and the unlearned model scores like the refit one (KN stats agree)
+    val probe = docs((9L, "the cat sat on a mat"))
+    def score(m: org.apache.spark.sql.DataFrame) =
+      Lm.heldoutScored(m, probe).as[(Long, Int, Int, Double)].collect().toSet
+    assert(score(Lm.mergeCounts(full,
+        Lm.bigramCounts(gone).withColumn("n_bg", -col("n_bg")))
+      .filter(col("n_bg") =!= 0)) === score(Lm.bigramCounts(keep)))
+  }
+
   test("model maintenance closes the loop: the merge lands back through the Store for tomorrow") {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     // the x40 lifecycle's write-back half: yesterday's stored model +

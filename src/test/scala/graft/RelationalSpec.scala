@@ -142,6 +142,54 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("touched-cluster relabel after deletion equals full recompute (x44's takedown rule)") {
+    import graft.operators.Dedup
+    // the x44 delete-side rule: pair edges are pairwise properties, so
+    // they partition by original cluster — after removing nodes it
+    // suffices to re-run CC over the RETAINED MEMBERS OF TOUCHED CLUSTERS
+    // with the edge set restricted to them; untouched clusters keep their
+    // labels. Property-checked on random graphs, then pinned on a
+    // deterministic bridge/label micro-case.
+    def touchedOnlyDelete(allPairs: Seq[(Long, Long)], nodes: Seq[Long],
+                          removed: Long => Boolean): Map[Long, Long] = {
+      val labels0 = Dedup.connectedComponents(
+        allPairs.toDF("doc_a", "doc_b"), nodes.toDF("id"), "id")
+      val touched = labels0.filter(col("id").isin(nodes.filter(removed): _*))
+        .select("cluster_id").distinct()
+      val untouched = labels0.join(touched, Seq("cluster_id"), "left_anti")
+        .select("id", "cluster_id")
+      val tRetained = labels0.join(touched, Seq("cluster_id"), "left_semi")
+        .filter(!col("id").isin(nodes.filter(removed): _*)).select("id")
+      val keptIds = tRetained.as[Long].collect().toSet
+      val subPairs = allPairs.filter { case (a, b) => keptIds(a) && keptIds(b) }
+      val relab = Dedup.connectedComponents(
+        subPairs.toDF("doc_a", "doc_b"), tRetained, "id")
+      untouched.unionByName(relab.select("id", "cluster_id"))
+        .as[(Long, Long)].collect().toMap
+    }
+    val rnd = new scala.util.Random(43)
+    for (trial <- 1 to 3) {
+      val n = 80
+      val all = Seq.fill(55)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val nodes = (0 until n).map(_.toLong)
+      val rm = (id: Long) => id % 5 == 2
+      val inc = touchedOnlyDelete(all, nodes, rm)
+      val kept = nodes.filterNot(rm)
+      val full = Dedup.connectedComponents(
+          all.filter { case (a, b) => !rm(a) && !rm(b) }.toDF("doc_a", "doc_b"),
+          kept.toDF("id"), "id")
+        .as[(Long, Long)].collect().toMap
+      assert(inc === full, s"trial $trial: touched-only delete diverged")
+    }
+    // bridge split + label inheritance: removing 2 splits {1,2,3}; removing
+    // 7 forces 8 to re-derive its label; {5,6} is untouched and keeps 5
+    val micro = touchedOnlyDelete(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 8L)), 1L to 8L,
+      id => id == 2L || id == 7L)
+    assert(micro === Map(1L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 8L -> 8L))
+  }
+
   test("asOfJoin matches the latest right row at-or-before each left time") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("k", "t", "tag")
