@@ -5687,6 +5687,252 @@ object PipelineQueries {
        |  FROM blbl)
        |SELECT artifact, n_rows, total, checksum FROM mrows ORDER BY artifact""".stripMargin)
 
+  /** x43: MANIFEST DIFF — the release-promotion decision x42's scaladoc
+    * promises: "two runs produced the same data iff their manifests
+    * match", made an operator. Run A is yesterday's published manifest
+    * (the stored release artifacts); run B is today's, after the DAILY
+    * maintenance cadence ran — the canonical dedup map absorbed the
+    * arrival batch (x39's stored-map + touched-only resolution), the ANN
+    * index took its append (y18's O(batch) cell-partition append), and
+    * the day's raw batch was archived as a new artifact. The release-
+    * cadence artifacts (survivor set, sharded training run) and the
+    * model-refresh-cadence artifact (the bigram LM — x40's merge runs on
+    * its own schedule) did not move. The diff is a FULL OUTER join of
+    * the two manifests on artifact name with a status verdict per row:
+    * `unchanged` (row count and content checksum both equal), `changed`
+    * (either moved), `new` (present only in B), `removed` (only in A —
+    * structurally covered, empty on this day). This is the table a
+    * promotion gate reads: it says exactly WHICH artifacts moved on
+    * which cadence, and its checksums certify the ones that did not.
+    *
+    * The Spark side reads run A entirely FROM THE STORES and derives run
+    * B by the incremental daily rules against those same stores; the
+    * oracle recomputes BOTH manifests from scratch (the gate chain, the
+    * base AND full-corpus recursive CC, the base and full vector
+    * assignments) and replays the same full-outer diff — so hash
+    * equality proves the incremental day landed on exactly the manifest
+    * a from-scratch rebuild would publish, status verdicts included.
+    *
+    * Scale: both manifests are ≤6 rows at any corpus size (the diff join
+    * is trivially broadcast); every underlying aggregate is map-side
+    * combinable; the B-side increments are O(batch + touched), never
+    * O(corpus). */
+  private val x43ManifestDiff = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      val surv =
+        if (planOnly) v5Survivors(docs)
+        else v5SurvivorsStored(s, d)
+      val run =
+        if (planOnly) Sampling.shardAssign(scrubbedSurvivors(s, d),
+          Seq("doc_id"), "clean_toks", nShards = 16)
+        else x41StoredRun(s, d)
+      val lm =
+        if (planOnly) graft.operators.Lm.bigramCounts(
+          docs.filter(col("doc_id") % 10 =!= 0))
+        else x40LmStored(s, d)
+      val bm =
+        if (planOnly) baseMapFit(s, d).select("doc_id", "cluster_id")
+        else baseMapStored(s, d)
+      val e = Tables.embeddings(s, d)
+      val idx =
+        if (planOnly)
+          Similarity.ivfAssign(e, y18Anchors(e), "vec_id", "embedding")
+            .select(col("vec_id"), col("cell"), col("cell_d2"))
+        else y18StoredIndex(s, d)
+
+      def manifestRow(name: String, agg: org.apache.spark.sql.DataFrame) =
+        agg.select(lit(name).as("artifact"), col("n_rows"), col("total"),
+          col("checksum"))
+      // stable artifacts: ONE aggregate each, reused verbatim on both sides
+      val survAgg = surv.agg(count(lit(1)).as("n_rows"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("total"),
+        pmod(sum((col("doc_id") % M) * (col("doc_id") % M) % M), M)
+          .cast(LongType).as("checksum"))
+      val runAgg = run.agg(count(lit(1)).as("n_rows"),
+        sum(col("clean_toks")).cast(LongType).as("total"),
+        pmod(sum((col("doc_id") % M) * ((col("shard") + 1) % M) % M), M)
+          .cast(LongType).as("checksum"))
+      val lmAgg = lm.agg(count(lit(1)).as("n_rows"),
+        sum(col("n_bg")).cast(LongType).as("total"),
+        pmod(sum(
+          (TextAnalysis.hash32(col("prev")) * 31 + TextAnalysis.hash32(col("cur"))) % M
+            * (col("n_bg") % M) % M), M).cast(LongType).as("checksum"))
+      def mapAgg(m: org.apache.spark.sql.DataFrame) =
+        m.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("cluster_id")).cast(LongType).as("total"),
+          pmod(sum((col("doc_id") % M) * (col("cluster_id") % M) % M), M)
+            .cast(LongType).as("checksum"))
+      def idxAgg(i: org.apache.spark.sql.DataFrame) =
+        i.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("cell")).cast(LongType).as("total"),
+          pmod(sum((col("vec_id") % M) * ((col("cell") + 1) % M) % M), M)
+            .cast(LongType).as("checksum"))
+      // run B's daily increments: map resolution (x39) + the full index
+      val sig = minhashSig(s, d)
+      val newPairs = Dedup.lshCandidatesAgainst(
+          sig.filter(col("doc_id") % 10 === 0),
+          sig.filter(col("doc_id") % 10 =!= 0), "doc_id", 8)
+        .select(col("doc_new").as("doc_a"), col("doc_base").as("doc_b"))
+        .union(Dedup.lshCandidates(sig.filter(col("doc_id") % 10 === 0), "doc_id", 8))
+      val bmB = Dedup.incrementalComponents(bm,
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"), newPairs, "doc_id")
+      val batchAgg = docs.filter(col("doc_id") % 10 === 0)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(size(split(col("text"), " ")).cast(LongType)).as("total"),
+          pmod(sum((col("doc_id") % M) * ((col("doc_id") + 11) % M) % M), M)
+            .cast(LongType).as("checksum"))
+
+      val manifestA = manifestRow("survivor_set", survAgg)
+        .unionByName(manifestRow("train_run", runAgg))
+        .unionByName(manifestRow("lm_model", lmAgg))
+        .unionByName(manifestRow("canonical_map", mapAgg(bm)))
+        .unionByName(manifestRow("ann_index", idxAgg(idx.filter(col("vec_id") % 10 =!= 0))))
+      val manifestB = manifestRow("survivor_set", survAgg)
+        .unionByName(manifestRow("train_run", runAgg))
+        .unionByName(manifestRow("lm_model", lmAgg))
+        .unionByName(manifestRow("canonical_map", mapAgg(bmB)))
+        .unionByName(manifestRow("ann_index", idxAgg(idx)))
+        .unionByName(manifestRow("ingest_batch", batchAgg))
+      val a = manifestA.select(col("artifact"), col("n_rows").as("na"),
+        col("total").as("ta"), col("checksum").as("ca"))
+      val b = manifestB.select(col("artifact"), col("n_rows").as("nb"),
+        col("total").as("tb"), col("checksum").as("cb"))
+      a.join(b, Seq("artifact"), "full_outer")
+        .select(col("artifact"),
+          when(col("na").isNull, "new")
+            .when(col("nb").isNull, "removed")
+            .when(col("na") === col("nb") && col("ca") === col("cb"), "unchanged")
+            .otherwise("changed").as("status"),
+          coalesce(col("na"), lit(0L)).cast(LongType).as("n_rows_a"),
+          coalesce(col("nb"), lit(0L)).cast(LongType).as("n_rows_b"),
+          coalesce(col("ta"), lit(0L)).cast(LongType).as("total_a"),
+          coalesce(col("tb"), lit(0L)).cast(LongType).as("total_b"),
+          coalesce(col("ca"), lit(0L)).cast(LongType).as("checksum_a"),
+          coalesce(col("cb"), lit(0L)).cast(LongType).as("checksum_b"))
+        .orderBy("artifact")
+    },
+    s"""WITH RECURSIVE $x37ScrubCtes,
+       |dshr AS (SELECT doc_id, clean_toks,
+       |    ROW_NUMBER() OVER (ORDER BY clean_toks DESC, doc_id) AS rnk FROM cl),
+       |dsh AS (SELECT doc_id, clean_toks, CAST((rnk - 1) % 16 AS INT) AS shard FROM dshr),
+       |dqt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |  WHERE doc_id % 10 <> 0),
+       |dqp AS (SELECT l[i] AS prev, l[i+1] AS cur
+       |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+       |        FROM dqt WHERE len(l) >= 2)),
+       |dqc AS (SELECT prev, cur, COUNT(*) AS n_bg FROM dqp GROUP BY 1, 2),
+       |${minhashCtesFor("(SELECT * FROM documents WHERE doc_id % 10 <> 0)", "g")},
+       |gbands AS (${bandsSqlFor("g")}),
+       |gpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM gbands a JOIN gbands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |gedges AS (SELECT doc_a AS src, doc_b AS dst FROM gpairs
+       |           UNION ALL SELECT doc_b, doc_a FROM gpairs),
+       |greach(node, r) AS (
+       |  SELECT src, src FROM gedges
+       |  UNION
+       |  SELECT e.dst, greach.r FROM gedges e JOIN greach ON e.src = greach.node),
+       |gcomp AS (SELECT node, min(r) AS cid FROM greach GROUP BY 1),
+       |glbl AS (SELECT d.doc_id, COALESCE(gcomp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN gcomp ON d.doc_id = gcomp.node
+       |  WHERE d.doc_id % 10 <> 0),
+       |${minhashCtesFor("documents", "f")},
+       |fbands AS (${bandsSqlFor("f")}),
+       |fpairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM fbands a JOIN fbands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |fedges AS (SELECT doc_a AS src, doc_b AS dst FROM fpairs
+       |           UNION ALL SELECT doc_b, doc_a FROM fpairs),
+       |freach(node, r) AS (
+       |  SELECT src, src FROM fedges
+       |  UNION
+       |  SELECT e.dst, freach.r FROM fedges e JOIN freach ON e.src = freach.node),
+       |fcomp AS (SELECT node, min(r) AS cid FROM freach GROUP BY 1),
+       |flbl AS (SELECT d.doc_id, COALESCE(fcomp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN fcomp ON d.doc_id = fcomp.node),
+       |dev AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |deanch AS (SELECT vec_id AS anchor_id, vd AS avd FROM dev
+       |           WHERE vec_id BETWEEN 1 AND $IvfCells),
+       |dedist AS (SELECT v.vec_id, a.anchor_id,
+       |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+       |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+       |  FROM dev v CROSS JOIN deanch a),
+       |deasg AS (SELECT vec_id, anchor_id AS cell
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, anchor_id) AS rn FROM dedist) z WHERE rn = 1),
+       |msurv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total,
+       |    CAST(SUM((doc_id % 2147483647) * (doc_id % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT) AS checksum
+       |  FROM surv),
+       |mrun AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(clean_toks) AS BIGINT) AS total,
+       |    CAST(SUM((doc_id % 2147483647) * ((shard + 1) % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT) AS checksum
+       |  FROM dsh),
+       |mlm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(n_bg) AS BIGINT) AS total,
+       |    CAST(SUM(((${h32Sql("prev")} * 31 + ${h32Sql("cur")}) % 2147483647)
+       |      * (n_bg % 2147483647) % 2147483647) % 2147483647 AS BIGINT) AS checksum
+       |  FROM dqc),
+       |mmapa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS total,
+       |    CAST(SUM((doc_id % 2147483647) * (cluster_id % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT) AS checksum
+       |  FROM glbl),
+       |mmapb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS total,
+       |    CAST(SUM((doc_id % 2147483647) * (cluster_id % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT) AS checksum
+       |  FROM flbl),
+       |midxa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT cell) AS BIGINT) AS total,
+       |    CAST(SUM((vec_id % 2147483647) * ((cell + 1) % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT) AS checksum
+       |  FROM deasg WHERE vec_id % 10 <> 0),
+       |midxb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT cell) AS BIGINT) AS total,
+       |    CAST(SUM((vec_id % 2147483647) * ((cell + 1) % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT) AS checksum
+       |  FROM deasg),
+       |mbatch AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total,
+       |    CAST(SUM((doc_id % 2147483647) * ((doc_id + 11) % 2147483647) % 2147483647)
+       |      % 2147483647 AS BIGINT) AS checksum
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |ma AS (
+       |  SELECT 'survivor_set' AS artifact, * FROM msurv
+       |  UNION ALL SELECT 'train_run', * FROM mrun
+       |  UNION ALL SELECT 'lm_model', * FROM mlm
+       |  UNION ALL SELECT 'canonical_map', * FROM mmapa
+       |  UNION ALL SELECT 'ann_index', * FROM midxa),
+       |mb AS (
+       |  SELECT 'survivor_set' AS artifact, * FROM msurv
+       |  UNION ALL SELECT 'train_run', * FROM mrun
+       |  UNION ALL SELECT 'lm_model', * FROM mlm
+       |  UNION ALL SELECT 'canonical_map', * FROM mmapb
+       |  UNION ALL SELECT 'ann_index', * FROM midxb
+       |  UNION ALL SELECT 'ingest_batch', * FROM mbatch)
+       |SELECT COALESCE(ma.artifact, mb.artifact) AS artifact,
+       |  CASE WHEN ma.artifact IS NULL THEN 'new'
+       |       WHEN mb.artifact IS NULL THEN 'removed'
+       |       WHEN ma.n_rows = mb.n_rows AND ma.checksum = mb.checksum
+       |         THEN 'unchanged'
+       |       ELSE 'changed' END AS status,
+       |  CAST(COALESCE(ma.n_rows, 0) AS BIGINT) AS n_rows_a,
+       |  CAST(COALESCE(mb.n_rows, 0) AS BIGINT) AS n_rows_b,
+       |  CAST(COALESCE(ma.total, 0) AS BIGINT) AS total_a,
+       |  CAST(COALESCE(mb.total, 0) AS BIGINT) AS total_b,
+       |  CAST(COALESCE(ma.checksum, 0) AS BIGINT) AS checksum_a,
+       |  CAST(COALESCE(mb.checksum, 0) AS BIGINT) AS checksum_b
+       |FROM ma FULL OUTER JOIN mb ON ma.artifact = mb.artifact
+       |ORDER BY artifact""".stripMargin)
+
   /** x44: TAKEDOWN PROPAGATION — the deletion E2 the manifest's artifact
     * set needs: a removal list (a takedown / right-to-be-forgotten batch,
     * here the deterministic `doc_id % 17 = 3` slice, vectors by the same
@@ -7505,6 +7751,7 @@ object PipelineQueries {
     "x37_curation_v7" -> x37CurationV7,
     "x41_run_materialize" -> x41RunMaterialize,
     "x42_run_manifest" -> x42RunManifest,
+    "x43_manifest_diff" -> x43ManifestDiff,
     "x44_takedown" -> x44Takedown,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,

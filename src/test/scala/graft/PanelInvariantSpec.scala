@@ -211,6 +211,31 @@ class PanelInvariantSpec extends SparkSpec {
     assert(r.map(_.getLong(1)).sum === Tables.documents(spark, sf).count())
   }
 
+  test("x43: diff statuses follow the checksum rule and the cadences land as declared") {
+    val r = rows("x43_manifest_diff")
+    val byArtifact = r.map(x => x.getString(0) -> x).toMap
+    assert(byArtifact.keySet === Set("survivor_set", "train_run", "lm_model",
+      "canonical_map", "ann_index", "ingest_batch"))
+    r.foreach { x =>
+      val (st, na, nb, ca, cb) =
+        (x.getString(1), x.getLong(2), x.getLong(3), x.getLong(6), x.getLong(7))
+      // status must be DERIVED from the sides, not asserted independently
+      st match {
+        case "unchanged" => assert(na === nb && ca === cb)
+        case "changed"   => assert(na > 0 && nb > 0 && (na != nb || ca != cb))
+        case "new"       => assert(na === 0L && nb > 0L)
+        case "removed"   => assert(nb === 0L && na > 0L)
+        case other       => fail(s"unknown status $other")
+      }
+    }
+    // daily cadence moves the map and index; release/model cadences hold
+    assert(byArtifact("canonical_map").getString(1) === "changed")
+    assert(byArtifact("ann_index").getString(1) === "changed")
+    assert(byArtifact("ingest_batch").getString(1) === "new")
+    Seq("survivor_set", "train_run", "lm_model").foreach(a =>
+      assert(byArtifact(a).getString(1) === "unchanged", s"$a moved on a daily diff"))
+  }
+
   test("x44: takedown accounting closes on every artifact and the removal bites") {
     val r = rows("x44_takedown")
     assert(r.map(_.getString(0)).sorted.toSeq ===
