@@ -7159,6 +7159,90 @@ object PipelineQueries {
       |  target_tokens > n_tokens * 4 AS capped
       |FROM a ORDER BY source""".stripMargin)
 
+  /** z53: curriculum mixture schedule — the annealed data schedule the
+    * decay-phase recipes use (train on the natural distribution early,
+    * shift toward high-quality sources late): per-epoch source weights
+    * interpolate linearly from the natural token share p_s (epoch 0) to
+    * a quality-skewed share q_s (final epoch), λ_e = e·0.25 over 5
+    * epochs (dyadic steps — exact in both engines). Quality here is the
+    * per-source mean unique-token fraction (repetitive boilerplate
+    * sources score low), each per-doc ratio snapshotted at DECIMAL(12,6)
+    * before the order-sensitive mean (the composite-score discipline),
+    * and the source mean re-snapshotted before the share division so
+    * both normalizations are exact-decimal sums with ONE IEEE division
+    * at each boundary. Per (epoch, source): the blended weight, the
+    * token allocation against a one-pass-per-epoch budget, the
+    * target→alloc cap at 2 repetitions per epoch (z43's visible-cap
+    * rule), and the effective epoch rate. Because the blend is linear, a
+    * source's weight is MONOTONE across epochs toward its quality share
+    * — the spec pins that and the epoch-0/final-epoch endpoints.
+    * Source-level aggregates only: one corpus scan, then an
+    * epochs×sources (≤ 50-row) broadcast-sized frame. */
+  private val z53CurriculumMix = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val docs = Tables.documents(s, d)
+      val stats = docs
+        .select(col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"),
+          (size(array_distinct(split(col("text"), " "))) / size(split(col("text"), " ")))
+            .cast(DecimalType(12, 6)).as("uq_dec"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast(LongType).as("n_tokens"),
+          sum(col("uq_dec")).as("uq_sum"))
+        .withColumn("qm_dec",
+          (col("uq_sum").cast(DoubleType) / col("n_docs")).cast(DecimalType(12, 6)))
+      val tots = stats.agg(
+        sum(col("n_tokens")).cast(LongType).as("total_tokens"),
+        sum(col("qm_dec")).as("q_tot"))
+      val ep = stats.crossJoin(broadcast(tots))
+        .withColumn("p", col("n_tokens") / col("total_tokens"))
+        .withColumn("q", col("qm_dec").cast(DoubleType) / col("q_tot").cast(DoubleType))
+        .select(col("source"), col("n_tokens"), col("total_tokens"),
+          col("p"), col("q"), explode(sequence(lit(0), lit(4))).as("epoch"))
+        .withColumn("lam", col("epoch") * lit(0.25))
+        .withColumn("weight", (lit(1.0) - col("lam")) * col("p") + col("lam") * col("q"))
+        .withColumn("target_tokens",
+          floor(col("weight") * col("total_tokens").cast(DoubleType)).cast(LongType))
+        .withColumn("alloc_tokens",
+          least(col("target_tokens"), col("n_tokens") * 2).cast(LongType))
+      ep.select(col("epoch").cast("int").as("epoch"), col("source"), col("lam"),
+          col("weight"), col("target_tokens"), col("alloc_tokens"),
+          (col("alloc_tokens") / col("n_tokens")).as("eff_epochs"),
+          (col("target_tokens") > col("n_tokens") * 2).as("capped"))
+        .orderBy("epoch", "source")
+    },
+    """WITH pd AS (SELECT source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+      |    CAST(len(list_distinct(string_split(text, ' ')))
+      |      / len(string_split(text, ' ')) AS DECIMAL(12,6)) AS uq_dec
+      |  FROM documents),
+      |s AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(toks) AS BIGINT) AS n_tokens, SUM(uq_dec) AS uq_sum
+      |  FROM pd GROUP BY 1),
+      |s2 AS (SELECT *,
+      |    CAST(CAST(uq_sum AS DOUBLE) / n_docs AS DECIMAL(12,6)) AS qm_dec
+      |  FROM s),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |             SUM(qm_dec) AS q_tot FROM s2),
+      |ep AS (SELECT source, n_tokens, total_tokens,
+      |    n_tokens / total_tokens AS p,
+      |    CAST(qm_dec AS DOUBLE) / CAST(q_tot AS DOUBLE) AS q,
+      |    CAST(unnest(generate_series(0, 4)) AS INT) AS epoch
+      |  FROM s2 CROSS JOIN t),
+      |w AS (SELECT *, epoch * CAST(0.25 AS DOUBLE) AS lam FROM ep),
+      |a AS (SELECT *,
+      |    (CAST(1.0 AS DOUBLE) - lam) * p + lam * q AS weight FROM w),
+      |b AS (SELECT *,
+      |    CAST(FLOOR(weight * CAST(total_tokens AS DOUBLE)) AS BIGINT)
+      |      AS target_tokens FROM a)
+      |SELECT epoch, source, lam, weight, target_tokens,
+      |  LEAST(target_tokens, n_tokens * 2) AS alloc_tokens,
+      |  LEAST(target_tokens, n_tokens * 2) / n_tokens AS eff_epochs,
+      |  target_tokens > n_tokens * 2 AS capped
+      |FROM b ORDER BY epoch, source""".stripMargin)
+
   /** z44: balanced shard assignment — the writer-side step after z19's
     * packing: round-robin over the global token-size-descending order
     * lands every one of 16 shards within one max-document of the mean
@@ -7704,6 +7788,7 @@ object PipelineQueries {
     "z21_dsir_sample" -> z21DsirSample,
     "z22_temperature_mix" -> z22TemperatureMix,
     "z43_token_budget" -> z43TokenBudget,
+    "z53_curriculum_mix" -> z53CurriculumMix,
     "z44_shard_assign" -> z44ShardAssign,
     "z45_threshold_sweep" -> z45ThresholdSweep,
     "z46_epoch_shuffle" -> z46EpochShuffle,

@@ -253,6 +253,30 @@ class PanelInvariantSpec extends SparkSpec {
     }
   }
 
+  test("z53: the curriculum anneals monotonically between its endpoint distributions") {
+    val r = rows("z53_curriculum_mix")
+    val bySource = r.groupBy(_.getString(1))
+    bySource.foreach { case (src, xs) =>
+      val byEpoch = xs.sortBy(_.getInt(0))
+      assert(byEpoch.map(_.getInt(0)).toSeq === (0 to 4))
+      val w = byEpoch.map(_.getDouble(3))
+      // linear blend ⇒ weights move monotonically from p toward q
+      assert(w.sliding(2).forall(p => p(1) >= p(0)) ||
+        w.sliding(2).forall(p => p(1) <= p(0)),
+        s"$src weights not monotone across epochs: ${w.mkString(",")}")
+    }
+    // each epoch's weights are a distribution (Σ ≈ 1 up to float noise)
+    r.groupBy(_.getInt(0)).foreach { case (ep, xs) =>
+      val tot = xs.map(_.getDouble(3)).sum
+      assert(math.abs(tot - 1.0) < 1e-9, s"epoch $ep weights sum to $tot")
+    }
+    // the schedule genuinely moves mass: some source changes weight
+    assert(bySource.exists { case (_, xs) =>
+      val w = xs.sortBy(_.getInt(0)).map(_.getDouble(3))
+      math.abs(w.last - w.head) > 1e-9
+    }, "epoch-0 and final-epoch distributions are identical — no curriculum")
+  }
+
   test("s21: the five-metric panel's drift verdicts follow the 25% rule") {
     val r = rows("s21_profile_diff")
     assert(r.map(_.getString(0)).sorted.toSeq ===
