@@ -92,6 +92,34 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Takedown filter — the in-flight complement of the batch takedown
+    * propagation (PipelineQueries x44): arrivals matching the removal
+    * list are dropped BEFORE they can enter any stored artifact, both by
+    * id (the request names a known document) and, when `textCol` is set,
+    * by CONTENT hash — the re-upload case: the same bytes arriving under
+    * a fresh id must not re-enter a corpus that just removed them, so a
+    * removal relation carries a `content_hash` (md5 of the removed text)
+    * beside the ids. Both checks are stream-static LEFT ANTI joins
+    * against the (requests-sized) removal relation — stateless: no
+    * watermark, no stream state; the static side is re-read per
+    * micro-batch, so a new takedown request takes effect at the next
+    * batch, and it broadcasts while small (at any realistic scale: the
+    * removal list grows with requests, not the corpus). A null text
+    * yields a null hash, which matches nothing — null-text rows pass to
+    * the downstream gates that own that verdict. */
+  def takedownGate(docs: DataFrame, removal: DataFrame, idCol: String,
+                   textCol: Option[String] = None): DataFrame = {
+    val byId = docs.join(
+      broadcast(removal.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
+    textCol.fold(byId) { tc =>
+      require(removal.columns.contains("content_hash"),
+        "content-hash takedown needs a content_hash column in the removal relation")
+      byId.join(
+        broadcast(removal.select(col("content_hash")).distinct()),
+        md5(col(tc)) === col("content_hash"), "left_anti")
+    }
+  }
+
   /** Streaming curation router: continuous dedup + (optionally) the v5
     * quality gates + deterministic train/val/test assignment, drained
     * exactly-once into a split-partitioned layout. The streaming form of
@@ -122,8 +150,13 @@ object EventStreams {
                      textCol: Option[String] = None,
                      spanRefBloom: Option[Array[Byte]] = None,
                      spanK: Int = 8,
-                     scrubText: Boolean = false): StreamingQuery = {
-    val deduped = dedupStream(docs, keyCols, watermark)
+                     scrubText: Boolean = false,
+                     removal: Option[DataFrame] = None): StreamingQuery = {
+    // takedown runs FIRST: a removed document must not even reach the
+    // dedup state, or a later legitimate arrival with the same key would
+    // be dropped as its duplicate
+    val admitted = removal.fold(docs)(r => takedownGate(docs, r, idCol, textCol))
+    val deduped = dedupStream(admitted, keyCols, watermark)
     val gated = textCol.fold(deduped) { tc =>
       deduped.filter(
         graft.operators.TextAnalysis.gopherKeepExpr(col(tc)) &&

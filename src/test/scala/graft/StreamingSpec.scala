@@ -496,6 +496,44 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq === Seq(2L, 3L)) // the corpus near-dup is gone
   }
 
+  test("takedownGate drops listed ids AND re-uploaded content, stream == batch") {
+    val src = tmpDir("takedown_src")
+    Seq(
+      (1L, "this document was subject to a takedown request yesterday"),
+      (2L, "a perfectly ordinary document that stays in the corpus"),
+      (9L, "this document was subject to a takedown request yesterday"), // re-upload of 1
+      (3L, "another ordinary survivor document in the stream"))
+      .toDF("doc_id", "text").repartition(1).write.mode("append").parquet(src)
+    val removal = Seq((1L, "this document was subject to a takedown request yesterday"))
+      .toDF("doc_id", "rm_text")
+      .select(col("doc_id"), md5(col("rm_text")).as("content_hash"))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val gated = EventStreams.takedownGate(
+      spark.readStream.schema(docSchema).parquet(src), removal, "doc_id", Some("text"))
+    val q = gated.writeStream.format("memory").queryName("takedown_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.table("takedown_out").select("doc_id").as[Long].collect().sorted
+    // 1 goes by id; 9 goes by content hash despite its fresh id
+    assert(kept.toSeq === Seq(2L, 3L))
+    // the stream gate IS the batch gate (stateless pure joins)
+    val batchKept = EventStreams.takedownGate(
+        spark.read.parquet(src), removal, "doc_id", Some("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(batchKept.toSeq === kept.toSeq)
+    // id-only form: the re-upload sails through — the reason content_hash exists
+    val idOnly = EventStreams.takedownGate(
+        spark.read.parquet(src), removal, "doc_id", None)
+      .select("doc_id").as[Long].collect().sorted
+    assert(idOnly.toSeq === Seq(2L, 3L, 9L))
+    // null text matches nothing: the row passes to downstream gates
+    val nullText = EventStreams.takedownGate(
+        Seq((7L, null: String)).toDF("doc_id", "text"), removal, "doc_id", Some("text"))
+      .select("doc_id").as[Long].collect()
+    assert(nullText.toSeq === Seq(7L))
+  }
+
   test("annServe top-1 over a file stream equals the batch bucket-join replica") {
     import graft.operators.Similarity
     def vec(seed: Long): Array[Float] =
