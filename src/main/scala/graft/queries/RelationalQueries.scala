@@ -70,6 +70,43 @@ object RelationalQueries {
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** S22: the per-partition STATS SIDECAR, end to end — the Iceberg/
+    * Delta-style metadata layer on the Store ([[graft.sources.Store
+    * .appendTracked]]): two tracked appends fold their per-partition
+    * (row count, lattice checksum) stats into the `_stats` relation
+    * additively, then a tracked dynamic-partition overwrite REPLACES one
+    * partition's row (a re-run of src1 that legitimately dropped a third
+    * of its rows). The declared output reads the SIDECAR ONLY — the data
+    * files are never scanned — while the oracle recomputes the final
+    * table state from the raw corpus, so hash equality proves the
+    * incremental metadata maintenance (add on append, replace on
+    * overwrite) tracks the truth on disk through both write paths. At
+    * 100 TB this is what makes a daily manifest/promotion diff
+    * (x42/x43) an O(partitions) metadata read instead of an O(rows)
+    * scan. */
+  private val s22StatsSidecar = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val M = lit(2147483647L)
+      val term = (col("doc_id") % M) * ((col("doc_id") + 5) % M) % M
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/stats_store_${math.abs(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "source")
+      store.destroy()
+      store.appendTracked(docs.filter(col("doc_id") % 2 === 0), term)
+      store.appendTracked(docs.filter(col("doc_id") % 2 =!= 0), term)
+      store.overwritePartitionsTracked(
+        docs.filter(col("source") === "src1" && col("doc_id") % 3 =!= 0), term)
+      store.readStats
+        .select(col("source"), col("n_rows"), col("checksum"))
+        .orderBy("source")
+    },
+    """SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM((doc_id % 2147483647) * ((doc_id + 5) % 2147483647) % 2147483647)
+      |    % 2147483647 AS BIGINT) AS checksum
+      |FROM documents
+      |WHERE source <> 'src1' OR doc_id % 3 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** S8+S3: CSV sink then typed CSV source round-trip
     * (`write_csv` `/root/reference/R/nfl_draft_espn_dk.R:48`; typed reads
     * `/root/reference/R/epa_predict.R:26`). */
@@ -1480,6 +1517,7 @@ object RelationalQueries {
     "s17_snapshot_diff" -> s17SnapshotDiff,
     "s20_column_stats" -> s20ColumnStats,
     "s21_profile_diff" -> s21ProfileDiff,
+    "s22_stats_sidecar" -> s22StatsSidecar,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

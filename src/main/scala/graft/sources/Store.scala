@@ -117,6 +117,82 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   def countsByPartition: DataFrame =
     read.groupBy(partCol).count().orderBy(partCol)
 
+  // ---- per-partition statistics sidecar ----------------------------------
+  //
+  // The Iceberg/Delta-style metadata layer in its minimal honest form: a
+  // tiny `_stats` relation (one row per partition: row count + an additive
+  // content checksum on the 2³¹−1 lattice) maintained INCREMENTALLY at
+  // write time — append ADDS a batch's per-partition stats (counts and
+  // lattice checksums are both additive mod M), dynamic partition
+  // overwrite REPLACES the touched partitions' rows. A run manifest or
+  // promotion diff (x42/x43's shape) then reads O(partitions) metadata
+  // instead of scanning O(rows) data — at 100 TB the sidecar is the only
+  // thing a daily manifest needs to touch. The caller supplies the per-row
+  // checksum TERM (a Column), so the stats stay recomputable by any engine
+  // that can replay the term — the property the s22 oracle gate exploits.
+  // The sidecar lives under `_stats` inside the table directory: Spark's
+  // file index ignores underscore-prefixed paths, so plain `read`,
+  // appends, and dynamic partition overwrites never see it, while
+  // `destroy` removes table and sidecar together.
+
+  private val StatsM = 2147483647L
+
+  /** Per-partition (n_rows, checksum) of one batch under the caller's
+    * per-row checksum term. Map-side combinable; terms reduce below 2³¹
+    * before the sum (z46's overflow rule). */
+  def statsOf(df: DataFrame, term: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(pmod(term, lit(StatsM))), lit(StatsM)).cast("long").as("checksum"))
+
+  /** Append + fold the batch's stats into the sidecar (additive merge). */
+  def appendTracked(df: DataFrame, term: org.apache.spark.sql.Column): Unit = {
+    append(df)
+    mergeStats(statsOf(df, term), replace = false)
+  }
+
+  /** Dynamic partition overwrite + replace the touched partitions' stats. */
+  def overwritePartitionsTracked(df: DataFrame,
+                                 term: org.apache.spark.sql.Column): Unit = {
+    overwritePartitions(df)
+    mergeStats(statsOf(df, term), replace = true)
+  }
+
+  def statsExist: Boolean = {
+    val (f, _) = fs
+    f.exists(new org.apache.hadoop.fs.Path(s"$path/_stats"))
+  }
+
+  /** The sidecar relation: (partCol, n_rows, checksum), one row per
+    * partition ever written. O(partitions) at any table size. */
+  def readStats: DataFrame = {
+    require(statsExist, s"no _stats sidecar at $path — use appendTracked")
+    spark.read.parquet(s"$path/_stats")
+  }
+
+  private def mergeStats(batch: DataFrame, replace: Boolean): Unit = {
+    val merged =
+      if (!statsExist) batch
+      else if (replace)
+        readStats.join(batch.select(partCol).distinct(), Seq(partCol), "left_anti")
+          .unionByName(batch)
+      else
+        readStats.unionByName(batch)
+          .groupBy(col(partCol))
+          .agg(sum(col("n_rows")).cast("long").as("n_rows"),
+            pmod(sum(col("checksum")), lit(StatsM)).cast("long").as("checksum"))
+    // land atomically beside the data: materialize to a sibling temp dir
+    // FIRST (the merge reads the current sidecar — writing in place would
+    // overwrite our own input), then swap via rename
+    val tmp = s"${path}__stats_tmp"
+    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val (f, _) = fs
+    val sd = new org.apache.hadoop.fs.Path(s"$path/_stats")
+    if (f.exists(sd)) require(f.delete(sd, true), s"failed to clear $sd")
+    require(f.rename(new org.apache.hadoop.fs.Path(tmp), sd),
+      s"failed to land stats at $sd")
+  }
+
   /** Co-located (bucketed) table: hash-bucket + sort by the join key at
     * write time so equi-joins and aggregations on that key need NO shuffle
     * at read time — the 100-TB answer to "this join shuffles every run".

@@ -49,6 +49,36 @@ class StoreSpec extends SparkSpec {
     assert(store2.read.as[(Long, Long, Int)].collect().toSet === firstRun)
   }
 
+  test("stats sidecar tracks appends and partition overwrites, invisible to reads") {
+    val store = Store(spark, tmpDir("store_stats"), "season")
+    val M = lit(2147483647L)
+    val term = (col("epa").cast("long") % M) * ((col("epa").cast("long") + 5) % M) % M
+    def scanStats = store.statsOf(store.read, term)
+      .as[(Int, Long, Long)].collect().toSet
+    def sidecar = store.readStats
+      .select(col("season").cast("int"), col("n_rows"), col("checksum"))
+      .as[(Int, Long, Long)].collect().toSet
+    // additive merge across appends that share partitions
+    store.appendTracked(season(1999, 3), term)
+    store.appendTracked(season(1999, 2).union(season(2000, 4)), term)
+    assert(sidecar === scanStats)
+    assert(sidecar.map(_._1) === Set(1999, 2000))
+    // overwrite REPLACES the touched partition's stats (the re-run shrank it)
+    store.overwritePartitionsTracked(season(1999, 1), term)
+    assert(sidecar === scanStats)
+    assert(sidecar.find(_._1 == 1999).get._2 === 1L)
+    // an empty tracked append is a metadata no-op
+    val before = sidecar
+    store.appendTracked(season(1999, 3).limit(0), term)
+    assert(sidecar === before)
+    // the sidecar is invisible to the table read (underscore-prefixed dir)
+    assert(store.read.columns.toSet === Set("game_id", "season", "epa"))
+    assert(store.read.count() === 5L)
+    // destroy removes table and sidecar together
+    store.destroy()
+    assert(!store.statsExist)
+  }
+
   test("update appends only unseen keys and is idempotent") {
     val store = Store(spark, tmpDir("store_update"), "season")
     store.rebuild(Iterator(season(2023, 2)))
