@@ -107,6 +107,48 @@ object RelationalQueries {
       |WHERE source <> 'src1' OR doc_id % 3 <> 0
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** S23: SNAPSHOT VERSIONS / time travel, end to end — the minimal
+    * lakehouse transaction log on the Store ([[graft.sources.Store
+    * .appendVersioned]]): three versioned appends each record their added
+    * data files under `_log/v<N>`, and `readVersion(n)` reconstructs the
+    * table exactly as it stood after batch n — the property that pins a
+    * training run to a reproducible corpus snapshot ("run R trained on
+    * version 2" stays re-readable after later appends; an x42 manifest
+    * can name the version it describes). The declared output reads EVERY
+    * version through the log (count, token total, lattice checksum per
+    * snapshot) while the oracle recomputes each snapshot's cumulative
+    * membership from the raw corpus — hash equality proves the log-based
+    * reconstruction equals the batch-prefix truth at every version.
+    * Overwrites are rejected on versioned tables (they would rewrite
+    * files older snapshots reference) — StoreSpec pins that guard. */
+  private val s23TimeTravel = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val M = lit(2147483647L)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/time_travel_${math.abs(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "source")
+      store.destroy()
+      (0 to 2).foreach(r =>
+        store.appendVersioned(docs.filter(col("doc_id") % 3 === r)))
+      (1 to 3).map { v =>
+        store.readVersion(v.toLong).agg(
+            count(lit(1)).as("n_rows"),
+            sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
+            pmod(sum((col("doc_id") % M) * ((col("doc_id") + 7) % M) % M), M)
+              .cast(LongType).as("checksum"))
+          .select(lit(v).as("version"), col("n_rows"), col("n_tokens"),
+            col("checksum"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    },
+    """WITH vs AS (SELECT CAST(unnest(generate_series(1, 3)) AS INT) AS version)
+      |SELECT version, COUNT(*) AS n_rows,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647) % 2147483647)
+      |    % 2147483647 AS BIGINT) AS checksum
+      |FROM vs JOIN documents ON doc_id % 3 < version
+      |GROUP BY version ORDER BY version""".stripMargin)
+
   /** S8+S3: CSV sink then typed CSV source round-trip
     * (`write_csv` `/root/reference/R/nfl_draft_espn_dk.R:48`; typed reads
     * `/root/reference/R/epa_predict.R:26`). */
@@ -1518,6 +1560,7 @@ object RelationalQueries {
     "s20_column_stats" -> s20ColumnStats,
     "s21_profile_diff" -> s21ProfileDiff,
     "s22_stats_sidecar" -> s22StatsSidecar,
+    "s23_time_travel" -> s23TimeTravel,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

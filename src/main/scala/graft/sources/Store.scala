@@ -44,10 +44,15 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   /** Idempotent re-load of whole partitions: dynamic partition overwrite
     * replaces exactly the partitions present in `df`, leaving the rest —
     * the safe re-run form of E1's per-season append. */
-  def overwritePartitions(df: DataFrame): Unit =
+  def overwritePartitions(df: DataFrame): Unit = {
+    // a dynamic overwrite rewrites files that recorded snapshots still
+    // reference — versioned tables are append-only (see appendVersioned)
+    require(versions.isEmpty,
+      s"$path has recorded snapshot versions; overwrite would break time travel")
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(path)
+  }
 
   /** E1: full rebuild — destroy, then append batch by batch. Batches are
     * provided lazily so a 27-season rebuild never holds two seasons of
@@ -168,6 +173,82 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   def readStats: DataFrame = {
     require(statsExist, s"no _stats sidecar at $path — use appendTracked")
     spark.read.parquet(s"$path/_stats")
+  }
+
+  // ---- snapshot versions / time travel -----------------------------------
+  //
+  // The minimal honest form of a lakehouse transaction log: each versioned
+  // append records the DATA FILES it added under `_log/v<N>` (metadata-
+  // sized — a file list, never data), and `readVersion(n)` reconstructs
+  // the table exactly as it stood after batch n by reading the union of
+  // files recorded through version n. That is what pins a training run to
+  // a reproducible corpus snapshot — "run R trained on corpus version 7"
+  // stays answerable (and re-readable) after arbitrarily many later
+  // appends, and an x42-style manifest can name the version it describes.
+  // Append-only by design (the repo's E2 shape): a dynamic partition
+  // OVERWRITE rewrites files that older versions still reference, so
+  // versioned tables reject it — compaction/overwrite means starting a
+  // new versioned table (exactly Delta's "rewrite = new snapshot lineage"
+  // in minimal form). Relies on the store's single-writer discipline (the
+  // before/after listing brackets one append).
+
+  private def logDir = new org.apache.hadoop.fs.Path(s"$path/_log")
+
+  private def listDataFiles(): Set[String] = {
+    val (f, p) = fs
+    if (!f.exists(p)) Set.empty
+    else {
+      val base = f.makeQualified(p).toString
+      val it = f.listFiles(p, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        val rel = f.makeQualified(st.getPath).toString
+          .stripPrefix(base).stripPrefix("/")
+        // data files only: skip _SUCCESS, _stats, _log, hidden files
+        if (st.isFile && !name.startsWith("_") && !name.startsWith(".") &&
+          !rel.startsWith("_")) b += rel
+      }
+      b.result()
+    }
+  }
+
+  /** Versions recorded so far, ascending (v1, v2, ...). */
+  def versions: Seq[Long] = {
+    val (f, _) = fs
+    if (!f.exists(logDir)) Seq.empty
+    else f.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted.toSeq
+  }
+
+  /** Append one batch and record it as the next snapshot version.
+    * Returns the new version number. */
+  def appendVersioned(df: DataFrame): Long = {
+    val before = listDataFiles()
+    append(df)
+    val added = (listDataFiles() -- before).toSeq.sorted
+    val v = versions.lastOption.getOrElse(0L) + 1
+    val (f, _) = fs
+    val out = f.create(new org.apache.hadoop.fs.Path(logDir, s"v$v"), false)
+    try out.write(added.mkString("\n").getBytes("UTF-8")) finally out.close()
+    v
+  }
+
+  /** The table exactly as it stood after version `v`: the union of the
+    * files recorded by versions 1..v. `basePath` keeps partition-column
+    * recovery working on an explicit file list. */
+  def readVersion(v: Long): DataFrame = {
+    require(versions.contains(v), s"unknown version $v at $path (have $versions)")
+    val (f, _) = fs
+    val files = versions.filter(_ <= v).flatMap { n =>
+      val in = f.open(new org.apache.hadoop.fs.Path(logDir, s"v$n"))
+      val txt = try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+      txt.split("\n").filter(_.nonEmpty)
+    }.map(rel => s"$path/$rel")
+    spark.read.option("basePath", path).parquet(files: _*)
   }
 
   private def mergeStats(batch: DataFrame, replace: Boolean): Unit = {

@@ -79,6 +79,30 @@ class StoreSpec extends SparkSpec {
     assert(!store.statsExist)
   }
 
+  test("snapshot versions reconstruct every batch prefix; overwrite is rejected") {
+    val store = Store(spark, tmpDir("store_tt"), "season")
+    assert(store.versions.isEmpty)
+    assert(store.appendVersioned(season(1999, 2)) === 1L)
+    assert(store.appendVersioned(season(2000, 3)) === 2L)
+    assert(store.appendVersioned(season(1999, 1)) === 3L) // same partition grows
+    assert(store.versions === Seq(1L, 2L, 3L))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("game_id").as[String].collect().toSet
+    assert(ids(store.readVersion(1)) === ids(season(1999, 2)))
+    assert(ids(store.readVersion(2)) === ids(season(1999, 2).union(season(2000, 3))))
+    // the latest snapshot IS the live table, partition columns recovered
+    assert(ids(store.readVersion(3)) === ids(store.read))
+    assert(store.readVersion(3).select("season").distinct().as[Int].collect().toSet
+      === Set(1999, 2000))
+    // old snapshots survive later appends (the reproducibility property)
+    assert(ids(store.readVersion(1)) === ids(season(1999, 2)))
+    // rewriting files referenced by snapshots is refused
+    intercept[IllegalArgumentException] {
+      store.overwritePartitions(season(1999, 1))
+    }
+    intercept[IllegalArgumentException] { store.readVersion(9L) }
+  }
+
   test("update appends only unseen keys and is idempotent") {
     val store = Store(spark, tmpDir("store_update"), "season")
     store.rebuild(Iterator(season(2023, 2)))
