@@ -1174,16 +1174,21 @@ object PipelineQueries {
         "doc_id", 8),
       Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0), "doc_id")
 
+  private def baseMapPath(s: SparkSession, d: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+      s"basemap_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+
   private def baseMapStored(s: SparkSession, d: String) =
     x39Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
-        s"basemap_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
-      val store = graft.sources.Store(s, path, "part")
+      val store = graft.sources.Store(s, baseMapPath(s, d), "part")
       store.destroy()
       store.append(baseMapFit(s, d)
         .select("doc_id", "cluster_id")
         .withColumn("part", pmod(hash(col("doc_id")), lit(8))))
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      val M = lit(2147483647L)
+      store.trackFrom(store.read,
+        (col("doc_id") % M) * (col("cluster_id") % M) % M)
       store.read.drop("part")
     })
 
@@ -1268,18 +1273,25 @@ object PipelineQueries {
   private val x40LmBuilt = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.DataFrame]()
 
+  private def x40LmPath(s: SparkSession, d: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+      s"ingest_lm_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+
   private def x40LmStored(s: SparkSession, d: String) =
     x40LmBuilt.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
-        s"ingest_lm_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
-      val store = graft.sources.Store(s, path, "part")
+      val store = graft.sources.Store(s, x40LmPath(s, d), "part")
       store.destroy()
       val built = graft.operators.Lm.bigramCounts(
           Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
         .withColumn("part", pmod(hash(col("prev")), lit(8)))
       store.append(built)
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
-      readOrEmpty(store, built).drop("part")
+      val back = readOrEmpty(store, built)
+      val M = lit(2147483647L)
+      store.trackFrom(back,
+        (TextAnalysis.hash32(col("prev")) * 31 + TextAnalysis.hash32(col("cur"))) % M
+          * (col("n_bg") % M) % M)
+      back.drop("part")
     })
 
   private def x40ClsFit(docs: org.apache.spark.sql.DataFrame) =
@@ -5066,16 +5078,21 @@ object PipelineQueries {
       case _: org.apache.spark.sql.AnalysisException => built.limit(0)
     }
 
+  private def v5SurvPath(s: SparkSession, d: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+      s"survivors_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+
   private def v5SurvivorsStored(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     v5SurvBuilt.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
-        s"survivors_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
-      val store = graft.sources.Store(s, path, "source")
+      val store = graft.sources.Store(s, v5SurvPath(s, d), "source")
       store.destroy()
       val built = v5Survivors(Tables.documents(s, d))
       store.append(built)
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
-      readOrEmpty(store, built)
+      val back = readOrEmpty(store, built)
+      val M = lit(2147483647L)
+      store.trackFrom(back, (col("doc_id") % M) * (col("doc_id") % M) % M)
+      back
     })
 
   private val x32CurationV5 = Q(
@@ -5489,17 +5506,22 @@ object PipelineQueries {
   private val x41Built = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.DataFrame]()
 
+  private def x41RunPath(s: SparkSession, d: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+      s"train_run_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+
   private def x41StoredRun(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
     x41Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
       val sharded = Sampling.shardAssign(scrubbedSurvivors(s, d),
         Seq("doc_id"), "clean_toks", nShards = 16)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
-        s"train_run_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
-      val store = graft.sources.Store(s, path, "shard")
+      val store = graft.sources.Store(s, x41RunPath(s, d), "shard")
       store.destroy()
       store.append(sharded)
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
-      readOrEmpty(store, sharded)
+      val back = readOrEmpty(store, sharded)
+      val M = lit(2147483647L)
+      store.trackFrom(back, (col("doc_id") % M) * ((col("shard") + 1) % M) % M)
+      back
     })
 
   /** x41: MATERIALIZE THE TRAINING RUN — x37 computes the shard plan;
@@ -6172,6 +6194,114 @@ object PipelineQueries {
        |  FROM teasg)
        |SELECT artifact, n_before, n_removed, n_after, total_after, checksum_after
        |FROM trows ORDER BY artifact""".stripMargin)
+
+  /** x45: the SIDECAR MANIFEST — x42's run manifest served from METADATA
+    * ONLY. All four artifact stores are now TRACKED (their builders fold
+    * per-partition row counts and lattice checksums into `_stats`
+    * sidecars at write time — [[graft.sources.Store.trackFrom]]), so this
+    * query derives each artifact's manifest row by summing its sidecar:
+    * O(partitions) rows read, ZERO data files scanned at query time. The
+    * oracle still recomputes every artifact from scratch (the x42 chain),
+    * so hash equality proves the write-time metadata equals the
+    * from-scratch truth — which is exactly the production division of
+    * labor at 100 TB: THIS query is the daily manifest (metadata read),
+    * x42 is the periodic deep audit (full scan), and they are gated to
+    * agree. Checksum terms are per-partition sums below 2³¹ re-reduced on
+    * the lattice, so summing sidecar rows equals the full-relation
+    * checksum exactly. */
+  private val x45SidecarManifest = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      if (planOnly) {
+        // in-memory equivalents of the sidecar sums: identical terms over
+        // the builder frames (no store IO during plan sweeps)
+        def row(name: String, df: org.apache.spark.sql.DataFrame,
+                term: org.apache.spark.sql.Column) =
+          df.agg(count(lit(1)).cast(LongType).as("n_rows"),
+              coalesce(pmod(sum(pmod(term, M)), M), lit(0L))
+                .cast(LongType).as("checksum"))
+            .select(lit(name).as("artifact"), col("n_rows"), col("checksum"))
+        val docs = Tables.documents(s, d)
+        val run = Sampling.shardAssign(scrubbedSurvivors(s, d),
+          Seq("doc_id"), "clean_toks", nShards = 16)
+        val lm = graft.operators.Lm.bigramCounts(
+          docs.filter(col("doc_id") % 10 =!= 0))
+        row("survivor_set", v5Survivors(docs),
+            (col("doc_id") % M) * (col("doc_id") % M) % M)
+          .unionByName(row("train_run", run,
+            (col("doc_id") % M) * ((col("shard") + 1) % M) % M))
+          .unionByName(row("lm_model", lm,
+            (TextAnalysis.hash32(col("prev")) * 31 + TextAnalysis.hash32(col("cur"))) % M
+              * (col("n_bg") % M) % M))
+          .unionByName(row("canonical_map", baseMapFit(s, d),
+            (col("doc_id") % M) * (col("cluster_id") % M) % M))
+          .orderBy("artifact")
+      } else {
+        // force the builds (and with them the write-time tracking) …
+        v5SurvivorsStored(s, d); x41StoredRun(s, d)
+        x40LmStored(s, d); baseMapStored(s, d)
+        // … then read ONLY the sidecars
+        def row(name: String, path: String, partCol: String) =
+          graft.sources.Store(s, path, partCol).readStats
+            .agg(coalesce(sum(col("n_rows")), lit(0L)).cast(LongType).as("n_rows"),
+              coalesce(pmod(sum(col("checksum")), M), lit(0L))
+                .cast(LongType).as("checksum"))
+            .select(lit(name).as("artifact"), col("n_rows"), col("checksum"))
+        row("survivor_set", v5SurvPath(s, d), "source")
+          .unionByName(row("train_run", x41RunPath(s, d), "shard"))
+          .unionByName(row("lm_model", x40LmPath(s, d), "part"))
+          .unionByName(row("canonical_map", baseMapPath(s, d), "part"))
+          .orderBy("artifact")
+      }
+    },
+    s"""WITH RECURSIVE $x37ScrubCtes,
+       |wwshr AS (SELECT doc_id, clean_toks,
+       |    ROW_NUMBER() OVER (ORDER BY clean_toks DESC, doc_id) AS rnk FROM cl),
+       |wwsh AS (SELECT doc_id, CAST((rnk - 1) % 16 AS INT) AS shard FROM wwshr),
+       |yqt AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |  WHERE doc_id % 10 <> 0),
+       |yqp AS (SELECT l[i] AS prev, l[i+1] AS cur
+       |  FROM (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i
+       |        FROM yqt WHERE len(l) >= 2)),
+       |yqc AS (SELECT prev, cur, COUNT(*) AS n_bg FROM yqp GROUP BY 1, 2),
+       |${minhashCtesFor("(SELECT * FROM documents WHERE doc_id % 10 <> 0)", "y")},
+       |ybands AS (${bandsSqlFor("y")}),
+       |ypairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM ybands a JOIN ybands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |yedges AS (SELECT doc_a AS src, doc_b AS dst FROM ypairs
+       |           UNION ALL SELECT doc_b, doc_a FROM ypairs),
+       |yreach(node, r) AS (
+       |  SELECT src, src FROM yedges
+       |  UNION
+       |  SELECT e.dst, yreach.r FROM yedges e JOIN yreach ON e.src = yreach.node),
+       |ycomp AS (SELECT node, min(r) AS cid FROM yreach GROUP BY 1),
+       |ylbl AS (SELECT d.doc_id, COALESCE(ycomp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN ycomp ON d.doc_id = ycomp.node
+       |  WHERE d.doc_id % 10 <> 0),
+       |yrows AS (
+       |  SELECT 'survivor_set' AS artifact, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COALESCE(SUM((doc_id % 2147483647) * (doc_id % 2147483647)
+       |      % 2147483647), 0) % 2147483647 AS BIGINT) AS checksum
+       |  FROM surv
+       |  UNION ALL
+       |  SELECT 'train_run', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM((doc_id % 2147483647) * ((shard + 1) % 2147483647)
+       |      % 2147483647), 0) % 2147483647 AS BIGINT)
+       |  FROM wwsh
+       |  UNION ALL
+       |  SELECT 'lm_model', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(((${h32Sql("prev")} * 31 + ${h32Sql("cur")}) % 2147483647)
+       |      * (n_bg % 2147483647) % 2147483647), 0) % 2147483647 AS BIGINT)
+       |  FROM yqc
+       |  UNION ALL
+       |  SELECT 'canonical_map', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM((doc_id % 2147483647) * (cluster_id % 2147483647)
+       |      % 2147483647), 0) % 2147483647 AS BIGINT)
+       |  FROM ylbl)
+       |SELECT artifact, n_rows, checksum FROM yrows ORDER BY artifact""".stripMargin)
 
   /** z39: character-entropy quality signal — the compression-ratio proxy
     * low-quality detectors use beside z2's ratio panel: gibberish,
@@ -7838,6 +7968,7 @@ object PipelineQueries {
     "x42_run_manifest" -> x42RunManifest,
     "x43_manifest_diff" -> x43ManifestDiff,
     "x44_takedown" -> x44Takedown,
+    "x45_sidecar_manifest" -> x45SidecarManifest,
     "z17_bigram_logprob" -> z17BigramLogprob,
     "z18_lexical_stats" -> z18LexicalStats,
     "z19_sequence_pack" -> z19SequencePack,

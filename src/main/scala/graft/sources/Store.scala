@@ -251,6 +251,15 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     spark.read.option("basePath", path).parquet(files: _*)
   }
 
+  /** Rebuild the sidecar wholesale from a snapshot of the current table
+    * state (the caller passes the read-back frame so an EMPTY table — a
+    * gate that dropped everything — can hand in a zero-row frame with
+    * schema). The retrofit/repair path, and the cheap way for a builder
+    * that writes a table in ONE logical batch to track it without
+    * re-executing the builder plan: one scan of the just-written files. */
+  def trackFrom(df: DataFrame, term: org.apache.spark.sql.Column): Unit =
+    writeStats(statsOf(df, term))
+
   private def mergeStats(batch: DataFrame, replace: Boolean): Unit = {
     val merged =
       if (!statsExist) batch
@@ -262,11 +271,15 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
           .groupBy(col(partCol))
           .agg(sum(col("n_rows")).cast("long").as("n_rows"),
             pmod(sum(col("checksum")), lit(StatsM)).cast("long").as("checksum"))
+    writeStats(merged)
+  }
+
+  private def writeStats(stats: DataFrame): Unit = {
     // land atomically beside the data: materialize to a sibling temp dir
-    // FIRST (the merge reads the current sidecar — writing in place would
+    // FIRST (a merge reads the current sidecar — writing in place would
     // overwrite our own input), then swap via rename
     val tmp = s"${path}__stats_tmp"
-    merged.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val (f, _) = fs
     val sd = new org.apache.hadoop.fs.Path(s"$path/_stats")
     if (f.exists(sd)) require(f.delete(sd, true), s"failed to clear $sd")
