@@ -113,6 +113,23 @@ class StreamingSpec extends SparkSpec {
     assert(new java.io.File(dest).listFiles().exists(_.getName.startsWith("split=")))
   }
 
+  test("curationRouter with a removal list drops takedowns before dedup state") {
+    val src = tmpDir("route_rm_src"); val dest = tmpDir("route_rm_dest") + "/corpus"
+    val ckpt = tmpDir("route_rm_ckpt")
+    writeBatch(src, Seq(
+      (1L, ts(0), 10L, "h_aaa", 1.0), // takedown-listed → must not enter dedup state
+      (2L, ts(1), 11L, "h_aaa", 2.0), // same key arrives later: must SURVIVE —
+                                      // if 1 had entered state, 2 would drop as its dup
+      (3L, ts(2), 12L, "h_bbb", 3.0)))
+    val removal = Seq(1L).toDF("event_id")
+    EventStreams.curationRouter(
+      EventStreams.fileSource(spark, src, schema), Seq("event_type"),
+      idCol = "event_id", dest, ckpt, "30 minutes",
+      removal = Some(removal)).awaitTermination()
+    val out = spark.read.parquet(dest).select("event_id").as[Long].collect().sorted
+    assert(out.toSeq === Seq(2L, 3L))
+  }
+
   test("curationRouter's rolling quality gates match the batch x32 gate verdicts on the same drain") {
     import graft.operators.{Dedup, TextAnalysis}
     val ref = Seq((100L, (1 to 24).map(i => f"r$i%02d").mkString(" ")))
