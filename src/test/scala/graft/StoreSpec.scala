@@ -103,6 +103,23 @@ class StoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { store.readVersion(9L) }
   }
 
+  test("a version-pinned run re-materializes identically after the corpus advances") {
+    // the reproducibility story s23 exists for: a training run records the
+    // corpus VERSION it read; re-deriving the run from that snapshot must
+    // be bit-identical even after later ingest days appended new batches
+    import graft.operators.Sampling
+    val corpus = Store(spark, tmpDir("store_vpin"), "season")
+    val v1 = corpus.appendVersioned(season(1999, 4))
+    def materialize(v: Long) = Sampling.shardAssign(
+        corpus.readVersion(v).withColumn("t", col("epa").cast("long")),
+        Seq("game_id"), "t", nShards = 4)
+      .select("game_id", "shard").as[(String, Int)].collect().toSet
+    val runA = materialize(v1)
+    val v2 = corpus.appendVersioned(season(2000, 5)) // the corpus moves on
+    assert(materialize(v1) === runA, "pinned-version run drifted after an append")
+    assert(materialize(v2).size === runA.size + 5)
+  }
+
   test("update appends only unseen keys and is idempotent") {
     val store = Store(spark, tmpDir("store_update"), "season")
     store.rebuild(Iterator(season(2023, 2)))
