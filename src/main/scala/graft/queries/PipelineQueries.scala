@@ -1182,14 +1182,15 @@ object PipelineQueries {
     x39Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
       val store = graft.sources.Store(s, baseMapPath(s, d), "part")
       store.destroy()
-      store.append(baseMapFit(s, d)
+      val built = baseMapFit(s, d)
         .select("doc_id", "cluster_id")
-        .withColumn("part", pmod(hash(col("doc_id")), lit(8))))
+        .withColumn("part", pmod(hash(col("doc_id")), lit(8)))
+      store.append(built)
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      val back = readOrEmpty(store, built)
       val M = lit(2147483647L)
-      store.trackFrom(store.read,
-        (col("doc_id") % M) * (col("cluster_id") % M) % M)
-      store.read.drop("part")
+      store.trackFrom(back, (col("doc_id") % M) * (col("cluster_id") % M) % M)
+      back.drop("part")
     })
 
   /** x39: ARRIVAL RESOLUTION report — the daily-ingest artifact on top of

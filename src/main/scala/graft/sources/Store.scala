@@ -37,8 +37,17 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
 
   def exists: Boolean = { val (f, p) = fs; f.exists(p) }
 
-  /** S7: append one batch (one reference "season"), partitioned. */
-  def append(df: DataFrame): Unit =
+  /** S7: append one batch (one reference "season"), partitioned. On a
+    * TRACKED table (a `_stats` sidecar exists) an untracked append would
+    * silently stale the metadata a manifest certifies from — refused;
+    * use [[appendTracked]] (or rebuild the sidecar with [[trackFrom]]). */
+  def append(df: DataFrame): Unit = {
+    require(!statsExist,
+      s"$path has a _stats sidecar; a plain append would stale it — use appendTracked")
+    appendRaw(df)
+  }
+
+  private def appendRaw(df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).partitionBy(partCol).parquet(path)
 
   /** Idempotent re-load of whole partitions: dynamic partition overwrite
@@ -49,10 +58,16 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     // reference — versioned tables are append-only (see appendVersioned)
     require(versions.isEmpty,
       s"$path has recorded snapshot versions; overwrite would break time travel")
+    // and on a tracked table it would stale the sidecar (see append)
+    require(!statsExist,
+      s"$path has a _stats sidecar; use overwritePartitionsTracked")
+    overwriteRaw(df)
+  }
+
+  private def overwriteRaw(df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partCol).parquet(path)
-  }
 
   /** E1: full rebuild — destroy, then append batch by batch. Batches are
     * provided lazily so a 27-season rebuild never holds two seasons of
@@ -150,17 +165,37 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
       .agg(count(lit(1)).as("n_rows"),
         pmod(sum(pmod(term, lit(StatsM))), lit(StatsM)).cast("long").as("checksum"))
 
-  /** Append + fold the batch's stats into the sidecar (additive merge). */
+  /** Append + fold the batch's stats into the sidecar (additive merge).
+    * Stats are computed from the FILES THE APPEND LANDED (the before/after
+    * listing brackets one append under the store's single-writer
+    * discipline), not by re-executing the input plan — so a
+    * nondeterministic batch (sampling, rand()) still gets a sidecar that
+    * certifies what is actually on disk, and a deterministic one doesn't
+    * pay a second plan execution; the extra cost is one scan of the new
+    * files only. */
   def appendTracked(df: DataFrame, term: org.apache.spark.sql.Column): Unit = {
-    append(df)
-    mergeStats(statsOf(df, term), replace = false)
+    val before = listDataFiles()
+    appendRaw(df)
+    val added = (listDataFiles() -- before).toSeq.sorted.map(rel => s"$path/$rel")
+    if (added.nonEmpty)
+      mergeStats(
+        statsOf(spark.read.option("basePath", path).parquet(added: _*), term),
+        replace = false)
+    else if (!statsExist)
+      mergeStats(statsOf(df.limit(0), term), replace = false)
   }
 
-  /** Dynamic partition overwrite + replace the touched partitions' stats. */
+  /** Dynamic partition overwrite + replace the touched partitions' stats.
+    * Same disk-truth discipline as [[appendTracked]]: the replacement
+    * stats come from re-reading the partitions the overwrite landed. */
   def overwritePartitionsTracked(df: DataFrame,
                                  term: org.apache.spark.sql.Column): Unit = {
-    overwritePartitions(df)
-    mergeStats(statsOf(df, term), replace = true)
+    require(versions.isEmpty,
+      s"$path has recorded snapshot versions; overwrite would break time travel")
+    overwriteRaw(df)
+    val parts = df.select(partCol).distinct()
+    mergeStats(statsOf(read.join(broadcast(parts), Seq(partCol), "left_semi"), term),
+      replace = true)
   }
 
   def statsExist: Boolean = {
@@ -223,7 +258,15 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   }
 
   /** Append one batch and record it as the next snapshot version.
-    * Returns the new version number. */
+    * Returns the new version number. The log entry's first line is the
+    * batch SCHEMA (DDL), so a snapshot whose recorded batches were all
+    * empty (an all-dup ingest day — a zero-row append lands no data
+    * files) still reconstructs as a typed empty relation instead of
+    * failing schema inference. Cost note: the before/after listing is a
+    * full table enumeration per append — fine at this store's scale; a
+    * production lakehouse writer reports its added files through the
+    * commit protocol instead of diffing listings, which is the swap this
+    * method's contract (record WHAT THIS BATCH ADDED) is designed for. */
   def appendVersioned(df: DataFrame): Long = {
     val before = listDataFiles()
     append(df)
@@ -231,24 +274,31 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     val v = versions.lastOption.getOrElse(0L) + 1
     val (f, _) = fs
     val out = f.create(new org.apache.hadoop.fs.Path(logDir, s"v$v"), false)
-    try out.write(added.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write((df.schema.toDDL +: added).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     v
   }
 
   /** The table exactly as it stood after version `v`: the union of the
     * files recorded by versions 1..v. `basePath` keeps partition-column
-    * recovery working on an explicit file list. */
+    * recovery working on an explicit file list; an all-empty prefix
+    * yields a typed empty relation from the logged schema. */
   def readVersion(v: Long): DataFrame = {
     require(versions.contains(v), s"unknown version $v at $path (have $versions)")
     val (f, _) = fs
-    val files = versions.filter(_ <= v).flatMap { n =>
+    val entries = versions.filter(_ <= v).map { n =>
       val in = f.open(new org.apache.hadoop.fs.Path(logDir, s"v$n"))
       val txt = try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
-      txt.split("\n").filter(_.nonEmpty)
-    }.map(rel => s"$path/$rel")
-    spark.read.option("basePath", path).parquet(files: _*)
+      val lines = txt.split("\n")
+      (lines.head, lines.tail.filter(_.nonEmpty).toSeq)
+    }
+    val files = entries.flatMap(_._2).map(rel => s"$path/$rel")
+    if (files.nonEmpty) spark.read.option("basePath", path).parquet(files: _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(entries.last._1))
   }
 
   /** Rebuild the sidecar wholesale from a snapshot of the current table
@@ -336,7 +386,13 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
         else pmod(hash(saltCols: _*), lit(filesPerPartition.max(1)))
       snapshot.repartition(col(partCol), salt)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
-      overwritePartitions(spark.read.parquet(tmp))
+      // raw overwrite: compaction preserves rows exactly, so a _stats
+      // sidecar stays valid (counts and content checksums are invariant
+      // under file re-layout); versioned tables still refuse above
+      require(versions.isEmpty,
+        s"$path has recorded snapshot versions; compaction would rewrite " +
+          "files older snapshots reference")
+      overwriteRaw(spark.read.parquet(tmp))
     } finally f.delete(tmpPath, true)
   }
 

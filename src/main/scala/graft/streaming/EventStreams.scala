@@ -114,9 +114,13 @@ object EventStreams {
     textCol.fold(byId) { tc =>
       require(removal.columns.contains("content_hash"),
         "content-hash takedown needs a content_hash column in the removal relation")
+      // alias the removal side: the docs stream may legitimately carry its
+      // own content_hash column, and an unqualified reference would be
+      // ambiguous in the join condition
       byId.join(
-        broadcast(removal.select(col("content_hash")).distinct()),
-        md5(col(tc)) === col("content_hash"), "left_anti")
+        broadcast(removal.select(col("content_hash").as("__rm_content_hash"))
+          .distinct()),
+        md5(col(tc)) === col("__rm_content_hash"), "left_anti")
     }
   }
 
@@ -154,8 +158,12 @@ object EventStreams {
                      removal: Option[DataFrame] = None): StreamingQuery = {
     // takedown runs FIRST: a removed document must not even reach the
     // dedup state, or a later legitimate arrival with the same key would
-    // be dropped as its duplicate
-    val admitted = removal.fold(docs)(r => takedownGate(docs, r, idCol, textCol))
+    // be dropped as its duplicate. Content-hash matching engages only
+    // when the removal relation actually carries hashes — the quality
+    // gates' textCol must not force an id-only removal list to grow one
+    val admitted = removal.fold(docs)(r =>
+      takedownGate(docs, r, idCol,
+        textCol.filter(_ => r.columns.contains("content_hash"))))
     val deduped = dedupStream(admitted, keyCols, watermark)
     val gated = textCol.fold(deduped) { tc =>
       deduped.filter(

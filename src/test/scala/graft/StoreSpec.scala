@@ -103,6 +103,38 @@ class StoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { store.readVersion(9L) }
   }
 
+  test("an all-empty snapshot prefix reconstructs as a typed empty relation") {
+    // the all-dup ingest day: a zero-row versioned append lands no data
+    // files, but 'what did run R train on' must stay answerable
+    val store = Store(spark, tmpDir("store_tt_empty"), "season")
+    assert(store.appendVersioned(season(1999, 2).limit(0)) === 1L)
+    val v1 = store.readVersion(1)
+    assert(v1.count() === 0L)
+    assert(v1.columns.toSet === Set("game_id", "season", "epa"))
+    // later data doesn't leak into the empty snapshot
+    store.appendVersioned(season(2000, 3))
+    assert(store.readVersion(1).count() === 0L)
+    assert(store.readVersion(2).count() === 3L)
+  }
+
+  test("plain writes are refused on a tracked table (stale-sidecar guard)") {
+    val store = Store(spark, tmpDir("store_guard"), "season")
+    val term = col("epa").cast("long")
+    store.appendTracked(season(1999, 2), term)
+    intercept[IllegalArgumentException] { store.append(season(2000, 1)) }
+    intercept[IllegalArgumentException] { store.overwritePartitions(season(1999, 1)) }
+    // tracked writes still work and keep the sidecar truthful
+    store.appendTracked(season(2000, 1), term)
+    assert(store.readStats.select("n_rows").as[Long].collect().sum === 3L)
+    // compaction preserves rows exactly, so it stays allowed and the
+    // sidecar stays valid
+    store.compact(1)
+    assert(store.statsOf(store.read, term)
+      .as[(Int, Long, Long)].collect().toSet ===
+      store.readStats.select(col("season").cast("int"), col("n_rows"), col("checksum"))
+        .as[(Int, Long, Long)].collect().toSet)
+  }
+
   test("a version-pinned run re-materializes identically after the corpus advances") {
     // the reproducibility story s23 exists for: a training run records the
     // corpus VERSION it read; re-deriving the run from that snapshot must

@@ -128,6 +128,24 @@ class StreamingSpec extends SparkSpec {
       removal = Some(removal)).awaitTermination()
     val out = spark.read.parquet(dest).select("event_id").as[Long].collect().sorted
     assert(out.toSeq === Seq(2L, 3L))
+    // an id-only removal list must compose with the quality gates: the
+    // router engages content-hash matching only when hashes are provided
+    val dest2 = tmpDir("route_rm_dest2") + "/corpus"; val ckpt2 = tmpDir("route_rm_ckpt2")
+    val src2 = tmpDir("route_rm_src2")
+    // ≥24 unique words per doc: enough to clear the Gopher top-gram
+    // coverage thresholds (see the gate-parity test's sizing note)
+    Seq((1L, ts(0), (1 to 24).map(i => f"w$i%02d").mkString(" ")),
+        (2L, ts(1), (1 to 24).map(i => f"x$i%02d").mkString(" ")))
+      .toDF("event_id", "ts", "text").repartition(1).write.mode("append").parquet(src2)
+    val sch2 = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    EventStreams.curationRouter(
+      spark.readStream.schema(sch2).parquet(src2), Seq("event_id"),
+      idCol = "event_id", dest2, ckpt2, "30 minutes",
+      textCol = Some("text"),
+      removal = Some(Seq(1L).toDF("event_id"))).awaitTermination()
+    assert(spark.read.parquet(dest2).select("event_id").as[Long].collect().toSeq
+      === Seq(2L))
   }
 
   test("curationRouter's rolling quality gates match the batch x32 gate verdicts on the same drain") {
@@ -549,6 +567,14 @@ class StreamingSpec extends SparkSpec {
         Seq((7L, null: String)).toDF("doc_id", "text"), removal, "doc_id", Some("text"))
       .select("doc_id").as[Long].collect()
     assert(nullText.toSeq === Seq(7L))
+    // a docs side that carries its OWN content_hash column must not make
+    // the removal join ambiguous
+    val docsWithHash = spark.read.parquet(src)
+      .withColumn("content_hash", md5(col("text")))
+    val withOwnHash = EventStreams.takedownGate(
+        docsWithHash, removal, "doc_id", Some("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(withOwnHash.toSeq === Seq(2L, 3L))
   }
 
   test("annServe top-1 over a file stream equals the batch bucket-join replica") {
