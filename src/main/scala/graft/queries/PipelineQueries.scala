@@ -884,6 +884,91 @@ object PipelineQueries {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 100""".stripMargin)
 
+  /** z54: the n-gram OVERLAP CURVE — the memorization/contamination
+    * ladder the GPT-2/3-style overlap appendices sweep: for each window
+    * size n ∈ {2, 4, 8}, every held-out document (the %10 arrival slice)
+    * is scored by the fraction of its n-token windows that appear
+    * ANYWHERE in the training split. Small n measures vocabulary-level
+    * overlap (≈1 on any same-domain corpus — the baseline that makes
+    * small-n "contamination" alarms meaningless), large n measures
+    * verbatim span leakage (the signal z11/x19 act on at n=8); the CURVE
+    * between them is the calibration artifact that tells you which n
+    * separates domain similarity from memorization risk on THIS corpus.
+    * Per n: scoreable held-out docs, exact-decimal mean containment
+    * (per-doc ratios snapshotted at DECIMAL(12,6) before the
+    * order-sensitive sum, one IEEE division per boundary), fully-
+    * contained docs (the retraction list), and zero-overlap docs.
+    *
+    * Scale shape: per n, one distinct-fingerprint relation over train
+    * (corpus-linear, map-side combinable) and one fp-keyed equi-join
+    * from the held-out windows — never a doc×doc comparison. The md5
+    * window fingerprint is the exact rung; at warehouse scale the n=8
+    * tier rides the rolling dual-lattice fingerprints + reference Bloom
+    * exactly as x19b does (this panel is the tool that picks WHICH n
+    * deserves that production path). */
+  private val z54OverlapCurve = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      def curveAt(n: Int): org.apache.spark.sql.DataFrame = {
+        def wins(df: org.apache.spark.sql.DataFrame) = df
+          .filter(size(col("w")) >= n)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, size(w) - $n), i -> md5(concat_ws(' ', slice(w, i + 1, $n))))"))
+            .as("fp"))
+        val train = wins(docs.filter(col("doc_id") % 10 =!= 0))
+          .select("fp").distinct()
+        val perDoc = wins(docs.filter(col("doc_id") % 10 === 0))
+          .join(train.withColumn("hit", lit(1L)), Seq("fp"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .withColumn("cont_dec",
+            (col("n_hits").cast(DoubleType) / col("n_windows")).cast(DecimalType(12, 6)))
+        perDoc.agg(
+            count(lit(1)).as("n_docs"),
+            (sum(col("cont_dec")).cast(DoubleType) / count(lit(1))).as("mean_containment"),
+            sum(when(col("n_hits") === col("n_windows"), 1L).otherwise(0L))
+              .cast(LongType).as("n_full"),
+            sum(when(col("n_hits") === 0, 1L).otherwise(0L))
+              .cast(LongType).as("n_zero"))
+          .select(lit(n).as("n"), col("n_docs"), col("mean_containment"),
+            col("n_full"), col("n_zero"))
+      }
+      Seq(2, 4, 8).map(curveAt).reduce(_.unionByName(_)).orderBy("n")
+    },
+    {
+      def tier(n: Int): String =
+        s"""t$n AS (SELECT DISTINCT md5(array_to_string(l[i:i+${n - 1}], ' ')) AS fp
+           |  FROM (SELECT l, unnest(generate_series(1, len(l) - ${n - 1})) AS i
+           |        FROM (SELECT string_split(text, ' ') AS l FROM documents
+           |              WHERE doc_id % 10 <> 0) WHERE len(l) >= $n)),
+           |h$n AS (SELECT doc_id, md5(array_to_string(l[i:i+${n - 1}], ' ')) AS fp
+           |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - ${n - 1})) AS i
+           |        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+           |              WHERE doc_id % 10 = 0) WHERE len(l) >= $n)),
+           |p$n AS (SELECT h$n.doc_id, COUNT(*) AS n_windows,
+           |    CAST(SUM(CASE WHEN t$n.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_hits
+           |  FROM h$n LEFT JOIN t$n ON h$n.fp = t$n.fp GROUP BY 1),
+           |c$n AS (SELECT doc_id, n_windows, n_hits,
+           |    CAST(CAST(n_hits AS DOUBLE) / n_windows AS DECIMAL(12,6)) AS cont_dec
+           |  FROM p$n),
+           |r$n AS (SELECT $n AS n, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(cont_dec) AS DOUBLE) / COUNT(*) AS mean_containment,
+           |    CAST(SUM(CASE WHEN n_hits = n_windows THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_full,
+           |    CAST(SUM(CASE WHEN n_hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+           |  FROM c$n)""".stripMargin
+      s"""WITH ${tier(2)},
+         |${tier(4)},
+         |${tier(8)}
+         |SELECT n, n_docs, mean_containment, n_full, n_zero
+         |FROM (SELECT * FROM r2 UNION ALL SELECT * FROM r4 UNION ALL SELECT * FROM r8)
+         |ORDER BY n""".stripMargin
+    })
+
   /** z35: asymmetric shingle containment — the near-dup relation Jaccard
     * is structurally blind to: when a short document is QUOTED inside a
     * long one (syndicated article + boilerplate, a README embedded in a
@@ -7920,6 +8005,7 @@ object PipelineQueries {
     "z22_temperature_mix" -> z22TemperatureMix,
     "z43_token_budget" -> z43TokenBudget,
     "z53_curriculum_mix" -> z53CurriculumMix,
+    "z54_overlap_curve" -> z54OverlapCurve,
     "z44_shard_assign" -> z44ShardAssign,
     "z45_threshold_sweep" -> z45ThresholdSweep,
     "z46_epoch_shuffle" -> z46EpochShuffle,

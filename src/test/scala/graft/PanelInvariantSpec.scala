@@ -277,6 +277,23 @@ class PanelInvariantSpec extends SparkSpec {
     }, "epoch-0 and final-epoch distributions are identical — no curriculum")
   }
 
+  test("z54: the overlap curve separates vocabulary baseline from span leakage") {
+    val r = rows("z54_overlap_curve")
+    assert(r.map(_.getInt(0)).toSeq === Seq(2, 4, 8))
+    r.foreach { x =>
+      val (nd, mean, full, zero) =
+        (x.getLong(1), x.getDouble(2), x.getLong(3), x.getLong(4))
+      assert(mean >= 0.0 && mean <= 1.0)
+      assert(full + zero <= nd, "full and zero-overlap docs must be disjoint subsets")
+      // a fully-contained doc has mean contribution 1, a zero doc 0
+      assert(mean * nd >= full - 1e-6 && mean * nd <= nd - zero + 1e-6)
+    }
+    val byN = r.map(x => x.getInt(0) -> x.getDouble(2)).toMap
+    // the calibration property the panel exists for: small n sits at the
+    // same-domain vocabulary baseline, large n isolates actual leakage
+    assert(byN(2) >= byN(8), "containment must not grow with window size")
+  }
+
   test("s21: the five-metric panel's drift verdicts follow the 25% rule") {
     val r = rows("s21_profile_diff")
     assert(r.map(_.getString(0)).sorted.toSeq ===
