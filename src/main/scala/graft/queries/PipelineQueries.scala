@@ -969,6 +969,67 @@ object PipelineQueries {
          |ORDER BY n""".stripMargin
     })
 
+  /** z55: per-source LEAKAGE ATTRIBUTION — z54's n=8 tier turned into
+    * the operational question an ingest owner actually asks: WHICH
+    * arrival source is re-serving training data? Every held-out doc's
+    * 8-token-window containment against the train split, aggregated per
+    * source: docs scored, mean containment, docs over the 50% span-dup
+    * line (the x32 span gate's majority rule applied cross-split — these
+    * arrivals are substantially recycled training content), and fully-
+    * contained docs (verbatim re-serves). A source whose arrivals sit
+    * high on this panel gets its crawl deprioritized or its dedup
+    * resolution (x39) tightened — the feedback loop from measurement to
+    * ingest policy. Same scale shape as z54: one distinct-fp relation
+    * over train, one fp-keyed equi-join, group by source. */
+  private val z55LeakageBySource = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      def wins(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 8), i -> md5(concat_ws(' ', slice(w, i + 1, 8))))"))
+          .as("fp"))
+      val train = wins(docs.filter(col("doc_id") % 10 =!= 0)).select("fp").distinct()
+      wins(docs.filter(col("doc_id") % 10 === 0))
+        .join(train.withColumn("hit", lit(1L)), Seq("fp"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .withColumn("cont_dec",
+          (col("n_hits").cast(DoubleType) / col("n_windows")).cast(DecimalType(12, 6)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("cont_dec")).cast(DoubleType) / count(lit(1))).as("mean_containment"),
+          sum(when(col("n_hits") * 2 > col("n_windows"), 1L).otherwise(0L))
+            .cast(LongType).as("n_majority_dup"),
+          sum(when(col("n_hits") === col("n_windows"), 1L).otherwise(0L))
+            .cast(LongType).as("n_full"))
+        .orderBy("source")
+    },
+    """WITH tr AS (SELECT DISTINCT md5(array_to_string(l[i:i+7], ' ')) AS fp
+      |  FROM (SELECT l, unnest(generate_series(1, len(l) - 7)) AS i
+      |        FROM (SELECT string_split(text, ' ') AS l FROM documents
+      |              WHERE doc_id % 10 <> 0) WHERE len(l) >= 8)),
+      |hw AS (SELECT doc_id, md5(array_to_string(l[i:i+7], ' ')) AS fp
+      |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      |              WHERE doc_id % 10 = 0) WHERE len(l) >= 8)),
+      |pd AS (SELECT hw.doc_id, COUNT(*) AS n_windows,
+      |    CAST(SUM(CASE WHEN tr.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      |  FROM hw LEFT JOIN tr ON hw.fp = tr.fp GROUP BY 1),
+      |cd AS (SELECT p.doc_id, d.source, p.n_windows, p.n_hits,
+      |    CAST(CAST(p.n_hits AS DOUBLE) / p.n_windows AS DECIMAL(12,6)) AS cont_dec
+      |  FROM pd p JOIN documents d ON d.doc_id = p.doc_id)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(cont_dec) AS DOUBLE) / COUNT(*) AS mean_containment,
+      |  CAST(SUM(CASE WHEN n_hits * 2 > n_windows THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_majority_dup,
+      |  CAST(SUM(CASE WHEN n_hits = n_windows THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+      |FROM cd GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** z35: asymmetric shingle containment — the near-dup relation Jaccard
     * is structurally blind to: when a short document is QUOTED inside a
     * long one (syndicated article + boilerplate, a README embedded in a
@@ -8006,6 +8067,7 @@ object PipelineQueries {
     "z43_token_budget" -> z43TokenBudget,
     "z53_curriculum_mix" -> z53CurriculumMix,
     "z54_overlap_curve" -> z54OverlapCurve,
+    "z55_leakage_by_source" -> z55LeakageBySource,
     "z44_shard_assign" -> z44ShardAssign,
     "z45_threshold_sweep" -> z45ThresholdSweep,
     "z46_epoch_shuffle" -> z46EpochShuffle,

@@ -294,6 +294,18 @@ class PanelInvariantSpec extends SparkSpec {
     assert(byN(2) >= byN(8), "containment must not grow with window size")
   }
 
+  test("z55: per-source leakage accounting nests (full ⊆ majority ⊆ scored)") {
+    val r = rows("z55_leakage_by_source")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (nd, mean, maj, full) =
+        (x.getLong(1), x.getDouble(2), x.getLong(3), x.getLong(4))
+      assert(nd > 0L && mean >= 0.0 && mean <= 1.0)
+      assert(full <= maj, "a fully-contained doc is majority-dup by definition")
+      assert(maj <= nd)
+    }
+  }
+
   test("s21: the five-metric panel's drift verdicts follow the 25% rule") {
     val r = rows("s21_profile_diff")
     assert(r.map(_.getString(0)).sorted.toSeq ===
