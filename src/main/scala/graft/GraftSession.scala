@@ -17,6 +17,13 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // keep orderBy+limit compiling to TakeOrderedAndProject (per-partition
+      // heap + driver merge of k rows) up to production top-k sizes: above
+      // this threshold Spark falls back to a full sort + single-partition
+      // GlobalLimit, which is exactly the plan the engine's top-k rungs
+      // (vocab pruning at 32k, TakeOrdered search) are designed to avoid.
+      // 1M rows of token-sized records is comfortably driver-safe.
+      .config("spark.sql.execution.topKSortFallbackThreshold", "1048576")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

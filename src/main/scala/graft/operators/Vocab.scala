@@ -286,7 +286,13 @@ object Vocab {
     // top-k by usage via orderBy+limit: compiles to TakeOrderedAndProject
     // (per-partition heap + driver merge of k rows), NOT a single-partition
     // global sort — the candidate-substring histogram reaches 10⁷–10⁸ rows
-    // on CJK-heavy corpora and must never land on one task.
+    // on CJK-heavy corpora and must never land on one task. Caveat: the
+    // heap plan only holds for k ≤ spark.sql.execution.topKSortFallback-
+    // Threshold (default 10000 — below the production pruneTo=32768);
+    // GraftSession raises it to 2²⁰, and any external session running
+    // large-vocab fits must do the same or this degrades to a full sort
+    // with a single-partition GlobalLimit (bounded by per-partition local
+    // limits, but not the plan this comment promises).
     val multi0 = subs.filter(length(col("token")) > 1)
       .orderBy(col("u").desc, col("token").asc)
       .limit(initMulti)

@@ -33,6 +33,9 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   def destroy(): Unit = {
     val (f, p) = fs
     if (f.exists(p)) { require(f.delete(p, true), s"failed to delete $path") }
+    // sweep any aborted sibling tmp an older sidecar writer left behind
+    val legacyTmp = new org.apache.hadoop.fs.Path(s"${path}__stats_tmp")
+    if (f.exists(legacyTmp)) f.delete(legacyTmp, true)
   }
 
   def exists: Boolean = { val (f, p) = fs; f.exists(p) }
@@ -174,7 +177,15 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * pay a second plan execution; the extra cost is one scan of the new
     * files only. */
   def appendTracked(df: DataFrame, term: org.apache.spark.sql.Column): Unit = {
+    // guard the guard: on a pre-existing UNTRACKED table, a tracked write
+    // would create a sidecar covering ONLY this batch — and from then on
+    // statsExist=true would certify the table as fully tracked, silently
+    // under-counting the pre-existing data to every metadata-only reader.
+    // Bootstrap with trackFrom(read, term) first (one full scan, once).
     val before = listDataFiles()
+    require(statsExist || before.isEmpty,
+      s"$path has data without a _stats sidecar; a tracked write would " +
+        "certify only this batch — bootstrap with trackFrom(read, term) first")
     appendRaw(df)
     val added = (listDataFiles() -- before).toSeq.sorted.map(rel => s"$path/$rel")
     if (added.nonEmpty)
@@ -192,22 +203,41 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
                                  term: org.apache.spark.sql.Column): Unit = {
     require(versions.isEmpty,
       s"$path has recorded snapshot versions; overwrite would break time travel")
+    require(statsExist || listDataFiles().isEmpty, // appendTracked's bootstrap rule
+      s"$path has data without a _stats sidecar; a tracked write would " +
+        "certify only the touched partitions — bootstrap with " +
+        "trackFrom(read, term) first")
     overwriteRaw(df)
     val parts = df.select(partCol).distinct()
     mergeStats(statsOf(read.join(broadcast(parts), Seq(partCol), "left_semi"), term),
       replace = true)
   }
 
-  def statsExist: Boolean = {
+  private def statsDir = new org.apache.hadoop.fs.Path(s"$path/_stats")
+
+  /** Committed sidecar versions, ascending. A version counts only once its
+    * `_SUCCESS` marker exists — the committer drops the marker LAST, so it
+    * is the commit point: a crash mid-write leaves a markerless child that
+    * every reader ignores and the previous version live. */
+  private def statsVersions: Seq[Long] = {
     val (f, _) = fs
-    f.exists(new org.apache.hadoop.fs.Path(s"$path/_stats"))
+    if (!f.exists(statsDir)) Seq.empty
+    else f.listStatus(statsDir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("v"))
+      .flatMap(n => scala.util.Try(n.drop(1).toLong).toOption)
+      .filter(v => f.exists(
+        new org.apache.hadoop.fs.Path(statsDir, s"v$v/_SUCCESS")))
+      .sorted.toSeq
   }
+
+  def statsExist: Boolean = statsVersions.nonEmpty
 
   /** The sidecar relation: (partCol, n_rows, checksum), one row per
     * partition ever written. O(partitions) at any table size. */
   def readStats: DataFrame = {
-    require(statsExist, s"no _stats sidecar at $path — use appendTracked")
-    spark.read.parquet(s"$path/_stats")
+    val vs = statsVersions
+    require(vs.nonEmpty, s"no _stats sidecar at $path — use appendTracked")
+    spark.read.parquet(s"$path/_stats/v${vs.last}")
   }
 
   // ---- snapshot versions / time travel -----------------------------------
@@ -269,14 +299,56 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * method's contract (record WHAT THIS BATCH ADDED) is designed for. */
   def appendVersioned(df: DataFrame): Long = {
     val before = listDataFiles()
+    // orphan check: every data file visible to plain read must be recorded
+    // in SOME version, or readVersion(latest) silently diverges from read —
+    // the two ways that happens are a pre-existing unversioned table and a
+    // crash between the data append and the log write (files landed,
+    // version never recorded; our before-listing would exclude them
+    // forever). Fail loudly instead of silently skipping; adoptOrphans()
+    // records them as a repair version.
+    val orphans = before -- loggedFiles()
+    require(orphans.isEmpty,
+      s"$path has ${orphans.size} data file(s) visible to read but recorded " +
+        "in no version (pre-existing unversioned data, or a crash between " +
+        "append and log write) — adoptOrphans() to record them as a repair " +
+        "version, or start a fresh versioned table")
     append(df)
     val added = (listDataFiles() -- before).toSeq.sorted
+    writeVersionEntry(df.schema.toDDL, added)
+  }
+
+  /** Repair path for [[appendVersioned]]'s orphan check: record every data
+    * file visible to plain read but logged in no version as the next
+    * version (schema inferred from the table). Returns the repair version,
+    * or None if there was nothing to adopt. */
+  def adoptOrphans(): Option[Long] = {
+    val orphans = (listDataFiles() -- loggedFiles()).toSeq.sorted
+    if (orphans.isEmpty) None
+    else Some(writeVersionEntry(read.schema.toDDL, orphans))
+  }
+
+  /** Union of the data files recorded by every version entry. */
+  private def loggedFiles(): Set[String] =
+    versions.flatMap(v => readVersionEntry(v)._2).toSet
+
+  private def writeVersionEntry(schemaDdl: String, added: Seq[String]): Long = {
     val v = versions.lastOption.getOrElse(0L) + 1
     val (f, _) = fs
     val out = f.create(new org.apache.hadoop.fs.Path(logDir, s"v$v"), false)
-    try out.write((df.schema.toDDL +: added).mkString("\n").getBytes("UTF-8"))
+    try out.write((schemaDdl +: added).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     v
+  }
+
+  /** One version entry: (schema DDL, relative data-file paths). */
+  private def readVersionEntry(n: Long): (String, Seq[String]) = {
+    val (f, _) = fs
+    val in = f.open(new org.apache.hadoop.fs.Path(logDir, s"v$n"))
+    val txt = try new String(
+      org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+    finally in.close()
+    val lines = txt.split("\n")
+    (lines.head, lines.tail.filter(_.nonEmpty).toSeq)
   }
 
   /** The table exactly as it stood after version `v`: the union of the
@@ -285,15 +357,7 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * yields a typed empty relation from the logged schema. */
   def readVersion(v: Long): DataFrame = {
     require(versions.contains(v), s"unknown version $v at $path (have $versions)")
-    val (f, _) = fs
-    val entries = versions.filter(_ <= v).map { n =>
-      val in = f.open(new org.apache.hadoop.fs.Path(logDir, s"v$n"))
-      val txt = try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-      finally in.close()
-      val lines = txt.split("\n")
-      (lines.head, lines.tail.filter(_.nonEmpty).toSeq)
-    }
+    val entries = versions.filter(_ <= v).map(readVersionEntry)
     val files = entries.flatMap(_._2).map(rel => s"$path/$rel")
     if (files.nonEmpty) spark.read.option("basePath", path).parquet(files: _*)
     else spark.createDataFrame(
@@ -325,16 +389,24 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   }
 
   private def writeStats(stats: DataFrame): Unit = {
-    // land atomically beside the data: materialize to a sibling temp dir
-    // FIRST (a merge reads the current sidecar — writing in place would
-    // overwrite our own input), then swap via rename
-    val tmp = s"${path}__stats_tmp"
-    stats.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
     val (f, _) = fs
-    val sd = new org.apache.hadoop.fs.Path(s"$path/_stats")
-    if (f.exists(sd)) require(f.delete(sd, true), s"failed to clear $sd")
-    require(f.rename(new org.apache.hadoop.fs.Path(tmp), sd),
-      s"failed to land stats at $sd")
+    // clean up any aborted sibling tmp an older writer left behind
+    val legacyTmp = new org.apache.hadoop.fs.Path(s"${path}__stats_tmp")
+    if (f.exists(legacyTmp)) f.delete(legacyTmp, true)
+    // land as the NEXT versioned child beside the current one — never a
+    // delete-then-rename of the live sidecar (that window transiently reads
+    // as untracked and a crash there loses the sidecar entirely, flipping
+    // the plain-append guard back off). The new version's _SUCCESS marker
+    // is the commit point; reading the old version while writing the new
+    // one is safe because they are different directories (a merge's input
+    // is the old version).
+    val next = statsVersions.lastOption.getOrElse(0L) + 1
+    stats.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/_stats/v$next")
+    // prune superseded versions AFTER the commit (best-effort — a stale
+    // survivor is re-pruned on the next write; readers always take max)
+    statsVersions.filter(_ < next).foreach(v =>
+      f.delete(new org.apache.hadoop.fs.Path(statsDir, s"v$v"), true))
   }
 
   /** Co-located (bucketed) table: hash-bucket + sort by the join key at

@@ -106,10 +106,20 @@ object EventStreams {
     * batch, and it broadcasts while small (at any realistic scale: the
     * removal list grows with requests, not the corpus). A null text
     * yields a null hash, which matches nothing — null-text rows pass to
-    * the downstream gates that own that verdict. */
+    * the downstream gates that own that verdict.
+    *
+    * Null-ID rows: a null id never matches a left-anti equi-join either,
+    * so — unlike the null-text case, where downstream gates own the
+    * verdict — an UNCHECKABLE arrival would pass the id check silently.
+    * The id is this gate's primary key, so the default is FAIL CLOSED:
+    * null-id arrivals are dropped (`requireId = true`). Pass
+    * `requireId = false` only when a downstream stage re-checks identity
+    * (e.g. content-hash matching is on and null-text is impossible). */
   def takedownGate(docs: DataFrame, removal: DataFrame, idCol: String,
-                   textCol: Option[String] = None): DataFrame = {
-    val byId = docs.join(
+                   textCol: Option[String] = None,
+                   requireId: Boolean = true): DataFrame = {
+    val checked = if (requireId) docs.filter(col(idCol).isNotNull) else docs
+    val byId = checked.join(
       broadcast(removal.select(col(idCol)).distinct()), Seq(idCol), "left_anti")
     textCol.fold(byId) { tc =>
       require(removal.columns.contains("content_hash"),

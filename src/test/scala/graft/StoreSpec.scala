@@ -117,6 +117,75 @@ class StoreSpec extends SparkSpec {
     assert(store.readVersion(2).count() === 3L)
   }
 
+  test("tracked writes refuse to certify a pre-existing untracked table") {
+    val store = Store(spark, tmpDir("store_bootstrap"), "season")
+    val term = col("epa").cast("long")
+    store.append(season(1999, 2)) // untracked history
+    // a tracked write here would create a sidecar covering ONLY its batch,
+    // then statsExist=true would certify the table as fully tracked —
+    // refused, pointing at the trackFrom bootstrap
+    intercept[IllegalArgumentException] { store.appendTracked(season(2000, 1), term) }
+    intercept[IllegalArgumentException] {
+      store.overwritePartitionsTracked(season(1999, 1), term)
+    }
+    assert(!store.statsExist) // the refused writes left no partial sidecar
+    store.trackFrom(store.read, term) // bootstrap: one full scan, once
+    store.appendTracked(season(2000, 1), term)
+    assert(store.readStats.select("n_rows").as[Long].collect().sum === 3L)
+    // nothing under-counted: sidecar == a from-scratch scan
+    assert(store.statsOf(store.read, term).as[(Int, Long, Long)].collect().toSet ===
+      store.readStats.select(col("season").cast("int"), col("n_rows"), col("checksum"))
+        .as[(Int, Long, Long)].collect().toSet)
+  }
+
+  test("sidecar writes commit via versioned children; junk and tmp dirs are ignored") {
+    val store = Store(spark, tmpDir("store_stats_atomic"), "season")
+    val term = col("epa").cast("long")
+    store.appendTracked(season(1999, 2), term)
+    val f = new org.apache.hadoop.fs.Path(store.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // plant a legacy aborted sibling tmp; the next sidecar write sweeps it
+    val legacyTmp = new org.apache.hadoop.fs.Path(s"${store.path}__stats_tmp")
+    f.mkdirs(legacyTmp)
+    store.appendTracked(season(2000, 1), term)
+    assert(!f.exists(legacyTmp))
+    // superseded sidecar versions are pruned after commit: one child left
+    val sd = new org.apache.hadoop.fs.Path(s"${store.path}/_stats")
+    assert(f.listStatus(sd).map(_.getPath.getName).count(_.startsWith("v")) === 1)
+    // a markerless (crashed-mid-write) child is invisible to readers:
+    // no _SUCCESS means no commit, the previous version stays live
+    f.mkdirs(new org.apache.hadoop.fs.Path(sd, "v99"))
+    assert(store.statsExist)
+    assert(store.readStats.select("n_rows").as[Long].collect().sum === 3L)
+    // and later writes keep committing past the junk
+    store.appendTracked(season(2001, 1), term)
+    assert(store.readStats.select("n_rows").as[Long].collect().sum === 4L)
+  }
+
+  test("appendVersioned refuses orphan data files; adoptOrphans repairs the log") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("game_id").as[String].collect().toSet
+    val store = Store(spark, tmpDir("store_orphans"), "season")
+    store.append(season(1999, 2)) // pre-existing UNVERSIONED data
+    // recording a version now would silently exclude the pre-existing
+    // files from every snapshot — readVersion(latest) != read, forever
+    intercept[IllegalArgumentException] { store.appendVersioned(season(2000, 3)) }
+    assert(store.versions.isEmpty) // refused before any data landed
+    assert(store.read.count() === 2L)
+    // repair: adopt the orphans as version 1, then versioning proceeds
+    assert(store.adoptOrphans() === Some(1L))
+    assert(ids(store.readVersion(1)) === ids(season(1999, 2)))
+    val v2 = store.appendVersioned(season(2000, 3))
+    assert(ids(store.readVersion(v2)) === ids(store.read))
+    // the crash shape: data files landed but the log write never happened
+    // (a plain append on a versioned table is exactly that state)
+    store.append(season(2001, 1))
+    intercept[IllegalArgumentException] { store.appendVersioned(season(2002, 1)) }
+    store.adoptOrphans()
+    assert(ids(store.readVersion(store.versions.last)) === ids(store.read))
+    assert(store.adoptOrphans() === None) // idempotent: nothing left to adopt
+  }
+
   test("plain writes are refused on a tracked table (stale-sidecar guard)") {
     val store = Store(spark, tmpDir("store_guard"), "season")
     val term = col("epa").cast("long")

@@ -575,6 +575,16 @@ class StreamingSpec extends SparkSpec {
         docsWithHash, removal, "doc_id", Some("text"))
       .select("doc_id").as[Long].collect().sorted
     assert(withOwnHash.toSeq === Seq(2L, 3L))
+    // null-ID arrival: a null id never matches a left-anti equi-join, so an
+    // uncheckable row would otherwise sail past the gate's PRIMARY check —
+    // the default fails closed and drops it
+    val nullIdDocs = Seq((None: Option[Long], "some fresh uncheckable text"))
+      .toDF("doc_id", "text")
+    assert(EventStreams.takedownGate(nullIdDocs, removal, "doc_id", Some("text"))
+      .count() === 0L)
+    // opt-out for pipelines where a downstream stage owns identity
+    assert(EventStreams.takedownGate(nullIdDocs, removal, "doc_id", Some("text"),
+      requireId = false).count() === 1L)
   }
 
   test("annServe top-1 over a file stream equals the batch bucket-join replica") {
