@@ -361,6 +361,58 @@ object Similarity {
       .select("q_id", "bucket", "rank", "c_id", "cosine")
   }
 
+  /** Triplet mining for embedding training: for each anchor, the nearest
+    * SAME-label candidate (the positive) and the nearest DIFFERENT-label
+    * candidate (the hard negative) inside the anchor's multi-probe bucket
+    * neighborhood, plus the triplet margin pos − neg — the mining pass a
+    * contrastive fine-tune runs over a labeled corpus. The candidate
+    * generator is [[bucketedTopK]]'s (hyperplane signs, Hamming-1 probes,
+    * unhinted join so AQE broadcasts the anchor slice while it fits); the
+    * label split happens on the already-bucket-reduced candidate rows, so
+    * the corpus never cross-products. Anchors with no same- or
+    * different-label candidate in their probed buckets surface as null
+    * columns — mining coverage is part of the signal (a null-heavy panel
+    * says "add probes or drop planes"). */
+  def tripletMine(vectors: DataFrame, queryIds: Column => Column, idCol: String,
+                  vecCol: String, labelCol: String, probeRadius: Int = 1,
+                  dims: Int = 64, planes: Int = NumPlanes): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1,
+      s"probeRadius 0 (own bucket) or 1 (Hamming-1 neighbors) supported, got $probeRadius")
+    val bucketed = vectors
+      .select(col(idCol), col(vecCol), col(labelCol))
+      .withColumn("bucket", hyperplaneBucket(vecCol, dims, planes))
+      .withColumn("nrm", norm(vecCol))
+    val q0 = bucketed.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("q_id"), col(labelCol).as("q_label"),
+        col(vecCol).as("q_vec"), col("nrm").as("q_nrm"), col("bucket"))
+    val q =
+      if (probeRadius == 0) q0.withColumn("__probe", col("bucket"))
+      else q0.withColumn("__probe", explode(array(
+        col("bucket") +:
+          (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
+    val c = bucketed.select(col(idCol).as("c_id"), col(labelCol).as("c_label"),
+      col(vecCol).as("c_vec"), col("nrm").as("c_nrm"), col("bucket").as("__probe"))
+    // probe keys are distinct per anchor, so each (q, c) pair joins at most
+    // once — no dedup pass needed before the per-anchor windows
+    val scored = q.join(c, Seq("__probe"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cosine",
+        round(dot("q_vec", "c_vec") / (col("q_nrm") * col("c_nrm")), 6))
+      .select("q_id", "q_label", "c_id", "c_label", "cosine")
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    val pos = scored.filter(col("q_label") === col("c_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("pos_id"), col("cosine").as("pos_cosine"))
+    val neg = scored.filter(col("q_label") =!= col("c_label"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("neg_id"),
+        col("c_label").as("neg_label"), col("cosine").as("neg_cosine"))
+    q0.select("q_id", "q_label")
+      .join(pos, Seq("q_id"), "left")
+      .join(neg, Seq("q_id"), "left")
+      .withColumn("margin", col("pos_cosine") - col("neg_cosine"))
+  }
+
   /** Exact integer dot product of two int-array columns (deterministic —
     * integer arithmetic has no rounding, so quantized scores are
     * bit-identical across engines, partitionings, and runs). */

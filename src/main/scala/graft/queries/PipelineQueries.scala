@@ -1030,6 +1030,194 @@ object PipelineQueries {
       |  CAST(SUM(CASE WHEN n_hits = n_windows THEN 1 ELSE 0 END) AS BIGINT) AS n_full
       |FROM cd GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** x46: FREQUENCY boilerplate scrub — the CCNet/RefinedWeb paragraph-
+    * dedup rung the span family doesn't cover: x35 scrubs spans that a
+    * PAIRWISE match flagged, but web boilerplate (nav bars, cookie
+    * banners, license headers) repeats across thousands of unrelated
+    * pages and never needs a pair — any fixed-width segment whose
+    * corpus-wide occurrence count reaches `minDf` is boilerplate and is
+    * stripped from EVERY document that carries it, docs rebuilt from the
+    * surviving segments in order. The panel is the per-source editing
+    * report (segments dropped, token shrinkage, docs emptied outright)
+    * plus the rebuilt-corpus checksum that pins the edit itself, and the
+    * global boilerplate-inventory counts.
+    *
+    * Scale shape: the segmenter is a pure map-side explode (chunkWords —
+    * no shuffle); the frequency relation groups on a 64-bit dual hash
+    * (map-side combinable, Heaps-bounded key space); the boilerplate set
+    * (df ≥ minDf tail) joins back UNHINTED so AQE broadcasts it while
+    * small and falls back to a hash join on the 16-byte key when a real
+    * web corpus makes boilerplate large; the only doc-keyed shuffle is
+    * the rebuild groupBy over KEPT segments. Every output cell is an
+    * integer or a lattice checksum — no float discipline needed. */
+  private val x46BoilerplateScrub = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val k = 8
+      val minDf = 2
+      val M = lit(2147483647L)
+      val segs = TextAnalysis.chunkWords(docs, "doc_id", "text", k)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          col("chunk_text"),
+          TextAnalysis.hash32(col("chunk_text")).as("h1"),
+          TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      val boiler = segs.groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf)
+      val keptSegs = segs.join(boiler.select("h1", "h2"), Seq("h1", "h2"), "left_anti")
+      val rebuilt = keptSegs.groupBy("doc_id").agg(
+        count(lit(1)).as("n_segs_kept"),
+        sum(col("n_tokens")).cast(LongType).as("toks_after"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+          c => c.getField("chunk_text")), " ").as("rebuilt"))
+      val perDoc = docs
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("toks_before"))
+        .join(segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs")), Seq("doc_id"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .withColumn("n_segs_kept", coalesce(col("n_segs_kept"), lit(0L)))
+        .withColumn("toks_after", coalesce(col("toks_after"), lit(0L)))
+      val inventory = boiler.agg(
+        count(lit(1)).as("n_boiler_segments"),
+        coalesce(sum(col("df")), lit(0L)).cast(LongType).as("n_boiler_instances"))
+      perDoc.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_segs")).cast(LongType).as("n_segs"),
+          sum(col("n_segs") - col("n_segs_kept")).cast(LongType).as("n_segs_dropped"),
+          sum(col("toks_before")).cast(LongType).as("toks_before"),
+          sum(col("toks_after")).cast(LongType).as("toks_after"),
+          sum(when(col("rebuilt").isNull, 1L).otherwise(0L)).cast(LongType)
+            .as("n_docs_emptied"),
+          pmod(sum(when(col("rebuilt").isNull, lit(0L))
+            .otherwise(pmod(TextAnalysis.hash32(col("rebuilt")), M))), M)
+            .cast(LongType).as("scrub_checksum"))
+        .crossJoin(broadcast(inventory))
+        .orderBy("source")
+    },
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |seg0 AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 8)) AS c FROM ws),
+       |st AS (SELECT doc_id, c, list_slice(w, c * 8 + 1, c * 8 + 8) AS cw FROM seg0),
+       |hh AS (SELECT doc_id, c, len(cw) AS nt, array_to_string(cw, ' ') AS t,
+       |    ${h32Sql("array_to_string(cw, ' ')")} AS h1,
+       |    ${h32bSql("array_to_string(cw, ' ')")} AS h2
+       |  FROM st),
+       |f AS (SELECT h1, h2, COUNT(*) AS df FROM hh GROUP BY 1, 2),
+       |boiler AS (SELECT h1, h2, df FROM f WHERE df >= 2),
+       |kept AS (SELECT hh.* FROM hh
+       |  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.h1 = hh.h1 AND b.h2 = hh.h2)),
+       |reb AS (SELECT doc_id, COUNT(*) AS n_segs_kept,
+       |    CAST(SUM(nt) AS BIGINT) AS toks_after,
+       |    string_agg(t, ' ' ORDER BY c) AS rebuilt
+       |  FROM kept GROUP BY 1),
+       |segc AS (SELECT doc_id, COUNT(*) AS n_segs FROM hh GROUP BY 1),
+       |pd AS (SELECT d.doc_id, d.source,
+       |    len(string_split(d.text, ' ')) AS toks_before,
+       |    s.n_segs, COALESCE(r.n_segs_kept, 0) AS n_segs_kept,
+       |    COALESCE(r.toks_after, 0) AS toks_after, r.rebuilt
+       |  FROM documents d JOIN segc s ON s.doc_id = d.doc_id
+       |  LEFT JOIN reb r ON r.doc_id = d.doc_id),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_boiler_segments,
+       |    CAST(COALESCE(SUM(df), 0) AS BIGINT) AS n_boiler_instances FROM boiler)
+       |SELECT pd.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_segs) AS BIGINT) AS n_segs,
+       |  CAST(SUM(n_segs - n_segs_kept) AS BIGINT) AS n_segs_dropped,
+       |  CAST(SUM(toks_before) AS BIGINT) AS toks_before,
+       |  CAST(SUM(toks_after) AS BIGINT) AS toks_after,
+       |  CAST(SUM(CASE WHEN rebuilt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_emptied,
+       |  CAST(SUM(CASE WHEN rebuilt IS NULL THEN 0
+       |    ELSE ${h32Sql("rebuilt")} % 2147483647 END) % 2147483647 AS BIGINT)
+       |    AS scrub_checksum,
+       |  nb.n_boiler_segments, nb.n_boiler_instances
+       |FROM pd CROSS JOIN nb
+       |GROUP BY pd.source, nb.n_boiler_segments, nb.n_boiler_instances
+       |ORDER BY pd.source""".stripMargin)
+
+  /** z56: DOMAIN REWEIGHTING by excess loss — DoReMi's update rule (Hedge /
+    * exponentiated gradient over domains) run against a fixed reference
+    * scorer: each source's per-token loss under the corpus-wide unigram LM
+    * (z15's scorer and snapshot discipline), excess = loss − best source's
+    * loss, then three unrolled multiplicative-weights rounds
+    * w_t ∝ w_{t−1}·exp(excess) with exact renormalization. High-excess
+    * (hard-for-the-reference) sources gain weight each round — the
+    * data-mixture knob z22/z53 consume becomes a MEASURED output instead
+    * of folklore. Honest scope note: full DoReMi refits the proxy between
+    * rounds; with the reference fixed, the rounds trace the Hedge
+    * trajectory toward the exp-tilted mixture, which is the panel a
+    * mixture owner reads (direction + step size per round).
+    *
+    * Engine-stability: per-token ln snapshot at DECIMAL(12,6), exact
+    * per-source decimal sums, loss = one double division; exp(excess)
+    * snapshot at DECIMAL(12,6); each round's terms snapshot at
+    * DECIMAL(20,12) so the normalizer is an EXACT decimal sum (a double
+    * sum over sources would be fold-order-ambiguous), and each weight is
+    * one double division. Scale: one map-side explode + vocab-sized
+    * unigram join (unhinted — AQE), ONE source-keyed aggregate; all three
+    * rounds run on the 20-row per-source frame, pinned so the corpus scan
+    * never re-executes per round. */
+  private val z56DomainReweight = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val docs = Tables.documents(s, d)
+      val w = docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
+      val cnt = w.groupBy("term").agg(count(lit(1)).as("n_w"))
+      val tot = w.agg(count(lit(1)).as("n_tot"))
+      val perSrc = w.join(cnt, Seq("term"))
+        .crossJoin(broadcast(tot))
+        .withColumn("lp",
+          log(col("n_w").cast(DoubleType) / col("n_tot")).cast(DecimalType(12, 6)))
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+          ((-sum(col("lp"))).cast(DoubleType) / count(lit(1))).as("loss"))
+        .localCheckpoint(true) // rounds iterate on this 20-row frame only
+      val stats = perSrc.agg(min(col("loss")).as("minloss"),
+        count(lit(1)).as("n_sources"))
+      var cur = perSrc.crossJoin(broadcast(stats))
+        .withColumn("excess", col("loss") - col("minloss"))
+        .withColumn("egain",
+          exp(col("excess")).cast(DecimalType(12, 6)).cast(DoubleType))
+        .withColumn("w0", lit(1.0) / col("n_sources"))
+        .withColumn("w_prev", lit(1.0) / col("n_sources"))
+      for (t <- 1 to 3) {
+        val stepped = cur.withColumn(s"term$t",
+          (col("w_prev") * col("egain")).cast(DecimalType(20, 12)))
+        val z = stepped.agg(sum(col(s"term$t")).as(s"z$t"))
+        cur = stepped.crossJoin(broadcast(z))
+          .withColumn(s"w$t",
+            col(s"term$t").cast(DoubleType) / col(s"z$t").cast(DoubleType))
+          .withColumn("w_prev", col(s"w$t"))
+      }
+      cur.select(col("source"), col("n_tokens"), col("loss"), col("excess"),
+          col("w0"), col("w1"), col("w2"), col("w3"))
+        .orderBy("source")
+    },
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      |cnt AS (SELECT term, COUNT(*) AS n_w FROM w GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tot FROM cnt),
+      |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |    CAST(-SUM(CAST(ln(CAST(n_w AS DOUBLE) / n_tot) AS DECIMAL(12,6))) AS DOUBLE)
+      |      / COUNT(*) AS loss
+      |  FROM w JOIN cnt USING (term) CROSS JOIN tot GROUP BY 1),
+      |st AS (SELECT MIN(loss) AS minloss, CAST(COUNT(*) AS BIGINT) AS n_sources FROM ps),
+      |b AS (SELECT source, n_tokens, loss, loss - minloss AS excess,
+      |    CAST(CAST(exp(loss - minloss) AS DECIMAL(12,6)) AS DOUBLE) AS egain,
+      |    CAST(1 AS DOUBLE) / n_sources AS w0
+      |  FROM ps CROSS JOIN st),
+      |r1 AS (SELECT *, CAST(w0 * egain AS DECIMAL(20,12)) AS t1 FROM b),
+      |z1c AS (SELECT SUM(t1) AS z1 FROM r1),
+      |w1t AS (SELECT r1.*, CAST(t1 AS DOUBLE) / CAST(z1 AS DOUBLE) AS w1
+      |  FROM r1 CROSS JOIN z1c),
+      |r2 AS (SELECT *, CAST(w1 * egain AS DECIMAL(20,12)) AS t2 FROM w1t),
+      |z2c AS (SELECT SUM(t2) AS z2 FROM r2),
+      |w2t AS (SELECT r2.*, CAST(t2 AS DOUBLE) / CAST(z2 AS DOUBLE) AS w2
+      |  FROM r2 CROSS JOIN z2c),
+      |r3 AS (SELECT *, CAST(w2 * egain AS DECIMAL(20,12)) AS t3 FROM w2t),
+      |z3c AS (SELECT SUM(t3) AS z3 FROM r3),
+      |w3t AS (SELECT r3.*, CAST(t3 AS DOUBLE) / CAST(z3 AS DOUBLE) AS w3
+      |  FROM r3 CROSS JOIN z3c)
+      |SELECT source, n_tokens, loss, excess, w0, w1, w2, w3
+      |FROM w3t ORDER BY source""".stripMargin)
+
   /** z35: asymmetric shingle containment — the near-dup relation Jaccard
     * is structurally blind to: when a short document is QUOTED inside a
     * long one (syndicated article + boilerplate, a README embedded in a
@@ -3281,6 +3469,48 @@ object PipelineQueries {
        |  CAST(SUM((vec_id % 2147483647) * ((vec_id + 7) % 2147483647) % 2147483647)
        |    % 2147483647 AS BIGINT) AS member_checksum
        |FROM easg GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** y19: TRIPLET MINING — the pass that turns a labeled embedding corpus
+    * into contrastive training data: per anchor, the nearest SAME-label
+    * candidate (positive), the nearest DIFFERENT-label candidate (the
+    * hard negative), and the margin between them. Negative-margin anchors
+    * are exactly the triplets a metric-learning fine-tune needs first
+    * (the model currently ranks a wrong-label vector above the right
+    * one); null columns are mining-coverage gaps the probe knobs answer.
+    * Candidates come from the y2b machinery — hyperplane buckets +
+    * Hamming-1 multi-probe, a bucket equi-join that never materializes
+    * the n² pair space — and the label split runs on the bucket-reduced
+    * rows ([[graft.operators.Similarity.tripletMine]]). */
+  private val y19TripletMine = Q(
+    (s, d) => Similarity.tripletMine(
+        Tables.embeddings(s, d), id => id % 10 === 0, "vec_id", "embedding",
+        "label", probeRadius = 1)
+      .orderBy("q_id"),
+    s"""WITH v AS (SELECT vec_id, label, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, label, vd, ${nrmSql("vd")} AS nrm,
+       |    CAST($bucketSql AS BIGINT) AS bucket FROM v),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, q.label AS q_label,
+       |    c.vec_id AS c_id, c.label AS c_label,
+       |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c
+       |    ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 10 = 0),
+       |pos AS (SELECT q_id, c_id AS pos_id, cosine AS pos_cosine FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+       |    FROM scored WHERE q_label = c_label) p WHERE rn = 1),
+       |neg AS (SELECT q_id, c_id AS neg_id, c_label AS neg_label,
+       |    cosine AS neg_cosine FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rn
+       |    FROM scored WHERE q_label <> c_label) g WHERE rn = 1),
+       |a AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings
+       |      WHERE vec_id % 10 = 0)
+       |SELECT a.q_id, a.q_label, pos.pos_id, pos.pos_cosine,
+       |  neg.neg_id, neg.neg_label, neg.neg_cosine,
+       |  pos.pos_cosine - neg.neg_cosine AS margin
+       |FROM a LEFT JOIN pos ON pos.q_id = a.q_id
+       |LEFT JOIN neg ON neg.q_id = a.q_id
+       |ORDER BY a.q_id""".stripMargin)
 
   /** z48: positional POSTINGS index + phrase search — both halves of the
     * exact-phrase lifecycle, each in its scale-correct shape:
@@ -8093,6 +8323,8 @@ object PipelineQueries {
     "x13_curation_v2" -> x13CurationV2,
     "x14_jaccard_estimate" -> x14JaccardEstimate,
     "x36_dedup_threshold_sweep" -> x36DedupThresholdSweep,
+    "x46_boilerplate_scrub" -> x46BoilerplateScrub,
+    "z56_domain_reweight" -> z56DomainReweight,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
     "x17_curation_v3" -> x17CurationV3,
@@ -8160,6 +8392,7 @@ object PipelineQueries {
     "y16_index_refresh" -> y16IndexRefresh,
     "y17_refit_payoff" -> y17RefitPayoff,
     "y18_index_append" -> y18IndexAppend,
+    "y19_triplet_mine" -> y19TripletMine,
     "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
