@@ -3512,6 +3512,170 @@ object PipelineQueries {
        |LEFT JOIN neg ON neg.q_id = a.q_id
        |ORDER BY a.q_id""".stripMargin)
 
+  private val x47Built = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  /** One day's canonical-map store round-trip for x47: land the map
+    * through a tracked, hash-partitioned Store and hand back the re-read
+    * frame — the next day's resolution must consume the ARTIFACT, not the
+    * lineage that built it. */
+  private def x47Stored(s: SparkSession, d: String, day: String,
+                        built: org.apache.spark.sql.DataFrame) =
+    x47Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d:$day", _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"replaymap_${day}_${s.sparkContext.applicationId}_" +
+        Integer.toHexString(d.hashCode)
+      val store = graft.sources.Store(s, path, "part")
+      store.destroy()
+      val withPart = built.select("doc_id", "cluster_id")
+        .withColumn("part", pmod(hash(col("doc_id")), lit(8)))
+      store.append(withPart)
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      val back = readOrEmpty(store, withPart)
+      val M = lit(2147483647L)
+      store.trackFrom(back, (col("doc_id") % M) * (col("cluster_id") % M) % M)
+      back.drop("part")
+    })
+
+  /** x47: TWO-WAVE INGEST REPLAY — the proof that the incremental arrival
+    * loop COMPOSES: x39/x40 show one stored-artifact resolution step lands
+    * exactly where a full recompute would; a production corpus runs that
+    * step every day against the map the PREVIOUS step wrote, and any
+    * incremental drift would compound silently. Here wave 1 (doc_id%10=0)
+    * resolves against the stored base map (docs with doc_id%5≠0), the
+    * merged day-1 map goes through its own Store round-trip, wave 2
+    * (doc_id%10=5) resolves against THAT artifact — and the oracle
+    * recomputes both days' cluster maps from scratch (two recursive-CC
+    * replays: the day-1 view over base∪wave1, the final view over the
+    * whole corpus). Hash equality on the per-wave outcome panel AND the
+    * final-map checksum proves iterate(iterate(base)) ≡ from-scratch,
+    * ids included. Per-day outcomes are graded against that day's view
+    * (a day-1 singleton that wave 2 later joins stays a day-1 singleton —
+    * the dashboard is an append-only log, not a rewritten history).
+    *
+    * Scale: each day pays O(batch + touched) exactly like x39 — the
+    * against-join candidates are bucket equi-joins, untouched clusters
+    * are never relabeled, and the day boundary is a store write (the
+    * durable barrier the capstones standardized on). */
+  private val x47IngestReplay = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val sig = minhashSig(s, d)
+      val sigBase = sig.filter(col("doc_id") % 5 =!= 0)
+      val labels0 = Dedup.connectedComponents(
+        Dedup.lshCandidates(sigBase, "doc_id", 8),
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id")
+      val sigW1 = sig.filter(col("doc_id") % 10 === 0)
+      val pairs1 = Dedup.lshCandidatesAgainst(sigW1, sigBase, "doc_id", 8)
+        .select(col("doc_new").as("doc_a"), col("doc_base").as("doc_b"))
+        .union(Dedup.lshCandidates(sigW1, "doc_id", 8))
+      val labels1Built = Dedup.incrementalComponents(labels0,
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"), pairs1, "doc_id")
+      val labels1 =
+        if (planOnly) labels1Built else x47Stored(s, d, "d1", labels1Built)
+      val sigPrior = sig.filter(col("doc_id") % 10 =!= 5)
+      val sigW2 = sig.filter(col("doc_id") % 10 === 5)
+      val pairs2 = Dedup.lshCandidatesAgainst(sigW2, sigPrior, "doc_id", 8)
+        .select(col("doc_new").as("doc_a"), col("doc_base").as("doc_b"))
+        .union(Dedup.lshCandidates(sigW2, "doc_id", 8))
+      val labels2Built = Dedup.incrementalComponents(labels1,
+        docs.filter(col("doc_id") % 10 === 5).select("doc_id"), pairs2, "doc_id")
+      val labels2 =
+        if (planOnly) labels2Built else x47Stored(s, d, "d2", labels2Built)
+      def outc(labels: org.apache.spark.sql.DataFrame,
+               arrCond: Column, priorCond: Column) = {
+        val cl = labels.groupBy("cluster_id").agg(
+          sum(when(priorCond, 1L).otherwise(0L)).as("n_prior"),
+          count(lit(1)).as("n_all"))
+        labels.filter(arrCond).join(cl, Seq("cluster_id"))
+          .select(col("doc_id"),
+            when(col("n_prior") > 0, "joined_existing")
+              .when(col("n_all") >= 2, "new_cluster")
+              .otherwise("singleton").as("outcome"))
+      }
+      val o1 = outc(labels1, col("doc_id") % 10 === 0, col("doc_id") % 5 =!= 0)
+        .withColumn("wave", lit(1))
+      val o2 = outc(labels2, col("doc_id") % 10 === 5, col("doc_id") % 10 =!= 5)
+        .withColumn("wave", lit(2))
+      val M = lit(2147483647L)
+      val fin = labels2.agg(
+        count(lit(1)).as("n_docs_mapped"),
+        countDistinct(col("cluster_id")).as("n_clusters_final"),
+        pmod(sum((col("doc_id") % M) * (col("cluster_id") % M) % M), M)
+          .cast(LongType).as("map_checksum"))
+      o1.unionByName(o2)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("wave", "source").agg(
+          count(lit(1)).as("n_arrivals"),
+          sum(when(col("outcome") === "joined_existing", 1L).otherwise(0L))
+            .as("n_merged"),
+          sum(when(col("outcome") === "new_cluster", 1L).otherwise(0L))
+            .as("n_new_cluster"),
+          sum(when(col("outcome") === "singleton", 1L).otherwise(0L))
+            .as("n_singleton"))
+        .crossJoin(broadcast(fin))
+        .orderBy("wave", "source")
+    },
+    s"""WITH RECURSIVE $minhashCtes,
+       |bands AS ($bandsSql),
+       |p1 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id % 10 <> 5 AND b.doc_id % 10 <> 5),
+       |e1 AS (SELECT doc_a AS src, doc_b AS dst FROM p1
+       |       UNION ALL SELECT doc_b, doc_a FROM p1),
+       |r1(node, r) AS (SELECT src, src FROM e1
+       |  UNION SELECT e.dst, r1.r FROM e1 e JOIN r1 ON e.src = r1.node),
+       |c1 AS (SELECT node, min(r) AS cid FROM r1 GROUP BY 1),
+       |l1 AS (SELECT d.doc_id, COALESCE(c1.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN c1 ON c1.node = d.doc_id
+       |  WHERE d.doc_id % 10 <> 5),
+       |p2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM p2
+       |       UNION ALL SELECT doc_b, doc_a FROM p2),
+       |r2(node, r) AS (SELECT src, src FROM e2
+       |  UNION SELECT e.dst, r2.r FROM e2 e JOIN r2 ON e.src = r2.node),
+       |c2 AS (SELECT node, min(r) AS cid FROM r2 GROUP BY 1),
+       |l2 AS (SELECT d.doc_id, COALESCE(c2.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN c2 ON c2.node = d.doc_id),
+       |cl1 AS (SELECT cluster_id,
+       |    SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS n_prior,
+       |    COUNT(*) AS n_all FROM l1 GROUP BY 1),
+       |o1 AS (SELECT l.doc_id, 1 AS wave,
+       |    CASE WHEN c.n_prior > 0 THEN 'joined_existing'
+       |         WHEN c.n_all >= 2 THEN 'new_cluster'
+       |         ELSE 'singleton' END AS outcome
+       |  FROM l1 l JOIN cl1 c USING (cluster_id) WHERE l.doc_id % 10 = 0),
+       |cl2 AS (SELECT cluster_id,
+       |    SUM(CASE WHEN doc_id % 10 <> 5 THEN 1 ELSE 0 END) AS n_prior,
+       |    COUNT(*) AS n_all FROM l2 GROUP BY 1),
+       |o2 AS (SELECT l.doc_id, 2 AS wave,
+       |    CASE WHEN c.n_prior > 0 THEN 'joined_existing'
+       |         WHEN c.n_all >= 2 THEN 'new_cluster'
+       |         ELSE 'singleton' END AS outcome
+       |  FROM l2 l JOIN cl2 c USING (cluster_id) WHERE l.doc_id % 10 = 5),
+       |fin AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_mapped,
+       |    CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters_final,
+       |    CAST(SUM((doc_id % 2147483647) * (cluster_id % 2147483647)
+       |      % 2147483647) % 2147483647 AS BIGINT) AS map_checksum
+       |  FROM l2)
+       |SELECT o.wave, d.source, CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+       |  CAST(SUM(CASE WHEN o.outcome = 'joined_existing' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_merged,
+       |  CAST(SUM(CASE WHEN o.outcome = 'new_cluster' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_new_cluster,
+       |  CAST(SUM(CASE WHEN o.outcome = 'singleton' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_singleton,
+       |  fin.n_docs_mapped, fin.n_clusters_final, fin.map_checksum
+       |FROM (SELECT * FROM o1 UNION ALL SELECT * FROM o2) o
+       |JOIN documents d USING (doc_id) CROSS JOIN fin
+       |GROUP BY o.wave, d.source, fin.n_docs_mapped, fin.n_clusters_final,
+       |  fin.map_checksum
+       |ORDER BY o.wave, d.source""".stripMargin)
+
   /** z48: positional POSTINGS index + phrase search — both halves of the
     * exact-phrase lifecycle, each in its scale-correct shape:
     *
@@ -8324,6 +8488,7 @@ object PipelineQueries {
     "x14_jaccard_estimate" -> x14JaccardEstimate,
     "x36_dedup_threshold_sweep" -> x36DedupThresholdSweep,
     "x46_boilerplate_scrub" -> x46BoilerplateScrub,
+    "x47_ingest_replay" -> x47IngestReplay,
     "z56_domain_reweight" -> z56DomainReweight,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
