@@ -975,4 +975,29 @@ object Dedup {
     when(size(dupStarts) === 0, text)
       .otherwise(concat_ws(" ", transform(kept, j => element_at(ws, j))))
   }
+
+  /** Stateless streaming twin of the FREQUENCY boilerplate scrub (the x46
+    * batch rung): rebuild `text` from its aligned k-word segments, dropping
+    * every segment whose 64-bit dual hash appears in `blocked` — the
+    * corpus-derived boilerplate inventory, carried as one
+    * array<struct<h1,h2>> column (crossJoin a broadcast one-row static
+    * frame; see EventStreams.boilerplateScrub). Pure per-row expression:
+    * no stream state, no watermark, and bit-identical to the batch
+    * rebuild because segmentation, hashing, and join order are the same
+    * arithmetic. A doc whose every segment is boilerplate rebuilds as the
+    * empty string (the batch panel counts it as emptied). Scale note: the
+    * one-row array transport is exact and fine while the inventory is
+    * requests/tail-sized; a web-scale inventory swaps in the Bloom
+    * transport (spanScrubExpr's refBloom seam) at the cost of false-
+    * positive drops. */
+  def boilerplateScrubExpr(text: Column, k: Int, blocked: Column): Column = {
+    val ws = split(text, " ")
+    val lastSeg = ((size(ws) - lit(1)) / lit(k)).cast("int")
+    val segTexts = transform(sequence(lit(0), lastSeg),
+      c => concat_ws(" ", slice(ws, c * lit(k) + lit(1), lit(k))))
+    val keptSegs = filter(segTexts, t =>
+      !array_contains(blocked,
+        struct(TextAnalysis.hash32(t).as("h1"), TextAnalysis.hash32b(t).as("h2"))))
+    concat_ws(" ", keptSegs)
+  }
 }

@@ -134,6 +134,27 @@ object EventStreams {
     }
   }
 
+  /** Boilerplate scrub for arrivals — the in-flight form of the batch
+    * frequency scrub (PipelineQueries x46): each arriving doc is rebuilt
+    * with every segment in the stored boilerplate INVENTORY stripped.
+    * The inventory (h1, h2 dual segment hashes, a corpus-derived
+    * artifact maintained in batch) is folded into ONE static row and
+    * cross-joined broadcast, so the scrub is a stateless per-row
+    * expression: no watermark, no stream state, re-read per micro-batch
+    * like the takedown list — a batch job that refreshes the inventory
+    * takes effect at the next micro-batch. Exact (array-membership)
+    * transport; a web-scale inventory swaps in the Bloom seam
+    * (Dedup.spanScrubExpr's refBloom) at the cost of FP drops. */
+  def boilerplateScrub(docs: DataFrame, inventory: DataFrame, textCol: String,
+                       k: Int, out: String = "scrubbed"): DataFrame = {
+    val bl = inventory
+      .agg(collect_list(struct(col("h1"), col("h2"))).as("__bl"))
+    docs.crossJoin(broadcast(bl))
+      .withColumn(out,
+        graft.operators.Dedup.boilerplateScrubExpr(col(textCol), k, col("__bl")))
+      .drop("__bl")
+  }
+
   /** Streaming curation router: continuous dedup + (optionally) the v5
     * quality gates + deterministic train/val/test assignment, drained
     * exactly-once into a split-partitioned layout. The streaming form of

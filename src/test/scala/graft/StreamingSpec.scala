@@ -587,6 +587,52 @@ class StreamingSpec extends SparkSpec {
       requireId = false).count() === 1L)
   }
 
+  test("boilerplateScrub strips inventory segments in-flight, stream == batch rebuild") {
+    import graft.operators.TextAnalysis
+    val b = "alpha beta gamma delta" // the aligned 4-word boilerplate segment
+    val docRows = Seq(
+      (1L, s"$b one two three four"),
+      (2L, s"$b five six seven eight"),
+      (3L, "nine ten eleven twelve unique tail words here"),
+      (4L, b)) // entirely boilerplate: rebuilds as the empty string
+    val docs = docRows.toDF("doc_id", "text")
+    // batch-maintained inventory: aligned segments with corpus df >= 2
+    val segs = TextAnalysis.chunkWords(docs, "doc_id", "text", 4)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_text"),
+        TextAnalysis.hash32(col("chunk_text")).as("h1"),
+        TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+    val inv = segs.groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h1", "h2")
+    val expected = Map(
+      1L -> "one two three four", 2L -> "five six seven eight",
+      3L -> "nine ten eleven twelve unique tail words here", 4L -> "")
+    // the expression path on a batch frame equals the x46 groupBy rebuild
+    val exprOut = EventStreams.boilerplateScrub(docs, inv, "text", 4)
+      .select("doc_id", "scrubbed").as[(Long, String)].collect().toMap
+    assert(exprOut === expected)
+    val rebuilt = segs.join(inv, Seq("h1", "h2"), "left_anti")
+      .groupBy("doc_id").agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+        c => c.getField("chunk_text")), " ").as("rebuilt"))
+    val batchOut = docs.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rebuilt"), lit("")))
+      .as[(Long, String)].collect().toMap
+    assert(batchOut === expected)
+    // and the STREAM path is the same expression: stateless, no watermark
+    val src = tmpDir("boiler_src")
+    docs.repartition(1).write.mode("append").parquet(src)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val gated = EventStreams.boilerplateScrub(
+      spark.readStream.schema(docSchema).parquet(src), inv, "text", 4)
+    val q = gated.writeStream.format("memory").queryName("boiler_out")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamOut = spark.table("boiler_out")
+      .select("doc_id", "scrubbed").as[(Long, String)].collect().toMap
+    assert(streamOut === expected)
+  }
+
   test("annServe top-1 over a file stream equals the batch bucket-join replica") {
     import graft.operators.Similarity
     def vec(seed: Long): Array[Float] =
