@@ -3561,7 +3561,11 @@ object PipelineQueries {
     (s, d) => {
       import org.apache.spark.sql.types.LongType
       val docs = Tables.documents(s, d)
-      val sig = minhashSig(s, d)
+      // the signature relation feeds SIX consumers (one per candidate
+      // generator per day) — pin it so the corpus pays one shingle pass
+      // (plan-only constructions stay action-free for the audit sweeps)
+      val sigRaw = minhashSig(s, d)
+      val sig = if (planOnly) sigRaw else graft.Housekeeping.pin(s)(sigRaw).df
       val sigBase = sig.filter(col("doc_id") % 5 =!= 0)
       val labels0 = Dedup.connectedComponents(
         Dedup.lshCandidates(sigBase, "doc_id", 8),
@@ -4251,6 +4255,67 @@ object PipelineQueries {
       |  (checksum % 10000) / 10000.0 AS brightness,
       |  substring(text, 1, 8) AS head
       |FROM cs ORDER BY doc_id""".stripMargin)
+
+  /** m8: PAYLOAD INTEGRITY audit — the validation gate a multimodal ingest
+    * runs before any payload enters a store: does each arrived binary
+    * still match its DECLARED metadata (size in bytes, content head)?
+    * Deterministic fault injection makes the audit testable end-to-end:
+    * doc_id%7 payloads arrive TRUNCATED (the partial-transfer case —
+    * size mismatch, head intact), doc_id%11 arrive HEAD-CORRUPTED (the
+    * bit-rot/wrong-file case — size intact, head mismatch). The panel is
+    * per-source pass/fail counts plus a quarantine checksum pinning
+    * exactly WHICH docs were flagged. A real pipeline adds declared-mime
+    * vs sniffed-magic-bytes and a full content checksum at this exact
+    * seam (meta already carries n_bytes/mime/head — Multimodal.payloads);
+    * the checks are pure in-scan byte arithmetic feeding ONE combinable
+    * aggregate, the cheapest possible shape: the audit rides the ingest
+    * scan for free at any corpus size. */
+  private val m8PayloadIntegrity = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      val pay = Multimodal.payloads(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      val arrived = pay.withColumn("payload",
+        when(col("doc_id") % 7 === 0,
+          expr("substring(payload, 1, CAST(octet_length(payload) / 2 AS INT))"))
+          .when(col("doc_id") % 11 === 0,
+            concat(encode(lit("XX"), "UTF-8"),
+              expr("substring(payload, 3, 2147483647)")))
+          .otherwise(col("payload")))
+      val audited = arrived
+        .withColumn("size_ok",
+          octet_length(col("payload")) === col("meta.n_bytes"))
+        .withColumn("head_ok",
+          expr("substring(payload, 1, 8)") === encode(col("meta.head"), "UTF-8"))
+        .withColumn("ok", col("size_ok") && col("head_ok"))
+      audited.groupBy("source").agg(
+          count(lit(1)).as("n_payloads"),
+          sum(when(!col("size_ok"), 1L).otherwise(0L)).as("n_size_bad"),
+          sum(when(!col("head_ok"), 1L).otherwise(0L)).as("n_head_bad"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          pmod(sum(when(col("ok"), lit(0L)).otherwise(col("doc_id") % M)), M)
+            .cast(LongType).as("quarantine_checksum"))
+        .orderBy("source")
+    },
+    """WITH pay AS (SELECT doc_id, source, text,
+      |    CASE WHEN doc_id % 7 = 0 THEN substring(text, 1, length(text) // 2)
+      |         WHEN doc_id % 11 = 0 THEN 'XX' || substring(text, 3)
+      |         ELSE text END AS arrived
+      |  FROM documents),
+      |a AS (SELECT doc_id, source,
+      |    length(arrived) = length(text) AS size_ok,
+      |    substring(arrived, 1, 8) = substring(text, 1, 8) AS head_ok
+      |  FROM pay)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_payloads,
+      |  CAST(SUM(CASE WHEN NOT size_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_size_bad,
+      |  CAST(SUM(CASE WHEN NOT head_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_head_bad,
+      |  CAST(SUM(CASE WHEN size_ok AND head_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+      |  CAST(SUM(CASE WHEN size_ok AND head_ok THEN 0
+      |    ELSE doc_id % 2147483647 END) % 2147483647 AS BIGINT)
+      |    AS quarantine_checksum
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)
 
   /** m7: CROSS-MODAL dedup — union the two duplicate graphs a multimodal
     * corpus has (text: 3-gram shingle MinHash-LSH candidates, x2's capped
@@ -7407,6 +7472,92 @@ object PipelineQueries {
       |  FROM adc) r
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 
+  /** y20: PQ shortlist + EXACT RERANK — the two-stage serving architecture
+    * every production vector store runs (FAISS's search-then-refine): the
+    * compressed index answers cheaply but approximately (y9's IVF-blocked
+    * ADC scan, widened to a k′=20 shortlist), then ONLY the shortlist
+    * pays a full-precision distance and the final top-5 is re-ranked
+    * exactly. The cost split is the whole point at scale: the corpus-side
+    * work stays on 8-byte PQ codes (cell-blocked, sublinear), while the
+    * exact stage touches queries×20 raw vectors — a constant per query
+    * regardless of corpus size (the shortlist join is unhinted; AQE
+    * broadcasts the batch-sized side). `promoted` marks rows where the
+    * rerank moved a candidate UP versus its ADC rank — the measured
+    * rank-inversion repair that justifies the second stage. */
+  private val y20PqRerank = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val anchors = e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val codebook = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_vec"))
+      val assigned = Similarity.ivfAssign(e, anchors, "vec_id", "embedding")
+        .select("vec_id", "embedding", "cell")
+      val codes = Similarity.pqEncode(assigned, codebook, "vec_id", "embedding",
+        m = 8, subDim = 8, carryCols = Seq("cell"))
+      val shortlist = Similarity.pqTopK(codes, codebook,
+          assigned.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          m = 8, subDim = 8, k = 20, blockCol = Some("cell"))
+        .withColumnRenamed("rank", "approx_rank")
+      val qv = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cv = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val exact = shortlist
+        .join(qv, Seq("q_id"))
+        .join(cv, Seq("c_id"))
+        .withColumn("exact_d2", round(
+          Similarity.dot("q_vec", "q_vec")
+            - lit(2.0) * Similarity.dot("q_vec", "c_vec")
+            + Similarity.dot("c_vec", "c_vec"), 6))
+      val w = Window.partitionBy("q_id").orderBy(col("exact_d2").asc, col("c_id").asc)
+      exact.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("c_id"), col("exact_d2"),
+          col("approx_d2"), col("approx_rank"),
+          (col("approx_rank") > col("rank")).as("promoted"))
+        .orderBy("q_id", "rank")
+    },
+    s"""WITH v AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings),
+      |anchors AS (SELECT vec_id AS anchor_id, vd AS avd FROM v WHERE vec_id < $IvfCells),
+      |adists AS (
+      |  SELECT v.vec_id, v.vd, a.anchor_id,
+      |    ROUND(${dotSql("v.vd", "v.vd")} - 2.0 * ${dotSql("v.vd", "a.avd")}
+      |      + ${dotSql("a.avd", "a.avd")}, 6) AS d2
+      |  FROM v CROSS JOIN anchors a),
+      |assigned AS (SELECT vec_id, vd, anchor_id AS cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, anchor_id) AS rn
+      |    FROM adists) x WHERE rn = 1),
+      |cb AS (SELECT vec_id AS anchor_id, vd AS cvd FROM v WHERE vec_id < 16),
+      |subs AS (SELECT vec_id, vd, cell, unnest(generate_series(0, 7)) AS sub FROM assigned),
+      |sd AS (SELECT s.vec_id, s.cell, s.sub, c.anchor_id,
+      |    ROUND(list_reduce(list_transform(generate_series(s.sub * 8 + 1, s.sub * 8 + 8),
+      |      i -> (s.vd[i] - c.cvd[i]) * (s.vd[i] - c.cvd[i])), (acc, x) -> acc + x), 6) AS d6
+      |  FROM subs s CROSS JOIN cb c),
+      |codes AS (SELECT vec_id, cell, sub, anchor_id AS code FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d6, anchor_id) AS rn
+      |    FROM sd) x WHERE rn = 1),
+      |qd AS (SELECT vec_id AS q_id, cell, sub, anchor_id AS code,
+      |    CAST(d6 AS DECIMAL(18,6)) AS dd
+      |  FROM sd WHERE vec_id % 50 = 0),
+      |adc AS (SELECT q.q_id, c.vec_id AS c_id, SUM(q.dd) AS s
+      |  FROM qd q JOIN codes c USING (cell, sub, code)
+      |  WHERE q.q_id <> c.vec_id GROUP BY 1, 2),
+      |sl AS (SELECT q_id, c_id, CAST(s AS DOUBLE) AS approx_d2,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY CAST(s AS DOUBLE), c_id) AS INT) AS approx_rank
+      |  FROM adc),
+      |sl20 AS (SELECT * FROM sl WHERE approx_rank <= 20),
+      |ex AS (SELECT s.q_id, s.c_id, s.approx_d2, s.approx_rank,
+      |    ROUND(${dotSql("q.vd", "q.vd")} - 2.0 * ${dotSql("q.vd", "c.vd")}
+      |      + ${dotSql("c.vd", "c.vd")}, 6) AS exact_d2
+      |  FROM sl20 s JOIN v q ON q.vec_id = s.q_id JOIN v c ON c.vec_id = s.c_id)
+      |SELECT q_id, rank, c_id, exact_d2, approx_d2, approx_rank,
+      |  approx_rank > rank AS promoted
+      |FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |    ORDER BY exact_d2, c_id) AS INT) AS rank FROM ex) r
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+
   /** y10: Johnson–Lindenstrauss random projection + preservation report —
     * the dimensionality-reduction rung of the embedding ladder (y6
     * quantizes components, y5 codes subspaces, y10 drops dimensions):
@@ -8558,6 +8709,7 @@ object PipelineQueries {
     "y17_refit_payoff" -> y17RefitPayoff,
     "y18_index_append" -> y18IndexAppend,
     "y19_triplet_mine" -> y19TripletMine,
+    "y20_pq_rerank" -> y20PqRerank,
     "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
@@ -8572,6 +8724,7 @@ object PipelineQueries {
     "m5_phash_dedup" -> m5PhashDedup,
     "m5b_phash_rolling" -> m5bPhashRolling,
     "m7_crossmodal_dedup" -> m7CrossmodalDedup,
+    "m8_payload_integrity" -> m8PayloadIntegrity,
     "m4_media_embed_ann" -> m4MediaEmbedAnn,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan)
