@@ -1218,6 +1218,228 @@ object PipelineQueries {
       |SELECT source, n_tokens, loss, excess, w0, w1, w2, w3
       |FROM w3t ORDER BY source""".stripMargin)
 
+  private val x48Built = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  /** The stored base segment-frequency table for x48: (h1, h2, df) over the
+    * base corpus, hash-partitioned and tracked through the Store. */
+  private def x48FreqStored(s: SparkSession, d: String,
+                            built: org.apache.spark.sql.DataFrame) =
+    x48Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"segfreq_${s.sparkContext.applicationId}_${Integer.toHexString(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "part")
+      store.destroy()
+      val withPart = built.withColumn("part", pmod(col("h1"), lit(8)))
+      store.append(withPart)
+      sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+      val back = readOrEmpty(store, withPart)
+      val M = lit(2147483647L)
+      store.trackFrom(back,
+        (col("h1") % M) * (col("h2") % M) % M * (col("df") % M) % M)
+      back.drop("part")
+    })
+
+  /** x48: BOILERPLATE-INVENTORY MAINTENANCE — x46's artifact gets the same
+    * E2 story every other stored artifact has (x39's map, y18's index,
+    * x40's LM): the base corpus's segment-frequency table lives in a
+    * tracked, hash-partitioned Store; a day's arrivals contribute their
+    * own combinable counts; the merge is ADDITIVE (sum by key — exactly
+    * Lm.mergeCounts' shape), so incremental maintenance is O(batch +
+    * touched keys), never a corpus re-scan. The interesting output is the
+    * THRESHOLD CROSSINGS: segments whose merged df reaches minDf only
+    * because of today's arrivals are NEW boilerplate, and the panel
+    * reports both the inventory growth and how many BASE docs carry a
+    * newly-flagged segment (the touched-only re-edit set — the corpus
+    * analog of x39's touched-cluster relabel). The batch itself is
+    * scrubbed against the MERGED inventory. Oracle recomputes everything
+    * from the full corpus (additivity means merged counts ≡ from-scratch
+    * counts; the gate proves the Store round-trip + merge lands there,
+    * checksum included). */
+  private val x48InventoryMaintenance = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val k = 8
+      val docs = Tables.documents(s, d)
+      def segsOf(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.chunkWords(df, "doc_id", "text", k)
+          .select(col("doc_id"), col("n_tokens"),
+            TextAnalysis.hash32(col("chunk_text")).as("h1"),
+            TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      val baseCnt = segsOf(docs.filter(col("doc_id") % 10 =!= 0))
+        .groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      val stored =
+        if (planOnly) baseCnt else x48FreqStored(s, d, baseCnt)
+      val batchSegs = segsOf(docs.filter(col("doc_id") % 10 === 0))
+      val batchCnt = batchSegs.groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      val merged = stored.unionByName(batchCnt)
+        .groupBy("h1", "h2").agg(sum(col("df")).cast(LongType).as("df"))
+      val boiler = merged.filter(col("df") >= 2)
+      val newBoiler = boiler
+        .join(stored.select(col("h1"), col("h2"), col("df").as("df_base")),
+          Seq("h1", "h2"), "left")
+        .filter(coalesce(col("df_base"), lit(0L)) < 2)
+        .select("h1", "h2")
+      val touched = segsOf(docs.filter(col("doc_id") % 10 =!= 0))
+        .join(newBoiler, Seq("h1", "h2"), "left_semi")
+        .agg(countDistinct(col("doc_id")).as("n_base_docs_touched"))
+      val inv = merged.agg(
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("inventory_after"),
+        pmod(sum((col("h1") % M) * (col("h2") % M) % M * (col("df") % M) % M), M)
+          .cast(LongType).as("freq_checksum"))
+      val invBefore = stored.agg(
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("inventory_before"))
+      val keptBatch = batchSegs.join(boiler.select("h1", "h2"), Seq("h1", "h2"), "left_anti")
+        .groupBy("doc_id").agg(
+          count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).cast(LongType).as("toks_after"))
+      val panel = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("toks_before"))
+        .join(batchSegs.groupBy("doc_id").agg(count(lit(1)).as("n_segs")), Seq("doc_id"))
+        .join(keptBatch, Seq("doc_id"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .withColumn("toks_after", coalesce(col("toks_after"), lit(0L)))
+      panel.groupBy("source").agg(
+          count(lit(1)).as("n_batch_docs"),
+          sum(col("n_segs")).cast(LongType).as("n_segs"),
+          sum(col("n_segs") - col("n_kept")).cast(LongType).as("n_segs_dropped"),
+          sum(col("toks_before")).cast(LongType).as("toks_before"),
+          sum(col("toks_after")).cast(LongType).as("toks_after"),
+          sum(when(col("n_kept") === 0, 1L).otherwise(0L)).as("n_docs_emptied"))
+        .crossJoin(broadcast(invBefore))
+        .crossJoin(broadcast(inv))
+        .crossJoin(broadcast(
+          newBoiler.agg(count(lit(1)).as("n_new_boiler"))))
+        .crossJoin(broadcast(touched))
+        .orderBy("source")
+    },
+    s"""WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |seg0 AS (SELECT doc_id, source, w,
+       |    unnest(generate_series(0, (len(w) - 1) // 8)) AS c FROM ws),
+       |st AS (SELECT doc_id, source, c, list_slice(w, c * 8 + 1, c * 8 + 8) AS cw FROM seg0),
+       |hh AS (SELECT doc_id, source, len(cw) AS nt,
+       |    ${h32Sql("array_to_string(cw, ' ')")} AS h1,
+       |    ${h32bSql("array_to_string(cw, ' ')")} AS h2
+       |  FROM st),
+       |cb AS (SELECT h1, h2, COUNT(*) AS df FROM hh WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+       |fc AS (SELECT h1, h2, COUNT(*) AS df FROM hh GROUP BY 1, 2),
+       |boiler AS (SELECT h1, h2 FROM fc WHERE df >= 2),
+       |newb AS (SELECT f.h1, f.h2 FROM fc f
+       |  LEFT JOIN cb ON cb.h1 = f.h1 AND cb.h2 = f.h2
+       |  WHERE f.df >= 2 AND COALESCE(cb.df, 0) < 2),
+       |tch AS (SELECT CAST(COUNT(DISTINCT hh.doc_id) AS BIGINT) AS n_base_docs_touched
+       |  FROM hh JOIN newb ON newb.h1 = hh.h1 AND newb.h2 = hh.h2
+       |  WHERE hh.doc_id % 10 <> 0),
+       |inv AS (SELECT
+       |    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS inventory_after,
+       |    CAST(SUM((h1 % 2147483647) * (h2 % 2147483647) % 2147483647
+       |      * (df % 2147483647) % 2147483647) % 2147483647 AS BIGINT) AS freq_checksum
+       |  FROM fc),
+       |invb AS (SELECT CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS inventory_before FROM cb),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_new_boiler FROM newb),
+       |kept AS (SELECT hh.doc_id, COUNT(*) AS n_kept, CAST(SUM(nt) AS BIGINT) AS toks_after
+       |  FROM hh WHERE doc_id % 10 = 0
+       |    AND NOT EXISTS (SELECT 1 FROM boiler b WHERE b.h1 = hh.h1 AND b.h2 = hh.h2)
+       |  GROUP BY 1),
+       |segc AS (SELECT doc_id, COUNT(*) AS n_segs FROM hh WHERE doc_id % 10 = 0 GROUP BY 1),
+       |pd AS (SELECT d.doc_id, d.source,
+       |    len(string_split(d.text, ' ')) AS toks_before,
+       |    s.n_segs, COALESCE(kk.n_kept, 0) AS n_kept,
+       |    COALESCE(kk.toks_after, 0) AS toks_after
+       |  FROM documents d JOIN segc s ON s.doc_id = d.doc_id
+       |  LEFT JOIN kept kk ON kk.doc_id = d.doc_id
+       |  WHERE d.doc_id % 10 = 0)
+       |SELECT pd.source, CAST(COUNT(*) AS BIGINT) AS n_batch_docs,
+       |  CAST(SUM(n_segs) AS BIGINT) AS n_segs,
+       |  CAST(SUM(n_segs - n_kept) AS BIGINT) AS n_segs_dropped,
+       |  CAST(SUM(toks_before) AS BIGINT) AS toks_before,
+       |  CAST(SUM(toks_after) AS BIGINT) AS toks_after,
+       |  CAST(SUM(CASE WHEN n_kept = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_emptied,
+       |  invb.inventory_before, inv.inventory_after, inv.freq_checksum,
+       |  nb.n_new_boiler, tch.n_base_docs_touched
+       |FROM pd CROSS JOIN invb CROSS JOIN inv CROSS JOIN nb CROSS JOIN tch
+       |GROUP BY pd.source, invb.inventory_before, inv.inventory_after,
+       |  inv.freq_checksum, nb.n_new_boiler, tch.n_base_docs_touched
+       |ORDER BY pd.source""".stripMargin)
+
+  /** z57: CONSISTENT RESHARD via rendezvous (HRW) hashing — the operational
+    * answer to "the training run outgrew its 16 shards": assign every doc
+    * to argmax over shards of h(doc:shard), and growing 16 → 20 moves ONLY
+    * the docs whose argmax over the widened set lands on a NEW shard —
+    * expected 4/20 of the corpus, with ZERO cross-traffic between old
+    * shards (an old shard's members either stay or leave for a new shard;
+    * the per-shard panel shows arrivals pinned to shards 16–19). The
+    * modulo baseline (h(doc) mod 16 → mod 20) is priced beside it: it
+    * rewrites ~19/20 of the corpus for the same growth. At 100 TB that is
+    * the difference between copying 20 TB and copying 95 TB. Everything
+    * is IN-SCAN: the 20-slot hash array, both argmaxes (array_max over
+    * (h, s) structs — ties to the larger s, mirrored in the oracle's
+    * ORDER BY h DESC, s DESC), and the move flags are pure row
+    * expressions; the only shuffle is the 20-key panel aggregate. */
+  private val z57RendezvousReshard = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val arr = expr(
+        """transform(sequence(0, 19), s -> named_struct(
+          |  'h', CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':',
+          |         CAST(s AS STRING))), 1, 8), 16, 10) AS BIGINT),
+          |  's', s))""".stripMargin)
+      val hdoc = TextAnalysis.hash32(col("doc_id").cast("string"))
+      val assigned = docs
+        .select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("toks"))
+        .withColumn("__arr", arr)
+        .withColumn("new_shard", array_max(col("__arr")).getField("s"))
+        .withColumn("old_shard", array_max(slice(col("__arr"), 1, 16)).getField("s"))
+        .withColumn("hrw_moved", col("new_shard") =!= col("old_shard"))
+        .withColumn("mod_moved", pmod(hdoc, lit(16)) =!= pmod(hdoc, lit(20)))
+      val g = assigned.agg(
+        sum(when(col("hrw_moved"), 1L).otherwise(0L)).as("n_moved_hrw"),
+        sum(when(col("mod_moved"), 1L).otherwise(0L)).as("n_moved_mod"),
+        count(lit(1)).as("n_docs_total"))
+      assigned.groupBy("new_shard").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast(LongType).as("n_toks"),
+          sum(when(col("hrw_moved"), 1L).otherwise(0L)).as("n_moved_in"))
+        .crossJoin(broadcast(g))
+        .withColumn("hrw_moved_frac", col("n_moved_hrw") / col("n_docs_total"))
+        .withColumn("mod_moved_frac", col("n_moved_mod") / col("n_docs_total"))
+        .orderBy("new_shard")
+    },
+    s"""WITH d AS (SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+       |hw AS (SELECT doc_id, toks, unnest(generate_series(0, 19)) AS s FROM d),
+       |hh AS (SELECT doc_id, toks, s,
+       |    ${h32Sql("CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)")} AS h
+       |  FROM hw),
+       |n20 AS (SELECT doc_id, toks, s AS new_shard FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY h DESC, s DESC) AS rn FROM hh) x WHERE rn = 1),
+       |o16 AS (SELECT doc_id, s AS old_shard FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY h DESC, s DESC) AS rn FROM hh WHERE s < 16) x WHERE rn = 1),
+       |j AS (SELECT n.doc_id, n.toks, n.new_shard,
+       |    n.new_shard <> o.old_shard AS hrw_moved,
+       |    (${h32Sql("CAST(n.doc_id AS VARCHAR)")} % 16)
+       |      <> (${h32Sql("CAST(n.doc_id AS VARCHAR)")} % 20) AS mod_moved
+       |  FROM n20 n JOIN o16 o USING (doc_id)),
+       |g AS (SELECT
+       |    CAST(SUM(CASE WHEN hrw_moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_hrw,
+       |    CAST(SUM(CASE WHEN mod_moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_mod,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs_total FROM j)
+       |SELECT j.new_shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_toks,
+       |  CAST(SUM(CASE WHEN hrw_moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+       |  g.n_moved_hrw, g.n_moved_mod, g.n_docs_total,
+       |  CAST(g.n_moved_hrw AS DOUBLE) / g.n_docs_total AS hrw_moved_frac,
+       |  CAST(g.n_moved_mod AS DOUBLE) / g.n_docs_total AS mod_moved_frac
+       |FROM j CROSS JOIN g
+       |GROUP BY j.new_shard, g.n_moved_hrw, g.n_moved_mod, g.n_docs_total
+       |ORDER BY j.new_shard""".stripMargin)
+
   /** z35: asymmetric shingle containment — the near-dup relation Jaccard
     * is structurally blind to: when a short document is QUOTED inside a
     * long one (syndicated article + boilerplate, a README embedded in a
@@ -8640,7 +8862,9 @@ object PipelineQueries {
     "x36_dedup_threshold_sweep" -> x36DedupThresholdSweep,
     "x46_boilerplate_scrub" -> x46BoilerplateScrub,
     "x47_ingest_replay" -> x47IngestReplay,
+    "x48_inventory_maintenance" -> x48InventoryMaintenance,
     "z56_domain_reweight" -> z56DomainReweight,
+    "z57_rendezvous_reshard" -> z57RendezvousReshard,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
     "x17_curation_v3" -> x17CurationV3,
