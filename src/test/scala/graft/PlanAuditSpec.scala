@@ -508,6 +508,40 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "the top-3 phrase mine must not globally sort the trigram relation")
   }
 
+  test("round-9 additions keep their scale shapes") {
+    // x46: the segmenter is a map-side explode; the boilerplate anti-join
+    // and the frequency join stay equi-joins — no pair stage anywhere
+    val x46 = formatted("x46_boilerplate_scrub")
+    assert(!x46.contains("CartesianProduct"), "x46 grew a non-broadcast cartesian")
+    // the ONLY nested-loop join is the deliberate one-row inventory panel
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(x46).size <= 1,
+      "x46 grew a second non-equi join beyond the one-row inventory crossJoin")
+    // y19: candidates come from the multi-probe bucket EQUI-join — the n²
+    // pair space must never materialize
+    val y19 = formatted("y19_triplet_mine")
+    assert(!y19.contains("CartesianProduct") && !y19.contains("BroadcastNestedLoopJoin"),
+      "y19 must stay a bucket equi-join")
+    // y20: the ADC stage stays the (cell, sub, code) equi-join and the
+    // exact rerank only joins the batch-sized shortlist (the deliberate
+    // cross joins are the broadcast 16-row codebook/8-row anchors)
+    val y20 = formatted("y20_pq_rerank")
+    assert(!y20.contains("CartesianProduct"),
+      "y20 grew a non-broadcast cartesian stage")
+    // z57: assignment + move flags are pure row expressions — no join at
+    // all beyond the broadcast one-row global panel
+    val z57 = formatted("z57_rendezvous_reshard")
+    assert(!z57.contains("SortMergeJoin") && !z57.contains("CartesianProduct"),
+      "z57's assignment must stay in-scan")
+    // x47/x48: the composed incremental paths keep their components'
+    // equi-join pair generation (construction runs the CC driver loops
+    // under planOnly substitutes — a few seconds)
+    for (q <- Seq("x47_ingest_replay", "x48_inventory_maintenance",
+        "z56_domain_reweight", "m8_payload_integrity")) {
+      val p = formatted(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian stage")
+    }
+  }
+
   test("s21: both window profiles come from ONE scan of the fact table") {
     val plan = formatted("s21_profile_diff")
     // count detail-section entries ("(1) Scan parquet"), not tree echoes
