@@ -1218,6 +1218,111 @@ object PipelineQueries {
       |SELECT source, n_tokens, loss, excess, w0, w1, w2, w3
       |FROM w3t ORDER BY source""".stripMargin)
 
+  /** z58: DEDUP SCOPE panel — global vs per-source deduplication, the
+    * policy question the FineWeb ablations made famous (dedup within each
+    * crawl dump vs across the whole corpus changes both cost and model
+    * quality): under the PER-SOURCE policy each source dedups
+    * independently (embarrassingly parallel, no cross-source shuffle —
+    * the cheap arm), under the GLOBAL policy the whole corpus shares one
+    * hash/cluster space. The panel prices the difference in data: per
+    * source, survivors under all four arms (exact × near-dup, global ×
+    * local — global survivors attributed to the keeper's source), plus
+    * the corpus-wide count of CROSS-SOURCE candidate pairs — exactly the
+    * duplicates the local policy structurally cannot see. Both near-dup
+    * arms read ONE clustering (the x8 capped-LSH CC — the local arm
+    * re-groups the same labels by (source, cluster), never re-clusters);
+    * the exact arms are two combinable groupBys on the content hash. */
+  private val z58DedupScope = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val srcOf = docs.select(col("doc_id"), col("source"))
+      val hashed = docs.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      val exactGlobal = hashed.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+        .join(srcOf, Seq("doc_id"))
+        .groupBy("source").agg(count(lit(1)).as("n_exact_global"))
+      val exactLocal = hashed.groupBy("source", "h")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy("source").agg(count(lit(1)).as("n_exact_local"))
+      // the pair relation feeds BOTH the clustering and the cross-source
+      // count — pin it so the LSH chain (shingle → signature → buckets)
+      // runs once (plan-only constructions stay action-free)
+      val pairsRaw = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+        maxBucket = Some(X2MaxBucket))
+      val pairs =
+        if (planOnly) pairsRaw else graft.Housekeeping.pin(s)(pairsRaw).df
+      val labels = Dedup.connectedComponents(pairs, docs, "doc_id")
+        .select("doc_id", "cluster_id")
+        .join(srcOf, Seq("doc_id"))
+      val ndGlobal = labels.groupBy("cluster_id").agg(min(col("doc_id")).as("doc_id"))
+        .join(srcOf, Seq("doc_id"))
+        .groupBy("source").agg(count(lit(1)).as("n_neardup_global"))
+      val ndLocal = labels.groupBy("source", "cluster_id")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy("source").agg(count(lit(1)).as("n_neardup_local"))
+      val cross = pairs
+        .join(srcOf.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+        .join(srcOf.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+        .agg(count(lit(1)).cast(LongType).as("n_candidate_pairs"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+            .cast(LongType).as("n_cross_source_pairs"))
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(exactGlobal, Seq("source"), "left")
+        .join(exactLocal, Seq("source"), "left")
+        .join(ndGlobal, Seq("source"), "left")
+        .join(ndLocal, Seq("source"), "left")
+        .na.fill(0L, Seq("n_exact_global", "n_exact_local",
+          "n_neardup_global", "n_neardup_local"))
+        .crossJoin(broadcast(cross))
+        .orderBy("source")
+    },
+    s"""WITH RECURSIVE $minhashCtes,
+       |${cappedBandsCte(bandsSql)},
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+       |comp AS (SELECT node, min(r) AS cid FROM reach GROUP BY 1),
+       |lbl AS (SELECT d.doc_id, d.source, COALESCE(comp.cid, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN comp ON comp.node = d.doc_id),
+       |eg AS (SELECT d2.source, COUNT(*) AS n FROM (
+       |    SELECT md5(text) AS h, min(doc_id) AS keep FROM documents GROUP BY 1) k
+       |  JOIN documents d2 ON d2.doc_id = k.keep GROUP BY 1),
+       |el AS (SELECT source, COUNT(*) AS n FROM (
+       |    SELECT source, md5(text) AS h, min(doc_id) AS keep
+       |    FROM documents GROUP BY 1, 2) k GROUP BY 1),
+       |ng AS (SELECT d2.source, COUNT(*) AS n FROM (
+       |    SELECT cluster_id, min(doc_id) AS keep FROM lbl GROUP BY 1) k
+       |  JOIN documents d2 ON d2.doc_id = k.keep GROUP BY 1),
+       |nl AS (SELECT source, COUNT(*) AS n FROM (
+       |    SELECT source, cluster_id, min(doc_id) AS keep FROM lbl GROUP BY 1, 2) k
+       |  GROUP BY 1),
+       |crs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       |    CAST(SUM(CASE WHEN da.source <> db.source THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_cross_source_pairs
+       |  FROM p JOIN documents da ON da.doc_id = p.doc_a
+       |  JOIN documents db ON db.doc_id = p.doc_b),
+       |base AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1)
+       |SELECT b.source, b.n_docs,
+       |  CAST(COALESCE(eg.n, 0) AS BIGINT) AS n_exact_global,
+       |  CAST(COALESCE(el.n, 0) AS BIGINT) AS n_exact_local,
+       |  CAST(COALESCE(ng.n, 0) AS BIGINT) AS n_neardup_global,
+       |  CAST(COALESCE(nl.n, 0) AS BIGINT) AS n_neardup_local,
+       |  crs.n_candidate_pairs, crs.n_cross_source_pairs
+       |FROM base b
+       |LEFT JOIN eg ON eg.source = b.source
+       |LEFT JOIN el ON el.source = b.source
+       |LEFT JOIN ng ON ng.source = b.source
+       |LEFT JOIN nl ON nl.source = b.source
+       |CROSS JOIN crs
+       |ORDER BY b.source""".stripMargin)
+
   private val x48Built = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.DataFrame]()
 
@@ -8865,6 +8970,7 @@ object PipelineQueries {
     "x48_inventory_maintenance" -> x48InventoryMaintenance,
     "z56_domain_reweight" -> z56DomainReweight,
     "z57_rendezvous_reshard" -> z57RendezvousReshard,
+    "z58_dedup_scope" -> z58DedupScope,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
     "x17_curation_v3" -> x17CurationV3,
