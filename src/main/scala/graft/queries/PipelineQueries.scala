@@ -1218,6 +1218,121 @@ object PipelineQueries {
       |SELECT source, n_tokens, loss, excess, w0, w1, w2, w3
       |FROM w3t ORDER BY source""".stripMargin)
 
+  /** z60: PACKING-LENGTH sweep — the knob-picking panel for z19's stream
+    * packing: for each candidate sequence length L ∈ {512, 1024, 2048,
+    * 4096}, how many documents STRADDLE a bin boundary (the rows that
+    * need cross-boundary attention masking or get truncated at training
+    * time — the real cost of a shorter context), how many documents are
+    * longer than L outright (must split no matter what), and the bin
+    * count the token stream needs. Stream packing keeps utilization ≈ 1
+    * by construction, so straddle count IS the decision variable — the
+    * panel that turns "we train at 2048" from folklore into a measured
+    * trade. ONE distributed prefix-sum pass (runningTotal's range-
+    * partition + per-partition window + offset join — no global sort),
+    * then the 4-value L ladder explodes over the already-reduced (doc,
+    * toks, cum) relation; the sweep's shuffle carries 4 keys at any
+    * corpus size (z45's ladder discipline). */
+  private val z60PackingSweep = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"))
+      val cum = Relational.runningTotal(docs, Seq("doc_id"), "toks", "cum")
+      cum.select(col("doc_id"), col("toks"), col("cum"),
+          explode(array(lit(512L), lit(1024L), lit(2048L), lit(4096L))).as("seq_len"))
+        .groupBy("seq_len")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).cast(LongType).as("total_tokens"),
+          sum(when(expr("(cum - toks) DIV seq_len") =!= expr("(cum - 1) DIV seq_len"),
+            1L).otherwise(0L)).as("n_straddling"),
+          sum(when(col("toks") > col("seq_len"), 1L).otherwise(0L)).as("n_docs_over"))
+        .withColumn("n_bins",
+          expr("(total_tokens + seq_len - 1) DIV seq_len").cast(LongType))
+        .withColumn("straddle_frac", col("n_straddling") / col("n_docs"))
+        .select("seq_len", "n_docs", "total_tokens", "n_bins",
+          "n_straddling", "n_docs_over", "straddle_frac")
+        .orderBy("seq_len")
+    },
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+      |c AS (SELECT doc_id, toks, SUM(toks) OVER (
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t),
+      |l AS (SELECT c.*, ls.seq_len FROM c,
+      |  (SELECT unnest([512, 1024, 2048, 4096]) AS seq_len) ls),
+      |g AS (SELECT seq_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(toks) AS BIGINT) AS total_tokens,
+      |    CAST(SUM(CASE WHEN (cum - toks) // seq_len <> (cum - 1) // seq_len
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+      |    CAST(SUM(CASE WHEN toks > seq_len THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_over
+      |  FROM l GROUP BY 1)
+      |SELECT CAST(seq_len AS BIGINT) AS seq_len, n_docs, total_tokens,
+      |  CAST((total_tokens + seq_len - 1) // seq_len AS BIGINT) AS n_bins,
+      |  n_straddling, n_docs_over,
+      |  CAST(n_straddling AS DOUBLE) / n_docs AS straddle_frac
+      |FROM g ORDER BY seq_len""".stripMargin)
+
+  /** z59: TEXT NORMALIZATION round-trip — the preprocessing rung every
+    * text pipeline runs before hashing/shingling (case folding,
+    * whitespace collapse, trim): un-normalized text makes EVERY
+    * downstream fingerprint miss (the same sentence with a doubled space
+    * has a different md5, different shingles, different minhash — dedup
+    * and decontamination silently degrade). Deterministic denormalization
+    * injection makes the rung testable end-to-end against this corpus
+    * (which is already canonical): doc%3 arrives case-mangled, doc%4
+    * space-doubled, doc%5 padded — the normalizer (lower → collapse runs
+    * of spaces → trim) must restore every injected doc to its original
+    * bytes, and the panel proves it per source (n_restored == n_docs)
+    * plus idempotence (normalize∘normalize ≡ normalize — the property
+    * that lets the op run at ingest AND defensively before hashing
+    * without double-spending). Pure in-scan string expressions feeding
+    * one combinable aggregate — rides the ingest scan for free. */
+  private val z59NormalizeRoundtrip = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val arrived = when(col("doc_id") % 3 === 0,
+          concat(upper(substring(col("text"), 1, 10)), expr("substring(text, 11)")))
+        .when(col("doc_id") % 4 === 0,
+          regexp_replace(col("text"), " ", "  "))
+        .when(col("doc_id") % 5 === 0, concat(col("text"), lit("   ")))
+        .otherwise(col("text"))
+      def normalize(c: Column): Column =
+        trim(regexp_replace(lower(c), " +", " "))
+      val a = docs.select(col("doc_id"), col("source"), col("text"),
+          arrived.as("arrived"))
+        .withColumn("norm", normalize(col("arrived")))
+        .withColumn("denormalized", col("arrived") =!= col("text"))
+        .withColumn("restored", col("norm") === col("text"))
+        .withColumn("idempotent", normalize(col("norm")) === col("norm"))
+      a.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("denormalized"), 1L).otherwise(0L)).as("n_denormalized"),
+          sum(when(col("restored"), 1L).otherwise(0L)).as("n_restored"),
+          sum(when(col("idempotent"), 1L).otherwise(0L)).as("n_idempotent"),
+          sum(length(col("arrived"))).cast(LongType).as("chars_arrived"),
+          sum(length(col("norm"))).cast(LongType).as("chars_normalized"))
+        .orderBy("source")
+    },
+    """WITH a0 AS (SELECT doc_id, source, text,
+      |    CASE WHEN doc_id % 3 = 0 THEN upper(substring(text, 1, 10)) || substring(text, 11)
+      |         WHEN doc_id % 4 = 0 THEN replace(text, ' ', '  ')
+      |         WHEN doc_id % 5 = 0 THEN text || '   '
+      |         ELSE text END AS arrived
+      |  FROM documents),
+      |a AS (SELECT doc_id, source, text, arrived,
+      |    trim(regexp_replace(lower(arrived), ' +', ' ', 'g')) AS norm
+      |  FROM a0)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN arrived <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_denormalized,
+      |  CAST(SUM(CASE WHEN norm = text THEN 1 ELSE 0 END) AS BIGINT) AS n_restored,
+      |  CAST(SUM(CASE WHEN trim(regexp_replace(lower(norm), ' +', ' ', 'g')) = norm
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_idempotent,
+      |  CAST(SUM(length(arrived)) AS BIGINT) AS chars_arrived,
+      |  CAST(SUM(length(norm)) AS BIGINT) AS chars_normalized
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** z58: DEDUP SCOPE panel — global vs per-source deduplication, the
     * policy question the FineWeb ablations made famous (dedup within each
     * crawl dump vs across the whole corpus changes both cost and model
@@ -8971,6 +9086,8 @@ object PipelineQueries {
     "z56_domain_reweight" -> z56DomainReweight,
     "z57_rendezvous_reshard" -> z57RendezvousReshard,
     "z58_dedup_scope" -> z58DedupScope,
+    "z59_normalize_roundtrip" -> z59NormalizeRoundtrip,
+    "z60_packing_sweep" -> z60PackingSweep,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
     "x17_curation_v3" -> x17CurationV3,
