@@ -186,7 +186,9 @@ object EventStreams {
                      spanRefBloom: Option[Array[Byte]] = None,
                      spanK: Int = 8,
                      scrubText: Boolean = false,
-                     removal: Option[DataFrame] = None): StreamingQuery = {
+                     removal: Option[DataFrame] = None,
+                     boilerplateInventory: Option[DataFrame] = None,
+                     boilerplateK: Int = 8): StreamingQuery = {
     // takedown runs FIRST: a removed document must not even reach the
     // dedup state, or a later legitimate arrival with the same key would
     // be dropped as its duplicate. Content-hash matching engages only
@@ -210,8 +212,15 @@ object EventStreams {
         gated.withColumn(tc,
           graft.operators.Dedup.spanScrubExpr(col(tc), spanK, spanRefBloom))
       }
+    // the inventory scrub (x46's in-flight form) chains after the span
+    // scrub — still a pure per-row expression against the broadcast
+    // one-row static inventory, so the router's statefulness is unchanged
+    val scrubbed = boilerplateInventory.fold(edited) { inv =>
+      textCol.fold(edited)(tc =>
+        boilerplateScrub(edited, inv, tc, boilerplateK, out = tc))
+    }
     drainToParquet(
-      edited.withColumn("split", graft.operators.Sampling.splitAssign(col(idCol))),
+      scrubbed.withColumn("split", graft.operators.Sampling.splitAssign(col(idCol))),
       destDir, checkpointDir, partCol = "split")
   }
 

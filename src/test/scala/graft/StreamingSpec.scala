@@ -247,6 +247,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(3L) === (1 to 24).map(i => f"u$i%02d").mkString(" "))
   }
 
+  test("curationRouter chains the inventory scrub after the span scrub, stream == batch chain") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val b = "bb1 bb2 bb3 bb4" // the aligned 4-word boilerplate segment
+    // batch-maintained inventory: the segment repeats across the base corpus
+    val baseDocs = Seq((200L, s"$b x1 x2 x3 x4"), (201L, s"$b z1 z2 z3 z4"))
+      .toDF("doc_id", "text")
+    val inv = TextAnalysis.chunkWords(baseDocs, "doc_id", "text", 4)
+      .select(TextAnalysis.hash32(col("chunk_text")).as("h1"),
+        TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      .groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h1", "h2")
+    // doc 1 clean; doc 2 leads with the boilerplate segment
+    val arrivals = Seq(
+      (1L, (1 to 24).map(i => f"a$i%02d").mkString(" ")),
+      (2L, (Seq("bb1", "bb2", "bb3", "bb4") ++
+        (1 to 20).map(i => f"c$i%02d")).mkString(" ")))
+    val src = tmpDir("inv_src"); val dest = tmpDir("inv_dest") + "/corpus"
+    val ckpt = tmpDir("inv_ckpt")
+    arrivals.zipWithIndex.map { case ((id, t), i) => (id, ts(i), t) }
+      .toDF("doc_id", "ts", "text")
+      .repartition(1).write.mode("append").parquet(src)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    EventStreams.curationRouter(
+      spark.readStream.schema(docSchema).parquet(src),
+      keyCols = Seq("text"), idCol = "doc_id", dest, ckpt, "30 minutes",
+      textCol = Some("text"), spanK = 3, scrubText = true,
+      boilerplateInventory = Some(inv), boilerplateK = 4).awaitTermination()
+    val streamed = spark.read.parquet(dest)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(streamed.keySet === Set(1L, 2L))
+    assert(streamed(1L) === (1 to 24).map(i => f"a$i%02d").mkString(" "))
+    assert(streamed(2L) === (1 to 20).map(i => f"c$i%02d").mkString(" "))
+    // the stream chain IS the batch chain: spanScrub then inventory scrub
+    val batchChain = EventStreams.boilerplateScrub(
+        Dedup.spanScrub(arrivals.toDF("doc_id", "text"), "doc_id", "text", k = 3)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        inv, "text", 4)
+      .select("doc_id", "scrubbed").as[(Long, String)].collect().toMap
+    for (id <- 1L to 2L) assert(streamed(id) === batchChain(id), s"doc $id")
+  }
+
   test("curated+scrubbed drain is exactly-once across a kill/resume, batch-identical") {
     import graft.operators.Dedup
     // the x37 lifecycle as a restartable stream: gate → scrub-edit →
