@@ -1273,6 +1273,123 @@ object PipelineQueries {
       |  CAST(n_straddling AS DOUBLE) / n_docs AS straddle_frac
       |FROM g ORDER BY seq_len""".stripMargin)
 
+  /** x49: PREPROCESSING front-half capstone — the CCNet-shaped chain every
+    * web corpus runs BEFORE the quality/dedup lifecycle the other
+    * capstones own, composed as ONE declared DAG over raw arrivals:
+    *  1. NORMALIZE (z59's rung on z59's injected denormalization — case
+    *     fold, collapse space runs, trim; everything downstream hashes
+    *     canonical bytes);
+    *  2. FREQUENCY BOILERPLATE SCRUB (x46's rung on the normalized text:
+    *     aligned 8-word segments with corpus df ≥ 2 stripped, docs
+    *     rebuilt; docs scrubbed to nothing DROP here);
+    *  3. EXACT DEDUP on the scrubbed bytes (x1's rung — min-id per
+    *     content hash; note the ORDER: dedup after scrub, because two
+    *     docs differing only in boilerplate become exact duplicates only
+    *     once the boilerplate is gone — the reason CCNet dedups after
+    *     paragraph removal).
+    * Per-source survivor/editing accounting plus the final-corpus content
+    * checksum; the oracle replays the complete chain. Scale shape: each
+    * stage is its component's shape (in-scan normalize, map-side
+    * segmenter + combinable frequency + unhinted anti-join, one
+    * content-hash groupBy) — composing them adds NO new shuffle class. */
+  private val x49PreprocessPipeline = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      val arrived = when(col("doc_id") % 3 === 0,
+          concat(upper(substring(col("text"), 1, 10)), expr("substring(text, 11)")))
+        .when(col("doc_id") % 4 === 0, regexp_replace(col("text"), " ", "  "))
+        .when(col("doc_id") % 5 === 0, concat(col("text"), lit("   ")))
+        .otherwise(col("text"))
+      val normed = docs.select(col("doc_id"), col("source"),
+        trim(regexp_replace(lower(arrived), " +", " ")).as("ntext"))
+      val segs = TextAnalysis.chunkWords(normed, "doc_id", "ntext", 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("chunk_text"),
+          TextAnalysis.hash32(col("chunk_text")).as("h1"),
+          TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      val boiler = segs.groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2)
+      val rebuilt = segs.join(boiler.select("h1", "h2"), Seq("h1", "h2"), "left_anti")
+        .groupBy("doc_id").agg(
+          sum(col("n_tokens")).cast(LongType).as("toks_after"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+            c => c.getField("chunk_text")), " ").as("stext"))
+      val scrubbed = normed.join(rebuilt, Seq("doc_id"), "left")
+        .withColumn("emptied", col("stext").isNull)
+      val kept = scrubbed.filter(!col("emptied"))
+        .withColumn("h", md5(col("stext")))
+      val keepIds = kept.groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+      val fin = kept.join(keepIds, Seq("h", "doc_id"), "left_semi")
+      val inventory = boiler.agg(count(lit(1)).as("n_boiler_segments"))
+      val perSrc = scrubbed.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("ntext"), " "))).cast(LongType).as("toks_normalized"),
+        sum(coalesce(col("toks_after"), lit(0L))).cast(LongType).as("toks_scrubbed"),
+        sum(when(col("emptied"), 1L).otherwise(0L)).as("n_emptied"))
+      val finSrc = fin.groupBy("source").agg(
+        count(lit(1)).as("n_final"),
+        pmod(sum(pmod(TextAnalysis.hash32(col("stext")), M)), M)
+          .cast(LongType).as("final_checksum"))
+      perSrc.join(finSrc, Seq("source"), "left")
+        .na.fill(0L, Seq("n_final", "final_checksum"))
+        .crossJoin(broadcast(inventory))
+        .withColumn("n_dup_dropped",
+          col("n_docs") - col("n_emptied") - col("n_final"))
+        .select("source", "n_docs", "toks_normalized", "toks_scrubbed",
+          "n_emptied", "n_dup_dropped", "n_final", "final_checksum",
+          "n_boiler_segments")
+        .orderBy("source")
+    },
+    s"""WITH a0 AS (SELECT doc_id, source,
+       |    CASE WHEN doc_id % 3 = 0 THEN upper(substring(text, 1, 10)) || substring(text, 11)
+       |         WHEN doc_id % 4 = 0 THEN replace(text, ' ', '  ')
+       |         WHEN doc_id % 5 = 0 THEN text || '   '
+       |         ELSE text END AS arrived
+       |  FROM documents),
+       |nrm AS (SELECT doc_id, source,
+       |    trim(regexp_replace(lower(arrived), ' +', ' ', 'g')) AS ntext FROM a0),
+       |ws AS (SELECT doc_id, source, ntext, string_split(ntext, ' ') AS w FROM nrm),
+       |seg0 AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 8)) AS c FROM ws),
+       |st AS (SELECT doc_id, c, list_slice(w, c * 8 + 1, c * 8 + 8) AS cw FROM seg0),
+       |hh AS (SELECT doc_id, c, len(cw) AS nt, array_to_string(cw, ' ') AS t,
+       |    ${h32Sql("array_to_string(cw, ' ')")} AS h1,
+       |    ${h32bSql("array_to_string(cw, ' ')")} AS h2
+       |  FROM st),
+       |f AS (SELECT h1, h2, COUNT(*) AS df FROM hh GROUP BY 1, 2),
+       |boiler AS (SELECT h1, h2 FROM f WHERE df >= 2),
+       |keptseg AS (SELECT hh.* FROM hh
+       |  WHERE NOT EXISTS (SELECT 1 FROM boiler b WHERE b.h1 = hh.h1 AND b.h2 = hh.h2)),
+       |reb AS (SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS toks_after,
+       |    string_agg(t, ' ' ORDER BY c) AS stext
+       |  FROM keptseg GROUP BY 1),
+       |scr AS (SELECT n.doc_id, n.source, n.ntext, r.toks_after, r.stext,
+       |    r.stext IS NULL AS emptied
+       |  FROM nrm n LEFT JOIN reb r ON r.doc_id = n.doc_id),
+       |keep AS (SELECT md5(stext) AS h, min(doc_id) AS doc_id FROM scr
+       |  WHERE NOT emptied GROUP BY 1),
+       |fin AS (SELECT s.* FROM scr s JOIN keep k
+       |  ON k.doc_id = s.doc_id AND k.h = md5(s.stext)),
+       |inv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_boiler_segments FROM boiler),
+       |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(ntext, ' '))) AS BIGINT) AS toks_normalized,
+       |    CAST(SUM(COALESCE(toks_after, 0)) AS BIGINT) AS toks_scrubbed,
+       |    CAST(SUM(CASE WHEN emptied THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied
+       |  FROM scr GROUP BY 1),
+       |fs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final,
+       |    CAST(SUM(${h32Sql("stext")} % 2147483647) % 2147483647 AS BIGINT)
+       |      AS final_checksum
+       |  FROM fin GROUP BY 1)
+       |SELECT ps.source, ps.n_docs, ps.toks_normalized, ps.toks_scrubbed,
+       |  ps.n_emptied,
+       |  ps.n_docs - ps.n_emptied - COALESCE(fs.n_final, 0) AS n_dup_dropped,
+       |  CAST(COALESCE(fs.n_final, 0) AS BIGINT) AS n_final,
+       |  CAST(COALESCE(fs.final_checksum, 0) AS BIGINT) AS final_checksum,
+       |  inv.n_boiler_segments
+       |FROM ps LEFT JOIN fs ON fs.source = ps.source CROSS JOIN inv
+       |ORDER BY ps.source""".stripMargin)
+
   /** z59: TEXT NORMALIZATION round-trip — the preprocessing rung every
     * text pipeline runs before hashing/shingling (case folding,
     * whitespace collapse, trim): un-normalized text makes EVERY
@@ -9083,6 +9200,7 @@ object PipelineQueries {
     "x46_boilerplate_scrub" -> x46BoilerplateScrub,
     "x47_ingest_replay" -> x47IngestReplay,
     "x48_inventory_maintenance" -> x48InventoryMaintenance,
+    "x49_preprocess_pipeline" -> x49PreprocessPipeline,
     "z56_domain_reweight" -> z56DomainReweight,
     "z57_rendezvous_reshard" -> z57RendezvousReshard,
     "z58_dedup_scope" -> z58DedupScope,
