@@ -293,4 +293,42 @@ class ExtensionsSpec extends SparkSpec {
     val top = out.orderBy("rank").as[(Long, Int, Long, Double)].collect()
     assert(top(0)._3 === 1L && top(0)._4 === 1.0)
   }
+
+  test("y19/y20 mining integers at sf0.001 are pinned") {
+    // The declared queries gate values against the oracle; these EXACT
+    // integers pin the mining semantics so an index/quantizer change
+    // can't drift the panels while still oracle-matching its own drift.
+    val d = "/root/testdata/sf0.001"
+    val y19 = SparkEntry.queries("y19_triplet_mine")(spark, d).localCheckpoint()
+    assert(y19.count() === 50L)
+    assert(y19.filter(col("neg_id").isNotNull).count() === 50L)
+    assert(y19.filter(col("pos_id").isNotNull).count() === 47L,
+      "3 anchors have no same-label candidate in their probed buckets")
+    assert(y19.filter(col("margin") < 0).count() === 42L,
+      "negative-margin anchors — the triplets a fine-tune needs first")
+    val y20 = SparkEntry.queries("y20_pq_rerank")(spark, d).localCheckpoint()
+    assert(y20.count() === 50L)
+    assert(y20.filter(col("promoted")).count() === 34L,
+      "rows the exact rerank moved up past their ADC rank")
+    // exact-truth recall: the rerank DOUBLES the ADC top-5's hit count
+    // within the same cell-blocked shortlist (both ceilinged by 8-cell
+    // pruning — y9b's documented recall limit, not quantization error)
+    val e = Tables.embeddings(spark, d)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val pairs = q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("d2", round(
+        Similarity.dot("qv", "qv") - lit(2.0) * Similarity.dot("qv", "cv")
+          + Similarity.dot("cv", "cv"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("d2").asc, col("c_id").asc)
+    val truth = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("q_id", "c_id").localCheckpoint()
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select("q_id", "c_id").join(truth, Seq("q_id", "c_id"), "left_semi").count()
+    assert(hits(y20) === 8L, "rerank top-5 exact-truth hits")
+    val y9 = SparkEntry.queries("y9_ivfpq")(spark, d).localCheckpoint()
+    assert(hits(y9) === 4L, "ADC top-5 exact-truth hits (the rerank's baseline)")
+  }
 }
