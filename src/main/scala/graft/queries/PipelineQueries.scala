@@ -1273,6 +1273,124 @@ object PipelineQueries {
       |  CAST(n_straddling AS DOUBLE) / n_docs AS straddle_frac
       |FROM g ORDER BY seq_len""".stripMargin)
 
+  private val x50Built = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  /** x50: TAKEDOWN PROPAGATION into the boilerplate inventory — x44's
+    * deletion E2 extended to x46/x48's artifact, by its production rule:
+    * counts UNLEARN by subtract-merge (the removed docs' segment counts
+    * merge in negated, zero rows leave — Lm.mergeCounts' shape, O(removed)
+    * not O(corpus)). The interesting consequence is DOWNWARD threshold
+    * crossings: segments whose df falls below minDf LEAVE the inventory,
+    * and every retained doc that was scrubbed FOR such a segment is now
+    * over-scrubbed — but the edit destroyed the evidence (the scrubbed
+    * corpus no longer contains the segment), so the re-edit set must be
+    * computed from the RAW retained corpus and re-materialized (the panel
+    * counts those docs per source — the takedown bill the x44 tombstone
+    * artifacts never pay because they only DROP rows). Oracle recomputes
+    * the counts from the retained corpus from scratch: hash equality
+    * proves subtract ≡ refit, inventory membership and checksum included. */
+  private val x50InventoryTakedown = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      def segsOf(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.chunkWords(df, "doc_id", "text", 8)
+          .select(col("doc_id"),
+            TextAnalysis.hash32(col("chunk_text")).as("h1"),
+            TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      val fullCnt = segsOf(docs).groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      val stored = if (planOnly) fullCnt else
+        x50Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"segfull_${s.sparkContext.applicationId}_" +
+            Integer.toHexString(d.hashCode)
+          val store = graft.sources.Store(s, path, "part")
+          store.destroy()
+          val withPart = fullCnt.withColumn("part", pmod(col("h1"), lit(8)))
+          store.append(withPart)
+          sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+          val back = readOrEmpty(store, withPart)
+          store.trackFrom(back,
+            (col("h1") % M) * (col("h2") % M) % M * (col("df") % M) % M)
+          back.drop("part")
+        })
+      val removedCnt = segsOf(docs.filter(col("doc_id") % 13 === 0))
+        .groupBy("h1", "h2").agg(count(lit(1)).as("rm"))
+      val merged = stored
+        .join(removedCnt, Seq("h1", "h2"), "left")
+        .select(col("h1"), col("h2"),
+          (col("df") - coalesce(col("rm"), lit(0L))).cast(LongType).as("df"))
+        .filter(col("df") > 0)
+      // downward crossings: in the inventory before, out after
+      val left = stored.filter(col("df") >= 2)
+        .join(merged.filter(col("df") >= 2).select("h1", "h2"),
+          Seq("h1", "h2"), "left_anti")
+        .select("h1", "h2")
+      // over-scrubbed retained docs: carriers (in the RAW retained corpus)
+      // of a segment that left the inventory — the re-materialization set
+      val reEdit = segsOf(docs.filter(col("doc_id") % 13 =!= 0))
+        .join(left, Seq("h1", "h2"), "left_semi")
+        .select("doc_id").distinct()
+      val g = merged.agg(
+        count(lit(1)).as("n_rows_after"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("inv_after"),
+        pmod(sum((col("h1") % M) * (col("h2") % M) % M * (col("df") % M) % M), M)
+          .cast(LongType).as("freq_checksum"))
+      val gb = stored.agg(
+        count(lit(1)).as("n_rows_before"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("inv_before"))
+      val nl = left.agg(count(lit(1)).as("n_left_inventory"))
+      docs.filter(col("doc_id") % 13 =!= 0)
+        .join(reEdit.withColumn("reedit", lit(true)), Seq("doc_id"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_retained"),
+          sum(when(col("reedit"), 1L).otherwise(0L)).as("n_over_scrubbed"))
+        .crossJoin(broadcast(gb))
+        .crossJoin(broadcast(g))
+        .crossJoin(broadcast(nl))
+        .orderBy("source")
+    },
+    s"""WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |seg0 AS (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 8)) AS c FROM ws),
+       |st AS (SELECT doc_id, c, list_slice(w, c * 8 + 1, c * 8 + 8) AS cw FROM seg0),
+       |hh AS (SELECT doc_id, ${h32Sql("array_to_string(cw, ' ')")} AS h1,
+       |    ${h32bSql("array_to_string(cw, ' ')")} AS h2
+       |  FROM st),
+       |before AS (SELECT h1, h2, COUNT(*) AS df FROM hh GROUP BY 1, 2),
+       |aft AS (SELECT h1, h2, COUNT(*) AS df FROM hh
+       |  WHERE doc_id % 13 <> 0 GROUP BY 1, 2),
+       |lft AS (SELECT b.h1, b.h2 FROM before b
+       |  LEFT JOIN (SELECT h1, h2 FROM aft WHERE df >= 2) a
+       |    ON a.h1 = b.h1 AND a.h2 = b.h2
+       |  WHERE b.df >= 2 AND a.h1 IS NULL),
+       |re AS (SELECT DISTINCT hh.doc_id FROM hh
+       |  JOIN lft ON lft.h1 = hh.h1 AND lft.h2 = hh.h2
+       |  WHERE hh.doc_id % 13 <> 0),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_after,
+       |    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS inv_after,
+       |    CAST(SUM((h1 % 2147483647) * (h2 % 2147483647) % 2147483647
+       |      * (df % 2147483647) % 2147483647) % 2147483647 AS BIGINT)
+       |      AS freq_checksum
+       |  FROM aft),
+       |gb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows_before,
+       |    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS inv_before
+       |  FROM before),
+       |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_left_inventory FROM lft)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_retained,
+       |  CAST(SUM(CASE WHEN re.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_over_scrubbed,
+       |  gb.n_rows_before, gb.inv_before,
+       |  g.n_rows_after, g.inv_after, g.freq_checksum, nl.n_left_inventory
+       |FROM documents d
+       |LEFT JOIN re ON re.doc_id = d.doc_id
+       |CROSS JOIN gb CROSS JOIN g CROSS JOIN nl
+       |WHERE d.doc_id % 13 <> 0
+       |GROUP BY d.source, gb.n_rows_before, gb.inv_before, g.n_rows_after,
+       |  g.inv_after, g.freq_checksum, nl.n_left_inventory
+       |ORDER BY d.source""".stripMargin)
+
   /** x49: PREPROCESSING front-half capstone — the CCNet-shaped chain every
     * web corpus runs BEFORE the quality/dedup lifecycle the other
     * capstones own, composed as ONE declared DAG over raw arrivals:
@@ -9201,6 +9319,7 @@ object PipelineQueries {
     "x47_ingest_replay" -> x47IngestReplay,
     "x48_inventory_maintenance" -> x48InventoryMaintenance,
     "x49_preprocess_pipeline" -> x49PreprocessPipeline,
+    "x50_inventory_takedown" -> x50InventoryTakedown,
     "z56_domain_reweight" -> z56DomainReweight,
     "z57_rendezvous_reshard" -> z57RendezvousReshard,
     "z58_dedup_scope" -> z58DedupScope,

@@ -121,6 +121,60 @@ object RelationalQueries {
     * reconstruction equals the batch-prefix truth at every version.
     * Overwrites are rejected on versioned tables (they would rewrite
     * files older snapshots reference) — StoreSpec pins that guard. */
+  /** s24: SLOWLY-CHANGING DIMENSION (type 2) from a change feed — the
+    * warehouse op that turns an event log into queryable HISTORY: each
+    * (user, event_type) state change opens a validity interval
+    * [valid_from = its ts, valid_to = the next change's ts), the latest
+    * version stays open (valid_to null), and any past state is
+    * reconstructible with an as-of predicate — here a mid-history probe
+    * (2024-01-16 UTC) counting and money-summing the versions active at
+    * that instant. Timestamps never surface in the output (engine-
+    * ambiguous rendering): the panel is counts, exact micro-second
+    * lifetime totals, and the DECIMAL-disciplined value sum. Scale shape:
+    * ONE window pass partitioned by the high-cardinality (user, type)
+    * key (state bounded per series, never a global sort) feeding one
+    * combinable aggregate; the as-of probe is a pure row predicate, so
+    * reconstructing ANY instant costs one scan of the history table. */
+  private val s24Scd2History = Q(
+    (s, d) => {
+      val probeUs = 1705363200000000L // 2024-01-16 00:00:00 UTC, micros
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val hist = Tables.events(s, d)
+        .withColumn("from_us", unix_micros(col("ts")))
+        .withColumn("to_us", unix_micros(lead(col("ts"), 1).over(w)))
+      val active = col("from_us") <= probeUs &&
+        (col("to_us").isNull || col("to_us") > probeUs)
+      hist.groupBy("event_type").agg(
+          count(lit(1)).as("n_versions"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("to_us").isNull, 1L).otherwise(0L)).as("n_current"),
+          sum(when(active, 1L).otherwise(0L)).as("n_active_probe"),
+          sum(when(active, col("value").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("active_value_sum"),
+          sum(when(col("to_us").isNotNull, col("to_us") - col("from_us")))
+            .cast(LongType).as("closed_lifetime_us"))
+        .orderBy("event_type")
+    },
+    """WITH h AS (SELECT event_id, user_id, event_type, value,
+      |    epoch_us(ts) AS from_us,
+      |    LEAD(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS to_us
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_versions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+      |  CAST(SUM(CASE WHEN from_us <= 1705363200000000
+      |    AND (to_us IS NULL OR to_us > 1705363200000000)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_active_probe,
+      |  CAST(SUM(CASE WHEN from_us <= 1705363200000000
+      |    AND (to_us IS NULL OR to_us > 1705363200000000)
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS active_value_sum,
+      |  CAST(SUM(CASE WHEN to_us IS NOT NULL THEN to_us - from_us END) AS BIGINT)
+      |    AS closed_lifetime_us
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
+
   private val s23TimeTravel = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -1561,6 +1615,7 @@ object RelationalQueries {
     "s21_profile_diff" -> s21ProfileDiff,
     "s22_stats_sidecar" -> s22StatsSidecar,
     "s23_time_travel" -> s23TimeTravel,
+    "s24_scd2_history" -> s24Scd2History,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,
