@@ -1508,6 +1508,71 @@ object PipelineQueries {
        |FROM ps LEFT JOIN fs ON fs.source = ps.source CROSS JOIN inv
        |ORDER BY ps.source""".stripMargin)
 
+  /** z61: EXACT AUC for the quality classifier — the evaluation panel a
+    * gate owner reads before trusting z14/z42's cutoffs: per language,
+    * the Mann–Whitney rank-sum AUC of the hashing-trick score against
+    * the source-set labels, computed EXACTLY (average ranks for tied
+    * scores are half-integers — carried as 2·rank integers so every
+    * intermediate is integer arithmetic; the final AUC is one IEEE
+    * division of exact longs), plus the threshold-0 confusion counts
+    * (z14's keep gate) so ranking quality and the operating point sit in
+    * one relation. Scale shape: scores are the in-scan zero-shuffle fold;
+    * ranks are per-(lang) windows over the score — the per-partition
+    * state is a language's doc count (the same bound z16's deciles
+    * accept); tie-averaging joins a distinct-score relation back,
+    * group-sized. */
+  private val z61ClassifierAuc = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.classifierScore("ws").as("score"),
+          col("source").isin("src0", "src3", "src6", "src9").as("pos"))
+      val ranked = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("score").asc, col("doc_id").asc)))
+      // average rank per tied score, as 2·rank (integer-exact): min+max
+      val tie = ranked.groupBy("lang", "score")
+        .agg((min(col("rn")) + max(col("rn"))).as("r2"))
+      val withR = ranked.join(tie, Seq("lang", "score"))
+      withR.groupBy("lang").agg(
+          sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("pos"), col("r2").cast(LongType)).otherwise(0L)).as("r2sum"),
+          sum(when(col("pos") && col("score") > 0, 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("pos") && col("score") > 0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("pos") && !(col("score") > 0), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("pos") && !(col("score") > 0), 1L).otherwise(0L)).as("tn"))
+        .withColumn("auc",
+          (col("r2sum") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+            / (lit(2L) * col("n_pos") * col("n_neg")))
+        .select("lang", "n_pos", "n_neg", "auc", "tp", "fp", "fn", "tn")
+        .orderBy("lang")
+    },
+    s"""WITH sc AS (SELECT doc_id, lang,
+       |    ${classifierScoreSql("string_split(text, ' ')")} AS score,
+       |    source IN ('src0', 'src3', 'src6', 'src9') AS pos
+       |  FROM documents),
+       |rk AS (SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY lang ORDER BY score, doc_id) AS rn FROM sc),
+       |tie AS (SELECT lang, score, MIN(rn) + MAX(rn) AS r2
+       |  FROM rk GROUP BY 1, 2),
+       |wr AS (SELECT rk.*, tie.r2 FROM rk JOIN tie
+       |  ON tie.lang = rk.lang AND tie.score = rk.score)
+       |SELECT lang,
+       |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |  CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+       |  CAST(SUM(CASE WHEN pos THEN r2 ELSE 0 END)
+       |      - SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+       |        * (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) AS DOUBLE)
+       |    / (2 * SUM(CASE WHEN pos THEN 1 ELSE 0 END)
+       |         * SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS auc,
+       |  CAST(SUM(CASE WHEN pos AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN NOT pos AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN pos AND NOT score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN NOT pos AND NOT score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |FROM wr GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** z59: TEXT NORMALIZATION round-trip — the preprocessing rung every
     * text pipeline runs before hashing/shingling (case folding,
     * whitespace collapse, trim): un-normalized text makes EVERY
@@ -9325,6 +9390,7 @@ object PipelineQueries {
     "z58_dedup_scope" -> z58DedupScope,
     "z59_normalize_roundtrip" -> z59NormalizeRoundtrip,
     "z60_packing_sweep" -> z60PackingSweep,
+    "z61_classifier_auc" -> z61ClassifierAuc,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
     "x17_curation_v3" -> x17CurationV3,
