@@ -1155,8 +1155,10 @@ object PipelineQueries {
     * unigram join (unhinted — AQE), ONE source-keyed aggregate; all three
     * rounds run on the 20-row per-source frame, pinned so the corpus scan
     * never re-executes per round. */
-  private val z56DomainReweight = Q(
-    (s, d) => {
+  /** Shared z56/z62 stage: per-source loss/excess/Hedge-round weights —
+    * ONE definition so the reweighting arithmetic can never drift between
+    * the declared panel and its budget consumer. */
+  private def z56Weights(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
       import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
       val docs = Tables.documents(s, d)
       val w = docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
@@ -1189,9 +1191,11 @@ object PipelineQueries {
       }
       cur.select(col("source"), col("n_tokens"), col("loss"), col("excess"),
           col("w0"), col("w1"), col("w2"), col("w3"))
-        .orderBy("source")
-    },
-    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+  }
+
+  /** Shared oracle CTE chain ending at `w3t` (z56's weight frame). */
+  private val z56CtesSql: String =
+    """w AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
       |cnt AS (SELECT term, COUNT(*) AS n_w FROM w GROUP BY 1),
       |tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tot FROM cnt),
       |ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -1214,9 +1218,62 @@ object PipelineQueries {
       |r3 AS (SELECT *, CAST(w2 * egain AS DECIMAL(20,12)) AS t3 FROM w2t),
       |z3c AS (SELECT SUM(t3) AS z3 FROM r3),
       |w3t AS (SELECT r3.*, CAST(t3 AS DOUBLE) / CAST(z3 AS DOUBLE) AS w3
-      |  FROM r3 CROSS JOIN z3c)
-      |SELECT source, n_tokens, loss, excess, w0, w1, w2, w3
-      |FROM w3t ORDER BY source""".stripMargin)
+      |  FROM r3 CROSS JOIN z3c)""".stripMargin
+
+  private val z56DomainReweight = Q(
+    (s, d) => z56Weights(s, d).orderBy("source"),
+    s"""WITH $z56CtesSql
+       |SELECT source, n_tokens, loss, excess, w0, w1, w2, w3
+       |FROM w3t ORDER BY source""".stripMargin)
+
+  /** z62: REWEIGHTED BUDGET allocation — z56's learned mixture applied:
+    * the w3 Hedge weights turn a fixed token budget (B = 100,000) into
+    * per-source quotas via the LARGEST-REMAINDER method (floor every
+    * quota, then hand the leftover units to the largest fractional parts,
+    * ties by source — deterministic, and Σ quota == B EXACTLY, the
+    * invariant naive rounding loses), then caps each quota at the
+    * source's actual token supply, surfacing the SPILL a production
+    * waterfall (z43's iterative budget) would redistribute. Closes the
+    * measure → weight → allocate loop: z56 measures, z62 commits the
+    * numbers a sampler consumes. All comparisons are on engine-identical
+    * doubles; quotas/ranks/spill are integer arithmetic. */
+  private val z62ReweightedBudget = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val B = 100000L
+      val wts = z56Weights(s, d)
+        .withColumn("raw", col("w3") * lit(B.toDouble))
+        .withColumn("qfloor", floor(col("raw")).cast(LongType))
+        .withColumn("frac", col("raw") - floor(col("raw")))
+      val rem = wts.agg((lit(B) - sum(col("qfloor"))).cast(LongType).as("r"))
+      val ranked = wts.crossJoin(broadcast(rem))
+        .withColumn("fr", row_number().over(
+          Window.orderBy(col("frac").desc, col("source").asc)))
+        .withColumn("quota",
+          (col("qfloor") + when(col("fr") <= col("r"), 1L).otherwise(0L))
+            .cast(LongType))
+      ranked
+        .withColumn("alloc", least(col("quota"), col("n_tokens")).cast(LongType))
+        .withColumn("spill", (col("quota") - col("alloc")).cast(LongType))
+        .select("source", "n_tokens", "w3", "quota", "alloc", "spill")
+        .orderBy("source")
+    },
+    s"""WITH $z56CtesSql,
+       |q AS (SELECT source, n_tokens, w3, w3 * CAST(100000 AS DOUBLE) AS raw
+       |  FROM w3t),
+       |qf AS (SELECT *, CAST(floor(raw) AS BIGINT) AS qfloor,
+       |    raw - floor(raw) AS frac FROM q),
+       |rem AS (SELECT CAST(100000 - SUM(qfloor) AS BIGINT) AS r FROM qf),
+       |rk AS (SELECT qf.*, rem.r,
+       |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS fr
+       |  FROM qf CROSS JOIN rem),
+       |al AS (SELECT source, n_tokens, w3,
+       |    CAST(qfloor + CASE WHEN fr <= r THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |  FROM rk)
+       |SELECT source, n_tokens, w3, quota,
+       |  CAST(LEAST(quota, n_tokens) AS BIGINT) AS alloc,
+       |  CAST(quota - LEAST(quota, n_tokens) AS BIGINT) AS spill
+       |FROM al ORDER BY source""".stripMargin)
 
   /** z60: PACKING-LENGTH sweep — the knob-picking panel for z19's stream
     * packing: for each candidate sequence length L ∈ {512, 1024, 2048,
@@ -9391,6 +9448,7 @@ object PipelineQueries {
     "z59_normalize_roundtrip" -> z59NormalizeRoundtrip,
     "z60_packing_sweep" -> z60PackingSweep,
     "z61_classifier_auc" -> z61ClassifierAuc,
+    "z62_reweighted_budget" -> z62ReweightedBudget,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
     "x17_curation_v3" -> x17CurationV3,
