@@ -8357,6 +8357,63 @@ object PipelineQueries {
       |    ORDER BY exact_d2, c_id) AS INT) AS rank FROM ex) r
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
 
+  /** y21: MIPS — max INNER-PRODUCT search (the recommendation/reranker
+    * scoring objective, where a long vector should win even at equal
+    * angle) and its norm-augmentation reduction to cosine (Shrivastava &
+    * Li): append s = √(M² − |x|²) to every corpus vector (M = max corpus
+    * norm) and 0 to every query, and the augmented cosine becomes
+    * dot(q,x)/(|q|·M) — a per-query MONOTONE transform of the raw dot,
+    * so cosine machinery ranks MIPS correctly. This panel PROVES the
+    * reduction in data: per query, the top-3 by raw dot with both ranks
+    * side by side (`reduction_ok` — rank under dot ≡ rank under the
+    * augmented cosine, up to 6-dp rounding ties), which is the license
+    * to serve MIPS on the EXISTING cosine infrastructure (y2's buckets,
+    * annServe) by augmenting corpus vectors once at index-build time —
+    * no new index type. The exact arm is the y1/y7-bounded-batch shape:
+    * queries are the tiny side, the corpus is scanned once, linearly. */
+  private val y21MipsAugment = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val m = e.agg(max(Similarity.norm("embedding")).as("mnorm"))
+      // bounded query batch (y7's lesson: a %-sampled batch GROWS with the
+      // corpus and the exact arm goes quadratic) — a no-op at the
+      // correctness SFs, a hard cap at scale
+      val q = e.filter(col("vec_id") % 50 === 0 && col("vec_id") < 1000)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .withColumn("q_nrm", Similarity.norm("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val scored = q.join(c, col("q_id") =!= col("c_id"))
+        .crossJoin(broadcast(m))
+        .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
+        .withColumn("aug_cos", round(
+          Similarity.dot("q_vec", "c_vec") / (col("q_nrm") * col("mnorm")), 6))
+      val wd = Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id").asc)
+      val wa = Window.partitionBy("q_id").orderBy(col("aug_cos").desc, col("c_id").asc)
+      scored
+        .withColumn("rank", row_number().over(wd))
+        .withColumn("rank_aug", row_number().over(wa))
+        .filter(col("rank") <= 3)
+        .withColumn("reduction_ok", col("rank") === col("rank_aug"))
+        .select("q_id", "rank", "c_id", "dot", "aug_cos", "rank_aug", "reduction_ok")
+        .orderBy("q_id", "rank")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm FROM v),
+       |m AS (SELECT MAX(nrm) AS mnorm FROM n),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")}, 6) AS dot,
+       |    ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * m.mnorm), 6) AS aug_cos
+       |  FROM n q JOIN n c ON q.vec_id <> c.vec_id CROSS JOIN m
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000),
+       |rk AS (SELECT *,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS INT) AS rank,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY aug_cos DESC, c_id) AS INT) AS rank_aug
+       |  FROM scored)
+       |SELECT q_id, rank, c_id, dot, aug_cos, rank_aug,
+       |  rank = rank_aug AS reduction_ok
+       |FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
+
   /** y10: Johnson–Lindenstrauss random projection + preservation report —
     * the dimensionality-reduction rung of the embedding ladder (y6
     * quantizes components, y5 codes subspaces, y10 drops dimensions):
@@ -9518,6 +9575,7 @@ object PipelineQueries {
     "y18_index_append" -> y18IndexAppend,
     "y19_triplet_mine" -> y19TripletMine,
     "y20_pq_rerank" -> y20PqRerank,
+    "y21_mips_augment" -> y21MipsAugment,
     "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
