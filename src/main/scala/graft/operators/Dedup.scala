@@ -998,6 +998,10 @@ object Dedup {
     val keptSegs = filter(segTexts, t =>
       !array_contains(blocked,
         struct(TextAnalysis.hash32(t).as("h1"), TextAnalysis.hash32b(t).as("h2"))))
-    concat_ws(" ", keptSegs)
+    // NULL text propagates as NULL (the takedownGate convention and the
+    // batch x46 semantics: chunkWords yields no segments and the rebuilt
+    // text stays null) — without the guard, size(null) = -1 would rebuild
+    // a null arrival as the EMPTY string, silently rewriting it.
+    when(text.isNull, text).otherwise(concat_ws(" ", keptSegs))
   }
 }

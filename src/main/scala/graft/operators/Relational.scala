@@ -407,13 +407,52 @@ object Relational {
   def groupedNtile(df: DataFrame, groups: Seq[String], order: Seq[String],
                    n: Int, out: String): DataFrame = {
     require(n > 0, s"ntile bucket count must be positive, got $n")
+    require(!df.columns.exists(c =>
+        Seq("__q", "__r").contains(c.toLowerCase)),
+      "column names __q/__r are reserved")
+    rangedRankTot(df, groups, order)
+      .withColumn("__q", expr(s"__tot DIV $n"))
+      .withColumn("__r", expr(s"__tot % $n"))
+      .withColumn(out,
+        when(col("__rn") <= col("__r") * (col("__q") + lit(1)),
+          expr("(__rn + __q) DIV (__q + 1)"))
+          .otherwise(expr("__r + ((__rn - __r * (__q + 1)) + __q - 1) DIV __q"))
+          .cast("int"))
+      .drop("__tot", "__rn", "__q", "__r")
+  }
+
+  /** Scale-safe per-group rank: identical ordering values to
+    * `row_number() OVER (PARTITION BY groups ORDER BY order)` without
+    * ever sorting a whole group on one task — the fix for the classic
+    * skew funnel where one hot group (one language of a 100-TB corpus)
+    * is a single window task. Same two-pass machinery as
+    * [[groupedNtile]]; `out` is LongType (deliberately wider than
+    * `row_number`'s IntegerType — a single group CAN exceed 2³¹ rows at
+    * the scale this operator exists for). `order` must be a total order
+    * (tiebreaker included), exactly as the window form requires. */
+  def groupedRowNumber(df: DataFrame, groups: Seq[String],
+                       order: Seq[String], out: String): DataFrame =
+    rangedRankTot(df, groups, order)
+      .withColumn(out, col("__rn"))
+      .drop("__tot", "__rn")
+
+  /** Shared two-pass range-partition rank behind [[groupedNtile]] and
+    * [[groupedRowNumber]]: range-partition on (groups ++ order) — pinned
+    * so both passes observe the SAME memberships — count per
+    * (partition, group) cell, cumulate cell counts into per-partition
+    * offsets (a `shufflePartitions × groups`-row relation, the only
+    * windowed step), then per-partition local numbering + offset. Output
+    * = input columns + `__rn` (1-based global per-group rank, LongType)
+    * + `__tot` (group total). */
+  private def rangedRankTot(df: DataFrame, groups: Seq[String],
+                            order: Seq[String]): DataFrame = {
     // NOTE: name resolution is case-INsensitive by default, so helper
     // names must differ by more than case ("__n" vs "__N" would collide)
     // __opid and the __og<i> join-key aliases are created on the offsets
     // side — an input column with one of those names would make the join
     // condition ambiguous (or be silently dropped by the cleanup), so they
     // are reserved too
-    val reserved = Seq("__pid", "__loc", "__off", "__tot", "__rn", "__q", "__r", "__n", "__opid")
+    val reserved = Seq("__pid", "__loc", "__off", "__tot", "__rn", "__n", "__opid")
     require(!df.columns.exists(c =>
         reserved.contains(c.toLowerCase) || c.toLowerCase.startsWith("__og")),
       s"column names ${reserved.mkString("/")} and the __og* prefix are reserved")
@@ -446,14 +485,7 @@ object Relational {
       .join(offsets, joinCond.reduce(_ && _))
       .drop("__opid" +: groups.indices.map(i => s"__og$i"): _*)
       .withColumn("__rn", col("__loc") + col("__off"))
-      .withColumn("__q", expr(s"__tot DIV $n"))
-      .withColumn("__r", expr(s"__tot % $n"))
-      .withColumn(out,
-        when(col("__rn") <= col("__r") * (col("__q") + lit(1)),
-          expr("(__rn + __q) DIV (__q + 1)"))
-          .otherwise(expr("__r + ((__rn - __r * (__q + 1)) + __q - 1) DIV __q"))
-          .cast("int"))
-      .drop("__pid", "__loc", "__off", "__tot", "__rn", "__q", "__r")
+      .drop("__pid", "__loc", "__off")
   }
 
   /** Exact per-group top-k without sorting any whole group on one task —

@@ -361,6 +361,58 @@ object Similarity {
       .select("q_id", "bucket", "rank", "c_id", "cosine")
   }
 
+  /** MIPS served on the hyperplane-bucket index — y21's norm-augmentation
+    * reduction (Shrivastava & Li / Bachrach et al., the public reduction)
+    * made operational: every CORPUS vector is augmented once at
+    * index-build time with s = √(M² − ‖x‖²) (M = max corpus norm), every
+    * QUERY with 0 — the augmentation is deliberately ASYMMETRIC (a
+    * symmetric augment would add s_q·s_x to the inner product and stop
+    * ranking MIPS). In the augmented space, cosine order ≡ raw-dot order
+    * per query, so the EXISTING hyperplane machinery (signs at dims+1,
+    * Hamming-1 multi-probe, bucket equi-join) generates candidates;
+    * ranking then uses the raw 64-dim dot directly (rounded 6 dp, id
+    * tiebreak) — the serving score IS the inner product, and the rounding
+    * ties that separate y21's two rank columns cannot re-enter. The
+    * augmented coordinate snaps to FLOAT (one IEEE correctly-rounded
+    * cast, engine-stable) because that is the index's storage type —
+    * augmentation is an index-build step, not a query-time one. Same
+    * unhinted join + AQE discipline as [[bucketedTopK]]; `bucket` in the
+    * output is the query's own (zero-augmented) bucket. */
+  def mipsTopK(vectors: DataFrame, queryIds: Column => Column, idCol: String,
+               vecCol: String, k: Int, probeRadius: Int = 1,
+               dims: Int = 64, planes: Int = NumPlanes): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1,
+      s"probeRadius 0 (own bucket) or 1 (Hamming-1 neighbors) supported, got $probeRadius")
+    val base = vectors.select(col(idCol), col(vecCol))
+      .withColumn("__nrm", norm(vecCol))
+    val m = base.agg(max(col("__nrm")).as("__mnorm"))
+    val aug = base.crossJoin(broadcast(m))
+      .withColumn("__s",
+        sqrt(greatest(col("__mnorm") * col("__mnorm")
+          - col("__nrm") * col("__nrm"), lit(0.0))).cast("float"))
+    val c = aug
+      .withColumn("__caug", concat(col(vecCol), array(col("__s"))))
+      .withColumn("__probe", hyperplaneBucket("__caug", dims + 1, planes))
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"), col("__probe"))
+    val q0 = aug.filter(queryIds(col(idCol)))
+      .withColumn("__qaug", concat(col(vecCol), array(lit(0.0f))))
+      .withColumn("bucket", hyperplaneBucket("__qaug", dims + 1, planes))
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"), col("bucket"))
+    val q =
+      if (probeRadius == 0) q0.withColumn("__probe", col("bucket"))
+      else q0.withColumn("__probe", explode(array(
+        col("bucket") +:
+          (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
+    val scored = q.join(c, Seq("__probe"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("dot", round(dot("q_vec", "c_vec"), 6))
+    val w = Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "bucket", "rank", "c_id", "dot")
+  }
+
   /** Triplet mining for embedding training: for each anchor, the nearest
     * SAME-label candidate (the positive) and the nearest DIFFERENT-label
     * candidate (the hard negative) inside the anchor's multi-probe bucket

@@ -1164,14 +1164,18 @@ object PipelineQueries {
       val w = docs.select(col("source"), explode(split(col("text"), " ")).as("term"))
       val cnt = w.groupBy("term").agg(count(lit(1)).as("n_w"))
       val tot = w.agg(count(lit(1)).as("n_tot"))
-      val perSrc = w.join(cnt, Seq("term"))
+      val perSrc0 = w.join(cnt, Seq("term"))
         .crossJoin(broadcast(tot))
         .withColumn("lp",
           log(col("n_w").cast(DoubleType) / col("n_tot")).cast(DecimalType(12, 6)))
         .groupBy("source")
         .agg(count(lit(1)).cast(LongType).as("n_tokens"),
           ((-sum(col("lp"))).cast(DoubleType) / count(lit(1))).as("loss"))
-        .localCheckpoint(true) // rounds iterate on this 20-row frame only
+      // rounds iterate on this 20-row frame only; under plan-only sweeps
+      // the checkpoint is skipped so (a) construction stays action-free and
+      // (b) the audited plan covers the corpus explode+join stage instead
+      // of a lineage-truncated LogicalRDD
+      val perSrc = if (planOnly) perSrc0 else perSrc0.localCheckpoint(true)
       val stats = perSrc.agg(min(col("loss")).as("minloss"),
         count(lit(1)).as("n_sources"))
       var cur = perSrc.crossJoin(broadcast(stats))
@@ -1574,10 +1578,14 @@ object PipelineQueries {
     * division of exact longs), plus the threshold-0 confusion counts
     * (z14's keep gate) so ranking quality and the operating point sit in
     * one relation. Scale shape: scores are the in-scan zero-shuffle fold;
-    * ranks are per-(lang) windows over the score — the per-partition
-    * state is a language's doc count (the same bound z16's deciles
-    * accept); tie-averaging joins a distinct-score relation back,
-    * group-sized. */
+    * ranks come from [[Relational.groupedRowNumber]]'s two-pass
+    * range-partition rank — NOT a `PARTITION BY lang` window, whose
+    * single task would hold one language's ENTIRE corpus at 100 TB (the
+    * skew funnel groupedNtile/runningTotal exist for); tie-averaging
+    * joins a distinct-score relation back, group-sized. A single-class
+    * language (all-positive or all-negative) reports NULL auc rather
+    * than dividing by zero — Spark and DuckDB disagree on x/0, so the
+    * guard is also what keeps the gate portable. */
   private val z61ClassifierAuc = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -1586,8 +1594,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("lang"),
           TextAnalysis.classifierScore("ws").as("score"),
           col("source").isin("src0", "src3", "src6", "src9").as("pos"))
-      val ranked = docs.withColumn("rn", row_number().over(
-        Window.partitionBy("lang").orderBy(col("score").asc, col("doc_id").asc)))
+      val ranked = Relational.groupedRowNumber(
+        docs, Seq("lang"), Seq("score", "doc_id"), "rn")
       // average rank per tied score, as 2·rank (integer-exact): min+max
       val tie = ranked.groupBy("lang", "score")
         .agg((min(col("rn")) + max(col("rn"))).as("r2"))
@@ -1601,8 +1609,9 @@ object PipelineQueries {
           sum(when(col("pos") && !(col("score") > 0), 1L).otherwise(0L)).as("fn"),
           sum(when(!col("pos") && !(col("score") > 0), 1L).otherwise(0L)).as("tn"))
         .withColumn("auc",
-          (col("r2sum") - col("n_pos") * (col("n_pos") + 1)).cast("double")
-            / (lit(2L) * col("n_pos") * col("n_neg")))
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            (col("r2sum") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+              / (lit(2L) * col("n_pos") * col("n_neg"))))
         .select("lang", "n_pos", "n_neg", "auc", "tp", "fp", "fn", "tn")
         .orderBy("lang")
     },
@@ -1619,11 +1628,14 @@ object PipelineQueries {
        |SELECT lang,
        |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
        |  CAST(SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
-       |  CAST(SUM(CASE WHEN pos THEN r2 ELSE 0 END)
+       |  CASE WHEN SUM(CASE WHEN pos THEN 1 ELSE 0 END) > 0
+       |        AND SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END) > 0
+       |   THEN CAST(SUM(CASE WHEN pos THEN r2 ELSE 0 END)
        |      - SUM(CASE WHEN pos THEN 1 ELSE 0 END)
        |        * (SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1) AS DOUBLE)
        |    / (2 * SUM(CASE WHEN pos THEN 1 ELSE 0 END)
-       |         * SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS auc,
+       |         * SUM(CASE WHEN NOT pos THEN 1 ELSE 0 END))
+       |   ELSE NULL END AS auc,
        |  CAST(SUM(CASE WHEN pos AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
        |  CAST(SUM(CASE WHEN NOT pos AND score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
        |  CAST(SUM(CASE WHEN pos AND NOT score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
@@ -8369,8 +8381,12 @@ object PipelineQueries {
     * augmented cosine, up to 6-dp rounding ties), which is the license
     * to serve MIPS on the EXISTING cosine infrastructure (y2's buckets,
     * annServe) by augmenting corpus vectors once at index-build time —
-    * no new index type. The exact arm is the y1/y7-bounded-batch shape:
-    * queries are the tiny side, the corpus is scanned once, linearly. */
+    * no new index type — y22 EXERCISES that license
+    * ([[Similarity.mipsTopK]]) and gates its recall against this panel's
+    * exact arm. The exact arm is the y1/y7-bounded-batch shape: queries
+    * are the tiny side, the corpus is scanned once, linearly; both ranks
+    * ride the salted two-stage top-k (groupedTopK's shape), never a
+    * per-query corpus-sized window. */
   private val y21MipsAugment = Q(
     (s, d) => {
       val e = Tables.embeddings(s, d)
@@ -8387,13 +8403,34 @@ object PipelineQueries {
         .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
         .withColumn("aug_cos", round(
           Similarity.dot("q_vec", "c_vec") / (col("q_nrm") * col("mnorm")), 6))
+      // salted two-stage top-k (groupedTopK's shape, ONE pass serving BOTH
+      // orderings): stage 1 sorts 1/32 of each query's candidates per task
+      // and keeps a bucket's top-3 under EITHER ordering — every global
+      // top-3 row under either ordering survives its bucket cut — then
+      // stage 2 ranks the ≤ 6·32 survivors per query. No per-query
+      // corpus-sized window anywhere. rank_aug is EXACT for values ≤ 3
+      // and NULL beyond the serving depth (such a row already failed the
+      // reduction; its precise rank would need the corpus-sized sort this
+      // shape exists to avoid).
+      val salted = scored.withColumn("__salt", pmod(xxhash64(col("c_id")), lit(32L)))
+      val w1d = Window.partitionBy("q_id", "__salt")
+        .orderBy(col("dot").desc, col("c_id").asc)
+      val w1a = Window.partitionBy("q_id", "__salt")
+        .orderBy(col("aug_cos").desc, col("c_id").asc)
+      val survivors = salted
+        .withColumn("__sd", row_number().over(w1d))
+        .withColumn("__sa", row_number().over(w1a))
+        .filter(col("__sd") <= 3 || col("__sa") <= 3)
+        .drop("__salt", "__sd", "__sa")
       val wd = Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id").asc)
       val wa = Window.partitionBy("q_id").orderBy(col("aug_cos").desc, col("c_id").asc)
-      scored
+      survivors
         .withColumn("rank", row_number().over(wd))
-        .withColumn("rank_aug", row_number().over(wa))
+        .withColumn("rank_aug0", row_number().over(wa))
         .filter(col("rank") <= 3)
-        .withColumn("reduction_ok", col("rank") === col("rank_aug"))
+        .withColumn("rank_aug", when(col("rank_aug0") <= 3, col("rank_aug0")))
+        .withColumn("reduction_ok",
+          coalesce(col("rank") === col("rank_aug"), lit(false)))
         .select("q_id", "rank", "c_id", "dot", "aug_cos", "rank_aug", "reduction_ok")
         .orderBy("q_id", "rank")
     },
@@ -8410,9 +8447,95 @@ object PipelineQueries {
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, c_id) AS INT) AS rank,
        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY aug_cos DESC, c_id) AS INT) AS rank_aug
        |  FROM scored)
-       |SELECT q_id, rank, c_id, dot, aug_cos, rank_aug,
-       |  rank = rank_aug AS reduction_ok
+       |SELECT q_id, rank, c_id, dot, aug_cos,
+       |  CASE WHEN rank_aug <= 3 THEN rank_aug END AS rank_aug,
+       |  (rank = rank_aug AND rank_aug <= 3) AS reduction_ok
        |FROM rk WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin)
+
+  /** y22: MIPS SERVED on the bucket index — y21's license exercised.
+    * Corpus vectors are augmented ONCE at index-build time with
+    * s = √(M² − ‖x‖²) snapped to FLOAT (the index's storage type; one
+    * IEEE correctly-rounded cast, engine-stable), queries with 0 — the
+    * asymmetric Shrivastava–Li form, because a symmetric augment would
+    * add s_q·s_x to the score and stop ranking MIPS — and the EXISTING
+    * hyperplane machinery runs unchanged at dims+1 = 65 (signs,
+    * Hamming-1 multi-probe, unhinted bucket equi-join:
+    * [[Similarity.mipsTopK]]). The panel gates serving against truth:
+    * the exact raw-dot top-3 (y21's bounded-batch arm, salted two-stage
+    * rank via [[Relational.groupedTopK]]) is the spine, the served list
+    * aligns by rank, and `hit` marks exact neighbors the index
+    * surfaced anywhere in its top-3 — recall@3 read off one boolean
+    * column (the integer is pinned in ExtensionsSpec, y9b's precedent).
+    * Scale: the n² pair space never materializes on the serving arm
+    * (bucket equi-join, plan-audited); the exact arm stays the
+    * deliberately capped truth batch. */
+  private val y22MipsServe = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qPred: Column => Column = id => id % 50 === 0 && id < 1000
+      // planes=4 (not the 8-plane default): the plane count is the
+      // occupancy knob (corpus/2^planes per bucket), and the augmented
+      // geometry of a near-orthogonal corpus widens query–neighbor
+      // angles, so serving recall wants WIDER buckets at this corpus
+      // size — a 10⁹-vector corpus turns the same knob the other way.
+      val served = Similarity.mipsTopK(e, qPred, "vec_id", "embedding",
+          k = 3, planes = 4)
+        .select(col("q_id"), col("rank"), col("c_id").as("served_id"),
+          col("dot").as("served_dot"))
+      val q = e.filter(qPred(col("vec_id")))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val scored = q.join(c, col("q_id") =!= col("c_id"))
+        .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
+      val exact = Relational.groupedTopK(scored, Seq("q_id"), col("c_id"),
+          Seq(col("dot").desc, col("c_id").asc), k = 3, out = "rank")
+        .select(col("q_id"), col("rank"), col("c_id").as("exact_id"),
+          col("dot").as("exact_dot"))
+      val hitMarks = served
+        .select(col("q_id"), col("served_id").as("exact_id"), lit(true).as("hit0"))
+      exact
+        .join(served, Seq("q_id", "rank"), "left")
+        .join(hitMarks, Seq("q_id", "exact_id"), "left")
+        .withColumn("hit", coalesce(col("hit0"), lit(false)))
+        .select("q_id", "rank", "exact_id", "exact_dot",
+          "served_id", "served_dot", "hit")
+        .orderBy("q_id", "rank")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm FROM v),
+       |m AS (SELECT MAX(nrm) AS mnorm FROM n),
+       |ca AS (SELECT vec_id, list_append(vd,
+       |    CAST(CAST(sqrt(GREATEST(mnorm * mnorm - nrm * nrm, 0)) AS FLOAT)
+       |      AS DOUBLE)) AS vd
+       |  FROM n CROSS JOIN m),
+       |cbk AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket FROM ca),
+       |qa AS (SELECT vec_id, list_append(vd, CAST(0 AS DOUBLE)) AS vd
+       |  FROM v WHERE vec_id % 50 = 0 AND vec_id < 1000),
+       |qbk AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket FROM qa),
+       |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")}, 6) AS dot
+       |  FROM v q JOIN qbk qb ON qb.vec_id = q.vec_id
+       |  JOIN cbk ck ON bit_count(xor(qb.bucket, ck.bucket)) <= 1
+       |  JOIN v c ON c.vec_id = ck.vec_id AND c.vec_id <> q.vec_id),
+       |srv AS (SELECT q_id, rank, c_id AS served_id, dot AS served_dot FROM (
+       |    SELECT q_id, c_id, dot, CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY dot DESC, c_id) AS INT) AS rank FROM sc) r
+       |  WHERE rank <= 3),
+       |ex0 AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")}, 6) AS dot
+       |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000),
+       |ex AS (SELECT q_id, rank, c_id AS exact_id, dot AS exact_dot FROM (
+       |    SELECT q_id, c_id, dot, CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY dot DESC, c_id) AS INT) AS rank FROM ex0) r
+       |  WHERE rank <= 3)
+       |SELECT ex.q_id, ex.rank, ex.exact_id, ex.exact_dot,
+       |  s.served_id, s.served_dot, COALESCE(h.hit, FALSE) AS hit
+       |FROM ex
+       |LEFT JOIN srv s ON s.q_id = ex.q_id AND s.rank = ex.rank
+       |LEFT JOIN (SELECT q_id, served_id AS exact_id, TRUE AS hit FROM srv) h
+       |  ON h.q_id = ex.q_id AND h.exact_id = ex.exact_id
+       |ORDER BY ex.q_id, ex.rank""".stripMargin)
 
   /** y10: Johnson–Lindenstrauss random projection + preservation report —
     * the dimensionality-reduction rung of the embedding ladder (y6
@@ -9576,6 +9699,7 @@ object PipelineQueries {
     "y19_triplet_mine" -> y19TripletMine,
     "y20_pq_rerank" -> y20PqRerank,
     "y21_mips_augment" -> y21MipsAugment,
+    "y22_mips_serve" -> y22MipsServe,
     "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,

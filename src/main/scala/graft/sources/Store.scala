@@ -233,7 +233,13 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   def statsExist: Boolean = statsVersions.nonEmpty
 
   /** The sidecar relation: (partCol, n_rows, checksum), one row per
-    * partition ever written. O(partitions) at any table size. */
+    * partition ever written. O(partitions) at any table size.
+    *
+    * Laziness contract: the frame points at the CURRENT sidecar version;
+    * [[writeStats]] retains exactly one superseded generation, so a frame
+    * obtained before a later tracked write still executes after THAT
+    * write, but not after two — consume (or `.localCheckpoint`) promptly
+    * rather than holding it across multiple writes. */
   def readStats: DataFrame = {
     val vs = statsVersions
     require(vs.nonEmpty, s"no _stats sidecar at $path — use appendTracked")
@@ -390,6 +396,14 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
 
   private def writeStats(stats: DataFrame): Unit = {
     val (f, _) = fs
+    // the sidecar's commit protocol IS the _SUCCESS marker: with
+    // marksuccessfuljobs=false every committed version reads as
+    // uncommitted, statsExist flips to false, and the plain-append guard
+    // silently re-opens — fail loudly instead of certifying nothing
+    require(spark.sparkContext.hadoopConfiguration.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "tracked writes require mapreduce.fileoutputcommitter." +
+        "marksuccessfuljobs=true — _SUCCESS is the sidecar commit point")
     // clean up any aborted sibling tmp an older writer left behind
     val legacyTmp = new org.apache.hadoop.fs.Path(s"${path}__stats_tmp")
     if (f.exists(legacyTmp)) f.delete(legacyTmp, true)
@@ -403,9 +417,13 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     val next = statsVersions.lastOption.getOrElse(0L) + 1
     stats.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/_stats/v$next")
-    // prune superseded versions AFTER the commit (best-effort — a stale
-    // survivor is re-pruned on the next write; readers always take max)
-    statsVersions.filter(_ < next).foreach(v =>
+    // prune superseded versions AFTER the commit, RETAINING one
+    // generation (best-effort — a stale survivor is re-pruned on the next
+    // write; readers always take max). The one-version grace window keeps
+    // a lazily-executed readStats frame obtained before THIS write alive
+    // across it — only a frame held across TWO subsequent writes can see
+    // FileNotFoundException, the documented consume-promptly contract.
+    statsVersions.filter(_ < next - 1).foreach(v =>
       f.delete(new org.apache.hadoop.fs.Path(statsDir, s"v$v"), true))
   }
 

@@ -283,6 +283,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(ivfPqArm(rvecs, "rvec") === 24L, "y9b/y3f rotated IVF-PQ hits")
   }
 
+  test("y22 MIPS serving recall integers are pinned at sf0.001") {
+    // y9b's precedent: the declared panel gates per-row hits against the
+    // exact arm, but only the pinned integer makes a silent recall
+    // regression (augmentation drift, bucket change, probe loss) loud.
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.embeddings(spark, d)
+    val qPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      id => id % 50 === 0 && id < 1000
+    val truth = Similarity.bruteForceTopK(
+        e.filter(qPred(col("vec_id"))), e, "vec_id", "embedding", k = 3)
+      .select("q_id", "c_id")
+    // rank by raw dot, same as mipsTopK's serving objective
+    val q = e.filter(qPred(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+    val scored = q.join(c, col("q_id") =!= col("c_id"))
+      .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("dot").desc, col("c_id").asc)
+    val exact = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).select("q_id", "c_id").localCheckpoint()
+    val served = Similarity.mipsTopK(e, qPred, "vec_id", "embedding",
+      k = 3, planes = 4)
+    val hits = served.select("q_id", "c_id")
+      .join(exact, Seq("q_id", "c_id"), "left_semi").count()
+    // 10/30 at this SF (21/30 at sf0.01): the near-orthogonal synthetic
+    // corpus's augmented geometry is the ceiling, not the reduction —
+    // y21 proves rank-equivalence; this pins what the index surfaces
+    assert(hits === 10L, "y22 MIPS bucket-serving hit count drifted")
+    Housekeeping.releaseAllBlocks(spark)
+  }
+
   test("kNN through the rewrite matches the hand path end-to-end") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))

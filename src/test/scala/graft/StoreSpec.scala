@@ -149,17 +149,24 @@ class StoreSpec extends SparkSpec {
     f.mkdirs(legacyTmp)
     store.appendTracked(season(2000, 1), term)
     assert(!f.exists(legacyTmp))
-    // superseded sidecar versions are pruned after commit: one child left
+    // superseded sidecar versions are pruned after commit, RETAINING one
+    // generation (a lazily-held readStats frame must survive exactly one
+    // subsequent write — the documented consume-promptly contract)
     val sd = new org.apache.hadoop.fs.Path(s"${store.path}/_stats")
-    assert(f.listStatus(sd).map(_.getPath.getName).count(_.startsWith("v")) === 1)
+    assert(f.listStatus(sd).map(_.getPath.getName).count(_.startsWith("v")) === 2)
     // a markerless (crashed-mid-write) child is invisible to readers:
     // no _SUCCESS means no commit, the previous version stays live
     f.mkdirs(new org.apache.hadoop.fs.Path(sd, "v99"))
     assert(store.statsExist)
     assert(store.readStats.select("n_rows").as[Long].collect().sum === 3L)
-    // and later writes keep committing past the junk
+    // and later writes keep committing past the junk; a frame held across
+    // ONE write still executes (one-generation grace window)
+    val held = store.readStats
     store.appendTracked(season(2001, 1), term)
+    assert(held.select("n_rows").as[Long].collect().sum === 3L)
     assert(store.readStats.select("n_rows").as[Long].collect().sum === 4L)
+    // v1 (two generations back) is gone; v2 + v3 + the junk child remain
+    assert(!f.exists(new org.apache.hadoop.fs.Path(sd, "v1")))
   }
 
   test("appendVersioned refuses orphan data files; adoptOrphans repairs the log") {
