@@ -1452,6 +1452,128 @@ object PipelineQueries {
        |  g.inv_after, g.freq_checksum, nl.n_left_inventory
        |ORDER BY d.source""".stripMargin)
 
+  private val x52Built = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.DataFrame]()
+
+  /** x52: TAKEDOWN RE-MATERIALIZATION — x50's deletion E2 completed.
+    * x50 computed WHO is over-scrubbed (retained docs whose stored
+    * scrubbed bytes dropped a segment that has since LEFT the
+    * inventory); x52 actually repairs them: re-scrub exactly those docs
+    * from the RAW retained corpus against the SHRUNK inventory and
+    * splice the corrected bytes over the stored artifact — every other
+    * doc keeps its stored bytes untouched. The proof is the whole
+    * point: the oracle scrubs the retained corpus FROM SCRATCH against
+    * the post-takedown inventory, and hash equality on the rebuilt-text
+    * md5 lattice (plus token totals and emptied counts) proves
+    * repair ≡ rebuild — which holds EXACTLY, not approximately, because
+    * the post-takedown inventory is a SUBSET of the build-time one, so a
+    * doc carrying none of the departed segments scrubs identically by
+    * construction. Scale: the day-0 scrubbed corpus is a stored
+    * artifact (Store round-trip, amortized like x40/x47's base builds);
+    * the takedown pays O(removed) for the subtract-merge + O(touched)
+    * re-scrubs — never a corpus re-scrub. planOnly substitutes the
+    * built frame for the store round-trip (x47/x48's discipline). */
+  private val x52TakedownRematerialize = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      def segsOf(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.chunkWords(df, "doc_id", "text", 8)
+          .select(col("doc_id"), col("chunk_id"), col("n_tokens"), col("chunk_text"),
+            TextAnalysis.hash32(col("chunk_text")).as("h1"),
+            TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      def scrubAgainst(src: org.apache.spark.sql.DataFrame,
+                       inv: org.apache.spark.sql.DataFrame) =
+        segsOf(src).join(inv, Seq("h1", "h2"), "left_anti")
+          .groupBy("doc_id").agg(
+            sum(col("n_tokens")).cast(LongType).as("toks"),
+            array_join(transform(
+              array_sort(collect_list(struct(col("chunk_id"), col("chunk_text")))),
+              c => c.getField("chunk_text")), " ").as("stext"))
+      val fullCnt = segsOf(docs).groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      val invBefore = fullCnt.filter(col("df") >= 2).select("h1", "h2")
+      val scrubBuilt = docs.select(col("doc_id"), col("source"))
+        .join(scrubAgainst(docs, invBefore), Seq("doc_id"), "left")
+      val stored = if (planOnly) scrubBuilt else
+        x52Built.computeIfAbsent(s"${s.sparkContext.applicationId}:$d", _ => {
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"scrubbed_${s.sparkContext.applicationId}_" +
+            Integer.toHexString(d.hashCode)
+          val store = graft.sources.Store(s, path, "part")
+          store.destroy()
+          val withPart = scrubBuilt.withColumn("part", pmod(col("doc_id"), lit(8)))
+          store.append(withPart)
+          sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+          readOrEmpty(store, withPart).drop("part")
+        })
+      val retained = docs.filter(col("doc_id") % 13 =!= 0)
+      val removedCnt = segsOf(docs.filter(col("doc_id") % 13 === 0))
+        .groupBy("h1", "h2").agg(count(lit(1)).as("rm"))
+      val merged = fullCnt.join(removedCnt, Seq("h1", "h2"), "left")
+        .select(col("h1"), col("h2"),
+          (col("df") - coalesce(col("rm"), lit(0L))).cast(LongType).as("df"))
+        .filter(col("df") > 0)
+      val invAfter = merged.filter(col("df") >= 2).select("h1", "h2")
+      val left = invBefore.join(invAfter, Seq("h1", "h2"), "left_anti")
+      val reEditIds = segsOf(retained)
+        .join(left, Seq("h1", "h2"), "left_semi")
+        .select("doc_id").distinct()
+      val repairedNew = scrubAgainst(
+          retained.join(reEditIds, Seq("doc_id"), "left_semi"), invAfter)
+        .select(col("doc_id"), col("toks").as("rtoks"), col("stext").as("rstext"))
+      val repaired = stored.filter(col("doc_id") % 13 =!= 0)
+        .join(reEditIds.withColumn("re", lit(true)), Seq("doc_id"), "left")
+        .join(repairedNew, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("re"), lit(false)).as("re"),
+          when(col("re"), col("rstext")).otherwise(col("stext")).as("stext"),
+          when(col("re"), col("rtoks")).otherwise(col("toks")).as("toks"))
+      repaired.groupBy("source").agg(
+          count(lit(1)).as("n_retained"),
+          sum(when(col("re"), 1L).otherwise(0L)).as("n_reedited"),
+          sum(when(col("stext").isNull, 1L).otherwise(0L)).as("n_emptied"),
+          sum(coalesce(col("toks"), lit(0L))).cast(LongType).as("toks_total"),
+          pmod(sum(when(col("stext").isNotNull,
+              conv(substring(md5(col("stext")), 1, 8), 16, 10).cast(LongType) % M)
+            .otherwise(0L)), M).cast(LongType).as("text_checksum"))
+        .orderBy("source")
+    },
+    s"""WITH ws AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       |seg0 AS (SELECT doc_id, source, w,
+       |    unnest(generate_series(0, (len(w) - 1) // 8)) AS c FROM ws),
+       |st AS (SELECT doc_id, source, c, len(list_slice(w, c * 8 + 1, c * 8 + 8)) AS nt,
+       |    array_to_string(list_slice(w, c * 8 + 1, c * 8 + 8), ' ') AS ct FROM seg0),
+       |hh AS (SELECT doc_id, source, c, nt, ct,
+       |    ${h32Sql("ct")} AS h1, ${h32bSql("ct")} AS h2 FROM st),
+       |invb AS (SELECT h1, h2 FROM (SELECT h1, h2, COUNT(*) AS df FROM hh
+       |    GROUP BY 1, 2) x WHERE df >= 2),
+       |inva AS (SELECT h1, h2 FROM (SELECT h1, h2, COUNT(*) AS df FROM hh
+       |    WHERE doc_id % 13 <> 0 GROUP BY 1, 2) x WHERE df >= 2),
+       |lft AS (SELECT b.h1, b.h2 FROM invb b
+       |  LEFT JOIN inva a ON a.h1 = b.h1 AND a.h2 = b.h2 WHERE a.h1 IS NULL),
+       |re AS (SELECT DISTINCT hh.doc_id FROM hh
+       |  JOIN lft ON lft.h1 = hh.h1 AND lft.h2 = hh.h2 WHERE hh.doc_id % 13 <> 0),
+       |reb AS (SELECT hh.doc_id, CAST(SUM(nt) AS BIGINT) AS toks,
+       |    string_agg(ct, ' ' ORDER BY c) AS stext
+       |  FROM hh LEFT JOIN inva ON inva.h1 = hh.h1 AND inva.h2 = hh.h2
+       |  WHERE hh.doc_id % 13 <> 0 AND inva.h1 IS NULL
+       |  GROUP BY hh.doc_id)
+       |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_retained,
+       |  CAST(SUM(CASE WHEN re.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_reedited,
+       |  CAST(SUM(CASE WHEN reb.stext IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_emptied,
+       |  CAST(SUM(COALESCE(reb.toks, 0)) AS BIGINT) AS toks_total,
+       |  CAST(SUM(CASE WHEN reb.stext IS NOT NULL THEN
+       |      ('0x' || substring(md5(reb.stext), 1, 8))::BIGINT % 2147483647
+       |    ELSE 0 END) % 2147483647 AS BIGINT) AS text_checksum
+       |FROM documents d
+       |LEFT JOIN re ON re.doc_id = d.doc_id
+       |LEFT JOIN reb ON reb.doc_id = d.doc_id
+       |WHERE d.doc_id % 13 <> 0
+       |GROUP BY d.source ORDER BY d.source""".stripMargin)
+
   /** x49: PREPROCESSING front-half capstone — the CCNet-shaped chain every
     * web corpus runs BEFORE the quality/dedup lifecycle the other
     * capstones own, composed as ONE declared DAG over raw arrivals:
@@ -1953,6 +2075,123 @@ object PipelineQueries {
        |GROUP BY pd.source, invb.inventory_before, inv.inventory_after,
        |  inv.freq_checksum, nb.n_new_boiler, tch.n_base_docs_touched
        |ORDER BY pd.source""".stripMargin)
+
+  /** x51: INVENTORY TAIL POLICY — the artifact-size answer for x48's
+    * stored frequency table, whose df=1 tail dwarfs the inventory proper
+    * (29,268 tail rows vs 1,303 exact rows at the 10× SF; at web scale
+    * the tail is billions of rows kept ONLY so tomorrow's second
+    * occurrence can be detected). The split: exact rows for df ≥ minDf
+    * (the inventory itself, small), a Count-Min sketch (z25's
+    * `count_min_sketch` aggregate + `graft_cms_estimate` probe, fixed
+    * seed) for the df=1 tail. Merge-time crossing detection against the
+    * compressed artifact is EXACT-OR-BOUNDED-FP, the x6/x12 contract
+    * shape: a true crossing is NEVER missed (`no_false_negatives` — CMS
+    * structurally cannot under-count, so df_base=1 always probes ≥ 1;
+    * in-batch duplicates are detected from the batch's own counts), and
+    * spurious crossings (df_base=0 keys whose probe collides to ≥ 1)
+    * are bounded by the occupancy model — `fp_within_bound` checks
+    * measured FPs ≤ 5·probes·(1−e^(−n_tail/w))^d + 1 with w=20000, d=7
+    * (Spark's eps=1e-4/conf=0.99 sizing), both booleans oracle-gated as
+    * contracts, FP integers pinned in ExtensionsSpec. FPs only ever
+    * scrub MORE — the conservative direction, same as the span Bloom.
+    * Scale notes the panel is honest about: for pure minDf=2 MEMBERSHIP
+    * a Bloom at ~10 bits/key beats the CMS ~60×; the CMS is the general
+    * form (minDf > 2 needs tail COUNTS, and the same artifact answers
+    * z25-style frequency reads), and its width scales as w ∝ tail/0.15
+    * to hold the FP bound — still a constant-bytes-per-key collapse
+    * versus the 16-byte exact rows, and the sketch is one mergeable
+    * blob per shard instead of a shuffled table. */
+  private val x51InventoryTailPolicy = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val k = 8
+      val docs = Tables.documents(s, d)
+      def segsOf(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.chunkWords(df, "doc_id", "text", k)
+          .select(col("doc_id"),
+            TextAnalysis.hash32(col("chunk_text")).as("h1"),
+            TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      val baseCnt = segsOf(docs.filter(col("doc_id") % 10 =!= 0))
+        .groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      val exactPart = baseCnt.filter(col("df") >= 2)
+      val tail = baseCnt.filter(col("df") === 1)
+      val sk = tail
+        .withColumn("key", concat_ws(":", col("h1"), col("h2")))
+        .agg(expr("count_min_sketch(key, CAST(0.0001 AS DOUBLE), " +
+            "CAST(0.99 AS DOUBLE), 42)").as("sk"),
+          count(lit(1)).as("n_tail_rows"))
+      val nExact = exactPart.agg(count(lit(1)).as("n_exact_rows"))
+      val batchCnt = segsOf(docs.filter(col("doc_id") % 10 === 0))
+        .groupBy("h1", "h2").agg(count(lit(1)).as("b"))
+      val probed = batchCnt
+        .join(exactPart.select(col("h1"), col("h2"), col("df").as("df_exact")),
+          Seq("h1", "h2"), "left")
+        .join(tail.select(col("h1"), col("h2"), lit(1L).as("df_tail")),
+          Seq("h1", "h2"), "left")
+        .crossJoin(broadcast(sk))
+        .withColumn("est", when(col("df_exact").isNull,
+            call_function("graft_cms_estimate", col("sk"),
+              concat_ws(":", col("h1"), col("h2"))))
+          .otherwise(lit(0L)))
+        .withColumn("truth",
+          col("df_exact").isNull && (col("df_tail").isNotNull || col("b") >= 2))
+        .withColumn("detected",
+          col("df_exact").isNull && (col("b") >= 2 || col("est") >= 1))
+      probed.agg(
+          count(lit(1)).as("n_batch_keys"),
+          sum(when(col("df_exact").isNotNull, 1L).otherwise(0L)).as("n_already_boiler"),
+          sum(when(col("truth"), 1L).otherwise(0L)).as("n_true_crossings"),
+          sum(when(col("truth") && col("df_tail").isNotNull, 1L).otherwise(0L))
+            .as("crossings_from_tail"),
+          sum(when(col("truth") && col("df_tail").isNull, 1L).otherwise(0L))
+            .as("crossings_fresh"),
+          sum(when(col("df_exact").isNull && col("df_tail").isNull
+              && col("b") === 1, 1L).otherwise(0L)).as("n_miss_probes"),
+          (sum(when(col("truth") && !col("detected"), 1L).otherwise(0L)) === 0L)
+            .as("no_false_negatives"),
+          sum(when(col("detected") && !col("truth"), 1L).otherwise(0L)).as("n_fp"),
+          first(col("n_tail_rows")).as("n_tail_rows"))
+        .crossJoin(broadcast(nExact))
+        .withColumn("fp_within_bound",
+          col("n_fp") <= ceil(lit(5.0) * col("n_miss_probes")
+            * pow(lit(1.0) - exp(-col("n_tail_rows") / lit(20000.0)), lit(7.0)))
+            + lit(1L))
+        .select(col("n_exact_rows"), col("n_tail_rows").cast(LongType).as("n_tail_rows"),
+          col("n_batch_keys"), col("n_already_boiler"), col("n_true_crossings"),
+          col("crossings_from_tail"), col("crossings_fresh"), col("n_miss_probes"),
+          col("no_false_negatives"), col("fp_within_bound"))
+    },
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |seg0 AS (SELECT doc_id, w,
+       |    unnest(generate_series(0, (len(w) - 1) // 8)) AS c FROM ws),
+       |st AS (SELECT doc_id,
+       |    array_to_string(list_slice(w, c * 8 + 1, c * 8 + 8), ' ') AS t FROM seg0),
+       |hh AS (SELECT doc_id, ${h32Sql("t")} AS h1, ${h32bSql("t")} AS h2 FROM st),
+       |cb AS (SELECT h1, h2, COUNT(*) AS df FROM hh WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+       |ex AS (SELECT h1, h2, df FROM cb WHERE df >= 2),
+       |tl AS (SELECT h1, h2 FROM cb WHERE df = 1),
+       |bt AS (SELECT h1, h2, COUNT(*) AS b FROM hh WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+       |pr AS (SELECT bt.h1, bt.h2, bt.b, ex.df AS df_exact,
+       |    CASE WHEN tl.h1 IS NOT NULL THEN 1 END AS df_tail
+       |  FROM bt LEFT JOIN ex ON ex.h1 = bt.h1 AND ex.h2 = bt.h2
+       |  LEFT JOIN tl ON tl.h1 = bt.h1 AND tl.h2 = bt.h2),
+       |szs AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exact_rows,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tl) AS n_tail_rows)
+       |SELECT szs.n_exact_rows, szs.n_tail_rows,
+       |  CAST(COUNT(*) AS BIGINT) AS n_batch_keys,
+       |  CAST(SUM(CASE WHEN df_exact IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_already_boiler,
+       |  CAST(SUM(CASE WHEN df_exact IS NULL AND (df_tail IS NOT NULL OR b >= 2)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_true_crossings,
+       |  CAST(SUM(CASE WHEN df_exact IS NULL AND df_tail IS NOT NULL
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS crossings_from_tail,
+       |  CAST(SUM(CASE WHEN df_exact IS NULL AND df_tail IS NULL AND b >= 2
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS crossings_fresh,
+       |  CAST(SUM(CASE WHEN df_exact IS NULL AND df_tail IS NULL AND b = 1
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_miss_probes,
+       |  TRUE AS no_false_negatives, TRUE AS fp_within_bound
+       |FROM pr CROSS JOIN szs
+       |GROUP BY szs.n_exact_rows, szs.n_tail_rows""".stripMargin)
 
   /** z57: CONSISTENT RESHARD via rendezvous (HRW) hashing — the operational
     * answer to "the training run outgrew its 16 shards": assign every doc
@@ -9622,6 +9861,8 @@ object PipelineQueries {
     "x48_inventory_maintenance" -> x48InventoryMaintenance,
     "x49_preprocess_pipeline" -> x49PreprocessPipeline,
     "x50_inventory_takedown" -> x50InventoryTakedown,
+    "x51_inventory_tail" -> x51InventoryTailPolicy,
+    "x52_takedown_rematerialize" -> x52TakedownRematerialize,
     "z56_domain_reweight" -> z56DomainReweight,
     "z57_rendezvous_reshard" -> z57RendezvousReshard,
     "z58_dedup_scope" -> z58DedupScope,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class ExtensionsSpec extends SparkSpec {
@@ -312,6 +312,37 @@ class ExtensionsSpec extends SparkSpec {
     // corpus's augmented geometry is the ceiling, not the reduction —
     // y21 proves rank-equivalence; this pins what the index surfaces
     assert(hits === 10L, "y22 MIPS bucket-serving hit count drifted")
+    Housekeeping.releaseAllBlocks(spark)
+  }
+
+  test("x51 tail-sketch false-positive integers are pinned at sf0.001") {
+    // The declared panel gates the CONTRACT booleans (no FN, FP within
+    // the occupancy bound); this pins the raw FP count so a seed/width/
+    // hash change in the sketch path is loud, not absorbed by the bound.
+    val d = "/root/testdata/sf0.001"
+    val k = 8
+    def segsOf(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.chunkWords(df, "doc_id", "text", k)
+        .select(TextAnalysis.hash32(col("chunk_text")).as("h1"),
+          TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+    val docs = Tables.documents(spark, d)
+    val baseCnt = segsOf(docs.filter(col("doc_id") % 10 =!= 0))
+      .groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+    val sk = baseCnt.filter(col("df") === 1)
+      .withColumn("key", concat_ws(":", col("h1"), col("h2")))
+      .agg(expr("count_min_sketch(key, CAST(0.0001 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)").as("sk"))
+    // miss probes: batch keys absent from the base entirely (df_base = 0,
+    // batch count 1) — any est >= 1 among them is a false positive
+    val missProbes = segsOf(docs.filter(col("doc_id") % 10 === 0))
+      .groupBy("h1", "h2").agg(count(lit(1)).as("b"))
+      .filter(col("b") === 1)
+      .join(baseCnt, Seq("h1", "h2"), "left_anti")
+    val nFp = missProbes.crossJoin(broadcast(sk))
+      .withColumn("est", call_function("graft_cms_estimate", col("sk"),
+        concat_ws(":", col("h1"), col("h2"))))
+      .filter(col("est") >= 1).count()
+    assert(nFp === 0L, "x51 tail-sketch FP count drifted at sf0.001")
     Housekeeping.releaseAllBlocks(spark)
   }
 

@@ -569,6 +569,17 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // query over the whole corpus)
     val y21 = formatted("y21_mips_augment")
     assert(y21.contains("__salt"), "y21's stage-1 window lost its salt key")
+    // x51: probe joins stay equi-joins; the only nested-loops are the
+    // two deliberate one-row broadcasts (sketch blob, exact-row count)
+    val x51 = formatted("x51_inventory_tail")
+    assert(!x51.contains("CartesianProduct"), "x51 grew a non-broadcast cartesian")
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(x51).size <= 2,
+      "x51: only the one-row sketch/count frames may nest-loop")
+    // x52: the repair path is all equi/anti/semi joins over segment hashes
+    // and doc ids (construction substitutes the built frame under planOnly)
+    val x52 = formatted("x52_takedown_rematerialize")
+    assert(!x52.contains("CartesianProduct") && !x52.contains("BroadcastNestedLoopJoin"),
+      "x52 grew a non-equi join")
   }
 
   test("s21: both window profiles come from ONE scan of the fact table") {
