@@ -1279,6 +1279,128 @@ object PipelineQueries {
        |  CAST(quota - LEAST(quota, n_tokens) AS BIGINT) AS spill
        |FROM al ORDER BY source""".stripMargin)
 
+  /** z63: DoReMi ROUND 2 with a PROXY REFIT — closes the scope gap z56
+    * honestly notes (its three Hedge rounds reuse ONE fixed reference
+    * scorer; full DoReMi refits the proxy on the reweighted mixture
+    * between rounds). One refit cycle, every step deterministic and
+    * oracle-replayable: round-1 weights w1 (z56's shared stage) become a
+    * 200-doc sample budget via largest-remainder quotas (z62's
+    * machinery, doc-denominated); each source contributes its
+    * top-quota docs under the z27 Efraimidis–Spirakis key (md5-uniform,
+    * length-weighted, DECIMAL(18,12) snapshot — ranked by the salted
+    * [[Relational.groupedTopK]], never a per-source corpus window); the
+    * unigram LM REFITS on that sampled mixture (add-1 smoothing over
+    * the FIXED corpus vocabulary, so unseen-in-sample terms stay
+    * finite); every source's full-corpus token stream re-scores under
+    * the refit LM (z15's DECIMAL(12,6) per-token snapshot); and Hedge
+    * steps once more from w1 under the refit excess (exact
+    * DECIMAL(20,12) normalizer). Scale: two corpus explodes (z56's
+    * inside the shared stage + one (doc_id, source, term) pass pinned
+    * across vocab/sample/eval), one sample-sized count table joined
+    * unhinted, and all weight arithmetic on the 20-row frame. */
+  private val z63DoremiRefit = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val docs = Tables.documents(s, d)
+      val wts0 = z56Weights(s, d).select("source", "n_tokens", "loss", "w1")
+      val wts = if (planOnly) wts0 else wts0.localCheckpoint(true)
+      val B = 200L
+      val q0 = wts.withColumn("raw", col("w1") * lit(B.toDouble))
+        .withColumn("qfloor", floor(col("raw")).cast(LongType))
+        .withColumn("frac", col("raw") - floor(col("raw")))
+      val rem = q0.agg((lit(B) - sum(col("qfloor"))).cast(LongType).as("r"))
+      val quota = q0.crossJoin(broadcast(rem))
+        .withColumn("fr", row_number().over(
+          Window.orderBy(col("frac").desc, col("source").asc)))
+        .withColumn("quota",
+          (col("qfloor") + when(col("fr") <= col("r"), 1L).otherwise(0L))
+            .cast(LongType))
+        .select("source", "n_tokens", "w1", "quota")
+      val keyed = docs.select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("es_key", Sampling.esKey(col("doc_id"), col("n_chars")))
+      val ranked = Relational.groupedTopK(keyed, Seq("source"), col("doc_id"),
+        Seq(col("es_key").desc, col("doc_id").asc), k = B.toInt, out = "rk")
+      val sampled = ranked.join(quota.select("source", "quota"), Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .select("doc_id", "source")
+      val wd0 = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      val wd = if (planOnly) wd0 else graft.Housekeeping.pin(s)(wd0).df
+      val vocab = wd.agg(countDistinct(col("term")).as("v"))
+      val sw = wd.join(sampled.select("doc_id"), Seq("doc_id"), "left_semi")
+      val scnt = sw.groupBy("term").agg(count(lit(1)).as("n_s"))
+      val stot = sw.agg(count(lit(1)).as("n_stot"))
+      val evalLoss = wd.join(scnt, Seq("term"), "left")
+        .crossJoin(broadcast(stot)).crossJoin(broadcast(vocab))
+        .withColumn("lp2",
+          log((coalesce(col("n_s"), lit(0L)) + lit(1L)).cast(DoubleType)
+            / (col("n_stot") + col("v"))).cast(DecimalType(12, 6)))
+        .groupBy("source").agg(
+          ((-sum(col("lp2"))).cast(DoubleType) / count(lit(1))).as("loss_refit"))
+      val nSamp = sampled.groupBy("source").agg(count(lit(1)).as("n_sampled"))
+      val j0 = quota
+        .join(evalLoss, Seq("source"))
+        .join(nSamp, Seq("source"), "left")
+        .withColumn("n_sampled", coalesce(col("n_sampled"), lit(0L)))
+      val j = if (planOnly) j0 else j0.localCheckpoint(true)
+      val st2 = j.agg(min(col("loss_refit")).as("minloss2"))
+      val stepped = j.crossJoin(broadcast(st2))
+        .withColumn("egain2", exp(col("loss_refit") - col("minloss2"))
+          .cast(DecimalType(12, 6)).cast(DoubleType))
+        .withColumn("t2", (col("w1") * col("egain2")).cast(DecimalType(20, 12)))
+      val z2 = stepped.agg(sum(col("t2")).as("z2"))
+      stepped.crossJoin(broadcast(z2))
+        .withColumn("w2_refit",
+          col("t2").cast(DoubleType) / col("z2").cast(DoubleType))
+        .select("source", "n_tokens", "w1", "quota", "n_sampled",
+          "loss_refit", "w2_refit")
+        .orderBy("source")
+    },
+    s"""WITH $z56CtesSql,
+       |q AS (SELECT source, n_tokens, w1, w1 * CAST(200 AS DOUBLE) AS raw FROM w1t),
+       |qf AS (SELECT *, CAST(floor(raw) AS BIGINT) AS qfloor,
+       |    raw - floor(raw) AS frac FROM q),
+       |rem AS (SELECT CAST(200 - SUM(qfloor) AS BIGINT) AS r FROM qf),
+       |rrk AS (SELECT qf.*, rem.r,
+       |    ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS fr
+       |  FROM qf CROSS JOIN rem),
+       |al AS (SELECT source, n_tokens, w1,
+       |    CAST(qfloor + CASE WHEN fr <= r THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |  FROM rrk),
+       |k2 AS (SELECT doc_id, source,
+       |    CAST(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+       |      / CAST(4294967296 AS DOUBLE)) / n_chars AS DECIMAL(18,12)) AS es_key
+       |  FROM documents),
+       |sr AS (SELECT doc_id, source, ROW_NUMBER() OVER (
+       |    PARTITION BY source ORDER BY es_key DESC, doc_id) AS rk2 FROM k2),
+       |smp AS (SELECT sr.doc_id, sr.source FROM sr JOIN al USING (source)
+       |  WHERE rk2 <= quota),
+       |wd AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |vc AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM wd),
+       |swt AS (SELECT wd.term FROM wd JOIN smp ON smp.doc_id = wd.doc_id),
+       |scnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_s FROM swt GROUP BY 1),
+       |stt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_stot FROM swt),
+       |ev AS (SELECT wd.source,
+       |    CAST(-SUM(CAST(ln((COALESCE(scnt.n_s, 0) + 1)
+       |        / (stt.n_stot + vc.v)) AS DECIMAL(12,6))) AS DOUBLE)
+       |      / COUNT(*) AS loss_refit
+       |  FROM wd LEFT JOIN scnt ON scnt.term = wd.term
+       |  CROSS JOIN stt CROSS JOIN vc
+       |  GROUP BY 1),
+       |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled FROM smp GROUP BY 1),
+       |jj AS (SELECT al.source, al.n_tokens, al.w1, al.quota,
+       |    COALESCE(ns.n_sampled, 0) AS n_sampled, ev.loss_refit
+       |  FROM al JOIN ev USING (source) LEFT JOIN ns USING (source)),
+       |m2 AS (SELECT MIN(loss_refit) AS minloss2 FROM jj),
+       |sp AS (SELECT jj.*, CAST(w1 * CAST(CAST(exp(loss_refit - minloss2)
+       |      AS DECIMAL(12,6)) AS DOUBLE) AS DECIMAL(20,12)) AS t2
+       |  FROM jj CROSS JOIN m2),
+       |zr2 AS (SELECT SUM(t2) AS zsum FROM sp)
+       |SELECT source, n_tokens, w1, quota, CAST(n_sampled AS BIGINT) AS n_sampled,
+       |  loss_refit, CAST(t2 AS DOUBLE) / CAST(zsum AS DOUBLE) AS w2_refit
+       |FROM sp CROSS JOIN zr2 ORDER BY source""".stripMargin)
+
   /** z60: PACKING-LENGTH sweep — the knob-picking panel for z19's stream
     * packing: for each candidate sequence length L ∈ {512, 1024, 2048,
     * 4096}, how many documents STRADDLE a bin boundary (the rows that
@@ -9870,6 +9992,7 @@ object PipelineQueries {
     "z60_packing_sweep" -> z60PackingSweep,
     "z61_classifier_auc" -> z61ClassifierAuc,
     "z62_reweighted_budget" -> z62ReweightedBudget,
+    "z63_doremi_refit" -> z63DoremiRefit,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
     "x17_curation_v3" -> x17CurationV3,

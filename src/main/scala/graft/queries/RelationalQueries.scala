@@ -175,6 +175,67 @@ object RelationalQueries {
       |    AS closed_lifetime_us
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** s25: SCD2 as a STORE WRITE PATH — s24 derives history in-query; s25
+    * makes it durable: three change-feed slices (the events table split
+    * at fixed time boundaries) merge through [[graft.sources.Store
+    * .upsertScd2]], the interval-closing upsert (each batch closes the
+    * affected keys' open versions at its first timestamp and appends its
+    * own lead-chained versions; only touched partitions rewrite). The
+    * panel is computed from the RE-READ store — s24's exact aggregate
+    * over `valid_from`/`valid_to` plus the same 2024-01-16 as-of probe —
+    * while the oracle derives the history in one window pass over the
+    * raw feed: equality proves incremental interval-closing ≡ one-shot
+    * window derivation, probe semantics and closed-interval lifetimes
+    * included. StoreSpec adds the restart case (a second Store handle on
+    * the same path continues the history) and the tiling invariant. */
+  private val s25Scd2Store = Q(
+    (s, d) => {
+      val probeUs = 1705363200000000L // 2024-01-16 00:00:00 UTC, micros
+      val t1 = 1704931200000000L // 2024-01-11: wave-1/2 boundary
+      val t2 = 1705795200000000L // 2024-01-21: wave-2/3 boundary
+      val ev = Tables.events(s, d)
+        .withColumn("from_us", unix_micros(col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "from_us")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"scd2_${math.abs(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "event_type")
+      store.destroy()
+      Seq(col("from_us") < t1,
+          col("from_us") >= t1 && col("from_us") < t2,
+          col("from_us") >= t2)
+        .foreach(c => store.upsertScd2(ev.filter(c),
+          Seq("user_id", "event_type"), "from_us", Seq(col("event_id"))))
+      val active = col("valid_from") <= probeUs &&
+        (col("valid_to").isNull || col("valid_to") > probeUs)
+      store.read.groupBy("event_type").agg(
+          count(lit(1)).as("n_versions"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
+          sum(when(active, 1L).otherwise(0L)).as("n_active_probe"),
+          sum(when(active, col("value").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("active_value_sum"),
+          sum(when(col("valid_to").isNotNull, col("valid_to") - col("valid_from")))
+            .cast(LongType).as("closed_lifetime_us"))
+        .orderBy("event_type")
+    },
+    """WITH h AS (SELECT event_id, user_id, event_type, value,
+      |    epoch_us(ts) AS from_us,
+      |    LEAD(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS to_us
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_versions,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+      |  CAST(SUM(CASE WHEN from_us <= 1705363200000000
+      |    AND (to_us IS NULL OR to_us > 1705363200000000)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_active_probe,
+      |  CAST(SUM(CASE WHEN from_us <= 1705363200000000
+      |    AND (to_us IS NULL OR to_us > 1705363200000000)
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS active_value_sum,
+      |  CAST(SUM(CASE WHEN to_us IS NOT NULL THEN to_us - from_us END) AS BIGINT)
+      |    AS closed_lifetime_us
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
+
   private val s23TimeTravel = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -1616,6 +1677,7 @@ object RelationalQueries {
     "s22_stats_sidecar" -> s22StatsSidecar,
     "s23_time_travel" -> s23TimeTravel,
     "s24_scd2_history" -> s24Scd2History,
+    "s25_scd2_store" -> s25Scd2Store,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

@@ -135,6 +135,53 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     overwritePartitions(Relational.upsert(affected, updates, keys, order))
   }
 
+  /** SCD2 interval-closing merge — the Store-native form of the s24
+    * history derivation: the history table keeps one row PER VERSION of
+    * a key (`valid_from`/`valid_to`, null = open), and each batch (a
+    * change-feed slice) closes the affected keys' open rows at the
+    * batch's first timestamp for that key and appends its own chained
+    * versions (consecutive in-batch updates close each other via the
+    * s24 lead window; the batch's last version stays open). Partition-
+    * scoped like [[upsert]]: only partitions carrying batch keys are
+    * read or rewritten — cost follows the batch footprint, not table
+    * size; per-key window state is one batch's series, bounded.
+    * Preconditions: a key's `partCol` value is stable across versions
+    * (upsert's rule), and event time moves forward per key — a batch
+    * carrying a timestamp older than a key's open `valid_from` is a
+    * replay bug the as-of read surfaces as a negative interval. `order`
+    * supplies tiebreakers after `tsCol` (pass the event id); equal-ts
+    * versions become zero-length intervals, active at no probe, exactly
+    * matching the window-derived form. */
+  def upsertScd2(updates: DataFrame, keys: Seq[String], tsCol: String,
+                 order: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc +: order: _*)
+    val versioned = updates
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+    if (!exists) { append(versioned); return }
+    val parts = updates.select(partCol).distinct()
+    val affected = read.join(broadcast(parts), Seq(partCol), "left_semi")
+    val firstTs = updates.groupBy(keys.map(col): _*)
+      .agg(min(col(tsCol)).as("__new_from"))
+    val closed = affected.join(firstTs, keys, "left")
+      .withColumn("valid_to",
+        when(col("valid_to").isNull && col("__new_from").isNotNull,
+          col("__new_from")).otherwise(col("valid_to")))
+      .drop("__new_from")
+    overwritePartitions(closed.unionByName(versioned))
+  }
+
+  /** Point-in-time read of an SCD2 history table ([[upsertScd2]]): the
+    * version active at `ts` per key — valid_from <= ts < valid_to, open
+    * rows unbounded above. O(touched partitions) under a partCol
+    * predicate pushed by the caller; the interval predicate itself
+    * prunes via parquet min/max stats on valid_from. */
+  def readAsOf(ts: Long): DataFrame =
+    read.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || col("valid_to") > ts))
+
   /** Post-rebuild invariant query: rows per partition
     * (`/root/reference/1_rebuild_db.R:40-44`). */
   def countsByPartition: DataFrame =

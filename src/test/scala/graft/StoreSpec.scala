@@ -49,6 +49,60 @@ class StoreSpec extends SparkSpec {
     assert(store2.read.as[(Long, Long, Int)].collect().toSet === firstRun)
   }
 
+  test("upsertScd2 chains versions across batches and restarts; as-of reads match a rebuild") {
+    // (user, type) change feed in three batches, with a WRITER RESTART
+    // before the third (fresh Store handle, no lineage): the incremental
+    // interval-closing merge must land the exact history a one-shot lead
+    // window derives over the full feed, tile without gaps, and keep
+    // exactly one open version per key.
+    def feed(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("user_id", "event_type", "ts_us", "value")
+    val b1 = feed(Seq((1L, "a", 100L, 1.0), (1L, "a", 200L, 2.0), // in-batch chain
+      (2L, "a", 150L, 5.0), (3L, "b", 120L, 7.0)))
+    val b2 = feed(Seq((1L, "a", 300L, 3.0), (3L, "b", 320L, 8.0)))
+    val b3 = feed(Seq((2L, "a", 400L, 6.0), (4L, "b", 410L, 9.0))) // new key late
+    val path = tmpDir("store_scd2") + "/t"
+    val store = Store(spark, path, "event_type")
+    val keys = Seq("user_id", "event_type")
+    store.upsertScd2(b1, keys, "ts_us")
+    store.upsertScd2(b2, keys, "ts_us")
+    // restart: a brand-new handle continues the same history
+    val store2 = Store(spark, path, "event_type")
+    store2.upsertScd2(b3, keys, "ts_us")
+    val hist = store2.read
+      .select("user_id", "event_type", "ts_us", "value", "valid_from", "valid_to")
+    // one open version per key, and it is the key's LAST update
+    val open = hist.filter(col("valid_to").isNull)
+      .select("user_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(open === Set((1L, "a", 3.0), (2L, "a", 6.0), (3L, "b", 8.0), (4L, "b", 9.0)))
+    // full history == one-shot window derivation over the concatenated feed
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("ts_us").asc)
+    val derived = b1.unionByName(b2).unionByName(b3)
+      .withColumn("valid_from", col("ts_us"))
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("valid_from"), coalesce(col("valid_to"), lit(-1L)))
+      .as[(Long, String, Double, Long, Long)].collect().toSet
+    assert(rows(hist) === rows(derived), "incremental SCD2 diverged from the rebuild")
+    // as-of probes replay history point-in-time
+    def asOf(ts: Long) = store2.readAsOf(ts)
+      .select("user_id", "event_type", "value")
+      .as[(Long, String, Double)].collect().toSet
+    assert(asOf(110L) === Set((1L, "a", 1.0)))
+    assert(asOf(250L) === Set((1L, "a", 2.0), (2L, "a", 5.0), (3L, "b", 7.0)))
+    assert(asOf(500L) === open)
+    // intervals tile: each closed version's valid_to is the next valid_from
+    val gaps = hist.as("h1").join(hist.as("h2"),
+        col("h1.user_id") === col("h2.user_id")
+          && col("h1.event_type") === col("h2.event_type")
+          && col("h1.valid_to") === col("h2.valid_from"), "left_anti")
+      .filter(col("h1.valid_to").isNotNull)
+    assert(gaps.count() === 0L, "a closed version's valid_to matches no successor")
+  }
+
   test("stats sidecar tracks appends and partition overwrites, invisible to reads") {
     val store = Store(spark, tmpDir("store_stats"), "season")
     val M = lit(2147483647L)

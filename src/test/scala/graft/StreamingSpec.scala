@@ -344,6 +344,100 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2).forall(_.split(" ").length >= 24)) // edits kept payload
   }
 
+  test("two-wave ingest replay through the checkpointed router drain equals the x47 batch arms") {
+    import graft.operators.{Dedup, TextAnalysis}
+    // x47's composition claim, with the streaming ingest layer actually in
+    // the loop: wave 1 and wave 2 arrive through curationRouter's
+    // checkpointed drain — with a KILL/RESUME in the middle of wave 2 —
+    // and each day's incremental resolution runs off the DRAINED arrivals.
+    // The batch arm resolves the same waves from direct corpus filters;
+    // the per-wave outcome panels AND the final map checksum must match
+    // exactly (exactly-once transport + deterministic resolution).
+    val d = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, d).select("doc_id", "source", "text")
+      .localCheckpoint()
+    val src = tmpDir("wave_src"); val dest = tmpDir("wave_dest") + "/arrivals"
+    val ckpt = tmpDir("wave_ckpt")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("source", StringType), StructField("text", StringType)))
+    def land(df: org.apache.spark.sql.DataFrame, m: Int): Unit =
+      df.withColumn("ts", lit(ts(m))).select("doc_id", "ts", "source", "text")
+        .repartition(1).write.mode("append").parquet(src)
+    def drain(): Unit = EventStreams.curationRouter(
+      spark.readStream.schema(docSchema).parquet(src),
+      keyCols = Seq("doc_id"), idCol = "doc_id", dest, ckpt, "30 minutes")
+      .awaitTermination()
+    val wave1 = docs.filter(col("doc_id") % 10 === 0)
+    val wave2 = docs.filter(col("doc_id") % 10 === 5)
+    // x47's signature recipe, one pass for every candidate generator
+    val sigAll = Dedup.minhashSignature(
+      docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
+        .select(col("doc_id"), TextAnalysis.hash32(col("sh")).as("hv")),
+      "doc_id", 8).localCheckpoint()
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val labels0 = Dedup.connectedComponents(
+      Dedup.lshCandidates(sigAll.join(base.select("doc_id"), Seq("doc_id"), "left_semi"),
+        "doc_id", 8),
+      base, "doc_id").localCheckpoint()
+    def resolve(labels: org.apache.spark.sql.DataFrame,
+                arrivals: org.apache.spark.sql.DataFrame) = {
+      val sigW = sigAll.join(arrivals, Seq("doc_id"), "left_semi")
+      val sigPrior = sigAll.join(labels.select("doc_id"), Seq("doc_id"), "left_semi")
+      val pairs = Dedup.lshCandidatesAgainst(sigW, sigPrior, "doc_id", 8)
+        .select(col("doc_new").as("doc_a"), col("doc_base").as("doc_b"))
+        .union(Dedup.lshCandidates(sigW, "doc_id", 8))
+      Dedup.incrementalComponents(labels, arrivals, pairs, "doc_id")
+        .localCheckpoint()
+    }
+    def panel(labels: org.apache.spark.sql.DataFrame, wave: Int,
+              arrCond: org.apache.spark.sql.Column,
+              priorCond: org.apache.spark.sql.Column) = {
+      val cl = labels.groupBy("cluster_id").agg(
+        sum(when(priorCond, 1L).otherwise(0L)).as("n_prior"),
+        count(lit(1)).as("n_all"))
+      labels.filter(arrCond).join(cl, Seq("cluster_id"))
+        .select(col("doc_id"),
+          when(col("n_prior") > 0, "joined_existing")
+            .when(col("n_all") >= 2, "new_cluster")
+            .otherwise("singleton").as("outcome"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source", "outcome").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect().map(r => (wave, r._1, r._2, r._3))
+        .toSet
+    }
+    def checksum(labels: org.apache.spark.sql.DataFrame): Long =
+      labels.select(pmod(sum((col("doc_id") % 2147483647L)
+          * (col("cluster_id") % 2147483647L) % 2147483647L), lit(2147483647L)))
+        .as[Long].collect().head
+    // ---- streamed arm: wave 1 lands and drains, day-1 resolution runs
+    land(wave1, 0); drain()
+    val drained1 = spark.read.parquet(dest).select("doc_id").localCheckpoint()
+    assert(drained1.count() === wave1.count())
+    val labels1s = resolve(labels0, drained1)
+    // wave 2 arrives in TWO files with a kill/resume between them
+    land(wave2.filter(col("doc_id") % 20 === 5), 10); drain() // the kill
+    land(wave2.filter(col("doc_id") % 20 === 15), 20); drain() // the resume
+    val drainedAll = spark.read.parquet(dest).select("doc_id")
+    // exactly-once across the kill: every arrival exactly once
+    assert(drainedAll.groupBy("doc_id").count().filter(col("count") > 1).count() === 0L)
+    val drained2 = drainedAll.filter(col("doc_id") % 10 === 5).localCheckpoint()
+    assert(drained2.count() === wave2.count())
+    val labels2s = resolve(labels1s, drained2)
+    // ---- batch arm: same resolution off direct corpus filters
+    val labels1b = resolve(labels0, wave1.select("doc_id"))
+    val labels2b = resolve(labels1b, wave2.select("doc_id"))
+    // ---- stream == batch: per-wave outcome panels and final checksum
+    assert(panel(labels1s, 1, col("doc_id") % 10 === 0, col("doc_id") % 5 =!= 0)
+      === panel(labels1b, 1, col("doc_id") % 10 === 0, col("doc_id") % 5 =!= 0))
+    assert(panel(labels2s, 2, col("doc_id") % 10 === 5, col("doc_id") % 10 =!= 5)
+      === panel(labels2b, 2, col("doc_id") % 10 === 5, col("doc_id") % 10 =!= 5))
+    assert(checksum(labels2s) === checksum(labels2b))
+    Housekeeping.releaseAllBlocks(spark)
+  }
+
   test("perplexityScore over a file stream equals the batch held-out scorer") {
     import graft.operators.Lm
     // reference corpus fits the model; arrivals contain seen bigrams,
