@@ -236,6 +236,48 @@ object RelationalQueries {
       |    AS closed_lifetime_us
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** s26: CHANGE-DATA-FEED read off the version log — the O(changes)
+    * complement to s17's keyed full-outer diff (O(table)) and s23's
+    * snapshot reads: `Store.readChanges(from, to]` hands a downstream
+    * incremental consumer exactly the rows versions from+1..to appended,
+    * by reading ONLY the files those `_log` entries recorded — the log
+    * IS the diff, no scan decides what changed. The panel reads four
+    * ranges (each day's delta, a two-day catch-up, and the full-history
+    * range that must equal readVersion) with row/token counts and an
+    * id-lattice checksum; the oracle recomputes each range's membership
+    * from the raw corpus. At 100 TB this is the difference between a
+    * daily consumer scanning 100 TB to find yesterday's 100 GB and just
+    * reading yesterday's 100 GB. */
+  private val s26ChangeFeed = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val M = lit(2147483647L)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+        s"cdf_${math.abs(d.hashCode)}"
+      val store = graft.sources.Store(s, path, "source")
+      store.destroy()
+      (0 to 2).foreach(r =>
+        store.appendVersioned(docs.filter(col("doc_id") % 3 === r)))
+      Seq((0L, 1L), (1L, 2L), (1L, 3L), (2L, 3L)).map { case (f, t) =>
+        store.readChanges(f, t).agg(
+            count(lit(1)).as("n_rows"),
+            sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
+            pmod(sum((col("doc_id") % M) * ((col("doc_id") + 7) % M) % M), M)
+              .cast(LongType).as("checksum"))
+          .select(lit(f).as("from_v"), lit(t).as("to_v"),
+            col("n_rows"), col("n_tokens"), col("checksum"))
+      }.reduce(_.unionByName(_)).orderBy("from_v", "to_v")
+    },
+    """WITH r(from_v, to_v) AS (VALUES (0, 1), (1, 2), (1, 3), (2, 3))
+      |SELECT CAST(from_v AS BIGINT) AS from_v, CAST(to_v AS BIGINT) AS to_v,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647) % 2147483647)
+      |    % 2147483647 AS BIGINT) AS checksum
+      |FROM r JOIN documents ON doc_id % 3 >= from_v AND doc_id % 3 < to_v
+      |GROUP BY from_v, to_v ORDER BY from_v, to_v""".stripMargin)
+
   private val s23TimeTravel = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -1678,6 +1720,7 @@ object RelationalQueries {
     "s23_time_travel" -> s23TimeTravel,
     "s24_scd2_history" -> s24Scd2History,
     "s25_scd2_store" -> s25Scd2Store,
+    "s26_change_feed" -> s26ChangeFeed,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

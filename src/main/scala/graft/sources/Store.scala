@@ -418,6 +418,30 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
       org.apache.spark.sql.types.StructType.fromDDL(entries.last._1))
   }
 
+  /** Change-data read on a versioned table: the rows ADDED by versions in
+    * (fromV, toV] — the append-only store's change feed. Reads ONLY the
+    * files those versions recorded, so the cost is O(changed bytes) and
+    * the decision of WHICH bytes is a metadata read of the `_log` entries
+    * — the log IS the diff. This is what turns a downstream incremental
+    * consumer (x39's daily resolution, x48's count merge, s25's SCD2
+    * upsert) into a pure pull: "give me what changed since the version I
+    * last processed", no table scan, no keyed full-outer diff (s17's
+    * O(table) form remains for tables WITHOUT a log). `fromV = 0` means
+    * "from the beginning" (≡ readVersion(toV)). */
+  def readChanges(fromV: Long, toV: Long): DataFrame = {
+    require(fromV < toV, s"empty change range ($fromV, $toV]")
+    require(fromV == 0 || versions.contains(fromV),
+      s"unknown from-version $fromV at $path (have $versions)")
+    require(versions.contains(toV),
+      s"unknown to-version $toV at $path (have $versions)")
+    val entries = versions.filter(v => v > fromV && v <= toV).map(readVersionEntry)
+    val files = entries.flatMap(_._2).map(rel => s"$path/$rel")
+    if (files.nonEmpty) spark.read.option("basePath", path).parquet(files: _*)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(entries.last._1))
+  }
+
   /** Rebuild the sidecar wholesale from a snapshot of the current table
     * state (the caller passes the read-back frame so an EMPTY table — a
     * gate that dropped everything — can hand in a zero-row frame with

@@ -49,6 +49,23 @@ class StoreSpec extends SparkSpec {
     assert(store2.read.as[(Long, Long, Int)].collect().toSet === firstRun)
   }
 
+  test("readChanges reads exactly the delta versions; (0, v] equals readVersion(v)") {
+    val path = tmpDir("store_cdf") + "/t"
+    val store = Store(spark, path, "season")
+    (1 to 3).foreach(i => store.appendVersioned(season(1998 + i, i)))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("game_id").as[String].collect().toSet
+    // each single-version range is that batch's rows, nothing else
+    assert(ids(store.readChanges(1, 2)) === ids(store.readVersion(2))
+      -- ids(store.readVersion(1)))
+    assert(ids(store.readChanges(2, 3)).size === 3)
+    // from-the-beginning range reproduces the snapshot
+    assert(ids(store.readChanges(0, 3)) === ids(store.readVersion(3)))
+    // invalid ranges fail loudly
+    intercept[IllegalArgumentException] { store.readChanges(2, 2) }
+    intercept[IllegalArgumentException] { store.readChanges(1, 9) }
+  }
+
   test("upsertScd2 chains versions across batches and restarts; as-of reads match a rebuild") {
     // (user, type) change feed in three batches, with a WRITER RESTART
     // before the third (fresh Store handle, no lineage): the incremental
