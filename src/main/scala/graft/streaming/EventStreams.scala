@@ -260,6 +260,58 @@ object EventStreams {
         col("best.c_id").as("c_id"), col("best.cosine").as("cosine"))
   }
 
+  /** Streaming MIPS serving — the online half of y22: each arriving query
+    * vector gets its best static-corpus neighbor BY INNER PRODUCT, off
+    * the same norm-augmented hyperplane index ([[graft.operators
+    * .Similarity.mipsTopK]]'s geometry, ONE augmentation convention so
+    * the two can never drift): corpus rows carry the √(M²−‖x‖²) FLOAT
+    * coordinate, queries carry 0 — the asymmetric Shrivastava–Li form.
+    * M (the max corpus norm) collects ONCE at stream construction — the
+    * corpus is static, so M is driver metadata like perplexityScore's
+    * model scalars; corpus augmentation happens in-scan on the static
+    * side each micro-batch. The query explodes into its Hamming-1 probe
+    * keys (stateless), the bucket join is STREAM-STATIC (no
+    * stream-stream state; the static side broadcasts while it fits),
+    * ranking is by the RAW 64-dim dot rounded to 6 dp, and the only
+    * stateful op is the watermarked per-(query, ts) top-1 aggregate —
+    * state O(queries inside the watermark), corpus-size-independent.
+    * Tie semantics match the batch operator exactly (smaller candidate
+    * id wins, via the max-struct's negated id), and a candidate sharing
+    * the query's id is excluded — the batch self-exclusion rule.
+    * Queries probing only empty buckets emit nothing (annServe's
+    * documented fallback seam). */
+  def mipsServe(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, tsCol: String,
+                watermark: String = "10 minutes",
+                planes: Int = 4, dims: Int = 64): DataFrame = {
+    import graft.operators.Similarity
+    val mnorm = corpus.agg(max(Similarity.norm(vecCol)).cast("double")).head().getDouble(0)
+    val c = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_nrm", Similarity.norm("c_vec"))
+      .withColumn("caug", concat(col("c_vec"),
+        array(sqrt(greatest(lit(mnorm * mnorm) - col("c_nrm") * col("c_nrm"),
+          lit(0.0))).cast("float"))))
+      .withColumn("probe", Similarity.hyperplaneBucket("caug", dims + 1, planes))
+      .select("c_id", "c_vec", "probe")
+    val q = queries
+      .select(col(idCol).as("q_id"), col(tsCol).as("ts"), col(vecCol).as("q_vec"))
+      .withWatermark("ts", watermark)
+      .withColumn("qaug", concat(col("q_vec"), array(lit(0.0f))))
+      .withColumn("bucket", Similarity.hyperplaneBucket("qaug", dims + 1, planes))
+      .withColumn("probe", explode(array(
+        col("bucket") +:
+          (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
+      .select("q_id", "ts", "q_vec", "probe")
+    q.join(c, Seq("probe"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
+      .groupBy(col("q_id"), col("ts"))
+      .agg(max(struct(col("dot"), (-col("c_id")).as("nid"))).as("best"))
+      .select(col("q_id"), col("ts"),
+        (-col("best.nid")).as("c_id"), col("best.dot").as("dot"))
+  }
+
   /** Streaming held-out perplexity scoring — the online half of z41: each
     * arriving document is scored against a FITTED bigram count model (the
     * (prev, cur, n_bg) table a batch job persisted through the Store),

@@ -809,6 +809,40 @@ class StreamingSpec extends SparkSpec {
     assert(got === exp, s"stream $got != batch $exp")
   }
 
+  test("mipsServe top-1 over a file stream equals the batch mipsTopK operator") {
+    import graft.operators.Similarity
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 7 + i * 13) % 17) - 8).toFloat)
+    val corpus = (100L to 115L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    // queries are twins of corpus vectors with ids ABOVE the corpus id
+    // space: in the batch arm's union frame a query-twin candidate ties
+    // its corpus twin on dot and loses the id tiebreak, so both arms
+    // rank over the effectively-same candidate set
+    val qRows = Seq((901L, ts(5), vec(103L)), (902L, ts(10), vec(107L)),
+      (903L, ts(15), vec(111L)))
+    val src = tmpDir("mips_src")
+    qRows.toDF("vec_id", "ts", "embedding").repartition(1).write.mode("append").parquet(src)
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("ts", TimestampType),
+      StructField("embedding", ArrayType(FloatType))))
+    val served = EventStreams.mipsServe(
+      spark.readStream.schema(qSchema).parquet(src), corpus, "vec_id", "embedding", "ts")
+    val q = served.writeStream.format("memory").queryName("mips_out")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("mips_out").select("q_id", "c_id", "dot")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // cross-implementation parity: the BATCH operator on corpus ∪ queries
+    val union = corpus.unionByName(
+      qRows.map(r => (r._1, r._3)).toDF("vec_id", "embedding"))
+    val exp = Similarity.mipsTopK(union, id => id >= 900L, "vec_id", "embedding",
+        k = 1, planes = 4)
+      .select("q_id", "c_id", "dot")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(901L, 902L, 903L), s"every twin-backed query must be served: $got")
+    assert(got === exp, s"stream $got != batch $exp")
+  }
+
   test("maxFilesPerTrigger throttles an AvailableNow drain into bounded batches") {
     // the ingest throttle SCALE.md names for continuous 100-TB/day runs:
     // a backlog of N files must drain as N bounded micro-batches, not one
