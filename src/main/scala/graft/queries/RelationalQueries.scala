@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongTyp
   */
 object RelationalQueries {
 
+  /** Plan-audit escape shared with PipelineQueries' discipline: sweeps
+    * that construct every registered query (DECIMAL/codegen audits) set
+    * this so store-lifecycle queries substitute a plan-equivalent frame
+    * instead of running real write jobs at construction time. */
+  private def planOnly: Boolean = sys.props.get("graft.plan.only").contains("true")
+
   /** S1+P1+P3: lazy scan, conjunctive filter, projection — the canonical
     * read path of `/root/reference/R/let_russ_cook.R:39-44`. Both the filter
     * and the 4-column projection push down to the Parquet reader. */
@@ -196,18 +202,29 @@ object RelationalQueries {
       val ev = Tables.events(s, d)
         .withColumn("from_us", unix_micros(col("ts")))
         .select("event_id", "user_id", "event_type", "value", "from_us")
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
-        s"scd2_${math.abs(d.hashCode)}"
-      val store = graft.sources.Store(s, path, "event_type")
-      store.destroy()
-      Seq(col("from_us") < t1,
-          col("from_us") >= t1 && col("from_us") < t2,
-          col("from_us") >= t2)
-        .foreach(c => store.upsertScd2(ev.filter(c),
-          Seq("user_id", "event_type"), "from_us", Seq(col("event_id"))))
+      // plan-only sweeps substitute the window-derived history (the
+      // equality the oracle proves) so construction stays action-free
+      val hist = if (planOnly) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(col("from_us").asc, col("event_id").asc)
+        ev.withColumn("valid_from", col("from_us"))
+          .withColumn("valid_to", lead(col("from_us"), 1).over(w))
+      } else {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+          s"scd2_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+        val store = graft.sources.Store(s, path, "event_type")
+        store.destroy()
+        Seq(col("from_us") < t1,
+            col("from_us") >= t1 && col("from_us") < t2,
+            col("from_us") >= t2)
+          .foreach(c => store.upsertScd2(ev.filter(c),
+            Seq("user_id", "event_type"), "from_us", Seq(col("event_id"))))
+        store.read
+      }
       val active = col("valid_from") <= probeUs &&
         (col("valid_to").isNull || col("valid_to") > probeUs)
-      store.read.groupBy("event_type").agg(
+      hist.groupBy("event_type").agg(
           count(lit(1)).as("n_versions"),
           countDistinct(col("user_id")).as("n_users"),
           sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
@@ -253,14 +270,22 @@ object RelationalQueries {
       import org.apache.spark.sql.types.LongType
       val docs = Tables.documents(s, d)
       val M = lit(2147483647L)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
-        s"cdf_${math.abs(d.hashCode)}"
-      val store = graft.sources.Store(s, path, "source")
-      store.destroy()
-      (0 to 2).foreach(r =>
-        store.appendVersioned(docs.filter(col("doc_id") % 3 === r)))
+      // plan-only sweeps substitute direct membership filters (what the
+      // oracle recomputes) so construction stays action-free
+      val changes: (Long, Long) => org.apache.spark.sql.DataFrame =
+        if (planOnly) { (f, t) =>
+          docs.filter(col("doc_id") % 3 >= f && col("doc_id") % 3 < t)
+        } else {
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"cdf_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val store = graft.sources.Store(s, path, "source")
+          store.destroy()
+          (0 to 2).foreach(r =>
+            store.appendVersioned(docs.filter(col("doc_id") % 3 === r)))
+          (f, t) => store.readChanges(f, t)
+        }
       Seq((0L, 1L), (1L, 2L), (1L, 3L), (2L, 3L)).map { case (f, t) =>
-        store.readChanges(f, t).agg(
+        changes(f, t).agg(
             count(lit(1)).as("n_rows"),
             sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
             pmod(sum((col("doc_id") % M) * ((col("doc_id") + 7) % M) % M), M)
@@ -283,13 +308,20 @@ object RelationalQueries {
       import org.apache.spark.sql.types.LongType
       val docs = Tables.documents(s, d)
       val M = lit(2147483647L)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/time_travel_${math.abs(d.hashCode)}"
-      val store = graft.sources.Store(s, path, "source")
-      store.destroy()
-      (0 to 2).foreach(r =>
-        store.appendVersioned(docs.filter(col("doc_id") % 3 === r)))
+      // same plan-only substitution as s26: snapshot membership filters
+      val snapshot: Long => org.apache.spark.sql.DataFrame =
+        if (planOnly) { v => docs.filter(col("doc_id") % 3 < v) }
+        else {
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"time_travel_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val store = graft.sources.Store(s, path, "source")
+          store.destroy()
+          (0 to 2).foreach(r =>
+            store.appendVersioned(docs.filter(col("doc_id") % 3 === r)))
+          v => store.readVersion(v)
+        }
       (1 to 3).map { v =>
-        store.readVersion(v.toLong).agg(
+        snapshot(v.toLong).agg(
             count(lit(1)).as("n_rows"),
             sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
             pmod(sum((col("doc_id") % M) * ((col("doc_id") + 7) % M) % M), M)

@@ -146,9 +146,13 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * read or rewritten — cost follows the batch footprint, not table
     * size; per-key window state is one batch's series, bounded.
     * Preconditions: a key's `partCol` value is stable across versions
-    * (upsert's rule), and event time moves forward per key — a batch
-    * carrying a timestamp older than a key's open `valid_from` is a
-    * replay bug the as-of read surfaces as a negative interval. `order`
+    * (upsert's rule), and event time moves STRICTLY forward per key
+    * across batches — a batch carrying a timestamp older than a key's
+    * open `valid_from` is a replay bug the as-of read surfaces as a
+    * negative interval, and one carrying an EQUAL timestamp ties with
+    * the stored version in an order the one-shot window derivation
+    * would decide by tiebreaker instead (within one batch, ties are
+    * fine — `order` decides both forms identically). `order`
     * supplies tiebreakers after `tsCol` (pass the event id); equal-ts
     * versions become zero-length intervals, active at no probe, exactly
     * matching the window-derived form. */

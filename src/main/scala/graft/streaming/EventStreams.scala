@@ -276,14 +276,18 @@ object EventStreams {
     * stateful op is the watermarked per-(query, ts) top-1 aggregate —
     * state O(queries inside the watermark), corpus-size-independent.
     * Tie semantics match the batch operator exactly (smaller candidate
-    * id wins, via the max-struct's negated id), and a candidate sharing
-    * the query's id is excluded — the batch self-exclusion rule.
+    * id wins, via the max-struct's negated id), a candidate sharing
+    * the query's id is excluded — the batch self-exclusion rule — and
+    * `planes` DEFAULTS to the batch operator's default too: tune the
+    * occupancy knob identically on both paths (y22 serves this corpus
+    * at planes=4) or the candidate sets silently diverge.
     * Queries probing only empty buckets emit nothing (annServe's
     * documented fallback seam). */
   def mipsServe(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, tsCol: String,
                 watermark: String = "10 minutes",
-                planes: Int = 4, dims: Int = 64): DataFrame = {
+                planes: Int = graft.operators.Similarity.NumPlanes,
+                dims: Int = 64): DataFrame = {
     import graft.operators.Similarity
     val mnorm = corpus.agg(max(Similarity.norm(vecCol)).cast("double")).head().getDouble(0)
     val c = corpus

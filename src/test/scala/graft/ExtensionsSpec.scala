@@ -291,10 +291,8 @@ class ExtensionsSpec extends SparkSpec {
     val e = Tables.embeddings(spark, d)
     val qPred: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
       id => id % 50 === 0 && id < 1000
-    val truth = Similarity.bruteForceTopK(
-        e.filter(qPred(col("vec_id"))), e, "vec_id", "embedding", k = 3)
-      .select("q_id", "c_id")
-    // rank by raw dot, same as mipsTopK's serving objective
+    // truth ranks by RAW DOT — mipsTopK's serving objective (NOT cosine:
+    // bruteForceTopK's angular truth would pin a different quantity)
     val q = e.filter(qPred(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))

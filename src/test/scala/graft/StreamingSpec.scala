@@ -826,7 +826,8 @@ class StreamingSpec extends SparkSpec {
       StructField("vec_id", LongType), StructField("ts", TimestampType),
       StructField("embedding", ArrayType(FloatType))))
     val served = EventStreams.mipsServe(
-      spark.readStream.schema(qSchema).parquet(src), corpus, "vec_id", "embedding", "ts")
+      spark.readStream.schema(qSchema).parquet(src), corpus, "vec_id", "embedding", "ts",
+      planes = 4)
     val q = served.writeStream.format("memory").queryName("mips_out")
       .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
