@@ -6258,6 +6258,62 @@ object PipelineQueries {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** z64: PACKED-SEQUENCE SEGMENT MAP — the artifact z19/z60 reason
+    * ABOUT, actually emitted: under the deterministic corpus order the
+    * token stream concat-and-chunks into L=512 bins, and each document
+    * decomposes into its per-bin SEGMENTS (seq_id, seg_idx, offset in
+    * sequence, length) — exactly the map a dataloader needs to build
+    * attention masks and position ids without re-reading text, and the
+    * reverse index the takedown pipeline needs at training-shard
+    * granularity ("which packed sequences contain doc X" — x44's
+    * question after packing has smeared documents across bins). One
+    * distributed prefix sum ([[Relational.runningTotal]]'s two-pass
+    * shape — no global sort ever), then everything is IN-SCAN: the
+    * explode fans out by the doc's own bin span (toks/L + 1), the
+    * offset/length arithmetic is pure row expressions, and the only
+    * shuffle in the whole query is the prefix sum's range partition. */
+  private val z64PackedSegments = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val L = 512L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"))
+        .filter(col("toks") > 0)
+      Relational.runningTotal(docs, Seq("doc_id"), "toks", "cum")
+        .withColumn("strt", col("cum") - col("toks"))
+        .withColumn("first_bin", expr(s"strt DIV $L"))
+        .withColumn("last_bin", expr(s"(cum - 1) DIV $L"))
+        .withColumn("seq_id", explode(expr("sequence(first_bin, last_bin)")))
+        .withColumn("seg_idx", (col("seq_id") - col("first_bin")).cast(IntegerType))
+        .withColumn("seq_offset",
+          greatest(col("strt") - col("seq_id") * L, lit(0L)).cast(LongType))
+        .withColumn("seg_len",
+          (least(col("cum"), (col("seq_id") + 1) * L)
+            - greatest(col("strt"), col("seq_id") * L)).cast(LongType))
+        .withColumn("straddle", col("last_bin") > col("first_bin"))
+        .select("doc_id", "seq_id", "seg_idx", "seq_offset", "seg_len", "straddle")
+        .orderBy("seq_id", "seq_offset", "doc_id")
+    },
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) > 0),
+      |c AS (SELECT doc_id, toks, CAST(SUM(toks) OVER (
+      |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS cum
+      |  FROM t),
+      |b AS (SELECT doc_id, toks, cum, cum - toks AS strt,
+      |    (cum - toks) // 512 AS first_bin, (cum - 1) // 512 AS last_bin FROM c),
+      |e AS (SELECT doc_id, cum, strt, first_bin, last_bin,
+      |    unnest(generate_series(first_bin, last_bin)) AS seq_id FROM b)
+      |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+      |  CAST(seq_id - first_bin AS INT) AS seg_idx,
+      |  CAST(GREATEST(strt - seq_id * 512, 0) AS BIGINT) AS seq_offset,
+      |  CAST(LEAST(cum, (seq_id + 1) * 512)
+      |    - GREATEST(strt, seq_id * 512) AS BIGINT) AS seg_len,
+      |  last_bin > first_bin AS straddle
+      |FROM e ORDER BY seq_id, seq_offset, doc_id""".stripMargin)
+
   /** z14: hashing-trick linear quality classifier — fastText-shaped scoring
     * as a zero-shuffle fold inside the scan. Scores are sums of exact
     * rationals in a fixed fold order (bit-identical across engines); the
@@ -9993,6 +10049,7 @@ object PipelineQueries {
     "z61_classifier_auc" -> z61ClassifierAuc,
     "z62_reweighted_budget" -> z62ReweightedBudget,
     "z63_doremi_refit" -> z63DoremiRefit,
+    "z64_packed_segments" -> z64PackedSegments,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
     "x17_curation_v3" -> x17CurationV3,

@@ -580,6 +580,11 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val x52 = formatted("x52_takedown_rematerialize")
     assert(!x52.contains("CartesianProduct") && !x52.contains("BroadcastNestedLoopJoin"),
       "x52 grew a non-equi join")
+    // z64: the segment map must ride the two-pass prefix sum — never an
+    // unpartitioned corpus-wide running-sum window (single-task funnel)
+    val z64 = formatted("z64_packed_segments")
+    assert(z64.contains("__pid"), "z64 lost the bounded-task prefix-sum key")
+    assert(!z64.contains("CartesianProduct"), "z64 grew a cartesian")
   }
 
   test("s21: both window profiles come from ONE scan of the fact table") {
