@@ -1696,6 +1696,77 @@ object PipelineQueries {
        |WHERE d.doc_id % 13 <> 0
        |GROUP BY d.source ORDER BY d.source""".stripMargin)
 
+  /** x53: REPETITION-AWARE SOFT DEDUP — the sampling-weight alternative
+    * to hard-dropping near-dup families (the knob between "keep all
+    * copies" and x25's keep-one): every doc's sampling weight divides by
+    * its LSH cluster size, so a family of six near-identical pages
+    * carries ONE page's expected sampled mass — content counts once,
+    * but borderline families are never nuked outright (the soft form
+    * production reaches for when the dedup threshold is contested).
+    * Both arms draw the SAME deterministic Efraimidis–Spirakis sample
+    * (z27's md5-uniform keys, k = 40, TakeOrdered plan — no corpus
+    * shuffle): naive weight = n_chars, soft weight = n_chars/csize; the
+    * panel prices the difference per cluster-size band (how many
+    * sampled docs came from dup families, and how many DISTINCT
+    * clusters each arm covers — the naive arm's dup over-representation
+    * read straight off the gate data). Clustering is the x8 capped-LSH
+    * CC, ONE pass feeding both arms; the oracle replays the recursive
+    * fixpoint plus both ranked samples. */
+  private val x53SoftDedup = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+        maxBucket = Some(X2MaxBucket))
+      val labels = Dedup.connectedComponents(pairs, docs.select("doc_id"), "doc_id")
+      val csize = labels.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      val base = docs.select(col("doc_id"), col("n_chars"))
+        .join(labels, Seq("doc_id"))
+        .join(csize, Seq("cluster_id"))
+      def arm(name: String, weight: Column) =
+        Sampling.weightedReservoir(base, col("doc_id"), weight, 40)
+          .select(lit(name).as("arm"), col("doc_id"), col("cluster_id"), col("csize"))
+      arm("naive", col("n_chars"))
+        .unionByName(arm("soft", col("n_chars") / col("csize")))
+        .withColumn("band", when(col("csize") === 1, "1")
+          .when(col("csize") <= 3, "2-3").otherwise("4+"))
+        .groupBy("arm", "band").agg(
+          count(lit(1)).as("n_sampled"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .orderBy("arm", "band")
+    },
+    s"""WITH RECURSIVE $minhashCtes,
+       |${cappedBandsCte(bandsSql)},
+       |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |          UNION ALL SELECT doc_b, doc_a FROM p),
+       |reach(node, r) AS (SELECT src, src FROM edges
+       |  UNION SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.node),
+       |comp AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY 1),
+       |lbl AS (SELECT d.doc_id, COALESCE(comp.cid, d.doc_id) AS cluster_id,
+       |    d.n_chars
+       |  FROM documents d LEFT JOIN comp ON comp.node = d.doc_id),
+       |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize
+       |  FROM lbl GROUP BY 1),
+       |b AS (SELECT lbl.doc_id, lbl.cluster_id, cs.csize,
+       |    CAST(ln((('0x' || substring(md5(CAST(lbl.doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+       |        / CAST(4294967296 AS DOUBLE)) / n_chars AS DECIMAL(18,12)) AS k_naive,
+       |    CAST(ln((('0x' || substring(md5(CAST(lbl.doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+       |        / CAST(4294967296 AS DOUBLE)) / (n_chars / csize) AS DECIMAL(18,12)) AS k_soft
+       |  FROM lbl JOIN cs USING (cluster_id)),
+       |sn AS (SELECT 'naive' AS arm, doc_id, cluster_id, csize FROM b
+       |  ORDER BY k_naive DESC, doc_id LIMIT 40),
+       |ss AS (SELECT 'soft' AS arm, doc_id, cluster_id, csize FROM b
+       |  ORDER BY k_soft DESC, doc_id LIMIT 40),
+       |u AS (SELECT * FROM sn UNION ALL SELECT * FROM ss)
+       |SELECT arm,
+       |  CASE WHEN csize = 1 THEN '1' WHEN csize <= 3 THEN '2-3'
+       |    ELSE '4+' END AS band,
+       |  CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+       |FROM u GROUP BY 1, 2 ORDER BY arm, band""".stripMargin)
+
   /** x49: PREPROCESSING front-half capstone — the CCNet-shaped chain every
     * web corpus runs BEFORE the quality/dedup lifecycle the other
     * capstones own, composed as ONE declared DAG over raw arrivals:
@@ -10041,6 +10112,7 @@ object PipelineQueries {
     "x50_inventory_takedown" -> x50InventoryTakedown,
     "x51_inventory_tail" -> x51InventoryTailPolicy,
     "x52_takedown_rematerialize" -> x52TakedownRematerialize,
+    "x53_soft_dedup" -> x53SoftDedup,
     "z56_domain_reweight" -> z56DomainReweight,
     "z57_rendezvous_reshard" -> z57RendezvousReshard,
     "z58_dedup_scope" -> z58DedupScope,

@@ -585,6 +585,12 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val z64 = formatted("z64_packed_segments")
     assert(z64.contains("__pid"), "z64 lost the bounded-task prefix-sum key")
     assert(!z64.contains("CartesianProduct"), "z64 grew a cartesian")
+    // x53: both sampling arms must stay TakeOrdered (per-partition top-k
+    // + one k·P merge — z27's shape), and the pair stage an equi-join
+    val x53 = formatted("x53_soft_dedup")
+    assert("""\(\d+\) TakeOrderedAndProject""".r.findAllIn(x53).size >= 2,
+      "x53's sampling arms must plan as TakeOrdered")
+    assert(!x53.contains("CartesianProduct"), "x53 grew a cartesian")
   }
 
   test("s21: both window profiles come from ONE scan of the fact table") {
