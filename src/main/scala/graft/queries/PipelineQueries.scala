@@ -9025,6 +9025,104 @@ object PipelineQueries {
        |  ON h.q_id = ex.q_id AND h.exact_id = ex.exact_id
        |ORDER BY ex.q_id, ex.rank""".stripMargin)
 
+  /** y23: the MIPS serving OPERATING CURVE — y11's knob-sweep discipline
+    * applied to y22's index: the same bounded query batch graded at
+    * every (planes, probe) setting an operator would actually choose
+    * between — planes ∈ {4, 6} (bucket width: each plane halves
+    * occupancy) × probe ∈ {0 own-bucket, 1 Hamming-1 multi-probe} —
+    * against the exact raw-dot top-3 truth. Recall is monotone in probe
+    * BY CONSTRUCTION for fixed planes (probe sets nest), so the curve
+    * doubles as a sanity gate on the augmented bucketing; across planes
+    * it prices recall-vs-candidate-population, the trade a 10⁹-vector
+    * deployment resolves the other way (more planes + more probes).
+    * Scale: truth is computed ONCE (pinned; salted two-stage rank) and
+    * each arm is the multi-probe bucket equi-join — the corpus side
+    * never duplicates, only the tiny query side explodes. */
+  private val y23MipsCurve = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qPred: Column => Column = id => id % 50 === 0 && id < 1000
+      val q = e.filter(qPred(col("vec_id")))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val scored = q.join(c, col("q_id") =!= col("c_id"))
+        .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
+      val truth0 = Relational.groupedTopK(scored, Seq("q_id"), col("c_id"),
+          Seq(col("dot").desc, col("c_id").asc), k = 3, out = "rank")
+        .select("q_id", "c_id")
+      // four arms read ONE truth relation (plan-only stays action-free)
+      val truth = if (planOnly) truth0 else graft.Housekeeping.pin(s)(truth0).df
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      val served = (for { p <- Seq(4, 6); r <- Seq(0, 1) } yield
+        Similarity.mipsTopK(e, qPred, "vec_id", "embedding", k = 3,
+            probeRadius = r, planes = p)
+          .select(lit(p).as("planes"), lit(r).as("probe"),
+            col("q_id"), col("c_id")))
+        .reduce(_ unionByName _)
+      served
+        .join(truth.withColumn("hit", lit(true)), Seq("q_id", "c_id"), "left")
+        .groupBy("planes", "probe").agg(
+          count(lit(1)).as("n_served"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+        .crossJoin(broadcast(nTruth))
+        .withColumn("recall_at_3", col("n_hits") / col("n_truth"))
+        .orderBy("planes", "probe")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm FROM v),
+       |m AS (SELECT MAX(nrm) AS mnorm FROM n),
+       |ca AS (SELECT vec_id, list_append(vd,
+       |    CAST(CAST(sqrt(GREATEST(mnorm * mnorm - nrm * nrm, 0)) AS FLOAT)
+       |      AS DOUBLE)) AS vd
+       |  FROM n CROSS JOIN m),
+       |cb4 AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket FROM ca),
+       |cb6 AS (SELECT vec_id, CAST(${bucketSqlFor(65, 6)} AS BIGINT) AS bucket FROM ca),
+       |qa AS (SELECT vec_id, list_append(vd, CAST(0 AS DOUBLE)) AS vd
+       |  FROM v WHERE vec_id % 50 = 0 AND vec_id < 1000),
+       |qb4 AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket FROM qa),
+       |qb6 AS (SELECT vec_id, CAST(${bucketSqlFor(65, 6)} AS BIGINT) AS bucket FROM qa),
+       |cand AS (
+       |  SELECT 4 AS planes, 0 AS probe, q.vec_id AS q_id, c.vec_id AS c_id
+       |    FROM qb4 q JOIN cb4 c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  UNION ALL
+       |  SELECT 4, 1, q.vec_id, c.vec_id
+       |    FROM qb4 q JOIN cb4 c
+       |      ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id
+       |  UNION ALL
+       |  SELECT 6, 0, q.vec_id, c.vec_id
+       |    FROM qb6 q JOIN cb6 c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       |  UNION ALL
+       |  SELECT 6, 1, q.vec_id, c.vec_id
+       |    FROM qb6 q JOIN cb6 c
+       |      ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND q.vec_id <> c.vec_id),
+       |sc AS (SELECT cand.planes, cand.probe, cand.q_id, cand.c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")}, 6) AS dot
+       |  FROM cand JOIN v q ON q.vec_id = cand.q_id
+       |  JOIN v c ON c.vec_id = cand.c_id),
+       |srv AS (SELECT planes, probe, q_id, c_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY planes, probe, q_id
+       |      ORDER BY dot DESC, c_id) AS rk FROM sc) r
+       |  WHERE rk <= 3),
+       |ex0 AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |    ROUND(${dotSql("q.vd", "c.vd")}, 6) AS dot
+       |  FROM v q JOIN v c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000),
+       |ex AS (SELECT q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY dot DESC, c_id) AS rk FROM ex0) r
+       |  WHERE rk <= 3),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM ex)
+       |SELECT planes, probe, CAST(COUNT(*) AS BIGINT) AS n_served,
+       |  CAST(SUM(CASE WHEN ex.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  nt.n_truth,
+       |  CAST(SUM(CASE WHEN ex.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    / nt.n_truth AS recall_at_3
+       |FROM srv LEFT JOIN ex ON ex.q_id = srv.q_id AND ex.c_id = srv.c_id
+       |CROSS JOIN nt
+       |GROUP BY planes, probe, nt.n_truth
+       |ORDER BY planes, probe""".stripMargin)
+
   /** y10: Johnson–Lindenstrauss random projection + preservation report —
     * the dimensionality-reduction rung of the embedding ladder (y6
     * quantizes components, y5 codes subspaces, y10 drops dimensions):
@@ -10193,6 +10291,7 @@ object PipelineQueries {
     "y20_pq_rerank" -> y20PqRerank,
     "y21_mips_augment" -> y21MipsAugment,
     "y22_mips_serve" -> y22MipsServe,
+    "y23_mips_curve" -> y23MipsCurve,
     "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,

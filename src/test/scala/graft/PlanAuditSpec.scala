@@ -591,6 +591,10 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert("""\(\d+\) TakeOrderedAndProject""".r.findAllIn(x53).size >= 2,
       "x53's sampling arms must plan as TakeOrdered")
     assert(!x53.contains("CartesianProduct"), "x53 grew a cartesian")
+    // y23: all four serving arms stay bucket equi-joins off one truth
+    val y23 = formatted("y23_mips_curve")
+    assert(!y23.contains("CartesianProduct"), "y23 grew a non-broadcast cartesian")
+    assert(y23.contains("__probe"), "y23's serving arms lost the bucket probe key")
   }
 
   test("s21: both window profiles come from ONE scan of the fact table") {
