@@ -155,19 +155,38 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * fine — `order` decides both forms identically). `order`
     * supplies tiebreakers after `tsCol` (pass the event id); equal-ts
     * versions become zero-length intervals, active at no probe, exactly
-    * matching the window-derived form. */
+    * matching the window-derived form. REPLAY-SAFE on existing tables:
+    * versions already recorded (same key + timestamp) drop out of the
+    * batch before the merge, so re-applying a delivered batch — a
+    * checkpointed foreachBatch restart, an upstream duplicate feed — is
+    * a no-op instead of a duplicated history
+    * ([[graft.streaming.EventStreams.scd2Sink]] composes exactly-once
+    * out of this plus the stream checkpoint). */
   def upsertScd2(updates: DataFrame, keys: Seq[String], tsCol: String,
                  order: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc +: order: _*)
-    val versioned = updates
-      .withColumn("valid_from", col(tsCol))
-      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
-    if (!exists) { append(versioned); return }
+    if (!exists) {
+      append(updates
+        .withColumn("valid_from", col(tsCol))
+        .withColumn("valid_to", lead(col(tsCol), 1).over(w)))
+      return
+    }
     val parts = updates.select(partCol).distinct()
     val affected = read.join(broadcast(parts), Seq(partCol), "left_semi")
-    val firstTs = updates.groupBy(keys.map(col): _*)
+    // REPLAY SAFETY (the property a checkpointed foreachBatch sink needs:
+    // Structured Streaming re-delivers the in-flight batch after a crash):
+    // versions already recorded — same (keys, ts) — drop out of the batch
+    // before the merge, so re-applying a batch is a no-op, not a
+    // duplicate history. The anti-join touches the affected partitions
+    // only (batch-footprint cost, like the merge itself).
+    val fresh = updates.join(
+      affected.select((keys :+ tsCol).map(col): _*), keys :+ tsCol, "left_anti")
+    val versioned = fresh
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+    val firstTs = fresh.groupBy(keys.map(col): _*)
       .agg(min(col(tsCol)).as("__new_from"))
     val closed = affected.join(firstTs, keys, "left")
       .withColumn("valid_to",

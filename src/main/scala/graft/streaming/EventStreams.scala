@@ -41,6 +41,34 @@ object EventStreams {
       .outputMode(OutputMode.Append())
       .start()
 
+  /** Checkpointed SCD2 sink — the CDC loop closed end to end: a change
+    * feed drains through foreachBatch into [[graft.sources.Store
+    * .upsertScd2]]'s interval-closing merge, so the durable history table
+    * (one row per version, `valid_from`/`valid_to`, as-of readable)
+    * maintains itself continuously. Exactly-once BY COMPOSITION, each
+    * half honest about what it gives: the checkpoint makes file delivery
+    * at-least-once across restarts, and the merge's replay safety
+    * (already-recorded (key, ts) versions drop out before the append)
+    * makes re-application a no-op — the same discipline as
+    * drainToParquet's sink log, landed in a store a file sink can't
+    * express (a merge is not an append). Cost per micro-batch is the
+    * merge's batch-footprint bound: only partitions carrying batch keys
+    * are read or rewritten. Empty micro-batches skip the merge. The
+    * store's single-writer rule applies: one sink per table. */
+  def scd2Sink(updates: DataFrame, storePath: String, partCol: String,
+               keys: Seq[String], tsCol: String, checkpointDir: String,
+               order: Seq[org.apache.spark.sql.Column] = Nil): StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Store(batch.sparkSession, storePath, partCol)
+            .upsertScd2(batch, keys, tsCol, order)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup with BOUNDED state: drop every repeat of a key
     * seen within the watermark window — x1's exact-dedup gate as a
     * continuous ingest stage. Built on Spark 4's
