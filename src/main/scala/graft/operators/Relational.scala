@@ -563,6 +563,57 @@ object Relational {
       .drop("__pid", "__loc", "__off")
   }
 
+  /** Scale-safe PER-GROUP running sum — identical values to `sum(value)
+    * OVER (PARTITION BY groups ORDER BY order ROWS UNBOUNDED PRECEDING)`
+    * without ever running one group through one task (the same skew
+    * funnel [[groupedRowNumber]] exists for: a hot group IS its window
+    * task under the naive form). Same two-pass machinery as
+    * [[rangedRankTot]] with SUM cells instead of COUNT cells:
+    * range-partition on (groups ++ order) — pinned so both passes
+    * observe the same memberships — cumulate per-(partition, group)
+    * sums into per-partition offsets (a `shufflePartitions × groups`-row
+    * relation, the only windowed step), then each row adds its offset to
+    * a partition-local running sum. Integer-exact for integral
+    * `valueCol`; `order` must be a total order (tiebreaker included).
+    * NULL group values cumulate as their own group (null-safe offset
+    * join), matching the window form. */
+  def groupedRunningTotal(df: DataFrame, groups: Seq[String], order: Seq[String],
+                          valueCol: String, out: String): DataFrame = {
+    val reserved = Seq("__pid", "__loc", "__off", "__s", "__opid")
+    require(!df.columns.exists(c =>
+        reserved.contains(c.toLowerCase) || c.toLowerCase.startsWith("__og")),
+      s"column names ${reserved.mkString("/")} and the __og* prefix are reserved")
+    val sortCols = (groups ++ order).map(col)
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = graft.Housekeeping.pin(df.sparkSession)(
+      df.repartitionByRange(parts, sortCols: _*)
+        .withColumn("__pid", spark_partition_id())).df
+    val groupCols = groups.map(col)
+    val cells = ranged.groupBy(col("__pid") +: groupCols: _*)
+      .agg(sum(col(valueCol)).as("__s"))
+    val wOff = Window.partitionBy(groupCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // rename join keys; the group match must be NULL-SAFE (<=>) or
+    // NULL-group rows silently vanish (groupedNtile's rule)
+    val offsets = cells
+      .withColumn("__off", coalesce(sum(col("__s")).over(wOff), lit(0L)))
+      .drop("__s")
+      .withColumnRenamed("__pid", "__opid")
+      .select(col("__opid") +: col("__off") +:
+        groups.zipWithIndex.map { case (g, i) => col(g).as(s"__og$i") }: _*)
+    val joinCond = (col("__pid") === col("__opid")) +:
+      groups.zipWithIndex.map { case (g, i) => col(g) <=> col(s"__og$i") }
+    val wLoc = Window.partitionBy(col("__pid") +: groupCols: _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__loc", sum(col(valueCol)).over(wLoc))
+      .join(offsets, joinCond.reduce(_ && _))
+      .drop("__opid" +: groups.indices.map(i => s"__og$i"): _*)
+      .withColumn(out, col("__loc") + col("__off"))
+      .drop("__pid", "__loc", "__off")
+  }
+
   /** One mergeable aggregate for [[Relational.saltedAgg]]: `partial` runs
     * per (key, salt); `merge` combines the partials per key (sum merges by
     * sum, count merges by SUM, min by min, ...). */

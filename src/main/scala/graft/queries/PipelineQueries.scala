@@ -5513,6 +5513,55 @@ object PipelineQueries {
     * the checks are pure in-scan byte arithmetic feeding ONE combinable
     * aggregate, the cheapest possible shape: the audit rides the ingest
     * scan for free at any corpus size. */
+  /** m9: MODALITY-AWARE PAYLOAD PACKING — z19's bin assignment for the
+    * binary side of the corpus: inference/preprocessing batches media by
+    * BYTES, not token counts, and each modality packs separately (an
+    * image batch and an audio batch never mix on an accelerator), so the
+    * prefix sum that decides bins must run PER MODALITY. The naive form
+    * — `sum(bytes) OVER (PARTITION BY modality ORDER BY ...)` — funnels
+    * each modality's entire corpus through one window task (three
+    * modalities over 100 TB = three tasks); this query rides
+    * [[Relational.groupedRunningTotal]], the grouped member of the
+    * two-pass family (range partition + per-(partition, modality)
+    * offsets), so no task ever holds more than a partition. Modality is
+    * the deterministic doc_id%3 fake (m8's injection discipline —
+    * payload bytes are real, the modality label is the stub this
+    * container's codec-free brief prescribes); an item's bin is where
+    * its first byte lands at B=4096 (z19's rule, per group). Panel per
+    * (modality, bin): items, bytes, id span. */
+  private val m9ModalityPacking = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val pay = Multimodal.payloads(docs, "doc_id", "text")
+        .select(col("doc_id"), col("meta.n_bytes").cast(LongType).as("n_bytes"))
+        .withColumn("modality",
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio").otherwise("video"))
+      Relational.groupedRunningTotal(pay, Seq("modality"), Seq("doc_id"),
+          "n_bytes", "cum")
+        .withColumn("bin", expr("(cum - n_bytes) DIV 4096").cast("int"))
+        .groupBy("modality", "bin")
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_bytes")).cast(LongType).as("bin_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("modality", "bin")
+    },
+    """WITH p AS (SELECT doc_id,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality
+      |  FROM documents),
+      |c AS (SELECT doc_id, modality, n_bytes, CAST(SUM(n_bytes) OVER (
+      |    PARTITION BY modality ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM p)
+      |SELECT modality, CAST((cum - n_bytes) // 4096 AS INT) AS bin,
+      |  COUNT(*) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS bin_bytes,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c GROUP BY 1, 2 ORDER BY modality, bin""".stripMargin)
+
   private val m8PayloadIntegrity = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -10307,6 +10356,7 @@ object PipelineQueries {
     "m5b_phash_rolling" -> m5bPhashRolling,
     "m7_crossmodal_dedup" -> m7CrossmodalDedup,
     "m8_payload_integrity" -> m8PayloadIntegrity,
+    "m9_modality_packing" -> m9ModalityPacking,
     "m4_media_embed_ann" -> m4MediaEmbedAnn,
     "m2_frame_sample" -> m2FrameSample,
     "m3_resize_plan" -> m3ResizePlan)

@@ -595,6 +595,12 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val y23 = formatted("y23_mips_curve")
     assert(!y23.contains("CartesianProduct"), "y23 grew a non-broadcast cartesian")
     assert(y23.contains("__probe"), "y23's serving arms lost the bucket probe key")
+    // m9: the per-modality prefix sum must ride the grouped two-pass
+    // form — never a PARTITION BY modality corpus window (one task per
+    // modality at any corpus size)
+    val m9 = formatted("m9_modality_packing")
+    assert(m9.contains("__pid"), "m9 lost the bounded-task prefix-sum key")
+    assert(!m9.contains("CartesianProduct"), "m9 grew a cartesian")
   }
 
   test("s21: both window profiles come from ONE scan of the fact table") {

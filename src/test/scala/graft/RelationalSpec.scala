@@ -547,6 +547,30 @@ class RelationalSpec extends SparkSpec {
     Housekeeping.releaseAllBlocks(spark)
   }
 
+  test("groupedRunningTotal replays the per-group window running sum exactly (property)") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicate order values never occur (id is the order key); NULL
+    // groups must cumulate as their own group (null-safe offset join)
+    val gen = Gen.listOfN(4, Gen.choose(1, 30))
+    val prop = Prop.forAll(gen) { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (sz, g) =>
+        (1 to sz).map(i =>
+          (if (g == 0) null else s"g$g", i.toLong, ((i * 31) % 97).toLong))
+      }
+      val df = rows.toDF("grp", "id", "v")
+      val w = Window.partitionBy("grp").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val expected = df.withColumn("c", sum("v").over(w))
+        .select("grp", "id", "c").as[(String, Long, Long)].collect().toSet
+      val got = Relational.groupedRunningTotal(df, Seq("grp"), Seq("id"), "v", "c")
+        .select("grp", "id", "c").as[(String, Long, Long)].collect().toSet
+      got == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+    Housekeeping.releaseAllBlocks(spark)
+  }
+
   test("runningTotal replays the global window running sum exactly (property)") {
     import org.apache.spark.sql.expressions.Window
     val gen = Gen.listOfN(60, Gen.choose(0L, 500L))
