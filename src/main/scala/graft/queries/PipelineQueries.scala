@@ -6434,6 +6434,77 @@ object PipelineQueries {
       |  last_bin > first_bin AS straddle
       |FROM e ORDER BY seq_id, seq_offset, doc_id""".stripMargin)
 
+  /** z65: BOUNDARY-RESPECTING PACKING cost — the OTHER packing policy,
+    * priced against z19/z64's concat-and-chunk: when cross-document
+    * attention is forbidden (no attention masking tricks), bins hold
+    * whole documents and the slack is PADDING — wasted compute. The
+    * policy here is greedy next-fit inside fixed 100-doc work units
+    * (seg = doc_id DIV 100): next-fit is inherently sequential (bin fill
+    * is carried state, not an associative prefix), so the scale shape is
+    * "embarrassingly parallel across bounded work units, one HOF fold
+    * within each" — z49's Viterbi discipline; the unit boundary is a
+    * DATA rule (not a partition accident), so the result is
+    * deterministic and the oracle can replay the identical fold as a
+    * 100-deep recursive CTE. Oversized docs (> L) take ⌈t/L⌉ dedicated
+    * bins (integer ceiling, no float boundary). Per unit: bins used,
+    * padding = bins·L − Σtokens (conservation — all unused space is
+    * padding), and the ⌈Σtokens/L⌉ lower bound, so the panel reads the
+    * policy's measured overhead vs concat packing's zero waste. */
+  private val z65BoundaryPacking = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val L = 2048L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"))
+        .withColumn("seg", expr("doc_id DIV 100"))
+      docs.groupBy("seg")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("toks")).as("seg_tokens"),
+          expr(s"""aggregate(
+            transform(array_sort(collect_list(struct(doc_id, toks))),
+              x -> x.toks),
+            named_struct('bins', CAST(0 AS BIGINT), 'fill', CAST($L AS BIGINT)),
+            (acc, t) -> CASE
+              WHEN t <= $L - acc.fill THEN
+                named_struct('bins', acc.bins, 'fill', acc.fill + t)
+              WHEN t <= $L THEN
+                named_struct('bins', acc.bins + CAST(1 AS BIGINT), 'fill', t)
+              ELSE named_struct('bins',
+                acc.bins + (t + ${L - 1}) DIV $L, 'fill', CAST($L AS BIGINT))
+              END).bins""").as("n_bins"))
+        .withColumn("padding", col("n_bins") * L - col("seg_tokens"))
+        .withColumn("lower_bound",
+          expr(s"(seg_tokens + ${L - 1}) DIV $L").cast(LongType))
+        .select("seg", "n_docs", "seg_tokens", "n_bins", "padding", "lower_bound")
+        .orderBy("seg")
+    },
+    """WITH RECURSIVE t AS (SELECT doc_id, doc_id // 100 AS seg,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks FROM documents),
+      |di AS (SELECT seg, toks, ROW_NUMBER() OVER (
+      |    PARTITION BY seg ORDER BY doc_id) AS idx FROM t),
+      |sg AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(toks) AS BIGINT) AS seg_tokens,
+      |    CAST(MAX(idx) AS BIGINT) AS n FROM di GROUP BY 1),
+      |rec(seg, idx, bins, fill) AS (
+      |  SELECT seg, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(2048 AS BIGINT)
+      |  FROM sg
+      |  UNION ALL
+      |  SELECT r.seg, r.idx + 1,
+      |    CASE WHEN d.toks <= 2048 - r.fill THEN r.bins
+      |         WHEN d.toks <= 2048 THEN r.bins + 1
+      |         ELSE r.bins + (d.toks + 2047) // 2048 END,
+      |    CASE WHEN d.toks <= 2048 - r.fill THEN r.fill + d.toks
+      |         WHEN d.toks <= 2048 THEN d.toks
+      |         ELSE CAST(2048 AS BIGINT) END
+      |  FROM rec r JOIN di d ON d.seg = r.seg AND d.idx = r.idx + 1)
+      |SELECT sg.seg, sg.n_docs, sg.seg_tokens,
+      |  CAST(rec.bins AS BIGINT) AS n_bins,
+      |  CAST(rec.bins * 2048 - sg.seg_tokens AS BIGINT) AS padding,
+      |  CAST((sg.seg_tokens + 2047) // 2048 AS BIGINT) AS lower_bound
+      |FROM sg JOIN rec ON rec.seg = sg.seg AND rec.idx = sg.n
+      |ORDER BY sg.seg""".stripMargin)
+
   /** z14: hashing-trick linear quality classifier — fastText-shaped scoring
     * as a zero-shuffle fold inside the scan. Scores are sums of exact
     * rationals in a fixed fold order (bit-identical across engines); the
@@ -10269,6 +10340,7 @@ object PipelineQueries {
     "z62_reweighted_budget" -> z62ReweightedBudget,
     "z63_doremi_refit" -> z63DoremiRefit,
     "z64_packed_segments" -> z64PackedSegments,
+    "z65_boundary_packing" -> z65BoundaryPacking,
     "x15_semantic_dedup" -> x15SemanticDedup,
     "x16_fuzzy_verify" -> x16FuzzyVerify,
     "x17_curation_v3" -> x17CurationV3,
