@@ -9243,6 +9243,97 @@ object PipelineQueries {
        |GROUP BY planes, probe, nt.n_truth
        |ORDER BY planes, probe""".stripMargin)
 
+  /** y24: TOMBSTONE-AWARE ANN SERVING — the takedown lifecycle meets the
+    * vector index (x44 deletes rows; this is what deletion means for a
+    * SERVING structure, where "deleted" must stop being retrievable NOW
+    * but a full index rebuild is a scheduled job, not a request
+    * handler): the two production arms priced against filtered truth.
+    * REBUILD re-buckets the retained corpus (deleted vectors gone from
+    * the index — the eventual state); POST-FILTER serves the STALE
+    * index at k′ = 2k, drops tombstoned candidates after the fact, and
+    * re-ranks — the zero-downtime stopgap, whose failure mode is
+    * STARVATION (a query whose bucket was rich in deleted vectors comes
+    * back with fewer than k results — `n_starved` reads it off the gate
+    * data as the per-arm shortfall among queries that returned anything;
+    * a fully-empty bucket is y2's documented fallback seam — the signal
+    * that schedules the rebuild). Tombstoned QUERIES
+    * are dropped outright (a deleted requester gets nothing). Both arms
+    * stay the y2b Hamming-1 multi-probe bucket equi-join; truth is the
+    * bounded-batch brute force over the retained corpus. */
+  private val y24TombstoneAnn = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val tomb = col("vec_id") % 7 === 0
+      val qPred: Column => Column = id => id % 50 === 0 && id < 1000 && !(id % 7 === 0)
+      val retained = e.filter(!tomb)
+      val truth = Similarity.bruteForceTopK(
+          retained.filter(qPred(col("vec_id"))), retained,
+          "vec_id", "embedding", k = 3)
+        .select("q_id", "c_id")
+      val rebuild = Similarity.bucketedTopK(retained, qPred, "vec_id", "embedding",
+          k = 3, probeRadius = 1)
+        .select(lit("rebuild").as("arm"), col("q_id"), col("c_id"))
+      val stale = Similarity.bucketedTopK(e, qPred, "vec_id", "embedding",
+          k = 6, probeRadius = 1)
+        .filter(!(col("c_id") % 7 === 0))
+        .withColumn("r2", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("rank").asc)))
+        .filter(col("r2") <= 3)
+        .select(lit("post_filter").as("arm"), col("q_id"), col("c_id"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      rebuild.unionByName(stale)
+        .join(truth.withColumn("hit", lit(true)), Seq("q_id", "c_id"), "left")
+        .groupBy("arm").agg(
+          countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_served"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+        .crossJoin(broadcast(nTruth))
+        .withColumn("n_starved", col("n_queries") * 3 - col("n_served"))
+        .select("arm", "n_queries", "n_served", "n_starved", "n_hits", "n_truth")
+        .orderBy("arm")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm,
+       |    CAST($bucketSql AS BIGINT) AS bucket FROM v),
+       |ret AS (SELECT * FROM n WHERE vec_id % 7 <> 0),
+       |q AS (SELECT * FROM ret
+       |  WHERE vec_id % 50 = 0 AND vec_id < 1000),
+       |truth AS (SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q.vec_id ORDER BY
+       |        ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+       |        c.vec_id) AS rk
+       |    FROM q JOIN ret c ON c.vec_id <> q.vec_id) t WHERE rk <= 3),
+       |reb AS (SELECT 'rebuild' AS arm, q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q.vec_id ORDER BY
+       |        ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+       |        c.vec_id) AS rk
+       |    FROM q JOIN ret c ON bit_count(xor(c.bucket, q.bucket)) <= 1
+       |      AND c.vec_id <> q.vec_id) t
+       |  WHERE rk <= 3),
+       |st6 AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q.vec_id ORDER BY
+       |        ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+       |        c.vec_id) AS rk
+       |    FROM q JOIN n c ON bit_count(xor(c.bucket, q.bucket)) <= 1
+       |      AND c.vec_id <> q.vec_id),
+       |pf AS (SELECT 'post_filter' AS arm, q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY rk) AS r2
+       |    FROM st6 WHERE rk <= 6 AND c_id % 7 <> 0) t WHERE r2 <= 3),
+       |u AS (SELECT * FROM reb UNION ALL SELECT * FROM pf),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT arm, CAST(COUNT(DISTINCT u.q_id) AS BIGINT) AS n_queries,
+       |  CAST(COUNT(*) AS BIGINT) AS n_served,
+       |  CAST(COUNT(DISTINCT u.q_id) * 3 - COUNT(*) AS BIGINT) AS n_starved,
+       |  CAST(SUM(CASE WHEN truth.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  nt.n_truth
+       |FROM u LEFT JOIN truth ON truth.q_id = u.q_id AND truth.c_id = u.c_id
+       |CROSS JOIN nt
+       |GROUP BY arm, nt.n_truth ORDER BY arm""".stripMargin)
+
   /** y10: Johnson–Lindenstrauss random projection + preservation report —
     * the dimensionality-reduction rung of the embedding ladder (y6
     * quantizes components, y5 codes subspaces, y10 drops dimensions):
@@ -10413,6 +10504,7 @@ object PipelineQueries {
     "y21_mips_augment" -> y21MipsAugment,
     "y22_mips_serve" -> y22MipsServe,
     "y23_mips_curve" -> y23MipsCurve,
+    "y24_tombstone_ann" -> y24TombstoneAnn,
     "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
