@@ -588,6 +588,30 @@ class RelationalSpec extends SparkSpec {
     Housekeeping.releaseAllBlocks(spark)
   }
 
+  test("z61 reports NULL auc for a single-class language instead of dividing by zero") {
+    // the degenerate corpus the advisory flagged: every doc of lang "xx"
+    // comes from a positive source, so n_neg = 0 and the Mann–Whitney
+    // denominator vanishes — the gate must surface a null AUC (and keep
+    // the confusion counts), not NaN/Infinity or an engine-dependent
+    // zero-division. Lang "yy" is mixed and must still score.
+    val dir = tmpDir("auc_docs")
+    (Seq.tabulate(6)(i => (i.toLong, s"w$i a b", "xx", "src0", 10L)) ++
+      Seq.tabulate(6)(i =>
+        (100L + i, s"v$i c d", "yy", if (i % 2 == 0) "src0" else "src1", 10L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir + "/documents.parquet")
+    val got = SparkEntry.queries("z61_classifier_auc")(spark, dir)
+      .select("lang", "n_pos", "n_neg", "auc")
+      .as[(String, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("xx")._1 === 6L && got("xx")._2 === 0L)
+    assert(got("xx")._3.isEmpty, s"single-class lang must report null auc: $got")
+    val yy = got("yy")
+    assert(yy._1 === 3L && yy._2 === 3L && yy._3.isDefined
+      && !yy._3.get.isNaN && !yy._3.get.isInfinite)
+    Housekeeping.releaseAllBlocks(spark)
+  }
+
   test("a21 chi-square is exactly 0 for a source matching the corpus mix, positive otherwise") {
     // drive the DECLARED query against a synthetic documents table: two
     // sources with the identical 50/50 en/de mix (expected counts are

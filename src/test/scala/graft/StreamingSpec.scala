@@ -770,6 +770,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamOut === expected)
   }
 
+  test("boilerplateScrub propagates null text as null, never an empty rewrite") {
+    import graft.operators.TextAnalysis
+    // the takedownGate convention the advisory pinned: a null-text arrival
+    // must stay null (downstream gates own that verdict) — size(null) = -1
+    // would otherwise silently rebuild it as the EMPTY string, which reads
+    // as "scrubbed to nothing" to every consumer
+    val b = "alpha beta gamma delta"
+    val docs = Seq((1L, s"$b keep these four"), (2L, s"$b other tail words x"),
+        (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val segs = TextAnalysis.chunkWords(docs.filter(col("text").isNotNull),
+        "doc_id", "text", 4)
+      .select(TextAnalysis.hash32(col("chunk_text")).as("h1"),
+        TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+    val inv = segs.groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("h1", "h2")
+    val out = EventStreams.boilerplateScrub(docs, inv, "text", 4)
+      .select("doc_id", "scrubbed")
+      .as[(Long, Option[String])].collect().toMap
+    assert(out(1L) === Some("keep these four"))
+    assert(out(2L) === Some("other tail words x"))
+    assert(out(3L).isEmpty, s"null text must propagate as null: $out")
+  }
+
   test("annServe top-1 over a file stream equals the batch bucket-join replica") {
     import graft.operators.Similarity
     def vec(seed: Long): Array[Float] =
