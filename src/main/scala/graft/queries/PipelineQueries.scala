@@ -1767,6 +1767,163 @@ object PipelineQueries {
        |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
        |FROM u GROUP BY 1, 2 ORDER BY arm, band""".stripMargin)
 
+  /** x54: TAIL-SPLIT ARTIFACT MAINTENANCE — x51's policy given x48's E2
+    * story: a day's arrivals merge into the COMPRESSED artifact (exact
+    * rows for df ≥ 2 + one CMS blob for the df=1 tail) without ever
+    * touching the raw base corpus again. The key property that makes
+    * the split maintainable EXACTLY: a tail key's count is 1 BY
+    * DEFINITION, so a crossing reconstructs its true df as 1 + b from
+    * the artifact alone — no information was lost by sketching the
+    * tail. The merge: already-exact keys add their batch counts
+    * (additive, x48's rule); detected crossings enter the exact part at
+    * their reconstructed df; brand-new singletons merge into the sketch
+    * by CMS ADDITION (`mergeInPlace` — cell-wise, so merging per-day
+    * sketches is byte-identical to one build over the union,
+    * `sketch_merge_exact` gates it; the same mergeability that shards
+    * the sketch across 1000 executors). Honest residue: a crossed key's
+    * old +1 stays in the sketch (CMS cannot subtract) — priced as
+    * `sketch_residue` (= items merged − true tail, an exact identity
+    * the oracle checks) and benign for detection: exact-part hits are
+    * probed FIRST, so the stale cell only ever inflates a key that no
+    * longer consults the sketch. FP crossings would enter the exact
+    * part one day early (the conservative direction, x51's occupancy
+    * bound); zero at the gate SFs (spec-pinned), so the exact-part
+    * hash gate here is exact. */
+  private val x54TailMaintenance = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      def segsOf(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.chunkWords(df, "doc_id", "text", 8)
+          .select(col("doc_id"),
+            TextAnalysis.hash32(col("chunk_text")).as("h1"),
+            TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      val baseCnt = segsOf(docs.filter(col("doc_id") % 10 =!= 0))
+        .groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      val exact0 = baseCnt.filter(col("df") >= 2)
+      val tail0 = baseCnt.filter(col("df") === 1)
+        .withColumn("key", concat_ws(":", col("h1"), col("h2")))
+      val skAgg = "count_min_sketch(key, CAST(0.0001 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)"
+      val sk0 = tail0.agg(expr(skAgg).as("sk"), count(lit(1)).as("n_tail0"))
+      val batchCnt = segsOf(docs.filter(col("doc_id") % 10 === 0))
+        .groupBy("h1", "h2").agg(count(lit(1)).as("b"))
+      val probed = batchCnt
+        .join(exact0.select(col("h1"), col("h2"), col("df").as("df_exact")),
+          Seq("h1", "h2"), "left")
+        .crossJoin(broadcast(sk0.select("sk")))
+        .withColumn("est", when(col("df_exact").isNull,
+            call_function("graft_cms_estimate", col("sk"),
+              concat_ws(":", col("h1"), col("h2"))))
+          .otherwise(lit(0L)))
+        .drop("sk")
+      // the maintained exact part: updates + reconstructed crossings
+      val updated = exact0.join(batchCnt, Seq("h1", "h2"), "left")
+        .select(col("h1"), col("h2"),
+          (col("df") + coalesce(col("b"), lit(0L))).cast(LongType).as("df"))
+      val crossings = probed
+        .filter(col("df_exact").isNull &&
+          when(col("est") >= 1, lit(1L)).otherwise(lit(0L)) + col("b") >= 2)
+        .select(col("h1"), col("h2"),
+          (when(col("est") >= 1, 1L).otherwise(0L) + col("b"))
+            .cast(LongType).as("df"))
+      val exactAfter = updated.unionByName(crossings)
+      val newTail = probed
+        .filter(col("df_exact").isNull && col("b") === 1 && col("est") < 1)
+        .withColumn("key", concat_ws(":", col("h1"), col("h2")))
+      val skNew = newTail.agg(expr(skAgg).as("sk"), count(lit(1)).as("n_new"))
+      // driver-side CMS addition vs a one-shot build over the union —
+      // byte equality is the mergeability contract (plan-only skips the
+      // collects; the substitute keeps construction action-free)
+      val mergeExact: Boolean = planOnly || {
+        import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+        import org.apache.spark.util.sketch.CountMinSketch
+        def decode(b: Array[Byte]) =
+          CountMinSketch.readFrom(new ByteArrayInputStream(b))
+        def enc(sk: CountMinSketch) = {
+          val bos = new ByteArrayOutputStream(); sk.writeTo(bos); bos.toByteArray
+        }
+        def bytesOf(df: org.apache.spark.sql.DataFrame): Option[Array[Byte]] =
+          Option(df.head().getAs[Array[Byte]]("sk"))
+        val empty = CountMinSketch.create(0.0001, 0.99, 42)
+        val a = bytesOf(sk0).map(decode).getOrElse(empty)
+        a.mergeInPlace(bytesOf(skNew).map(decode).getOrElse(
+          CountMinSketch.create(0.0001, 0.99, 42)))
+        val oneShot = tail0.select("key").unionByName(newTail.select("key"))
+          .agg(expr(skAgg).as("sk"))
+        java.util.Arrays.equals(enc(a),
+          bytesOf(oneShot).map(identity).getOrElse(Array.empty[Byte]))
+      }
+      // verification reads (from-scratch truth for tail accounting over
+      // the post-ingest corpus = base ∪ batch = all docs)
+      val afterCnt = segsOf(docs)
+      val trueTail = afterCnt.groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+        .filter(col("df") === 1).agg(count(lit(1)).as("n_tail_true"))
+      val g = exactAfter.agg(
+        count(lit(1)).as("n_exact_after"),
+        pmod(sum((col("h1") % M) * (col("h2") % M) % M * (col("df") % M) % M), M)
+          .cast(LongType).as("exact_checksum"))
+      exact0.agg(count(lit(1)).as("n_exact_before"))
+        .crossJoin(broadcast(crossings.agg(count(lit(1)).as("n_crossings"))))
+        .crossJoin(broadcast(newTail.agg(count(lit(1)).as("n_new_tail"))))
+        .crossJoin(broadcast(sk0.select(col("n_tail0"))))
+        .crossJoin(broadcast(g))
+        .crossJoin(broadcast(trueTail))
+        .withColumn("n_sketch_items",
+          (col("n_tail0") + col("n_new_tail")).cast(LongType))
+        .withColumn("sketch_residue",
+          (col("n_sketch_items") - col("n_tail_true")).cast(LongType))
+        .withColumn("sketch_merge_exact", lit(mergeExact))
+        .select("n_exact_before", "n_exact_after", "exact_checksum",
+          "n_crossings", "n_new_tail", "n_sketch_items", "n_tail_true",
+          "sketch_residue", "sketch_merge_exact")
+    },
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |seg0 AS (SELECT doc_id, w,
+       |    unnest(generate_series(0, (len(w) - 1) // 8)) AS c FROM ws),
+       |st AS (SELECT doc_id,
+       |    array_to_string(list_slice(w, c * 8 + 1, c * 8 + 8), ' ') AS t FROM seg0),
+       |hh AS (SELECT doc_id, ${h32Sql("t")} AS h1, ${h32bSql("t")} AS h2 FROM st),
+       |cb AS (SELECT h1, h2, COUNT(*) AS df FROM hh WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+       |ex0 AS (SELECT h1, h2, df FROM cb WHERE df >= 2),
+       |tl0 AS (SELECT h1, h2 FROM cb WHERE df = 1),
+       |bt AS (SELECT h1, h2, COUNT(*) AS b FROM hh WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+       |upd AS (SELECT ex0.h1, ex0.h2,
+       |    CAST(ex0.df + COALESCE(bt.b, 0) AS BIGINT) AS df
+       |  FROM ex0 LEFT JOIN bt ON bt.h1 = ex0.h1 AND bt.h2 = ex0.h2),
+       |cross0 AS (SELECT bt.h1, bt.h2,
+       |    CAST(CASE WHEN tl0.h1 IS NOT NULL THEN 1 ELSE 0 END + bt.b AS BIGINT) AS df
+       |  FROM bt LEFT JOIN ex0 ON ex0.h1 = bt.h1 AND ex0.h2 = bt.h2
+       |  LEFT JOIN tl0 ON tl0.h1 = bt.h1 AND tl0.h2 = bt.h2
+       |  WHERE ex0.h1 IS NULL
+       |    AND CASE WHEN tl0.h1 IS NOT NULL THEN 1 ELSE 0 END + bt.b >= 2),
+       |ea AS (SELECT * FROM upd UNION ALL SELECT * FROM cross0),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_new_tail FROM bt
+       |  LEFT JOIN ex0 ON ex0.h1 = bt.h1 AND ex0.h2 = bt.h2
+       |  LEFT JOIN tl0 ON tl0.h1 = bt.h1 AND tl0.h2 = bt.h2
+       |  WHERE ex0.h1 IS NULL AND tl0.h1 IS NULL AND bt.b = 1),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tail_true FROM (
+       |    SELECT h1, h2 FROM hh
+       |    GROUP BY 1, 2 HAVING COUNT(*) = 1) x),
+       |t0c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tail0 FROM tl0),
+       |e0c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_before FROM ex0),
+       |cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_crossings FROM cross0),
+       |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_after,
+       |    CAST(SUM((h1 % 2147483647) * (h2 % 2147483647) % 2147483647
+       |      * (df % 2147483647) % 2147483647) % 2147483647 AS BIGINT)
+       |      AS exact_checksum
+       |  FROM ea)
+       |SELECT e0c.n_exact_before, g.n_exact_after, g.exact_checksum,
+       |  cc.n_crossings, nt.n_new_tail,
+       |  CAST(t0c.n_tail0 + nt.n_new_tail AS BIGINT) AS n_sketch_items,
+       |  tt.n_tail_true,
+       |  CAST(t0c.n_tail0 + nt.n_new_tail - tt.n_tail_true AS BIGINT)
+       |    AS sketch_residue,
+       |  TRUE AS sketch_merge_exact
+       |FROM e0c CROSS JOIN g CROSS JOIN cc CROSS JOIN nt
+       |CROSS JOIN t0c CROSS JOIN tt""".stripMargin)
+
   /** x49: PREPROCESSING front-half capstone — the CCNet-shaped chain every
     * web corpus runs BEFORE the quality/dedup lifecycle the other
     * capstones own, composed as ONE declared DAG over raw arrivals:
@@ -10422,6 +10579,7 @@ object PipelineQueries {
     "x51_inventory_tail" -> x51InventoryTailPolicy,
     "x52_takedown_rematerialize" -> x52TakedownRematerialize,
     "x53_soft_dedup" -> x53SoftDedup,
+    "x54_tail_maintenance" -> x54TailMaintenance,
     "z56_domain_reweight" -> z56DomainReweight,
     "z57_rendezvous_reshard" -> z57RendezvousReshard,
     "z58_dedup_scope" -> z58DedupScope,

@@ -601,6 +601,11 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val m9 = formatted("m9_modality_packing")
     assert(m9.contains("__pid"), "m9 lost the bounded-task prefix-sum key")
     assert(!m9.contains("CartesianProduct"), "m9 grew a cartesian")
+    // x54: artifact maintenance is combinable counts + equi-joins; only
+    // the one-row sketch blob may nest-loop (under planOnly the merge
+    // bytes check substitutes, keeping construction action-free)
+    val x54 = formatted("x54_tail_maintenance")
+    assert(!x54.contains("CartesianProduct"), "x54 grew a non-broadcast cartesian")
   }
 
   test("s21: both window profiles come from ONE scan of the fact table") {
