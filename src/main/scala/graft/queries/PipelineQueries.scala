@@ -1799,8 +1799,15 @@ object PipelineQueries {
           .select(col("doc_id"),
             TextAnalysis.hash32(col("chunk_text")).as("h1"),
             TextAnalysis.hash32b(col("chunk_text")).as("h2"))
-      val baseCnt = segsOf(docs.filter(col("doc_id") % 10 =!= 0))
+      val baseCnt0 = segsOf(docs.filter(col("doc_id") % 10 =!= 0))
         .groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      // SIX consumers read the day-0 counts (exact updates, tail sketch,
+      // probe attach, one-shot merge check, both panel counts) — pin so
+      // the corpus pays one segment pass (x47's signature discipline;
+      // first cut measured 10.7 s at 10×, pinned 7.7 — the remainder is
+      // the from-scratch verification read, the deep-audit price)
+      val baseCnt = if (planOnly) baseCnt0
+        else graft.Housekeeping.pin(s)(baseCnt0).df
       val exact0 = baseCnt.filter(col("df") >= 2)
       val tail0 = baseCnt.filter(col("df") === 1)
         .withColumn("key", concat_ws(":", col("h1"), col("h2")))
