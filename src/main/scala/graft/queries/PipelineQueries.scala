@@ -1786,9 +1786,12 @@ object PipelineQueries {
     * the oracle checks) and benign for detection: exact-part hits are
     * probed FIRST, so the stale cell only ever inflates a key that no
     * longer consults the sketch. FP crossings would enter the exact
-    * part one day early (the conservative direction, x51's occupancy
-    * bound); zero at the gate SFs (spec-pinned), so the exact-part
-    * hash gate here is exact. */
+    * part one day early (the conservative direction), so x54's sketch
+    * is sized by x51's w ∝ tail rule for the LARGEST test corpus
+    * (eps = 1e-5 → w = 200k, per-probe FP ~1e-6): the df
+    * reconstruction is FP-free at every SF and the exact-part hash
+    * gate is exact everywhere — the artifact-size trade vs x51's
+    * tighter sketch is the documented knob, not a correctness term. */
   private val x54TailMaintenance = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -1811,7 +1814,12 @@ object PipelineQueries {
       val exact0 = baseCnt.filter(col("df") >= 2)
       val tail0 = baseCnt.filter(col("df") === 1)
         .withColumn("key", concat_ws(":", col("h1"), col("h2")))
-      val skAgg = "count_min_sketch(key, CAST(0.0001 AS DOUBLE), " +
+      // eps sized by x51's w ∝ tail rule for the 10× tail (~30k keys →
+      // w = 200,000, occupancy ~0.14, per-probe FP ≈ 1e-6): the merge's
+      // df reconstruction must stay FP-free at EVERY test SF, not just
+      // the gate ones — x51 keeps the tighter sketch and prices the FP
+      // bound; x54 exercises the sizing rule that removes them
+      val skAgg = "count_min_sketch(key, CAST(0.00001 AS DOUBLE), " +
         "CAST(0.99 AS DOUBLE), 42)"
       val sk0 = tail0.agg(expr(skAgg).as("sk"), count(lit(1)).as("n_tail0"))
       val batchCnt = segsOf(docs.filter(col("doc_id") % 10 === 0))
@@ -1853,10 +1861,10 @@ object PipelineQueries {
         }
         def bytesOf(df: org.apache.spark.sql.DataFrame): Option[Array[Byte]] =
           Option(df.head().getAs[Array[Byte]]("sk"))
-        val empty = CountMinSketch.create(0.0001, 0.99, 42)
+        val empty = CountMinSketch.create(0.00001, 0.99, 42)
         val a = bytesOf(sk0).map(decode).getOrElse(empty)
         a.mergeInPlace(bytesOf(skNew).map(decode).getOrElse(
-          CountMinSketch.create(0.0001, 0.99, 42)))
+          CountMinSketch.create(0.00001, 0.99, 42)))
         val oneShot = tail0.select("key").unionByName(newTail.select("key"))
           .agg(expr(skAgg).as("sk"))
         java.util.Arrays.equals(enc(a),
