@@ -303,6 +303,49 @@ object RelationalQueries {
       |FROM r JOIN documents ON doc_id % 3 >= from_v AND doc_id % 3 < to_v
       |GROUP BY from_v, to_v ORDER BY from_v, to_v""".stripMargin)
 
+  /** s27: SCHEMA EVOLUTION through the Store — the lakehouse property
+    * every long-lived table eventually needs: a later batch ARRIVES WITH
+    * A NEW COLUMN (a quality score the pipeline started emitting
+    * mid-history) and lands beside the old files without rewriting
+    * them; the merge-schema read unions the schemas and the old rows
+    * surface the new column as NULL — which is the honest answer ("not
+    * scored yet"), distinct from 0. The panel reads the EVOLVED table
+    * back per source (rows, scored rows, score sum) while the oracle
+    * recomputes membership from the raw corpus — proving the two-schema
+    * layout loses nothing and invents nothing. At 100 TB this is the
+    * difference between adding a column and rewriting a table; the
+    * no-rewrite guarantee is the point. planOnly substitutes the
+    * membership-derived frame (action-free construction). */
+  private val s27SchemaEvolution = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") % 7).cast(LongType).as("quality"))
+      val evolved = if (planOnly) {
+        docs.withColumn("quality",
+          when(col("doc_id") % 2 === 1, col("quality")))
+      } else {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+          s"schema_evo_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+        val store = graft.sources.Store(s, path, "source")
+        store.destroy()
+        store.append(docs.filter(col("doc_id") % 2 === 0).drop("quality"))
+        store.append(docs.filter(col("doc_id") % 2 === 1))
+        store.read(mergeSchema = true)
+      }
+      evolved.groupBy("source").agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("quality").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+          sum(coalesce(col("quality"), lit(0L))).cast(LongType).as("quality_sum"))
+        .orderBy("source")
+    },
+    """SELECT source, COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars % 7 ELSE 0 END) AS BIGINT)
+      |    AS quality_sum
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+
   private val s23TimeTravel = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -1753,6 +1796,7 @@ object RelationalQueries {
     "s24_scd2_history" -> s24Scd2History,
     "s25_scd2_store" -> s25Scd2Store,
     "s26_change_feed" -> s26ChangeFeed,
+    "s27_schema_evolution" -> s27SchemaEvolution,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,
