@@ -146,13 +146,21 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * read or rewritten — cost follows the batch footprint, not table
     * size; per-key window state is one batch's series, bounded.
     * Preconditions: a key's `partCol` value is stable across versions
-    * (upsert's rule), and event time moves STRICTLY forward per key
-    * across batches — a batch carrying a timestamp older than a key's
-    * open `valid_from` is a replay bug the as-of read surfaces as a
-    * negative interval, and one carrying an EQUAL timestamp ties with
-    * the stored version in an order the one-shot window derivation
-    * would decide by tiebreaker instead (within one batch, ties are
-    * fine — `order` decides both forms identically). `order`
+    * (upsert's rule), and event time moves forward per key across
+    * batches — a batch carrying a timestamp OLDER than a key's open
+    * `valid_from` would write an inverted interval, so the merge
+    * REFUSES it loudly (one batch-footprint check on the open rows)
+    * rather than persisting a corrupt tiling; one carrying an EQUAL
+    * timestamp ties with the stored version in an order the one-shot
+    * window derivation would decide by tiebreaker instead (within one
+    * batch, ties are fine — `order` decides both forms identically).
+    * Re-delivery caveat the replay rule implies: a row re-delivered at
+    * an already-recorded (key, ts) with DIFFERENT value columns is
+    * dropped as a duplicate, not detected as drift — the recorded
+    * version wins; an upstream that can mutate a fact at a fixed event
+    * time needs a new timestamp (or an `order` tiebreaker) to land the
+    * correction. A fully re-delivered batch is a true no-op (no
+    * partition rewrite). `order`
     * supplies tiebreakers after `tsCol` (pass the event id); equal-ts
     * versions become zero-length intervals, active at no probe, exactly
     * matching the window-derived form. REPLAY-SAFE on existing tables:
@@ -183,17 +191,43 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     // only (batch-footprint cost, like the merge itself).
     val fresh = updates.join(
       affected.select((keys :+ tsCol).map(col): _*), keys :+ tsCol, "left_anti")
-    val versioned = fresh
-      .withColumn("valid_from", col(tsCol))
-      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
-    val firstTs = fresh.groupBy(keys.map(col): _*)
-      .agg(min(col(tsCol)).as("__new_from"))
-    val closed = affected.join(firstTs, keys, "left")
-      .withColumn("valid_to",
-        when(col("valid_to").isNull && col("__new_from").isNotNull,
-          col("__new_from")).otherwise(col("valid_to")))
-      .drop("__new_from")
-    overwritePartitions(closed.unionByName(versioned))
+    // fresh feeds four jobs (no-op probe, out-of-order guard, the chained
+    // versions, firstTs) — evaluate the anti-join once
+    fresh.cache()
+    try {
+      // a FULLY re-delivered batch leaves fresh empty: a true no-op — do
+      // not re-run the merge and rewrite every affected partition with
+      // byte-identical content (duplicate delivery must cost nothing)
+      if (fresh.isEmpty) return
+      val firstTs = fresh.groupBy(keys.map(col): _*)
+        .agg(min(col(tsCol)).as("__new_from"))
+      // OUT-OF-ORDER guard: a batch carrying a timestamp OLDER than an
+      // affected key's open valid_from would close that interval at a time
+      // before it opened — an inverted interval (valid_to < valid_from)
+      // that readAsOf silently never matches. That is always an upstream
+      // delivery bug (the contract: event time moves forward per key
+      // across batches), so fail loudly here instead of persisting a
+      // corrupt tiling. Cost: one batch-footprint join on the open rows.
+      val inverted = affected.filter(col("valid_to").isNull)
+        .select(keys.map(col) :+ col("valid_from"): _*)
+        .join(firstTs, keys)
+        .filter(col("__new_from") < col("valid_from"))
+        .count()
+      require(inverted == 0L,
+        s"upsertScd2 at $path: $inverted key(s) arrive with a timestamp " +
+          "older than their open version's valid_from — out-of-order " +
+          "cross-batch delivery would write an inverted interval; deliver " +
+          "change batches in per-key event-time order")
+      val versioned = fresh
+        .withColumn("valid_from", col(tsCol))
+        .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      val closed = affected.join(firstTs, keys, "left")
+        .withColumn("valid_to",
+          when(col("valid_to").isNull && col("__new_from").isNotNull,
+            col("__new_from")).otherwise(col("valid_to")))
+        .drop("__new_from")
+      overwritePartitions(closed.unionByName(versioned))
+    } finally fresh.unpersist()
   }
 
   /** Point-in-time read of an SCD2 history table ([[upsertScd2]]): the

@@ -60,9 +60,19 @@ object EventStreams {
                order: Seq[org.apache.spark.sql.Column] = Nil): StreamingQuery =
     updates.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty)
-          graft.sources.Store(batch.sparkSession, storePath, partCol)
-            .upsertScd2(batch, keys, tsCol, order)
+        // the merge body drives several independent jobs off this one
+        // micro-batch (empty probe, replay anti-join, first-ts aggregate,
+        // the overwrite itself) — persist so the source is evaluated once
+        // per batch, not once per job: wasteful for file sources and a
+        // correctness hazard if a non-replayable source were ever wired
+        // in (the multi-action foreachBatch discipline Spark's docs
+        // prescribe)
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            graft.sources.Store(batch.sparkSession, storePath, partCol)
+              .upsertScd2(batch, keys, tsCol, order)
+        } finally batch.unpersist()
         ()
       }
       .option("checkpointLocation", checkpointDir)
@@ -317,7 +327,16 @@ object EventStreams {
                 planes: Int = graft.operators.Similarity.NumPlanes,
                 dims: Int = 64): DataFrame = {
     import graft.operators.Similarity
-    val mnorm = corpus.agg(max(Similarity.norm(vecCol)).cast("double")).head().getDouble(0)
+    val mnormRow = corpus.agg(max(Similarity.norm(vecCol)).cast("double")).head()
+    // fail with a message naming the problem instead of the opaque NPE a
+    // null aggregate would throw below — an empty (or all-null-vector)
+    // static corpus has no max norm, and serving against it is a wiring
+    // bug, not a degenerate case (mipsTopK's batch form degrades to an
+    // empty result; a STREAM constructed against nothing should not start)
+    require(!mnormRow.isNullAt(0),
+      s"mipsServe: static corpus is empty or '$vecCol' is all-null — " +
+        "the max-norm augmentation scalar is undefined")
+    val mnorm = mnormRow.getDouble(0)
     val c = corpus
       .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
       .withColumn("c_nrm", Similarity.norm("c_vec"))

@@ -120,6 +120,46 @@ class StoreSpec extends SparkSpec {
     assert(gaps.count() === 0L, "a closed version's valid_to matches no successor")
   }
 
+  test("upsertScd2 refuses out-of-order batches and no-ops on duplicate re-delivery") {
+    def feed(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("user_id", "event_type", "ts_us", "value")
+    def listParquet(p: String): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified(), f.length())).toSet
+    }
+    val path = tmpDir("store_scd2_guard") + "/t"
+    val store = Store(spark, path, "event_type")
+    val keys = Seq("user_id", "event_type")
+    val b1 = feed(Seq((1L, "a", 200L, 1.0), (2L, "a", 210L, 5.0)))
+    store.upsertScd2(b1, keys, "ts_us")
+    // a batch whose timestamp precedes key 1's open valid_from must be
+    // refused LOUDLY — applying it would close the open interval at 100,
+    // i.e. write valid_to=100 < valid_from=200 (an inverted interval that
+    // readAsOf silently never matches)
+    val err = intercept[IllegalArgumentException] {
+      store.upsertScd2(feed(Seq((1L, "a", 100L, 9.9))), keys, "ts_us")
+    }
+    assert(err.getMessage.contains("out-of-order"))
+    // the refused merge left the table untouched and the tiling uninverted
+    assert(store.read.count() === 2L)
+    assert(store.read.filter(col("valid_to") < col("valid_from")).count() === 0L)
+    // full duplicate re-delivery is a TRUE no-op: zero partition rewrites
+    // (the same data files, byte counts, and mtimes remain on disk)
+    val filesBefore = listParquet(path)
+    store.upsertScd2(b1, keys, "ts_us")
+    assert(listParquet(path) === filesBefore, "duplicate batch rewrote partitions")
+    // a mixed batch (one recorded row + one fresh) still merges the fresh
+    // row, and the tiling stays uninverted afterwards
+    store.upsertScd2(feed(Seq((1L, "a", 200L, 1.0), (1L, "a", 300L, 2.0))),
+      keys, "ts_us")
+    val open = store.read.filter(col("valid_to").isNull)
+      .select("user_id", "value").as[(Long, Double)].collect().toSet
+    assert(open === Set((1L, 2.0), (2L, 5.0)))
+    assert(store.read.filter(col("valid_to") < col("valid_from")).count() === 0L)
+  }
+
   test("stats sidecar tracks appends and partition overwrites, invisible to reads") {
     val store = Store(spark, tmpDir("store_stats"), "season")
     val M = lit(2147483647L)
