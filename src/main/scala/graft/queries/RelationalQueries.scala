@@ -346,6 +346,70 @@ object RelationalQueries {
       |    AS quality_sum
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** s28: VERSIONED-LINEAGE PURGE — the takedown × time-travel collision
+    * resolved as an operator ([[graft.sources.Store.purgeRestartLineage]]):
+    * a governance request hits a table whose snapshot versions promise
+    * history stays readable, so the lineage RESTARTS — retained rows land
+    * as v1 of a NEW epoch, the old epoch's files (data and `_log`) are
+    * destroyed, and the `_log/_epoch` marker records the boundary (the
+    * x42/x43 manifest coordinate becomes "epoch E, version V"; pre-purge
+    * version numbers no longer resolve, by design). The panel reads the
+    * post-purge lineage back: the new epoch and version count, v1's
+    * rows/tokens/checksum, a zero count of removed-predicate rows still
+    * readable (the takedown promise), and plain-read ≡ readVersion(1)
+    * (reproducibility holds WITHIN the new epoch). The oracle recomputes
+    * everything from the retained slice of the raw corpus — proving the
+    * purge kept exactly the retained content, no more, no less. StoreSpec
+    * pins the mechanics (old versions unresolvable, removed partition
+    * files off the disk, empty-purge commits a typed empty v1, epoch
+    * continues versioning). Scale: a purge is one read + rewrite of the
+    * RETAINED table — the removed bytes must leave the disk, so there is
+    * no cheaper honest form; it runs at governance cadence, not ingest. */
+  private val s28LineagePurge = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val M = lit(2147483647L)
+      val removeCond = col("doc_id") % 7 === 0
+      // plan-only sweeps substitute the retained-membership filter (what
+      // the oracle recomputes) so construction stays action-free
+      val (ep, nv, v1, rd) =
+        if (planOnly) {
+          val sub = docs.filter(col("doc_id") % 7 =!= 0)
+          (2L, 1L, sub, sub)
+        } else {
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"purge_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val store = graft.sources.Store(s, path, "source")
+          store.destroy()
+          (0 to 2).foreach(r =>
+            store.appendVersioned(docs.filter(col("doc_id") % 3 === r)))
+          val e = store.purgeRestartLineage(removeCond)
+          (e, store.versions.size.toLong, store.readVersion(1), store.read)
+        }
+      def stats(df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)).as("n_rows"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
+        pmod(sum((col("doc_id") % M) * ((col("doc_id") + 7) % M) % M), M)
+          .cast(LongType).as("checksum"),
+        sum(when(col("doc_id") % 7 === 0, 1L).otherwise(0L))
+          .as("n_removed_readable"))
+      stats(v1)
+        .crossJoin(broadcast(stats(rd).select(col("checksum").as("__rc"))))
+        .select(lit(ep).as("epoch"), lit(nv).as("n_versions"),
+          col("n_rows"), col("n_tokens"), col("checksum"),
+          col("n_removed_readable"),
+          (col("checksum") === col("__rc")).as("read_matches_v1"))
+    },
+    """SELECT CAST(2 AS BIGINT) AS epoch, CAST(1 AS BIGINT) AS n_versions,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647) % 2147483647)
+      |    % 2147483647 AS BIGINT) AS checksum,
+      |  CAST(0 AS BIGINT) AS n_removed_readable,
+      |  TRUE AS read_matches_v1
+      |FROM documents WHERE doc_id % 7 <> 0""".stripMargin)
+
   private val s23TimeTravel = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -1797,6 +1861,7 @@ object RelationalQueries {
     "s25_scd2_store" -> s25Scd2Store,
     "s26_change_feed" -> s26ChangeFeed,
     "s27_schema_evolution" -> s27SchemaEvolution,
+    "s28_lineage_purge" -> s28LineagePurge,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

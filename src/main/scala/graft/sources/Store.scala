@@ -485,7 +485,18 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * last processed", no table scan, no keyed full-outer diff (s17's
     * O(table) form remains for tables WITHOUT a log). `fromV = 0` means
     * "from the beginning" (≡ readVersion(toV)). */
-  def readChanges(fromV: Long, toV: Long): DataFrame = {
+  def readChanges(fromV: Long, toV: Long): DataFrame =
+    readChanges(fromV, toV, mergeSchema = false)
+
+  /** [[readChanges]] across a SCHEMA EVOLUTION boundary: when the range's
+    * versions straddle a column add (a later batch arrived with a new
+    * column — the s27 story), `mergeSchema = true` unions the recorded
+    * files' schemas so pre-evolution delta rows surface the new column as
+    * NULL instead of the read failing or silently pinning one file's
+    * schema. Costs a footer read per CHANGED file only — the range's
+    * files, never the table's — so the metadata pass stays O(changes)
+    * like the data read. */
+  def readChanges(fromV: Long, toV: Long, mergeSchema: Boolean): DataFrame = {
     require(fromV < toV, s"empty change range ($fromV, $toV]")
     require(fromV == 0 || versions.contains(fromV),
       s"unknown from-version $fromV at $path (have $versions)")
@@ -493,10 +504,94 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
       s"unknown to-version $toV at $path (have $versions)")
     val entries = versions.filter(v => v > fromV && v <= toV).map(readVersionEntry)
     val files = entries.flatMap(_._2).map(rel => s"$path/$rel")
-    if (files.nonEmpty) spark.read.option("basePath", path).parquet(files: _*)
+    if (files.nonEmpty) {
+      val rd = spark.read.option("basePath", path)
+      (if (mergeSchema) rd.option("mergeSchema", "true") else rd).parquet(files: _*)
+    }
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(entries.last._1))
+  }
+
+  // ---- governance purge: the takedown × time-travel collision ------------
+  //
+  // Snapshot versioning promises every recorded version stays readable; a
+  // takedown demands the removed content stop being readable ANYWHERE,
+  // history included. Editing files in place (x44's unversioned takedown
+  // shape) would silently break the readVersion contract; honoring history
+  // would keep removed content alive. SCALE.md's documented resolution —
+  // Delta/Iceberg's retention-epoch purge in this store's minimal form —
+  // is implemented here: the lineage RESTARTS. The retained rows become v1
+  // of a new lineage, the old epoch's files (data and log) are destroyed,
+  // and an `_log/_epoch` marker advances so an x42-style manifest can
+  // record the boundary: "epoch E, version V" is the full reproducibility
+  // coordinate, and pre-purge version numbers no longer resolve BY DESIGN.
+
+  private def epochMarker = new org.apache.hadoop.fs.Path(logDir, "_epoch")
+
+  /** Lineage epoch: 1 + the number of [[purgeRestartLineage]] restarts
+    * this table has undergone (epoch 1 = never purged, no marker on
+    * disk). Version numbers are only meaningful WITHIN an epoch. */
+  def epoch: Long = {
+    val (f, _) = fs
+    if (!f.exists(epochMarker)) 1L
+    else {
+      val in = f.open(epochMarker)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Takedown against a versioned lineage: drop every row matching
+    * `remove` from the table AND its history by restarting the lineage —
+    * retained rows are snapshotted through a durable temp directory, the
+    * table (data files and old `_log`) is destroyed, the snapshot lands
+    * as the NEW lineage's v1, and the epoch marker advances. Returns the
+    * new epoch. After the purge: `versions == Seq(1)`, `readVersion(1)`
+    * is the post-purge state, old version numbers no longer resolve, and
+    * the removed bytes are OFF THE DISK — which is the takedown's point
+    * (a metadata-only "purge" that leaves files in place is not one).
+    *
+    * Cost: one full read + rewrite of the RETAINED rows — a purge is a
+    * table rewrite by definition; at 100 TB it runs at the cadence of
+    * governance requests, not ingest. Crash safety: the temp snapshot
+    * (`<path>__purge_tmp`) is durable and deleted only after the new
+    * lineage commits; a crash after the destroy leaves it as the
+    * recovery artifact (re-land it as v1 by hand), a crash before the
+    * destroy leaves the old lineage intact plus a stale tmp the next
+    * purge sweeps. An EMPTY retained set still commits: v1 records the
+    * schema with no files, so the new lineage reads as a typed empty
+    * relation. */
+  def purgeRestartLineage(remove: org.apache.spark.sql.Column): Long = {
+    require(versions.nonEmpty,
+      s"$path has no versioned lineage — purge an unversioned table by " +
+        "rewriting it (the x44 takedown shape); this method resolves the " +
+        "takedown vs time-travel collision on versioned tables")
+    val newEpoch = epoch + 1
+    val tmp = s"${path}__purge_tmp"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val (f, _) = fs
+    if (f.exists(tmpPath)) f.delete(tmpPath, true) // stale from a dead purge
+    val retained = read.filter(!remove)
+    val schemaDdl = retained.schema.toDDL
+    retained.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp)
+    val tmpHasData = {
+      val it = f.listFiles(tmpPath, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) found = true
+      }
+      found
+    }
+    destroy()
+    if (tmpHasData) appendRaw(spark.read.parquet(tmp))
+    writeVersionEntry(schemaDdl, listDataFiles().toSeq.sorted)
+    val out = f.create(epochMarker, true)
+    try out.write(newEpoch.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(tmpPath, true)
+    newEpoch
   }
 
   /** Rebuild the sidecar wholesale from a snapshot of the current table

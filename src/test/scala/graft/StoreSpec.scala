@@ -120,6 +120,57 @@ class StoreSpec extends SparkSpec {
     assert(gaps.count() === 0L, "a closed version's valid_to matches no successor")
   }
 
+  test("purgeRestartLineage removes content from history and restarts the epoch") {
+    val path = tmpDir("store_purge") + "/t"
+    val store = Store(spark, path, "season")
+    (1 to 3).foreach(i => store.appendVersioned(season(1998 + i, i + 1)))
+    assert(store.epoch === 1L && store.versions === Seq(1L, 2L, 3L))
+    // takedown hits the versioned lineage: restart it
+    assert(store.purgeRestartLineage(col("season") === 2000) === 2L)
+    assert(store.epoch === 2L)
+    // the new lineage has exactly ONE version — the post-purge state —
+    // and the removed season is readable in no snapshot
+    assert(store.versions === Seq(1L))
+    assert(store.readVersion(1).filter(col("season") === 2000).count() === 0L)
+    assert(store.read.count() === 6L) // 1999 (2 rows) + 2001 (4 rows)
+    // pre-purge version numbers no longer resolve — by design
+    intercept[IllegalArgumentException] { store.readVersion(2) }
+    // the removed bytes are OFF THE DISK, not merely unreferenced
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    assert(!walk(new java.io.File(path)).exists(_.getPath.contains("season=2000")),
+      "purged partition files survived the lineage restart")
+    // no stale purge tmp left beside the table
+    assert(!new java.io.File(path + "__purge_tmp").exists())
+    // the new epoch keeps versioning normally
+    store.appendVersioned(season(2002, 1))
+    assert(store.versions === Seq(1L, 2L) && store.epoch === 2L)
+    // purging everything still commits: v1 of epoch 3 is a TYPED empty
+    assert(store.purgeRestartLineage(lit(true)) === 3L)
+    assert(store.readVersion(1).count() === 0L)
+    assert(store.readVersion(1).schema.fieldNames.toSet
+      === Set("game_id", "season", "epa"))
+    // unversioned tables refuse the purge (use the plain takedown rewrite)
+    val plain = Store(spark, tmpDir("store_purge_plain"), "season")
+    plain.append(season(1999, 2))
+    intercept[IllegalArgumentException] { plain.purgeRestartLineage(lit(true)) }
+  }
+
+  test("readChanges merges schemas across an evolution boundary") {
+    val path = tmpDir("store_cdf_evo") + "/t"
+    val store = Store(spark, path, "season")
+    store.appendVersioned(season(1999, 2)) // pre-evolution: no `grade`
+    store.appendVersioned(season(2000, 3).withColumn("grade", col("epa") * 2))
+    // a range straddling the boundary surfaces the new column as NULL on
+    // pre-evolution rows instead of failing or pinning one file's schema
+    val delta = store.readChanges(0, 2, mergeSchema = true)
+    assert(delta.columns.contains("grade"))
+    assert(delta.filter(col("season") === 1999 && col("grade").isNull).count() === 2L)
+    assert(delta.filter(col("season") === 2000 && col("grade").isNotNull).count() === 3L)
+    // a post-boundary-only range needs no merge and still carries the column
+    assert(store.readChanges(1, 2).columns.contains("grade"))
+  }
+
   test("upsertScd2 refuses out-of-order batches and no-ops on duplicate re-delivery") {
     def feed(rows: Seq[(Long, String, Long, Double)]) =
       rows.toDF("user_id", "event_type", "ts_us", "value")
