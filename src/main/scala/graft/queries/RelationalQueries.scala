@@ -410,6 +410,149 @@ object RelationalQueries {
       |  TRUE AS read_matches_v1
       |FROM documents WHERE doc_id % 7 <> 0""".stripMargin)
 
+  /** s29: CHANGE FEED × SCHEMA EVOLUTION — s26's O(changes) read proven
+    * across s27's column-add boundary, the combination a long-lived CDC
+    * consumer eventually hits: version 1 lands WITHOUT the quality
+    * column, versions 2–3 arrive WITH it, and `readChanges(..., merge
+    * Schema = true)` must surface a straddling range's pre-evolution
+    * delta rows as NULL quality ("not scored yet") while post-evolution
+    * deltas carry their scores — no failed read, no silently pinned
+    * single-file schema, no table rewrite. The panel reads three ranges
+    * (pre-only, post-only, straddling = full history) with rows/scored/
+    * score-sum/checksum; the oracle recomputes each range's membership
+    * and the version-dependent scoredness from the raw corpus. This is
+    * what lets the s30-style incremental consumers survive a mid-history
+    * column add: the feed's schema is the UNION of its range's schemas,
+    * and absence is NULL, not 0. Cost note: the merge-schema footer pass
+    * covers the RANGE's files only — O(changes) like the data read. */
+  private val s29EvolvingFeed = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val M = lit(2147483647L)
+      val scored = (col("n_chars") % 7).cast(LongType)
+      // plan-only sweeps substitute membership filters with the version-
+      // dependent scoredness (what the oracle recomputes) — action-free
+      val changes: (Long, Long) => org.apache.spark.sql.DataFrame =
+        if (planOnly) { (f, t) =>
+          docs.filter(col("doc_id") % 3 >= f && col("doc_id") % 3 < t)
+            .withColumn("quality", when(col("doc_id") % 3 >= 1, scored))
+        } else {
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"cdf_evo_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val store = graft.sources.Store(s, path, "source")
+          store.destroy()
+          store.appendVersioned(
+            docs.filter(col("doc_id") % 3 === 0)) // pre-evolution: no column
+          (1 to 2).foreach(r => store.appendVersioned(
+            docs.filter(col("doc_id") % 3 === r).withColumn("quality", scored)))
+          (f, t) => store.readChanges(f, t, mergeSchema = true)
+        }
+      Seq((0L, 1L), (1L, 3L), (0L, 3L)).map { case (f, t) =>
+        val delta0 = changes(f, t)
+        // a range entirely BEFORE the evolution has no quality column at
+        // all (its schema is the union of ITS files); the consumer aligns
+        // absence to a typed NULL column — the standard feed-to-consumer
+        // schema alignment, same semantics the merge-schema read gives a
+        // straddling range
+        val delta = if (delta0.columns.contains("quality")) delta0
+          else delta0.withColumn("quality", lit(null).cast(LongType))
+        delta.agg(
+            count(lit(1)).as("n_rows"),
+            sum(when(col("quality").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+            sum(coalesce(col("quality"), lit(0L))).cast(LongType).as("quality_sum"),
+            pmod(sum((col("doc_id") % M) * ((col("doc_id") + 7) % M) % M), M)
+              .cast(LongType).as("checksum"))
+          .select(lit(f).as("from_v"), lit(t).as("to_v"),
+            col("n_rows"), col("n_scored"), col("quality_sum"), col("checksum"))
+      }.reduce(_.unionByName(_)).orderBy("from_v", "to_v")
+    },
+    """WITH r(from_v, to_v) AS (VALUES (0, 1), (1, 3), (0, 3))
+      |SELECT CAST(from_v AS BIGINT) AS from_v, CAST(to_v AS BIGINT) AS to_v,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN doc_id % 3 >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_scored,
+      |  CAST(SUM(CASE WHEN doc_id % 3 >= 1 THEN n_chars % 7 ELSE 0 END) AS BIGINT)
+      |    AS quality_sum,
+      |  CAST(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647) % 2147483647)
+      |    % 2147483647 AS BIGINT) AS checksum
+      |FROM r JOIN documents ON doc_id % 3 >= from_v AND doc_id % 3 < to_v
+      |GROUP BY from_v, to_v ORDER BY from_v, to_v""".stripMargin)
+
+  /** s30: THE CDC CHAIN END TO END — the composition a warehouse actually
+    * runs nightly, in ONE declared DAG: a versioned SOURCE table's change
+    * feed (s26's `readChanges` — the log IS the diff) feeds BOTH an SCD2
+    * history store (s25's interval-closing `upsertScd2`) and an
+    * incremental monoid consumer (s15's shape: per-pull partial
+    * aggregates APPENDED to a durable state store, folded on read — the
+    * monoid discipline that makes consumer state append-only, so there
+    * is no self-overwrite and a re-fold is always available). Three
+    * pulls, each consuming ONLY the change feed; the panel joins the
+    * re-read history (versions, open rows) with the folded consumer
+    * state (counts, DECIMAL-disciplined value sum), and the oracle
+    * derives all four from the raw feed in one pass — equality proves
+    * change-feed → interval merge → state fold ≡ from-scratch, the
+    * drift-compounding chain x47 proved for dedup maps applied to the
+    * warehouse lifecycle. Scale: each pull costs O(changed files) to
+    * read, O(batch footprint) to merge, O(types) to fold; nothing
+    * rescans the source. */
+  private val s30CdcChain = Q(
+    (s, d) => {
+      val t1 = 1704931200000000L // 2024-01-11: pull-1/2 boundary
+      val t2 = 1705795200000000L // 2024-01-21: pull-2/3 boundary
+      val ev = Tables.events(s, d)
+        .withColumn("from_us", unix_micros(col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "from_us")
+      def partial(f: DataFrame) = f.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("s_dec"))
+      // plan-only sweeps substitute the window-derived history and a
+      // one-shot partial (the equalities the oracle proves) — action-free
+      val (hist, state) = if (planOnly) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(col("from_us").asc, col("event_id").asc)
+        (ev.withColumn("valid_from", col("from_us"))
+            .withColumn("valid_to", lead(col("from_us"), 1).over(w)),
+          partial(ev))
+      } else {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+          s"cdc_chain_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+        val src = graft.sources.Store(s, s"$base/src", "event_type")
+        val hst = graft.sources.Store(s, s"$base/hist", "event_type")
+        val stt = graft.sources.Store(s, s"$base/state", "event_type")
+        Seq(src, hst, stt).foreach(_.destroy())
+        Seq(col("from_us") < t1,
+            col("from_us") >= t1 && col("from_us") < t2,
+            col("from_us") >= t2)
+          .foreach(c => src.appendVersioned(ev.filter(c)))
+        (1L to 3L).foreach { v =>
+          val delta = src.readChanges(v - 1, v) // the ONLY source read
+          hst.upsertScd2(delta, Seq("user_id", "event_type"), "from_us",
+            Seq(col("event_id")))
+          stt.append(partial(delta)) // monoid: append the delta's partial
+        }
+        (hst.read, stt.read)
+      }
+      val histPanel = hist.groupBy("event_type").agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"))
+      val stateFold = state.groupBy("event_type").agg(
+        sum(col("n")).cast(LongType).as("n_events"),
+        sum(col("s_dec")).cast(DoubleType).as("sum_value"))
+      histPanel.join(stateFold, Seq("event_type"))
+        .select("event_type", "n_versions", "n_current", "n_events", "sum_value")
+        .orderBy("event_type")
+    },
+    """WITH h AS (SELECT user_id, event_type, value,
+      |    LEAD(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS to_us
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_versions,
+      |  CAST(SUM(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
+
   private val s23TimeTravel = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -1862,6 +2005,8 @@ object RelationalQueries {
     "s26_change_feed" -> s26ChangeFeed,
     "s27_schema_evolution" -> s27SchemaEvolution,
     "s28_lineage_purge" -> s28LineagePurge,
+    "s29_evolving_feed" -> s29EvolvingFeed,
+    "s30_cdc_chain" -> s30CdcChain,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,
