@@ -1961,6 +1961,296 @@ object PipelineQueries {
        |FROM e0c CROSS JOIN g CROSS JOIN cc CROSS JOIN nt
        |CROSS JOIN t0c CROSS JOIN tt""".stripMargin)
 
+  /** One day's tail-split artifact bundle for x55: the stored frames (per-
+    * day Store round-trips — the next merge consumes ARTIFACTS, not the
+    * lineage that built them, x47's durable-barrier discipline), the
+    * pinned probe relations, and the driver-side sketch/contract facts.
+    * Cached per (app, dir) so Bench's second construction reuses the
+    * lifecycle instead of re-running it. */
+  private final case class X55State(
+      art0: org.apache.spark.sql.DataFrame, art1: org.apache.spark.sql.DataFrame,
+      art2: org.apache.spark.sql.DataFrame, probed1: org.apache.spark.sql.DataFrame,
+      probed2: org.apache.spark.sql.DataFrame, nTail0: Long, nItemsD1: Long,
+      mergeExact: Boolean, resketchMatchesTruth: Boolean)
+  private val x55Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, X55State]()
+
+  /** x55: MULTI-DAY TAIL-MAINTENANCE COMPOSITION — x54 proves one ingest
+    * day's merge ≡ rebuild; a production corpus runs that merge EVERY day,
+    * so the property that matters is the k-day composition (x47's
+    * iterate∘iterate discipline applied to the split artifact), the
+    * residue the sketch accrues ACROSS days, and the re-sketch path the
+    * w ∝ tail sizing rule eventually forces. The artifact, stated
+    * honestly: the DURABLE store keeps exact rows (df ≥ 2) AND the df=1
+    * tail keys (cold, O(batch) deltas per day, consulted only for
+    * rebuilds/takedowns — never shuffled at merge time); the SERVING/
+    * merge transport is the CMS over the tail, collected once and
+    * inlined as a plan literal (x54's transport), maintained across days
+    * by cell-wise ADDITION. Two merge days (day-1 arrivals doc_id%10=5,
+    * day-2 arrivals %10=0) run against the re-read artifacts, then the
+    * panel gates, against a from-scratch split of the full corpus:
+    *  - maintained exact part ≡ from-scratch df≥2 (count + df-lattice
+    *    checksum) and maintained tail keys ≡ from-scratch df=1 (count +
+    *    key checksum) — merge∘merge ≡ rebuild, the composition claim;
+    *  - per-day crossings/new-singleton counts (the oracle re-derives
+    *    them from day-prefix views);
+    *  - RESIDUE ACCOUNTING: items ever added to the maintained sketch
+    *    minus the true final tail = the crossed keys' stale +1s, an
+    *    exact identity (closing the r10 verdict's x51 loop: the day-2
+    *    FP bound below takes the residue-CARRYING item count as its
+    *    occupancy input, not the clean tail);
+    *  - day-2 detection contracts on the residue-carrying sketch:
+    *    `no_false_negatives_d2` (tail membership always probes ≥ 1 —
+    *    residue cells belong to crossed keys, which sit in the exact
+    *    part and are probed FIRST, so residue never corrupts detection)
+    *    and `fp_within_bound` at occupancy (n_tail0 + day-1 additions);
+    *  - mergeability across days: sk0 + skNew1 + skNew2 by addition is
+    *    byte-identical to a one-shot build over all items ever added;
+    *  - THE RE-SKETCH PATH: when the tail outgrows the width rule
+    *    (w = 200k holds 0.15·w ≈ 30k keys — `resketch_rule_triggered`
+    *    prices the decision), the wider sketch is rebuilt from the
+    *    STORED tail keys, never the corpus: `resketch_matches_truth`
+    *    byte-compares that rebuild against a wider build over the
+    *    from-scratch tail (the one deliberate corpus verification read,
+    *    x54's deep-audit price) — rebuild-from-artifact ≡
+    *    rebuild-from-truth, with zero residue by construction.
+    * StoreSpec adds the restart case: a FRESH handle re-reads the stored
+    * artifact, re-derives the sketch from the stored tail keys (sketch =
+    * derived state, O(artifact) to rebuild — only rows are durable), and
+    * the next merge lands exactly the from-scratch split. */
+  private val x55TailComposition = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      def segsOf(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.chunkWords(df, "doc_id", "text", 8)
+          .select(col("doc_id"),
+            TextAnalysis.hash32(col("chunk_text")).as("h1"),
+            TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      def cntOf(f: org.apache.spark.sql.DataFrame) =
+        segsOf(f).groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      def batchOf(f: org.apache.spark.sql.DataFrame) =
+        segsOf(f).groupBy("h1", "h2").agg(count(lit(1)).as("b"))
+      val skAgg = "count_min_sketch(key, CAST(0.00001 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)"
+      val skAggWide = "count_min_sketch(key, CAST(0.000005 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)"
+      def withKey(f: org.apache.spark.sql.DataFrame) =
+        f.withColumn("key", concat_ws(":", col("h1"), col("h2")))
+      def emptySk(agg: String): Array[Byte] = {
+        val eps = if (agg == skAgg) 0.00001 else 0.000005
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.CountMinSketch
+          .create(eps, 0.99, 42).writeTo(bos)
+        bos.toByteArray
+      }
+      def sketchBytes(keys: org.apache.spark.sql.DataFrame,
+                      agg: String): Array[Byte] = {
+        val r = withKey(keys.select("h1", "h2")).agg(expr(agg).as("sk")).head()
+        Option(r.getAs[Array[Byte]]("sk")).getOrElse(emptySk(agg))
+      }
+      def addSketches(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+        import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+        import org.apache.spark.util.sketch.CountMinSketch
+        val sk = CountMinSketch.readFrom(new ByteArrayInputStream(a))
+        sk.mergeInPlace(CountMinSketch.readFrom(new ByteArrayInputStream(b)))
+        val bos = new ByteArrayOutputStream(); sk.writeTo(bos); bos.toByteArray
+      }
+      // one day's merge against the artifact + the sketch literal; the
+      // probe relation is pinned across its consumers (crossings, new-tail
+      // sketch collect, panel counts)
+      def mergeDay(art: org.apache.spark.sql.DataFrame,
+                   batch: org.apache.spark.sql.DataFrame, skB: Array[Byte]) = {
+        val exact = art.filter(col("df") >= 2)
+        val tailK = art.filter(col("df") === 1)
+        val probed0 = batch
+          .join(exact.select(col("h1"), col("h2"), col("df").as("df_exact")),
+            Seq("h1", "h2"), "left")
+          .join(tailK.select(col("h1"), col("h2"), lit(1L).as("df_tail")),
+            Seq("h1", "h2"), "left")
+          .withColumn("est", when(col("df_exact").isNull,
+              call_function("graft_cms_estimate", lit(skB),
+                concat_ws(":", col("h1"), col("h2"))))
+            .otherwise(lit(0L)))
+        // retainCheckpoint, not pin: these frames live in the x55Cache
+        // across constructions (Bench/Soak run every query twice), so
+        // their blocks must survive the per-query releaseAllBlocks sweep —
+        // a pinned frame would be unpersisted after run 1 and run 2 would
+        // hit CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (lineage is truncated).
+        // Batch-keys-sized state: a few MB held for the process lifetime.
+        val probed = if (planOnly) probed0
+          else graft.Housekeeping.retainCheckpoint(s)(probed0)
+        val estFlag = when(col("est") >= 1, 1L).otherwise(0L)
+        val updated = exact.join(batch, Seq("h1", "h2"), "left")
+          .select(col("h1"), col("h2"),
+            (col("df") + coalesce(col("b"), lit(0L))).cast(LongType).as("df"))
+        val crossings = probed
+          .filter(col("df_exact").isNull && estFlag + col("b") >= 2)
+          .select(col("h1"), col("h2"), (estFlag + col("b")).cast(LongType).as("df"))
+        val newTail = probed
+          .filter(col("df_exact").isNull && col("b") === 1 && col("est") < 1)
+        val tailKept = tailK
+          .join(crossings.select("h1", "h2"), Seq("h1", "h2"), "left_anti")
+        val newArt = updated.unionByName(crossings)
+          .unionByName(tailKept.select(col("h1"), col("h2"),
+            lit(1L).cast(LongType).as("df")))
+          .unionByName(newTail.select(col("h1"), col("h2"),
+            lit(1L).cast(LongType).as("df")))
+        (newArt, probed)
+      }
+      def stored(day: String, built: org.apache.spark.sql.DataFrame) = {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+          s"tailsplit_${day}_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(d.hashCode)
+        val store = graft.sources.Store(s, path, "part")
+        store.destroy()
+        store.append(built.withColumn("part", pmod(col("h1"), lit(8))))
+        sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+        store.read.drop("part")
+      }
+      val day0 = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+      val b1 = batchOf(docs.filter(col("doc_id") % 10 === 5))
+      val b2 = batchOf(docs.filter(col("doc_id") % 10 === 0))
+      val st =
+        if (planOnly) {
+          // action-free substitutes: artifacts ride lineage, sketches are
+          // empty literals (never evaluated), contract booleans default
+          val a0 = cntOf(day0)
+          val (a1, p1) = mergeDay(a0, b1, Array.empty[Byte])
+          val (a2, p2) = mergeDay(a1, b2, Array.empty[Byte])
+          X55State(a0, a1, a2, p1, p2, 0L, 0L, mergeExact = true,
+            resketchMatchesTruth = true)
+        } else x55Cache.computeIfAbsent(
+          s"${s.sparkContext.applicationId}:$d", _ => {
+            val art0 = stored("d0", cntOf(day0))
+            val tail0 = art0.filter(col("df") === 1)
+            val nTail0 = tail0.count()
+            val sk0 = sketchBytes(tail0, skAgg)
+            val (newArt1, probed1) = mergeDay(art0, b1, sk0)
+            val art1 = stored("d1", newArt1)
+            val newTail1 = probed1.filter(col("df_exact").isNull
+              && col("b") === 1 && col("est") < 1)
+            val skNew1 = sketchBytes(newTail1, skAgg)
+            val sk1 = addSketches(sk0, skNew1)
+            val nItemsD1 = nTail0 + newTail1.count()
+            val (newArt2, probed2) = mergeDay(art1, b2, sk1)
+            val art2 = stored("d2", newArt2)
+            val newTail2 = probed2.filter(col("df_exact").isNull
+              && col("b") === 1 && col("est") < 1)
+            val skNew2 = sketchBytes(newTail2, skAgg)
+            val skAfter = addSketches(sk1, skNew2)
+            // mergeability across days: addition ≡ one-shot over every
+            // item ever added (crossed keys' residue included — CMS
+            // cannot subtract, and the identity is over ADDITIONS)
+            val oneShot = sketchBytes(
+              tail0.select("h1", "h2")
+                .unionByName(newTail1.select("h1", "h2"))
+                .unionByName(newTail2.select("h1", "h2")), skAgg)
+            val mergeExact = java.util.Arrays.equals(skAfter, oneShot)
+            // the re-sketch path: wider build from the STORED artifact's
+            // tail keys vs a wider build over the from-scratch tail — the
+            // corpus is touched ONLY by the verification arm
+            val wideStored = sketchBytes(art2.filter(col("df") === 1), skAggWide)
+            val wideTruth = sketchBytes(
+              cntOf(docs).filter(col("df") === 1), skAggWide)
+            val resketch = java.util.Arrays.equals(wideStored, wideTruth)
+            X55State(art0, art1, art2, probed1, probed2, nTail0, nItemsD1,
+              mergeExact, resketch)
+          })
+      val estFlag = when(col("est") >= 1, 1L).otherwise(0L)
+      def dayCounts(p: org.apache.spark.sql.DataFrame, cName: String, nName: String) =
+        p.agg(
+          sum(when(col("df_exact").isNull && estFlag + col("b") >= 2, 1L)
+            .otherwise(0L)).as(cName),
+          sum(when(col("df_exact").isNull && col("b") === 1 && col("est") < 1, 1L)
+            .otherwise(0L)).as(nName))
+      val d2Contracts = st.probed2.agg(
+        sum(when(col("df_exact").isNull && col("est") >= 1
+          && col("df_tail").isNull && col("b") === 1, 1L).otherwise(0L)).as("n_fp_d2"),
+        sum(when(col("df_exact").isNull && col("df_tail").isNull
+          && col("b") === 1, 1L).otherwise(0L)).as("__n_miss"),
+        (sum(when(col("df_exact").isNull && col("df_tail").isNotNull
+          && col("est") < 1, 1L).otherwise(0L)) === 0L).as("no_false_negatives_d2"))
+      val finAgg = st.art2.agg(
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_exact_final"),
+        pmod(sum(when(col("df") >= 2,
+          (col("h1") % M) * (col("h2") % M) % M * (col("df") % M) % M)
+          .otherwise(0L)), M).cast(LongType).as("exact_checksum"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_tail_final"),
+        pmod(sum(when(col("df") === 1, (col("h1") % M) * (col("h2") % M) % M)
+          .otherwise(0L)), M).cast(LongType).as("tail_checksum"))
+      finAgg
+        .crossJoin(broadcast(dayCounts(st.probed1, "n_crossings_d1", "n_new_tail_d1")))
+        .crossJoin(broadcast(dayCounts(st.probed2, "n_crossings_d2", "n_new_tail_d2")))
+        .crossJoin(broadcast(d2Contracts))
+        .withColumn("n_tail0", lit(st.nTail0))
+        .withColumn("n_sketch_items",
+          (lit(st.nTail0) + col("n_new_tail_d1") + col("n_new_tail_d2"))
+            .cast(LongType))
+        .withColumn("sketch_residue",
+          (col("n_sketch_items") - col("n_tail_final")).cast(LongType))
+        .withColumn("fp_within_bound",
+          col("n_fp_d2") <= ceil(lit(5.0) * col("__n_miss")
+            * pow(lit(1.0) - exp(lit(-st.nItemsD1.toDouble) / lit(200000.0)),
+              lit(7.0))) + lit(1L))
+        .withColumn("sketch_merge_exact", lit(st.mergeExact))
+        .withColumn("resketch_rule_triggered", col("n_tail_final") > lit(30000L))
+        .withColumn("resketch_matches_truth", lit(st.resketchMatchesTruth))
+        .select("n_exact_final", "exact_checksum", "n_tail_final",
+          "tail_checksum", "n_tail0", "n_crossings_d1", "n_new_tail_d1",
+          "n_crossings_d2", "n_new_tail_d2", "n_sketch_items",
+          "sketch_residue", "n_fp_d2", "no_false_negatives_d2",
+          "fp_within_bound", "sketch_merge_exact", "resketch_rule_triggered",
+          "resketch_matches_truth")
+    },
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |seg0 AS (SELECT doc_id, w,
+       |    unnest(generate_series(0, (len(w) - 1) // 8)) AS c FROM ws),
+       |st AS (SELECT doc_id,
+       |    array_to_string(list_slice(w, c * 8 + 1, c * 8 + 8), ' ') AS t FROM seg0),
+       |hh AS (SELECT doc_id, ${h32Sql("t")} AS h1, ${h32bSql("t")} AS h2 FROM st),
+       |c0 AS (SELECT h1, h2, COUNT(*) AS df FROM hh
+       |  WHERE doc_id % 10 NOT IN (0, 5) GROUP BY 1, 2),
+       |c01 AS (SELECT h1, h2, COUNT(*) AS df FROM hh
+       |  WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+       |ca AS (SELECT h1, h2, COUNT(*) AS df FROM hh GROUP BY 1, 2),
+       |x1 AS (SELECT
+       |    CAST(SUM(CASE WHEN c01.df >= 2 AND COALESCE(c0.df, 0) <= 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings_d1,
+       |    CAST(SUM(CASE WHEN c01.df = 1 AND c0.h1 IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_new_tail_d1
+       |  FROM c01 LEFT JOIN c0 ON c0.h1 = c01.h1 AND c0.h2 = c01.h2),
+       |x2 AS (SELECT
+       |    CAST(SUM(CASE WHEN ca.df >= 2 AND COALESCE(c01.df, 0) <= 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings_d2,
+       |    CAST(SUM(CASE WHEN ca.df = 1 AND c01.h1 IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_new_tail_d2
+       |  FROM ca LEFT JOIN c01 ON c01.h1 = ca.h1 AND c01.h2 = ca.h2),
+       |t0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tail0 FROM c0 WHERE df = 1),
+       |fin AS (SELECT
+       |    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_final,
+       |    CAST(SUM(CASE WHEN df >= 2 THEN (h1 % 2147483647) * (h2 % 2147483647)
+       |      % 2147483647 * (df % 2147483647) % 2147483647 ELSE 0 END)
+       |      % 2147483647 AS BIGINT) AS exact_checksum,
+       |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_final,
+       |    CAST(SUM(CASE WHEN df = 1 THEN (h1 % 2147483647) * (h2 % 2147483647)
+       |      % 2147483647 ELSE 0 END) % 2147483647 AS BIGINT) AS tail_checksum
+       |  FROM ca)
+       |SELECT fin.n_exact_final, fin.exact_checksum, fin.n_tail_final,
+       |  fin.tail_checksum, t0.n_tail0, x1.n_crossings_d1, x1.n_new_tail_d1,
+       |  x2.n_crossings_d2, x2.n_new_tail_d2,
+       |  CAST(t0.n_tail0 + x1.n_new_tail_d1 + x2.n_new_tail_d2 AS BIGINT)
+       |    AS n_sketch_items,
+       |  CAST(t0.n_tail0 + x1.n_new_tail_d1 + x2.n_new_tail_d2
+       |    - fin.n_tail_final AS BIGINT) AS sketch_residue,
+       |  CAST(0 AS BIGINT) AS n_fp_d2,
+       |  TRUE AS no_false_negatives_d2, TRUE AS fp_within_bound,
+       |  TRUE AS sketch_merge_exact,
+       |  fin.n_tail_final > 30000 AS resketch_rule_triggered,
+       |  TRUE AS resketch_matches_truth
+       |FROM fin CROSS JOIN t0 CROSS JOIN x1 CROSS JOIN x2""".stripMargin)
+
   /** x49: PREPROCESSING front-half capstone — the CCNet-shaped chain every
     * web corpus runs BEFORE the quality/dedup lifecycle the other
     * capstones own, composed as ONE declared DAG over raw arrivals:
@@ -10636,6 +10926,7 @@ object PipelineQueries {
     "x52_takedown_rematerialize" -> x52TakedownRematerialize,
     "x53_soft_dedup" -> x53SoftDedup,
     "x54_tail_maintenance" -> x54TailMaintenance,
+    "x55_tail_composition" -> x55TailComposition,
     "z56_domain_reweight" -> z56DomainReweight,
     "z57_rendezvous_reshard" -> z57RendezvousReshard,
     "z58_dedup_scope" -> z58DedupScope,

@@ -619,13 +619,29 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // corpus-cardinality relation — ever carries a binary column.
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.types.BinaryType
-    for (q <- Seq("x54_tail_maintenance", "x51_inventory_tail")) {
+    for (q <- Seq("x54_tail_maintenance", "x51_inventory_tail",
+        "x55_tail_composition")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
       val offenders = plan.collect {
         case j: Join => j.output.filter(_.dataType == BinaryType)
       }.flatten
       assert(offenders.isEmpty,
         s"$q: a binary sketch column rides a join output: ${offenders.map(_.name)}")
+    }
+  }
+
+  test("round-11 additions keep their scale shapes") {
+    // x55: both merge days are combinable counts + equi-joins over the
+    // artifact; the only nested-loops are the one-row panel broadcasts
+    val x55 = formatted("x55_tail_composition")
+    assert(!x55.contains("CartesianProduct"), "x55 grew a non-broadcast cartesian")
+    // s28/s29/s30: the store-lifecycle panels stay equi-join/aggregate
+    // shaped (plan-only substitutes keep the corpus scan visible)
+    for (q <- Seq("s28_lineage_purge", "s29_evolving_feed", "s30_cdc_chain")) {
+      val p = formatted(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian stage")
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).nonEmpty,
+        s"$q's audited plan lost its scan")
     }
   }
 

@@ -120,6 +120,57 @@ class StoreSpec extends SparkSpec {
     assert(gaps.count() === 0L, "a closed version's valid_to matches no successor")
   }
 
+  test("tail-split artifact survives a restart: the sketch is derived state") {
+    // the x55 lifecycle's restart property: only the exact+tail ROWS are
+    // durable; the serving CMS is DERIVED state a fresh process rebuilds
+    // from the stored tail keys in O(artifact), never the corpus — and the
+    // next merge, run entirely from the re-read artifact plus the
+    // re-derived sketch, lands exactly the from-scratch split of
+    // base ∪ batch.
+    val base = Seq.tabulate(400)(i =>
+      (i.toLong, if (i % 5 == 0) 3L else 1L)).toDF("k", "df")
+    val path = tmpDir("store_tailsplit") + "/t"
+    Store(spark, path, "part")
+      .append(base.withColumn("part", pmod(col("k"), lit(4))))
+    // ---- restart: a fresh handle with no lineage back to `base` ----
+    val art = Store(spark, path, "part").read.drop("part")
+    val sk = art.filter(col("df") === 1)
+      .select(col("k").cast("string").as("key"))
+      .agg(expr("count_min_sketch(key, CAST(0.0001 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)"))
+      .head().getAs[Array[Byte]](0)
+    // day-1 batch: 40 tail crossings (k%10=1, b=1), 40 exact updates
+    // (k%10=0, b=1), 30 fresh singletons (400..429), 10 fresh exact
+    // (430..439 at b=2)
+    val batch = ((0L until 400L).filter(k => k % 10 == 0 || k % 10 == 1).map((_, 1L))
+      ++ (400L until 430L).map((_, 1L)) ++ (430L until 440L).map((_, 2L)))
+      .toDF("k", "b")
+    val exact = art.filter(col("df") >= 2)
+    val tailK = art.filter(col("df") === 1)
+    val probed = batch
+      .join(exact.select(col("k"), col("df").as("dfe")), Seq("k"), "left")
+      .withColumn("est", when(col("dfe").isNull,
+          call_function("graft_cms_estimate", lit(sk), col("k").cast("string")))
+        .otherwise(lit(0L)))
+    val estFlag = when(col("est") >= 1, 1L).otherwise(0L)
+    val maintained = exact.join(batch, Seq("k"), "left")
+      .select(col("k"), (col("df") + coalesce(col("b"), lit(0L))).as("df"))
+      .union(probed.filter(col("dfe").isNull && estFlag + col("b") >= 2)
+        .select(col("k"), (estFlag + col("b")).as("df")))
+      .union(tailK.join(
+          probed.filter(col("dfe").isNull && estFlag + col("b") >= 2).select("k"),
+          Seq("k"), "left_anti")
+        .select(col("k"), col("df")))
+      .union(probed.filter(col("dfe").isNull && col("b") === 1 && col("est") < 1)
+        .select(col("k"), lit(1L).as("df")))
+    val scratch = base.join(batch, Seq("k"), "full")
+      .select(col("k"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("b"), lit(0L))).as("df"))
+    assert(maintained.as[(Long, Long)].collect().toSet
+      === scratch.as[(Long, Long)].collect().toSet,
+      "restart merge from the stored artifact diverged from the rebuild")
+  }
+
   test("purgeRestartLineage removes content from history and restarts the epoch") {
     val path = tmpDir("store_purge") + "/t"
     val store = Store(spark, path, "season")
