@@ -2777,7 +2777,11 @@ object PipelineQueries {
     * z25-style frequency reads), and its width scales as w ∝ tail/0.15
     * to hold the FP bound — still a constant-bytes-per-key collapse
     * versus the 16-byte exact rows, and the sketch is one mergeable
-    * blob per shard instead of a shuffled table. */
+    * blob per shard instead of a shuffled table. This panel models
+    * BUILD-TIME FPs; after k maintenance days the occupancy input is
+    * the residue-CARRYING item count, not the clean tail — x55's
+    * `fp_within_bound` closes that loop (its bound takes the
+    * accumulated additions x54/x55 price exactly as `sketch_residue`). */
   private val x51InventoryTailPolicy = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -9837,6 +9841,241 @@ object PipelineQueries {
        |CROSS JOIN nt
        |GROUP BY arm, nt.n_truth ORDER BY arm""".stripMargin)
 
+  /** y25: DELETION → REBUILD DECISION — y24 priced the two serving arms;
+    * this WIRES THE DECISION, y16's refresh-payoff discipline applied to
+    * deletions: sweep the deletion fraction (~6%, ~14%, ~33% via mod
+    * 17/7/3 tombstones), read the post-filter stopgap's starvation and
+    * its recall against the rebuilt index's per fraction, and emit the
+    * trigger verdict an operator would act on. The rule, stated as data
+    * the oracle replays: REBUILD NOW when (a) any query starves (the
+    * k-shortfall SLA breach y24 identified as the rebuild signal), OR
+    * (b) the rebuilt index recalls strictly more than the stopgap
+    * (y16's payoff > 0 — the stopgap is costing answers), OR (c) the
+    * deletion fraction reaches 25% (del_mod ≤ 4: beyond this the
+    * k′ = 2k candidate inflation stops covering the tombstone density
+    * by construction). All three clauses are integer comparisons — no
+    * float threshold to drift between engines; the recall/payoff columns
+    * are raw IEEE divisions of gated integers. Scale: each fraction's
+    * arms are the y2b multi-probe bucket equi-join; truth is the
+    * bounded-batch brute force; the sweep's output is 3 rows. */
+  private val y25DeletionDecision = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val e = Tables.embeddings(s, d)
+      val arms = Seq(17, 7, 3).map { m =>
+        val tomb = col("vec_id") % m === 0
+        val qPred: Column => Column = id =>
+          id % 50 === 0 && id < 1000 && !(id % m === 0)
+        val retained = e.filter(!tomb)
+        val truth0 = Similarity.bruteForceTopK(
+            retained.filter(qPred(col("vec_id"))), retained,
+            "vec_id", "embedding", k = 3)
+          .select("q_id", "c_id")
+        // three consumers per fraction (count, both arm joins) — pin
+        val truth = if (planOnly) truth0 else graft.Housekeeping.pin(s)(truth0).df
+        val rebuild = Similarity.bucketedTopK(retained, qPred, "vec_id",
+            "embedding", k = 3, probeRadius = 1)
+          .select("q_id", "c_id")
+        val stale = Similarity.bucketedTopK(e, qPred, "vec_id", "embedding",
+            k = 6, probeRadius = 1)
+          .filter(!(col("c_id") % m === 0))
+          .withColumn("r2", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("rank").asc)))
+          .filter(col("r2") <= 3)
+          .select("q_id", "c_id")
+        val pf = stale
+          .join(truth.withColumn("hit", lit(true)), Seq("q_id", "c_id"), "left")
+          .agg(countDistinct(col("q_id")).as("pf_queries"),
+            count(lit(1)).as("pf_served"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("pf_hits"))
+        val rb = rebuild
+          .join(truth.withColumn("hit", lit(true)), Seq("q_id", "c_id"), "left")
+          .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("rb_hits"))
+        pf.crossJoin(broadcast(rb))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .select(lit(m.toLong).as("del_mod"), col("pf_queries"),
+            col("pf_served"), col("pf_hits"), col("rb_hits"), col("n_truth"))
+      }
+      arms.reduce(_ unionByName _)
+        .withColumn("pf_starved",
+          (col("pf_queries") * 3 - col("pf_served")).cast(LongType))
+        .withColumn("pf_recall", col("pf_hits") / col("n_truth"))
+        .withColumn("rb_recall", col("rb_hits") / col("n_truth"))
+        .withColumn("recall_payoff",
+          (col("rb_hits") - col("pf_hits")) / col("n_truth"))
+        .withColumn("rebuild_now",
+          col("pf_starved") > 0 || col("rb_hits") > col("pf_hits")
+            || col("del_mod") <= 4)
+        .select("del_mod", "pf_queries", "pf_served", "pf_starved", "pf_hits",
+          "rb_hits", "n_truth", "pf_recall", "rb_recall", "recall_payoff",
+          "rebuild_now")
+        .orderBy("del_mod")
+    },
+    {
+      def armSql(m: Int) =
+        s"""ret$m AS (SELECT * FROM n WHERE vec_id % $m <> 0),
+           |q$m AS (SELECT * FROM ret$m WHERE vec_id % 50 = 0 AND vec_id < 1000),
+           |tr$m AS (SELECT q_id, c_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, ROW_NUMBER() OVER (
+           |      PARTITION BY q.vec_id ORDER BY
+           |        ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+           |        c.vec_id) AS rk
+           |    FROM q$m q JOIN ret$m c ON c.vec_id <> q.vec_id) t WHERE rk <= 3),
+           |reb$m AS (SELECT q_id, c_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, ROW_NUMBER() OVER (
+           |      PARTITION BY q.vec_id ORDER BY
+           |        ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+           |        c.vec_id) AS rk
+           |    FROM q$m q JOIN ret$m c ON bit_count(xor(c.bucket, q.bucket)) <= 1
+           |      AND c.vec_id <> q.vec_id) t WHERE rk <= 3),
+           |st$m AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, ROW_NUMBER() OVER (
+           |      PARTITION BY q.vec_id ORDER BY
+           |        ROUND(${dotSql("q.vd", "c.vd")} / (q.nrm * c.nrm), 6) DESC,
+           |        c.vec_id) AS rk
+           |    FROM q$m q JOIN n c ON bit_count(xor(c.bucket, q.bucket)) <= 1
+           |      AND c.vec_id <> q.vec_id),
+           |pf$m AS (SELECT q_id, c_id FROM (
+           |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+           |      PARTITION BY q_id ORDER BY rk) AS r2
+           |    FROM st$m WHERE rk <= 6 AND c_id % $m <> 0) t WHERE r2 <= 3),
+           |row$m AS (SELECT CAST($m AS BIGINT) AS del_mod,
+           |    (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) FROM pf$m) AS pf_queries,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pf$m) AS pf_served,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pf$m p JOIN tr$m t
+           |       ON t.q_id = p.q_id AND t.c_id = p.c_id) AS pf_hits,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM reb$m r JOIN tr$m t
+           |       ON t.q_id = r.q_id AND t.c_id = r.c_id) AS rb_hits,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM tr$m) AS n_truth)""".stripMargin
+      s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+         |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm,
+         |    CAST($bucketSql AS BIGINT) AS bucket FROM v),
+         |${armSql(17)},
+         |${armSql(7)},
+         |${armSql(3)}
+         |SELECT del_mod, pf_queries, pf_served,
+         |  CAST(pf_queries * 3 - pf_served AS BIGINT) AS pf_starved,
+         |  pf_hits, rb_hits, n_truth,
+         |  pf_hits / n_truth AS pf_recall,
+         |  rb_hits / n_truth AS rb_recall,
+         |  (rb_hits - pf_hits) / n_truth AS recall_payoff,
+         |  (pf_queries * 3 - pf_served > 0 OR rb_hits > pf_hits OR del_mod <= 4)
+         |    AS rebuild_now
+         |FROM (SELECT * FROM row17 UNION ALL SELECT * FROM row7
+         |      UNION ALL SELECT * FROM row3)
+         |ORDER BY del_mod""".stripMargin
+    })
+
+  /** y26: MIPS SERVING × TOMBSTONES — y24's post-filter-vs-rebuild pair
+    * on the norm-augmented MIPS index (y22's serving arm gets the
+    * deletion lifecycle it lacked): REBUILD re-augments and re-buckets
+    * the retained corpus — note the subtlety the arm exists to surface:
+    * the augmentation scalar M = max ‖x‖ is an INDEX-BUILD artifact, so
+    * a rebuild recomputes it over the retained vectors (deleting the
+    * longest vector changes every augmented coordinate — the stale
+    * index cannot know); POST-FILTER serves the stale index (stale M,
+    * stale buckets) at k′ = 2k, drops tombstoned candidates, re-ranks.
+    * Tombstoned queries are dropped outright. Truth is the exact
+    * raw-dot MIPS top-3 over the retained corpus (bounded batch, salted
+    * two-stage rank); the y24 panel shape prices both arms — starvation
+    * is the rebuild trigger signal, fed to y25's decision rule. Both
+    * arms stay multi-probe bucket equi-joins at planes = 4 (y22's
+    * documented occupancy knob for this corpus). */
+  private val y26MipsTombstone = Q(
+    (s, d) => {
+      val e = Tables.embeddings(s, d)
+      val tomb = col("vec_id") % 7 === 0
+      val qPred: Column => Column = id =>
+        id % 50 === 0 && id < 1000 && !(id % 7 === 0)
+      val retained = e.filter(!tomb)
+      val q = retained.filter(qPred(col("vec_id")))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val c = retained.select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val scored = q.join(c, col("q_id") =!= col("c_id"))
+        .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
+      val truth0 = Relational.groupedTopK(scored, Seq("q_id"), col("c_id"),
+          Seq(col("dot").desc, col("c_id").asc), k = 3, out = "rank")
+        .select("q_id", "c_id")
+      val truth = if (planOnly) truth0 else graft.Housekeeping.pin(s)(truth0).df
+      val rebuild = Similarity.mipsTopK(retained, qPred, "vec_id", "embedding",
+          k = 3, planes = 4)
+        .select(lit("rebuild").as("arm"), col("q_id"), col("c_id"))
+      val stale = Similarity.mipsTopK(e, qPred, "vec_id", "embedding",
+          k = 6, planes = 4)
+        .filter(!(col("c_id") % 7 === 0))
+        .withColumn("r2", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("rank").asc)))
+        .filter(col("r2") <= 3)
+        .select(lit("post_filter").as("arm"), col("q_id"), col("c_id"))
+      val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+      rebuild.unionByName(stale)
+        .join(truth.withColumn("hit", lit(true)), Seq("q_id", "c_id"), "left")
+        .groupBy("arm").agg(
+          countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_served"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+        .crossJoin(broadcast(nTruth))
+        .withColumn("n_starved", col("n_queries") * 3 - col("n_served"))
+        .select("arm", "n_queries", "n_served", "n_starved", "n_hits", "n_truth")
+        .orderBy("arm")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm FROM v),
+       |ret AS (SELECT * FROM n WHERE vec_id % 7 <> 0),
+       |m AS (SELECT MAX(nrm) AS mnorm FROM n),
+       |mr AS (SELECT MAX(nrm) AS mnorm FROM ret),
+       |ca AS (SELECT vec_id, list_append(vd,
+       |    CAST(CAST(sqrt(GREATEST(mnorm * mnorm - nrm * nrm, 0)) AS FLOAT)
+       |      AS DOUBLE)) AS vd
+       |  FROM n CROSS JOIN m),
+       |car AS (SELECT vec_id, list_append(vd,
+       |    CAST(CAST(sqrt(GREATEST(mnorm * mnorm - nrm * nrm, 0)) AS FLOAT)
+       |      AS DOUBLE)) AS vd
+       |  FROM ret CROSS JOIN mr),
+       |cbk AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket FROM ca),
+       |crbk AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket FROM car),
+       |qa AS (SELECT vec_id, list_append(vd, CAST(0 AS DOUBLE)) AS vd
+       |  FROM v WHERE vec_id % 50 = 0 AND vec_id < 1000 AND vec_id % 7 <> 0),
+       |qbk AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket FROM qa),
+       |truth AS (SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q.vec_id ORDER BY
+       |        ROUND(${dotSql("q.vd", "c.vd")}, 6) DESC, c.vec_id) AS rk
+       |    FROM v q JOIN ret cn ON cn.vec_id <> q.vec_id
+       |    JOIN v c ON c.vec_id = cn.vec_id
+       |    WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000 AND q.vec_id % 7 <> 0) t
+       |  WHERE rk <= 3),
+       |reb AS (SELECT 'rebuild' AS arm, q_id, c_id FROM (
+       |    SELECT qb.vec_id AS q_id, ck.vec_id AS c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY qb.vec_id ORDER BY
+       |        ROUND(${dotSql("q.vd", "c.vd")}, 6) DESC, ck.vec_id) AS rk
+       |    FROM qbk qb JOIN v q ON q.vec_id = qb.vec_id
+       |    JOIN crbk ck ON bit_count(xor(qb.bucket, ck.bucket)) <= 1
+       |      AND ck.vec_id <> qb.vec_id
+       |    JOIN v c ON c.vec_id = ck.vec_id) t
+       |  WHERE rk <= 3),
+       |st6 AS (SELECT qb.vec_id AS q_id, ck.vec_id AS c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY qb.vec_id ORDER BY
+       |        ROUND(${dotSql("q.vd", "c.vd")}, 6) DESC, ck.vec_id) AS rk
+       |    FROM qbk qb JOIN v q ON q.vec_id = qb.vec_id
+       |    JOIN cbk ck ON bit_count(xor(qb.bucket, ck.bucket)) <= 1
+       |      AND ck.vec_id <> qb.vec_id
+       |    JOIN v c ON c.vec_id = ck.vec_id),
+       |pf AS (SELECT 'post_filter' AS arm, q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY rk) AS r2
+       |    FROM st6 WHERE rk <= 6 AND c_id % 7 <> 0) t WHERE r2 <= 3),
+       |u AS (SELECT * FROM reb UNION ALL SELECT * FROM pf),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT arm, CAST(COUNT(DISTINCT u.q_id) AS BIGINT) AS n_queries,
+       |  CAST(COUNT(*) AS BIGINT) AS n_served,
+       |  CAST(COUNT(DISTINCT u.q_id) * 3 - COUNT(*) AS BIGINT) AS n_starved,
+       |  CAST(SUM(CASE WHEN truth.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hits,
+       |  nt.n_truth
+       |FROM u LEFT JOIN truth ON truth.q_id = u.q_id AND truth.c_id = u.c_id
+       |CROSS JOIN nt
+       |GROUP BY arm, nt.n_truth ORDER BY arm""".stripMargin)
+
   /** y10: Johnson–Lindenstrauss random projection + preservation report —
     * the dimensionality-reduction rung of the embedding ladder (y6
     * quantizes components, y5 codes subspaces, y10 drops dimensions):
@@ -11010,6 +11249,8 @@ object PipelineQueries {
     "y22_mips_serve" -> y22MipsServe,
     "y23_mips_curve" -> y23MipsCurve,
     "y24_tombstone_ann" -> y24TombstoneAnn,
+    "y25_deletion_decision" -> y25DeletionDecision,
+    "y26_mips_tombstone" -> y26MipsTombstone,
     "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,

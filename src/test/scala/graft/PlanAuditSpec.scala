@@ -635,6 +635,13 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // artifact; the only nested-loops are the one-row panel broadcasts
     val x55 = formatted("x55_tail_composition")
     assert(!x55.contains("CartesianProduct"), "x55 grew a non-broadcast cartesian")
+    // y25/y26: every serving arm stays a bucket equi-join (the only
+    // nested-loops are the deliberate bounded truth batches and one-row
+    // panel broadcasts — never a corpus×corpus pair space)
+    for (q <- Seq("y25_deletion_decision", "y26_mips_tombstone")) {
+      val p = formatted(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a non-broadcast cartesian")
+    }
     // s28/s29/s30: the store-lifecycle panels stay equi-join/aggregate
     // shaped (plan-only substitutes keep the corpus scan visible)
     for (q <- Seq("s28_lineage_purge", "s29_evolving_feed", "s30_cdc_chain")) {
