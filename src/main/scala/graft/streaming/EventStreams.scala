@@ -320,12 +320,24 @@ object EventStreams {
     * occupancy knob identically on both paths (y22 serves this corpus
     * at planes=4) or the candidate sets silently diverge.
     * Queries probing only empty buckets emit nothing (annServe's
-    * documented fallback seam). */
+    * documented fallback seam).
+    *
+    * `tombstones` is the POST-FILTER deletion stopgap (y26's zero-
+    * downtime arm brought to the serving path): the STALE index keeps
+    * serving — stale M, stale buckets, the corpus relation untouched —
+    * while tombstoned candidates drop AFTER the probe (broadcast
+    * anti-join on the id; the removal list is request-sized) and
+    * tombstoned requesters get nothing. A query whose every candidate
+    * is tombstoned emits nothing — the streaming face of y24's
+    * starvation, the signal that schedules the rebuild; the REBUILD arm
+    * is just this method over the retained corpus (M recomputes — the
+    * augmentation scalar is an index-build artifact, y26's subtlety). */
   def mipsServe(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, tsCol: String,
                 watermark: String = "10 minutes",
                 planes: Int = graft.operators.Similarity.NumPlanes,
-                dims: Int = 64): DataFrame = {
+                dims: Int = 64,
+                tombstones: Option[DataFrame] = None): DataFrame = {
     import graft.operators.Similarity
     val mnormRow = corpus.agg(max(Similarity.norm(vecCol)).cast("double")).head()
     // fail with a message naming the problem instead of the opaque NPE a
@@ -345,7 +357,7 @@ object EventStreams {
           lit(0.0))).cast("float"))))
       .withColumn("probe", Similarity.hyperplaneBucket("caug", dims + 1, planes))
       .select("c_id", "c_vec", "probe")
-    val q = queries
+    val q0 = queries
       .select(col(idCol).as("q_id"), col(tsCol).as("ts"), col(vecCol).as("q_vec"))
       .withWatermark("ts", watermark)
       .withColumn("qaug", concat(col("q_vec"), array(lit(0.0f))))
@@ -354,8 +366,16 @@ object EventStreams {
         col("bucket") +:
           (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
       .select("q_id", "ts", "q_vec", "probe")
-    q.join(c, Seq("probe"))
+    // tombstoned requesters get nothing (a deleted entity must not be
+    // served), and tombstoned candidates drop post-probe — both
+    // broadcast anti-joins on the request-sized removal relation
+    val q = tombstones.fold(q0)(t => q0.join(
+      broadcast(t.select(col(t.columns.head).as("q_id"))), Seq("q_id"), "left_anti"))
+    val joined0 = q.join(c, Seq("probe"))
       .filter(col("q_id") =!= col("c_id"))
+    val joined = tombstones.fold(joined0)(t => joined0.join(
+      broadcast(t.select(col(t.columns.head).as("c_id"))), Seq("c_id"), "left_anti"))
+    joined
       .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
       .groupBy(col("q_id"), col("ts"))
       .agg(max(struct(col("dot"), (-col("c_id")).as("nid"))).as("best"))

@@ -868,6 +868,60 @@ class StreamingSpec extends SparkSpec {
     assert(got === exp, s"stream $got != batch $exp")
   }
 
+  test("mipsServe post-filters tombstones: the stale index serves, deleted ids vanish") {
+    import graft.operators.Similarity
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 7 + i * 13) % 17) - 8).toFloat)
+    val corpus = (100L to 115L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    // twins 901→103, 902→107, 903→111; requester 904 is itself tombstoned
+    val qRows = Seq((901L, ts(5), vec(103L)), (902L, ts(10), vec(107L)),
+      (903L, ts(15), vec(111L)), (904L, ts(20), vec(113L)))
+    val tombs = Seq(103L, 107L, 904L).toDF("vec_id")
+    val src = tmpDir("mips_tomb_src")
+    qRows.toDF("vec_id", "ts", "embedding").repartition(1)
+      .write.mode("append").parquet(src)
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("ts", TimestampType),
+      StructField("embedding", ArrayType(FloatType))))
+    val served = EventStreams.mipsServe(
+      spark.readStream.schema(qSchema).parquet(src), corpus,
+      "vec_id", "embedding", "ts", planes = 4, tombstones = Some(tombs))
+    val q = served.writeStream.format("memory").queryName("mips_tomb_out")
+      .outputMode(OutputMode.Complete()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("mips_tomb_out").select("q_id", "c_id", "dot")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // the tombstoned requester is never served; the others fall back to
+    // their best NON-tombstoned candidate off the STALE index
+    assert(got.keySet === Set(901L, 902L, 903L), s"wrong served set: $got")
+    assert(!got.values.exists(v => Set(103L, 107L).contains(v._1)),
+      s"a tombstoned candidate was served: $got")
+    // batch post-filter parity: surface every stale-index candidate
+    // (k = corpus size), drop tombstoned + query-twin candidates (the
+    // stream's candidates are corpus-only), take the best survivor
+    val union = corpus.unionByName(
+      qRows.map(r => (r._1, r._3)).toDF("vec_id", "embedding"))
+    val exp = Similarity.mipsTopK(union, id => id >= 900L, "vec_id", "embedding",
+        k = 32, planes = 4)
+      .filter(!col("c_id").isin(103L, 107L) && col("c_id") < 900L
+        && col("q_id") =!= lit(904L))
+      .withColumn("r2", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("rank").asc)))
+      .filter(col("r2") === 1)
+      .select("q_id", "c_id", "dot")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === exp, s"stream $got != batch post-filter $exp")
+    // an empty static corpus refuses stream construction with a named
+    // error (the max-norm augmentation scalar is undefined)
+    val err = intercept[IllegalArgumentException] {
+      EventStreams.mipsServe(
+        spark.readStream.schema(qSchema).parquet(src),
+        corpus.filter(col("vec_id") < 0L), "vec_id", "embedding", "ts")
+    }
+    assert(err.getMessage.contains("empty"))
+  }
+
   test("scd2Sink maintains the history store across restarts and duplicate re-delivery") {
     // the CDC loop end to end: a change feed drains through the
     // checkpointed foreachBatch merge; batch 2 arrives AFTER a kill
