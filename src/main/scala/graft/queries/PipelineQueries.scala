@@ -2251,6 +2251,153 @@ object PipelineQueries {
        |  TRUE AS resketch_matches_truth
        |FROM fin CROSS JOIN t0 CROSS JOIN x1 CROSS JOIN x2""".stripMargin)
 
+  private final case class X56State(
+      art0: org.apache.spark.sql.DataFrame, art1: org.apache.spark.sql.DataFrame,
+      resketchOk: Boolean)
+  private val x56Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, X56State]()
+
+  /** x56: TAKEDOWN on the TAIL-SPLIT artifact — the third side of the
+    * split-artifact lifecycle triangle (x51 builds it, x54/x55 maintain
+    * it, this removes from it): a governance request deletes docs, and
+    * the artifact must update in O(removed) off its STORED form, never a
+    * corpus pass. The exact part and the tail KEYS subtract exactly
+    * (x50's subtract-merge: df′ = df − r from the removed docs' own
+    * segment counts; df′ ≥ 2 stays exact, df′ = 1 DEMOTES to the tail —
+    * the downward crossing x50 surfaced — df′ = 0 drops). The SKETCH
+    * cannot subtract (CMS is add-only), so a takedown forces the repair
+    * x55 built: RE-SKETCH from the stored tail′ keys — which is exactly
+    * why the durable artifact keeps the tail keys cold; an
+    * exact-head-plus-sketch-only store would need the corpus here.
+    * Gates: post-takedown exact/tail counts + checksums ≡ the
+    * from-scratch split of the RETAINED corpus (subtract ≡ refit),
+    * demotion/drop transition counts (oracle re-derives them from
+    * full-vs-retained counts), and `resketch_equals_scratch`
+    * byte-compares the tail′-key rebuild against a from-scratch build
+    * over the retained tail (the corpus touched only by that
+    * verification arm). Scale: the subtract join is keyed by the
+    * removed docs' segments — O(removed); the artifact rewrite is the
+    * store round-trip; the re-sketch is one pass over the stored tail′
+    * keys, O(artifact). */
+  private val x56TailTakedown = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      def segsOf(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.chunkWords(df, "doc_id", "text", 8)
+          .select(col("doc_id"),
+            TextAnalysis.hash32(col("chunk_text")).as("h1"),
+            TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      def cntOf(f: org.apache.spark.sql.DataFrame) =
+        segsOf(f).groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      val removedPred = col("doc_id") % 9 === 0
+      val skAgg = "count_min_sketch(key, CAST(0.00001 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)"
+      def sketchBytes(keys: org.apache.spark.sql.DataFrame): Array[Byte] = {
+        val r = keys.select("h1", "h2")
+          .withColumn("key", concat_ws(":", col("h1"), col("h2")))
+          .agg(expr(skAgg).as("sk")).head()
+        Option(r.getAs[Array[Byte]]("sk")).getOrElse(Array.empty[Byte])
+      }
+      def stored(day: String, built: org.apache.spark.sql.DataFrame) = {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+          s"tailtd_${day}_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(d.hashCode)
+        val store = graft.sources.Store(s, path, "part")
+        store.destroy()
+        store.append(built.withColumn("part", pmod(col("h1"), lit(8))))
+        sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+        store.read.drop("part")
+      }
+      def subtracted(art: org.apache.spark.sql.DataFrame) = {
+        val rem = segsOf(docs.filter(removedPred))
+          .groupBy("h1", "h2").agg(count(lit(1)).as("r"))
+        art.join(rem, Seq("h1", "h2"), "left")
+          .select(col("h1"), col("h2"),
+            (col("df") - coalesce(col("r"), lit(0L))).cast(LongType).as("df"))
+          .filter(col("df") >= 1)
+      }
+      val st =
+        if (planOnly) {
+          val a0 = cntOf(docs)
+          X56State(a0, subtracted(a0), resketchOk = true)
+        } else x56Cache.computeIfAbsent(
+          s"${s.sparkContext.applicationId}:$d", _ => {
+            val art0 = stored("t0", cntOf(docs))
+            val art1 = stored("t1", subtracted(art0))
+            // CMS is add-only: the takedown repair IS x55's re-sketch
+            // path, run off the stored tail′ keys; the from-scratch arm
+            // exists only to verify it
+            val rebuilt = sketchBytes(art1.filter(col("df") === 1))
+            val scratch = sketchBytes(
+              cntOf(docs.filter(!removedPred)).filter(col("df") === 1))
+            X56State(art0, art1, java.util.Arrays.equals(rebuilt, scratch))
+          })
+      val before = st.art0.agg(
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_exact_before"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_tail_before"))
+      val after = st.art1.agg(
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_exact_after"),
+        pmod(sum(when(col("df") >= 2,
+          (col("h1") % M) * (col("h2") % M) % M * (col("df") % M) % M)
+          .otherwise(0L)), M).cast(LongType).as("exact_checksum"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_tail_after"),
+        pmod(sum(when(col("df") === 1, (col("h1") % M) * (col("h2") % M) % M)
+          .otherwise(0L)), M).cast(LongType).as("tail_checksum"))
+      val trans = st.art0.select(col("h1"), col("h2"), col("df").as("df0"))
+        .join(st.art1.select(col("h1"), col("h2"), col("df").as("df1")),
+          Seq("h1", "h2"), "left")
+        .agg(
+          sum(when(col("df0") >= 2 && col("df1") === 1, 1L).otherwise(0L))
+            .as("n_demoted"),
+          sum(when(col("df1").isNull, 1L).otherwise(0L)).as("n_dropped"))
+      val nRemoved = docs.filter(removedPred)
+        .agg(count(lit(1)).as("n_removed_docs"))
+      after.crossJoin(broadcast(before))
+        .crossJoin(broadcast(trans))
+        .crossJoin(broadcast(nRemoved))
+        .withColumn("resketch_equals_scratch", lit(st.resketchOk))
+        .select("n_removed_docs", "n_exact_before", "n_tail_before",
+          "n_exact_after", "exact_checksum", "n_tail_after", "tail_checksum",
+          "n_demoted", "n_dropped", "resketch_equals_scratch")
+    },
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |seg0 AS (SELECT doc_id, w,
+       |    unnest(generate_series(0, (len(w) - 1) // 8)) AS c FROM ws),
+       |st AS (SELECT doc_id,
+       |    array_to_string(list_slice(w, c * 8 + 1, c * 8 + 8), ' ') AS t FROM seg0),
+       |hh AS (SELECT doc_id, ${h32Sql("t")} AS h1, ${h32bSql("t")} AS h2 FROM st),
+       |ca AS (SELECT h1, h2, COUNT(*) AS df FROM hh GROUP BY 1, 2),
+       |ret AS (SELECT h1, h2, COUNT(*) AS df FROM hh
+       |  WHERE doc_id % 9 <> 0 GROUP BY 1, 2),
+       |bef AS (SELECT
+       |    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_before,
+       |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_before
+       |  FROM ca),
+       |aft AS (SELECT
+       |    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_after,
+       |    CAST(SUM(CASE WHEN df >= 2 THEN (h1 % 2147483647) * (h2 % 2147483647)
+       |      % 2147483647 * (df % 2147483647) % 2147483647 ELSE 0 END)
+       |      % 2147483647 AS BIGINT) AS exact_checksum,
+       |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_after,
+       |    CAST(SUM(CASE WHEN df = 1 THEN (h1 % 2147483647) * (h2 % 2147483647)
+       |      % 2147483647 ELSE 0 END) % 2147483647 AS BIGINT) AS tail_checksum
+       |  FROM ret),
+       |tr AS (SELECT
+       |    CAST(SUM(CASE WHEN ca.df >= 2 AND ret.df = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_demoted,
+       |    CAST(SUM(CASE WHEN ret.h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dropped
+       |  FROM ca LEFT JOIN ret ON ret.h1 = ca.h1 AND ret.h2 = ca.h2),
+       |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_removed_docs FROM documents
+       |  WHERE doc_id % 9 = 0)
+       |SELECT nr.n_removed_docs, bef.n_exact_before, bef.n_tail_before,
+       |  aft.n_exact_after, aft.exact_checksum, aft.n_tail_after,
+       |  aft.tail_checksum, tr.n_demoted, tr.n_dropped,
+       |  TRUE AS resketch_equals_scratch
+       |FROM aft CROSS JOIN bef CROSS JOIN tr CROSS JOIN nr""".stripMargin)
+
   /** x49: PREPROCESSING front-half capstone — the CCNet-shaped chain every
     * web corpus runs BEFORE the quality/dedup lifecycle the other
     * capstones own, composed as ONE declared DAG over raw arrivals:
@@ -11166,6 +11313,7 @@ object PipelineQueries {
     "x53_soft_dedup" -> x53SoftDedup,
     "x54_tail_maintenance" -> x54TailMaintenance,
     "x55_tail_composition" -> x55TailComposition,
+    "x56_tail_takedown" -> x56TailTakedown,
     "z56_domain_reweight" -> z56DomainReweight,
     "z57_rendezvous_reshard" -> z57RendezvousReshard,
     "z58_dedup_scope" -> z58DedupScope,

@@ -631,10 +631,13 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   }
 
   test("round-11 additions keep their scale shapes") {
-    // x55: both merge days are combinable counts + equi-joins over the
-    // artifact; the only nested-loops are the one-row panel broadcasts
-    val x55 = formatted("x55_tail_composition")
-    assert(!x55.contains("CartesianProduct"), "x55 grew a non-broadcast cartesian")
+    // x55/x56: merge days and the takedown subtract are combinable counts
+    // + equi-joins over the artifact; the only nested-loops are the
+    // one-row panel broadcasts
+    for (q <- Seq("x55_tail_composition", "x56_tail_takedown")) {
+      val p = formatted(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a non-broadcast cartesian")
+    }
     // y25/y26: every serving arm stays a bucket equi-join (the only
     // nested-loops are the deliberate bounded truth batches and one-row
     // panel broadcasts — never a corpus×corpus pair space)
