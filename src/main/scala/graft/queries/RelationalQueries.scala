@@ -553,6 +553,58 @@ object RelationalQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** s31: HISTORY RETENTION — the third governance knob completing the
+    * s23/s28 pair (time travel keeps every version readable; the purge
+    * keeps none; retention BOUNDS how far back the lineage stays
+    * addressable): [[graft.sources.Store.collapseHistory]] merges the
+    * log entries for versions 1..upTo into one base entry at upTo — a
+    * METADATA-only O(log) operation, no file moves, no rewrite (Delta's
+    * log checkpointing in minimal form; what keeps a years-old table's
+    * `_log` O(retained versions) instead of O(every append ever)). The
+    * panel reads every SURVIVING version (2..4 after collapsing a
+    * 4-version lineage to 2) with rows/tokens/checksum plus the
+    * addressable-version count, while the oracle recomputes each
+    * snapshot's batch-prefix membership from the raw corpus — proving
+    * the collapse changed which versions RESOLVE and nothing about what
+    * they contain. StoreSpec pins the mechanics (surviving reads
+    * byte-identical, below-floor versions refuse, appends continue,
+    * no-op re-collapse, no tmp left behind). */
+  private val s31HistoryRetention = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val docs = Tables.documents(s, d)
+      val M = lit(2147483647L)
+      // plan-only sweeps substitute batch-prefix membership filters
+      val snapshot: Long => org.apache.spark.sql.DataFrame =
+        if (planOnly) { v => docs.filter(col("doc_id") % 4 < v) }
+        else {
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"retention_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val store = graft.sources.Store(s, path, "source")
+          store.destroy()
+          (0 to 3).foreach(r =>
+            store.appendVersioned(docs.filter(col("doc_id") % 4 === r)))
+          store.collapseHistory(2)
+          v => store.readVersion(v)
+        }
+      (2 to 4).map { v =>
+        snapshot(v.toLong).agg(
+            count(lit(1)).as("n_rows"),
+            sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
+            pmod(sum((col("doc_id") % M) * ((col("doc_id") + 7) % M) % M), M)
+              .cast(LongType).as("checksum"))
+          .select(lit(v.toLong).as("version"), lit(3L).as("n_addressable"),
+            col("n_rows"), col("n_tokens"), col("checksum"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    },
+    """WITH vs AS (SELECT CAST(unnest(generate_series(2, 4)) AS BIGINT) AS version)
+      |SELECT version, CAST(3 AS BIGINT) AS n_addressable, COUNT(*) AS n_rows,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647) % 2147483647)
+      |    % 2147483647 AS BIGINT) AS checksum
+      |FROM vs JOIN documents ON doc_id % 4 < version
+      |GROUP BY version ORDER BY version""".stripMargin)
+
   private val s23TimeTravel = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -2007,6 +2059,7 @@ object RelationalQueries {
     "s28_lineage_purge" -> s28LineagePurge,
     "s29_evolving_feed" -> s29EvolvingFeed,
     "s30_cdc_chain" -> s30CdcChain,
+    "s31_history_retention" -> s31HistoryRetention,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

@@ -513,6 +513,45 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
       org.apache.spark.sql.types.StructType.fromDDL(entries.last._1))
   }
 
+  /** History RETENTION — the third governance knob beside time travel
+    * (every version stays readable) and [[purgeRestartLineage]] (no
+    * version survives): bound how far back the lineage stays ADDRESSABLE
+    * without touching data. The log entries for versions 1..upTo collapse
+    * into ONE base entry at `upTo` (the union of their recorded files —
+    * a METADATA-only operation, no file moves, no rewrite, O(log)), so
+    * `readVersion(v >= upTo)` and `readChanges` over surviving ranges
+    * stay byte-identical while versions below `upTo` stop resolving —
+    * the retention promise, honestly stated (Delta's log checkpointing
+    * in this store's minimal form; at 100 TB this is what keeps a
+    * years-old table's `_log` listing O(retained versions), not
+    * O(every append ever)). The merged entry keeps the newest collapsed
+    * entry's schema line, so an all-empty collapsed prefix still
+    * reconstructs typed. Crash note (single-writer discipline): the
+    * merged entry is fully written to a hidden sibling before any old
+    * entry is removed — a crash mid-collapse leaves
+    * `_log/.v<upTo>_merged` as the recovery artifact (rename it over
+    * `v<upTo>` and delete the older entries to finish). */
+  def collapseHistory(upTo: Long): Unit = {
+    val vs = versions
+    require(vs.contains(upTo), s"unknown version $upTo at $path (have $vs)")
+    val toMerge = vs.filter(_ <= upTo)
+    if (toMerge.size <= 1) return
+    val entries = toMerge.map(readVersionEntry)
+    val schemaDdl = entries.last._1
+    val files = entries.flatMap(_._2)
+    val (f, _) = fs
+    val tmp = new org.apache.hadoop.fs.Path(logDir, s".v${upTo}_merged")
+    val out = f.create(tmp, true)
+    try out.write((schemaDdl +: files).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    toMerge.filter(_ < upTo).foreach(v =>
+      f.delete(new org.apache.hadoop.fs.Path(logDir, s"v$v"), false))
+    val target = new org.apache.hadoop.fs.Path(logDir, s"v$upTo")
+    f.delete(target, false)
+    require(f.rename(tmp, target),
+      s"failed to commit merged log entry v$upTo at $path")
+  }
+
   // ---- governance purge: the takedown × time-travel collision ------------
   //
   // Snapshot versioning promises every recorded version stays readable; a

@@ -207,6 +207,35 @@ class StoreSpec extends SparkSpec {
     intercept[IllegalArgumentException] { plain.purgeRestartLineage(lit(true)) }
   }
 
+  test("collapseHistory bounds the addressable lineage without touching data") {
+    val path = tmpDir("store_collapse") + "/t"
+    val store = Store(spark, path, "season")
+    (1 to 4).foreach(i => store.appendVersioned(season(1998 + i, i)))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("game_id").as[String].collect().toSet
+    val v2Before = ids(store.readVersion(2))
+    val v4Before = ids(store.readVersion(4))
+    val d23Before = ids(store.readChanges(2, 3))
+    store.collapseHistory(2)
+    // surviving reads are identical; the log just got shorter
+    assert(store.versions === Seq(2L, 3L, 4L))
+    assert(ids(store.readVersion(2)) === v2Before)
+    assert(ids(store.readVersion(4)) === v4Before)
+    assert(ids(store.readChanges(2, 3)) === d23Before)
+    // versions below the retention floor stop resolving — the promise
+    intercept[IllegalArgumentException] { store.readVersion(1) }
+    // the lineage keeps appending normally after the collapse
+    store.appendVersioned(season(2003, 2))
+    assert(store.versions === Seq(2L, 3L, 4L, 5L))
+    assert(ids(store.readVersion(5)).size === (1 + 2 + 3 + 4 + 2))
+    // collapsing a single-entry prefix is a no-op; unknown versions refuse
+    store.collapseHistory(2)
+    assert(store.versions === Seq(2L, 3L, 4L, 5L))
+    intercept[IllegalArgumentException] { store.collapseHistory(99) }
+    // no hidden merge tmp left behind
+    assert(!new java.io.File(s"$path/_log/.v2_merged").exists())
+  }
+
   test("readChanges merges schemas across an evolution boundary") {
     val path = tmpDir("store_cdf_evo") + "/t"
     val store = Store(spark, path, "season")
