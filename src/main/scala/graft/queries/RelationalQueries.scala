@@ -605,6 +605,110 @@ object RelationalQueries {
       |FROM vs JOIN documents ON doc_id % 4 < version
       |GROUP BY version ORDER BY version""".stripMargin)
 
+  /** s32: GOVERNANCE PROPAGATION through the CDC chain — the composition
+    * the dedup ladder proved for its artifacts (x44/x50/x52/x56) applied
+    * to the warehouse: a takedown does not stop at the source table,
+    * because every DERIVED artifact still holds the removed content. One
+    * declared DAG: build s30's chain (versioned source → SCD2 history →
+    * append-only monoid state), then the request arrives (user_id % 5)
+    * and propagates through all three stores —
+    *  1. SOURCE: [[graft.sources.Store.purgeRestartLineage]] (s28's
+    *     epoch restart — the source is versioned, so history must die);
+    *  2. HISTORY: [[graft.sources.Store.deleteWhere]] — the partition-
+    *     scoped delete (x44's takedown shape as a Store primitive);
+    *     retained users' intervals are untouched because SCD2 state is
+    *     per-key;
+    *  3. STATE: the monoid absorbs the deletion as a NEGATIVE delta —
+    *     the removed rows' partial aggregate with negated count and
+    *     negated DECIMAL sum appends like any other pull, and the fold
+    *     subtracts exactly (the append-only discipline means even
+    *     deletions never rewrite consumer state). The removal set is
+    *     snapshotted from the version log BEFORE the purge destroys it
+    *     (the request handler's one read of the doomed rows).
+    * The panel is s30's, plus the new epoch: post-propagation history ×
+    * folded state ≡ the from-scratch chain over the RETAINED feed —
+    * the oracle never sees any of the three stores. Scale: the source
+    * purge is the retained rewrite (s28's price), the history delete is
+    * partition-footprint, the state update is O(types). */
+  /** One s32 lifecycle per (session, dir): the chain's outputs are
+    * parquet-backed store reads (release-proof, unlike checkpoints), so
+    * Bench's second iteration reads the artifacts instead of re-running
+    * the purge; the negDelta checkpoint is consumed inside the build. */
+  private val s32Built = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame, Long)]()
+
+  private val s32ChainPurge = Q(
+    (s, d) => {
+      val t1 = 1704931200000000L
+      val t2 = 1705795200000000L
+      val ev = Tables.events(s, d)
+        .withColumn("from_us", unix_micros(col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "from_us")
+      val removePred = col("user_id") % 5 === 0
+      def partial(f: DataFrame) = f.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("s_dec"))
+      val (hist, state, epoch) = if (planOnly) {
+        val retained = ev.filter(!removePred)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(col("from_us").asc, col("event_id").asc)
+        (retained.withColumn("valid_from", col("from_us"))
+            .withColumn("valid_to", lead(col("from_us"), 1).over(w)),
+          partial(retained), 2L)
+      } else s32Built.computeIfAbsent(
+        s"${s.sparkContext.applicationId}:$d", _ => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+          s"chain_purge_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+        val src = graft.sources.Store(s, s"$base/src", "event_type")
+        val hst = graft.sources.Store(s, s"$base/hist", "event_type")
+        val stt = graft.sources.Store(s, s"$base/state", "event_type")
+        Seq(src, hst, stt).foreach(_.destroy())
+        Seq(col("from_us") < t1,
+            col("from_us") >= t1 && col("from_us") < t2,
+            col("from_us") >= t2)
+          .foreach(c => src.appendVersioned(ev.filter(c)))
+        (1L to 3L).foreach { v =>
+          val delta = src.readChanges(v - 1, v)
+          hst.upsertScd2(delta, Seq("user_id", "event_type"), "from_us",
+            Seq(col("event_id")))
+          stt.append(partial(delta))
+        }
+        // ---- the governance request arrives ----
+        // snapshot the doomed rows' partial BEFORE the purge destroys the
+        // files it reads (an eager checkpoint — a lazy frame evaluated
+        // after the purge would read deleted files): the negative delta
+        // is the request handler's one read of the removed content
+        val negDelta = graft.Housekeeping.pin(s)(
+          src.read.filter(removePred).groupBy("event_type")
+            .agg((-count(lit(1))).as("n"),
+              (-sum(dec2(col("value")))).as("s_dec"))).df
+        val newEpoch = src.purgeRestartLineage(removePred)
+        hst.deleteWhere(removePred)
+        stt.append(negDelta)
+        (hst.read, stt.read, newEpoch)
+      })
+      val histPanel = hist.groupBy("event_type").agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"))
+      val stateFold = state.groupBy("event_type").agg(
+        sum(col("n")).cast(LongType).as("n_events"),
+        sum(col("s_dec")).cast(DoubleType).as("sum_value"))
+      histPanel.join(stateFold, Seq("event_type"))
+        .select(col("event_type"), lit(epoch).as("epoch"), col("n_versions"),
+          col("n_current"), col("n_events"), col("sum_value"))
+        .orderBy("event_type")
+    },
+    """WITH h AS (SELECT user_id, event_type, value,
+      |    LEAD(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS to_us
+      |  FROM events WHERE user_id % 5 <> 0)
+      |SELECT event_type, CAST(2 AS BIGINT) AS epoch,
+      |  CAST(COUNT(*) AS BIGINT) AS n_versions,
+      |  CAST(SUM(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
+
   private val s23TimeTravel = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -2060,6 +2164,7 @@ object RelationalQueries {
     "s29_evolving_feed" -> s29EvolvingFeed,
     "s30_cdc_chain" -> s30CdcChain,
     "s31_history_retention" -> s31HistoryRetention,
+    "s32_chain_purge" -> s32ChainPurge,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

@@ -230,6 +230,70 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     } finally fresh.unpersist()
   }
 
+  /** Partition-scoped DELETE — the x44 takedown shape as a Store
+    * primitive: rows matching `remove` leave the table by dynamically
+    * overwriting ONLY the partitions that contain them (the touched-
+    * partition list is read from the matching rows, broadcast, and the
+    * rewrite carries each touched partition's retained rows). Cost
+    * follows the removed rows' partition footprint, not table size —
+    * on a date-partitioned 100-TB table a takedown touching three days
+    * rewrites three directories. Returns the number of touched
+    * partitions (0 = nothing matched, nothing rewritten). Refused on
+    * versioned tables (rewriting recorded files breaks time travel —
+    * that collision is [[purgeRestartLineage]]'s job) and tracked
+    * tables (the sidecar would stale; retrofit with trackFrom after). */
+  def deleteWhere(remove: org.apache.spark.sql.Column): Long = {
+    require(versions.isEmpty,
+      s"$path has recorded snapshot versions; deleteWhere would rewrite " +
+        "files old snapshots reference — purgeRestartLineage is the " +
+        "versioned-table form")
+    require(!statsExist,
+      s"$path has a _stats sidecar; deleteWhere would stale it")
+    val parts = read.filter(remove).select(partCol).distinct()
+    parts.cache()
+    try {
+      val n = parts.count()
+      if (n > 0) {
+        val touched = read.join(broadcast(parts), Seq(partCol), "left_semi")
+        // rows must be materialized off the files being overwritten: the
+        // dynamic overwrite rewrites the directories this frame reads, so
+        // snapshot through a durable temp path first (compact's rule)
+        val tmp = s"${path}__delete_tmp"
+        val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+        val (f, _) = fs
+        try {
+          touched.filter(!remove)
+            .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp)
+          // an all-matching delete lands no tmp data files — there is
+          // nothing to overwrite back, only directories to remove
+          val tmpHasData = {
+            val it = f.listFiles(tmpPath, true)
+            var found = false
+            while (!found && it.hasNext) {
+              val st = it.next()
+              if (st.isFile && st.getPath.getName.endsWith(".parquet")) found = true
+            }
+            found
+          }
+          // a partition whose every row matched must still be REPLACED
+          // (with nothing): dynamic overwrite only touches partitions
+          // present in the written frame, so fully-emptied partitions are
+          // deleted explicitly by path
+          val remaining: Set[Any] =
+            if (!tmpHasData) Set.empty
+            else spark.read.parquet(tmp).select(partCol).distinct()
+              .collect().map(_.get(0)).toSet
+          parts.collect().map(_.get(0)).filterNot(remaining.contains)
+            .foreach { v =>
+              f.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+            }
+          if (remaining.nonEmpty) overwriteRaw(spark.read.parquet(tmp))
+        } finally f.delete(tmpPath, true)
+      }
+      n
+    } finally parts.unpersist()
+  }
+
   /** Point-in-time read of an SCD2 history table ([[upsertScd2]]): the
     * version active at `ts` per key — valid_from <= ts < valid_to, open
     * rows unbounded above. O(touched partitions) under a partCol

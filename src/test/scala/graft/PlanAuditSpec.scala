@@ -648,7 +648,7 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // s28/s29/s30: the store-lifecycle panels stay equi-join/aggregate
     // shaped (plan-only substitutes keep the corpus scan visible)
     for (q <- Seq("s28_lineage_purge", "s29_evolving_feed", "s30_cdc_chain",
-        "s31_history_retention")) {
+        "s31_history_retention", "s32_chain_purge")) {
       val p = formatted(q)
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian stage")
       assert("""\(\d+\) Scan parquet""".r.findAllIn(p).nonEmpty,

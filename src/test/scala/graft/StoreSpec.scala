@@ -236,6 +236,38 @@ class StoreSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/_log/.v2_merged").exists())
   }
 
+  test("deleteWhere rewrites only touched partitions and clears emptied ones") {
+    def listFiles(p: String, part: String): Set[(String, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(f => f.getPath.contains(part)
+        && f.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified())).toSet
+    }
+    val path = tmpDir("store_delete") + "/t"
+    val store = Store(spark, path, "season")
+    store.append(season(1999, 3).union(season(2000, 4)).union(season(2001, 2)))
+    val untouched = listFiles(path, "season=1999")
+    // a delete confined to 2000 rewrites ONLY that partition
+    assert(store.deleteWhere(col("season") === 2000 && col("epa") <= 2.0) === 1L)
+    assert(store.read.count() === 3L + 2L + 2L)
+    assert(listFiles(path, "season=1999") === untouched,
+      "an untouched partition was rewritten")
+    // a predicate matching nothing is a no-op
+    assert(store.deleteWhere(col("epa") > 100.0) === 0L)
+    // a fully-emptied partition's directory disappears (dynamic overwrite
+    // only replaces partitions present in the written frame)
+    assert(store.deleteWhere(col("season") === 2001) === 1L)
+    assert(store.read.filter(col("season") === 2001).count() === 0L)
+    assert(!new java.io.File(s"$path/season=2001").exists(),
+      "an emptied partition directory survived")
+    assert(!new java.io.File(path + "__delete_tmp").exists())
+    // versioned tables refuse (purgeRestartLineage is their form)
+    val v = Store(spark, tmpDir("store_delete_v") + "/t", "season")
+    v.appendVersioned(season(1999, 1))
+    intercept[IllegalArgumentException] { v.deleteWhere(lit(true)) }
+  }
+
   test("readChanges merges schemas across an evolution boundary") {
     val path = tmpDir("store_cdf_evo") + "/t"
     val store = Store(spark, path, "season")
