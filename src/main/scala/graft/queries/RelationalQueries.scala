@@ -629,7 +629,13 @@ object RelationalQueries {
     * folded state ≡ the from-scratch chain over the RETAINED feed —
     * the oracle never sees any of the three stores. Scale: the source
     * purge is the retained rewrite (s28's price), the history delete is
-    * partition-footprint, the state update is O(types). */
+    * partition-footprint, the state update is O(types). Honest
+    * idempotency note: purge (epoch-guarded) and deleteWhere (second
+    * pass matches nothing) are naturally re-delivery-safe, but the
+    * negative state delta is NOT — replaying the request would
+    * double-subtract, so a production handler keys governance requests
+    * by id (the upsertScd2 replay-safety discipline applied to the
+    * request log) and this DAG runs each request exactly once. */
   /** One s32 lifecycle per (session, dir): the chain's outputs are
     * parquet-backed store reads (release-proof, unlike checkpoints), so
     * Bench's second iteration reads the artifacts instead of re-running
