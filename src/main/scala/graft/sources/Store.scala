@@ -29,7 +29,12 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  /** S9: destroy the table (idempotent — missing table is fine). */
+  /** S9: destroy the table (idempotent — missing table is fine).
+    * Deliberately does NOT touch the `<path>__epoch` sibling: that file is
+    * [[purgeRestartLineage]]'s crash-recovery artifact, written BEFORE the
+    * purge's own destroy() call so the epoch survives the window between
+    * tree destruction and the new lineage's marker write — sweeping it
+    * here would reintroduce exactly the epoch-reset hazard it closes. */
   def destroy(): Unit = {
     val (f, p) = fs
     if (f.exists(p)) { require(f.delete(p, true), s"failed to delete $path") }
@@ -248,13 +253,78 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
         "files old snapshots reference — purgeRestartLineage is the " +
         "versioned-table form")
     require(!statsExist,
-      s"$path has a _stats sidecar; deleteWhere would stale it")
+      s"$path has a _stats sidecar; a blind deleteWhere would stale it — " +
+        "use deleteWhereTracked(remove, term) to maintain it through the delete")
+    deleteCore(remove)(_ => ())
+  }
+
+  /** [[deleteWhere]] on a TRACKED table: same partition-scoped delete, and
+    * the `_stats` sidecar is MAINTAINED through it instead of refused —
+    * touched partitions' rows are replaced from a re-read of the retained
+    * rewrite (the [[appendTracked]] disk-truth discipline), fully-emptied
+    * partitions' rows are dropped. At 100 TB a table wants BOTH the s22
+    * metadata layer and partition-scoped takedowns; forcing a full
+    * `trackFrom` retrofit after every delete would re-scan the table at
+    * governance cadence. `term` is the caller's per-row checksum term —
+    * the SAME term every other tracked write used, or the sidecar stops
+    * certifying anything. Cost beyond the delete itself: one scan of the
+    * touched partitions' retained rows (batch-footprint, not table). */
+  def deleteWhereTracked(remove: org.apache.spark.sql.Column,
+                         term: org.apache.spark.sql.Column): Long = {
+    require(versions.isEmpty,
+      s"$path has recorded snapshot versions; deleteWhere would rewrite " +
+        "files old snapshots reference — purgeRestartLineage is the " +
+        "versioned-table form")
+    require(statsExist,
+      s"$path has no _stats sidecar — plain deleteWhere is the untracked form")
+    deleteCore(remove) { touchedVals =>
+      // replace ALL touched partitions' sidecar rows: surviving ones get
+      // stats recomputed from the files the rewrite landed; emptied ones
+      // simply have no replacement row (statsOf over the re-read yields
+      // nothing for them), so the filter drop IS their removal. The
+      // touched set arrives as COLLECTED values, not a frame: a cached
+      // frame over the table is invalidated by the rewrite's refreshByPath
+      // and would silently recompute EMPTY against the post-delete table.
+      val nonNull = touchedVals.filter(_ != null)
+      val touchPred = {
+        val inSet =
+          if (nonNull.isEmpty) lit(false)
+          else col(partCol).isin(nonNull: _*)
+        if (nonNull.size < touchedVals.size) inSet || col(partCol).isNull
+        else inSet
+      }
+      val surviving = read.filter(touchPred)
+      writeStats(
+        readStats.filter(not(coalesce(touchPred, lit(false))))
+          .unionByName(statsOf(surviving, term)))
+    }
+  }
+
+  /** Shared body of [[deleteWhere]]/[[deleteWhereTracked]]. SQL DELETE
+    * semantics under three-valued logic: a row where `remove` evaluates to
+    * NULL (a null predicate input) is UNKNOWN — it is neither selected for
+    * removal (`filter(remove)` drops it) nor removed by the retained
+    * rewrite, which keeps `NOT coalesce(remove, false)` rows; the naive
+    * `filter(!remove)` would silently delete null-predicate rows in
+    * touched partitions while identical rows in untouched partitions
+    * survived. `afterRewrite` runs after the data rewrite with the
+    * touched partitions' COLLECTED values (values, not a frame: any frame
+    * over the table is cache-invalidated by the rewrite's refreshByPath
+    * and would silently recompute against the post-delete table). */
+  private def deleteCore(remove: org.apache.spark.sql.Column)
+                        (afterRewrite: Seq[Any] => Unit): Long = {
     val parts = read.filter(remove).select(partCol).distinct()
     parts.cache()
     try {
       val n = parts.count()
       if (n > 0) {
-        val touched = read.join(broadcast(parts), Seq(partCol), "left_semi")
+        // null-safe equality: a touched NULL partition must join like any
+        // other (plain equi-semi-join never matches null keys, which would
+        // exclude the null partition's retained rows from the rewrite and
+        // then delete the whole directory below — over-deletion)
+        val partsR = parts.select(col(partCol).as("__gp"))
+        val touched = read.join(broadcast(partsR),
+          col(partCol) <=> col("__gp"), "left_semi")
         // rows must be materialized off the files being overwritten: the
         // dynamic overwrite rewrites the directories this frame reads, so
         // snapshot through a durable temp path first (compact's rule)
@@ -262,7 +332,7 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
         val tmpPath = new org.apache.hadoop.fs.Path(tmp)
         val (f, _) = fs
         try {
-          touched.filter(!remove)
+          touched.filter(not(coalesce(remove, lit(false))))
             .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp)
           // an all-matching delete lands no tmp data files — there is
           // nothing to overwrite back, only directories to remove
@@ -278,16 +348,33 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
           // a partition whose every row matched must still be REPLACED
           // (with nothing): dynamic overwrite only touches partitions
           // present in the written frame, so fully-emptied partitions are
-          // deleted explicitly by path
+          // deleted explicitly by path — through the SAME Hive-style
+          // escaping Spark's writers use (special characters percent-
+          // encoded, null → __HIVE_DEFAULT_PARTITION__); a raw
+          // s"$partCol=$v" path would silently miss e.g. a value with a
+          // space or colon and leave the taken-down rows readable. The
+          // existence check turns any residual naming mismatch into a
+          // loud failure instead of a silent no-op delete.
           val remaining: Set[Any] =
             if (!tmpHasData) Set.empty
             else spark.read.parquet(tmp).select(partCol).distinct()
               .collect().map(_.get(0)).toSet
-          parts.collect().map(_.get(0)).filterNot(remaining.contains)
+          val touchedVals = parts.collect().map(_.get(0)).toSeq
+          touchedVals.filterNot(remaining.contains)
             .foreach { v =>
-              f.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+              val dirName = org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.getPartitionPathString(
+                  partCol, if (v == null) null else v.toString)
+              val dir = new org.apache.hadoop.fs.Path(s"$path/$dirName")
+              require(f.exists(dir),
+                s"deleteWhere at $path: emptied partition directory " +
+                  s"$dirName not found on disk — partition-path escaping " +
+                  "mismatch would leave removed rows readable")
+              require(f.delete(dir, true),
+                s"deleteWhere at $path: failed to remove $dirName")
             }
           if (remaining.nonEmpty) overwriteRaw(spark.read.parquet(tmp))
+          afterRewrite(touchedVals)
         } finally f.delete(tmpPath, true)
       }
       n
@@ -453,12 +540,22 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     }
   }
 
-  /** Versions recorded so far, ascending (v1, v2, ...). */
+  /** Versions recorded so far, ascending (v1, v2, ...). A version whose
+    * primary `v<N>` entry is mid-replacement by a crashed
+    * [[collapseHistory]] still counts via its committed `.v<N>_merged`
+    * recovery artifact — readers never observe the collapse's
+    * delete+rename window as a missing version. */
   def versions: Seq[Long] = {
     val (f, _) = fs
     if (!f.exists(logDir)) Seq.empty
     else f.listStatus(logDir).map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted.toSeq
+      .flatMap {
+        case n if n.startsWith(".v") && n.endsWith("_merged") =>
+          scala.util.Try(n.stripPrefix(".v").stripSuffix("_merged").toLong).toOption
+        case n if n.startsWith("v") =>
+          scala.util.Try(n.drop(1).toLong).toOption
+        case _ => None
+      }.distinct.sorted.toSeq
   }
 
   /** Append one batch and record it as the next snapshot version.
@@ -505,19 +602,54 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   private def loggedFiles(): Set[String] =
     versions.flatMap(v => readVersionEntry(v)._2).toSet
 
+  /** Log commit — the single-writer discipline's CHECKED form: the entry
+    * is created exclusively (`overwrite = false`), so two concurrent
+    * writers that both computed v = last+1 cannot both commit — the loser
+    * fails loudly here instead of silently shadowing the winner's batch
+    * out of history (its data files are already on disk as orphans; the
+    * next appendVersioned's orphan check names them and adoptOrphans()
+    * records them as a repair version). This is the minimal form of the
+    * optimistic-concurrency commit every real table format has. */
   private def writeVersionEntry(schemaDdl: String, added: Seq[String]): Long = {
     val v = versions.lastOption.getOrElse(0L) + 1
-    val (f, _) = fs
-    val out = f.create(new org.apache.hadoop.fs.Path(logDir, s"v$v"), false)
-    try out.write((schemaDdl +: added).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    commitVersionEntry(v, schemaDdl, added)
     v
   }
 
-  /** One version entry: (schema DDL, relative data-file paths). */
+  /** The commit step alone, at a CALLER-CHOSEN version number —
+    * package-visible so the spec can reproduce the racing-writer state
+    * deterministically (two writers that both computed v = last+1; the
+    * second commit must fail loudly here). */
+  private[graft] def commitVersionEntry(v: Long, schemaDdl: String,
+                                        added: Seq[String]): Unit = {
+    val (f, _) = fs
+    val out =
+      try f.create(new org.apache.hadoop.fs.Path(logDir, s"v$v"), false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"concurrent writer detected at $path: log entry v$v already " +
+            "exists — the store is single-writer per table; this batch's " +
+            "data files are orphaned (adoptOrphans() records them as a " +
+            "repair version)", e)
+      }
+    try out.write((schemaDdl +: added).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** One version entry: (schema DDL, relative data-file paths). Falls back
+    * to the `.v<N>_merged` recovery artifact when the primary entry is
+    * missing — the crash window inside [[collapseHistory]]'s commit. */
   private def readVersionEntry(n: Long): (String, Seq[String]) = {
     val (f, _) = fs
-    val in = f.open(new org.apache.hadoop.fs.Path(logDir, s"v$n"))
+    val primary = new org.apache.hadoop.fs.Path(logDir, s"v$n")
+    val p =
+      if (f.exists(primary)) primary
+      else {
+        val recovery = new org.apache.hadoop.fs.Path(logDir, s".v${n}_merged")
+        require(f.exists(recovery), s"missing log entry v$n at $path")
+        recovery
+      }
+    val in = f.open(p)
     val txt = try new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
     finally in.close()
@@ -532,7 +664,11 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   def readVersion(v: Long): DataFrame = {
     require(versions.contains(v), s"unknown version $v at $path (have $versions)")
     val entries = versions.filter(_ <= v).map(readVersionEntry)
-    val files = entries.flatMap(_._2).map(rel => s"$path/$rel")
+    // distinct: a crash between collapseHistory's merged-entry commit and
+    // its old-entry deletes leaves the collapsed versions' files recorded
+    // twice (the merged entry's list is a superset) — dedupe makes that
+    // window harmless instead of double-reading rows
+    val files = entries.flatMap(_._2).distinct.map(rel => s"$path/$rel")
     if (files.nonEmpty) spark.read.option("basePath", path).parquet(files: _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -567,7 +703,9 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     require(versions.contains(toV),
       s"unknown to-version $toV at $path (have $versions)")
     val entries = versions.filter(v => v > fromV && v <= toV).map(readVersionEntry)
-    val files = entries.flatMap(_._2).map(rel => s"$path/$rel")
+    // distinct: harmless-overlap rule for collapseHistory's crash window
+    // (see readVersion)
+    val files = entries.flatMap(_._2).distinct.map(rel => s"$path/$rel")
     if (files.nonEmpty) {
       val rd = spark.read.option("basePath", path)
       (if (mergeSchema) rd.option("mergeSchema", "true") else rd).parquet(files: _*)
@@ -590,30 +728,52 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * years-old table's `_log` listing O(retained versions), not
     * O(every append ever)). The merged entry keeps the newest collapsed
     * entry's schema line, so an all-empty collapsed prefix still
-    * reconstructs typed. Crash note (single-writer discipline): the
-    * merged entry is fully written to a hidden sibling before any old
-    * entry is removed — a crash mid-collapse leaves
-    * `_log/.v<upTo>_merged` as the recovery artifact (rename it over
-    * `v<upTo>` and delete the older entries to finish). */
+    * reconstructs typed. Crash safety, stated as the commit order (the
+    * r11 ADVICE closed the old order's window, where older entries were
+    * deleted BEFORE the merged entry replaced `v<upTo>` — a crash there
+    * silently served partial data): (1) the merged entry is fully
+    * written to `_log/.v<upTo>_merged` FIRST — from that point both
+    * `versions()` and `readVersionEntry` transparently serve v<upTo>
+    * from the recovery artifact if the primary is absent; (2) the
+    * primary `v<upTo>` is replaced by delete+rename (the only
+    * non-atomic step, covered by the fallback); (3) only THEN are the
+    * older entries deleted — a crash mid-deletes leaves duplicate file
+    * references, which readVersion/readChanges dedupe. Every crash
+    * point therefore reads complete data with no manual repair. */
   def collapseHistory(upTo: Long): Unit = {
     val vs = versions
     require(vs.contains(upTo), s"unknown version $upTo at $path (have $vs)")
     val toMerge = vs.filter(_ <= upTo)
-    if (toMerge.size <= 1) return
+    val (f, _) = fs
+    if (toMerge.size <= 1) {
+      // nothing to merge — but a PREVIOUS collapse may have crashed inside
+      // its delete+rename window, leaving upTo served from the recovery
+      // artifact; finish the rename so the repair is idempotent
+      val primary = new org.apache.hadoop.fs.Path(logDir, s"v$upTo")
+      val recovery = new org.apache.hadoop.fs.Path(logDir, s".v${upTo}_merged")
+      if (!f.exists(primary) && f.exists(recovery))
+        require(f.rename(recovery, primary),
+          s"failed to finish crashed collapse at $path (v$upTo)")
+      return
+    }
     val entries = toMerge.map(readVersionEntry)
     val schemaDdl = entries.last._1
-    val files = entries.flatMap(_._2)
-    val (f, _) = fs
+    val files = entries.flatMap(_._2).distinct
     val tmp = new org.apache.hadoop.fs.Path(logDir, s".v${upTo}_merged")
     val out = f.create(tmp, true)
     try out.write((schemaDdl +: files).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    toMerge.filter(_ < upTo).foreach(v =>
-      f.delete(new org.apache.hadoop.fs.Path(logDir, s"v$v"), false))
+    // commit point: the merged entry is durable; replace the primary
     val target = new org.apache.hadoop.fs.Path(logDir, s"v$upTo")
     f.delete(target, false)
     require(f.rename(tmp, target),
       s"failed to commit merged log entry v$upTo at $path")
+    // retire superseded entries last (their files are a subset of the
+    // merged entry's — duplicates are harmless until these complete)
+    toMerge.filter(_ < upTo).foreach { v =>
+      f.delete(new org.apache.hadoop.fs.Path(logDir, s"v$v"), false)
+      f.delete(new org.apache.hadoop.fs.Path(logDir, s".v${v}_merged"), false)
+    }
   }
 
   // ---- governance purge: the takedown × time-travel collision ------------
@@ -632,18 +792,34 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
 
   private def epochMarker = new org.apache.hadoop.fs.Path(logDir, "_epoch")
 
+  /** The purge's crash-recovery epoch record, OUTSIDE the tree destroy()
+    * wipes: written (with the incremented epoch) before the purge
+    * destroys the old lineage, deleted only after the new lineage's
+    * in-tree marker commits. Without it, a crash between destroy and the
+    * marker write would reset the epoch to 1, and a recovered "epoch E,
+    * version V" manifest coordinate could collide with a pre-purge
+    * coordinate that referenced different content. */
+  private def epochSibling = new org.apache.hadoop.fs.Path(s"${path}__epoch")
+
   /** Lineage epoch: 1 + the number of [[purgeRestartLineage]] restarts
     * this table has undergone (epoch 1 = never purged, no marker on
-    * disk). Version numbers are only meaningful WITHIN an epoch. */
+    * disk). Version numbers are only meaningful WITHIN an epoch. Reads
+    * the max of the in-tree marker and the out-of-tree sibling, so the
+    * coordinate survives every crash point of a purge (a sibling left by
+    * a purge that crashed even before its destroy reads one epoch HIGH —
+    * a fresh, never-used coordinate: conservative, never a collision). */
   def epoch: Long = {
     val (f, _) = fs
-    if (!f.exists(epochMarker)) 1L
-    else {
-      val in = f.open(epochMarker)
-      try new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toLong
-      finally in.close()
-    }
+    def readAt(p: org.apache.hadoop.fs.Path): Option[Long] =
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    (readAt(epochMarker).toSeq ++ readAt(epochSibling).toSeq)
+      .foldLeft(1L)(_ max _)
   }
 
   /** Takedown against a versioned lineage: drop every row matching
@@ -663,7 +839,10 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * lineage commits; a crash after the destroy leaves it as the
     * recovery artifact (re-land it as v1 by hand), a crash before the
     * destroy leaves the old lineage intact plus a stale tmp the next
-    * purge sweeps. An EMPTY retained set still commits: v1 records the
+    * purge sweeps. The incremented EPOCH is persisted to the
+    * `<path>__epoch` sibling before the destroy and folded into
+    * [[epoch]], so no crash point can reset the manifest coordinate to a
+    * pre-purge value (r11 ADVICE). An EMPTY retained set still commits: v1 records the
     * schema with no files, so the new lineage reads as a typed empty
     * relation. */
   def purgeRestartLineage(remove: org.apache.spark.sql.Column): Long = {
@@ -676,7 +855,15 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val (f, _) = fs
     if (f.exists(tmpPath)) f.delete(tmpPath, true) // stale from a dead purge
-    val retained = read.filter(!remove)
+    // mergeSchema: a lineage whose versions straddle a column add (the s29
+    // evolution story) must carry the UNIFIED schema through the purge —
+    // plain read could pin a pre-evolution file's schema and silently drop
+    // the evolved column from the new epoch's v1. The purge already pays a
+    // full table rewrite; the footer pass is marginal.
+    // Three-valued logic: rows where `remove` is UNKNOWN are RETAINED
+    // (deleteCore's SQL DELETE rule) — `!remove` would silently purge them.
+    val retained = read(mergeSchema = true)
+      .filter(not(coalesce(remove, lit(false))))
     val schemaDdl = retained.schema.toDDL
     retained.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp)
     val tmpHasData = {
@@ -688,11 +875,17 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
       }
       found
     }
+    // persist the incremented epoch OUTSIDE the tree about to be destroyed
+    // (destroy() wipes _log/_epoch with the data): from here every crash
+    // point reads `newEpoch` via the sibling, never a reset epoch 1
+    val sib = f.create(epochSibling, true)
+    try sib.write(newEpoch.toString.getBytes("UTF-8")) finally sib.close()
     destroy()
     if (tmpHasData) appendRaw(spark.read.parquet(tmp))
     writeVersionEntry(schemaDdl, listDataFiles().toSeq.sorted)
     val out = f.create(epochMarker, true)
     try out.write(newEpoch.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(epochSibling, false)
     f.delete(tmpPath, true)
     newEpoch
   }

@@ -744,6 +744,189 @@ class StoreSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(season"), plan)
   }
+
+  test("deleteWhere keeps rows whose predicate is UNKNOWN (SQL three-valued delete)") {
+    // SQL DELETE removes predicate-TRUE rows only: a NULL predicate input
+    // is UNKNOWN, neither deleted nor treated as deletable — the old
+    // filter(!remove) retain silently dropped such rows in touched
+    // partitions while identical rows in untouched partitions survived
+    val rows = Seq(
+      ("a", 1999, Some(5.0)), ("b", 1999, None), // 1999 touched: b is UNKNOWN
+      ("c", 2000, None)                          // 2000 untouched entirely
+    ).map { case (g, s, e) => (g, s, e.map(Double.box).orNull) }
+      .toDF("game_id", "season", "epa")
+      .select(col("game_id"), col("season"), col("epa").cast("double"))
+    val path = tmpDir("store_delete_3vl") + "/t"
+    val store = Store(spark, path, "season")
+    store.append(rows)
+    assert(store.deleteWhere(col("epa") > 2.0) === 1L) // touches 1999 only
+    val left = store.read.select("game_id").as[String].collect().toSet
+    assert(left === Set("b", "c"),
+      "null-predicate rows must survive a delete (UNKNOWN is not TRUE)")
+    // purgeRestartLineage applies the same retain rule
+    val vp = tmpDir("store_purge_3vl") + "/t"
+    val vstore = Store(spark, vp, "season")
+    vstore.appendVersioned(rows)
+    vstore.purgeRestartLineage(col("epa") > 2.0)
+    assert(vstore.read.select("game_id").as[String].collect().toSet === Set("b", "c"))
+  }
+
+  test("deleteWhere escapes partition directories (special chars, null values)") {
+    // Spark writes partition dirs Hive-escaped (space → %20, colon → %3A,
+    // null → __HIVE_DEFAULT_PARTITION__); the emptied-partition path
+    // delete must build the SAME names or removed rows stay readable
+    val rows = Seq(
+      ("a1", "has space", 1.0), ("a2", "has space", 9.0),
+      ("b1", "x:y", 1.0),
+      ("c1", null, 1.0), ("c2", null, 9.0)
+    ).toDF("game_id", "src", "epa")
+    val path = tmpDir("store_delete_esc") + "/t"
+    val store = Store(spark, path, "src")
+    store.append(rows)
+    // partial delete inside the space partition AND the null partition:
+    // the null-safe semi-join must include the null partition's retained
+    // rows in the rewrite (plain equi-join would drop the whole directory)
+    assert(store.deleteWhere(col("epa") > 2.0) === 2L)
+    assert(store.read.select("game_id").as[String].collect().toSet
+      === Set("a1", "b1", "c1"))
+    // now empty both escaped partitions outright: directories must go
+    assert(store.deleteWhere(col("src") <=> "has space" || col("src").isNull) === 2L)
+    assert(store.read.select("game_id").as[String].collect().toSet === Set("b1"))
+    val dirs = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(!dirs.exists(_.contains("has")), dirs.toString)
+    assert(!dirs.contains("__HIVE_DEFAULT_PARTITION__"), dirs.toString)
+    assert(dirs.exists(_.startsWith("src=x")), dirs.toString)
+  }
+
+  test("deleteWhereTracked maintains the stats sidecar through the delete") {
+    val store = Store(spark, tmpDir("store_delete_tracked"), "season")
+    val M = lit(2147483647L)
+    val term = (col("epa").cast("long") % M) * ((col("epa").cast("long") + 5) % M) % M
+    store.appendTracked(season(1999, 3).union(season(2000, 4)).union(season(2001, 2)), term)
+    // plain deleteWhere refuses a tracked table, naming the tracked form
+    val err = intercept[IllegalArgumentException] { store.deleteWhere(lit(true)) }
+    assert(err.getMessage.contains("deleteWhereTracked"))
+    // partial delete in 2000 + full wipe of 2001 in one request
+    assert(store.deleteWhereTracked(
+      (col("season") === 2000 && col("epa") <= 2.0) || col("season") === 2001,
+      term) === 2L)
+    // the sidecar-only read equals a from-scratch recompute (the s22 gate)
+    def sidecar = store.readStats
+      .select(col("season").cast("int"), col("n_rows"), col("checksum"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(sidecar === store.statsOf(store.read, term)
+      .as[(Int, Long, Long)].collect().toSet)
+    // the emptied partition's sidecar row is GONE, not zeroed
+    assert(sidecar.map(_._1) === Set(1999, 2000))
+    // untouched partition's stats row survived verbatim
+    assert(sidecar.find(_._1 == 1999).get._2 === 3L)
+    // subsequent tracked writes keep composing
+    store.appendTracked(season(2001, 1), term)
+    assert(sidecar === store.statsOf(store.read, term)
+      .as[(Int, Long, Long)].collect().toSet)
+    // the tracked form on an UNTRACKED table refuses (plain form's job)
+    val plain = Store(spark, tmpDir("store_delete_tracked_plain"), "season")
+    plain.append(season(1999, 1))
+    intercept[IllegalArgumentException] { plain.deleteWhereTracked(lit(true), term) }
+  }
+
+  test("collapseHistory crash windows serve complete data at every point") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("game_id").as[String].collect().toSet
+    val path = tmpDir("store_collapse_crash") + "/t"
+    val store = Store(spark, path, "season")
+    (1 to 3).foreach(i => store.appendVersioned(season(1998 + i, i)))
+    val v2Full = ids(store.readVersion(2))
+    val v3Full = ids(store.readVersion(3))
+    val logDir = new java.io.File(s"$path/_log")
+    // preserve v1's entry so the mid-delete crash state can be restored
+    val v1Bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$path/_log/v1"))
+    store.collapseHistory(2)
+    assert(ids(store.readVersion(2)) === v2Full)
+    // ---- crash state A: between delete(v2) and rename(.v2_merged, v2) —
+    // reconstruct it by moving the committed entry back to the recovery name
+    assert(new java.io.File(logDir, "v2").renameTo(
+      new java.io.File(logDir, ".v2_merged")))
+    assert(store.versions === Seq(2L, 3L), "recovery artifact must list as v2")
+    assert(ids(store.readVersion(2)) === v2Full,
+      "readVersion must fall back to the .v2_merged recovery artifact")
+    assert(ids(store.readVersion(3)) === v3Full)
+    assert(ids(store.readChanges(2, 3)) === (v3Full -- v2Full))
+    // finishing the interrupted collapse converges (idempotent repair)
+    store.collapseHistory(2)
+    assert(new java.io.File(logDir, "v2").exists()
+      && !new java.io.File(logDir, ".v2_merged").exists())
+    assert(ids(store.readVersion(2)) === v2Full)
+    // ---- crash state B: merged entry committed, old entries not yet
+    // deleted — duplicate file references must read ONCE (dedupe)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/_log/v1"), v1Bytes)
+    assert(store.versions === Seq(1L, 2L, 3L))
+    assert(ids(store.readVersion(2)) === v2Full, "duplicate refs must dedupe")
+    assert(store.readVersion(2).count() === v2Full.size.toLong,
+      "a doubled file reference double-counted rows")
+    assert(ids(store.readVersion(3)) === v3Full)
+    // re-running the collapse sweeps the leftover and converges again
+    store.collapseHistory(2)
+    assert(store.versions === Seq(2L, 3L))
+    assert(ids(store.readVersion(2)) === v2Full)
+  }
+
+  test("a second concurrent log committer errors instead of dropping history") {
+    val path = tmpDir("store_swriter") + "/t"
+    val store = Store(spark, path, "season")
+    store.appendVersioned(season(1999, 2))
+    // two writers both computed v = last+1 = 2; the winner commits first
+    store.commitVersionEntry(2L, "game_id STRING", Seq("season=2000/w.parquet"))
+    // the loser's commit must fail LOUDLY — silently overwriting v2 would
+    // drop the winner's batch from every snapshot
+    val err = intercept[IllegalStateException] {
+      store.commitVersionEntry(2L, "game_id STRING", Seq("season=2000/l.parquet"))
+    }
+    assert(err.getMessage.contains("concurrent writer"))
+    // the winner's entry survived untouched
+    assert(store.versions === Seq(1L, 2L))
+  }
+
+  test("the purge epoch survives a crash between destroy and the marker write") {
+    val path = tmpDir("store_epoch_crash") + "/t"
+    val store = Store(spark, path, "season")
+    (1 to 2).foreach(i => store.appendVersioned(season(1998 + i, i)))
+    assert(store.purgeRestartLineage(col("season") === 1999) === 2L)
+    // clean completion leaves no sibling and the in-tree marker rules
+    assert(!new java.io.File(path + "__epoch").exists())
+    assert(store.epoch === 2L)
+    // ---- reconstruct the crash: the purge wrote the sibling, destroyed
+    // the tree (taking _log/_epoch with it), then died before the marker
+    java.nio.file.Files.write(java.nio.file.Paths.get(path + "__epoch"),
+      "3".getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$path/_log/_epoch"))
+    assert(store.epoch === 3L,
+      "epoch reset to a pre-purge value after the crash — coordinate collision")
+    // the next purge builds on the recovered epoch and cleans the sibling
+    assert(store.purgeRestartLineage(lit(false)) === 4L)
+    assert(store.epoch === 4L)
+    assert(!new java.io.File(path + "__epoch").exists())
+  }
+
+  test("purge carries an evolved schema through the lineage restart") {
+    // versions straddle a column add; the retained snapshot must read
+    // with mergeSchema or the rewrite pins one file's schema and the
+    // evolved column silently vanishes from the new epoch's v1
+    val path = tmpDir("store_purge_evo") + "/t"
+    val store = Store(spark, path, "season")
+    store.appendVersioned(season(1999, 2)) // pre-evolution
+    store.appendVersioned(season(2000, 3).withColumn("grade", col("epa") * 2))
+    store.purgeRestartLineage(col("epa") > 2.0)
+    val back = store.read
+    assert(back.columns.contains("grade"),
+      "evolved column lost through the purge")
+    assert(back.filter(col("season") === 1999 && col("grade").isNull).count() === 2L)
+    assert(back.filter(col("season") === 2000).count() === 2L)
+    assert(store.readVersion(1).columns.contains("grade"))
+  }
 }
 
 class IngestSpec extends SparkSpec {
