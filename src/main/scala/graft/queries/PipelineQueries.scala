@@ -9998,13 +9998,31 @@ object PipelineQueries {
     * k-shortfall SLA breach y24 identified as the rebuild signal), OR
     * (b) the rebuilt index recalls strictly more than the stopgap
     * (y16's payoff > 0 — the stopgap is costing answers), OR (c) the
-    * deletion fraction reaches 25% (del_mod ≤ 4: beyond this the
-    * k′ = 2k candidate inflation stops covering the tombstone density
-    * by construction). All three clauses are integer comparisons — no
+    * deletion fraction reaches [[RebuildDeletionModMax]]'s 25%. All
+    * three clauses are integer comparisons — no
     * float threshold to drift between engines; the recall/payoff columns
     * are raw IEEE divisions of gated integers. Scale: each fraction's
     * arms are the y2b multi-probe bucket equi-join; truth is the
     * bounded-batch brute force; the sweep's output is 3 rows. */
+  /** The deletion-fraction rebuild trigger, derived from the stopgap's own
+    * candidate arithmetic rather than taste: the post-filter arm serves
+    * k′ = 2k candidates and needs k SURVIVORS, so it tolerates up to half
+    * its candidates tombstoned. At deletion fraction f the EXPECTED
+    * tombstoned share of a candidate list is f — the mean exhausts the
+    * 2× inflation exactly at f = 1/2, but tombstones are not uniform
+    * across buckets (they arrive correlated by user/content, and a
+    * 2k-candidate list is a small sample), so the trigger takes a 2×
+    * headroom on the mean: rebuild once f ≥ 1/4, the point where a
+    * candidate list only one-sigma-ish worse than average already starves.
+    * Expressed on the sweep's modulus axis (fraction = 1/del_mod):
+    * del_mod ≤ 4. y25's measured columns let an operator re-derive the
+    * crossover empirically per corpus — at this corpus the f ≈ 1/3 arm
+    * is exactly where measured starvation turns positive, one notch past
+    * this a-priori trigger (the two clauses deliberately overlap: (a)
+    * fires on MEASURED breach, (c) fires BEFORE the breach is measured,
+    * which is what a trigger is for). */
+  private val RebuildDeletionModMax = 4L
+
   private val y25DeletionDecision = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -10052,7 +10070,7 @@ object PipelineQueries {
           (col("rb_hits") - col("pf_hits")) / col("n_truth"))
         .withColumn("rebuild_now",
           col("pf_starved") > 0 || col("rb_hits") > col("pf_hits")
-            || col("del_mod") <= 4)
+            || col("del_mod") <= RebuildDeletionModMax)
         .select("del_mod", "pf_queries", "pf_served", "pf_starved", "pf_hits",
           "rb_hits", "n_truth", "pf_recall", "rb_recall", "recall_payoff",
           "rebuild_now")
@@ -10105,8 +10123,8 @@ object PipelineQueries {
          |  pf_hits / n_truth AS pf_recall,
          |  rb_hits / n_truth AS rb_recall,
          |  (rb_hits - pf_hits) / n_truth AS recall_payoff,
-         |  (pf_queries * 3 - pf_served > 0 OR rb_hits > pf_hits OR del_mod <= 4)
-         |    AS rebuild_now
+         |  (pf_queries * 3 - pf_served > 0 OR rb_hits > pf_hits
+         |    OR del_mod <= $RebuildDeletionModMax) AS rebuild_now
          |FROM (SELECT * FROM row17 UNION ALL SELECT * FROM row7
          |      UNION ALL SELECT * FROM row3)
          |ORDER BY del_mod""".stripMargin
