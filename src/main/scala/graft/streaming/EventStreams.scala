@@ -331,7 +331,14 @@ object EventStreams {
     * is tombstoned emits nothing — the streaming face of y24's
     * starvation, the signal that schedules the rebuild; the REBUILD arm
     * is just this method over the retained corpus (M recomputes — the
-    * augmentation scalar is an index-build artifact, y26's subtlety). */
+    * augmentation scalar is an index-build artifact, y26's subtlety).
+    * BINDING CAVEAT: the `tombstones` relation is fixed at STREAM
+    * CONSTRUCTION — a path-backed frame's file listing is cached in the
+    * analyzed plan, so a takedown arriving mid-stream is not seen until
+    * restart. That is fine for a restart-cadence stopgap; a takedown
+    * that must land at the NEXT micro-batch without a restart uses
+    * [[mipsServeSink]], which re-reads a file-backed tombstone set per
+    * batch. */
   def mipsServe(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, tsCol: String,
                 watermark: String = "10 minutes",
@@ -381,6 +388,101 @@ object EventStreams {
       .agg(max(struct(col("dot"), (-col("c_id")).as("nid"))).as("best"))
       .select(col("q_id"), col("ts"),
         (-col("best.nid")).as("c_id"), col("best.dot").as("dot"))
+  }
+
+  /** [[mipsServe]] with LIVE tombstones — the takedown-without-restart
+    * form: the removal set is re-read from `tombstonePath` at EVERY
+    * micro-batch, so a tombstone file landed mid-stream stops being
+    * served at the next batch. The mechanism is foreachBatch, because a
+    * static path-backed relation inside a streaming plan pins its file
+    * LISTING at construction (stream-static joins re-execute the static
+    * side per batch, but over the cached listing — new files are
+    * invisible until restart); inside foreachBatch each batch constructs
+    * a fresh frame over the path, so the listing is current. Semantics
+    * otherwise identical to [[mipsServe]]'s post-filter arm, and safe to
+    * compute per batch: a query's exploded probe rows all live in its
+    * arrival batch, so the per-batch top-1 equals the watermarked
+    * streaming aggregate row for row (StreamingSpec gates stream ≡ the
+    * batch y26-shaped post-filter recompute). M (max corpus norm) still
+    * collects ONCE at sink construction — the stale-index contract: a
+    * takedown post-filters, it does not re-augment (y25's rebuild
+    * decision owns that). Exactly-once to the sink: each batch lands
+    * under its `batch_id` partition via dynamic overwrite, so a
+    * re-delivered batch REPLACES its own output instead of appending a
+    * duplicate. A missing tombstone path means "no takedowns yet"; an
+    * existing-but-empty one reads as an empty set (the explicit schema —
+    * idCol at the corpus id type — keeps inference off the hot path). */
+  def mipsServeSink(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, tsCol: String,
+                    destDir: String, checkpointDir: String,
+                    tombstonePath: Option[String] = None,
+                    planes: Int = graft.operators.Similarity.NumPlanes,
+                    dims: Int = 64): StreamingQuery = {
+    import graft.operators.Similarity
+    val mnormRow = corpus.agg(max(Similarity.norm(vecCol)).cast("double")).head()
+    require(!mnormRow.isNullAt(0),
+      s"mipsServeSink: static corpus is empty or '$vecCol' is all-null — " +
+        "the max-norm augmentation scalar is undefined")
+    val mnorm = mnormRow.getDouble(0)
+    val idType = corpus.schema(idCol).dataType
+    val c = corpus
+      .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+      .withColumn("caug", concat(col("c_vec"),
+        array(sqrt(greatest(lit(mnorm * mnorm)
+          - Similarity.norm("c_vec") * Similarity.norm("c_vec"),
+          lit(0.0))).cast("float"))))
+      .withColumn("probe", Similarity.hyperplaneBucket("caug", dims + 1, planes))
+      .select("c_id", "c_vec", "probe")
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            val tomb: Option[DataFrame] = tombstonePath.flatMap { p =>
+              val hp = new org.apache.hadoop.fs.Path(p)
+              val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              if (!f.exists(hp)) None
+              else Some(spark.read
+                .schema(StructType(Seq(
+                  org.apache.spark.sql.types.StructField(idCol, idType))))
+                .parquet(p))
+            }
+            val q0 = batch
+              .select(col(idCol).as("q_id"), col(tsCol).as("ts"),
+                col(vecCol).as("q_vec"))
+              .withColumn("qaug", concat(col("q_vec"), array(lit(0.0f))))
+              .withColumn("bucket",
+                Similarity.hyperplaneBucket("qaug", dims + 1, planes))
+              .withColumn("probe", explode(array(
+                col("bucket") +:
+                  (0 until planes).map(j =>
+                    col("bucket").bitwiseXOR(lit(1L << j))): _*)))
+              .select("q_id", "ts", "q_vec", "probe")
+            val q = tomb.fold(q0)(t => q0.join(
+              broadcast(t.select(col(idCol).as("q_id"))), Seq("q_id"), "left_anti"))
+            val joined0 = q.join(c, Seq("probe"))
+              .filter(col("q_id") =!= col("c_id"))
+            val joined = tomb.fold(joined0)(t => joined0.join(
+              broadcast(t.select(col(idCol).as("c_id"))), Seq("c_id"), "left_anti"))
+            joined
+              .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
+              .groupBy(col("q_id"), col("ts"))
+              .agg(max(struct(col("dot"), (-col("c_id")).as("nid"))).as("best"))
+              .select(col("q_id"), col("ts"),
+                (-col("best.nid")).as("c_id"), col("best.dot").as("dot"))
+              .withColumn("batch_id", lit(batchId))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(destDir)
+          }
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 
   /** Streaming held-out perplexity scoring — the online half of z41: each

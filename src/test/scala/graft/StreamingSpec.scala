@@ -922,6 +922,69 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("empty"))
   }
 
+  test("mipsServeSink applies a tombstone landed mid-stream at the very next batch") {
+    import graft.operators.Similarity
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 7 + i * 13) % 17) - 8).toFloat)
+    val corpus = (100L to 115L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("ts", TimestampType),
+      StructField("embedding", ArrayType(FloatType))))
+    val src = tmpDir("mips_live_src"); val ckpt = tmpDir("mips_live_ckpt")
+    val dest = tmpDir("mips_live_dest"); val tombs = tmpDir("mips_live_tombs")
+    def drain(): Unit = EventStreams.mipsServeSink(
+      spark.readStream.schema(qSchema).parquet(src), corpus,
+      "vec_id", "embedding", "ts", dest, ckpt,
+      tombstonePath = Some(tombs), planes = 4).awaitTermination()
+    // expected rows for a query set under a removal set: the y26-shaped
+    // batch post-filter recompute (stale full-corpus index, k'=wide,
+    // drop tombstoned candidates + requesters, keep the best survivor)
+    def expect(qRows: Seq[(Long, java.sql.Timestamp, Array[Float])],
+               removed: Set[Long]): Map[Long, Long] = {
+      val union = corpus.unionByName(
+        qRows.map(r => (r._1, r._3)).toDF("vec_id", "embedding"))
+      Similarity.mipsTopK(union, id => id >= 900L, "vec_id", "embedding",
+          k = 32, planes = 4)
+        .filter(col("c_id") < 900L
+          && !col("c_id").isin(removed.toSeq.map(Long.box): _*)
+          && !col("q_id").isin(removed.toSeq.map(Long.box): _*))
+        .withColumn("r2", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("rank").asc)))
+        .filter(col("r2") === 1)
+        .select("q_id", "c_id")
+        .as[(Long, Long)].collect().toMap
+    }
+    def served(): Map[Long, Long] = spark.read.parquet(dest)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toMap
+    // ---- batch 1: no tombstone file exists yet (missing path = empty set)
+    val b1 = Seq((901L, ts(5), vec(103L)), (902L, ts(10), vec(107L)))
+    b1.toDF("vec_id", "ts", "embedding").repartition(1)
+      .write.mode("append").parquet(src)
+    drain()
+    val after1 = served()
+    assert(after1 === expect(b1, Set.empty), s"batch 1 diverged: $after1")
+    assert(after1(901L) === 103L, "twin query must be served its twin pre-takedown")
+    // ---- the takedown lands MID-STREAM: candidate 103 and requester 904
+    Seq(103L, 904L).toDF("vec_id").repartition(1)
+      .write.mode("append").parquet(tombs)
+    // ---- batch 2 on the SAME checkpoint: the next drain must see it
+    val b2 = Seq((903L, ts(15), vec(103L)), (904L, ts(20), vec(111L)))
+    b2.toDF("vec_id", "ts", "embedding").repartition(1)
+      .write.mode("append").parquet(src)
+    drain()
+    val after2 = served()
+    // batch-1 output is immutable history (it served pre-takedown truth);
+    // batch-2 output post-filters the takedown without any restart
+    assert(after2.view.filterKeys(Set(901L, 902L)).toMap === after1)
+    assert(after2.keySet === Set(901L, 902L, 903L),
+      s"tombstoned requester 904 must get nothing: $after2")
+    assert(after2(903L) !== 103L, s"tombstoned candidate served mid-stream: $after2")
+    assert(after2.view.filterKeys(_ == 903L).toMap
+      === expect(b2, Set(103L, 904L)).view.filterKeys(_ == 903L).toMap,
+      "batch 2 diverged from the post-filter recompute")
+  }
+
   test("scd2Sink maintains the history store across restarts and duplicate re-delivery") {
     // the CDC loop end to end: a change feed drains through the
     // checkpointed foreachBatch merge; batch 2 arrives AFTER a kill
