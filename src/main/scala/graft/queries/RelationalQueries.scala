@@ -715,6 +715,145 @@ object RelationalQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** s33: IDEMPOTENT GOVERNANCE — the keyed request log closing s32's one
+    * honest gap (its scaladoc: "the negative state delta is NOT
+    * re-delivery-safe"). The discipline is [[graft.sources.Store.update]]'s
+    * anti-join insert applied to governance: EVERY state append carries a
+    * `request_id` (pulls use their source version — "pull_v2"; the
+    * takedown uses its governance ticket id), and the append goes through
+    * `update(delta, Seq("request_id", "event_type"))`, so a re-delivered
+    * request's rows drop out against the recorded ones — the applied
+    * MARKER is the state row itself, written atomically with the effect
+    * (no separate marker to crash between). The takedown handler:
+    *  1. materializes the request's NEGATIVE delta durably in a request-
+    *     log store BEFORE the destructive legs (it reads rows the purge
+    *     destroys — x47's durable-barrier rule; a re-delivery must never
+    *     need the doomed source);
+    *  2. checks the state store for the request id (the applied marker) —
+    *     a re-delivered request short-circuits to ZERO work;
+    *  3. otherwise runs s32's three legs: source epoch purge, history
+    *     partition delete, keyed state append.
+    * The SAME request is delivered TWICE; the panel is s32's (history ×
+    * folded state ≡ the from-scratch chain over the retained feed — an
+    * oracle that knows nothing of re-delivery) plus the per-type state
+    * ROW count (3 pulls + 1 negative: a double-subtract would show 5)
+    * and `dup_rows_applied` = the second delivery's appended-row count,
+    * pinned 0. Crash-window convergence: a crash between legs re-runs
+    * them on re-delivery — the purge then removes nothing (the rows are
+    * gone), deleteWhere matches nothing, and the keyed append applies
+    * once; every leg is individually idempotent-or-empty, so the chain
+    * converges to exactly-once BY CONSTRUCTION, the property s32 had
+    * only by operator care. Scale: one extra request-log append
+    * (request-sized) on top of s32's costs. */
+  private val s33Built = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame, Long, Long)]()
+
+  private val s33IdempotentPurge = Q(
+    (s, d) => {
+      val t1 = 1704931200000000L
+      val t2 = 1705795200000000L
+      val reqId = "takedown_0007"
+      val ev = Tables.events(s, d)
+        .withColumn("from_us", unix_micros(col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "from_us")
+      val removePred = col("user_id") % 5 === 0
+      def partial(f: DataFrame, rid: String) = f.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(dec2(col("value"))).as("s_dec"))
+        .withColumn("request_id", lit(rid))
+      val slices = Seq(
+        col("from_us") < t1,
+        col("from_us") >= t1 && col("from_us") < t2,
+        col("from_us") >= t2)
+      val (hist, state, epoch, dupApplied) = if (planOnly) {
+        val retained = ev.filter(!removePred)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "event_type")
+          .orderBy(col("from_us").asc, col("event_id").asc)
+        val neg = ev.filter(removePred).groupBy("event_type")
+          .agg((-count(lit(1))).as("n"), (-sum(dec2(col("value")))).as("s_dec"))
+          .withColumn("request_id", lit(reqId))
+        (retained.withColumn("valid_from", col("from_us"))
+            .withColumn("valid_to", lead(col("from_us"), 1).over(w)),
+          slices.zipWithIndex.map { case (c, i) =>
+            partial(ev.filter(c), s"pull_v${i + 1}")
+          }.reduce(_ unionByName _).unionByName(neg), 2L, 0L)
+      } else s33Built.computeIfAbsent(
+        s"${s.sparkContext.applicationId}:$d", _ => {
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+          s"chain_idem_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+        val src = graft.sources.Store(s, s"$base/src", "event_type")
+        val hst = graft.sources.Store(s, s"$base/hist", "event_type")
+        val stt = graft.sources.Store(s, s"$base/state", "event_type")
+        val req = graft.sources.Store(s, s"$base/req", "event_type")
+        Seq(src, hst, stt, req).foreach(_.destroy())
+        slices.foreach(c => src.appendVersioned(ev.filter(c)))
+        (1L to 3L).foreach { v =>
+          val delta = src.readChanges(v - 1, v)
+          hst.upsertScd2(delta, Seq("user_id", "event_type"), "from_us",
+            Seq(col("event_id")))
+          // the pull's request id IS its source version — replay-safe
+          stt.update(partial(delta, s"pull_v$v"),
+            Seq("request_id", "event_type"))
+        }
+        // ---- the governance request arrives: materialize its negative
+        // delta DURABLY before any destructive leg (it reads rows the
+        // purge destroys; re-delivery must resolve against this artifact,
+        // never the doomed source)
+        req.append(ev.filter(removePred).groupBy("event_type")
+          .agg((-count(lit(1))).as("n"), (-sum(dec2(col("value")))).as("s_dec"))
+          .withColumn("request_id", lit(reqId)))
+        def deliver(): Long = {
+          // the applied marker IS the keyed state row — no separate log
+          if (stt.read.filter(col("request_id") === reqId).limit(1).count() > 0)
+            0L
+          else {
+            src.purgeRestartLineage(removePred)
+            hst.deleteWhere(removePred)
+            stt.update(req.read.filter(col("request_id") === reqId),
+              Seq("request_id", "event_type"))
+          }
+        }
+        val first = deliver()
+        require(first > 0L, "first delivery must apply the request")
+        val dup = deliver() // the SAME request, delivered again
+        (hst.read, stt.read, src.epoch, dup)
+      })
+      val histPanel = hist.groupBy("event_type").agg(
+        count(lit(1)).as("n_versions"),
+        sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"))
+      val stateFold = state.groupBy("event_type").agg(
+        count(lit(1)).as("n_state_rows"),
+        sum(col("n")).cast(LongType).as("n_events"),
+        sum(col("s_dec")).cast(DoubleType).as("sum_value"))
+      histPanel.join(stateFold, Seq("event_type"))
+        .select(col("event_type"), lit(epoch).as("epoch"), col("n_versions"),
+          col("n_current"), col("n_events"), col("sum_value"),
+          col("n_state_rows"), lit(dupApplied).as("dup_rows_applied"))
+        .orderBy("event_type")
+    },
+    """WITH h AS (SELECT user_id, event_type, value,
+      |    LEAD(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS to_us
+      |  FROM events WHERE user_id % 5 <> 0),
+      |sl AS (SELECT event_type, user_id,
+      |    CASE WHEN epoch_us(ts) < 1704931200000000 THEN 0
+      |         WHEN epoch_us(ts) < 1705795200000000 THEN 1 ELSE 2 END AS slice
+      |  FROM events),
+      |nsr AS (SELECT event_type,
+      |    CAST(COUNT(DISTINCT slice)
+      |      + MAX(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_state_rows
+      |  FROM sl GROUP BY 1)
+      |SELECT h.event_type, CAST(2 AS BIGINT) AS epoch,
+      |  CAST(COUNT(*) AS BIGINT) AS n_versions,
+      |  CAST(SUM(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  nsr.n_state_rows,
+      |  CAST(0 AS BIGINT) AS dup_rows_applied
+      |FROM h JOIN nsr ON nsr.event_type = h.event_type
+      |GROUP BY h.event_type, nsr.n_state_rows ORDER BY h.event_type""".stripMargin)
+
   private val s23TimeTravel = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -2171,6 +2310,7 @@ object RelationalQueries {
     "s30_cdc_chain" -> s30CdcChain,
     "s31_history_retention" -> s31HistoryRetention,
     "s32_chain_purge" -> s32ChainPurge,
+    "s33_idempotent_purge" -> s33IdempotentPurge,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

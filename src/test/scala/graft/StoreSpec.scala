@@ -911,6 +911,38 @@ class StoreSpec extends SparkSpec {
     assert(!new java.io.File(path + "__epoch").exists())
   }
 
+  test("a keyed governance delta cannot double-subtract on re-delivery") {
+    // the s33 discipline in isolation: state appends go through update()
+    // keyed by (request_id, type), so the applied marker IS the state row
+    // — re-delivering the same negative delta appends nothing and the
+    // fold is byte-identical (no separate marker to crash between)
+    def listParquet(p: String): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified(), f.length())).toSet
+    }
+    val path = tmpDir("store_gov_idem") + "/t"
+    val stt = Store(spark, path, "etype")
+    val keys = Seq("request_id", "etype")
+    def delta(rid: String, rows: Seq[(String, Long, Double)]) =
+      rows.toDF("etype", "n", "s").withColumn("request_id", lit(rid))
+    assert(stt.update(delta("pull_v1", Seq(("a", 10L, 5.0), ("b", 4L, 2.0))), keys) === 2L)
+    assert(stt.update(delta("pull_v2", Seq(("a", 3L, 1.5))), keys) === 1L)
+    val neg = delta("takedown_9", Seq(("a", -2L, -1.0), ("b", -1L, -0.5)))
+    assert(stt.update(neg, keys) === 2L) // first delivery applies
+    val filesAfter = listParquet(path)
+    def fold = stt.read.groupBy("etype")
+      .agg(sum("n").as("n"), sum("s").as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    val foldOnce = fold
+    assert(foldOnce === Set(("a", 11L, 5.5), ("b", 3L, 1.5)))
+    // the SAME request re-delivered: zero rows, zero writes, same fold
+    assert(stt.update(neg, keys) === 0L)
+    assert(listParquet(path) === filesAfter, "re-delivery wrote files")
+    assert(fold === foldOnce)
+  }
+
   test("purge carries an evolved schema through the lineage restart") {
     // versions straddle a column add; the retained snapshot must read
     // with mergeSchema or the rewrite pins one file's schema and the
