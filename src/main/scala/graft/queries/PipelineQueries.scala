@@ -3416,7 +3416,7 @@ object PipelineQueries {
       val built = baseMapFit(s, d)
         .select("doc_id", "cluster_id")
         .withColumn("part", pmod(hash(col("doc_id")), lit(8)))
-      store.append(built)
+      store.appendVersioned(built) // (epoch 1, v1) — x42's manifest coordinate
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
       val back = readOrEmpty(store, built)
       val M = lit(2147483647L)
@@ -3516,7 +3516,7 @@ object PipelineQueries {
       val built = graft.operators.Lm.bigramCounts(
           Tables.documents(s, d).filter(col("doc_id") % 10 =!= 0))
         .withColumn("part", pmod(hash(col("prev")), lit(8)))
-      store.append(built)
+      store.appendVersioned(built) // (epoch 1, v1) — x42's manifest coordinate
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
       val back = readOrEmpty(store, built)
       val M = lit(2147483647L)
@@ -7766,7 +7766,7 @@ object PipelineQueries {
       val store = graft.sources.Store(s, v5SurvPath(s, d), "source")
       store.destroy()
       val built = v5Survivors(Tables.documents(s, d))
-      store.append(built)
+      store.appendVersioned(built) // (epoch 1, v1) — x42's manifest coordinate
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
       val back = readOrEmpty(store, built)
       val M = lit(2147483647L)
@@ -8195,7 +8195,7 @@ object PipelineQueries {
         Seq("doc_id"), "clean_toks", nShards = 16)
       val store = graft.sources.Store(s, x41RunPath(s, d), "shard")
       store.destroy()
-      store.append(sharded)
+      store.appendVersioned(sharded) // (epoch 1, v1) — x42's manifest coordinate
       sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
       val back = readOrEmpty(store, sharded)
       val M = lit(2147483647L)
@@ -8283,6 +8283,16 @@ object PipelineQueries {
     * DISK equals what the plan says should be — the x41 write-path
     * verification generalized to the whole artifact set.
     *
+    * Each row also carries the artifact store's (EPOCH, VERSION)
+    * coordinate — the full reproducibility address after the governance
+    * layer landed: version numbers are only meaningful WITHIN a lineage
+    * epoch ([[graft.sources.Store.epoch]] advances on every
+    * purgeRestartLineage), so a manifest naming “version 1” without its
+    * epoch is ambiguous the day after a takedown. The artifact builders
+    * write through appendVersioned, so the coordinate is read from the
+    * real `_log`, not assumed; x57 is the diff panel that exercises the
+    * coordinate ACROSS a purge boundary.
+    *
     * Scale: every aggregate is map-side combinable over its artifact
     * (checksum terms reduce below 2³¹ before summing, z46's overflow
     * rule); the manifest itself is 4 rows at any corpus size. */
@@ -8304,19 +8314,34 @@ object PipelineQueries {
       val bm =
         if (planOnly) baseMapFit(s, d).select("doc_id", "cluster_id")
         else baseMapStored(s, d)
+      // the store's lineage coordinate (metadata reads: one marker file +
+      // one _log listing per artifact; the builders above guarantee the
+      // logs exist before this runs)
+      def coordOf(path: String): (Long, Long) =
+        if (planOnly) (1L, 1L)
+        else {
+          val st = graft.sources.Store(s, path, "part")
+          (st.epoch, st.versions.lastOption.getOrElse(0L))
+        }
+      val (survEp, survV) = coordOf(v5SurvPath(s, d))
+      val (runEp, runV) = coordOf(x41RunPath(s, d))
+      val (lmEp, lmV) = coordOf(x40LmPath(s, d))
+      val (bmEp, bmV) = coordOf(baseMapPath(s, d))
       val survRow = surv.agg(
           count(lit(1)).as("n_rows"),
           sum(size(split(col("text"), " ")).cast(LongType)).as("total"),
           pmod(sum((col("doc_id") % M) * (col("doc_id") % M) % M), M)
             .cast(LongType).as("checksum"))
-        .select(lit("survivor_set").as("artifact"), col("n_rows"),
+        .select(lit("survivor_set").as("artifact"), lit(survEp).as("epoch"),
+          lit(survV).as("version"), col("n_rows"),
           col("total"), col("checksum"))
       val runRow = run.agg(
           count(lit(1)).as("n_rows"),
           sum(col("clean_toks")).cast(LongType).as("total"),
           pmod(sum((col("doc_id") % M) * ((col("shard") + 1) % M) % M), M)
             .cast(LongType).as("checksum"))
-        .select(lit("train_run").as("artifact"), col("n_rows"),
+        .select(lit("train_run").as("artifact"), lit(runEp).as("epoch"),
+          lit(runV).as("version"), col("n_rows"),
           col("total"), col("checksum"))
       val lmRow = lm.agg(
           count(lit(1)).as("n_rows"),
@@ -8324,14 +8349,16 @@ object PipelineQueries {
           pmod(sum(
             (TextAnalysis.hash32(col("prev")) * 31 + TextAnalysis.hash32(col("cur"))) % M
               * (col("n_bg") % M) % M), M).cast(LongType).as("checksum"))
-        .select(lit("lm_model").as("artifact"), col("n_rows"),
+        .select(lit("lm_model").as("artifact"), lit(lmEp).as("epoch"),
+          lit(lmV).as("version"), col("n_rows"),
           col("total"), col("checksum"))
       val bmRow = bm.agg(
           count(lit(1)).as("n_rows"),
           countDistinct(col("cluster_id")).cast(LongType).as("total"),
           pmod(sum((col("doc_id") % M) * (col("cluster_id") % M) % M), M)
             .cast(LongType).as("checksum"))
-        .select(lit("canonical_map").as("artifact"), col("n_rows"),
+        .select(lit("canonical_map").as("artifact"), lit(bmEp).as("epoch"),
+          lit(bmV).as("version"), col("n_rows"),
           col("total"), col("checksum"))
       survRow.unionByName(runRow).unionByName(lmRow).unionByName(bmRow)
         .orderBy("artifact")
@@ -8363,30 +8390,35 @@ object PipelineQueries {
        |  FROM documents d LEFT JOIN bcomp ON d.doc_id = bcomp.node
        |  WHERE d.doc_id % 10 <> 0),
        |mrows AS (
-       |  SELECT 'survivor_set' AS artifact, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  SELECT 'survivor_set' AS artifact, CAST(1 AS BIGINT) AS epoch,
+       |    CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total,
        |    CAST(SUM((doc_id % 2147483647) * (doc_id % 2147483647) % 2147483647)
        |      % 2147483647 AS BIGINT) AS checksum
        |  FROM surv
        |  UNION ALL
-       |  SELECT 'train_run', CAST(COUNT(*) AS BIGINT),
+       |  SELECT 'train_run', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |    CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(clean_toks) AS BIGINT),
        |    CAST(SUM((doc_id % 2147483647) * ((shard + 1) % 2147483647) % 2147483647)
        |      % 2147483647 AS BIGINT)
        |  FROM xsh
        |  UNION ALL
-       |  SELECT 'lm_model', CAST(COUNT(*) AS BIGINT),
+       |  SELECT 'lm_model', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |    CAST(COUNT(*) AS BIGINT),
        |    CAST(SUM(n_bg) AS BIGINT),
        |    CAST(SUM(((${h32Sql("prev")} * 31 + ${h32Sql("cur")}) % 2147483647)
        |      * (n_bg % 2147483647) % 2147483647) % 2147483647 AS BIGINT)
        |  FROM qcnt
        |  UNION ALL
-       |  SELECT 'canonical_map', CAST(COUNT(*) AS BIGINT),
+       |  SELECT 'canonical_map', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+       |    CAST(COUNT(*) AS BIGINT),
        |    CAST(COUNT(DISTINCT cluster_id) AS BIGINT),
        |    CAST(SUM((doc_id % 2147483647) * (cluster_id % 2147483647) % 2147483647)
        |      % 2147483647 AS BIGINT)
        |  FROM blbl)
-       |SELECT artifact, n_rows, total, checksum FROM mrows ORDER BY artifact""".stripMargin)
+       |SELECT artifact, epoch, version, n_rows, total, checksum
+       |FROM mrows ORDER BY artifact""".stripMargin)
 
   /** x43: MANIFEST DIFF — the release-promotion decision x42's scaladoc
     * promises: "two runs produced the same data iff their manifests
@@ -8633,6 +8665,173 @@ object PipelineQueries {
        |  CAST(COALESCE(mb.checksum, 0) AS BIGINT) AS checksum_b
        |FROM ma FULL OUTER JOIN mb ON ma.artifact = mb.artifact
        |ORDER BY artifact""".stripMargin)
+
+  private val x57Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  /** x57: MANIFEST DIFF ACROSS A PURGE BOUNDARY — the cross-EPOCH form
+    * x43 deliberately does not cover (its two manifests live in one
+    * lineage; see x42 for the coordinate itself). After a
+    * [[graft.sources.Store.purgeRestartLineage]] the version axis
+    * RESTARTS: "v3 yesterday, v2 today" does not mean the corpus shrank
+    * a version — it means yesterday's coordinates belong to a destroyed
+    * lineage. A diff that compared raw version numbers (or worse, their
+    * contents' checksums alone) would report a plain `changed` and an
+    * auditor would miss that HISTORY itself was rewritten. So the diff's
+    * status verdict checks the EPOCH first: artifacts whose epochs
+    * differ report `lineage_restarted(E_a->E_b)` — the governance event,
+    * named — and only same-epoch artifacts fall through to x43's
+    * unchanged/changed/new/removed ladder.
+    *
+    * The DAG is the real sequence: a versioned corpus store takes three
+    * ingest days (manifest A is PUBLISHED — landed in a manifest store,
+    * the durable-barrier rule: its aggregates read files the purge is
+    * about to destroy); a takedown purges the lineage (epoch 1→2); the
+    * next ingest day lands in the new epoch; manifest B is computed
+    * live from the stores, its `ingest_batch` row read via
+    * `readChanges` (the log IS the diff). A never-purged reference-dims
+    * store rides along to prove same-epoch artifacts still diff as
+    * `unchanged`. The oracle recomputes both manifests from membership
+    * predicates and replays the full-outer diff with the same status
+    * CASE — so hash equality proves the epoch-aware verdicts, the
+    * coordinates, and the content checksums all land exactly where a
+    * from-scratch derivation puts them. Scale: manifests are
+    * O(artifacts) rows; every aggregate is one map-side-combinable pass
+    * over its artifact; the purge is s28's retained rewrite at
+    * governance cadence. */
+  private val x57EpochManifestDiff = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      val region = Tables.region(s, d)
+      def mrow(name: String, df: org.apache.spark.sql.DataFrame, idCol: String,
+               ep: Long, v: Long) =
+        df.agg(count(lit(1)).as("n_rows"),
+            coalesce(pmod(sum((col(idCol) % M) * ((col(idCol) + 7) % M) % M), M),
+              lit(0L)).cast(LongType).as("checksum"))
+          .select(lit(name).as("artifact"), lit(ep).as("epoch"),
+            lit(v).as("version"), col("n_rows"), col("checksum"))
+      val (manifestA, manifestB) =
+        if (planOnly) {
+          val pre = docs.filter(col("doc_id") % 4 >= 1)
+          val post = docs.filter(
+            (col("doc_id") % 4 >= 1 && col("doc_id") % 6 =!= 0)
+              || col("doc_id") % 4 === 0)
+          val bat = docs.filter(col("doc_id") % 4 === 0)
+          (mrow("corpus", pre, "doc_id", 1L, 3L)
+             .unionByName(mrow("reference_dims", region, "r_regionkey", 1L, 1L)),
+           mrow("corpus", post, "doc_id", 2L, 2L)
+             .unionByName(mrow("reference_dims", region, "r_regionkey", 1L, 1L))
+             .unionByName(mrow("ingest_batch", bat, "doc_id", 2L, 2L)))
+        } else x57Cache.computeIfAbsent(
+          s"${s.sparkContext.applicationId}:$d", _ => {
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"epoch_diff_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val src = graft.sources.Store(s, s"$base/corpus", "source")
+          val dims = graft.sources.Store(s, s"$base/dims", "r_regionkey")
+          val mst = graft.sources.Store(s, s"$base/manifest", "artifact")
+          Seq(src, dims, mst).foreach(_.destroy())
+          (1 to 3).foreach(r =>
+            src.appendVersioned(docs.filter(col("doc_id") % 4 === r)))
+          dims.appendVersioned(region)
+          def coord(st: graft.sources.Store) =
+            (st.epoch, st.versions.lastOption.getOrElse(0L))
+          // PUBLISH manifest A before the purge: its aggregates read the
+          // files the purge destroys, so the store append is the barrier
+          val (e1, v1) = coord(src); val (de, dv) = coord(dims)
+          mst.append(
+            mrow("corpus", src.read, "doc_id", e1, v1)
+              .unionByName(mrow("reference_dims", dims.read, "r_regionkey", de, dv)))
+          // the governance request, then the next ingest day in epoch 2
+          src.purgeRestartLineage(col("doc_id") % 6 === 0)
+          src.appendVersioned(docs.filter(col("doc_id") % 4 === 0))
+          val (e2, v2) = coord(src)
+          val manB = mrow("corpus", src.read, "doc_id", e2, v2)
+            .unionByName(mrow("reference_dims", dims.read, "r_regionkey", de, dv))
+            // the batch artifact reads ONLY the changed files off the log
+            .unionByName(mrow("ingest_batch", src.readChanges(v2 - 1, v2),
+              "doc_id", e2, v2))
+          (mst.read.select("artifact", "epoch", "version", "n_rows", "checksum"),
+            manB)
+        })
+      val a = manifestA.select(col("artifact"), col("epoch").as("ea"),
+        col("version").as("va"), col("n_rows").as("na"), col("checksum").as("ca"))
+      val b = manifestB.select(col("artifact"), col("epoch").as("eb"),
+        col("version").as("vb"), col("n_rows").as("nb"), col("checksum").as("cb"))
+      a.join(b, Seq("artifact"), "full_outer")
+        .select(col("artifact"),
+          when(col("na").isNull, lit("new"))
+            .when(col("nb").isNull, lit("removed"))
+            .when(col("ea") =!= col("eb"),
+              concat(lit("lineage_restarted("), col("ea").cast("string"),
+                lit("->"), col("eb").cast("string"), lit(")")))
+            .when(col("na") === col("nb") && col("ca") === col("cb"), lit("unchanged"))
+            .otherwise(lit("changed")).as("status"),
+          coalesce(col("ea"), lit(0L)).cast(LongType).as("epoch_a"),
+          coalesce(col("eb"), lit(0L)).cast(LongType).as("epoch_b"),
+          coalesce(col("va"), lit(0L)).cast(LongType).as("version_a"),
+          coalesce(col("vb"), lit(0L)).cast(LongType).as("version_b"),
+          coalesce(col("na"), lit(0L)).cast(LongType).as("n_rows_a"),
+          coalesce(col("nb"), lit(0L)).cast(LongType).as("n_rows_b"),
+          coalesce(col("ca"), lit(0L)).cast(LongType).as("checksum_a"),
+          coalesce(col("cb"), lit(0L)).cast(LongType).as("checksum_b"))
+        .orderBy("artifact")
+    },
+    """WITH pre AS (SELECT doc_id FROM documents WHERE doc_id % 4 IN (1, 2, 3)),
+      |post AS (SELECT doc_id FROM documents
+      |  WHERE (doc_id % 4 IN (1, 2, 3) AND doc_id % 6 <> 0) OR doc_id % 4 = 0),
+      |bat AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+      |ma AS (
+      |  SELECT 'corpus' AS artifact, CAST(1 AS BIGINT) AS epoch,
+      |    CAST(3 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COALESCE(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647)
+      |      % 2147483647), 0) % 2147483647 AS BIGINT) AS checksum
+      |  FROM pre
+      |  UNION ALL
+      |  SELECT 'reference_dims', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM((r_regionkey % 2147483647)
+      |      * ((r_regionkey + 7) % 2147483647) % 2147483647), 0)
+      |      % 2147483647 AS BIGINT)
+      |  FROM region),
+      |mb AS (
+      |  SELECT 'corpus' AS artifact, CAST(2 AS BIGINT) AS epoch,
+      |    CAST(2 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COALESCE(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647)
+      |      % 2147483647), 0) % 2147483647 AS BIGINT) AS checksum
+      |  FROM post
+      |  UNION ALL
+      |  SELECT 'reference_dims', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM((r_regionkey % 2147483647)
+      |      * ((r_regionkey + 7) % 2147483647) % 2147483647), 0)
+      |      % 2147483647 AS BIGINT)
+      |  FROM region
+      |  UNION ALL
+      |  SELECT 'ingest_batch', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647)
+      |      % 2147483647), 0) % 2147483647 AS BIGINT)
+      |  FROM bat)
+      |SELECT COALESCE(a.artifact, b.artifact) AS artifact,
+      |  CASE WHEN a.artifact IS NULL THEN 'new'
+      |       WHEN b.artifact IS NULL THEN 'removed'
+      |       WHEN a.epoch <> b.epoch THEN 'lineage_restarted('
+      |         || CAST(a.epoch AS VARCHAR) || '->' || CAST(b.epoch AS VARCHAR) || ')'
+      |       WHEN a.n_rows = b.n_rows AND a.checksum = b.checksum
+      |         THEN 'unchanged'
+      |       ELSE 'changed' END AS status,
+      |  CAST(COALESCE(a.epoch, 0) AS BIGINT) AS epoch_a,
+      |  CAST(COALESCE(b.epoch, 0) AS BIGINT) AS epoch_b,
+      |  CAST(COALESCE(a.version, 0) AS BIGINT) AS version_a,
+      |  CAST(COALESCE(b.version, 0) AS BIGINT) AS version_b,
+      |  CAST(COALESCE(a.n_rows, 0) AS BIGINT) AS n_rows_a,
+      |  CAST(COALESCE(b.n_rows, 0) AS BIGINT) AS n_rows_b,
+      |  CAST(COALESCE(a.checksum, 0) AS BIGINT) AS checksum_a,
+      |  CAST(COALESCE(b.checksum, 0) AS BIGINT) AS checksum_b
+      |FROM ma a FULL OUTER JOIN mb b ON a.artifact = b.artifact
+      |ORDER BY artifact""".stripMargin)
 
   /** x44: TAKEDOWN PROPAGATION — the deletion E2 the manifest's artifact
     * set needs: a removal list (a takedown / right-to-be-forgotten batch,
@@ -11365,6 +11564,7 @@ object PipelineQueries {
     "x41_run_materialize" -> x41RunMaterialize,
     "x42_run_manifest" -> x42RunManifest,
     "x43_manifest_diff" -> x43ManifestDiff,
+    "x57_epoch_manifest_diff" -> x57EpochManifestDiff,
     "x44_takedown" -> x44Takedown,
     "x45_sidecar_manifest" -> x45SidecarManifest,
     "z17_bigram_logprob" -> z17BigramLogprob,
