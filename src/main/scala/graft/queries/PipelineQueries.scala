@@ -2398,6 +2398,238 @@ object PipelineQueries {
        |  TRUE AS resketch_equals_scratch
        |FROM aft CROSS JOIN bef CROSS JOIN tr CROSS JOIN nr""".stripMargin)
 
+  private final case class X58State(
+      art1: org.apache.spark.sql.DataFrame, art1t: org.apache.spark.sql.DataFrame,
+      art2: org.apache.spark.sql.DataFrame, probed1: org.apache.spark.sql.DataFrame,
+      probed2: org.apache.spark.sql.DataFrame, resketchOk: Boolean)
+  private val x58Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, X58State]()
+
+  /** x58: TAKEDOWN INTERLEAVED WITH THE MULTI-DAY COMPOSITION — the
+    * lifecycle triangle's last untested ORDERING (x51 builds, x54/x55
+    * maintain across days, x56 removes; x58 proves remove-THEN-keep-
+    * maintaining): build → merge day 1 → governance takedown → merge
+    * day 2, all against the STORED artifacts, must land exactly the
+    * from-scratch split of (retained corpus ∪ day-2 arrivals). The
+    * ordering is where the interesting coupling lives:
+    *  - the takedown's subtract (x56's O(removed) merge) runs against
+    *    the artifact AS OF day 1 — removed docs' segment counts include
+    *    any day-1 crossings they caused, and the subtract must unwind
+    *    them exactly (df′ = df − r, demote at 1, drop at 0);
+    *  - the takedown forces the RE-SKETCH (CMS cannot subtract), so day
+    *    2's merge probes a FRESH, zero-residue sketch rebuilt from the
+    *    stored tail′ keys — day-2 detection is exact by construction,
+    *    and the day-2 batch may legitimately re-introduce content whose
+    *    earlier copies were just removed (re-arrival is ingest, not a
+    *    takedown violation: removal erases history, not the future);
+    *  - day-2 crossings/new-singletons are therefore derived against the
+    *    POST-takedown artifact, which is exactly what the oracle's
+    *    retained-prefix views replay.
+    * Panel: final exact/tail counts + checksums ≡ from-scratch over the
+    * retained∪day-2 corpus (merge∘takedown∘merge ≡ rebuild), per-day
+    * crossing/new-tail counts, the takedown's demotion/drop transitions,
+    * `no_false_negatives_d2` on the rebuilt sketch, and
+    * `resketch_equals_scratch` byte-comparing the artifact-rebuilt
+    * sketch against a build over the from-scratch retained tail. Scale:
+    * two O(batch) merges + one O(removed) subtract + one O(artifact)
+    * re-sketch; the corpus is touched only by the verification arms. */
+  private val x58InterleavedTakedown = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      def segsOf(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.chunkWords(df, "doc_id", "text", 8)
+          .select(col("doc_id"),
+            TextAnalysis.hash32(col("chunk_text")).as("h1"),
+            TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      def cntOf(f: org.apache.spark.sql.DataFrame) =
+        segsOf(f).groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      def batchOf(f: org.apache.spark.sql.DataFrame) =
+        segsOf(f).groupBy("h1", "h2").agg(count(lit(1)).as("b"))
+      val skAgg = "count_min_sketch(key, CAST(0.00001 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42)"
+      def sketchBytes(keys: org.apache.spark.sql.DataFrame): Array[Byte] = {
+        val r = keys.select("h1", "h2")
+          .withColumn("key", concat_ws(":", col("h1"), col("h2")))
+          .agg(expr(skAgg).as("sk")).head()
+        Option(r.getAs[Array[Byte]]("sk")).getOrElse(Array.empty[Byte])
+      }
+      def stored(day: String, built: org.apache.spark.sql.DataFrame) = {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+          s"tailint_${day}_${s.sparkContext.applicationId}_" +
+          Integer.toHexString(d.hashCode)
+        val store = graft.sources.Store(s, path, "part")
+        store.destroy()
+        store.append(built.withColumn("part", pmod(col("h1"), lit(8))))
+        sys.addShutdownHook { try store.destroy() catch { case _: Exception => () } }
+        store.read.drop("part")
+      }
+      def mergeDay(art: org.apache.spark.sql.DataFrame,
+                   batch: org.apache.spark.sql.DataFrame, skB: Array[Byte]) = {
+        val exact = art.filter(col("df") >= 2)
+        val tailK = art.filter(col("df") === 1)
+        val probed0 = batch
+          .join(exact.select(col("h1"), col("h2"), col("df").as("df_exact")),
+            Seq("h1", "h2"), "left")
+          .join(tailK.select(col("h1"), col("h2"), lit(1L).as("df_tail")),
+            Seq("h1", "h2"), "left")
+          .withColumn("est", when(col("df_exact").isNull,
+              call_function("graft_cms_estimate", lit(skB),
+                concat_ws(":", col("h1"), col("h2"))))
+            .otherwise(lit(0L)))
+        // retainCheckpoint (x55's rule): these frames live in x58Cache
+        // across constructions, so their blocks must survive the
+        // per-query releaseAllBlocks sweep
+        val probed = if (planOnly) probed0
+          else graft.Housekeeping.retainCheckpoint(s)(probed0)
+        val estFlag = when(col("est") >= 1, 1L).otherwise(0L)
+        val updated = exact.join(batch, Seq("h1", "h2"), "left")
+          .select(col("h1"), col("h2"),
+            (col("df") + coalesce(col("b"), lit(0L))).cast(LongType).as("df"))
+        val crossings = probed
+          .filter(col("df_exact").isNull && estFlag + col("b") >= 2)
+          .select(col("h1"), col("h2"), (estFlag + col("b")).cast(LongType).as("df"))
+        val newTail = probed
+          .filter(col("df_exact").isNull && col("b") === 1 && col("est") < 1)
+        val tailKept = tailK
+          .join(crossings.select("h1", "h2"), Seq("h1", "h2"), "left_anti")
+        val newArt = updated.unionByName(crossings)
+          .unionByName(tailKept.select(col("h1"), col("h2"),
+            lit(1L).cast(LongType).as("df")))
+          .unionByName(newTail.select(col("h1"), col("h2"),
+            lit(1L).cast(LongType).as("df")))
+        (newArt, probed)
+      }
+      val day0 = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+      val b1 = batchOf(docs.filter(col("doc_id") % 10 === 5))
+      val b2 = batchOf(docs.filter(col("doc_id") % 10 === 0))
+      // the takedown targets docs PRESENT at request time (day 0 ∪ day 1)
+      val removedDocs = docs.filter(col("doc_id") % 9 === 0
+        && col("doc_id") % 10 =!= 0)
+      def subtracted(art: org.apache.spark.sql.DataFrame) = {
+        val rem = segsOf(removedDocs).groupBy("h1", "h2").agg(count(lit(1)).as("r"))
+        art.join(rem, Seq("h1", "h2"), "left")
+          .select(col("h1"), col("h2"),
+            (col("df") - coalesce(col("r"), lit(0L))).cast(LongType).as("df"))
+          .filter(col("df") >= 1)
+      }
+      val st =
+        if (planOnly) {
+          val a0 = cntOf(day0)
+          val (a1, p1) = mergeDay(a0, b1, Array.empty[Byte])
+          val a1t = subtracted(a1)
+          val (a2, p2) = mergeDay(a1t, b2, Array.empty[Byte])
+          X58State(a1, a1t, a2, p1, p2, resketchOk = true)
+        } else x58Cache.computeIfAbsent(
+          s"${s.sparkContext.applicationId}:$d", _ => {
+            val art0 = stored("d0", cntOf(day0))
+            val sk0 = sketchBytes(art0.filter(col("df") === 1))
+            val (newArt1, probed1) = mergeDay(art0, b1, sk0)
+            val art1 = stored("d1", newArt1)
+            // ---- the governance request between the merge days ----
+            val art1t = stored("td", subtracted(art1))
+            // CMS cannot subtract: rebuild the sketch from the STORED
+            // tail′ keys — zero residue by construction, never the corpus
+            val sk1t = sketchBytes(art1t.filter(col("df") === 1))
+            val scratchT = sketchBytes(
+              cntOf(docs.filter(col("doc_id") % 10 =!= 0
+                  && col("doc_id") % 9 =!= 0))
+                .filter(col("df") === 1))
+            val resketch = java.util.Arrays.equals(sk1t, scratchT)
+            val (newArt2, probed2) = mergeDay(art1t, b2, sk1t)
+            val art2 = stored("d2", newArt2)
+            X58State(art1, art1t, art2, probed1, probed2, resketch)
+          })
+      val estFlag = when(col("est") >= 1, 1L).otherwise(0L)
+      def dayCounts(p: org.apache.spark.sql.DataFrame, cName: String, nName: String) =
+        p.agg(
+          sum(when(col("df_exact").isNull && estFlag + col("b") >= 2, 1L)
+            .otherwise(0L)).as(cName),
+          sum(when(col("df_exact").isNull && col("b") === 1 && col("est") < 1, 1L)
+            .otherwise(0L)).as(nName))
+      val trans = st.art1.select(col("h1"), col("h2"), col("df").as("df1"))
+        .join(st.art1t.select(col("h1"), col("h2"), col("df").as("dft")),
+          Seq("h1", "h2"), "left")
+        .agg(
+          sum(when(col("df1") >= 2 && col("dft") === 1, 1L).otherwise(0L))
+            .as("n_demoted"),
+          sum(when(col("dft").isNull, 1L).otherwise(0L)).as("n_dropped"))
+      val d2Contract = st.probed2.agg(
+        (sum(when(col("df_exact").isNull && col("df_tail").isNotNull
+          && col("est") < 1, 1L).otherwise(0L)) === 0L).as("no_false_negatives_d2"))
+      val finAgg = st.art2.agg(
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_exact_final"),
+        pmod(sum(when(col("df") >= 2,
+          (col("h1") % M) * (col("h2") % M) % M * (col("df") % M) % M)
+          .otherwise(0L)), M).cast(LongType).as("exact_checksum"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_tail_final"),
+        pmod(sum(when(col("df") === 1, (col("h1") % M) * (col("h2") % M) % M)
+          .otherwise(0L)), M).cast(LongType).as("tail_checksum"))
+      finAgg
+        .crossJoin(broadcast(dayCounts(st.probed1, "n_crossings_d1", "n_new_tail_d1")))
+        .crossJoin(broadcast(trans))
+        .crossJoin(broadcast(dayCounts(st.probed2, "n_crossings_d2", "n_new_tail_d2")))
+        .crossJoin(broadcast(d2Contract))
+        .crossJoin(broadcast(
+          removedDocs.agg(count(lit(1)).as("n_removed_docs"))))
+        .withColumn("resketch_equals_scratch", lit(st.resketchOk))
+        .select("n_removed_docs", "n_exact_final", "exact_checksum",
+          "n_tail_final", "tail_checksum", "n_crossings_d1", "n_new_tail_d1",
+          "n_demoted", "n_dropped", "n_crossings_d2", "n_new_tail_d2",
+          "no_false_negatives_d2", "resketch_equals_scratch")
+    },
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |seg0 AS (SELECT doc_id, w,
+       |    unnest(generate_series(0, (len(w) - 1) // 8)) AS c FROM ws),
+       |st AS (SELECT doc_id,
+       |    array_to_string(list_slice(w, c * 8 + 1, c * 8 + 8), ' ') AS t FROM seg0),
+       |hh AS (SELECT doc_id, ${h32Sql("t")} AS h1, ${h32bSql("t")} AS h2 FROM st),
+       |c0 AS (SELECT h1, h2, COUNT(*) AS df FROM hh
+       |  WHERE doc_id % 10 NOT IN (0, 5) GROUP BY 1, 2),
+       |c01 AS (SELECT h1, h2, COUNT(*) AS df FROM hh
+       |  WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+       |r01 AS (SELECT h1, h2, COUNT(*) AS df FROM hh
+       |  WHERE doc_id % 10 <> 0 AND doc_id % 9 <> 0 GROUP BY 1, 2),
+       |cf AS (SELECT h1, h2, COUNT(*) AS df FROM hh
+       |  WHERE doc_id % 9 <> 0 OR doc_id % 10 = 0 GROUP BY 1, 2),
+       |x1 AS (SELECT
+       |    CAST(SUM(CASE WHEN c01.df >= 2 AND COALESCE(c0.df, 0) <= 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings_d1,
+       |    CAST(SUM(CASE WHEN c01.df = 1 AND c0.h1 IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_new_tail_d1
+       |  FROM c01 LEFT JOIN c0 ON c0.h1 = c01.h1 AND c0.h2 = c01.h2),
+       |tr AS (SELECT
+       |    CAST(SUM(CASE WHEN c01.df >= 2 AND r01.df = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_demoted,
+       |    CAST(SUM(CASE WHEN r01.h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dropped
+       |  FROM c01 LEFT JOIN r01 ON r01.h1 = c01.h1 AND r01.h2 = c01.h2),
+       |x2 AS (SELECT
+       |    CAST(SUM(CASE WHEN cf.df >= 2 AND COALESCE(r01.df, 0) <= 1
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_crossings_d2,
+       |    CAST(SUM(CASE WHEN cf.df = 1 AND r01.h1 IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_new_tail_d2
+       |  FROM cf LEFT JOIN r01 ON r01.h1 = cf.h1 AND r01.h2 = cf.h2),
+       |nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_removed_docs FROM documents
+       |  WHERE doc_id % 9 = 0 AND doc_id % 10 <> 0),
+       |fin AS (SELECT
+       |    CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_final,
+       |    CAST(SUM(CASE WHEN df >= 2 THEN (h1 % 2147483647) * (h2 % 2147483647)
+       |      % 2147483647 * (df % 2147483647) % 2147483647 ELSE 0 END)
+       |      % 2147483647 AS BIGINT) AS exact_checksum,
+       |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail_final,
+       |    CAST(SUM(CASE WHEN df = 1 THEN (h1 % 2147483647) * (h2 % 2147483647)
+       |      % 2147483647 ELSE 0 END) % 2147483647 AS BIGINT) AS tail_checksum
+       |  FROM cf)
+       |SELECT nr.n_removed_docs, fin.n_exact_final, fin.exact_checksum,
+       |  fin.n_tail_final, fin.tail_checksum, x1.n_crossings_d1,
+       |  x1.n_new_tail_d1, tr.n_demoted, tr.n_dropped, x2.n_crossings_d2,
+       |  x2.n_new_tail_d2, TRUE AS no_false_negatives_d2,
+       |  TRUE AS resketch_equals_scratch
+       |FROM fin CROSS JOIN x1 CROSS JOIN tr CROSS JOIN x2 CROSS JOIN nr""".stripMargin)
+
+
   /** x49: PREPROCESSING front-half capstone — the CCNet-shaped chain every
     * web corpus runs BEFORE the quality/dedup lifecycle the other
     * capstones own, composed as ONE declared DAG over raw arrivals:
@@ -11565,6 +11797,7 @@ object PipelineQueries {
     "x42_run_manifest" -> x42RunManifest,
     "x43_manifest_diff" -> x43ManifestDiff,
     "x57_epoch_manifest_diff" -> x57EpochManifestDiff,
+    "x58_interleaved_takedown" -> x58InterleavedTakedown,
     "x44_takedown" -> x44Takedown,
     "x45_sidecar_manifest" -> x45SidecarManifest,
     "z17_bigram_logprob" -> z17BigramLogprob,
