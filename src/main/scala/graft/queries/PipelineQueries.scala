@@ -10672,6 +10672,252 @@ object PipelineQueries {
        |CROSS JOIN nt
        |GROUP BY arm, nt.n_truth ORDER BY arm""".stripMargin)
 
+  private final case class Y27State(
+      pf: org.apache.spark.sql.DataFrame, rb: org.apache.spark.sql.DataFrame,
+      truth: org.apache.spark.sql.DataFrame, rebuildNow: Boolean, servingGen: Long)
+  private val y27Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Y27State]()
+
+  /** y27: GOVERNANCE REQUEST PROPAGATED TO THE ANN STORE — the vector
+    * side of the s32/s33 chain, as ONE declared DAG over STORED index
+    * generations (y24/y26 priced the arms in memory; this lands them):
+    *  1. the index is a DURABLE artifact — generation 1 is the norm-
+    *     augmented hyperplane assignment of the FULL corpus (y21's
+    *     asymmetric MIPS reduction; M = max corpus norm is baked into
+    *     the stored buckets — the index-build artifact y26 named),
+    *     landed versioned and partitioned BY BUCKET (serving prunes to
+    *     probed cells, y18's layout);
+    *  2. the request arrives: tombstone ids land in a request-sized
+    *     store; the STALE gen-1 index keeps serving post-filtered
+    *     (k′ = 2k off the stored buckets, tombstoned candidates and
+    *     requesters anti-joined out — the zero-downtime stopgap);
+    *  3. the y25 decision is RECORDED from measured data: the candidate
+    *     gen-2 index (retained corpus, RE-AUGMENTED — M₂ recomputes, so
+    *     every stored bucket differs, which is exactly why the rebuild
+    *     is a new artifact rather than an edit) is built and landed as
+    *     its own store generation, both arms serve against their stored
+    *     forms, and rebuild_now = starvation > 0 ∨ recall payoff > 0
+    *     ∨ deletion fraction ≥ [[RebuildDeletionModMax]]'s 25% (here
+    *     1/7 — statically false, the measured clauses decide);
+    *  4. the serving POINTER (a one-row manifest store) advances to
+    *     generation 2 iff the decision fired — promotion is a metadata
+    *     append, the gen-2 build having already landed.
+    * Panel: both arms' y24-shaped rows read back FROM THE STORES
+    * (index_gen names each arm's generation) plus the decision columns
+    * (rebuild_now, serving_gen re-read from the pointer store); the
+    * oracle recomputes both index generations, both arms, the exact
+    * retained-MIPS truth, AND the decision rule from scratch — so hash
+    * equality proves the stored-index round trips, the serve paths, and
+    * the recorded decision all match a from-scratch derivation over the
+    * retained embeddings. Scale: both arms are bucket equi-joins off
+    * bucket-partitioned stores; the gen-2 build is one corpus pass at
+    * governance cadence; truth is the bounded-batch brute force. */
+  private val y27GovernedAnn = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val e = Tables.embeddings(s, d)
+      val planes = 4
+      val tombPred = col("vec_id") % 7 === 0
+      val qPred: Column => Column = id =>
+        id % 50 === 0 && id < 1000 && !(id % 7 === 0)
+      val retained = e.filter(!tombPred)
+      // the index-build half of mipsTopK: augment with √(M²−‖x‖²), bucket
+      def augIndex(corpus: org.apache.spark.sql.DataFrame) = {
+        val base = corpus.select(col("vec_id"), col("embedding"))
+          .withColumn("__nrm", Similarity.norm("embedding"))
+        val m = base.agg(max(col("__nrm")).as("__mnorm"))
+        base.crossJoin(broadcast(m))
+          .withColumn("__s", sqrt(greatest(col("__mnorm") * col("__mnorm")
+            - col("__nrm") * col("__nrm"), lit(0.0))).cast("float"))
+          .withColumn("caug", concat(col("embedding"), array(col("__s"))))
+          .withColumn("bucket", Similarity.hyperplaneBucket("caug", 65, planes))
+          .select(col("vec_id"), col("bucket"))
+      }
+      // serve a query batch against a STORED (vec_id, bucket) index:
+      // query buckets need no M (queries augment with 0), candidates
+      // join back to the vector table for raw-dot ranking
+      def serveFrom(idx: org.apache.spark.sql.DataFrame, k: Int,
+                    tomb: Option[org.apache.spark.sql.DataFrame]) = {
+        val q0 = e.filter(qPred(col("vec_id")))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          .withColumn("qaug", concat(col("q_vec"), array(lit(0.0f))))
+          .withColumn("bucket", Similarity.hyperplaneBucket("qaug", 65, planes))
+          .withColumn("__probe", explode(array(
+            col("bucket") +:
+              (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
+        val q = tomb.fold(q0)(t => q0.join(
+          broadcast(t.select(col("vec_id").as("q_id"))), Seq("q_id"), "left_anti"))
+        val cand = idx.select(col("vec_id").as("c_id"), col("bucket").as("__probe"))
+          .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
+            Seq("c_id"))
+        val scored0 = q.join(cand, Seq("__probe"))
+          .filter(col("q_id") =!= col("c_id"))
+        val scored = tomb.fold(scored0)(t => scored0.join(
+          broadcast(t.select(col("vec_id").as("c_id"))), Seq("c_id"), "left_anti"))
+        scored
+          .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id").asc)))
+          .filter(col("rank") <= k)
+          .select("q_id", "c_id", "rank")
+      }
+      val st =
+        if (planOnly) {
+          val q = e.filter(qPred(col("vec_id")))
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          val c = retained.select(col("vec_id").as("c_id"),
+            col("embedding").as("c_vec"))
+          val truth = Relational.groupedTopK(
+              q.join(c, col("q_id") =!= col("c_id"))
+                .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6)),
+              Seq("q_id"), col("c_id"),
+              Seq(col("dot").desc, col("c_id").asc), k = 3, out = "rank")
+            .select("q_id", "c_id")
+          val pf = serveFrom(augIndex(e), 6, Some(e.filter(tombPred)))
+          val rb = serveFrom(augIndex(retained), 3, None)
+          Y27State(pf, rb, truth, rebuildNow = true, servingGen = 2L)
+        } else y27Cache.computeIfAbsent(
+          s"${s.sparkContext.applicationId}:$d", _ => {
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"gov_ann_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val g1 = graft.sources.Store(s, s"$base/gen1", "bucket")
+          val g2 = graft.sources.Store(s, s"$base/gen2", "bucket")
+          val tmb = graft.sources.Store(s, s"$base/tomb", "part")
+          val ptr = graft.sources.Store(s, s"$base/ptr", "part")
+          Seq(g1, g2, tmb, ptr).foreach(_.destroy())
+          g1.appendVersioned(augIndex(e))
+          // ---- the request arrives ----
+          tmb.append(e.filter(tombPred).select("vec_id")
+            .withColumn("part", pmod(col("vec_id"), lit(4))))
+          val tombIds = tmb.read.select("vec_id")
+          // exact retained-MIPS truth (bounded query batch); cached across
+          // constructions, so retainCheckpoint, not pin
+          val q = e.filter(qPred(col("vec_id")))
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          val c = retained.select(col("vec_id").as("c_id"),
+            col("embedding").as("c_vec"))
+          val truth = graft.Housekeeping.retainCheckpoint(s)(
+            Relational.groupedTopK(
+                q.join(c, col("q_id") =!= col("c_id"))
+                  .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6)),
+                Seq("q_id"), col("c_id"),
+                Seq(col("dot").desc, col("c_id").asc), k = 3, out = "rank")
+              .select("q_id", "c_id"))
+          // stopgap arm off the STALE stored index
+          val pf0 = serveFrom(g1.read, 6, Some(tombIds))
+            .withColumn("r2", row_number().over(
+              Window.partitionBy("q_id").orderBy(col("rank").asc)))
+            .filter(col("r2") <= 3).select("q_id", "c_id")
+          val pf = graft.Housekeeping.retainCheckpoint(s)(pf0)
+          // candidate generation 2: retained corpus, RE-AUGMENTED
+          g2.appendVersioned(augIndex(retained))
+          val rb = graft.Housekeeping.retainCheckpoint(s)(
+            serveFrom(g2.read, 3, None).select("q_id", "c_id"))
+          // the measured y25 decision
+          def hits(a: org.apache.spark.sql.DataFrame) =
+            a.join(truth, Seq("q_id", "c_id"), "left_semi").count()
+          val pfQ = pf.select("q_id").distinct().count()
+          val pfServed = pf.count()
+          val (pfHits, rbHits) = (hits(pf), hits(rb))
+          val rebuildNow = (pfQ * 3 - pfServed) > 0 || rbHits > pfHits ||
+            7L <= RebuildDeletionModMax
+          // promotion is a metadata append to the pointer store
+          ptr.append(s.range(1).select(
+            lit(if (rebuildNow) 2L else 1L).as("serving_gen"),
+            lit(0).as("part")))
+          val servingGen = ptr.read.select("serving_gen")
+            .head().getLong(0)
+          Y27State(pf, rb, truth, rebuildNow, servingGen)
+        })
+      val nTruth = st.truth.agg(count(lit(1)).as("n_truth"))
+      st.rb.select(lit("rebuild").as("arm"), lit(2L).as("index_gen"),
+          col("q_id"), col("c_id"))
+        .unionByName(st.pf.select(lit("post_filter").as("arm"),
+          lit(1L).as("index_gen"), col("q_id"), col("c_id")))
+        .join(st.truth.withColumn("hit", lit(true)), Seq("q_id", "c_id"), "left")
+        .groupBy("arm", "index_gen").agg(
+          countDistinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_served"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+        .crossJoin(broadcast(nTruth))
+        .withColumn("n_starved", col("n_queries") * 3 - col("n_served"))
+        .withColumn("rebuild_now", lit(st.rebuildNow))
+        .withColumn("serving_gen", lit(st.servingGen).cast(LongType))
+        .select("arm", "index_gen", "n_queries", "n_served", "n_starved",
+          "n_hits", "n_truth", "rebuild_now", "serving_gen")
+        .orderBy("arm")
+    },
+    s"""WITH v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm FROM v),
+       |ret AS (SELECT * FROM n WHERE vec_id % 7 <> 0),
+       |m AS (SELECT MAX(nrm) AS mnorm FROM n),
+       |mr AS (SELECT MAX(nrm) AS mnorm FROM ret),
+       |ca AS (SELECT vec_id, list_append(vd,
+       |    CAST(CAST(sqrt(GREATEST(mnorm * mnorm - nrm * nrm, 0)) AS FLOAT)
+       |      AS DOUBLE)) AS vd
+       |  FROM n CROSS JOIN m),
+       |car AS (SELECT vec_id, list_append(vd,
+       |    CAST(CAST(sqrt(GREATEST(mnorm * mnorm - nrm * nrm, 0)) AS FLOAT)
+       |      AS DOUBLE)) AS vd
+       |  FROM ret CROSS JOIN mr),
+       |cbk AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket FROM ca),
+       |crbk AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket FROM car),
+       |qa AS (SELECT vec_id, list_append(vd, CAST(0 AS DOUBLE)) AS vd
+       |  FROM v WHERE vec_id % 50 = 0 AND vec_id < 1000 AND vec_id % 7 <> 0),
+       |qbk AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket FROM qa),
+       |truth AS (SELECT q_id, c_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q.vec_id ORDER BY
+       |        ROUND(${dotSql("q.vd", "c.vd")}, 6) DESC, c.vec_id) AS rk
+       |    FROM v q JOIN ret cn ON cn.vec_id <> q.vec_id
+       |    JOIN v c ON c.vec_id = cn.vec_id
+       |    WHERE q.vec_id % 50 = 0 AND q.vec_id < 1000 AND q.vec_id % 7 <> 0) t
+       |  WHERE rk <= 3),
+       |reb AS (SELECT 'rebuild' AS arm, q_id, c_id FROM (
+       |    SELECT qb.vec_id AS q_id, ck.vec_id AS c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY qb.vec_id ORDER BY
+       |        ROUND(${dotSql("q.vd", "c.vd")}, 6) DESC, ck.vec_id) AS rk
+       |    FROM qbk qb JOIN v q ON q.vec_id = qb.vec_id
+       |    JOIN crbk ck ON bit_count(xor(qb.bucket, ck.bucket)) <= 1
+       |      AND ck.vec_id <> qb.vec_id
+       |    JOIN v c ON c.vec_id = ck.vec_id) t
+       |  WHERE rk <= 3),
+       |st6 AS (SELECT qb.vec_id AS q_id, ck.vec_id AS c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY qb.vec_id ORDER BY
+       |        ROUND(${dotSql("q.vd", "c.vd")}, 6) DESC, ck.vec_id) AS rk
+       |    FROM qbk qb JOIN v q ON q.vec_id = qb.vec_id
+       |    JOIN cbk ck ON bit_count(xor(qb.bucket, ck.bucket)) <= 1
+       |      AND ck.vec_id <> qb.vec_id
+       |    JOIN v c ON c.vec_id = ck.vec_id),
+       |pf AS (SELECT 'post_filter' AS arm, q_id, c_id FROM (
+       |    SELECT q_id, c_id, ROW_NUMBER() OVER (
+       |      PARTITION BY q_id ORDER BY rk) AS r2
+       |    FROM st6 WHERE rk <= 6 AND c_id % 7 <> 0) t WHERE r2 <= 3),
+       |u AS (SELECT * FROM reb UNION ALL SELECT * FROM pf),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+       |agg AS (SELECT arm, CAST(COUNT(DISTINCT u.q_id) AS BIGINT) AS n_queries,
+       |    CAST(COUNT(*) AS BIGINT) AS n_served,
+       |    CAST(SUM(CASE WHEN truth.q_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_hits
+       |  FROM u LEFT JOIN truth ON truth.q_id = u.q_id AND truth.c_id = u.c_id
+       |  GROUP BY arm),
+       |dec AS (SELECT
+       |    (SELECT n_queries * 3 - n_served FROM agg WHERE arm = 'post_filter')
+       |      AS pf_starved,
+       |    (SELECT n_hits FROM agg WHERE arm = 'post_filter') AS pf_hits,
+       |    (SELECT n_hits FROM agg WHERE arm = 'rebuild') AS rb_hits)
+       |SELECT agg.arm,
+       |  CAST(CASE WHEN agg.arm = 'rebuild' THEN 2 ELSE 1 END AS BIGINT)
+       |    AS index_gen,
+       |  agg.n_queries, agg.n_served,
+       |  CAST(agg.n_queries * 3 - agg.n_served AS BIGINT) AS n_starved,
+       |  agg.n_hits, nt.n_truth,
+       |  (dec.pf_starved > 0 OR dec.rb_hits > dec.pf_hits OR 7 <= 4)
+       |    AS rebuild_now,
+       |  CAST(CASE WHEN dec.pf_starved > 0 OR dec.rb_hits > dec.pf_hits
+       |    OR 7 <= 4 THEN 2 ELSE 1 END AS BIGINT) AS serving_gen
+       |FROM agg CROSS JOIN nt CROSS JOIN dec ORDER BY agg.arm""".stripMargin)
+
   /** y10: Johnson–Lindenstrauss random projection + preservation report —
     * the dimensionality-reduction rung of the embedding ladder (y6
     * quantizes components, y5 codes subspaces, y10 drops dimensions):
@@ -11850,6 +12096,7 @@ object PipelineQueries {
     "y24_tombstone_ann" -> y24TombstoneAnn,
     "y25_deletion_decision" -> y25DeletionDecision,
     "y26_mips_tombstone" -> y26MipsTombstone,
+    "y27_governed_ann" -> y27GovernedAnn,
     "z48_phrase_postings" -> z48PhrasePostings,
     "y3d_knn_ivf_fitted" -> y3dKnnIvfFitted,
     "y3b_kmeans_iterate" -> y3bKmeansIterate,
