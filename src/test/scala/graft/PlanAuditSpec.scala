@@ -620,7 +620,7 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.types.BinaryType
     for (q <- Seq("x54_tail_maintenance", "x51_inventory_tail",
-        "x55_tail_composition")) {
+        "x55_tail_composition", "x58_interleaved_takedown")) {
       val plan = SparkEntry.queries(q)(spark, sf).queryExecution.optimizedPlan
       val offenders = plan.collect {
         case j: Join => j.output.filter(_.dataType == BinaryType)
@@ -654,6 +654,34 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       assert("""\(\d+\) Scan parquet""".r.findAllIn(p).nonEmpty,
         s"$q's audited plan lost its scan")
     }
+  }
+
+  test("round-12 additions keep their scale shapes") {
+    // s33/s34: governance-lifecycle panels stay equi-join/aggregate shaped
+    // with the corpus scan visible under the plan-only substitutes
+    for (q <- Seq("s33_idempotent_purge", "s34_tracked_delete")) {
+      val p = formatted(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian stage")
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).nonEmpty,
+        s"$q's audited plan lost its scan")
+    }
+    // x57: two O(artifacts)-row manifests full-outer-joined — the diff
+    // join must never be a cartesian, and the manifest aggregates keep
+    // their corpus scans
+    val x57 = formatted("x57_epoch_manifest_diff")
+    assert(!x57.contains("CartesianProduct"), "x57 grew a cartesian")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(x57).nonEmpty,
+      "x57's audited plan lost its scan")
+    // x58: merge days + the takedown subtract stay combinable counts +
+    // equi-joins over the artifact (x55/x56's shape, composed)
+    val x58 = formatted("x58_interleaved_takedown")
+    assert(!x58.contains("CartesianProduct"), "x58 grew a non-broadcast cartesian")
+    // y27: both serving arms ride the stored-index bucket probe key; the
+    // only nested-loops are the one-row max-norm/panel broadcasts and the
+    // deliberate bounded truth batch
+    val y27 = formatted("y27_governed_ann")
+    assert(!y27.contains("CartesianProduct"), "y27 grew a non-broadcast cartesian")
+    assert(y27.contains("__probe"), "y27's serving arms lost the bucket probe key")
   }
 
   test("s21: both window profiles come from ONE scan of the fact table") {
