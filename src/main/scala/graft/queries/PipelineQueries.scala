@@ -8681,7 +8681,10 @@ object PipelineQueries {
     * Scale: both manifests are ≤6 rows at any corpus size (the diff join
     * is trivially broadcast); every underlying aggregate is map-side
     * combinable; the B-side increments are O(batch + touched), never
-    * O(corpus). */
+    * O(corpus). Both manifests here live in ONE lineage (same epoch);
+    * the diff that straddles a purge boundary — where version numbers
+    * stop being comparable and the status must name the lineage restart
+    * — is x57's epoch-aware form. */
   private val x43ManifestDiff = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType

@@ -135,10 +135,20 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
       append(Relational.upsert(updates.limit(0), updates, keys, order))
       return
     }
-    val parts = updates.select(partCol).distinct()
-    val affected = read.join(broadcast(parts), Seq(partCol), "left_semi")
+    val affected = read.join(broadcast(touchedParts(updates)),
+      col(partCol) <=> col("__gp"), "left_semi")
     overwritePartitions(Relational.upsert(affected, updates, keys, order))
   }
+
+  /** The batch's distinct partition values as a broadcastable relation
+    * with a non-colliding column name, for NULL-SAFE touched-partition
+    * joins: a plain equi-semi-join never matches a null key, so a batch
+    * touching the null partition would exclude that partition's EXISTING
+    * rows from the merge input while the dynamic overwrite still replaced
+    * its directory — silently dropping them (deleteCore's null rule,
+    * applied to the merge paths). */
+  private def touchedParts(batch: DataFrame): DataFrame =
+    batch.select(col(partCol).as("__gp")).distinct()
 
   /** SCD2 interval-closing merge — the Store-native form of the s24
     * history derivation: the history table keeps one row PER VERSION of
@@ -186,8 +196,8 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
         .withColumn("valid_to", lead(col(tsCol), 1).over(w)))
       return
     }
-    val parts = updates.select(partCol).distinct()
-    val affected = read.join(broadcast(parts), Seq(partCol), "left_semi")
+    val affected = read.join(broadcast(touchedParts(updates)),
+      col(partCol) <=> col("__gp"), "left_semi")
     // REPLAY SAFETY (the property a checkpointed foreachBatch sink needs:
     // Structured Streaming re-delivers the in-flight batch after a crash):
     // versions already recorded — same (keys, ts) — drop out of the batch
@@ -463,9 +473,8 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
         "certify only the touched partitions — bootstrap with " +
         "trackFrom(read, term) first")
     overwriteRaw(df)
-    val parts = df.select(partCol).distinct()
-    mergeStats(statsOf(read.join(broadcast(parts), Seq(partCol), "left_semi"), term),
-      replace = true)
+    mergeStats(statsOf(read.join(broadcast(touchedParts(df)),
+      col(partCol) <=> col("__gp"), "left_semi"), term), replace = true)
   }
 
   private def statsDir = new org.apache.hadoop.fs.Path(s"$path/_stats")
@@ -903,7 +912,10 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     val merged =
       if (!statsExist) batch
       else if (replace)
-        readStats.join(batch.select(partCol).distinct(), Seq(partCol), "left_anti")
+        // null-safe: the null partition's superseded sidecar row must be
+        // REPLACED like any other, not kept beside its replacement
+        readStats.join(broadcast(touchedParts(batch)),
+            col(partCol) <=> col("__gp"), "left_anti")
           .unionByName(batch)
       else
         readStats.unionByName(batch)

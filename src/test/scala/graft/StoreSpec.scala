@@ -943,6 +943,57 @@ class StoreSpec extends SparkSpec {
     assert(fold === foldOnce)
   }
 
+  test("merge paths are null-safe on the partition column") {
+    // a plain equi-semi-join never matches a null key: before the fix, a
+    // batch touching the NULL partition excluded that partition's existing
+    // rows from the merge input while the dynamic overwrite still replaced
+    // the directory — silent row loss. All three merge paths (upsert,
+    // upsertScd2, tracked overwrite + sidecar replace) use <=> now.
+    val rows = Seq(("a", null, 1.0), ("b", null, 2.0), ("c", "x", 3.0))
+      .toDF("game_id", "src", "epa")
+    val p1 = tmpDir("store_null_upsert") + "/t"
+    val st1 = Store(spark, p1, "src")
+    st1.append(rows)
+    st1.upsert(Seq(("a", null, 9.0), ("d", null, 4.0)).toDF("game_id", "src", "epa")
+      .select(col("game_id"), col("src").cast("string").as("src"), col("epa")),
+      Seq("game_id"))
+    val got = st1.read.select("game_id", "epa")
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("a" -> 9.0, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0),
+      s"null-partition neighbor rows must survive an upsert: $got")
+    // upsertScd2: a second batch for a null-partition key must CLOSE the
+    // existing open version, not orphan it out of the merge
+    val p2 = tmpDir("store_null_scd2") + "/t"
+    val st2 = Store(spark, p2, "etype")
+    def feed(r: Seq[(Long, String, Long, Double)]) =
+      r.toDF("user_id", "etype", "ts_us", "value")
+        .select(col("user_id"), col("etype").cast("string").as("etype"),
+          col("ts_us"), col("value"))
+    st2.upsertScd2(feed(Seq((1L, null, 100L, 1.0), (2L, "a", 110L, 5.0))),
+      Seq("user_id"), "ts_us")
+    st2.upsertScd2(feed(Seq((1L, null, 200L, 2.0))), Seq("user_id"), "ts_us")
+    val hist = st2.read
+    assert(hist.count() === 3L, "a null-partition version vanished from history")
+    assert(hist.filter(col("user_id") === 1L && col("valid_to") === 200L)
+      .count() === 1L, "the null-partition open version was not closed")
+    // tracked overwrite: the null partition's sidecar row is REPLACED,
+    // never duplicated beside its replacement
+    val st3 = Store(spark, tmpDir("store_null_tracked"), "src")
+    val term = col("epa").cast("long")
+    st3.appendTracked(rows, term)
+    st3.overwritePartitionsTracked(
+      Seq(("z", null, 7.0)).toDF("game_id", "src", "epa")
+        .select(col("game_id"), col("src").cast("string").as("src"), col("epa")),
+      term)
+    val stats = st3.readStats.select(col("src"), col("n_rows"))
+      .as[(String, Long)].collect()
+    assert(stats.count(_._1 == null) === 1, s"duplicate null sidecar rows: ${stats.toSeq}")
+    assert(stats.toMap.apply(null.asInstanceOf[String]) === 1L)
+    assert(st3.statsOf(st3.read, term).as[(String, Long, Long)].collect().toSet ===
+      st3.readStats.select(col("src"), col("n_rows"), col("checksum"))
+        .as[(String, Long, Long)].collect().toSet)
+  }
+
   test("purge carries an evolved schema through the lineage restart") {
     // versions straddle a column add; the retained snapshot must read
     // with mergeSchema or the rewrite pins one file's schema and the
