@@ -944,10 +944,23 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     // the plain-append guard back off). The new version's _SUCCESS marker
     // is the commit point; reading the old version while writing the new
     // one is safe because they are different directories (a merge's input
-    // is the old version).
+    // is the old version). ErrorIfExists is the single-writer check (the
+    // log commit's create-exclusive discipline applied to the sidecar):
+    // two concurrent tracked writers that both computed `next` would
+    // otherwise both write the same child and one batch's stats would
+    // silently vanish from the fold — the loser now errors loudly. A
+    // markerless crash leftover at `next` also errors (it is invisible to
+    // readers but occupies the slot) — remove it by hand or destroy().
     val next = statsVersions.lastOption.getOrElse(0L) + 1
-    stats.coalesce(1).write.mode(SaveMode.Overwrite)
+    try stats.coalesce(1).write.mode(SaveMode.ErrorIfExists)
       .parquet(s"$path/_stats/v$next")
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new IllegalStateException(
+        s"concurrent tracked writer detected at $path: _stats/v$next " +
+          "already exists — the store is single-writer per table (a " +
+          "markerless leftover from a crashed write also occupies the " +
+          "slot; remove it to proceed)", e)
+    }
     // prune superseded versions AFTER the commit, RETAINING one
     // generation (best-effort — a stale survivor is re-pruned on the next
     // write; readers always take max). The one-version grace window keeps

@@ -994,6 +994,73 @@ class StoreSpec extends SparkSpec {
         .as[(String, Long, Long)].collect().toSet)
   }
 
+  test("a second concurrent sidecar committer errors instead of losing a batch's stats") {
+    val store = Store(spark, tmpDir("store_stats_swriter"), "season")
+    val term = col("epa").cast("long")
+    store.appendTracked(season(1999, 2), term) // commits _stats/v1
+    // a racing tracked writer that also computed next = 2 committed first:
+    // reconstruct its effect by occupying the v2 slot
+    val f = new org.apache.hadoop.fs.Path(store.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"${store.path}/_stats/v2"))
+    val err = intercept[IllegalStateException] {
+      store.appendTracked(season(2000, 1), term)
+    }
+    assert(err.getMessage.contains("concurrent tracked writer"))
+    // the committed v1 sidecar is untouched (readers keep serving it)
+    assert(store.readStats.select("n_rows").as[Long].collect().sum === 2L)
+  }
+
+  test("a governance request crashed mid-application converges on re-delivery") {
+    // the s33 handler's crash window: the destructive legs ran, the keyed
+    // state append did not. Re-delivery (marker absent → all legs re-run)
+    // must converge to exactly the once-applied state: the purge removes
+    // nothing (the rows are gone — it does advance the epoch, the
+    // documented price of replaying a destructive leg), deleteWhere
+    // matches nothing, and the keyed append applies once.
+    def ev(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("user_id", "etype", "ts_us", "value")
+    val base = tmpDir("store_gov_crash")
+    val src = Store(spark, s"$base/src", "etype")
+    val hst = Store(spark, s"$base/hist", "etype")
+    val stt = Store(spark, s"$base/state", "etype")
+    val req = Store(spark, s"$base/req", "etype")
+    val feed = Seq((1L, "a", 100L, 2.0), (5L, "a", 110L, 4.0), // user 5: doomed
+      (2L, "b", 120L, 6.0), (5L, "b", 130L, 8.0))
+    src.appendVersioned(ev(feed))
+    hst.upsertScd2(src.readChanges(0, 1), Seq("user_id", "etype"), "ts_us")
+    stt.update(src.readChanges(0, 1).groupBy("etype")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .withColumn("request_id", lit("pull_v1")), Seq("request_id", "etype"))
+    val doomed = col("user_id") % 5 === 0
+    // the request's delta, durable before any destructive leg
+    req.append(ev(feed).filter(doomed).groupBy("etype")
+      .agg((-count(lit(1))).as("n"), (-sum(col("value"))).as("s"))
+      .withColumn("request_id", lit("td_1")))
+    def deliver(): Long =
+      if (stt.read.filter(col("request_id") === "td_1").limit(1).count() > 0) 0L
+      else {
+        src.purgeRestartLineage(doomed)
+        hst.deleteWhere(doomed)
+        stt.update(req.read.filter(col("request_id") === "td_1"),
+          Seq("request_id", "etype"))
+      }
+    // ---- crashed first delivery: destructive legs land, append does not
+    src.purgeRestartLineage(doomed)
+    hst.deleteWhere(doomed)
+    // ---- re-delivery runs the FULL handler and converges
+    assert(deliver() === 2L) // the keyed append applies exactly once
+    assert(deliver() === 0L) // and a further re-delivery is a no-op
+    assert(src.read.filter(doomed).count() === 0L)
+    assert(src.epoch === 3L) // two purge runs — the replayed leg's price
+    assert(hst.read.filter(doomed).count() === 0L)
+    val fold = stt.read.groupBy("etype")
+      .agg(sum("n").as("n"), sum("s").as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(fold === Set(("a", 1L, 2.0), ("b", 1L, 6.0)),
+      s"state fold diverged from the once-applied truth: $fold")
+  }
+
   test("purge carries an evolved schema through the lineage restart") {
     // versions straddle a column add; the retained snapshot must read
     // with mergeSchema or the rewrite pins one file's schema and the
