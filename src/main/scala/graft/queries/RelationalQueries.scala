@@ -910,6 +910,80 @@ object RelationalQueries {
       |WHERE NOT ((doc_id % 3 = 0 AND doc_id % 8 < 4) OR doc_id % 8 = 7)
       |GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  /** s35: SCHEMA EVOLUTION through the SCD2 STORE — s29 proved the change
+    * feed survives a column add; this proves the DERIVED HISTORY does
+    * (the consumer s30's chain maintains): the feed grows a `score`
+    * column from the second pull onward, and
+    * [[graft.sources.Store.upsertScd2]]'s `mergeSchema` form carries the
+    * evolution through the interval-closing merges — the affected
+    * snapshot reads with mergeSchema (otherwise parquet inference could
+    * pin a pre-evolution file's schema and the rewrite silently drops the
+    * column) and the closed∪versioned union null-fills by name, so
+    * pre-evolution VERSIONS surface score as NULL while their intervals
+    * still close correctly when evolved batches arrive for the same key.
+    * Panel per event type: version/current counts, the pre-evolution
+    * version count (score IS NULL — exactly the versions from the first
+    * pull), and the evolved score mass (DECIMAL-exact, double at the
+    * boundary); the oracle derives the full history with a one-shot lead
+    * window over the feed with score defined only past the evolution
+    * instant — so hash equality proves the three-merge evolved store ≡
+    * the from-scratch derivation, null placement included. Cost: the
+    * merges stay batch-footprint; mergeSchema adds one footer pass over
+    * the table's files per evolved merge (flip it on only when the
+    * history spans a change — read()'s documented rule). */
+  private val s35EvolvingScd2 = Q(
+    (s, d) => {
+      val t1 = 1704931200000000L
+      val t2 = 1705795200000000L
+      val ev = Tables.events(s, d)
+        .withColumn("from_us", unix_micros(col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "from_us")
+      val hist =
+        if (planOnly) {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "event_type")
+            .orderBy(col("from_us").asc, col("event_id").asc)
+          ev.withColumn("score",
+              when(col("from_us") >= t1, col("value") * 2))
+            .withColumn("valid_from", col("from_us"))
+            .withColumn("valid_to", lead(col("from_us"), 1).over(w))
+        } else {
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"evo_scd2_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val store = graft.sources.Store(s, path, "event_type")
+          store.destroy()
+          val keys = Seq("user_id", "event_type")
+          store.upsertScd2(ev.filter(col("from_us") < t1), keys, "from_us",
+            Seq(col("event_id")))
+          // the feed EVOLVES: pulls 2 and 3 carry the new column
+          store.upsertScd2(
+            ev.filter(col("from_us") >= t1 && col("from_us") < t2)
+              .withColumn("score", col("value") * 2),
+            keys, "from_us", Seq(col("event_id")), mergeSchema = true)
+          store.upsertScd2(
+            ev.filter(col("from_us") >= t2)
+              .withColumn("score", col("value") * 2),
+            keys, "from_us", Seq(col("event_id")), mergeSchema = true)
+          store.read(mergeSchema = true)
+        }
+      hist.groupBy("event_type").agg(
+          count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
+          sum(when(col("score").isNull, 1L).otherwise(0L)).as("n_pre_evo"),
+          sum(dec2(col("score"))).cast(DoubleType).as("sum_score"))
+        .orderBy("event_type")
+    },
+    """WITH h AS (SELECT user_id, event_type, value,
+      |    CASE WHEN epoch_us(ts) >= 1704931200000000 THEN value * 2 END AS score,
+      |    LEAD(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS to_us
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_versions,
+      |  CAST(SUM(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+      |  CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evo,
+      |  CAST(SUM(CAST(score AS DECIMAL(18,2))) AS DOUBLE) AS sum_score
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
+
   private val s23TimeTravel = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -2368,6 +2442,7 @@ object RelationalQueries {
     "s32_chain_purge" -> s32ChainPurge,
     "s33_idempotent_purge" -> s33IdempotentPurge,
     "s34_tracked_delete" -> s34TrackedDelete,
+    "s35_evolving_scd2" -> s35EvolvingScd2,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

@@ -184,9 +184,22 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * checkpointed foreachBatch restart, an upstream duplicate feed — is
     * a no-op instead of a duplicated history
     * ([[graft.streaming.EventStreams.scd2Sink]] composes exactly-once
-    * out of this plus the stream checkpoint). */
+    * out of this plus the stream checkpoint).
+    *
+    * SCHEMA EVOLUTION (`mergeSchema = true`): a change feed that grows a
+    * column mid-history (the s27/s29 story reaching the SCD2 store) would
+    * otherwise either fail the merge's union or — worse — let parquet
+    * inference pin a pre-evolution file's schema and silently drop the
+    * new column from the rewritten partitions. With the flag on, the
+    * affected snapshot reads with mergeSchema (one footer pass over the
+    * table's files — flip it on only when the history is known to span a
+    * change, read()'s rule) and the closed∪versioned union null-fills
+    * missing columns by name, so pre-evolution versions surface the new
+    * column as NULL — exactly the read(mergeSchema) contract, now
+    * preserved through the merge's partition rewrites. */
   def upsertScd2(updates: DataFrame, keys: Seq[String], tsCol: String,
-                 order: Seq[org.apache.spark.sql.Column] = Nil): Unit = {
+                 order: Seq[org.apache.spark.sql.Column] = Nil,
+                 mergeSchema: Boolean = false): Unit = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc +: order: _*)
@@ -196,7 +209,7 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
         .withColumn("valid_to", lead(col(tsCol), 1).over(w)))
       return
     }
-    val affected = read.join(broadcast(touchedParts(updates)),
+    val affected = read(mergeSchema).join(broadcast(touchedParts(updates)),
       col(partCol) <=> col("__gp"), "left_semi")
     // REPLAY SAFETY (the property a checkpointed foreachBatch sink needs:
     // Structured Streaming re-delivers the in-flight batch after a crash):
@@ -241,7 +254,11 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
           when(col("valid_to").isNull && col("__new_from").isNotNull,
             col("__new_from")).otherwise(col("valid_to")))
         .drop("__new_from")
-      overwritePartitions(closed.unionByName(versioned))
+      // gated null-fill: with mergeSchema off, a column-name mismatch is a
+      // caller bug and must keep failing loudly rather than silently
+      // null-padding its way into history
+      overwritePartitions(
+        closed.unionByName(versioned, allowMissingColumns = mergeSchema))
     } finally fresh.unpersist()
   }
 

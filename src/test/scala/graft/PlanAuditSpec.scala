@@ -659,7 +659,8 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
   test("round-12 additions keep their scale shapes") {
     // s33/s34: governance-lifecycle panels stay equi-join/aggregate shaped
     // with the corpus scan visible under the plan-only substitutes
-    for (q <- Seq("s33_idempotent_purge", "s34_tracked_delete")) {
+    for (q <- Seq("s33_idempotent_purge", "s34_tracked_delete",
+        "s35_evolving_scd2")) {
       val p = formatted(q)
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian stage")
       assert("""\(\d+\) Scan parquet""".r.findAllIn(p).nonEmpty,

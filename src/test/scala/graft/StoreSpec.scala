@@ -1061,6 +1061,38 @@ class StoreSpec extends SparkSpec {
       s"state fold diverged from the once-applied truth: $fold")
   }
 
+  test("upsertScd2 carries a schema evolution through the merge") {
+    def feed(r: Seq[(Long, String, Long, Double)]) =
+      r.toDF("user_id", "etype", "ts_us", "value")
+    val path = tmpDir("store_scd2_evo") + "/t"
+    val store = Store(spark, path, "etype")
+    val keys = Seq("user_id", "etype")
+    store.upsertScd2(feed(Seq((1L, "a", 100L, 1.0), (2L, "a", 110L, 5.0))),
+      keys, "ts_us")
+    val evolved = feed(Seq((1L, "a", 200L, 2.0)))
+      .withColumn("grade", col("value") * 3)
+    // without the flag, a column-name mismatch stays a LOUD caller error —
+    // silent null-padding must be opt-in
+    intercept[org.apache.spark.sql.AnalysisException] {
+      store.upsertScd2(evolved, keys, "ts_us")
+    }
+    store.upsertScd2(evolved, keys, "ts_us", mergeSchema = true)
+    val hist = store.read(mergeSchema = true)
+    assert(hist.count() === 3L)
+    // pre-evolution versions null-pad; the evolved version carries its value
+    assert(hist.filter(col("ts_us") < 200L && col("grade").isNull).count() === 2L)
+    assert(hist.filter(col("ts_us") === 200L && col("grade") === 6.0).count() === 1L)
+    // the evolution did not break the interval tiling: key 1's
+    // pre-evolution open version closed at the evolved batch's timestamp
+    assert(hist.filter(col("user_id") === 1L && col("valid_from") === 100L
+      && col("valid_to") === 200L).count() === 1L)
+    assert(hist.filter(col("valid_to").isNull).count() === 2L)
+    // a later same-schema merge on the evolved table keeps working
+    store.upsertScd2(feed(Seq((2L, "a", 300L, 7.0)))
+      .withColumn("grade", col("value") * 3), keys, "ts_us", mergeSchema = true)
+    assert(store.read(mergeSchema = true).count() === 4L)
+  }
+
   test("purge carries an evolved schema through the lineage restart") {
     // versions straddle a column add; the retained snapshot must read
     // with mergeSchema or the rewrite pins one file's schema and the
