@@ -2629,6 +2629,459 @@ object PipelineQueries {
        |  TRUE AS resketch_equals_scratch
        |FROM fin CROSS JOIN x1 CROSS JOIN tr CROSS JOIN x2 CROSS JOIN nr""".stripMargin)
 
+  private final case class X59State(
+      srcRead: org.apache.spark.sql.DataFrame, hist: org.apache.spark.sql.DataFrame,
+      state: org.apache.spark.sql.DataFrame, g1: org.apache.spark.sql.DataFrame,
+      g2: org.apache.spark.sql.DataFrame, tombs: org.apache.spark.sql.DataFrame,
+      art0: org.apache.spark.sql.DataFrame, artT: org.apache.spark.sql.DataFrame,
+      manA: org.apache.spark.sql.DataFrame, manB: org.apache.spark.sql.DataFrame,
+      epoch: Long, nVersions: Long, servingGen: Long, dup: Long)
+  private val x59Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, X59State]()
+
+  /** x59: THE GOVERNED PLATFORM, ONE TICKET END TO END — the r12 verdict's
+    * capstone: every governance piece this engine grew separately (s33's
+    * keyed request log over source/history/state, y27's ANN index
+    * generations + serving pointer, x56/x58's tail-artifact subtract,
+    * x57's published manifests) driven by ONE governance ticket
+    * ("gdpr_0042") through FIVE stored artifacts as a single declared
+    * DAG, with s33's idempotency discipline end to end. The sequence:
+    *  1. the platform builds: a versioned event SOURCE (3 ingest pulls),
+    *     its SCD2 HISTORY and keyed monoid STATE maintained off the
+    *     change feed (s30's chain), the gen-1 norm-augmented ANN INDEX
+    *     landed versioned, the segment-df TAIL ARTIFACT landed
+    *     partitioned; manifest A over all five is PUBLISHED to a durable
+    *     manifest store BEFORE the ticket (x57's barrier — its
+    *     source/history aggregates read files the purge destroys);
+    *  2. the ticket arrives, naming the data subject in each system's id
+    *     space (users % 5 in events, vectors % 7, docs % 6 — one request,
+    *     per-store predicates, exactly how a real DSR maps one subject
+    *     across systems); its negative state delta lands DURABLY in the
+    *     request log before any destructive leg;
+    *  3. deliver() — marker check first (the applied marker IS the keyed
+    *     state row), then the legs, EACH individually idempotent or
+    *     guarded so a crash between any two converges on re-delivery:
+    *     source epoch purge (request-keyed — a durable effect skips the
+    *     rewrite AND the epoch), history partition delete (empty on
+    *     re-run), vector tombstones via keyed update, the gen-2 rebuild
+    *     guarded on existence (re-augmented — M₂ recomputes, y26's
+    *     subtlety), the artifact subtract landed by overwrite, the
+    *     serving-pointer promotion via keyed update, and LAST the keyed
+    *     state append that is the marker;
+    *  4. the ticket is delivered TWICE; the panel reads every store
+    *     AFTER the second delivery, so hash equality against the oracle's
+    *     once-applied from-scratch truth IS the idempotency proof —
+    *     plus `state:dup_rows_applied` pinned 0;
+    *  5. manifest B reads the post-ticket coordinates and the diff names
+    *     every event: `lineage_restarted(1->2)` on the source (epoch
+    *     axis), `regenerated(1->2)` on the ANN index (generation axis),
+    *     content `changed` on history/state/artifact.
+    * Output: a tall (entry, value) panel — store aggregates, decision
+    * coordinates, and the diff verdicts encoded as entries — every row
+    * recomputed by the oracle from raw-table membership with none of the
+    * ten stores visible to it. Scale: builds are one pass per artifact at
+    * ingest cadence; the ticket costs the purge's retained rewrite + a
+    * partition-footprint delete + O(removed) subtract + one corpus pass
+    * for the rebuild, all at governance cadence; re-delivery costs one
+    * metadata probe. */
+  private val x59GovernedPlatform = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val M = lit(2147483647L)
+      val t1 = 1704931200000000L
+      val t2 = 1705795200000000L
+      val ticket = "gdpr_0042"
+      val ev = Tables.events(s, d)
+        .withColumn("from_us", unix_micros(col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "from_us")
+      val userPred = col("user_id") % 5 === 0
+      val e = Tables.embeddings(s, d)
+      val tombPred = col("vec_id") % 7 === 0
+      val docs = Tables.documents(s, d)
+      val docPred = col("doc_id") % 6 === 0
+      val planes = 4
+      val slices = Seq(
+        col("from_us") < t1,
+        col("from_us") >= t1 && col("from_us") < t2,
+        col("from_us") >= t2)
+      def partial(f: org.apache.spark.sql.DataFrame, rid: String) =
+        f.groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("s_dec"))
+          .withColumn("request_id", lit(rid))
+      def negDelta(f: org.apache.spark.sql.DataFrame) =
+        f.filter(userPred).groupBy("event_type")
+          .agg((-count(lit(1))).as("n"),
+            (-sum(col("value").cast(DecimalType(18, 2)))).as("s_dec"))
+          .withColumn("request_id", lit(ticket))
+      def augIndex(corpus: org.apache.spark.sql.DataFrame) = {
+        val base = corpus.select(col("vec_id"), col("embedding"))
+          .withColumn("__nrm", Similarity.norm("embedding"))
+        val m = base.agg(max(col("__nrm")).as("__mnorm"))
+        base.crossJoin(broadcast(m))
+          .withColumn("__s", sqrt(greatest(col("__mnorm") * col("__mnorm")
+            - col("__nrm") * col("__nrm"), lit(0.0))).cast("float"))
+          .withColumn("caug", concat(col("embedding"), array(col("__s"))))
+          .withColumn("bucket", Similarity.hyperplaneBucket("caug", 65, planes))
+          .select(col("vec_id"), col("bucket"))
+      }
+      def segsOf(f: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.chunkWords(f, "doc_id", "text", 8)
+          .select(col("doc_id"),
+            TextAnalysis.hash32(col("chunk_text")).as("h1"),
+            TextAnalysis.hash32b(col("chunk_text")).as("h2"))
+      def cntOf(f: org.apache.spark.sql.DataFrame) =
+        segsOf(f).groupBy("h1", "h2").agg(count(lit(1)).as("df"))
+      def subtracted(art: org.apache.spark.sql.DataFrame) = {
+        val rem = segsOf(docs.filter(docPred))
+          .groupBy("h1", "h2").agg(count(lit(1)).as("r"))
+        art.join(rem, Seq("h1", "h2"), "left")
+          .select(col("h1"), col("h2"),
+            (col("df") - coalesce(col("r"), lit(0L))).cast(LongType).as("df"))
+          .filter(col("df") >= 1)
+      }
+      // shared manifest aggregate definitions — A, B, and the oracle use
+      // the SAME formulas, so the diff compares like with like
+      def mrow(name: String, coord: Long, aggd: org.apache.spark.sql.DataFrame) =
+        aggd.select(lit(name).as("artifact"), lit(coord).as("coord"),
+          col("n_rows"), col("checksum"))
+      def idAgg(f: org.apache.spark.sql.DataFrame, idCol: String) =
+        f.agg(count(lit(1)).as("n_rows"),
+          coalesce(pmod(sum((col(idCol) % M) * ((col(idCol) + 7) % M) % M), M),
+            lit(0L)).cast(LongType).as("checksum"))
+      def stateAgg(f: org.apache.spark.sql.DataFrame) =
+        f.agg(count(lit(1)).as("n_rows"),
+          coalesce(pmod(sum(pmod(col("n"), M)), M), lit(0L))
+            .cast(LongType).as("checksum"))
+      def annAgg(f: org.apache.spark.sql.DataFrame) =
+        f.agg(count(lit(1)).as("n_rows"),
+          coalesce(pmod(sum((col("vec_id") % M) * ((col("bucket") + 1) % M) % M), M),
+            lit(0L)).cast(LongType).as("checksum"))
+      def artAgg(f: org.apache.spark.sql.DataFrame) =
+        f.agg(count(lit(1)).as("n_rows"),
+          coalesce(pmod(sum((col("h1") % M) * (col("h2") % M) % M
+            * (col("df") % M) % M), M), lit(0L)).cast(LongType).as("checksum"))
+      val st =
+        if (planOnly) {
+          val retainedEv = ev.filter(!userPred)
+          val w = Window.partitionBy("user_id", "event_type")
+            .orderBy(col("from_us").asc, col("event_id").asc)
+          def histOf(f: org.apache.spark.sql.DataFrame) =
+            f.withColumn("valid_from", col("from_us"))
+              .withColumn("valid_to", lead(col("from_us"), 1).over(w))
+          val pulls = slices.zipWithIndex.map { case (c, i) =>
+            partial(ev.filter(c), s"pull_v${i + 1}") }.reduce(_ unionByName _)
+          val stateF = pulls.unionByName(negDelta(ev))
+          val g1f = augIndex(e)
+          val g2f = augIndex(e.filter(!tombPred))
+          val a0 = cntOf(docs)
+          val at = subtracted(a0)
+          val manA = mrow("source", 1L, idAgg(ev, "event_id"))
+            .unionByName(mrow("history", 0L, idAgg(ev, "event_id")))
+            .unionByName(mrow("state", 0L, stateAgg(pulls)))
+            .unionByName(mrow("ann_index", 1L, annAgg(g1f)))
+            .unionByName(mrow("tail_artifact", 0L, artAgg(a0)))
+          val manB = mrow("source", 2L, idAgg(retainedEv, "event_id"))
+            .unionByName(mrow("history", 0L, idAgg(retainedEv, "event_id")))
+            .unionByName(mrow("state", 0L, stateAgg(stateF)))
+            .unionByName(mrow("ann_index", 2L, annAgg(g2f)))
+            .unionByName(mrow("tail_artifact", 0L, artAgg(at)))
+          X59State(retainedEv, histOf(retainedEv), stateF, g1f, g2f,
+            e.filter(tombPred).select("vec_id"), a0, at, manA, manB,
+            2L, 1L, 2L, 0L)
+        } else x59Cache.computeIfAbsent(
+          s"${s.sparkContext.applicationId}:$d", _ => {
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"platform_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val src = graft.sources.Store(s, s"$base/src", "event_type")
+          val hst = graft.sources.Store(s, s"$base/hist", "event_type")
+          val stt = graft.sources.Store(s, s"$base/state", "event_type")
+          val req = graft.sources.Store(s, s"$base/req", "event_type")
+          val g1 = graft.sources.Store(s, s"$base/gen1", "bucket")
+          val g2 = graft.sources.Store(s, s"$base/gen2", "bucket")
+          val tmb = graft.sources.Store(s, s"$base/tomb", "part")
+          val ptr = graft.sources.Store(s, s"$base/ptr", "part")
+          val a0s = graft.sources.Store(s, s"$base/art0", "part")
+          val ats = graft.sources.Store(s, s"$base/artT", "part")
+          val mst = graft.sources.Store(s, s"$base/manifest", "artifact")
+          Seq(src, hst, stt, req, g1, g2, tmb, ptr, a0s, ats, mst)
+            .foreach(_.destroy())
+          // ---- the platform builds (ingest cadence) ----
+          slices.foreach(c => src.appendVersioned(ev.filter(c)))
+          (1L to 3L).foreach { v =>
+            val delta = src.readChanges(v - 1, v)
+            hst.upsertScd2(delta, Seq("user_id", "event_type"), "from_us",
+              Seq(col("event_id")))
+            stt.update(partial(delta, s"pull_v$v"),
+              Seq("request_id", "event_type"))
+          }
+          g1.appendVersioned(augIndex(e))
+          a0s.append(cntOf(docs).withColumn("part", pmod(col("h1"), lit(8))))
+          val art0 = a0s.read.drop("part")
+          // manifest A PUBLISHED before the ticket (durable barrier: its
+          // source/history aggregates read files the purge destroys)
+          mst.append(
+            mrow("source", src.epoch, idAgg(src.read, "event_id"))
+              .unionByName(mrow("history", 0L, idAgg(hst.read, "event_id")))
+              .unionByName(mrow("state", 0L, stateAgg(stt.read)))
+              .unionByName(mrow("ann_index", 1L, annAgg(g1.read)))
+              .unionByName(mrow("tail_artifact", 0L, artAgg(art0))))
+          // ---- the ticket arrives: its negative delta lands durably
+          // BEFORE any destructive leg (re-delivery must never need the
+          // doomed source rows)
+          req.append(negDelta(ev))
+          def deliver(): Long =
+            if (stt.read.filter(col("request_id") === ticket)
+                .limit(1).count() > 0) 0L
+            else {
+              src.purgeRestartLineage(userPred) // request-keyed: no 2nd rewrite
+              hst.deleteWhere(userPred)         // empty on re-run
+              tmb.update(e.filter(tombPred).select("vec_id")
+                .withColumn("part", pmod(col("vec_id"), lit(4))), Seq("vec_id"))
+              if (!g2.exists)                   // guarded: one rebuild
+                g2.appendVersioned(augIndex(e.filter(!tombPred)))
+              ats.destroy()                     // overwrite-idempotent
+              ats.append(subtracted(art0)
+                .withColumn("part", pmod(col("h1"), lit(8))))
+              ptr.update(s.range(1).select(lit(2L).as("serving_gen"),
+                lit(0).as("part")), Seq("serving_gen"))
+              stt.update(req.read.filter(col("request_id") === ticket),
+                Seq("request_id", "event_type")) // the marker, LAST
+            }
+          val first = deliver()
+          require(first > 0L, "first delivery must apply the ticket")
+          val dup = deliver() // the SAME ticket, delivered again
+          val servingGen = ptr.read.agg(max(col("serving_gen"))).head().getLong(0)
+          val serving = if (servingGen >= 2L) g2.read else g1.read
+          val artT = ats.read.drop("part")
+          val manB = mrow("source", src.epoch, idAgg(src.read, "event_id"))
+            .unionByName(mrow("history", 0L, idAgg(hst.read, "event_id")))
+            .unionByName(mrow("state", 0L, stateAgg(stt.read)))
+            .unionByName(mrow("ann_index", servingGen, annAgg(serving)))
+            .unionByName(mrow("tail_artifact", 0L, artAgg(artT)))
+          X59State(src.read, hst.read, stt.read, g1.read, g2.read,
+            tmb.read.select("vec_id"), art0, artT,
+            mst.read.select("artifact", "coord", "n_rows", "checksum"), manB,
+            src.epoch, src.versions.size.toLong, servingGen, dup)
+        })
+      def rows(aggd: org.apache.spark.sql.DataFrame, pairs: (String, String)*) =
+        aggd.select(explode(map(pairs.flatMap { case (entry, c) =>
+          Seq(lit(entry), col(c).cast(LongType)) }: _*)).as(Seq("entry", "value")))
+      val srcRows = rows(st.srcRead.agg(
+          count(lit(1)).as("nr"),
+          coalesce(pmod(sum((col("event_id") % M) * ((col("event_id") + 7) % M) % M),
+            M), lit(0L)).cast(LongType).as("ck"))
+          .withColumn("ep", lit(st.epoch)).withColumn("nv", lit(st.nVersions)),
+        "source:n_rows" -> "nr", "source:checksum" -> "ck",
+        "source:epoch" -> "ep", "source:n_versions" -> "nv")
+      val histRows = rows(st.hist.agg(
+          count(lit(1)).as("nv2"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("nc"),
+          (sum(col("value").cast(DecimalType(18, 2))) * 100)
+            .cast(LongType).as("vc"),
+          pmod(sum((col("event_id") % M) * ((col("event_id") + 7) % M) % M), M)
+            .cast(LongType).as("ck")),
+        "history:n_versions" -> "nv2", "history:n_current" -> "nc",
+        "history:value_cents" -> "vc", "history:checksum" -> "ck")
+      val stateRows = rows(st.state.agg(
+          count(lit(1)).as("nr"),
+          sum(col("n")).cast(LongType).as("ne"),
+          (sum(col("s_dec")) * 100).cast(LongType).as("vc"),
+          pmod(sum(pmod(col("n"), M)), M).cast(LongType).as("lat"))
+          .withColumn("dup", lit(st.dup)),
+        "state:n_rows" -> "nr", "state:n_events" -> "ne",
+        "state:value_cents" -> "vc", "state:n_lattice" -> "lat",
+        "state:dup_rows_applied" -> "dup")
+      def annRows(f: org.apache.spark.sql.DataFrame, p: String) =
+        rows(f.agg(count(lit(1)).as("nr"),
+          coalesce(pmod(sum((col("vec_id") % M) * ((col("bucket") + 1) % M) % M),
+            M), lit(0L)).cast(LongType).as("ck")),
+          s"ann:${p}_rows" -> "nr", s"ann:${p}_checksum" -> "ck")
+      val annMeta = rows(st.tombs.agg(count(lit(1)).as("tn"))
+          .withColumn("sg", lit(st.servingGen)),
+        "ann:tomb_rows" -> "tn", "ann:serving_gen" -> "sg")
+      val artFinal = rows(st.artT.agg(
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("nx"),
+          pmod(sum(when(col("df") >= 2, (col("h1") % M) * (col("h2") % M) % M
+            * (col("df") % M) % M).otherwise(0L)), M).cast(LongType).as("xck"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("nt"),
+          pmod(sum(when(col("df") === 1, (col("h1") % M) * (col("h2") % M) % M)
+            .otherwise(0L)), M).cast(LongType).as("tck")),
+        "artifact:n_exact" -> "nx", "artifact:exact_checksum" -> "xck",
+        "artifact:n_tail" -> "nt", "artifact:tail_checksum" -> "tck")
+      val artTrans = rows(
+        st.art0.select(col("h1"), col("h2"), col("df").as("df0"))
+          .join(st.artT.select(col("h1"), col("h2"), col("df").as("df1")),
+            Seq("h1", "h2"), "left")
+          .agg(sum(when(col("df0") >= 2 && col("df1") === 1, 1L).otherwise(0L))
+              .as("nd"),
+            sum(when(col("df1").isNull, 1L).otherwise(0L)).as("ndr")),
+        "artifact:n_demoted" -> "nd", "artifact:n_dropped" -> "ndr")
+      val a = st.manA.select(col("artifact"), col("coord").as("coa"),
+        col("n_rows").as("na"), col("checksum").as("ca"))
+      val b = st.manB.select(col("artifact"), col("coord").as("cob"),
+        col("n_rows").as("nb"), col("checksum").as("cb"))
+      val diffRows = a.join(b, Seq("artifact"), "full_outer")
+        .select(concat(lit("diff:"), col("artifact"), lit(":"),
+          when(col("na").isNull, lit("new"))
+            .when(col("nb").isNull, lit("removed"))
+            .when(col("coa") =!= col("cob"),
+              when(col("artifact") === "ann_index",
+                concat(lit("regenerated("), col("coa").cast("string"),
+                  lit("->"), col("cob").cast("string"), lit(")")))
+              .otherwise(concat(lit("lineage_restarted("),
+                col("coa").cast("string"), lit("->"),
+                col("cob").cast("string"), lit(")"))))
+            .when(col("na") === col("nb") && col("ca") === col("cb"),
+              lit("unchanged"))
+            .otherwise(lit("changed"))).as("entry"),
+          lit(1L).as("value"))
+      Seq(srcRows, histRows, stateRows, annRows(st.g1, "gen1"),
+        annRows(st.g2, "gen2"), annMeta, artFinal, artTrans, diffRows)
+        .reduce(_ unionByName _)
+        .orderBy("entry")
+    },
+    s"""WITH ev AS (SELECT event_id, user_id, event_type, value,
+       |    epoch_us(ts) AS from_us FROM events),
+       |retev AS (SELECT * FROM ev WHERE user_id % 5 <> 0),
+       |h AS (SELECT event_id, value,
+       |    LEAD(from_us, 1) OVER (
+       |      PARTITION BY user_id, event_type ORDER BY from_us, event_id) AS to_us
+       |  FROM retev),
+       |sl AS (SELECT event_type, user_id, value,
+       |    CASE WHEN from_us < 1704931200000000 THEN 1
+       |         WHEN from_us < 1705795200000000 THEN 2 ELSE 3 END AS pull
+       |  FROM ev),
+       |pulls AS (SELECT pull, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS s FROM sl GROUP BY 1, 2),
+       |neg AS (SELECT event_type, CAST(-COUNT(*) AS BIGINT) AS n,
+       |    -SUM(CAST(value AS DECIMAL(18,2))) AS s
+       |  FROM sl WHERE user_id % 5 = 0 GROUP BY 1),
+       |strows AS (SELECT n, s FROM pulls UNION ALL SELECT n, s FROM neg),
+       |v AS (SELECT vec_id, ${vdSql("embedding")} AS vd FROM embeddings),
+       |n2 AS (SELECT vec_id, vd, ${nrmSql("vd")} AS nrm FROM v),
+       |retv AS (SELECT * FROM n2 WHERE vec_id % 7 <> 0),
+       |m AS (SELECT MAX(nrm) AS mnorm FROM n2),
+       |mr AS (SELECT MAX(nrm) AS mnorm FROM retv),
+       |caug AS (SELECT vec_id, list_append(vd,
+       |    CAST(CAST(sqrt(GREATEST(mnorm * mnorm - nrm * nrm, 0)) AS FLOAT)
+       |      AS DOUBLE)) AS vd
+       |  FROM n2 CROSS JOIN m),
+       |car AS (SELECT vec_id, list_append(vd,
+       |    CAST(CAST(sqrt(GREATEST(mnorm * mnorm - nrm * nrm, 0)) AS FLOAT)
+       |      AS DOUBLE)) AS vd
+       |  FROM retv CROSS JOIN mr),
+       |cbk AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket
+       |  FROM caug),
+       |crbk AS (SELECT vec_id, CAST(${bucketSqlFor(65, 4)} AS BIGINT) AS bucket
+       |  FROM car),
+       |ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |seg0 AS (SELECT doc_id, w,
+       |    unnest(generate_series(0, (len(w) - 1) // 8)) AS c FROM ws),
+       |stg AS (SELECT doc_id,
+       |    array_to_string(list_slice(w, c * 8 + 1, c * 8 + 8), ' ') AS t FROM seg0),
+       |hh AS (SELECT doc_id, ${h32Sql("t")} AS h1, ${h32bSql("t")} AS h2 FROM stg),
+       |ca0 AS (SELECT h1, h2, COUNT(*) AS df FROM hh GROUP BY 1, 2),
+       |rt AS (SELECT h1, h2, COUNT(*) AS df FROM hh
+       |  WHERE doc_id % 6 <> 0 GROUP BY 1, 2),
+       |mah AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM((event_id % 2147483647)
+       |      * ((event_id + 7) % 2147483647) % 2147483647), 0)
+       |      % 2147483647 AS BIGINT) AS ck FROM ev),
+       |mbh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM((event_id % 2147483647)
+       |      * ((event_id + 7) % 2147483647) % 2147483647), 0)
+       |      % 2147483647 AS BIGINT) AS ck FROM retev),
+       |mas AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM(((n % 2147483647) + 2147483647) % 2147483647), 0)
+       |      % 2147483647 AS BIGINT) AS ck FROM pulls),
+       |mbs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM(((n % 2147483647) + 2147483647) % 2147483647), 0)
+       |      % 2147483647 AS BIGINT) AS ck FROM strows),
+       |maa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM((h1 % 2147483647) * (h2 % 2147483647) % 2147483647
+       |      * (df % 2147483647) % 2147483647), 0) % 2147483647 AS BIGINT) AS ck
+       |  FROM ca0),
+       |mba AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COALESCE(SUM((h1 % 2147483647) * (h2 % 2147483647) % 2147483647
+       |      * (df % 2147483647) % 2147483647), 0) % 2147483647 AS BIGINT) AS ck
+       |  FROM rt)
+       |SELECT entry, value FROM (
+       |SELECT 'source:n_rows' AS entry,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM retev) AS value
+       |UNION ALL SELECT 'source:checksum',
+       |  (SELECT CAST(COALESCE(SUM((event_id % 2147483647)
+       |    * ((event_id + 7) % 2147483647) % 2147483647), 0)
+       |    % 2147483647 AS BIGINT) FROM retev)
+       |UNION ALL SELECT 'source:epoch', CAST(2 AS BIGINT)
+       |UNION ALL SELECT 'source:n_versions', CAST(1 AS BIGINT)
+       |UNION ALL SELECT 'history:n_versions',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM h)
+       |UNION ALL SELECT 'history:n_current',
+       |  (SELECT CAST(SUM(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |   FROM h)
+       |UNION ALL SELECT 'history:value_cents',
+       |  (SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) FROM h)
+       |UNION ALL SELECT 'history:checksum',
+       |  (SELECT CAST(COALESCE(SUM((event_id % 2147483647)
+       |    * ((event_id + 7) % 2147483647) % 2147483647), 0)
+       |    % 2147483647 AS BIGINT) FROM h)
+       |UNION ALL SELECT 'state:n_rows',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM strows)
+       |UNION ALL SELECT 'state:n_events',
+       |  (SELECT CAST(SUM(n) AS BIGINT) FROM strows)
+       |UNION ALL SELECT 'state:value_cents',
+       |  (SELECT CAST(SUM(s) * 100 AS BIGINT) FROM strows)
+       |UNION ALL SELECT 'state:n_lattice',
+       |  (SELECT CAST(COALESCE(SUM(((n % 2147483647) + 2147483647)
+       |    % 2147483647), 0) % 2147483647 AS BIGINT) FROM strows)
+       |UNION ALL SELECT 'state:dup_rows_applied', CAST(0 AS BIGINT)
+       |UNION ALL SELECT 'ann:gen1_rows',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cbk)
+       |UNION ALL SELECT 'ann:gen1_checksum',
+       |  (SELECT CAST(COALESCE(SUM((vec_id % 2147483647)
+       |    * ((bucket + 1) % 2147483647) % 2147483647), 0)
+       |    % 2147483647 AS BIGINT) FROM cbk)
+       |UNION ALL SELECT 'ann:gen2_rows',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM crbk)
+       |UNION ALL SELECT 'ann:gen2_checksum',
+       |  (SELECT CAST(COALESCE(SUM((vec_id % 2147483647)
+       |    * ((bucket + 1) % 2147483647) % 2147483647), 0)
+       |    % 2147483647 AS BIGINT) FROM crbk)
+       |UNION ALL SELECT 'ann:tomb_rows',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings WHERE vec_id % 7 = 0)
+       |UNION ALL SELECT 'ann:serving_gen', CAST(2 AS BIGINT)
+       |UNION ALL SELECT 'artifact:n_exact',
+       |  (SELECT CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) FROM rt)
+       |UNION ALL SELECT 'artifact:exact_checksum',
+       |  (SELECT CAST(COALESCE(SUM(CASE WHEN df >= 2 THEN (h1 % 2147483647)
+       |    * (h2 % 2147483647) % 2147483647 * (df % 2147483647) % 2147483647
+       |    ELSE 0 END), 0) % 2147483647 AS BIGINT) FROM rt)
+       |UNION ALL SELECT 'artifact:n_tail',
+       |  (SELECT CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM rt)
+       |UNION ALL SELECT 'artifact:tail_checksum',
+       |  (SELECT CAST(COALESCE(SUM(CASE WHEN df = 1 THEN (h1 % 2147483647)
+       |    * (h2 % 2147483647) % 2147483647 ELSE 0 END), 0)
+       |    % 2147483647 AS BIGINT) FROM rt)
+       |UNION ALL SELECT 'artifact:n_demoted',
+       |  (SELECT CAST(SUM(CASE WHEN ca0.df >= 2 AND rt.df = 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT)
+       |   FROM ca0 LEFT JOIN rt ON rt.h1 = ca0.h1 AND rt.h2 = ca0.h2)
+       |UNION ALL SELECT 'artifact:n_dropped',
+       |  (SELECT CAST(SUM(CASE WHEN rt.h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |   FROM ca0 LEFT JOIN rt ON rt.h1 = ca0.h1 AND rt.h2 = ca0.h2)
+       |UNION ALL SELECT 'diff:source:lineage_restarted(1->2)', CAST(1 AS BIGINT)
+       |UNION ALL SELECT 'diff:ann_index:regenerated(1->2)', CAST(1 AS BIGINT)
+       |UNION ALL SELECT 'diff:history:' ||
+       |  (SELECT CASE WHEN a.n = b.n AND a.ck = b.ck THEN 'unchanged'
+       |     ELSE 'changed' END FROM mah a, mbh b), CAST(1 AS BIGINT)
+       |UNION ALL SELECT 'diff:state:' ||
+       |  (SELECT CASE WHEN a.n = b.n AND a.ck = b.ck THEN 'unchanged'
+       |     ELSE 'changed' END FROM mas a, mbs b), CAST(1 AS BIGINT)
+       |UNION ALL SELECT 'diff:tail_artifact:' ||
+       |  (SELECT CASE WHEN a.n = b.n AND a.ck = b.ck THEN 'unchanged'
+       |     ELSE 'changed' END FROM maa a, mba b), CAST(1 AS BIGINT)
+       |) t ORDER BY entry""".stripMargin)
 
   /** x49: PREPROCESSING front-half capstone — the CCNet-shaped chain every
     * web corpus runs BEFORE the quality/dedup lifecycle the other
@@ -9068,6 +9521,204 @@ object PipelineQueries {
       |FROM ma a FULL OUTER JOIN mb b ON a.artifact = b.artifact
       |ORDER BY artifact""".stripMargin)
 
+  private val x60Cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]()
+
+  /** x60: REPAIR-AWARE MANIFEST DIFF — closing the r12 verdict's "an
+    * adoptOrphans() repair version is indistinguishable from a normal
+    * append in x42/x43": the log entry knows (the store TAGS repair
+    * versions — [[graft.sources.Store.adoptOrphans]] drops a
+    * `.v<N>_repair` marker, read back via `isRepairVersion`), so a
+    * manifest diff can report `repaired` instead of a spurious `changed`
+    * that sends an auditor hunting for an ingest batch that never ran.
+    * The DAG is the real incident: two versioned ingest days land; a
+    * writer CRASHES between its data append and its log write (files on
+    * disk, version never recorded — the orphan shape the next versioned
+    * writer refuses over); the operator runs the named repair; meanwhile
+    * a control store takes a NORMAL append in the same window and a
+    * second control store takes none. Manifest A is re-derived from the
+    * version log at the pre-incident coordinate (`readVersion` — the log
+    * IS the reproducibility contract, no pre-published copy needed when
+    * nothing is destroyed; contrast x57, where the purge forces the
+    * durable barrier); manifest B reads the current coordinates plus
+    * each artifact's `via_repair` flag — true iff every version since A
+    * is a tagged repair (metadata-only: one marker existence check per
+    * new version). The diff ladder extends x57's: new / removed /
+    * lineage_restarted / unchanged / REPAIRED / changed — so the three
+    * artifacts land on three distinct verdicts (repaired, unchanged,
+    * changed) and the oracle, recomputing every aggregate from
+    * membership predicates and replaying the CASE, pins each one.
+    * Scale: manifests are O(artifacts) metadata rows; the repair itself
+    * is O(orphaned files) log writing, never a data rewrite. */
+  private val x60RepairManifest = Q(
+    (s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      val nation = Tables.nation(s, d)
+      val region = Tables.region(s, d)
+      def mrow(name: String, df: org.apache.spark.sql.DataFrame, idCol: String,
+               ep: Long, v: Long, viaRepair: Boolean) =
+        df.agg(count(lit(1)).as("n_rows"),
+            coalesce(pmod(sum((col(idCol) % M) * ((col(idCol) + 7) % M) % M), M),
+              lit(0L)).cast(LongType).as("checksum"))
+          .select(lit(name).as("artifact"), lit(ep).as("epoch"),
+            lit(v).as("version"), col("n_rows"), col("checksum"),
+            lit(viaRepair).as("via_repair"))
+      val (manifestA, manifestB) =
+        if (planOnly) {
+          val pre = docs.filter(col("doc_id") % 3 >= 1)
+          val auxPre = nation.filter(col("n_nationkey") < 13)
+          (mrow("corpus", pre, "doc_id", 1L, 2L, viaRepair = false)
+             .unionByName(mrow("reference_dims", region, "r_regionkey",
+               1L, 1L, viaRepair = false))
+             .unionByName(mrow("aux_dims", auxPre, "n_nationkey",
+               1L, 1L, viaRepair = false)),
+           mrow("corpus", docs, "doc_id", 1L, 3L, viaRepair = true)
+             .unionByName(mrow("reference_dims", region, "r_regionkey",
+               1L, 1L, viaRepair = false))
+             .unionByName(mrow("aux_dims", nation, "n_nationkey",
+               1L, 2L, viaRepair = false)))
+        } else x60Cache.computeIfAbsent(
+          s"${s.sparkContext.applicationId}:$d", _ => {
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"repair_man_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val src = graft.sources.Store(s, s"$base/corpus", "source")
+          val dims = graft.sources.Store(s, s"$base/dims", "r_regionkey")
+          val aux = graft.sources.Store(s, s"$base/aux", "n_nationkey")
+          Seq(src, dims, aux).foreach(_.destroy())
+          (1 to 2).foreach(r =>
+            src.appendVersioned(docs.filter(col("doc_id") % 3 === r)))
+          dims.appendVersioned(region)
+          aux.appendVersioned(nation.filter(col("n_nationkey") < 13))
+          // manifest-A coordinates, recorded as metadata before the incident
+          val (va, dv, xv) =
+            (src.versions.last, dims.versions.last, aux.versions.last)
+          // ---- the crash: a writer's data files land, its log write
+          // never runs (the orphan shape appendVersioned refuses over)
+          src.append(docs.filter(col("doc_id") % 3 === 0))
+          intercept(src) // the refusal is part of the contract — assert it
+          val rv = src.adoptOrphans()
+          require(rv.contains(va + 1), s"repair version unexpected: $rv")
+          // normal growth on the aux store in the same window
+          aux.appendVersioned(nation.filter(col("n_nationkey") >= 13))
+          def viaRepair(st: graft.sources.Store, fromV: Long): Boolean = {
+            val nv = st.versions.filter(_ > fromV)
+            nv.nonEmpty && nv.forall(st.isRepairVersion)
+          }
+          val manA =
+            mrow("corpus", src.readVersion(va), "doc_id", src.epoch, va,
+              viaRepair = false)
+            .unionByName(mrow("reference_dims", dims.readVersion(dv),
+              "r_regionkey", dims.epoch, dv, viaRepair = false))
+            .unionByName(mrow("aux_dims", aux.readVersion(xv), "n_nationkey",
+              aux.epoch, xv, viaRepair = false))
+          val manB =
+            mrow("corpus", src.read, "doc_id", src.epoch, src.versions.last,
+              viaRepair(src, va))
+            .unionByName(mrow("reference_dims", dims.read, "r_regionkey",
+              dims.epoch, dims.versions.last, viaRepair(dims, dv)))
+            .unionByName(mrow("aux_dims", aux.read, "n_nationkey",
+              aux.epoch, aux.versions.last, viaRepair(aux, xv)))
+          (manA, manB)
+        })
+      val a = manifestA.select(col("artifact"), col("epoch").as("ea"),
+        col("version").as("va"), col("n_rows").as("na"), col("checksum").as("ca"))
+      val b = manifestB.select(col("artifact"), col("epoch").as("eb"),
+        col("version").as("vb"), col("n_rows").as("nb"), col("checksum").as("cb"),
+        col("via_repair"))
+      a.join(b, Seq("artifact"), "full_outer")
+        .select(col("artifact"),
+          when(col("na").isNull, lit("new"))
+            .when(col("nb").isNull, lit("removed"))
+            .when(col("ea") =!= col("eb"),
+              concat(lit("lineage_restarted("), col("ea").cast("string"),
+                lit("->"), col("eb").cast("string"), lit(")")))
+            .when(col("na") === col("nb") && col("ca") === col("cb"),
+              lit("unchanged"))
+            .when(col("via_repair"), lit("repaired"))
+            .otherwise(lit("changed")).as("status"),
+          coalesce(col("va"), lit(0L)).cast(LongType).as("version_a"),
+          coalesce(col("vb"), lit(0L)).cast(LongType).as("version_b"),
+          coalesce(col("na"), lit(0L)).cast(LongType).as("n_rows_a"),
+          coalesce(col("nb"), lit(0L)).cast(LongType).as("n_rows_b"),
+          coalesce(col("ca"), lit(0L)).cast(LongType).as("checksum_a"),
+          coalesce(col("cb"), lit(0L)).cast(LongType).as("checksum_b"))
+        .orderBy("artifact")
+    },
+    """WITH pre AS (SELECT doc_id FROM documents WHERE doc_id % 3 IN (1, 2)),
+      |axp AS (SELECT n_nationkey FROM nation WHERE n_nationkey < 13),
+      |ma AS (
+      |  SELECT 'corpus' AS artifact, CAST(1 AS BIGINT) AS epoch,
+      |    CAST(2 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COALESCE(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647)
+      |      % 2147483647), 0) % 2147483647 AS BIGINT) AS checksum
+      |  FROM pre
+      |  UNION ALL
+      |  SELECT 'reference_dims', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM((r_regionkey % 2147483647)
+      |      * ((r_regionkey + 7) % 2147483647) % 2147483647), 0)
+      |      % 2147483647 AS BIGINT)
+      |  FROM region
+      |  UNION ALL
+      |  SELECT 'aux_dims', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM((n_nationkey % 2147483647)
+      |      * ((n_nationkey + 7) % 2147483647) % 2147483647), 0)
+      |      % 2147483647 AS BIGINT)
+      |  FROM axp),
+      |mb AS (
+      |  SELECT 'corpus' AS artifact, CAST(1 AS BIGINT) AS epoch,
+      |    CAST(3 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(COALESCE(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647)
+      |      % 2147483647), 0) % 2147483647 AS BIGINT) AS checksum,
+      |    TRUE AS via_repair
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'reference_dims', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM((r_regionkey % 2147483647)
+      |      * ((r_regionkey + 7) % 2147483647) % 2147483647), 0)
+      |      % 2147483647 AS BIGINT), FALSE
+      |  FROM region
+      |  UNION ALL
+      |  SELECT 'aux_dims', CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM((n_nationkey % 2147483647)
+      |      * ((n_nationkey + 7) % 2147483647) % 2147483647), 0)
+      |      % 2147483647 AS BIGINT), FALSE
+      |  FROM nation)
+      |SELECT COALESCE(a.artifact, b.artifact) AS artifact,
+      |  CASE WHEN a.artifact IS NULL THEN 'new'
+      |       WHEN b.artifact IS NULL THEN 'removed'
+      |       WHEN a.epoch <> b.epoch THEN 'lineage_restarted('
+      |         || CAST(a.epoch AS VARCHAR) || '->' || CAST(b.epoch AS VARCHAR) || ')'
+      |       WHEN a.n_rows = b.n_rows AND a.checksum = b.checksum
+      |         THEN 'unchanged'
+      |       WHEN b.via_repair THEN 'repaired'
+      |       ELSE 'changed' END AS status,
+      |  CAST(COALESCE(a.version, 0) AS BIGINT) AS version_a,
+      |  CAST(COALESCE(b.version, 0) AS BIGINT) AS version_b,
+      |  CAST(COALESCE(a.n_rows, 0) AS BIGINT) AS n_rows_a,
+      |  CAST(COALESCE(b.n_rows, 0) AS BIGINT) AS n_rows_b,
+      |  CAST(COALESCE(a.checksum, 0) AS BIGINT) AS checksum_a,
+      |  CAST(COALESCE(b.checksum, 0) AS BIGINT) AS checksum_b
+      |FROM ma a FULL OUTER JOIN mb b ON a.artifact = b.artifact
+      |ORDER BY artifact""".stripMargin)
+
+  /** The orphan refusal x60's incident step contracts on: the next
+    * versioned write after the crash must fail loudly naming the repair —
+    * asserted inline so the lifecycle cannot silently degrade into a
+    * plain append if the guard ever regressed. */
+  private def intercept(st: graft.sources.Store): Unit = {
+    val refused =
+      try { st.appendVersioned(st.read.limit(0)); false }
+      catch { case e: IllegalArgumentException =>
+        e.getMessage.contains("adoptOrphans") }
+    require(refused, "orphaned files did not trip the versioned-write guard")
+  }
+
   /** x44: TAKEDOWN PROPAGATION — the deletion E2 the manifest's artifact
     * set needs: a removal list (a takedown / right-to-be-forgotten batch,
     * here the deterministic `doc_id % 17 = 3` slice, vectors by the same
@@ -10753,15 +11404,21 @@ object PipelineQueries {
         val cand = idx.select(col("vec_id").as("c_id"), col("bucket").as("__probe"))
           .join(e.select(col("vec_id").as("c_id"), col("embedding").as("c_vec")),
             Seq("c_id"))
-        val scored0 = q.join(cand, Seq("__probe"))
+        // RANK THEN FILTER (y24's order, and the oracle's st6→pf shape):
+        // the top-k is taken over the RAW candidate set — tombstones
+        // included — and the takedown drops AFTER, so the stopgap arm can
+        // actually STARVE (serve < k) when tombstoned candidates crowd the
+        // raw top-k. That starvation is exactly what the y25 decision
+        // measures; anti-joining before the rank would backfill survivors
+        // into the top-k and mask it at any SF (r12 ADVICE).
+        val ranked = q.join(cand, Seq("__probe"))
           .filter(col("q_id") =!= col("c_id"))
-        val scored = tomb.fold(scored0)(t => scored0.join(
-          broadcast(t.select(col("vec_id").as("c_id"))), Seq("c_id"), "left_anti"))
-        scored
           .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
           .withColumn("rank", row_number().over(
             Window.partitionBy("q_id").orderBy(col("dot").desc, col("c_id").asc)))
           .filter(col("rank") <= k)
+        tomb.fold(ranked)(t => ranked.join(
+            broadcast(t.select(col("vec_id").as("c_id"))), Seq("c_id"), "left_anti"))
           .select("q_id", "c_id", "rank")
       }
       val st =
@@ -12047,6 +12704,8 @@ object PipelineQueries {
     "x43_manifest_diff" -> x43ManifestDiff,
     "x57_epoch_manifest_diff" -> x57EpochManifestDiff,
     "x58_interleaved_takedown" -> x58InterleavedTakedown,
+    "x59_governed_platform" -> x59GovernedPlatform,
+    "x60_repair_manifest" -> x60RepairManifest,
     "x44_takedown" -> x44Takedown,
     "x45_sidecar_manifest" -> x45SidecarManifest,
     "z17_bigram_logprob" -> z17BigramLogprob,

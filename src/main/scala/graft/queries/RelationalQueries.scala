@@ -739,10 +739,12 @@ object RelationalQueries {
     * ROW count (3 pulls + 1 negative: a double-subtract would show 5)
     * and `dup_rows_applied` = the second delivery's appended-row count,
     * pinned 0. Crash-window convergence: a crash between legs re-runs
-    * them on re-delivery — the purge then removes nothing (the rows are
-    * gone), deleteWhere matches nothing, and the keyed append applies
-    * once; every leg is individually idempotent-or-empty, so the chain
-    * converges to exactly-once BY CONSTRUCTION, the property s32 had
+    * them on re-delivery — the purge PROBES and SKIPS (its effect is
+    * already durable: no matching row means no second rewrite and no
+    * phantom epoch — the request-keyed purge leg), deleteWhere matches
+    * nothing, and the keyed append applies once; every leg is
+    * individually idempotent-or-empty, so the chain converges to
+    * exactly-once BY CONSTRUCTION, the property s32 had
     * only by operator care. Scale: one extra request-log append
     * (request-sized) on top of s32's costs. */
   private val s33Built = new java.util.concurrent.ConcurrentHashMap[
@@ -983,6 +985,159 @@ object RelationalQueries {
       |  CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_evo,
       |  CAST(SUM(CAST(score AS DECIMAL(18,2))) AS DOUBLE) AS sum_score
       |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)
+
+  /** s36: VERSIONS × STATS SIDECAR on ONE table — the composition the r12
+    * verdict named as the top structural gap: a 100-TB governed table
+    * wants BOTH time travel / CDC (the `_log`) and the s22 metadata layer
+    * (the `_stats` sidecar), but each single-ledger write path refuses
+    * the other's state (correctly — silent staleness is worse).
+    * [[graft.sources.Store.appendVersionedTracked]] commits both ledgers
+    * per batch under the one create-exclusive single-writer discipline,
+    * and [[graft.sources.Store.purgeRestartLineage]]'s `term` arm rebuilds
+    * the sidecar over the new lineage a governance purge starts. The
+    * lifecycle here is the full composition: three versioned+tracked
+    * appends → an epoch purge → one more versioned+tracked append on the
+    * new lineage. The declared output is the SIDECAR-ONLY read (zero data
+    * files scanned at query time) plus the (epoch, n_versions) coordinate
+    * and a change-feed probe of the post-purge batch (readChanges(1,2) —
+    * the log half working off the same table); the oracle recomputes
+    * per-partition counts/checksums and the feed aggregates from the
+    * retained membership. Hash equality proves both ledgers tracked the
+    * truth through appends AND a purge. Cost: each append pays one scan
+    * of its landed files (sidecar) + a metadata log write; the purge pays
+    * its contracted retained rewrite + one retained scan (sidecar
+    * rebuild). */
+  private val s36VersionedTracked = Q(
+    (s, d) => {
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      val term = (col("doc_id") % M) * ((col("doc_id") + 13) % M) % M
+      def feedAgg(f: DataFrame) = f.agg(
+        count(lit(1)).as("feed_rows"),
+        pmod(sum((col("doc_id") % M) * ((col("doc_id") + 13) % M) % M), M)
+          .cast(LongType).as("feed_checksum"))
+      val (stats, feed, ep, nv) =
+        if (planOnly) {
+          val retained = docs.filter(
+            (col("doc_id") % 4 >= 1 && col("doc_id") % 7 =!= 0) ||
+              col("doc_id") % 4 === 0)
+          (graft.sources.Store(s, "/nonexistent", "source")
+              .statsOf(retained, term),
+            feedAgg(docs.filter(col("doc_id") % 4 === 0)), 2L, 2L)
+        } else {
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"vt_store_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val store = graft.sources.Store(s, path, "source")
+          store.destroy()
+          (1 to 3).foreach(r => store.appendVersionedTracked(
+            docs.filter(col("doc_id") % 4 === r), term))
+          // the governance request: epoch restart + sidecar rebuild in one
+          store.purgeRestartLineage(col("doc_id") % 7 === 0, Some(term))
+          // the composition keeps working on the new lineage (re-arrival
+          // of previously-removed ids is ingest, not a violation)
+          store.appendVersionedTracked(docs.filter(col("doc_id") % 4 === 0), term)
+          (store.readStats, feedAgg(store.readChanges(1, 2)),
+            store.epoch, store.versions.size.toLong)
+        }
+      stats.crossJoin(broadcast(feed))
+        .select(col("source"), col("n_rows"), col("checksum"),
+          lit(ep).as("epoch"), lit(nv).as("n_versions"),
+          col("feed_rows"), col("feed_checksum"))
+        .orderBy("source")
+    },
+    """WITH ret AS (SELECT source, doc_id FROM documents
+      |  WHERE (doc_id % 4 >= 1 AND doc_id % 7 <> 0) OR doc_id % 4 = 0),
+      |feed AS (SELECT CAST(COUNT(*) AS BIGINT) AS feed_rows,
+      |    CAST(SUM((doc_id % 2147483647) * ((doc_id + 13) % 2147483647)
+      |      % 2147483647) % 2147483647 AS BIGINT) AS feed_checksum
+      |  FROM documents WHERE doc_id % 4 = 0)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM((doc_id % 2147483647) * ((doc_id + 13) % 2147483647)
+      |    % 2147483647) % 2147483647 AS BIGINT) AS checksum,
+      |  CAST(2 AS BIGINT) AS epoch, CAST(2 AS BIGINT) AS n_versions,
+      |  feed.feed_rows, feed.feed_checksum
+      |FROM ret CROSS JOIN feed
+      |GROUP BY source, feed.feed_rows, feed.feed_checksum
+      |ORDER BY source""".stripMargin)
+
+  /** s37: RETENTION BOUNDARY RE-BOOTSTRAP — the CDC consumer's path back
+    * when [[graft.sources.Store.collapseHistory]] ran while it was
+    * paused (r12 verdict #4): the consumer (s30's keyed monoid shape)
+    * pulls versions 1–2, retention collapses the lineage to 3, and the
+    * consumer wakes at cursor 2 — BELOW the floor. `readChanges(2, 4)`
+    * now throws the TYPED [[graft.sources.Store.RetentionBoundaryException]]
+    * naming the boundary and the repair (not a generic "unknown version"
+    * that reads as log corruption), and the handler runs the documented
+    * contract programmatically off the carried boundary: discard
+    * accumulated state, rebuild it from `readVersion(boundary)` (one
+    * snapshot read — O(retained bytes), the price of sleeping through
+    * retention), and resume the feed from the boundary cursor. The panel
+    * folds the re-bootstrapped state per partition (row count, doc count,
+    * id-lattice checksum) plus the boundary actually carried by the
+    * error and a `hit_boundary` flag proving the typed path fired; the
+    * oracle recomputes the fold from the raw corpus — equality proves
+    * snapshot-plus-resume ≡ the never-paused consumer, which is exactly
+    * the re-bootstrap promise. Scale: the error path is metadata-only;
+    * the re-bootstrap costs one snapshot scan + one delta read, and the
+    * resumed cadence is O(changes) again. */
+  private val s37RetentionRebootstrap = Q(
+    (s, d) => {
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      def partial(f: DataFrame, rid: String) = f.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          pmod(sum((col("doc_id") % M) * ((col("doc_id") + 7) % M) % M), M)
+            .cast(LongType).as("ck"))
+        .withColumn("request_id", lit(rid))
+      val (state, boundary, hitBoundary) =
+        if (planOnly) {
+          (partial(docs.filter(col("doc_id") % 4 < 3), "bootstrap_v3")
+             .unionByName(partial(docs.filter(col("doc_id") % 4 === 3), "pull_v4")),
+            3L, true)
+        } else {
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"reboot_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val src = graft.sources.Store(s, s"$base/src", "source")
+          val stt = graft.sources.Store(s, s"$base/state", "source")
+          Seq(src, stt).foreach(_.destroy())
+          (0 to 3).foreach(r =>
+            src.appendVersioned(docs.filter(col("doc_id") % 4 === r)))
+          (1L to 2L).foreach(v => stt.update(
+            partial(src.readChanges(v - 1, v), s"pull_v$v"),
+            Seq("request_id", "source")))
+          // ---- retention runs while the consumer is paused ----
+          src.collapseHistory(3)
+          // ---- the consumer wakes at cursor 2, below the floor ----
+          val (b, hit) =
+            try { src.readChanges(2, 4); (0L, false) }
+            catch { case e: graft.sources.Store.RetentionBoundaryException =>
+              (e.earliestChangeVersion, true) }
+          // the documented repair, driven by the carried boundary: rebuild
+          // state from the boundary snapshot, resume from the boundary
+          stt.destroy()
+          stt.update(partial(src.readVersion(b), s"bootstrap_v$b"),
+            Seq("request_id", "source"))
+          stt.update(partial(src.readChanges(b, 4), "pull_v4"),
+            Seq("request_id", "source"))
+          (stt.read, b, hit)
+        }
+      state.groupBy("source").agg(
+          count(lit(1)).as("n_state_rows"),
+          sum(col("n")).cast(LongType).as("n_docs"),
+          pmod(sum(col("ck")), M).cast(LongType).as("checksum"))
+        .select(col("source"), col("n_state_rows"), col("n_docs"),
+          col("checksum"), lit(boundary).as("boundary"),
+          lit(hitBoundary).as("hit_boundary"))
+        .orderBy("source")
+    },
+    """SELECT source,
+      |  CAST(COUNT(DISTINCT CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_state_rows,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647)
+      |    % 2147483647) % 2147483647 AS BIGINT) AS checksum,
+      |  CAST(3 AS BIGINT) AS boundary, TRUE AS hit_boundary
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 
   private val s23TimeTravel = Q(
     (s, d) => {
@@ -2443,6 +2598,8 @@ object RelationalQueries {
     "s33_idempotent_purge" -> s33IdempotentPurge,
     "s34_tracked_delete" -> s34TrackedDelete,
     "s35_evolving_scd2" -> s35EvolvingScd2,
+    "s36_versioned_tracked" -> s36VersionedTracked,
+    "s37_retention_rebootstrap" -> s37RetentionRebootstrap,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

@@ -320,10 +320,18 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
         if (nonNull.size < touchedVals.size) inSet || col(partCol).isNull
         else inSet
       }
-      val surviving = read.filter(touchPred)
-      writeStats(
-        readStats.filter(not(coalesce(touchPred, lit(false))))
-          .unionByName(statsOf(surviving, term)))
+      val retained = readStats.filter(not(coalesce(touchPred, lit(false))))
+      // FULL WIPE: a predicate that emptied every partition leaves ZERO
+      // data files — `read` on the dataless root would throw
+      // UNABLE_TO_INFER_SCHEMA after the destructive rewrite but before
+      // the sidecar update, stranding a sidecar that certifies rows no
+      // longer on disk (exactly the staleness the tracked form exists to
+      // prevent — r12 ADVICE). With no files there is nothing to re-scan:
+      // commit the retained rows directly (empty when everything was
+      // touched; untouched partitions' rows when a disjoint wipe somehow
+      // removed only the touched files).
+      if (listDataFiles().isEmpty) writeStats(retained)
+      else writeStats(retained.unionByName(statsOf(read.filter(touchPred), term)))
     }
   }
 
@@ -459,6 +467,12 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * pay a second plan execution; the extra cost is one scan of the new
     * files only. */
   def appendTracked(df: DataFrame, term: org.apache.spark.sql.Column): Unit = {
+    // on a VERSIONED table this append would land files recorded in no
+    // version — orphans the next versioned write refuses over; the
+    // composed form commits both ledgers in one call
+    require(versions.isEmpty,
+      s"$path has recorded snapshot versions; a tracked-only append would " +
+        "orphan its files from the version log — use appendVersionedTracked")
     // guard the guard: on a pre-existing UNTRACKED table, a tracked write
     // would create a sidecar covering ONLY this batch — and from then on
     // statsExist=true would certify the table as fully tracked, silently
@@ -614,14 +628,82 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     writeVersionEntry(df.schema.toDDL, added)
   }
 
+  /** VERSIONS + STATS SIDECAR in one commit — the composition a 100-TB
+    * governed table actually wants (r12 verdict #3): time travel / CDC
+    * ([[appendVersioned]]'s `_log`) AND the metadata layer
+    * ([[appendTracked]]'s `_stats`) on the SAME table, where each half
+    * alone refuses the other's state. One batch lands as the next version
+    * entry AND merges its per-partition stats, both under the existing
+    * single-writer create-exclusive discipline. Returns the new version.
+    *
+    * Commit order is sidecar BEFORE log entry, chosen by which crash
+    * window fails loud: a crash after the data append leaves orphan files
+    * the next versioned write names ([[adoptOrphans]] is the repair — its
+    * version is tagged, see [[isRepairVersion]]); a crash between the
+    * sidecar merge and the log commit leaves the sidecar one batch AHEAD
+    * of the log, surfaced by the SAME orphan check (the batch's files are
+    * logged nowhere) — repair with adoptOrphans() and the sidecar is
+    * already correct. The inverse order would commit a version whose rows
+    * the sidecar silently under-certifies — staleness no guard sees.
+    * Stats come from the files the append landed (disk truth, the
+    * appendTracked discipline). [[purgeRestartLineage]] maintains the
+    * composition through a purge (pass `term`); [[collapseHistory]] is
+    * metadata-only and leaves a valid sidecar untouched. */
+  def appendVersionedTracked(df: DataFrame,
+                             term: org.apache.spark.sql.Column): Long = {
+    val before = listDataFiles()
+    val orphans = before -- loggedFiles()
+    require(orphans.isEmpty,
+      s"$path has ${orphans.size} data file(s) visible to read but recorded " +
+        "in no version (pre-existing unversioned data, or a crash between " +
+        "append and log write) — adoptOrphans() to record them as a repair " +
+        "version, or start a fresh versioned table")
+    require(statsExist || before.isEmpty, // appendTracked's bootstrap rule
+      s"$path has data without a _stats sidecar; a tracked write would " +
+        "certify only this batch — bootstrap with trackFrom(read, term) first")
+    appendRaw(df)
+    val added = (listDataFiles() -- before).toSeq.sorted
+    if (added.nonEmpty)
+      mergeStats(
+        statsOf(spark.read.option("basePath", path)
+          .parquet(added.map(rel => s"$path/$rel"): _*), term),
+        replace = false)
+    else if (!statsExist)
+      mergeStats(statsOf(df.limit(0), term), replace = false)
+    writeVersionEntry(df.schema.toDDL, added)
+  }
+
   /** Repair path for [[appendVersioned]]'s orphan check: record every data
     * file visible to plain read but logged in no version as the next
     * version (schema inferred from the table). Returns the repair version,
-    * or None if there was nothing to adopt. */
+    * or None if there was nothing to adopt. The version is TAGGED as a
+    * repair (`_log/.v<N>_repair`, read back via [[isRepairVersion]]) so a
+    * manifest diff can report `repaired` instead of a spurious `changed` —
+    * the tag lands after the entry commits, so a crash between the two
+    * leaves an untagged repair (reported as a normal append — the pre-tag
+    * status quo, benign) rather than a tag naming no version. */
   def adoptOrphans(): Option[Long] = {
     val orphans = (listDataFiles() -- loggedFiles()).toSeq.sorted
     if (orphans.isEmpty) None
-    else Some(writeVersionEntry(read.schema.toDDL, orphans))
+    else {
+      val v = writeVersionEntry(read.schema.toDDL, orphans)
+      val (f, _) = fs
+      f.create(repairMarker(v), true).close()
+      Some(v)
+    }
+  }
+
+  private def repairMarker(v: Long) =
+    new org.apache.hadoop.fs.Path(logDir, s".v${v}_repair")
+
+  /** True iff version `v` was recorded by [[adoptOrphans]] — the signal
+    * that lets an x43-style manifest diff name a repair instead of
+    * misreporting it as content change. Collapsed-away versions lose the
+    * tag with the entry (the merged base is a collapse artifact, not a
+    * repair). */
+  def isRepairVersion(v: Long): Boolean = {
+    val (f, _) = fs
+    f.exists(repairMarker(v))
   }
 
   /** Union of the data files recorded by every version entry. */
@@ -649,14 +731,20 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
   private[graft] def commitVersionEntry(v: Long, schemaDdl: String,
                                         added: Seq[String]): Unit = {
     val (f, _) = fs
+    // only an already-exists failure means a racing committer; any other
+    // IOException (permissions, disk full, transient FS) propagates
+    // unchanged — misreporting it as a concurrent writer would send the
+    // operator to adoptOrphans(), the wrong repair (r12 ADVICE)
     val out =
       try f.create(new org.apache.hadoop.fs.Path(logDir, s"v$v"), false)
-      catch { case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"concurrent writer detected at $path: log entry v$v already " +
-            "exists — the store is single-writer per table; this batch's " +
-            "data files are orphaned (adoptOrphans() records them as a " +
-            "repair version)", e)
+      catch {
+        case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                  _: java.nio.file.FileAlreadyExistsException) =>
+          throw new IllegalStateException(
+            s"concurrent writer detected at $path: log entry v$v already " +
+              "exists — the store is single-writer per table; this batch's " +
+              "data files are orphaned (adoptOrphans() records them as a " +
+              "repair version)", e)
       }
     try out.write((schemaDdl +: added).mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -722,12 +810,31 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * schema. Costs a footer read per CHANGED file only — the range's
     * files, never the table's — so the metadata pass stays O(changes)
     * like the data read. */
+  /** The oldest NON-ZERO cursor [[readChanges]] still accepts — the
+    * retention boundary [[collapseHistory]] establishes: per-version
+    * deltas at or below the collapse target fold into the base entry, so
+    * a consumer cursor strictly below this version no longer resolves
+    * (fromV = 0, the full-history read, always does). A CDC consumer
+    * paused across a collapse compares its cursor here before pulling;
+    * below the boundary the contract is RE-BOOTSTRAP — rebuild state from
+    * `readVersion(earliestChangeVersion)` and resume the feed from that
+    * cursor ([[Store.RetentionBoundaryException]] names the same path). */
+  def earliestChangeVersion: Long = versions.headOption.getOrElse(0L)
+
   def readChanges(fromV: Long, toV: Long, mergeSchema: Boolean): DataFrame = {
     require(fromV < toV, s"empty change range ($fromV, $toV]")
-    require(fromV == 0 || versions.contains(fromV),
-      s"unknown from-version $fromV at $path (have $versions)")
-    require(versions.contains(toV),
-      s"unknown to-version $toV at $path (have $versions)")
+    val vs = versions
+    if (fromV != 0 && !vs.contains(fromV)) {
+      // name the retention boundary when that is what the cursor hit — a
+      // generic "unknown version" sends the consumer debugging a corrupt
+      // log instead of running the documented re-bootstrap (r12 verdict)
+      if (vs.nonEmpty && fromV < vs.head)
+        throw new Store.RetentionBoundaryException(path, fromV, vs.head)
+      throw new IllegalArgumentException(
+        s"unknown from-version $fromV at $path (have $vs)")
+    }
+    require(vs.contains(toV),
+      s"unknown to-version $toV at $path (have $vs)")
     val entries = versions.filter(v => v > fromV && v <= toV).map(readVersionEntry)
     // distinct: harmless-overlap rule for collapseHistory's crash window
     // (see readVersion)
@@ -795,11 +902,15 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     require(f.rename(tmp, target),
       s"failed to commit merged log entry v$upTo at $path")
     // retire superseded entries last (their files are a subset of the
-    // merged entry's — duplicates are harmless until these complete)
+    // merged entry's — duplicates are harmless until these complete);
+    // repair tags die with their entries — the merged base is a collapse
+    // artifact, not a repair, so upTo's tag (if any) is dropped too
     toMerge.filter(_ < upTo).foreach { v =>
       f.delete(new org.apache.hadoop.fs.Path(logDir, s"v$v"), false)
       f.delete(new org.apache.hadoop.fs.Path(logDir, s".v${v}_merged"), false)
+      f.delete(repairMarker(v), false)
     }
+    f.delete(repairMarker(upTo), false)
   }
 
   // ---- governance purge: the takedown × time-travel collision ------------
@@ -860,7 +971,16 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     *
     * Cost: one full read + rewrite of the RETAINED rows — a purge is a
     * table rewrite by definition; at 100 TB it runs at the cadence of
-    * governance requests, not ingest. Crash safety: the temp snapshot
+    * governance requests, not ingest. RE-DELIVERY costs one
+    * predicate-column probe, not a second rewrite: when no row matches
+    * `remove` the effect is already durable, the method returns the
+    * CURRENT epoch unchanged (finishing any crash-pending epoch-marker
+    * repair), and the lineage is untouched — the purge leg is
+    * request-keyed like the s33 state leg. On a TRACKED table pass the
+    * sidecar's checksum `term` so the `_stats` relation is rebuilt over
+    * the new lineage (destroy() necessarily takes it with the tree);
+    * omitted on a tracked table the purge refuses loudly. Crash safety:
+    * the temp snapshot
     * (`<path>__purge_tmp`) is durable and deleted only after the new
     * lineage commits; a crash after the destroy leaves it as the
     * recovery artifact (re-land it as v1 by hand), a crash before the
@@ -871,11 +991,39 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * pre-purge value (r11 ADVICE). An EMPTY retained set still commits: v1 records the
     * schema with no files, so the new lineage reads as a typed empty
     * relation. */
-  def purgeRestartLineage(remove: org.apache.spark.sql.Column): Long = {
+  def purgeRestartLineage(remove: org.apache.spark.sql.Column,
+                          term: Option[org.apache.spark.sql.Column] = None): Long = {
     require(versions.nonEmpty,
       s"$path has no versioned lineage — purge an unversioned table by " +
         "rewriting it (the x44 takedown shape); this method resolves the " +
         "takedown vs time-travel collision on versioned tables")
+    // a VERSIONED+TRACKED table ([[appendVersionedTracked]]): destroy()
+    // takes the `_stats` sidecar with the tree, so the purge must rebuild
+    // it over the new lineage — that needs the caller's checksum term;
+    // refusing here is the loud form of "the sidecar would silently vanish"
+    require(!statsExist || term.isDefined,
+      s"$path is tracked (a _stats sidecar exists); the purge must rebuild " +
+        "the sidecar over the new lineage — pass the per-row checksum term")
+    // REQUEST-KEYED LEG (the s33 idempotency discipline applied to the
+    // purge itself, closing the documented "replayed leg's price"): if the
+    // request's effect is already durable — no row matches `remove` — the
+    // rewrite is SKIPPED and the epoch does not advance. A crashed-then-
+    // re-delivered purge therefore pays ONE table rewrite and ONE epoch,
+    // not two, and no phantom epoch pollutes the manifest coordinates.
+    // The probe costs one predicate-column scan (column pruning), not a
+    // rewrite. A sibling left by the crash still commits: the recovered
+    // epoch lands in the in-tree marker and the sibling is swept, so the
+    // metadata repair completes without burning a coordinate.
+    if (listDataFiles().isEmpty || read.filter(remove).isEmpty) {
+      val (f, _) = fs
+      if (f.exists(epochSibling)) {
+        val e = epoch // max(marker, sibling): the crash-recovered value
+        val out = f.create(epochMarker, true)
+        try out.write(e.toString.getBytes("UTF-8")) finally out.close()
+        f.delete(epochSibling, false)
+      }
+      return epoch
+    }
     val newEpoch = epoch + 1
     val tmp = s"${path}__purge_tmp"
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
@@ -909,6 +1057,17 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     destroy()
     if (tmpHasData) appendRaw(spark.read.parquet(tmp))
     writeVersionEntry(schemaDdl, listDataFiles().toSeq.sorted)
+    // tracked table: rebuild the sidecar from the landed new lineage (one
+    // scan of the retained rows — marginal beside the rewrite itself; the
+    // disk-truth discipline). A crash before this leaves a versioned table
+    // whose tracked-write guard fails LOUDLY (data without a sidecar) and
+    // trackFrom is the named repair — never silent staleness.
+    term.foreach { t =>
+      if (tmpHasData) trackFrom(read, t)
+      else trackFrom(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)), t)
+    }
     val out = f.create(epochMarker, true)
     try out.write(newEpoch.toString.getBytes("UTF-8")) finally out.close()
     f.delete(epochSibling, false)
@@ -1056,6 +1215,25 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
 }
 
 object Store {
+  /** Typed retention-boundary error for [[Store.readChanges]]: the
+    * consumer's cursor fell below the floor a [[Store.collapseHistory]]
+    * established. Carries the boundary so a handler can run the
+    * re-bootstrap programmatically (real table formats name this state —
+    * Delta's "version not available after checkpoint cleanup", in this
+    * store's minimal form): rebuild consumer state from
+    * `readVersion(earliestChangeVersion)`, resume the feed from that
+    * cursor. */
+  final class RetentionBoundaryException(val table: String,
+                                         val fromVersion: Long,
+                                         val earliestChangeVersion: Long)
+    extends IllegalStateException(
+      s"change cursor $fromVersion at $table is below the retention " +
+        s"boundary: collapseHistory folded versions <= " +
+        s"$earliestChangeVersion into the base entry, so per-version " +
+        "deltas below it no longer resolve. Re-bootstrap the consumer: " +
+        s"rebuild its state from readVersion($earliestChangeVersion) and " +
+        s"resume the change feed from cursor $earliestChangeVersion")
+
   /** Range-clustered write — data skipping for non-partition keys:
     * `repartitionByRange` + `sortWithinPartitions` gives each output file
     * a DISJOINT key range, so parquet footer min/max stats let any reader

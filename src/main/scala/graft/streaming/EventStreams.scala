@@ -54,10 +54,23 @@ object EventStreams {
     * express (a merge is not an append). Cost per micro-batch is the
     * merge's batch-footprint bound: only partitions carrying batch keys
     * are read or rewritten. Empty micro-batches skip the merge. The
-    * store's single-writer rule applies: one sink per table. */
+    * store's single-writer rule applies: one sink per table.
+    *
+    * SCHEMA EVOLUTION (`mergeSchema = true`): a source that grows a
+    * column mid-flight — in practice, the stream restarted with an
+    * evolved source schema (a streaming plan's own schema is fixed at
+    * start) — lands through [[graft.sources.Store.upsertScd2]]'s
+    * merge-schema arm: the affected snapshot reads with mergeSchema and
+    * the closed∪versioned union null-fills by name, so pre-evolution
+    * VERSIONS surface the new column as typed NULL while their intervals
+    * still close correctly (s35's batch property, now reachable from the
+    * sink — r12 verdict #5). Left off (the default), a column mismatch
+    * keeps failing loudly at the sink: silent null-padding of history
+    * must be opt-in, exactly the store-level gate. */
   def scd2Sink(updates: DataFrame, storePath: String, partCol: String,
                keys: Seq[String], tsCol: String, checkpointDir: String,
-               order: Seq[org.apache.spark.sql.Column] = Nil): StreamingQuery =
+               order: Seq[org.apache.spark.sql.Column] = Nil,
+               mergeSchema: Boolean = false): StreamingQuery =
     updates.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         // the merge body drives several independent jobs off this one
@@ -71,7 +84,7 @@ object EventStreams {
         try {
           if (!batch.isEmpty)
             graft.sources.Store(batch.sparkSession, storePath, partCol)
-              .upsertScd2(batch, keys, tsCol, order)
+              .upsertScd2(batch, keys, tsCol, order, mergeSchema)
         } finally batch.unpersist()
         ()
       }
@@ -411,7 +424,10 @@ object EventStreams {
     * re-delivered batch REPLACES its own output instead of appending a
     * duplicate. A missing tombstone path means "no takedowns yet"; an
     * existing-but-empty one reads as an empty set (the explicit schema —
-    * idCol at the corpus id type — keeps inference off the hot path). */
+    * idCol at the corpus id type — keeps inference off the hot path).
+    * The INDEX side is still bound at construction — a y27 generation
+    * promotion landing without a restart is
+    * [[mipsServeSinkGenerational]]'s job. */
   def mipsServeSink(queries: DataFrame, corpus: DataFrame, idCol: String,
                     vecCol: String, tsCol: String,
                     destDir: String, checkpointDir: String,
@@ -439,38 +455,160 @@ object EventStreams {
         try {
           if (!batch.isEmpty) {
             val spark = batch.sparkSession
-            val tomb: Option[DataFrame] = tombstonePath.flatMap { p =>
-              val hp = new org.apache.hadoop.fs.Path(p)
-              val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              if (!f.exists(hp)) None
-              else Some(spark.read
-                .schema(StructType(Seq(
-                  org.apache.spark.sql.types.StructField(idCol, idType))))
-                .parquet(p))
-            }
-            val q0 = batch
-              .select(col(idCol).as("q_id"), col(tsCol).as("ts"),
-                col(vecCol).as("q_vec"))
-              .withColumn("qaug", concat(col("q_vec"), array(lit(0.0f))))
-              .withColumn("bucket",
-                Similarity.hyperplaneBucket("qaug", dims + 1, planes))
-              .withColumn("probe", explode(array(
-                col("bucket") +:
-                  (0 until planes).map(j =>
-                    col("bucket").bitwiseXOR(lit(1L << j))): _*)))
-              .select("q_id", "ts", "q_vec", "probe")
-            val q = tomb.fold(q0)(t => q0.join(
-              broadcast(t.select(col(idCol).as("q_id"))), Seq("q_id"), "left_anti"))
-            val joined0 = q.join(c, Seq("probe"))
-              .filter(col("q_id") =!= col("c_id"))
-            val joined = tomb.fold(joined0)(t => joined0.join(
-              broadcast(t.select(col(idCol).as("c_id"))), Seq("c_id"), "left_anti"))
-            joined
-              .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
-              .groupBy(col("q_id"), col("ts"))
-              .agg(max(struct(col("dot"), (-col("c_id")).as("nid"))).as("best"))
-              .select(col("q_id"), col("ts"),
-                (-col("best.nid")).as("c_id"), col("best.dot").as("dot"))
+            val tomb = readTombstones(spark, tombstonePath, idCol, idType)
+            serveMipsBatch(batch, c, idCol, vecCol, tsCol, planes, dims, tomb)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(destDir)
+          }
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Per-batch tombstone read shared by the live-takedown sinks: a fresh
+    * frame over the path each batch, so the file listing is current (the
+    * foreachBatch trick — a static relation inside the streaming plan
+    * would pin its listing at construction). The files' ACTUAL schema is
+    * validated before ours is imposed: an imposed schema over files
+    * written under a different column name reads idCol as all-NULL, the
+    * anti-joins match nothing, and the takedown is silently NOT enforced —
+    * a silent failure on the one path whose whole purpose is enforcement.
+    * Loud failure instead, the store's discipline (r12 ADVICE). Footer
+    * read only — the tombstone set is request-sized. A dataless directory
+    * (e.g. only _SUCCESS) has no footers to check and keeps the documented
+    * empty-set behavior; a missing path means "no takedowns yet". */
+  private def readTombstones(spark: SparkSession, tombstonePath: Option[String],
+                             idCol: String,
+                             idType: org.apache.spark.sql.types.DataType)
+      : Option[DataFrame] =
+    tombstonePath.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(hp)) None
+      else {
+        val hasData = {
+          val it = f.listFiles(hp, true)
+          var found = false
+          while (!found && it.hasNext) {
+            val st = it.next()
+            if (st.isFile && st.getPath.getName.endsWith(".parquet"))
+              found = true
+          }
+          found
+        }
+        if (hasData) {
+          val actual = spark.read.parquet(p).schema
+          require(actual.fieldNames.contains(idCol),
+            s"tombstone files at $p carry columns " +
+              s"${actual.fieldNames.mkString("[", ", ", "]")} — expected " +
+              s"id column '$idCol'; an imposed schema would read NULLs " +
+              "and silently skip enforcement")
+        }
+        Some(spark.read
+          .schema(StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol, idType))))
+          .parquet(p))
+      }
+    }
+
+  /** One micro-batch of MIPS serving against a prepared (c_id, c_vec,
+    * probe) index relation — the body [[mipsServeSink]] and
+    * [[mipsServeSinkGenerational]] share: explode the query into its
+    * Hamming-1 probes, bucket equi-join, post-filter tombstones (both
+    * sides), rank by raw dot, per-(query, ts) top-1 with the batch
+    * operator's tie rule. */
+  private def serveMipsBatch(batch: Dataset[org.apache.spark.sql.Row],
+                             c: DataFrame, idCol: String, vecCol: String,
+                             tsCol: String, planes: Int, dims: Int,
+                             tomb: Option[DataFrame]): DataFrame = {
+    import graft.operators.Similarity
+    val q0 = batch
+      .select(col(idCol).as("q_id"), col(tsCol).as("ts"), col(vecCol).as("q_vec"))
+      .withColumn("qaug", concat(col("q_vec"), array(lit(0.0f))))
+      .withColumn("bucket", Similarity.hyperplaneBucket("qaug", dims + 1, planes))
+      .withColumn("probe", explode(array(
+        col("bucket") +:
+          (0 until planes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*)))
+      .select("q_id", "ts", "q_vec", "probe")
+    val q = tomb.fold(q0)(t => q0.join(
+      broadcast(t.select(col(idCol).as("q_id"))), Seq("q_id"), "left_anti"))
+    val joined0 = q.join(c, Seq("probe"))
+      .filter(col("q_id") =!= col("c_id"))
+    val joined = tomb.fold(joined0)(t => joined0.join(
+      broadcast(t.select(col(idCol).as("c_id"))), Seq("c_id"), "left_anti"))
+    joined
+      .withColumn("dot", round(Similarity.dot("q_vec", "c_vec"), 6))
+      .groupBy(col("q_id"), col("ts"))
+      .agg(max(struct(col("dot"), (-col("c_id")).as("nid"))).as("best"))
+      .select(col("q_id"), col("ts"),
+        (-col("best.nid")).as("c_id"), col("best.dot").as("dot"))
+  }
+
+  /** [[mipsServeSink]] with a LIVE INDEX — the generation-aware form
+    * closing the r12 note "the tombstone side is live; the index side
+    * isn't": the SERVING POINTER (y27's promotion artifact — a store
+    * whose rows carry `serving_gen`, the generation's max-norm scalar
+    * `mnorm`, and its corpus path) is re-read at EVERY micro-batch, so a
+    * rebuild promotion lands at the next batch without a sink restart —
+    * the index-side twin of the live-tombstone fix, same foreachBatch
+    * mechanism (a fresh frame per batch sees the current file listing).
+    * The CURRENT generation is the max `serving_gen` row (promotions are
+    * monotone metadata appends, y27's contract). M is read FROM the
+    * pointer, never recomputed from the corpus — the augmentation scalar
+    * is an index-BUILD artifact (y26's subtlety: a rebuild re-augments,
+    * so M travels with the generation; recomputing per batch would both
+    * scan the corpus per batch and silently disagree with the stored
+    * buckets). Per-batch overhead beyond [[mipsServeSink]]: one
+    * metadata-sized pointer read; the corpus relation is constructed per
+    * batch but scanned only by the bucket join, same as the static form.
+    * The pointer schema is validated loudly (the tombstone-read
+    * discipline); output rows carry `serving_gen` so the consumer can see
+    * exactly when the switch landed. */
+  def mipsServeSinkGenerational(queries: DataFrame, pointerPath: String,
+                                idCol: String, vecCol: String, tsCol: String,
+                                destDir: String, checkpointDir: String,
+                                tombstonePath: Option[String] = None,
+                                planes: Int = graft.operators.Similarity.NumPlanes,
+                                dims: Int = 64): StreamingQuery = {
+    import graft.operators.Similarity
+    queries.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val spark = batch.sparkSession
+            val ptr = spark.read.parquet(pointerPath)
+            val needed = Seq("serving_gen", "mnorm", "corpus_path")
+            require(needed.forall(ptr.schema.fieldNames.contains),
+              s"serving pointer at $pointerPath carries columns " +
+                s"${ptr.schema.fieldNames.mkString("[", ", ", "]")} — " +
+                s"expected ${needed.mkString("(", ", ", ")")}; a missing " +
+                "column would silently pin the sink to no generation")
+            val cur = ptr.select(col("serving_gen").cast("long"),
+                col("mnorm").cast("double"), col("corpus_path"))
+              .orderBy(col("serving_gen").desc).head()
+            val (gen, mnorm, corpusPath) =
+              (cur.getLong(0), cur.getDouble(1), cur.getString(2))
+            val corpus = spark.read.parquet(corpusPath)
+            val idType = corpus.schema(idCol).dataType
+            val c = corpus
+              .select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+              .withColumn("caug", concat(col("c_vec"),
+                array(sqrt(greatest(lit(mnorm * mnorm)
+                  - Similarity.norm("c_vec") * Similarity.norm("c_vec"),
+                  lit(0.0))).cast("float"))))
+              .withColumn("probe",
+                Similarity.hyperplaneBucket("caug", dims + 1, planes))
+              .select("c_id", "c_vec", "probe")
+            val tomb = readTombstones(spark, tombstonePath, idCol, idType)
+            serveMipsBatch(batch, c, idCol, vecCol, tsCol, planes, dims, tomb)
+              .withColumn("serving_gen", lit(gen))
               .withColumn("batch_id", lit(batchId))
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .option("partitionOverwriteMode", "dynamic")

@@ -905,10 +905,18 @@ class StoreSpec extends SparkSpec {
       java.nio.file.Paths.get(s"$path/_log/_epoch"))
     assert(store.epoch === 3L,
       "epoch reset to a pre-purge value after the crash — coordinate collision")
-    // the next purge builds on the recovered epoch and cleans the sibling
-    assert(store.purgeRestartLineage(lit(false)) === 4L)
-    assert(store.epoch === 4L)
+    // a no-effect purge (re-delivery shape: nothing left to remove) FINISHES
+    // the crashed purge's metadata repair — recovered epoch committed to the
+    // in-tree marker, sibling swept — WITHOUT burning a new epoch or paying
+    // a rewrite (the request-keyed purge leg)
+    assert(store.purgeRestartLineage(lit(false)) === 3L)
+    assert(store.epoch === 3L)
     assert(!new java.io.File(path + "__epoch").exists())
+    // the repair is durable in-tree: the marker alone now carries epoch 3
+    assert(new java.io.File(s"$path/_log/_epoch").exists())
+    // an EFFECTIVE purge still advances from the recovered coordinate
+    assert(store.purgeRestartLineage(col("season") === 2000) === 4L)
+    assert(store.epoch === 4L)
   }
 
   test("a keyed governance delta cannot double-subtract on re-delivery") {
@@ -1014,12 +1022,20 @@ class StoreSpec extends SparkSpec {
   test("a governance request crashed mid-application converges on re-delivery") {
     // the s33 handler's crash window: the destructive legs ran, the keyed
     // state append did not. Re-delivery (marker absent → all legs re-run)
-    // must converge to exactly the once-applied state: the purge removes
-    // nothing (the rows are gone — it does advance the epoch, the
-    // documented price of replaying a destructive leg), deleteWhere
-    // matches nothing, and the keyed append applies once.
+    // must converge to exactly the once-applied state: the purge PROBES
+    // (its effect is already durable — no matching row — so it skips the
+    // rewrite and keeps the epoch: the request-keyed purge leg, r12
+    // verdict #2), deleteWhere matches nothing, and the keyed append
+    // applies once. ONE rewrite total: the replayed leg's old price (a
+    // second full rewrite + a phantom epoch) is gone.
     def ev(rows: Seq[(Long, String, Long, Double)]) =
       rows.toDF("user_id", "etype", "ts_us", "value")
+    def listParquet(p: String): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified(), f.length())).toSet
+    }
     val base = tmpDir("store_gov_crash")
     val src = Store(spark, s"$base/src", "etype")
     val hst = Store(spark, s"$base/hist", "etype")
@@ -1048,11 +1064,18 @@ class StoreSpec extends SparkSpec {
     // ---- crashed first delivery: destructive legs land, append does not
     src.purgeRestartLineage(doomed)
     hst.deleteWhere(doomed)
+    val srcFilesAfterPurge = listParquet(s"$base/src")
     // ---- re-delivery runs the FULL handler and converges
     assert(deliver() === 2L) // the keyed append applies exactly once
     assert(deliver() === 0L) // and a further re-delivery is a no-op
     assert(src.read.filter(doomed).count() === 0L)
-    assert(src.epoch === 3L) // two purge runs — the replayed leg's price
+    // ONE rewrite, ONE epoch: the replayed purge probed, found its effect
+    // durable, and left both the data files and the coordinate alone
+    assert(src.epoch === 2L,
+      "replayed purge burned a phantom epoch despite a durable effect")
+    assert(listParquet(s"$base/src") === srcFilesAfterPurge,
+      "replayed purge rewrote the table despite a durable effect")
+    assert(src.versions === Seq(1L))
     assert(hst.read.filter(doomed).count() === 0L)
     val fold = stt.read.groupBy("etype")
       .agg(sum("n").as("n"), sum("s").as("s"))
@@ -1108,6 +1131,111 @@ class StoreSpec extends SparkSpec {
     assert(back.filter(col("season") === 1999 && col("grade").isNull).count() === 2L)
     assert(back.filter(col("season") === 2000).count() === 2L)
     assert(store.readVersion(1).columns.contains("grade"))
+  }
+
+  test("deleteWhereTracked survives a full wipe without stranding the sidecar") {
+    // r12 ADVICE: an all-matching predicate empties every partition; the
+    // sidecar update must not die on a dataless table root (stranding
+    // stats that certify rows no longer on disk) — it commits EMPTY stats
+    val store = Store(spark, tmpDir("store_tracked_fullwipe"), "season")
+    val term = col("epa").cast("long")
+    store.appendTracked(season(1999, 3).union(season(2000, 2)), term)
+    assert(store.deleteWhereTracked(lit(true), term) === 2L)
+    // zero data files, and a sidecar that certifies exactly nothing
+    assert(store.statsExist)
+    assert(store.readStats.count() === 0L)
+    // the table keeps working: a later tracked append re-populates both
+    store.appendTracked(season(2001, 2), term)
+    assert(store.readStats.select(col("season").cast("int"), col("n_rows"))
+      .as[(Int, Long)].collect().toMap === Map(2001 -> 2L))
+  }
+
+  test("a change cursor below a collapse boundary gets the typed retention error") {
+    val store = Store(spark, tmpDir("store_retention_cursor"), "season")
+    (1 to 4).foreach(i => store.appendVersioned(season(1998 + i, i)))
+    assert(store.earliestChangeVersion === 1L)
+    store.collapseHistory(3)
+    assert(store.earliestChangeVersion === 3L)
+    // below the floor: the typed error names the boundary AND the repair
+    val err = intercept[Store.RetentionBoundaryException] {
+      store.readChanges(2, 4)
+    }
+    assert(err.earliestChangeVersion === 3L && err.fromVersion === 2L)
+    assert(err.getMessage.contains("readVersion(3)"))
+    // cursors AT and ABOVE the floor still resolve; 0 stays full history
+    assert(store.readChanges(3, 4).count() === 4L)
+    assert(store.readChanges(0, 4).count() === store.readVersion(4).count())
+    // an unknown cursor ABOVE the floor keeps the generic error — it is a
+    // bug or a corrupt log, not retention
+    intercept[IllegalArgumentException] { store.readChanges(99, 100) }
+    // the documented re-bootstrap (the s30 consumer's path back): rebuild
+    // state from the boundary snapshot, resume the feed from the boundary
+    // cursor — the folded result equals a from-scratch consumer
+    val boundary = err.earliestChangeVersion
+    val rebuilt = store.readVersion(boundary)
+      .groupBy("season").agg(count(lit(1)).as("n"))
+      .unionByName(store.readChanges(boundary, 4)
+        .groupBy("season").agg(count(lit(1)).as("n")))
+      .groupBy("season").agg(sum("n").cast("long").as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(rebuilt === store.read.groupBy("season").agg(count(lit(1)).as("n"))
+      .as[(Int, Long)].collect().toMap)
+  }
+
+  test("appendVersionedTracked maintains versions and sidecar in one commit") {
+    val path = tmpDir("store_vt") + "/t"
+    val store = Store(spark, path, "season")
+    val term = col("epa").cast("long")
+    def sidecar = store.readStats
+      .select(col("season").cast("int"), col("n_rows"), col("checksum"))
+      .as[(Int, Long, Long)].collect().toSet
+    def scanStats = store.statsOf(store.read, term)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(store.appendVersionedTracked(season(1999, 3), term) === 1L)
+    assert(store.appendVersionedTracked(
+      season(1999, 2).union(season(2000, 4)), term) === 2L)
+    // both ledgers live on one table: time travel + CDC resolve, and the
+    // sidecar equals a from-scratch recompute of current disk truth
+    assert(store.readVersion(1).count() === 3L)
+    assert(store.readChanges(1, 2).count() === 6L)
+    assert(sidecar === scanStats)
+    // each single-ledger write refuses the composed table, loudly
+    intercept[IllegalArgumentException] { store.appendVersioned(season(2001, 1)) }
+    intercept[IllegalArgumentException] { store.appendTracked(season(2001, 1), term) }
+    // an untracked purge refuses too: the sidecar must not silently vanish
+    intercept[IllegalArgumentException] {
+      store.purgeRestartLineage(col("season") === 1999)
+    }
+    // purge WITH the term: the lineage restarts AND the sidecar is rebuilt
+    // over the new epoch's v1
+    assert(store.purgeRestartLineage(col("season") === 1999, Some(term)) === 2L)
+    assert(store.versions === Seq(1L))
+    assert(sidecar === scanStats)
+    assert(sidecar.map(_._1) === Set(2000))
+    // the composition keeps appending on the new lineage
+    assert(store.appendVersionedTracked(season(2001, 2), term) === 2L)
+    assert(sidecar === scanStats)
+    assert(store.readChanges(1, 2).count() === 2L)
+  }
+
+  test("adoptOrphans tags its version as a repair; the tag dies with the entry") {
+    val path = tmpDir("store_repair_tag") + "/t"
+    val store = Store(spark, path, "season")
+    store.appendVersioned(season(1999, 2))
+    // the crash shape: data files land, the log write never happens
+    store.append(season(2000, 3))
+    assert(store.adoptOrphans() === Some(2L))
+    assert(store.isRepairVersion(2L), "repair version untagged")
+    assert(!store.isRepairVersion(1L), "normal append tagged as repair")
+    store.appendVersioned(season(2001, 1))
+    assert(!store.isRepairVersion(3L))
+    // the repair version reads like any other
+    assert(store.readVersion(2).count() === 5L)
+    // collapse dissolves the tag with the entry — the merged base is a
+    // collapse artifact, not a repair
+    store.collapseHistory(2)
+    assert(!store.isRepairVersion(2L))
+    assert(store.readVersion(2).count() === 5L)
   }
 }
 
