@@ -685,6 +685,32 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     assert(y27.contains("__probe"), "y27's serving arms lost the bucket probe key")
   }
 
+  test("round-13 additions keep their scale shapes") {
+    // s36/s37: the versioned+tracked lifecycle and the retention
+    // re-bootstrap stay equi-join/aggregate shaped with the corpus scan
+    // visible under the plan-only substitutes
+    for (q <- Seq("s36_versioned_tracked", "s37_retention_rebootstrap")) {
+      val p = formatted(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian stage")
+      assert("""\(\d+\) Scan parquet""".r.findAllIn(p).nonEmpty,
+        s"$q's audited plan lost its scan")
+    }
+    // x59: the five-store capstone panel is a union of one-pass store
+    // aggregates + two O(artifacts) manifest relations full-outer-joined
+    // on the artifact name + the O(segments) transition equi-join — the
+    // only nested loops are the one-row max-norm broadcast inside the
+    // index builders; never a corpus×corpus pair space
+    val x59 = formatted("x59_governed_platform")
+    assert(!x59.contains("CartesianProduct"), "x59 grew a non-broadcast cartesian")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(x59).nonEmpty,
+      "x59's audited plan lost its scan")
+    // x60: two O(artifacts) manifests diffed on an equi-key, scans visible
+    val x60 = formatted("x60_repair_manifest")
+    assert(!x60.contains("CartesianProduct"), "x60 grew a cartesian stage")
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(x60).nonEmpty,
+      "x60's audited plan lost its scan")
+  }
+
   test("s21: both window profiles come from ONE scan of the fact table") {
     val plan = formatted("s21_profile_diff")
     // count detail-section entries ("(1) Scan parquet"), not tree echoes

@@ -1218,6 +1218,70 @@ class StoreSpec extends SparkSpec {
     assert(store.readChanges(1, 2).count() === 2L)
   }
 
+  test("a five-store governance ticket delivered twice leaves every store byte-identical") {
+    // the x59 capstone's idempotency contract in spec form: ONE ticket
+    // drives source purge, history delete, vector tombstones, index
+    // rebuild + pointer promotion, and the keyed state append; the
+    // applied marker is the state row (written LAST), so the second
+    // delivery short-circuits to zero work and every store's on-disk
+    // bytes — paths, sizes, mtimes — are identical to once-delivered
+    def listParquet(p: String): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getPath, f.lastModified(), f.length())).toSet
+    }
+    def ev(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("user_id", "etype", "ts_us", "value")
+    val base = tmpDir("store_ticket5")
+    val src = Store(spark, s"$base/src", "etype")
+    val hst = Store(spark, s"$base/hist", "etype")
+    val stt = Store(spark, s"$base/state", "etype")
+    val req = Store(spark, s"$base/req", "etype")
+    val tmb = Store(spark, s"$base/tomb", "part")
+    val g2 = Store(spark, s"$base/gen2", "part")
+    val ptr = Store(spark, s"$base/ptr", "part")
+    val feed = Seq((1L, "a", 100L, 2.0), (5L, "a", 110L, 4.0),
+      (2L, "b", 120L, 6.0), (5L, "b", 130L, 8.0))
+    src.appendVersioned(ev(feed))
+    hst.upsertScd2(src.readChanges(0, 1), Seq("user_id", "etype"), "ts_us")
+    stt.update(src.readChanges(0, 1).groupBy("etype")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .withColumn("request_id", lit("pull_v1")), Seq("request_id", "etype"))
+    val doomed = col("user_id") % 5 === 0
+    req.append(ev(feed).filter(doomed).groupBy("etype")
+      .agg((-count(lit(1))).as("n"), (-sum(col("value"))).as("s"))
+      .withColumn("request_id", lit("td_5")))
+    def deliver(): Long =
+      if (stt.read.filter(col("request_id") === "td_5").limit(1).count() > 0) 0L
+      else {
+        src.purgeRestartLineage(doomed)
+        hst.deleteWhere(doomed)
+        tmb.update(Seq((5L, 0)).toDF("vec_id", "part"), Seq("vec_id"))
+        if (!g2.exists)
+          g2.append(ev(feed).filter(!doomed).select(col("user_id"))
+            .withColumn("part", lit(0)))
+        ptr.update(Seq((2L, 0)).toDF("serving_gen", "part"), Seq("serving_gen"))
+        stt.update(req.read.filter(col("request_id") === "td_5"),
+          Seq("request_id", "etype"))
+      }
+    assert(deliver() === 2L, "first delivery must apply")
+    val stores = Seq(s"$base/src", s"$base/hist", s"$base/state",
+      s"$base/tomb", s"$base/gen2", s"$base/ptr")
+    val once = stores.map(p => p -> listParquet(p)).toMap
+    val epochOnce = src.epoch
+    assert(deliver() === 0L, "second delivery must short-circuit")
+    stores.foreach { p =>
+      assert(listParquet(p) === once(p), s"re-delivery touched $p")
+    }
+    assert(src.epoch === epochOnce, "re-delivery burned an epoch")
+    // the fold equals the once-applied truth
+    val fold = stt.read.groupBy("etype")
+      .agg(sum("n").as("n"), sum("s").as("s"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(fold === Set(("a", 1L, 2.0), ("b", 1L, 6.0)))
+  }
+
   test("adoptOrphans tags its version as a repair; the tag dies with the entry") {
     val path = tmpDir("store_repair_tag") + "/t"
     val store = Store(spark, path, "season")

@@ -1025,6 +1025,171 @@ class StreamingSpec extends SparkSpec {
     assert(hist.filter(col("valid_to").isNull).count() === 3L) // one open per key
   }
 
+  test("scd2Sink carries a mid-flight schema evolution into the history store") {
+    // the real mid-flight evolution shape: a streaming plan's schema is
+    // fixed at start, so the source evolves ACROSS a restart — the first
+    // drain runs pre-evolution, the second runs with the evolved schema
+    // and the sink's mergeSchema arm (r12 verdict #5); the resulting
+    // history must equal the s35-style one-shot window derivation, with
+    // pre-evolution VERSIONS null-padding the new column.
+    val b1 = Seq((1L, "a", 100L, 1.0), (2L, "a", 110L, 5.0))
+    val b2 = Seq((1L, "a", 200L, 2.0), (3L, "a", 300L, 7.0))
+    def feed(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("user_id", "event_type", "ts_us", "value")
+    val src1 = tmpDir("scd2_evo_src1"); val src2 = tmpDir("scd2_evo_src2")
+    val ckpt1 = tmpDir("scd2_evo_ckpt1"); val ckpt2 = tmpDir("scd2_evo_ckpt2")
+    val storePath = tmpDir("scd2_evo_store") + "/t"
+    val preSchema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    val evoSchema = preSchema.add(StructField("score", DoubleType))
+    feed(b1).repartition(1).write.mode("append").parquet(src1)
+    EventStreams.scd2Sink(
+      spark.readStream.schema(preSchema).parquet(src1), storePath,
+      "event_type", Seq("user_id", "event_type"), "ts_us", ckpt1)
+      .awaitTermination()
+    // ---- the source evolves: batches now carry `score` ----
+    feed(b2).withColumn("score", col("value") * 3)
+      .repartition(1).write.mode("append").parquet(src2)
+    // without the merge arm, the evolved batch keeps FAILING LOUDLY at the
+    // sink (silent null-padding of history must be opt-in, the store gate)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.scd2Sink(
+        spark.readStream.schema(evoSchema).parquet(src2), storePath,
+        "event_type", Seq("user_id", "event_type"), "ts_us", ckpt2)
+        .awaitTermination()
+    }
+    // the failed batch never committed: resuming the SAME checkpoint with
+    // mergeSchema on re-delivers it and lands the evolution exactly once
+    EventStreams.scd2Sink(
+      spark.readStream.schema(evoSchema).parquet(src2), storePath,
+      "event_type", Seq("user_id", "event_type"), "ts_us", ckpt2,
+      mergeSchema = true).awaitTermination()
+    val hist = graft.sources.Store(spark, storePath, "event_type")
+      .read(mergeSchema = true)
+    assert(hist.count() === 4L)
+    // pre-evolution versions surface score as typed NULL; evolved carry it
+    assert(hist.filter(col("ts_us") < 200L && col("score").isNull).count() === 2L)
+    assert(hist.filter(col("ts_us") >= 200L && col("score") === col("value") * 3)
+      .count() === 2L)
+    // the evolution did not break the tiling: key 1's pre-evolution open
+    // version closed at the evolved batch's timestamp
+    assert(hist.filter(col("user_id") === 1L && col("valid_from") === 100L
+      && col("valid_to") === 200L).count() === 1L)
+    assert(hist.filter(col("valid_to").isNull).count() === 3L)
+  }
+
+  test("mipsServeSinkGenerational switches index generations at the next batch") {
+    import graft.operators.Similarity
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 7 + i * 13) % 17) - 8).toFloat)
+    val corpus1 = (100L to 115L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val removed = Set(103L)
+    val corpus2 = corpus1.filter(!col("vec_id").isin(removed.toSeq.map(Long.box): _*))
+    val c1Path = tmpDir("mips_gen_c1"); val c2Path = tmpDir("mips_gen_c2")
+    corpus1.repartition(1).write.mode("overwrite").parquet(c1Path)
+    corpus2.repartition(1).write.mode("overwrite").parquet(c2Path)
+    def mnormOf(c: org.apache.spark.sql.DataFrame): Double =
+      c.agg(max(Similarity.norm("embedding")).cast("double")).head().getDouble(0)
+    val ptrPath = tmpDir("mips_gen_ptr")
+    // gen 1 pointer: the generation's M travels WITH it (index-build
+    // artifact — y26's subtlety; the sink must never recompute it)
+    Seq((1L, mnormOf(corpus1), c1Path)).toDF("serving_gen", "mnorm", "corpus_path")
+      .repartition(1).write.mode("append").parquet(ptrPath)
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("ts", TimestampType),
+      StructField("embedding", ArrayType(FloatType))))
+    val src = tmpDir("mips_gen_src"); val ckpt = tmpDir("mips_gen_ckpt")
+    val dest = tmpDir("mips_gen_dest")
+    def drain(): Unit = EventStreams.mipsServeSinkGenerational(
+      spark.readStream.schema(qSchema).parquet(src), ptrPath,
+      "vec_id", "embedding", "ts", dest, ckpt, planes = 4).awaitTermination()
+    // batch top-1 recompute against a given generation's corpus (the y27
+    // rebuild-arm shape: the index excludes removed rows, no post-filter)
+    def expect(c: org.apache.spark.sql.DataFrame,
+               qRows: Seq[(Long, Timestamp, Array[Float])]): Map[Long, Long] = {
+      val union = c.unionByName(
+        qRows.map(r => (r._1, r._3)).toDF("vec_id", "embedding"))
+      Similarity.mipsTopK(union, id => id >= 900L, "vec_id", "embedding",
+          k = 32, planes = 4)
+        .filter(col("c_id") < 900L)
+        .withColumn("r2", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("q_id").orderBy(col("rank").asc)))
+        .filter(col("r2") === 1)
+        .select("q_id", "c_id")
+        .as[(Long, Long)].collect().toMap
+    }
+    def served(): Map[Long, (Long, Long)] = spark.read.parquet(dest)
+      .select("q_id", "c_id", "serving_gen")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // ---- batch 1 serves off generation 1
+    val b1 = Seq((901L, ts(5), vec(103L)), (902L, ts(10), vec(107L)))
+    b1.toDF("vec_id", "ts", "embedding").repartition(1)
+      .write.mode("append").parquet(src)
+    drain()
+    val after1 = served()
+    assert(after1.view.mapValues(_._2).toMap === Map(901L -> 1L, 902L -> 1L),
+      s"batch 1 must serve generation 1: $after1")
+    assert(after1.view.mapValues(_._1).toMap === expect(corpus1, b1))
+    assert(after1(901L)._1 === 103L, "twin served its twin off gen 1")
+    // ---- the PROMOTION lands mid-stream: one metadata append
+    Seq((2L, mnormOf(corpus2), c2Path)).toDF("serving_gen", "mnorm", "corpus_path")
+      .repartition(1).write.mode("append").parquet(ptrPath)
+    // ---- batch 2 on the SAME checkpoint serves generation 2, no restart
+    val b2 = Seq((903L, ts(15), vec(103L)), (904L, ts(20), vec(111L)))
+    b2.toDF("vec_id", "ts", "embedding").repartition(1)
+      .write.mode("append").parquet(src)
+    drain()
+    val after2 = served()
+    // batch-1 rows are immutable history; batch-2 rows carry gen 2
+    assert(after2.view.filterKeys(Set(901L, 902L)).toMap === after1)
+    assert(after2(903L)._2 === 2L && after2(904L)._2 === 2L,
+      s"promotion not seen at the next batch: $after2")
+    assert(after2(903L)._1 !== 103L, "removed id served off the old generation")
+    assert(after2.view.filterKeys(Set(903L, 904L)).mapValues(_._1).toMap
+      === expect(corpus2, b2), "batch 2 diverged from the gen-2 recompute")
+    // a malformed pointer (missing mnorm) fails LOUDLY, never a silent pin
+    val badPtr = tmpDir("mips_gen_badptr")
+    Seq((1L, c1Path)).toDF("serving_gen", "corpus_path")
+      .repartition(1).write.mode("append").parquet(badPtr)
+    Seq((905L, ts(25), vec(104L))).toDF("vec_id", "ts", "embedding")
+      .repartition(1).write.mode("append").parquet(src)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.mipsServeSinkGenerational(
+        spark.readStream.schema(qSchema).parquet(src), badPtr,
+        "vec_id", "embedding", "ts", tmpDir("mips_gen_dest2"),
+        tmpDir("mips_gen_ckpt2"), planes = 4).awaitTermination()
+    }
+    assert(err.getMessage.contains("serving pointer"))
+  }
+
+  test("mipsServeSink refuses tombstone files whose schema lacks the id column") {
+    // r12 ADVICE: an imposed schema over files written under a different
+    // column name reads all-NULL ids, the anti-joins match nothing, and
+    // the takedown silently stops being enforced — the sink must fail
+    // loudly at the batch instead
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 7 + i * 13) % 17) - 8).toFloat)
+    val corpus = (100L to 107L).map(id => (id, vec(id))).toDF("vec_id", "embedding")
+    val qSchema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("ts", TimestampType),
+      StructField("embedding", ArrayType(FloatType))))
+    val src = tmpDir("mips_badtomb_src"); val tombs = tmpDir("mips_badtomb_tombs")
+    // tombstones written under the WRONG column name
+    Seq(103L).toDF("id").repartition(1).write.mode("append").parquet(tombs)
+    Seq((901L, ts(5), vec(103L))).toDF("vec_id", "ts", "embedding")
+      .repartition(1).write.mode("append").parquet(src)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      EventStreams.mipsServeSink(
+        spark.readStream.schema(qSchema).parquet(src), corpus,
+        "vec_id", "embedding", "ts", tmpDir("mips_badtomb_dest"),
+        tmpDir("mips_badtomb_ckpt"), tombstonePath = Some(tombs),
+        planes = 4).awaitTermination()
+    }
+    assert(err.getMessage.contains("tombstone files"))
+  }
+
   test("maxFilesPerTrigger throttles an AvailableNow drain into bounded batches") {
     // the ingest throttle SCALE.md names for continuous 100-TB/day runs:
     // a backlog of N files must drain as N bounded micro-batches, not one
