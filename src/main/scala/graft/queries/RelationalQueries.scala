@@ -1155,6 +1155,87 @@ object RelationalQueries {
       |  CAST(3 AS BIGINT) AS boundary, TRUE AS hit_boundary
       |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 
+  /** One s38 lifecycle per (session, dir) — the s36 caching rule. */
+  private val s38Built = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, DataFrame, Long, Boolean, Long)]()
+
+  /** s38: VERSIONED COMPACTION + VACUUM — the small-file problem × time
+    * travel, the lifecycle [[graft.sources.Store.compact]] refuses on
+    * versioned tables resolved as an operator pair (Delta's OPTIMIZE +
+    * VACUUM in the store's minimal form): three ingest days accrete
+    * files; `compactVersioned` rewrites the current table into one file
+    * per partition and commits it as a `#base` version whose list
+    * REPLACES the cumulative history — every OLDER snapshot keeps
+    * resolving against the original files (time travel intact), the
+    * rewrite adds NO rows to the change feed (dataChange = false:
+    * `base_delta_rows` is gated 0), and ingest continues on top; then
+    * `vacuum` bounds the addressable lineage at the base (a below-floor
+    * cursor lands on the s37 typed retention error — `boundary` carries
+    * what the error named) and deletes every file no surviving version
+    * references (`zero_unreferenced` re-runs vacuum and gates the sweep
+    * count 0 — idempotence IS the check). The panel reads both surviving
+    * snapshots (the base ≡ the pre-compaction table, the post-base
+    * version ≡ base ∪ the new day) with rows/tokens/checksum; the oracle
+    * recomputes both memberships from the raw corpus — hash equality
+    * proves the rewrite changed LAYOUT and nothing else, through a
+    * subsequent append and the sweep. At 100 TB this is what keeps a
+    * daily-appended table's scan cost bounded by bytes instead of file
+    * count without breaking the snapshot pin a training run holds;
+    * storage holds old+new only between OPTIMIZE and VACUUM, the
+    * contracted price of history staying readable in the gap. */
+  private val s38VersionedCompaction = Q(
+    (s, d) => {
+      val M = lit(2147483647L)
+      val docs = Tables.documents(s, d)
+      val (v4, v5, boundary, zeroUnref, baseDelta) =
+        if (planOnly)
+          (docs.filter(col("doc_id") % 4 >= 1), docs, 4L, true, 0L)
+        else s38Built.computeIfAbsent(
+          s"${s.sparkContext.applicationId}:$d", _ => {
+          val path = s"${System.getProperty("java.io.tmpdir")}/graft_etl/" +
+            s"vcompact_${s.sparkContext.applicationId}_${math.abs(d.hashCode)}"
+          val store = graft.sources.Store(s, path, "source")
+          store.destroy()
+          (1 to 3).foreach(r =>
+            store.appendVersioned(docs.filter(col("doc_id") % 4 === r)))
+          val base = store.compactVersioned(1)
+          // dataChange = false: the rewrite adds nothing to the feed
+          val bd = store.readChanges(base - 1, base).count()
+          store.appendVersioned(docs.filter(col("doc_id") % 4 === 0))
+          store.vacuum()
+          // the retention boundary, read off the typed error a straddling
+          // cursor gets (s37's contract, established here by vacuum)
+          val b =
+            try { store.readChanges(2, 5); 0L }
+            catch { case e: graft.sources.Store.RetentionBoundaryException =>
+              e.earliestChangeVersion }
+          // idempotence IS the sweep check: a clean table re-vacuums to 0
+          val zu = store.vacuum() == 0L
+          (store.readVersion(4), store.readVersion(5), b, zu, bd)
+        })
+      Seq((4L, v4), (5L, v5)).map { case (v, df) =>
+        df.agg(
+            count(lit(1)).as("n_rows"),
+            sum(size(split(col("text"), " ")).cast(LongType)).as("n_tokens"),
+            pmod(sum((col("doc_id") % M) * ((col("doc_id") + 7) % M) % M), M)
+              .cast(LongType).as("checksum"))
+          .select(lit(v).as("version"), col("n_rows"), col("n_tokens"),
+            col("checksum"), lit(2L).as("n_addressable"),
+            lit(boundary).as("boundary"),
+            lit(baseDelta).as("base_delta_rows"),
+            lit(zeroUnref).as("zero_unreferenced"))
+      }.reduce(_ unionByName _).orderBy("version")
+    },
+    """WITH vs(version) AS (VALUES (4), (5))
+      |SELECT CAST(version AS BIGINT) AS version, COUNT(*) AS n_rows,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  CAST(SUM((doc_id % 2147483647) * ((doc_id + 7) % 2147483647)
+      |    % 2147483647) % 2147483647 AS BIGINT) AS checksum,
+      |  CAST(2 AS BIGINT) AS n_addressable, CAST(4 AS BIGINT) AS boundary,
+      |  CAST(0 AS BIGINT) AS base_delta_rows, TRUE AS zero_unreferenced
+      |FROM vs JOIN documents ON version = 5 OR doc_id % 4 >= 1
+      |GROUP BY version ORDER BY version""".stripMargin)
+
   private val s23TimeTravel = Q(
     (s, d) => {
       import org.apache.spark.sql.types.LongType
@@ -2616,6 +2697,7 @@ object RelationalQueries {
     "s35_evolving_scd2" -> s35EvolvingScd2,
     "s36_versioned_tracked" -> s36VersionedTracked,
     "s37_retention_rebootstrap" -> s37RetentionRebootstrap,
+    "s38_versioned_compaction" -> s38VersionedCompaction,
     "s18_zorder_cells" -> s18ZorderCells,
     "s19_compaction_plan" -> s19CompactionPlan,
     "s15_incremental_agg" -> s15IncrementalAgg,

@@ -607,8 +607,16 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * full table enumeration per append — fine at this store's scale; a
     * production lakehouse writer reports its added files through the
     * commit protocol instead of diffing listings, which is the swap this
-    * method's contract (record WHAT THIS BATCH ADDED) is designed for. */
-  def appendVersioned(df: DataFrame): Long = {
+    * method's contract (record WHAT THIS BATCH ADDED) is designed for.
+    *
+    * `batchTag`: an idempotency key recorded IN the log entry (the commit
+    * is the atomic point, so tag and version can never disagree) — a
+    * writer that may re-deliver a batch (a checkpointed streaming sink, a
+    * retried orchestrator step) probes [[hasBatchTag]] first and skips
+    * the duplicate; see [[graft.streaming.EventStreams.versionedIngestSink]]. */
+  def appendVersioned(df: DataFrame): Long = appendVersioned(df, None)
+
+  def appendVersioned(df: DataFrame, batchTag: Option[String]): Long = {
     val before = listDataFiles()
     // orphan check: every data file visible to plain read must be recorded
     // in SOME version, or readVersion(latest) silently diverges from read —
@@ -625,8 +633,15 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
         "version, or start a fresh versioned table")
     append(df)
     val added = (listDataFiles() -- before).toSeq.sorted
-    writeVersionEntry(df.schema.toDDL, added)
+    writeVersionEntry(df.schema.toDDL, added,
+      batchTag.map(t => s"#batch=$t").toSeq)
   }
+
+  /** True iff some recorded version carries `batchTag` — the re-delivery
+    * probe for tagged [[appendVersioned]] writers. O(versions) metadata
+    * reads, never data. */
+  def hasBatchTag(tag: String): Boolean =
+    versions.exists(v => entryHeaders(v).contains(s"#batch=$tag"))
 
   /** VERSIONS + STATS SIDECAR in one commit — the composition a 100-TB
     * governed table actually wants (r12 verdict #3): time travel / CDC
@@ -718,18 +733,25 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * next appendVersioned's orphan check names them and adoptOrphans()
     * records them as a repair version). This is the minimal form of the
     * optimistic-concurrency commit every real table format has. */
-  private def writeVersionEntry(schemaDdl: String, added: Seq[String]): Long = {
+  private def writeVersionEntry(schemaDdl: String, added: Seq[String],
+                                headers: Seq[String] = Nil): Long = {
     val v = versions.lastOption.getOrElse(0L) + 1
-    commitVersionEntry(v, schemaDdl, added)
+    commitVersionEntry(v, schemaDdl, added, headers)
     v
   }
 
   /** The commit step alone, at a CALLER-CHOSEN version number —
     * package-visible so the spec can reproduce the racing-writer state
     * deterministically (two writers that both computed v = last+1; the
-    * second commit must fail loudly here). */
+    * second commit must fail loudly here). Entry layout: line 1 = schema
+    * DDL, then zero or more `#`-prefixed HEADER lines (`#base` marks a
+    * compaction/collapse base whose file list REPLACES the cumulative
+    * history below it; `#batch=<tag>` is a writer idempotency key), then
+    * the relative data-file paths — headers can never collide with paths
+    * because the store never writes a path component starting with `#`. */
   private[graft] def commitVersionEntry(v: Long, schemaDdl: String,
-                                        added: Seq[String]): Unit = {
+                                        added: Seq[String],
+                                        headers: Seq[String] = Nil): Unit = {
     val (f, _) = fs
     // only an already-exists failure means a racing committer; any other
     // IOException (permissions, disk full, transient FS) propagates
@@ -746,14 +768,15 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
               "data files are orphaned (adoptOrphans() records them as a " +
               "repair version)", e)
       }
-    try out.write((schemaDdl +: added).mkString("\n").getBytes("UTF-8"))
+    try out.write((schemaDdl +: (headers ++ added)).mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** One version entry: (schema DDL, relative data-file paths). Falls back
-    * to the `.v<N>_merged` recovery artifact when the primary entry is
-    * missing — the crash window inside [[collapseHistory]]'s commit. */
-  private def readVersionEntry(n: Long): (String, Seq[String]) = {
+  /** One version entry: (schema DDL, header lines, relative data-file
+    * paths). Falls back to the `.v<N>_merged` recovery artifact when the
+    * primary entry is missing — the crash window inside
+    * [[collapseHistory]]'s commit. */
+  private def readVersionEntryFull(n: Long): (String, Seq[String], Seq[String]) = {
     val (f, _) = fs
     val primary = new org.apache.hadoop.fs.Path(logDir, s"v$n")
     val p =
@@ -767,26 +790,52 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     val txt = try new String(
       org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
     finally in.close()
-    val lines = txt.split("\n")
-    (lines.head, lines.tail.filter(_.nonEmpty).toSeq)
+    val lines = txt.split("\n").toSeq
+    val (headers, files) = lines.tail.filter(_.nonEmpty).partition(_.startsWith("#"))
+    (lines.head, headers, files)
   }
 
-  /** The table exactly as it stood after version `v`: the union of the
-    * files recorded by versions 1..v. `basePath` keeps partition-column
-    * recovery working on an explicit file list; an all-empty prefix
-    * yields a typed empty relation from the logged schema. */
+  private def readVersionEntry(n: Long): (String, Seq[String]) = {
+    val (s0, _, files) = readVersionEntryFull(n)
+    (s0, files)
+  }
+
+  private def entryHeaders(n: Long): Seq[String] = readVersionEntryFull(n)._2
+
+  /** True iff version `v` is a BASE entry — its file list REPLACES the
+    * cumulative history below it. Bases are written by
+    * [[compactVersioned]] (a data rewrite that adds no rows) and by
+    * [[collapseHistory]] (a metadata fold). */
+  def isBaseEntry(v: Long): Boolean = entryHeaders(v).contains("#base")
+
+  /** The files version `v` RESOLVES to: the greatest base at or below `v`
+    * (whose list already carries everything older), plus the non-base
+    * deltas above it. Without a base: every entry's files through `v`.
+    * Distinct: a crash between collapseHistory's merged-entry commit and
+    * its old-entry deletes leaves overlapping references — dedupe makes
+    * that window harmless instead of double-reading rows. */
+  private def resolutionFiles(v: Long): Seq[String] = {
+    val upTo = versions.filter(_ <= v)
+    val base = upTo.filter(isBaseEntry).lastOption
+    val from = base.getOrElse(0L)
+    val baseFiles = base.toSeq.flatMap(b => readVersionEntry(b)._2)
+    val deltas = upTo.filter(x => x > from && !isBaseEntry(x))
+      .flatMap(x => readVersionEntry(x)._2)
+    (baseFiles ++ deltas).distinct
+  }
+
+  /** The table exactly as it stood after version `v`: the files it
+    * resolves to through the log (base-aware — see [[resolutionFiles]]).
+    * `basePath` keeps partition-column recovery working on an explicit
+    * file list; an all-empty prefix yields a typed empty relation from
+    * the logged schema. */
   def readVersion(v: Long): DataFrame = {
     require(versions.contains(v), s"unknown version $v at $path (have $versions)")
-    val entries = versions.filter(_ <= v).map(readVersionEntry)
-    // distinct: a crash between collapseHistory's merged-entry commit and
-    // its old-entry deletes leaves the collapsed versions' files recorded
-    // twice (the merged entry's list is a superset) — dedupe makes that
-    // window harmless instead of double-reading rows
-    val files = entries.flatMap(_._2).distinct.map(rel => s"$path/$rel")
+    val files = resolutionFiles(v).map(rel => s"$path/$rel")
     if (files.nonEmpty) spark.read.option("basePath", path).parquet(files: _*)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(entries.last._1))
+      org.apache.spark.sql.types.StructType.fromDDL(readVersionEntry(v)._1))
   }
 
   /** Change-data read on a versioned table: the rows ADDED by versions in
@@ -835,17 +884,26 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     }
     require(vs.contains(toV),
       s"unknown to-version $toV at $path (have $vs)")
-    val entries = versions.filter(v => v > fromV && v <= toV).map(readVersionEntry)
-    // distinct: harmless-overlap rule for collapseHistory's crash window
-    // (see readVersion)
-    val files = entries.flatMap(_._2).distinct.map(rel => s"$path/$rel")
+    // fromV = 0 is the full-history read: resolve like readVersion (a
+    // base's files SUPERSEDE the pre-base deltas — a raw union would
+    // double-read every row a compaction rewrote). For a real cursor,
+    // the rows ADDED in (fromV, toV] are the NON-BASE entries' files:
+    // a base is a rewrite, dataChange = false — it adds nothing, so a
+    // consumer whose range straddles a compaction sees exactly the
+    // ingested deltas and never the rewrite (Delta's dataChange=false
+    // contract in this store's minimal form).
+    val files =
+      (if (fromV == 0) resolutionFiles(toV)
+       else versions.filter(v => v > fromV && v <= toV && !isBaseEntry(v))
+         .flatMap(v => readVersionEntry(v)._2).distinct)
+        .map(rel => s"$path/$rel")
     if (files.nonEmpty) {
       val rd = spark.read.option("basePath", path)
       (if (mergeSchema) rd.option("mergeSchema", "true") else rd).parquet(files: _*)
     }
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(entries.last._1))
+      org.apache.spark.sql.types.StructType.fromDDL(readVersionEntry(toV)._1))
   }
 
   /** History RETENTION — the third governance knob beside time travel
@@ -889,12 +947,16 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
           s"failed to finish crashed collapse at $path (v$upTo)")
       return
     }
-    val entries = toMerge.map(readVersionEntry)
-    val schemaDdl = entries.last._1
-    val files = entries.flatMap(_._2).distinct
+    val schemaDdl = readVersionEntry(toMerge.last)._1
+    // base-aware fold: the merged entry is upTo's RESOLUTION set (a raw
+    // union would re-include files a compaction base superseded and
+    // double-read every compacted row), and it is itself marked #base so
+    // later reads resolve from here — identical results on a never-
+    // compacted lineage, correct ones on a compacted one
+    val files = resolutionFiles(upTo)
     val tmp = new org.apache.hadoop.fs.Path(logDir, s".v${upTo}_merged")
     val out = f.create(tmp, true)
-    try out.write((schemaDdl +: files).mkString("\n").getBytes("UTF-8"))
+    try out.write((schemaDdl +: ("#base" +: files)).mkString("\n").getBytes("UTF-8"))
     finally out.close()
     // commit point: the merged entry is durable; replace the primary
     val target = new org.apache.hadoop.fs.Path(logDir, s"v$upTo")
@@ -911,6 +973,139 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
       f.delete(repairMarker(v), false)
     }
     f.delete(repairMarker(upTo), false)
+  }
+
+  private def compactingMarker = new org.apache.hadoop.fs.Path(logDir, ".compacting")
+  private def vacuumingMarker = new org.apache.hadoop.fs.Path(logDir, ".vacuuming")
+
+  /** OPTIMIZE on a VERSIONED lineage — the small-file compaction
+    * [[compact]] refuses on versioned tables, made time-travel-safe
+    * (Delta's `OPTIMIZE` + `dataChange = false` in this store's minimal
+    * form): the CURRENT table is rewritten into ~`filesPerPartition`
+    * files per partition, the new files land BESIDE the old ones, and the
+    * result commits as the next version marked `#base` — its file list
+    * REPLACES the cumulative history, so `readVersion(new)` reads only
+    * the compacted files while every OLDER version keeps resolving
+    * against the original files, which stay on disk until [[vacuum]].
+    * A base adds no rows: `readChanges` skips it, so an incremental
+    * consumer whose range straddles the compaction sees exactly the
+    * ingested deltas and never the rewrite. At 100 TB this is the
+    * operation that keeps a daily-appended table's scan cost bounded by
+    * bytes instead of file count WITHOUT breaking the snapshot pin a
+    * training run holds. Rows are preserved exactly, so a `_stats`
+    * sidecar stays valid (counts and lattice checksums are layout-
+    * invariant). Returns the base version. Cost: one read + rewrite of
+    * the current table (through a durable tmp — we land files beside the
+    * ones being read) + one metadata commit; storage holds old + new
+    * until vacuum, which is the honest price of keeping history
+    * readable. Crash safety: the `.compacting` intent marker brackets
+    * the window where the new files exist unlogged — a crash there
+    * leaves orphans that are DUPLICATES of logged content, and
+    * [[vacuum]] (which sees the marker) sweeps them; without the marker
+    * an orphan is presumed to be a crashed APPEND's recoverable data and
+    * vacuum refuses to touch it. */
+  def compactVersioned(filesPerPartition: Int = 1): Long = {
+    require(filesPerPartition > 0,
+      s"filesPerPartition must be positive, got $filesPerPartition")
+    require(versions.nonEmpty,
+      s"$path has no versioned lineage — compact() is the unversioned form")
+    val before = listDataFiles()
+    val orphans = before -- loggedFiles()
+    require(orphans.isEmpty,
+      s"$path has ${orphans.size} unlogged data file(s) — repair first " +
+        "(adoptOrphans() for a crashed append; vacuum() for a crashed " +
+        "compaction)")
+    val tmp = s"${path}__compact_tmp"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val (f, _) = fs
+    try {
+      // mergeSchema: an evolved lineage's compaction must carry the
+      // unified schema (the purge's rule) — the rewrite pays a full pass
+      // anyway, the footer read is marginal
+      val snapshot = read(mergeSchema = true)
+      val schemaDdl = snapshot.schema.toDDL
+      compactionClustered(snapshot, filesPerPartition)
+        .write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(tmp)
+      // intent marker FIRST: from here new files may exist unlogged, and
+      // they are rewrite duplicates — vacuum's sweepable class
+      f.create(compactingMarker, true).close()
+      appendRaw(spark.read.parquet(tmp))
+      val added = (listDataFiles() -- before).toSeq.sorted
+      val v = writeVersionEntry(schemaDdl, added, Seq("#base"))
+      f.delete(compactingMarker, false)
+      v
+    } finally f.delete(tmpPath, true)
+  }
+
+  /** VACUUM — [[compactVersioned]]'s second half: bound the addressable
+    * lineage at the NEWEST base and delete every data file no surviving
+    * version references. Metadata first (entries below the base are
+    * dropped — versions there stop resolving, and a change cursor below
+    * lands on the typed [[Store.RetentionBoundaryException]], exactly the
+    * collapseHistory contract), then the file sweep (anything
+    * `loggedFiles` no longer references). Returns the number of files
+    * deleted. Idempotent and crash-safe by re-run: the `.vacuuming`
+    * intent marker brackets the sweep, so a crash mid-delete leaves
+    * unlogged files a re-run recognizes as vacuum debris. Refuses to run
+    * when unlogged files exist WITHOUT an intent marker — those are a
+    * crashed append's RECOVERABLE data (adoptOrphans territory), and a
+    * sweep would silently destroy them; the marker is what separates
+    * "duplicate bytes a rewrite left behind" from "the only copy of a
+    * batch". Without a base it degrades to the debris sweep alone. */
+  def vacuum(): Long = {
+    val vs = versions
+    require(vs.nonEmpty,
+      s"$path has no versioned lineage — nothing to vacuum")
+    val (f, _) = fs
+    val pre = listDataFiles() -- loggedFiles()
+    require(pre.isEmpty || f.exists(compactingMarker) || f.exists(vacuumingMarker),
+      s"$path has ${pre.size} unlogged data file(s) and no compaction or " +
+        "vacuum was in flight — that is a crashed append's recoverable " +
+        "data; adoptOrphans() first (a sweep would delete the only copy)")
+    f.create(vacuumingMarker, true).close()
+    // 1. metadata commit: entries below the newest base stop resolving
+    vs.filter(isBaseEntry).lastOption.foreach { b =>
+      vs.filter(_ < b).foreach { v =>
+        f.delete(new org.apache.hadoop.fs.Path(logDir, s"v$v"), false)
+        f.delete(new org.apache.hadoop.fs.Path(logDir, s".v${v}_merged"), false)
+        f.delete(repairMarker(v), false)
+      }
+    }
+    // 2. sweep every data file no surviving version references
+    val dead = (listDataFiles() -- loggedFiles()).toSeq.sorted
+    dead.foreach { rel =>
+      val p0 = new org.apache.hadoop.fs.Path(s"$path/$rel")
+      require(f.delete(p0, false), s"vacuum at $path: failed to delete $rel")
+    }
+    f.delete(compactingMarker, false)
+    f.delete(vacuumingMarker, false)
+    dead.size
+  }
+
+  /** The (partition, content-salt) clustering [[compact]] and
+    * [[compactVersioned]] share: each (partition, salt) pair lands in one
+    * task, so each table partition ends up with ≤ filesPerPartition
+    * files. The salt hashes row CONTENT, never monotonically_increasing_id
+    * (per-attempt ids under a nondeterministic partitioning expression
+    * are the classic lost/duplicated-rows hazard for a write job);
+    * identical rows hashing to one file only skews sizes, never
+    * correctness. hash() rejects MapType at analysis — salt on the
+    * hashable columns only. */
+  private def compactionClustered(snapshot: DataFrame,
+                                  filesPerPartition: Int): DataFrame = {
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s0: org.apache.spark.sql.types.StructType =>
+        s0.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val saltCols = snapshot.schema.fields
+      .filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val salt =
+      if (saltCols.isEmpty) lit(0) // all-map row: one file per partition
+      else pmod(hash(saltCols: _*), lit(filesPerPartition.max(1)))
+    snapshot.repartition(col(partCol), salt)
   }
 
   // ---- governance purge: the takedown × time-travel collision ------------
@@ -1180,21 +1375,9 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     val tmpPath = new org.apache.hadoop.fs.Path(tmp)
     val f = tmpPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      val snapshot = read
-      // hash() rejects MapType at analysis — salt on the hashable columns
-      // only (a map column would make a previously-compactable table throw;
-      // fewer salt inputs only skews file sizes, never correctness)
-      def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
-        case m: org.apache.spark.sql.types.MapType => false
-        case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
-        case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
-        case _ => true
-      }
-      val saltCols = snapshot.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
-      val salt =
-        if (saltCols.isEmpty) lit(0) // all-map row: one file per partition
-        else pmod(hash(saltCols: _*), lit(filesPerPartition.max(1)))
-      snapshot.repartition(col(partCol), salt)
+      // the (partition, content-salt) clustering is shared with
+      // compactVersioned — see [[compactionClustered]]
+      compactionClustered(read, filesPerPartition)
         .write.mode(SaveMode.Overwrite).parquet(tmp)
       // raw overwrite: compaction preserves rows exactly, so a _stats
       // sidecar stays valid (counts and content checksums are invariant

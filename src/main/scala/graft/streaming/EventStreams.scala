@@ -92,6 +92,46 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Checkpointed VERSIONED ingest — [[drainToParquet]]'s lakehouse
+    * upgrade: each non-empty micro-batch lands as the NEXT snapshot
+    * version of a [[graft.sources.Store]] lineage, exactly once. The
+    * stream's checkpoint makes delivery at-least-once across restarts;
+    * idempotency comes from the BATCH TAG recorded inside the version
+    * entry itself (`appendVersioned(df, Some(tag))` — the log commit is
+    * the atomic point, so tag and version can never disagree): a
+    * re-delivered batch probes `hasBatchTag` and skips instead of
+    * appending a duplicate version. This is what maintains a CDC SOURCE
+    * table continuously — every downstream s26/s30-style consumer pulls
+    * `readChanges` off a lineage a stream keeps extending, each
+    * micro-batch one version. Honest crash note: a crash between the
+    * data append and the log commit leaves the batch's files orphaned
+    * (the store's documented append window) — the next versioned write
+    * refuses loudly and `adoptOrphans()` records them as a repair
+    * version, after which the re-delivered tag probe misses (the repair
+    * entry carries no tag) and the batch would land twice; the repair
+    * for a crashed STREAMING append is therefore to drop the repair
+    * version's files instead (vacuum's debris rule does not apply — no
+    * marker), or accept the duplicate and dedup downstream. The window
+    * is one metadata write wide. */
+  def versionedIngestSink(src: DataFrame, storePath: String, partCol: String,
+                          checkpointDir: String): StreamingQuery =
+    src.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            val store = graft.sources.Store(batch.sparkSession, storePath, partCol)
+            val tag = s"stream_batch_$batchId"
+            if (!store.hasBatchTag(tag))
+              store.appendVersioned(batch.toDF(), Some(tag))
+          }
+        } finally batch.unpersist()
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact dedup with BOUNDED state: drop every repeat of a key
     * seen within the watermark window — x1's exact-dedup gate as a
     * continuous ingest stage. Built on Spark 4's

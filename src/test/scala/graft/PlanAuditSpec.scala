@@ -689,7 +689,8 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     // s36/s37: the versioned+tracked lifecycle and the retention
     // re-bootstrap stay equi-join/aggregate shaped with the corpus scan
     // visible under the plan-only substitutes
-    for (q <- Seq("s36_versioned_tracked", "s37_retention_rebootstrap")) {
+    for (q <- Seq("s36_versioned_tracked", "s37_retention_rebootstrap",
+        "s38_versioned_compaction")) {
       val p = formatted(q)
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian stage")
       assert("""\(\d+\) Scan parquet""".r.findAllIn(p).nonEmpty,

@@ -1282,6 +1282,105 @@ class StoreSpec extends SparkSpec {
     assert(fold === Set(("a", 1L, 2.0), ("b", 1L, 6.0)))
   }
 
+  test("compactVersioned keeps every snapshot readable; vacuum bounds history and sweeps") {
+    def ids(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("game_id").as[String].collect().toSet
+    def dataFiles(p: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(p))
+        .filter(f => f.getName.endsWith(".parquet") && !f.getPath.contains("_log"))
+        .map(_.getPath).toSet
+    }
+    val path = tmpDir("store_vcompact") + "/t"
+    val store = Store(spark, path, "season")
+    (1 to 3).foreach(i => store.appendVersioned(season(1998 + i, i)))
+    val v3Ids = ids(store.readVersion(3))
+    val filesBefore = dataFiles(path)
+    // accreted layout: one file per (append, partition touched)
+    assert(filesBefore.size >= 3)
+    // ---- OPTIMIZE: lands v4 as a #base, old files stay for time travel
+    assert(store.compactVersioned(1) === 4L)
+    assert(store.isBaseEntry(4L) && !store.isBaseEntry(3L))
+    assert(ids(store.readVersion(4)) === v3Ids, "compaction changed content")
+    // every pre-compaction snapshot still resolves to its prefix content
+    assert((1 to 3).map(v => store.readVersion(v).count()) === Seq(1L, 3L, 6L))
+    assert(ids(store.readVersion(3)) === v3Ids)
+    // dataChange = false: the rewrite adds NO rows to the change feed
+    assert(store.readChanges(3, 4).count() === 0L)
+    assert(ids(store.readChanges(0, 4)) === v3Ids) // full-history read resolves
+    // ingest continues on top of the base
+    store.appendVersioned(season(2002, 2))
+    assert(ids(store.readChanges(4, 5)).size === 2)
+    assert(ids(store.readVersion(5)) === v3Ids ++ ids(store.readChanges(4, 5)))
+    // a cursor straddling the base sees exactly the ingested deltas
+    assert(ids(store.readChanges(3, 5)) === ids(store.readChanges(4, 5)))
+    // ---- VACUUM: drops pre-base entries, sweeps unreferenced files
+    val swept = store.vacuum()
+    assert(swept >= 3, s"expected the pre-compaction files swept, got $swept")
+    assert(store.versions === Seq(4L, 5L))
+    assert(store.earliestChangeVersion === 4L)
+    intercept[IllegalArgumentException] { store.readVersion(2) }
+    val err = intercept[Store.RetentionBoundaryException] { store.readChanges(2, 5) }
+    assert(err.earliestChangeVersion === 4L)
+    // surviving reads are untouched; no unreferenced files remain; re-run
+    // is a no-op (idempotent repair)
+    assert(ids(store.readVersion(5)) === v3Ids ++ ids(store.readChanges(4, 5)))
+    assert(store.vacuum() === 0L)
+    // plain read ≡ latest snapshot after the sweep
+    assert(ids(store.read) === ids(store.readVersion(5)))
+  }
+
+  test("vacuum distinguishes compaction debris from a crashed append's data") {
+    val path = tmpDir("store_vacuum_guard") + "/t"
+    val store = Store(spark, path, "season")
+    store.appendVersioned(season(1999, 2))
+    // ---- a crashed APPEND: data files landed, log write never ran —
+    // vacuum must REFUSE (the only copy of a batch), adoptOrphans repairs
+    store.append(season(2000, 3))
+    val err = intercept[IllegalArgumentException] { store.vacuum() }
+    assert(err.getMessage.contains("adoptOrphans"))
+    assert(store.adoptOrphans() === Some(2L))
+    assert(store.vacuum() === 0L) // clean again
+    // ---- a crashed COMPACTION: the intent marker marks the unlogged
+    // files as rewrite DUPLICATES — vacuum sweeps them and content holds
+    val preIds = store.read.select("game_id").as[String].collect().toSet
+    val f = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(s"$path/_log/.compacting"), true).close()
+    // reconstruct the crash: compacted files landed, base entry never ran
+    store.read.write.mode("append").partitionBy("season").parquet(path)
+    val swept = store.vacuum()
+    assert(swept > 0, "crashed compaction's duplicate files not swept")
+    assert(store.read.select("game_id").as[String].collect().toSet === preIds)
+    assert(!new java.io.File(s"$path/_log/.compacting").exists())
+    // the lineage keeps working
+    store.appendVersioned(season(2001, 1))
+    assert(store.versions === Seq(1L, 2L, 3L))
+  }
+
+  test("batch-tagged versioned appends are re-delivery-safe") {
+    val path = tmpDir("store_batch_tag") + "/t"
+    val store = Store(spark, path, "season")
+    assert(!store.hasBatchTag("b0"))
+    store.appendVersioned(season(1999, 2), Some("b0"))
+    assert(store.hasBatchTag("b0") && !store.hasBatchTag("b1"))
+    // the writer's re-delivery discipline: probe, then skip
+    if (!store.hasBatchTag("b0")) store.appendVersioned(season(1999, 2), Some("b0"))
+    assert(store.versions === Seq(1L))
+    assert(store.read.count() === 2L)
+    // untagged and tagged appends interleave; tags survive a collapse of
+    // OTHER versions and die with their own entry
+    store.appendVersioned(season(2000, 3), Some("b1"))
+    store.appendVersioned(season(2001, 1))
+    assert(store.hasBatchTag("b1"))
+    store.collapseHistory(2)
+    assert(!store.hasBatchTag("b0") && !store.hasBatchTag("b1"),
+      "tags must die with collapsed entries — a recycled batchId after a " +
+        "checkpoint reset must not silently skip")
+    assert(store.readVersion(3).count() === 6L)
+  }
+
   test("adoptOrphans tags its version as a repair; the tag dies with the entry") {
     val path = tmpDir("store_repair_tag") + "/t"
     val store = Store(spark, path, "season")

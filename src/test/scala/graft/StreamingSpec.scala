@@ -1025,6 +1025,33 @@ class StreamingSpec extends SparkSpec {
     assert(hist.filter(col("valid_to").isNull).count() === 3L) // one open per key
   }
 
+  test("versionedIngestSink lands each micro-batch as one version, exactly once") {
+    val src = tmpDir("vsink_src"); val ckpt = tmpDir("vsink_ckpt")
+    val storePath = tmpDir("vsink_store") + "/t"
+    val store = graft.sources.Store(spark, storePath, "event_type")
+    def drain(checkpoint: String): Unit = EventStreams.versionedIngestSink(
+      EventStreams.fileSource(spark, src, schema), storePath, "event_type",
+      checkpoint).awaitTermination()
+    writeBatch(src, Seq((1L, ts(0), 10L, "click", 1.0), (2L, ts(1), 11L, "view", 2.0)))
+    drain(ckpt)
+    assert(store.versions === Seq(1L))
+    assert(store.hasBatchTag("stream_batch_0"))
+    // ---- the re-delivery shape: a RECREATED checkpoint replays batch 0
+    // (same files, same batchId) — the in-entry tag catches it, and the
+    // store neither duplicates the version nor the rows
+    drain(tmpDir("vsink_ckpt_recreated"))
+    assert(store.versions === Seq(1L), "re-delivered batch landed twice")
+    assert(store.read.count() === 2L)
+    // ---- normal progress on the original checkpoint: new files only
+    writeBatch(src, Seq((3L, ts(2), 10L, "click", 3.0)))
+    drain(ckpt)
+    assert(store.versions === Seq(1L, 2L))
+    // the lineage is a live CDC source: the delta read is exactly batch 2
+    assert(store.readChanges(1, 2).select("event_id").as[Long].collect().toSeq
+      === Seq(3L))
+    assert(store.readVersion(2).count() === 3L)
+  }
+
   test("scd2Sink carries a mid-flight schema evolution into the history store") {
     // the real mid-flight evolution shape: a streaming plan's schema is
     // fixed at start, so the source evolves ACROSS a restart — the first
