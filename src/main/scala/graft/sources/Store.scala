@@ -91,12 +91,36 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * in the unified schema with nulls for pre-evolution rows. Off by
     * default — schema merging reads every file footer, which costs a
     * metadata pass over the whole table at 100 TB; flip it on only when
-    * the table's history is known to span a schema change. */
+    * the table's history is known to span a schema change.
+    *
+    * On a VERSIONED table, plain read resolves THROUGH THE LOG
+    * (read ≡ readVersion(latest)): after [[compactVersioned]], superseded
+    * files legitimately coexist with their rewrite until [[vacuum]], and
+    * a raw directory read would double-read every compacted row — the
+    * log is the truth about which files ARE the table (every real table
+    * format's rule; a crashed append's orphan files are likewise
+    * invisible until adoptOrphans records them). Unversioned tables keep
+    * the zero-metadata directory read. */
   def read: DataFrame = read(mergeSchema = false)
 
-  def read(mergeSchema: Boolean): DataFrame =
-    if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(path)
+  def read(mergeSchema: Boolean): DataFrame = {
+    val vs = versions
+    if (vs.nonEmpty) {
+      val files = resolutionFiles(vs.last).map(rel => s"$path/$rel")
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            readVersionEntry(vs.last)._1))
+      else {
+        val rd = spark.read.option("basePath", path)
+        (if (mergeSchema) rd.option("mergeSchema", "true") else rd)
+          .parquet(files: _*)
+      }
+    }
+    else if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(path)
     else spark.read.parquet(path)
+  }
 
   /** E2: incremental update — append only rows of `incoming` whose `keys`
     * are not already present. The existing-key scan reads just the key

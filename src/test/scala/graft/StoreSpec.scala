@@ -1359,6 +1359,34 @@ class StoreSpec extends SparkSpec {
     assert(store.versions === Seq(1L, 2L, 3L))
   }
 
+  test("compaction and vacuum preserve a tracked table's sidecar") {
+    // the full composition matrix: versions × sidecar × OPTIMIZE/VACUUM —
+    // compaction preserves rows exactly, so the per-partition counts and
+    // lattice checksums are layout-invariant and the sidecar stays the
+    // metadata truth through both operations
+    val path = tmpDir("store_vt_compact") + "/t"
+    val store = Store(spark, path, "season")
+    val term = col("epa").cast("long")
+    def sidecar = store.readStats
+      .select(col("season").cast("int"), col("n_rows"), col("checksum"))
+      .as[(Int, Long, Long)].collect().toSet
+    (1 to 3).foreach(i =>
+      store.appendVersionedTracked(season(1998 + i, i), term))
+    val before = sidecar
+    assert(store.compactVersioned(1) === 4L)
+    assert(sidecar === before, "compaction changed the sidecar")
+    assert(sidecar === store.statsOf(store.read, term)
+      .as[(Int, Long, Long)].collect().toSet)
+    store.vacuum()
+    assert(sidecar === before, "vacuum changed the sidecar")
+    assert(store.versions === Seq(4L))
+    // the composed write path keeps working on the compacted lineage
+    store.appendVersionedTracked(season(2002, 2), term)
+    assert(sidecar === store.statsOf(store.read, term)
+      .as[(Int, Long, Long)].collect().toSet)
+    assert(store.readChanges(4, 5).count() === 2L)
+  }
+
   test("batch-tagged versioned appends are re-delivery-safe") {
     val path = tmpDir("store_batch_tag") + "/t"
     val store = Store(spark, path, "season")
