@@ -93,19 +93,24 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * metadata pass over the whole table at 100 TB; flip it on only when
     * the table's history is known to span a schema change.
     *
-    * On a VERSIONED table, plain read resolves THROUGH THE LOG
-    * (read ≡ readVersion(latest)): after [[compactVersioned]], superseded
-    * files legitimately coexist with their rewrite until [[vacuum]], and
-    * a raw directory read would double-read every compacted row — the
-    * log is the truth about which files ARE the table (every real table
-    * format's rule; a crashed append's orphan files are likewise
-    * invisible until adoptOrphans records them). Unversioned tables keep
-    * the zero-metadata directory read. */
+    * When a COMPACTION is in flight or unswept ([[compactVersioned]] →
+    * [[vacuum]] window, tracked by the `.needs_vacuum` /`.compacting`/
+    * `.vacuuming` markers), plain read resolves THROUGH THE LOG
+    * (read ≡ readVersion(latest)): superseded files legitimately coexist
+    * with their rewrite in that window, and a raw directory read would
+    * double-read every compacted row — the log is the truth about which
+    * files ARE the table. Outside that window the directory read IS the
+    * resolution: version entries partition the directory's data files
+    * exactly (the orphan check enforces it; a crashed append's orphans
+    * are transiently visible until the named repair, the documented
+    * status quo), so the fast path costs three driver-side existence
+    * checks, not a log read per construction — the versioned-lifecycle
+    * queries measured 2× slower under unconditional log resolution. */
   def read: DataFrame = read(mergeSchema = false)
 
   def read(mergeSchema: Boolean): DataFrame = {
-    val vs = versions
-    if (vs.nonEmpty) {
+    if (logResolvedReadRequired) {
+      val vs = versions
       val files = resolutionFiles(vs.last).map(rel => s"$path/$rel")
       if (files.isEmpty)
         spark.createDataFrame(
@@ -120,6 +125,17 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     }
     else if (mergeSchema) spark.read.option("mergeSchema", "true").parquet(path)
     else spark.read.parquet(path)
+  }
+
+  /** True while directory bytes may legitimately differ from the latest
+    * version's resolution: between a compaction's base commit and the
+    * vacuum that sweeps the superseded files (`.needs_vacuum`), or inside
+    * either operation's crash window (`.compacting`/`.vacuuming` intent
+    * markers — a crash there can leave unlogged rewrite duplicates). */
+  private def logResolvedReadRequired: Boolean = {
+    val (f, _) = fs
+    f.exists(needsVacuumMarker) || f.exists(compactingMarker) ||
+      f.exists(vacuumingMarker)
   }
 
   /** E2: incremental update — append only rows of `incoming` whose `keys`
@@ -839,13 +855,12 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * its old-entry deletes leaves overlapping references — dedupe makes
     * that window harmless instead of double-reading rows. */
   private def resolutionFiles(v: Long): Seq[String] = {
-    val upTo = versions.filter(_ <= v)
-    val base = upTo.filter(isBaseEntry).lastOption
-    val from = base.getOrElse(0L)
-    val baseFiles = base.toSeq.flatMap(b => readVersionEntry(b)._2)
-    val deltas = upTo.filter(x => x > from && !isBaseEntry(x))
-      .flatMap(x => readVersionEntry(x)._2)
-    (baseFiles ++ deltas).distinct
+    // one read per entry: everything at or after the LAST base (the base
+    // carries all older content; entries above it are necessarily deltas)
+    val entries = versions.filter(_ <= v).map(readVersionEntryFull)
+    val baseIdx = entries.lastIndexWhere(_._2.contains("#base"))
+    (if (baseIdx < 0) entries else entries.drop(baseIdx))
+      .flatMap(_._3).distinct
   }
 
   /** The table exactly as it stood after version `v`: the files it
@@ -1001,6 +1016,7 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
 
   private def compactingMarker = new org.apache.hadoop.fs.Path(logDir, ".compacting")
   private def vacuumingMarker = new org.apache.hadoop.fs.Path(logDir, ".vacuuming")
+  private def needsVacuumMarker = new org.apache.hadoop.fs.Path(logDir, ".needs_vacuum")
 
   /** OPTIMIZE on a VERSIONED lineage — the small-file compaction
     * [[compact]] refuses on versioned tables, made time-travel-safe
@@ -1056,6 +1072,10 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
       appendRaw(spark.read.parquet(tmp))
       val added = (listDataFiles() -- before).toSeq.sorted
       val v = writeVersionEntry(schemaDdl, added, Seq("#base"))
+      // flip reads to log resolution BEFORE dropping the in-flight marker:
+      // from the base commit until vacuum sweeps, directory bytes hold the
+      // table twice and every read must resolve through the log
+      f.create(needsVacuumMarker, true).close()
       f.delete(compactingMarker, false)
       v
     } finally f.delete(tmpPath, true)
@@ -1103,6 +1123,8 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     }
     f.delete(compactingMarker, false)
     f.delete(vacuumingMarker, false)
+    // the sweep restored directory == resolution: reads take the fast path
+    f.delete(needsVacuumMarker, false)
     dead.size
   }
 
