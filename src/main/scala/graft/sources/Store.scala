@@ -142,6 +142,14 @@ final case class Store(spark: SparkSession, path: String, partCol: String) {
     * are not already present. The existing-key scan reads just the key
     * columns. Returns the number of appended rows. */
   def update(incoming: DataFrame, keys: Seq[String]): Long = {
+    // a keyed insert on a VERSIONED table would land files recorded in no
+    // version — orphans the next versioned write refuses over; version the
+    // incremental feed instead (appendVersioned with a batch tag is the
+    // re-delivery-safe form)
+    require(versions.isEmpty,
+      s"$path has recorded snapshot versions; update's append would orphan " +
+        "its files from the version log — use appendVersioned (with a " +
+        "batch tag for re-delivery safety)")
     val fresh =
       if (!exists) incoming
       else Relational.newRowsOnly(incoming, read, keys)

@@ -1199,9 +1199,14 @@ class StoreSpec extends SparkSpec {
     assert(store.readVersion(1).count() === 3L)
     assert(store.readChanges(1, 2).count() === 6L)
     assert(sidecar === scanStats)
-    // each single-ledger write refuses the composed table, loudly
+    // each single-ledger write refuses the composed table, loudly — and
+    // the keyed insert refuses any versioned table (its append would
+    // orphan files from the log)
     intercept[IllegalArgumentException] { store.appendVersioned(season(2001, 1)) }
     intercept[IllegalArgumentException] { store.appendTracked(season(2001, 1), term) }
+    intercept[IllegalArgumentException] {
+      store.update(season(2001, 1), Seq("game_id"))
+    }
     // an untracked purge refuses too: the sidecar must not silently vanish
     intercept[IllegalArgumentException] {
       store.purgeRestartLineage(col("season") === 1999)
