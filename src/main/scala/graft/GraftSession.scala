@@ -25,6 +25,19 @@ object GraftSession {
       // 1M rows of token-sized records is comfortably driver-safe.
       .config("spark.sql.execution.topKSortFallbackThreshold", "1048576")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing floor (r13, guide §2.5/§2.6): the default 1 MB
+      // minPartitionSize serializes byte-tiny but CPU-dense stages (pair
+      // scoring: vector dots, levenshtein, per-pair folds) onto ONE task —
+      // bytes underestimate cost on compressed columnar data feeding
+      // codegen-dense operators. 64k keeps those stages at real
+      // parallelism at bench scale and is a NO-OP at production scale
+      // (post-shuffle partitions are far above either floor there), so the
+      // knob is scale-neutral; env-overridable for cluster tuning.
+      // Measured (in-JVM A/B, sf0.1): x23 8.1→1.8 s, x16 6.5→3.4 s,
+      // x17 7.2→5.9 s; task-count-sensitive iterative queries moved ≤8%
+      // either way.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "snappy")

@@ -69,6 +69,24 @@ object Housekeeping {
     new PinnedFrame(df, (after -- before).toSet)
   }
 
+  /** LAZY variant of [[pin]]: marks the frame for localCheckpoint but lets
+    * the CALLER's next action materialize it — the iterative operators'
+    * convergence probes (one tiny aggregate per round) double as the
+    * materializing action, so each round costs ONE Spark job instead of
+    * two (r13 measurement: the per-round eager-checkpoint job + probe job
+    * pair was ~40% of connectedComponents' wall at bench scale). The
+    * blocks register at persist time, so the ids are capturable before
+    * materialization. CONTRACT: the caller MUST run an action on the
+    * returned frame before freeing whatever it was derived from — a lazy
+    * pinned frame still reads its parent's blocks until materialized. */
+  def pinLazy(spark: SparkSession)(build: => DataFrame): PinnedFrame = {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val df = build.localCheckpoint(eager = false)
+    val after = sc.getPersistentRDDs.keySet
+    new PinnedFrame(df, (after -- before).toSet)
+  }
+
   /** Eagerly localCheckpoint `build` and register the resulting blocks as
     * process-lifetime (exempt from [[releaseAllBlocks]]). Relies on the
     * repo's serial-execution discipline: no concurrent persist may run

@@ -443,15 +443,28 @@ object Dedup {
     // upstream (the whole LSH candidate pipeline) must not re-run per round.
     // Housekeeping.pin, not bare localCheckpoint: Dataset.unpersist does NOT
     // free checkpoint blocks, so per-round frames would leak for the life of
-    // the session (the round-3 bench-poisoning bug)
+    // the session (the round-3 bench-poisoning bug).
+    //
+    // BOTH pinned frames are hash-repartitioned on their join key BEFORE
+    // the checkpoint (r13, guide §2.4): localCheckpoint preserves the
+    // physical plan's outputPartitioning in the LogicalRDD it returns, so
+    // every round's equi-join (sym.dst = labels.node) sees two sides
+    // already co-partitioned and plans NO exchange — the per-round shuffle
+    // count drops from 3 (sym re-shuffle + labels re-shuffle + groupBy) to
+    // 1 (the groupBy(src), which is genuinely keyed differently). The
+    // label frame's round output keeps the node partitioning through the
+    // projection, so the property is self-sustaining round over round.
+    val n = spark.sessionState.conf.numShufflePartitions
     val sym = Housekeeping.pin(spark)(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .repartition(n, col("dst")))
     // localCheckpoint (not cache) per iteration: the label frame is
     // re-derived from itself each round, so lineage — and with it plan
     // size and recomputation cost — would otherwise grow exponentially
     var labels = Housekeeping.pin(spark)(
-      nodes.select(col(idCol).as("node"), col(idCol).as("cluster")))
+      nodes.select(col(idCol).as("node"), col(idCol).as("cluster"))
+        .repartition(n, col("node")))
     // convergence probe: `least()` makes every label non-increasing, so
     // for NUMERIC ids the label SUM is monotone non-increasing and stalls
     // exactly at the fixpoint — an unchanged sum ⟺ no label changed. One
@@ -477,18 +490,32 @@ object Dedup {
     while (changed && i < maxIters) {
       val nbrMin = sym.df.join(labels.df, sym.df("dst") === labels.df("node"))
         .groupBy(col("src")).agg(min("cluster").as("nbr_min"))
-      val next = Housekeeping.pin(spark)(
-        labels.df.join(nbrMin, labels.df("node") === nbrMin("src"), "left")
-          .select(col("node"),
-            least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster")))
-      if (numericIds) {
-        val nextSum = labelSum(next.df)
-        changed = nextSum.compareTo(prevSum) != 0
-        prevSum = nextSum
-      } else if (i % 2 == 1 || i == maxIters - 1) {
-        changed = next.df.as("n").join(labels.df.as("p"), col("n.node") === col("p.node"))
-          .filter(col("n.cluster") =!= col("p.cluster")).count() > 0
-      }
+      def round = labels.df.join(nbrMin, labels.df("node") === nbrMin("src"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+      val next =
+        if (numericIds) {
+          // lazy pin + probe-as-materializer (r13): the sum probe runs
+          // every round anyway, so let IT materialize the checkpoint —
+          // one job per round instead of an eager-checkpoint job plus a
+          // probe job. Safe here because the probe ALWAYS runs before
+          // the parent frame is freed below.
+          val nx = Housekeeping.pinLazy(spark)(round)
+          val nextSum = labelSum(nx.df)
+          changed = nextSum.compareTo(prevSum) != 0
+          prevSum = nextSum
+          nx
+        } else {
+          // string-keyed path probes only every other round, so the frame
+          // must be materialized EAGERLY — a lazy pin would still hold the
+          // parent's blocks when labels.free() runs
+          val nx = Housekeeping.pin(spark)(round)
+          if (i % 2 == 1 || i == maxIters - 1) {
+            changed = nx.df.as("n").join(labels.df.as("p"), col("n.node") === col("p.node"))
+              .filter(col("n.cluster") =!= col("p.cluster")).count() > 0
+          }
+          nx
+        }
       labels.free()
       labels = next
       i += 1

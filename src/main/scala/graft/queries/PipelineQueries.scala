@@ -11724,6 +11724,16 @@ object PipelineQueries {
         .withColumn("fvr", expr("transform(v, x -> CAST(x AS FLOAT))"))
         .withColumn("nrm", sqrt(Similarity.dot("fvr", "fvr")))
         .select("doc_id", "chunk_id", "fvr", "bucket", "nrm")
+      // NOTE (r13, guide §2.5/§2.6): the stage that probes the bucket
+      // join and computes a 64-float dot per pair is byte-tiny but
+      // CPU-dense; AQE's 1 MB byte-based coalescing floor merged it into
+      // ONE task — 5.1 s of the query's 7 s serialized on one core of 32.
+      // Fixed session-wide (the floor is now 64k, see GraftSession): an
+      // in-plan repartition was tried first and rejected — placed on the
+      // pair relation it re-shuffles the vectors (guide §2.3); placed on
+      // the query side AQE just flips the tiny side to the broadcast
+      // build and streams the candidates through the coalesced exchange
+      // anyway. measured 8.1 s → 1.8 s (in-JVM A/B).
       val q = chunks.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("q_doc"), col("chunk_id").as("q_chunk"),
           col("fvr").as("q_v"), col("bucket"), col("nrm").as("q_nrm"))

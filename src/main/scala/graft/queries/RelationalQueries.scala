@@ -2070,29 +2070,40 @@ object RelationalQueries {
     (s, d) => {
       val li = Tables.lineitem(s, d)
       def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
-      // two passes by AGGREGATE BUFFER TYPE, not by column: min/max over
-      // STRING columns carry immutable UTF8String buffers, which evicts
-      // the whole aggregate from HashAggregate to SortAggregate — and
-      // dragging the countDistinct Expand (×5 row fan-out) through
-      // sort-based aggregation measured 27 s at sf0.1 vs ~2 s split.
-      // Pass 1 keeps every fixed-width buffer (counts, exact ndv's
-      // Expand, HLL sketches) in HashAggregate; pass 2 does the string
-      // min/max over the raw scan (partial-combined per partition, no
-      // Expand); the two 1-row frames cross-join for the stack.
+      // three passes by AGGREGATE MACHINERY, not by column (r13 measured):
+      //  - min/max over STRING columns carry immutable UTF8String buffers,
+      //    which evicts the whole aggregate from HashAggregate to
+      //    SortAggregate — dragging the countDistinct Expand (×5 row
+      //    fan-out) through sort-based aggregation measured 27 s at sf0.1
+      //    vs ~2 s split (the r5 fix), so string ranges get their own pass;
+      //  - multiple exact countDistincts in ONE agg plan as Expand (×5
+      //    rows) feeding a non-codegen HashAggregate (the HLL sketches'
+      //    ImperativeAggregate evicts the whole node from whole-stage
+      //    codegen), measured 23 s of task time at sf0.1 — so each exact
+      //    ndv is its own two-phase groupBy(col)→count instead: map-side
+      //    combinable, fully codegen'd, shuffles one row per distinct
+      //    value, and each single-column scan prunes to that column. The
+      //    oracle is unchanged: COUNT(DISTINCT c) ≡ COUNT(*) over
+      //    GROUP BY c, exactly.
+      //  - counts + null counts + HLL sketches stay in one Expand-free
+      //    scan (HLL is order-independent, so the estimate — and the
+      //    approx_ok gate — is bit-identical to the fused form).
+      def ndv(c: String) = li.select(col(c)).groupBy(col(c)).agg(lit(1))
+        .agg(count(lit(1)).as(s"nd_$c"))
       val cnts = li.agg(
           count(lit(1)).as("n_rows"),
           nn("l_orderkey").as("nn_ok"),
-          countDistinct(col("l_orderkey")).as("nd_ok"),
           approx_count_distinct(col("l_orderkey"), 0.02).as("na_ok"),
           nn("l_linenumber").as("nn_ln"),
-          countDistinct(col("l_linenumber")).as("nd_ln"),
           approx_count_distinct(col("l_linenumber"), 0.02).as("na_ln"),
           nn("l_returnflag").as("nn_rf"),
-          countDistinct(col("l_returnflag")).as("nd_rf"),
           approx_count_distinct(col("l_returnflag"), 0.02).as("na_rf"),
           nn("l_linestatus").as("nn_ls"),
-          countDistinct(col("l_linestatus")).as("nd_ls"),
           approx_count_distinct(col("l_linestatus"), 0.02).as("na_ls"))
+        .crossJoin(ndv("l_orderkey").withColumnRenamed("nd_l_orderkey", "nd_ok"))
+        .crossJoin(ndv("l_linenumber").withColumnRenamed("nd_l_linenumber", "nd_ln"))
+        .crossJoin(ndv("l_returnflag").withColumnRenamed("nd_l_returnflag", "nd_rf"))
+        .crossJoin(ndv("l_linestatus").withColumnRenamed("nd_l_linestatus", "nd_ls"))
       val ranges = li.agg(
           min(col("l_orderkey")).cast("string").as("mn_ok"),
           max(col("l_orderkey")).cast("string").as("mx_ok"),

@@ -126,15 +126,20 @@ class PlanAuditSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       "the top-100 must plan as TakeOrdered, not a global sort")
   }
 
-  test("s20: the ndv Expand stays in HashAggregate; only the string min/max sorts") {
+  test("s20: no distinct-agg Expand; exact ndv runs as two-phase groupBy") {
     val plan = formatted("s20_column_stats")
-    // the countDistinct Expand (×5 fan-out) must aggregate hash-based:
-    // one string min/max in the same agg evicts EVERYTHING to
-    // SortAggregate (immutable UTF8String buffer) — measured 27 s vs
-    // ~2 s at sf0.1. The ranges pass alone may sort (partial + final).
-    assert(plan.contains("Expand") && plan.contains("HashAggregate"))
+    // r13: the 4-way countDistinct used to plan as Expand (×5 row fan-out)
+    // feeding a NON-codegen HashAggregate (the HLL ImperativeAggregate
+    // evicts the node from whole-stage codegen) — 23 s of task time at
+    // sf0.1. Each exact ndv is now its own two-phase groupBy(col)→count
+    // (map-side combinable, codegen'd), so Expand must be GONE, every
+    // ndv leg aggregates hash-based, and the panel assembles through the
+    // one-row broadcast cross joins.
+    assert(!plan.contains("Expand"), "the distinct-agg Expand came back")
+    assert(plan.contains("HashAggregate"))
+    // the string min/max ranges pass alone may sort (partial + final)
     val sortAggs = "\\(\\d+\\) SortAggregate".r.findAllIn(plan).size
-    assert(sortAggs <= 2, s"string min/max leaked into the Expand pass: $sortAggs")
+    assert(sortAggs <= 2, s"string min/max leaked beyond the ranges pass: $sortAggs")
   }
 
   test("s5: the cleanup path reads only the two source columns") {
