@@ -48,4 +48,25 @@ object Tables {
   /** Register every table as a temp view (for spark.sql access). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => apply(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Fan a CPU-dense scan consumer out to full parallelism when the scan
+    * itself cannot (r13, guide §2.5 "input skew: one huge unsplittable
+    * file ... repartition immediately after the read"). The bench corpus
+    * ships each table as ONE parquet file with one row group, so a scan
+    * stage is ONE task no matter the split config — and stages that
+    * expand text per row (shingle/window/n-gram explodes, rolling hashes)
+    * burn seconds single-threaded on a 32-core box (z37's expansion
+    * measured 3.9 s in one task).
+    *
+    * SCALE-GUARDED, not unconditional: the round-robin shuffle is only
+    * inserted when the planned scan parallelism is actually BELOW the
+    * cluster's (`defaultParallelism`). A production corpus scans as
+    * thousands of splits, the guard sees parallelism ≥ cores, and the
+    * helper is the identity — no corpus-sized text shuffle is ever added
+    * at scale. Inspecting `df.rdd` costs one physical planning pass of
+    * the (scan-shaped) frame, no job. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 }

@@ -578,8 +578,13 @@ object Dedup {
       // materialize the large-star result: smallStar references its input
       // six times (two sym copies, the min aggregate, the union), so an
       // unmaterialized intermediate would re-execute the large-star
-      // join/aggregate subtree several times per round
-      val ls = Housekeeping.pin(spark)(largeStar(edges.df))
+      // join/aggregate subtree several times per round. Lazy pin (r13):
+      // the PERSIST is what de-duplicates the six references — the first
+      // reference computes and caches, the other five read blocks — so
+      // letting `next`'s eager checkpoint drive it costs one job per
+      // round instead of two. ls is materialized before ls.free() because
+      // next's pin is EAGER.
+      val ls = Housekeeping.pinLazy(spark)(largeStar(edges.df))
       val next = Housekeeping.pin(spark)(smallStar(ls.df))
       ls.free()
       // probe every other round (x8's trick): an extra contraction round
@@ -653,23 +658,46 @@ object Dedup {
     var rank = Housekeeping.pin(spark)(
       deg.df.select(col("src").as("node"), col("deg"),
         (lit(1.0) / lit(n)).as("rank")))
-    for (_ <- 1 to iters) {
+    // checkpoint cadence (r13, guide §1.2): a fixed small iteration count
+    // needs NO per-round materialization — each round's frame is
+    // referenced exactly once by the next, so the single final action
+    // computes every round once through a plan of bounded depth, and the
+    // per-round eager-checkpoint JOBS (one each, plus their driver gaps)
+    // disappear. Only past `PinEvery` rounds does lineage depth justify a
+    // cut; rank frames are then pinned/freed exactly as before.
+    val PinEvery = 8
+    var sinceLastPin = 0
+    var lastPinned: Housekeeping.PinnedFrame = rank
+    var rankDf = rank.df
+    for (i <- 1 to iters) {
       val contrib = sym.df
-        .join(rank.df, sym.df("src") === rank.df("node"))
+        .join(rankDf, sym.df("src") === rankDf("node"))
         .select(col("dst"),
           (col("rank") / col("deg")).cast("decimal(18,12)").as("c"))
         .groupBy("dst").agg(sum("c").as("sc"))
-      val next = Housekeeping.pin(spark)(
-        deg.df.join(contrib, deg.df("src") === contrib("dst"))
-          .select(col("src").as("node"), col("deg"),
-            ((lit(1.0) - lit(damping)) / lit(n) +
-              lit(damping) * col("sc").cast("double")).as("rank")))
-      rank.free()
-      rank = next
+      val next = deg.df.join(contrib, deg.df("src") === contrib("dst"))
+        .select(col("src").as("node"), col("deg"),
+          ((lit(1.0) - lit(damping)) / lit(n) +
+            lit(damping) * col("sc").cast("double")).as("rank"))
+      sinceLastPin += 1
+      if (sinceLastPin >= PinEvery && i < iters) {
+        val pinned = Housekeeping.pin(spark)(next)
+        lastPinned.free()
+        lastPinned = pinned
+        rankDf = pinned.df
+        sinceLastPin = 0
+      } else rankDf = next
     }
+    // ONE materialization computes every unpinned round (each round's
+    // frame is referenced exactly once, so nothing re-executes), and lets
+    // the edge/degree/intermediate blocks be freed here as before — the
+    // returned frame's own block stays the caller's to release after its
+    // action (harnesses sweep via Housekeeping.releaseAllBlocks).
+    val out = Housekeeping.pin(spark)(rankDf)
+    lastPinned.free()
     sym.free()
     deg.free()
-    rank.df
+    out.df
   }
 
   /** True n-gram Jaccard for candidate pairs via inverted-index self-join —
@@ -771,7 +799,10 @@ object Dedup {
     * ≪ 1 per 10⁹·100-word corpus. */
   private def spanFingerprints(docs: DataFrame, idCol: String, textCol: String,
                                k: Int, rolling: Boolean = false): DataFrame = {
-    val words = docs
+    // fanOut (r13): the per-window md5 (anchor form) / rolling fold is the
+    // CPU-dense stage and the one-file bench corpus scans as ONE task —
+    // identity at production scan parallelism (see Tables.fanOut)
+    val words = graft.Tables.fanOut(docs)
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= k)
     val fps =

@@ -232,8 +232,12 @@ object Similarity {
         val (wcss, nCells, n) = (summary.getDouble(0), summary.getLong(1), summary.getLong(2))
         val refined = lloydRefine(assigned, vecCol)
         // dead cells keep their old centroid: refine only returns cells
-        // with members, and dropping an anchor would shrink k silently
-        val next = Housekeeping.pin(spark)(refined
+        // with members, and dropping an anchor would shrink k silently.
+        // Lazy pin (r13): the movement probe below always runs and
+        // materializes the checkpoint — one job per round instead of two
+        // (anchors.free() only happens after that probe, so the parent
+        // blocks are still live when the chain executes).
+        val next = Housekeeping.pinLazy(spark)(refined
           .unionByName(anchors.df.join(refined.select("anchor_id"), Seq("anchor_id"), "left_anti")))
         val moveRow = anchors.df.as("o")
           .join(next.df.as("n"), "anchor_id")

@@ -57,9 +57,12 @@ object PipelineQueries {
        |${pfx}sh AS (SELECT DISTINCT doc_id, lang, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s FROM ${pfx}pos)""".stripMargin
   private val shingleCte = shingleCteFor("documents")
 
-  /** Spark side of the same: distinct (doc_id, lang, shingle). */
+  /** Spark side of the same: distinct (doc_id, lang, shingle).
+    * fanOut (r13): the shingle explode + md5 is the CPU-dense stage, and
+    * the one-file bench corpus scans as ONE task — see Tables.fanOut. */
   private def shingles(docs: org.apache.spark.sql.DataFrame) =
-    docs.select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+    graft.Tables.fanOut(docs)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), col("lang"),
         explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
@@ -89,7 +92,11 @@ object PipelineQueries {
     minhashSigOf(Tables.documents(s, d))
 
   private def minhashSigOf(docs: org.apache.spark.sql.DataFrame) = {
-    val sh = docs
+    // fanOut (r13): the shingle explode + per-shingle md5 is the CPU-dense
+    // stage of every LSH consumer, and the one-file bench corpus scans as
+    // ONE task (0.7–1.0 s single-threaded per construction) — see
+    // Tables.fanOut; identity at production scan parallelism.
+    val sh = graft.Tables.fanOut(docs)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
@@ -206,7 +213,7 @@ object PipelineQueries {
       // (bench: 5.6 s → one shingle pass); same for the signature, which
       // the candidate and estimate stages both read. ONE distinct, on the
       // hashed (doc_id, long) relation — never on the wide shingle strings
-      val hv = docs
+      val hv = graft.Tables.fanOut(docs) // r13: one-file scan = one task
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
@@ -281,7 +288,7 @@ object PipelineQueries {
   private val x36DedupThresholdSweep = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val hv = docs
+      val hv = graft.Tables.fanOut(docs) // r13: one-file scan = one task
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 3)
         .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
@@ -782,7 +789,7 @@ object PipelineQueries {
     * per document over the distinct-word-hash set (carried as two 32-bit
     * md5 halves) — one aggregation pass with 64 partial sums. */
   private def simhashSigs(s: SparkSession, d: String) = {
-    val words = Tables.documents(s, d)
+    val words = graft.Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"),
         TextAnalysis.hash32(col("word")).as("hv_hi"),
@@ -6704,7 +6711,10 @@ object PipelineQueries {
     * already demonstrates on the word stream. */
   private val m5PhashDedup = Q(
     (s, d) => {
-      val hv = Tables.documents(s, d)
+      // fanOut (r13): two md5s per character position in ONE scan task
+      // otherwise — the declared md5-per-window anchor form is exactly the
+      // kind of CPU-dense, byte-tiny stage the one-file corpus serializes
+      val hv = graft.Tables.fanOut(Tables.documents(s, d))
         .filter(length(col("text")) >= 16)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0), expr("length(text) - 16"))).as("k"))
@@ -6983,7 +6993,7 @@ object PipelineQueries {
       // rolling windows, one O(1) slide per byte) — the md5-per-window
       // anchor form stays declared as m5; at the 10× soak it dominated
       // this query 158 s vs the rolling form's cost
-      val phv = docs
+      val phv = graft.Tables.fanOut(docs) // r13: one-file scan = one task
         .filter(length(col("text")) >= 16)
         .select(col("doc_id"),
           explode(zip_with(
@@ -7183,8 +7193,13 @@ object PipelineQueries {
   private val z47LeakageSplit = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
-        maxBucket = Some(X2MaxBucket))
+      // pin the candidate pairs (r13, guide §5): they feed BOTH the
+      // clustering and the leak join — unpinned, the whole minhash+LSH
+      // pipeline re-executed for the second consumer (CC pins only its
+      // internal symmetrized copy)
+      val pairs = graft.Housekeeping.pin(s)(
+        Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
+          maxBucket = Some(X2MaxBucket))).df
       val assigned = Dedup.connectedComponents(pairs, docs, "doc_id")
         .withColumn("cl_split", Sampling.splitAssign(col("cluster_id"), 80, 10))
         .withColumn("doc_split", Sampling.splitAssign(col("doc_id"), 80, 10))
@@ -7311,8 +7326,9 @@ object PipelineQueries {
     * (doc, n, gram) counts → per-(doc, n) aggregate → 5-value pivot; see
     * TextAnalysis.gopherRepetition for the scale/semantics notes. */
   private val z37GopherRepetition = Q(
-    (s, d) => TextAnalysis.gopherRepetition(Tables.documents(s, d), "doc_id", "text")
-      .orderBy("doc_id"),
+    (s, d) => TextAnalysis.gopherRepetition(
+        graft.Tables.fanOut(Tables.documents(s, d)), "doc_id", "text")
+      .orderBy("doc_id"), // fanOut r13: the ×5-n explode ran 3.9 s in ONE task
     """WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
       |    string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2),
       |g0 AS (SELECT doc_id, nc, n, ws,
@@ -7357,7 +7373,8 @@ object PipelineQueries {
     * — equal-cl ties don't affect emitted values, and the oracle replays
     * the same fingerprints bit-for-bit. */
   private val z37bGopherRolling = Q(
-    (s, d) => TextAnalysis.gopherRepetitionRolling(Tables.documents(s, d), "doc_id", "text")
+    (s, d) => TextAnalysis.gopherRepetitionRolling(
+        graft.Tables.fanOut(Tables.documents(s, d)), "doc_id", "text")
       .orderBy("doc_id"),
     s"""WITH dws AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
        |    string_split(text, ' ') AS ws
@@ -7652,7 +7669,8 @@ object PipelineQueries {
   /** Shared z18/x17 stage: per-(doc, term) counts — one shuffle on the
     * doc-term key. */
   private def termCounts(docs: org.apache.spark.sql.DataFrame) =
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    graft.Tables.fanOut(docs) // r13: one-file scan = one task, see Tables.fanOut
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
 
   private val z18LexicalStats = Q(
@@ -8004,7 +8022,8 @@ object PipelineQueries {
     * first stage of every bigram-LM rung (z17/z38/z41); see
     * [[graft.operators.Lm.bigramTokens]]. */
   private def bigramTokens(docs: org.apache.spark.sql.DataFrame) =
-    graft.operators.Lm.bigramTokens(docs)
+    graft.operators.Lm.bigramTokens(
+      graft.Tables.fanOut(docs)) // r13: one-file scan = one task
 
   /** Per-doc interpolated-KN bigram scores — shared by z38 (the declared
     * panel) and x32 (the v5 curation composition's perplexity gate).
@@ -11706,7 +11725,9 @@ object PipelineQueries {
   private val x23ChunkRetrieval = Q(
     (s, d) => {
       val chunks = TextAnalysis.hashedBowVectors(
-          TextAnalysis.chunkWords(Tables.documents(s, d), "doc_id", "text", 32)
+          TextAnalysis.chunkWords(
+            graft.Tables.fanOut(Tables.documents(s, d)), // r13: 1-task scan
+            "doc_id", "text", 32)
             .select(col("doc_id"), col("chunk_id"),
               split(col("chunk_text"), " ").as("ws")),
           Seq("doc_id", "chunk_id"), "ws", 64)
