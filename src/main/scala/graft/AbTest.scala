@@ -43,9 +43,15 @@ object AbTest {
     names.foreach { name =>
       run(name) // warmup (conf A state)
       val (as, bs) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+      // "prop:<name>" keys flip a JVM system property instead of a SQL
+      // conf — the lever for A/B-ing code-path switches (e.g.
+      // graft.fanout) inside one session
+      def set(v: String): Unit =
+        if (key.startsWith("prop:")) System.setProperty(key.stripPrefix("prop:"), v)
+        else spark.conf.set(key, v)
       (1 to iters).foreach { _ =>
-        spark.conf.set(key, valA); as += run(name)
-        spark.conf.set(key, valB); bs += run(name)
+        set(valA); as += run(name)
+        set(valB); bs += run(name)
       }
       val (a, b) = (as.result(), bs.result())
       println(f"AB $name%-28s $key A=$valA%-8s min=${a.min}%7.2f all=${a.map(x => f"$x%.2f").mkString(",")}  B=$valB%-8s min=${b.min}%7.2f all=${b.map(x => f"$x%.2f").mkString(",")}")

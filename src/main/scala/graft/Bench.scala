@@ -23,8 +23,13 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // see GraftSession: 64k floor keeps CPU-dense pair-scoring stages
-      // parallel at bench scale; scale-neutral (no-op at production bytes)
+      // see GraftSession for both r13 knobs: driver-side file listing up
+      // to 1024 paths (local FS — a distributed listing JOB per store read
+      // costs more than it saves; object-store clusters set it back down),
+      // and the 64k AQE floor that keeps CPU-dense pair-scoring stages
+      // parallel at bench scale (scale-neutral at production bytes)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PAR", "1024"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "64k"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -36,6 +36,14 @@ object GraftSession {
       // Measured (in-JVM A/B, sf0.1): x23 8.1→1.8 s, x16 6.5→3.4 s,
       // x17 7.2→5.9 s; task-count-sensitive iterative queries moved ≤8%
       // either way.
+      // r13: partitioned-store reads with >32 partition dirs were paying a
+      // DISTRIBUTED listing job (~100–150 ms of job overhead per read) —
+      // on local FS the driver lists 60 paths in ~ms, so the threshold
+      // rises to 1024 here; an object-store deployment, where listing
+      // really is the bottleneck, sets SPARK_GRAFT_LIST_PAR back down
+      // (the upstream default is 32).
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PAR", "1024"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "64k"))
       .config("spark.sql.session.timeZone", "UTC")

@@ -66,6 +66,7 @@ object Tables {
     * at scale. Inspecting `df.rdd` costs one physical planning pass of
     * the (scan-shaped) frame, no job. */
   def fanOut(df: DataFrame): DataFrame = {
+    if (sys.props.getOrElse("graft.fanout", "on") == "off") return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }

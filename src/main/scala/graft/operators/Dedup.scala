@@ -445,26 +445,25 @@ object Dedup {
     // free checkpoint blocks, so per-round frames would leak for the life of
     // the session (the round-3 bench-poisoning bug).
     //
-    // BOTH pinned frames are hash-repartitioned on their join key BEFORE
-    // the checkpoint (r13, guide §2.4): localCheckpoint preserves the
-    // physical plan's outputPartitioning in the LogicalRDD it returns, so
-    // every round's equi-join (sym.dst = labels.node) sees two sides
-    // already co-partitioned and plans NO exchange — the per-round shuffle
-    // count drops from 3 (sym re-shuffle + labels re-shuffle + groupBy) to
-    // 1 (the groupBy(src), which is genuinely keyed differently). The
-    // label frame's round output keeps the node partitioning through the
-    // projection, so the property is self-sustaining round over round.
-    val n = spark.sessionState.conf.numShufflePartitions
+    // Pre-partitioning the pinned frames on their join keys (so the
+    // checkpoint's preserved outputPartitioning makes every round's
+    // equi-join exchange-free) was TRIED and REVERTED this round: the
+    // in-JVM A/B measured it 0.3–1.1 s SLOWER per CC consumer at bench
+    // scale — the per-round exchanges are sub-MB and AQE coalesces them
+    // to a few tasks, while fixed-width co-partitioned sorts pay 32 task
+    // overheads per round. At 100 TB, where the symmetrized edge list is
+    // corpus-sized and its per-round re-shuffle is material, the
+    // co-partitioned form wins; the switch point is edge-relation size,
+    // and re-introducing it there is a one-line change documented in
+    // OPTIMIZATION_r13.md.
     val sym = Housekeeping.pin(spark)(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .repartition(n, col("dst")))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
     // localCheckpoint (not cache) per iteration: the label frame is
     // re-derived from itself each round, so lineage — and with it plan
     // size and recomputation cost — would otherwise grow exponentially
     var labels = Housekeeping.pin(spark)(
-      nodes.select(col(idCol).as("node"), col(idCol).as("cluster"))
-        .repartition(n, col("node")))
+      nodes.select(col(idCol).as("node"), col(idCol).as("cluster")))
     // convergence probe: `least()` makes every label non-increasing, so
     // for NUMERIC ids the label SUM is monotone non-increasing and stalls
     // exactly at the fixpoint — an unchanged sum ⟺ no label changed. One
@@ -799,10 +798,13 @@ object Dedup {
     * ≪ 1 per 10⁹·100-word corpus. */
   private def spanFingerprints(docs: DataFrame, idCol: String, textCol: String,
                                k: Int, rolling: Boolean = false): DataFrame = {
-    // fanOut (r13): the per-window md5 (anchor form) / rolling fold is the
-    // CPU-dense stage and the one-file bench corpus scans as ONE task —
-    // identity at production scan parallelism (see Tables.fanOut)
-    val words = graft.Tables.fanOut(docs)
+    // fanOut (r13): the ANCHOR form pays one md5 per window — CPU-dense,
+    // and the one-file bench corpus scans as ONE task (x19 A/B: −0.2 s
+    // with fanOut; identity at production scan parallelism). The ROLLING
+    // form is O(1) per word and regressed with the extra exchange, so it
+    // keeps the raw scan.
+    val spread = if (rolling) docs else graft.Tables.fanOut(docs)
+    val words = spread
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= k)
     val fps =

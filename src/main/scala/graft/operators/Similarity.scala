@@ -587,6 +587,13 @@ object Similarity {
     * Output: (i, j, n, gram·as·double). */
   def gramUpper(vectors: DataFrame, vecCol: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    // r13 note: a single explode of a pre-built upper-triangle
+    // array<struct> (flatten(transform(..transform(slice..)))) was tried
+    // to halve the generated rows — and measured ~70% SLOWER (y12
+    // 3.6 → 6.1 s): nested HOF struct construction is interpreted
+    // per-element allocation, while the double posexplode runs inside
+    // whole-stage codegen and the filtered half-rows never leave the
+    // Generate stage. Kept the codegen'd form.
     vectors
       .select(col(vecCol).as("__v"), posexplode(col(vecCol)).as(Seq("i", "__xi")))
       .select(col("i"), col("__xi"), posexplode(col("__v")).as(Seq("j", "__xj")))

@@ -92,11 +92,12 @@ object PipelineQueries {
     minhashSigOf(Tables.documents(s, d))
 
   private def minhashSigOf(docs: org.apache.spark.sql.DataFrame) = {
-    // fanOut (r13): the shingle explode + per-shingle md5 is the CPU-dense
-    // stage of every LSH consumer, and the one-file bench corpus scans as
-    // ONE task (0.7–1.0 s single-threaded per construction) — see
-    // Tables.fanOut; identity at production scan parallelism.
-    val sh = graft.Tables.fanOut(docs)
+    // fanOut deliberately NOT applied here (r13): measured per-query A/B
+    // (prop:graft.fanout) showed the signature path's explode is cheap
+    // enough that the added exchange LOSES (x2 −0.17 s, x39 −1.3 s,
+    // x8/x24/x53/x9b −0.2–0.5 s with it off) — the groupBy's map side
+    // dominates and already spreads at the first shuffle.
+    val sh = docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
@@ -789,7 +790,7 @@ object PipelineQueries {
     * per document over the distinct-word-hash set (carried as two 32-bit
     * md5 halves) — one aggregation pass with 64 partial sums. */
   private def simhashSigs(s: SparkSession, d: String) = {
-    val words = graft.Tables.fanOut(Tables.documents(s, d))
+    val words = Tables.documents(s, d) // no fanOut: x3/x3b regressed with it
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"),
         TextAnalysis.hash32(col("word")).as("hv_hi"),
@@ -6993,7 +6994,7 @@ object PipelineQueries {
       // rolling windows, one O(1) slide per byte) — the md5-per-window
       // anchor form stays declared as m5; at the 10× soak it dominated
       // this query 158 s vs the rolling form's cost
-      val phv = graft.Tables.fanOut(docs) // r13: one-file scan = one task
+      val phv = docs // no fanOut: the rolling fold is cheap, m7 regressed with it
         .filter(length(col("text")) >= 16)
         .select(col("doc_id"),
           explode(zip_with(
@@ -7374,7 +7375,7 @@ object PipelineQueries {
     * the same fingerprints bit-for-bit. */
   private val z37bGopherRolling = Q(
     (s, d) => TextAnalysis.gopherRepetitionRolling(
-        graft.Tables.fanOut(Tables.documents(s, d)), "doc_id", "text")
+        Tables.documents(s, d), "doc_id", "text") // rolling is O(1)/word — no fanOut
       .orderBy("doc_id"),
     s"""WITH dws AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS nc,
        |    string_split(text, ' ') AS ws
@@ -7669,7 +7670,7 @@ object PipelineQueries {
   /** Shared z18/x17 stage: per-(doc, term) counts — one shuffle on the
     * doc-term key. */
   private def termCounts(docs: org.apache.spark.sql.DataFrame) =
-    graft.Tables.fanOut(docs) // r13: one-file scan = one task, see Tables.fanOut
+    docs // no fanOut: word-split explode is cheap, the A/B showed z18 −0.3 s with it
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
 
@@ -8022,8 +8023,7 @@ object PipelineQueries {
     * first stage of every bigram-LM rung (z17/z38/z41); see
     * [[graft.operators.Lm.bigramTokens]]. */
   private def bigramTokens(docs: org.apache.spark.sql.DataFrame) =
-    graft.operators.Lm.bigramTokens(
-      graft.Tables.fanOut(docs)) // r13: one-file scan = one task
+    graft.operators.Lm.bigramTokens(docs) // no fanOut: z17/z38 regressed with it
 
   /** Per-doc interpolated-KN bigram scores — shared by z38 (the declared
     * panel) and x32 (the v5 curation composition's perplexity gate).
