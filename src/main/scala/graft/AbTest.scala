@@ -41,7 +41,6 @@ object AbTest {
     }
 
     names.foreach { name =>
-      run(name) // warmup (conf A state)
       val (as, bs) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
       // "prop:<name>" keys flip a JVM system property instead of a SQL
       // conf — the lever for A/B-ing code-path switches (e.g.
@@ -49,6 +48,9 @@ object AbTest {
       def set(v: String): Unit =
         if (key.startsWith("prop:")) System.setProperty(key.stripPrefix("prop:"), v)
         else spark.conf.set(key, v)
+      // warm up IN arm-A state (r13 ADVICE: warming in session-default /
+      // previous query's arm-B state biased arm A's first iteration)
+      set(valA); run(name)
       (1 to iters).foreach { _ =>
         set(valA); as += run(name)
         set(valB); bs += run(name)

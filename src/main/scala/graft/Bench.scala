@@ -23,15 +23,17 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
-      // see GraftSession for both r13 knobs: driver-side file listing up
+      // see GraftSession for both knobs: driver-side file listing up
       // to 1024 paths (local FS — a distributed listing JOB per store read
       // costs more than it saves; object-store clusters set it back down),
-      // and the 64k AQE floor that keeps CPU-dense pair-scoring stages
-      // parallel at bench scale (scale-neutral at production bytes)
+      // and the AQE coalescing floor at Spark's 1m default (r14: the r13
+      // session-wide 64k cost the CC/minhash band more than the pair
+      // scorers gained; those three queries now scope it themselves via
+      // Housekeeping.scopedConf)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         sys.env.getOrElse("SPARK_GRAFT_LIST_PAR", "1024"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1m"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -70,7 +72,20 @@ object Bench {
     // best-of-N steady state: single-shot numbers on a shared box carry
     // ±30% scheduler noise; min over iterations is the standard estimator
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt.max(1)
-    val raw = names.map(n => n -> (1 to iters).map(_ => run(n)))
+    // iterations=1 carve-out (r13 verdict what's-wrong #4 / next #9):
+    // these queries memoize their built lifecycle per (applicationId, dir)
+    // BY DESIGN (x55/x58 retain the multi-day artifacts, e1 the shared
+    // flagship panel via retainCheckpoint), so iteration 2+ would time a
+    // cache hit, not the operator — best-of-N must never take a memoized
+    // re-construction as the query's time. One iteration = the honest
+    // build-plus-query cost. (The Stored-artifact queries — x39/x40/x41/
+    // y18 — are NOT carved out: their contract is incremental work against
+    // a pre-existing store, so the steady-state iteration is the declared
+    // measurement; see OPTIMIZATION_r14.md.)
+    val memoizing = Set("x55_tail_composition", "x58_interleaved_takedown",
+      "e1_stability_matrix")
+    val raw = names.map(n =>
+      n -> (1 to (if (memoizing(n)) 1 else iters)).map(_ => run(n)))
     val results = raw.map { case (n, times) =>
       val ok = times.filter(_ >= 0)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
@@ -105,6 +120,14 @@ object Bench {
         System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }
     }
+    // r13 verdict: the full line above is ~12 KB (293 per-query entries) and
+    // the driver's record keeps only the final ~2 KB of stdout, so its parse
+    // failed in BOTH r12 and r13 (PERF per-query empty). Emit a compact
+    // summary as the LAST stdout line — small enough that any tail-limited
+    // parser sees one complete JSON object; the per-query map stays in the
+    // full line above and in bench_full.json (committed each round).
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"iterations":$iters,"detail":"bench_full.json","loadavg_before":[$loadBefore],"loadavg_after":[$loadavg]}""")
     spark.stop()
   }
 }

@@ -36,6 +36,15 @@ object Housekeeping {
   private val retained =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Int)]()
 
+  /** Lazy pins whose materialization has not been OBSERVED yet (r13
+    * ADVICE: pinLazy's safety contract — "run an action before freeing the
+    * parent" — was enforced only by comments). [[PinnedFrame.free]]
+    * consults this set and fails loudly instead of letting a freed parent
+    * surface later as an unexplained recompute-from-missing-blocks error.
+    * Entries self-clean once the lazy frame is seen checkpointed. */
+  private val lazyPending =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Unit]()
+
   /** A localCheckpointed frame whose blocks can actually be freed.
     *
     * `Dataset.unpersist` only removes CacheManager entries (plans cached
@@ -51,7 +60,35 @@ object Housekeeping {
   final class PinnedFrame(val df: DataFrame, val ids: Set[Int]) {
     def free(): Unit = {
       val sc = df.sparkSession.sparkContext
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      val app = sc.applicationId
+      // contract check (r13 ADVICE): freeing ANY pinned frame while an
+      // unmaterialized lazy pin exists is the silent-corruption hazard —
+      // the lazy frame may still read this frame's blocks. Scan is O(live
+      // lazy pins), i.e. one or two entries; entries whose frames are now
+      // checkpointed (or already unpersisted) self-clean here.
+      val persistent = sc.getPersistentRDDs
+      val it = lazyPending.keySet().iterator()
+      while (it.hasNext) {
+        val key @ (a, id) = it.next()
+        if (a == app) {
+          persistent.get(id) match {
+            case None => lazyPending.remove(key) // already unpersisted/swept
+            case Some(rdd) if rdd.isCheckpointed => lazyPending.remove(key)
+            case Some(_) if ids.contains(id) =>
+              lazyPending.remove(key) // the lazy frame itself is being freed
+            case Some(_) =>
+              throw new IllegalStateException(
+                s"PinnedFrame.free() with lazy pin (rdd $id) not yet " +
+                  "materialized: run an action on the pinLazy frame before " +
+                  "freeing what it was derived from (Housekeeping.pinLazy contract)")
+          }
+        } else if (!persistent.contains(id)) {
+          // stale entry from a stopped context: ids restart near zero, so
+          // drop it rather than let it match a future context's rdd
+          lazyPending.remove(key)
+        }
+      }
+      persistent.foreach { case (id, rdd) =>
         if (ids.contains(id)) rdd.unpersist(blocking = false)
       }
     }
@@ -84,7 +121,10 @@ object Housekeeping {
     val before = sc.getPersistentRDDs.keySet
     val df = build.localCheckpoint(eager = false)
     val after = sc.getPersistentRDDs.keySet
-    new PinnedFrame(df, (after -- before).toSet)
+    val ids = (after -- before).toSet
+    val app = sc.applicationId
+    ids.foreach(id => lazyPending.put((app, id), ()))
+    new PinnedFrame(df, ids)
   }
 
   /** Eagerly localCheckpoint `build` and register the resulting blocks as
@@ -111,14 +151,52 @@ object Housekeeping {
     b.result()
   }
 
+  /** Per-QUERY session-conf overrides (r14, r13 verdict #6): a handful of
+    * queries need an execution conf the session default would mis-serve —
+    * x23/x16/x17's byte-tiny, CPU-dense pair-scoring stages need the AQE
+    * coalescing floor at 64k (bytes underestimate per-pair compute), while
+    * the session-wide 64k floor of r13 cost the CC/minhash band 1.3–1.9 s
+    * per query in un-coalesced tiny tasks (in-JVM A/B, OPTIMIZATION_r14.md).
+    * Spark has no per-plan conf, so the query lambda registers the override
+    * here at construction; it applies through the query's execution, and
+    * the harness sweep ([[releaseAllBlocks]], run by Bench/Verify/Profile/
+    * AbTest/Soak after every query) restores the session value. Outside a
+    * harness the override persists until the next sweep — the documented
+    * caveat, strictly narrower than r13's session-wide setting. */
+  private val scopedConfs =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[String]]()
+
+  def scopedConf(spark: SparkSession, key: String, value: String): Unit = {
+    val app = spark.sparkContext.applicationId
+    // first registration wins: the stored original is the true session
+    // default even if the query re-registers across bench iterations
+    scopedConfs.putIfAbsent((app, key), spark.conf.getOption(key))
+    spark.conf.set(key, value)
+  }
+
   /** Drop every cached/persisted/checkpointed block the last query run left
     * behind, except the process-lifetime set. Non-blocking: the executors
-    * free the blocks asynchronously while the next query plans. */
+    * free the blocks asynchronously while the next query plans. Also
+    * restores any [[scopedConf]] overrides the query registered. */
   def releaseAllBlocks(spark: SparkSession): Unit = {
     val app = spark.sparkContext.applicationId
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!retained.contains((app, id))) rdd.unpersist(blocking = false)
+      if (!retained.contains((app, id))) {
+        rdd.unpersist(blocking = false)
+        lazyPending.remove((app, id))
+      }
+    }
+    val it = scopedConfs.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == app) {
+        e.getValue match {
+          case Some(v) => spark.conf.set(e.getKey._2, v)
+          case None => spark.conf.unset(e.getKey._2)
+        }
+        it.remove()
+      }
     }
   }
 }

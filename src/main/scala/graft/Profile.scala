@@ -35,13 +35,17 @@ object Profile {
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
         sys.env.getOrElse("SPARK_GRAFT_LIST_PAR", "1024"))
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "1m"))
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, JobRow]()
-    var collecting = false
+    // r13 ADVICE: track liveness with an explicit set (a legitimately 0-ms
+    // job is not "still running"), and make the gate volatile — it is
+    // written on the main thread and read on the listener-bus thread
+    val live = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    @volatile var collecting = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (collecting) {
         val desc = Option(e.properties)
@@ -50,23 +54,25 @@ object Profile {
             .flatMap(p => Option(p.getProperty("callSite.short"))))
           .getOrElse("")
         jobs.put(e.jobId, JobRow(e.jobId, desc, e.time, e.time, 0L, 0L, 0L, 0))
+        live.add(e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val r = jobs.get(e.jobId)
         if (r != null) r.endMs = e.time
+        live.remove(e.jobId)
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         // attribute task metrics to the live job covering this stage — in
         // this serial harness at most one query's jobs run at a time, so
         // matching by time window is unnecessary: just fold into the
-        // latest unfinished job (good enough for attribution)
+        // latest live job (good enough for attribution)
         val m = e.taskMetrics
         if (m != null) {
-          val it = jobs.values().iterator()
+          val it = live.iterator()
           var latest: JobRow = null
           while (it.hasNext) {
-            val r = it.next()
-            if (r.endMs == r.startMs && (latest == null || r.id > latest.id)) latest = r
+            val r = jobs.get(it.next())
+            if (r != null && (latest == null || r.id > latest.id)) latest = r
           }
           if (latest != null) {
             latest.taskMs += m.executorRunTime
@@ -80,7 +86,7 @@ object Profile {
     spark.sparkContext.addSparkListener(listener)
 
     def run(name: String, profiled: Boolean): Double = {
-      if (profiled) { jobs.clear(); collecting = true }
+      if (profiled) { jobs.clear(); live.clear(); collecting = true }
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()

@@ -64,9 +64,22 @@ object Tables {
     * thousands of splits, the guard sees parallelism ≥ cores, and the
     * helper is the identity — no corpus-sized text shuffle is ever added
     * at scale. Inspecting `df.rdd` costs one physical planning pass of
-    * the (scan-shaped) frame, no job. */
+    * the (scan-shaped) frame, no job.
+    *
+    * SCAN-SHAPED ONLY (r13 ADVICE): on a frame whose plan contains a
+    * shuffle (join/aggregate/window/repartition), `df.rdd` makes AQE
+    * materialize upstream query stages EAGERLY — running jobs at plan
+    * time and recomputing them when df is consumed. Such frames take
+    * their parallelism from the shuffle anyway, so the helper is the
+    * identity for them, enforced by a narrow-plan walk (no job). */
   def fanOut(df: DataFrame): DataFrame = {
     if (sys.props.getOrElse("graft.fanout", "on") == "off") return df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val narrowOnly = df.queryExecution.optimizedPlan.collectFirst {
+      case n if !(n.isInstanceOf[LeafNode] || n.isInstanceOf[Project] ||
+        n.isInstanceOf[Filter] || n.isInstanceOf[Generate]) => n
+    }.isEmpty
+    if (!narrowOnly) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }

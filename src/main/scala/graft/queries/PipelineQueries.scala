@@ -92,12 +92,17 @@ object PipelineQueries {
     minhashSigOf(Tables.documents(s, d))
 
   private def minhashSigOf(docs: org.apache.spark.sql.DataFrame) = {
-    // fanOut deliberately NOT applied here (r13): measured per-query A/B
-    // (prop:graft.fanout) showed the signature path's explode is cheap
-    // enough that the added exchange LOSES (x2 −0.17 s, x39 −1.3 s,
-    // x8/x24/x53/x9b −0.2–0.5 s with it off) — the groupBy's map side
-    // dominates and already spreads at the first shuffle.
-    val sh = docs
+    // fanOut NOT applied by default (r13 A/B: the added exchange lost —
+    // x2 −0.17 s, x39 −1.3 s, x8/x24/x53/x9b −0.2–0.5 s with it off).
+    // That measurement ran under the r13 session-wide 64k AQE floor; the
+    // r14 profile still shows a ~2.5 s single-task signature stage at the
+    // head of every minhash consumer, so the decision is re-A/B-able
+    // under the 1m default via prop graft.fanout.sig (default off).
+    val spread =
+      if (sys.props.getOrElse("graft.fanout.sig", "off") == "on")
+        graft.Tables.fanOut(docs)
+      else docs
+    val sh = spread
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(TextAnalysis.shinglesExpr("ws", 3)).as("sh"))
@@ -641,6 +646,12 @@ object PipelineQueries {
     * the declared fuzzy-verify query and the curation composition can
     * never drift on the edge definition. */
   private def headEditPairs(s: SparkSession, d: String) = {
+    // scoped AQE floor (r14, guide §2.5): the levenshtein-per-pair stage
+    // is byte-tiny but CPU-dense — the 1m default coalesces it to one
+    // task (x16 3.6 s vs 1.4 s, x17 6.4 vs 5.8, in-JVM A/B). 64k applies
+    // to THIS query only; the harness sweep restores the session default.
+    graft.Housekeeping.scopedConf(s,
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
     val pairs = Dedup.lshCandidates(minhashSig(s, d), "doc_id", 8,
       maxBucket = Some(X2MaxBucket))
     val heads = Tables.documents(s, d)
@@ -5135,6 +5146,12 @@ object PipelineQueries {
     * still-true inequality. */
   private val y9bIvfPqRotated = Q(
     (s, d) => {
+      // scoped AQE floor (r14): both arms' blocked ADC scoring is
+      // byte-tiny but CPU-dense — 64k vs 1m measured 1.49 vs 2.12 s
+      // (min of 4, in-JVM A/B); same class as x23's pair scorer. Applies
+      // to THIS query only; the harness sweep restores the default.
+      graft.Housekeeping.scopedConf(s,
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       val e = y13Mixed(s, d)
       val (r, er) =
         if (planOnly) identityRotated(e) else y13RotationFor(s, d)
@@ -11724,6 +11741,13 @@ object PipelineQueries {
     * join on is unchanged. */
   private val x23ChunkRetrieval = Q(
     (s, d) => {
+      // scoped AQE floor (r14, guide §2.5): the bucket-join + 64-float-dot
+      // per-pair stage is byte-tiny but CPU-dense — the 1m default merges
+      // it to ONE task (7.2 s vs 2.0 s, in-JVM A/B; see the NOTE below for
+      // why an in-plan repartition cannot fix it). 64k applies to THIS
+      // query only; the harness sweep restores the session default.
+      graft.Housekeeping.scopedConf(s,
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       val chunks = TextAnalysis.hashedBowVectors(
           TextAnalysis.chunkWords(
             graft.Tables.fanOut(Tables.documents(s, d)), // r13: 1-task scan
@@ -11745,16 +11769,18 @@ object PipelineQueries {
         .withColumn("fvr", expr("transform(v, x -> CAST(x AS FLOAT))"))
         .withColumn("nrm", sqrt(Similarity.dot("fvr", "fvr")))
         .select("doc_id", "chunk_id", "fvr", "bucket", "nrm")
-      // NOTE (r13, guide §2.5/§2.6): the stage that probes the bucket
+      // NOTE (r13→r14, guide §2.5/§2.6): the stage that probes the bucket
       // join and computes a 64-float dot per pair is byte-tiny but
       // CPU-dense; AQE's 1 MB byte-based coalescing floor merged it into
       // ONE task — 5.1 s of the query's 7 s serialized on one core of 32.
-      // Fixed session-wide (the floor is now 64k, see GraftSession): an
-      // in-plan repartition was tried first and rejected — placed on the
-      // pair relation it re-shuffles the vectors (guide §2.3); placed on
-      // the query side AQE just flips the tiny side to the broadcast
-      // build and streams the candidates through the coalesced exchange
-      // anyway. measured 8.1 s → 1.8 s (in-JVM A/B).
+      // Fixed by the SCOPED 64k floor at the top of this lambda (r13 set
+      // it session-wide; r14 narrowed it after the CC/minhash band
+      // measured 1–1.9 s slower under it). An in-plan repartition was
+      // tried first and rejected — placed on the pair relation it
+      // re-shuffles the vectors (guide §2.3); placed on the query side
+      // AQE just flips the tiny side to the broadcast build and streams
+      // the candidates through the coalesced exchange anyway.
+      // measured 8.1 s → 1.8 s (in-JVM A/B, r13).
       val q = chunks.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("q_doc"), col("chunk_id").as("q_chunk"),
           col("fvr").as("q_v"), col("bucket"), col("nrm").as("q_nrm"))

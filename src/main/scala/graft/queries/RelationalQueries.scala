@@ -24,6 +24,16 @@ object RelationalQueries {
     * instead of running real write jobs at construction time. */
   private def planOnly: Boolean = sys.props.get("graft.plan.only").contains("true")
 
+  /** Exact ndv as a two-phase `groupBy(c)→count` (s20's Expand-free rung,
+    * r13): map-side combinable, fully codegen'd, shuffles one row per
+    * distinct value. The `isNotNull` filter is load-bearing (r13 ADVICE):
+    * `COUNT(DISTINCT c)` excludes NULLs, but a bare GROUP BY would count
+    * the null group — one too high on any nullable profiled column. */
+  private[graft] def exactNdv(df: DataFrame, c: String): DataFrame =
+    df.select(col(c)).where(col(c).isNotNull)
+      .groupBy(col(c)).agg(lit(1))
+      .agg(count(lit(1)).as(s"nd_$c"))
+
   /** S1+P1+P3: lazy scan, conjunctive filter, projection — the canonical
     * read path of `/root/reference/R/let_russ_cook.R:39-44`. Both the filter
     * and the 4-column projection push down to the Parquet reader. */
@@ -2083,13 +2093,15 @@ object RelationalQueries {
       //    ndv is its own two-phase groupBy(col)→count instead: map-side
       //    combinable, fully codegen'd, shuffles one row per distinct
       //    value, and each single-column scan prunes to that column. The
-      //    oracle is unchanged: COUNT(DISTINCT c) ≡ COUNT(*) over
-      //    GROUP BY c, exactly.
+      //    oracle is unchanged: with nulls filtered out first,
+      //    COUNT(DISTINCT c) ≡ COUNT(*) over GROUP BY c exactly —
+      //    COUNT(DISTINCT) excludes nulls, but a bare GROUP BY would
+      //    count the null group (r13 ADVICE: latent off-by-one on any
+      //    nullable profiled column).
       //  - counts + null counts + HLL sketches stay in one Expand-free
       //    scan (HLL is order-independent, so the estimate — and the
       //    approx_ok gate — is bit-identical to the fused form).
-      def ndv(c: String) = li.select(col(c)).groupBy(col(c)).agg(lit(1))
-        .agg(count(lit(1)).as(s"nd_$c"))
+      def ndv(c: String) = exactNdv(li, c)
       val cnts = li.agg(
           count(lit(1)).as("n_rows"),
           nn("l_orderkey").as("nn_ok"),

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Gate for the round-3 bench-poisoning diagnosis: checkpoint-heavy queries
   * must leave ZERO persistent blocks behind once the harness sweep runs —
   * otherwise a long-lived session (Bench's 280 executions, a production
@@ -43,6 +45,27 @@ class HousekeepingSpec extends SparkSpec {
     val added = spark.sparkContext.getPersistentRDDs.keySet -- before
     // exactly one live block family should remain: the eager label checkpoint
     assert(added.size <= 1, s"star contraction leaked intermediate blocks: $added")
+    Housekeeping.releaseAllBlocks(spark)
+  }
+
+  test("freeing a parent under an unmaterialized lazy pin fails loudly (pinLazy contract)") {
+    val sp = spark
+    import sp.implicits._
+    // legit order: probe (action) materializes the lazy frame, then the
+    // parent may be freed
+    val parentOk = Housekeeping.pin(spark)((1L to 100L).toDF("v"))
+    val childOk = Housekeeping.pinLazy(spark)(parentOk.df.filter(col("v") % 2 === 0))
+    assert(childOk.df.count() == 50) // materializes
+    parentOk.free() // must not throw
+    childOk.free()
+    // violation: free the parent while the lazy child has never run an action
+    val parent = Housekeeping.pin(spark)((1L to 100L).toDF("v"))
+    val child = Housekeeping.pinLazy(spark)(parent.df.filter(col("v") % 2 === 1))
+    val ex = intercept[IllegalStateException](parent.free())
+    assert(ex.getMessage.contains("pinLazy"), ex.getMessage)
+    // cleanup: materialize then sweep so later tests see no strays
+    assert(child.df.count() == 50)
+    child.free(); parent.free()
     Housekeeping.releaseAllBlocks(spark)
   }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.RSemantics
 import graft.operators.Relational
+import graft.queries.RelationalQueries
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
@@ -658,5 +659,20 @@ class RelationalSpec extends SparkSpec {
       assert(df >= math.min(nEn, nOt) - 1 && df <= nEn + nOt - 2,
         s"$src: df=$df outside [${math.min(nEn, nOt) - 1}, ${nEn + nOt - 2}]")
     }
+  }
+
+  test("exactNdv matches COUNT(DISTINCT) on a nullable column (excludes the null group)") {
+    // r13 ADVICE: the two-phase groupBy rewrite must NOT count the null
+    // group — COUNT(DISTINCT c) excludes nulls. Nullable column with
+    // duplicates AND nulls; the all-null column is the degenerate edge.
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, null), (2L, null), (2L, null), (null, null), (3L, null), (null, null))
+      .toDF("v", "allnull")
+    val viaGroup = RelationalQueries.exactNdv(df, "v").head.getLong(0)
+    val viaDistinct = df.agg(countDistinct(col("v"))).head.getLong(0)
+    assert(viaGroup === viaDistinct && viaGroup === 3L,
+      s"ndv=$viaGroup, countDistinct=$viaDistinct")
+    assert(RelationalQueries.exactNdv(df, "allnull").head.getLong(0) === 0L,
+      "an all-null column has ndv 0, not 1")
   }
 }

@@ -262,4 +262,16 @@ class ScaleOpsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS dims_b")
     }
   }
+
+  test("fanOut widens a narrow under-parallel frame but is identity past a shuffle") {
+    // scan-shaped (LocalRelation leaf + filter): under-parallel → repartition
+    val narrow = Seq(1, 2, 3, 4).toDF("v").filter(col("v") > 0)
+    assert(Tables.fanOut(narrow).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // shuffle-containing frame (r13 ADVICE): df.rdd on it would make AQE
+    // materialize upstream stages at plan time — fanOut must return the
+    // SAME frame without planning it
+    val shuffled = Seq(1, 2, 2, 3).toDF("v").groupBy("v").count()
+    assert(Tables.fanOut(shuffled) eq shuffled)
+  }
 }
